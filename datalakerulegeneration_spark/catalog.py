@@ -1,0 +1,226 @@
+"""Table catalog + ingest (reference operators S1-S8).
+
+The reference loads every table as an all-string pandas DataFrame
+(``dataset.py:42-48``: ``dtype=str, keep_default_na=False`` + strip) or
+through a latin-1 normalizing reader (``utils/read_data.py:18-49``).
+Here both modes are declarative reads that Catalyst can prune/push into,
+and the catalog is itself a DataFrame so discovery composes with joins.
+"""
+
+from __future__ import annotations
+
+import html
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class TableRef:
+    """One entry in the lake catalog."""
+
+    table: str
+    path: str
+    fmt: str = "parquet"  # parquet | csv
+    kind: str = "data"  # data | dirty | clean
+
+
+# testdata columns stored as TIMESTAMP(NANOS): with
+# spark.sql.legacy.parquet.nanosAsLong=true they surface as LongType
+# nanoseconds; convert to µs timestamps (same truncation DuckDB does).
+TIMESTAMP_NANOS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables for one scale factor."""
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        df = spark.read.parquet(p)
+        for c in TIMESTAMP_NANOS_COLS.get(t, ()):
+            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+                )
+        out[t] = df
+    return out
+
+
+def register_sf_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Register each sf table as a temp view (SQL entry point)."""
+    dfs = load_sf_tables(spark, sf_dir, tables)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+# ---------------------------------------------------------------------------
+# S1 — all-string CSV scan (reference dataset.py:42-48)
+# ---------------------------------------------------------------------------
+
+def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
+    """Read a CSV with every cell as a trimmed string, no NA parsing.
+
+    Mirrors the reference's ``pd.read_csv(dtype=str,
+    keep_default_na=False)`` + per-cell strip: nulls become empty
+    strings, whitespace is trimmed. All downstream profiling/type
+    inference operates on these strings.
+    """
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", False)
+        .option("nullValue", None)
+        .csv(path)
+    )
+    return df.select(
+        *[F.trim(F.coalesce(F.col(c).cast("string"), F.lit(""))).alias(c) for c in df.columns]
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 — normalized CSV scan (reference utils/read_data.py:18-49)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.StringType())
+def _html_unescape(s: pd.Series) -> pd.Series:
+    # html.unescape has no Spark builtin; Arrow-batched, used once at ingest.
+    return s.map(lambda v: html.unescape(v) if isinstance(v, str) else v)
+
+
+def read_csv_normalized(spark: SparkSession, path: str, encoding: str = "ISO-8859-1") -> DataFrame:
+    """CSV read with the reference's value normalizer applied.
+
+    Normalizer (reference utils/read_data.py:7-15): HTML-unescape,
+    collapse internal whitespace runs to one space, strip. Whitespace
+    handling stays JVM-side (regexp_replace + trim); only the unescape
+    needs a pandas_udf, and it is applied once at ingest so rule
+    evaluation later stays in whole-stage codegen.
+    """
+    df = spark.read.option("header", True).option("encoding", encoding).csv(path)
+    cols = []
+    for c in df.columns:
+        v = F.col(c).cast("string")
+        v = _html_unescape(v)
+        v = F.regexp_replace(v, r"\s+", " ")
+        v = F.trim(v)
+        cols.append(v.alias(c))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# S5 — dataset-folder discovery (reference profiling/profiler.py:42-63)
+# ---------------------------------------------------------------------------
+
+def discover_dataset_folders(spark: SparkSession, root: str) -> DataFrame:
+    """Scan ``<root>/<group>/<name>/{dirty,clean}.csv`` into a catalog DF.
+
+    Driver-side listing (directory metadata, not data); results become a
+    DataFrame so downstream pipelines can join against the catalog.
+    """
+    rows = []
+    if os.path.isdir(root):
+        for group in sorted(os.listdir(root)):
+            gdir = os.path.join(root, group)
+            if not os.path.isdir(gdir):
+                continue
+            for name in sorted(os.listdir(gdir)):
+                ddir = os.path.join(gdir, name)
+                for kind in ("dirty", "clean"):
+                    p = os.path.join(ddir, f"{kind}.csv")
+                    if os.path.exists(p):
+                        rows.append((group, name, kind, p))
+    schema = "group string, table string, kind string, path string"
+    return spark.createDataFrame(rows, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# S6 — JDBC source (reference dBoost utils/db.py:4-10)
+# ---------------------------------------------------------------------------
+
+def read_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:
+    """Stream rows from a database query (reference iter_db).
+
+    On a cluster, set ``partitionColumn/lowerBound/upperBound/
+    numPartitions`` so the read parallelizes instead of funneling
+    through one connection.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# S7 — delimited text stream with type-locking (reference dboost/utils/read.py:8-47)
+# ---------------------------------------------------------------------------
+
+def read_delimited_typed(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    floats_only: bool = False,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """dBoost's stream_tuples: fixed separator, drop malformed rows.
+
+    The reference locks per-field converters from the first row and
+    silently discards rows that fail conversion; Spark's DROPMALFORMED
+    mode plus an explicit/inferred schema reproduces that contract
+    scalably (schema inference samples instead of trusting row 1).
+    """
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", False)
+        .option("mode", "DROPMALFORMED")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(path)
+    if floats_only:
+        df = df.select(*[F.col(c).cast("double").alias(c) for c in df.columns])
+        df = df.na.drop("any")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# S8/S4 — sinks
+# ---------------------------------------------------------------------------
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Persist a DataFrame (profiles, violations, reports).
+
+    Parquet by default — the reference pickles profile dicts
+    (utils/file_io.py:4-10); a columnar table keeps them queryable and
+    partitionable instead.
+    """
+    df.write.format(fmt).mode(mode).save(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (reference dataset.py:50-54)."""
+    df.write.option("header", True).mode(mode).csv(path)

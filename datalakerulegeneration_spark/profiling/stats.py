@@ -1,0 +1,352 @@
+"""Per-column statistic registry (reference operators P1-P18).
+
+Every statistic is defined ONCE as a pair of builders:
+
+* ``spark(col)``  -> a PySpark ``Column`` aggregate expression
+* ``sql(col)``    -> the equivalent DuckDB/ANSI SQL aggregate string
+
+so the engine's profiler and the DuckDB correctness oracle are
+structurally guaranteed to compute the same thing. Reference
+semantics: profiling/profiler.py:169-357 computes these in per-cell
+Python loops; here each is one aggregate expression inside a single
+wide aggregation per table (one scan, map-side partial aggregation).
+
+Determinism across engines: float aggregates are computed via exact
+DECIMAL(18,6) sums (order-independent, bit-identical in Spark and
+DuckDB) and only converted to DOUBLE at the end, so value hashes match.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Column kinds a stat applies to.
+STRINGY = "string"
+NUMERIC = "numeric"
+ANY = "any"
+
+# Regexes shared by Spark and DuckDB (RE2-compatible subset).
+RE_INT = r"^-?\d+$"
+RE_FLOAT = r"^-?\d+\.\d+$"
+RE_NUMERIC = r"^-?\d+(\.\d+)?$"
+RE_ALPHA_CELL = r"^[A-Za-z]+$"
+RE_PUNCT_CELL = r"^[^A-Za-z0-9]+$"
+RE_DATE = r"^\d{4}-\d{2}-\d{2}$"
+RE_TIME_24H = r"^\d{1,2}:\d{2}(:\d{2})?$"
+RE_TIME_AMPM = r"^\d{1,2}:\d{2}\s?[apAP]\.?[mM]\.?$"
+RE_PERCENT = r"^-?\d+(\.\d+)?\s?%$"
+RE_BOOL = r"^(true|false|yes|no|t|f|y|n|0|1)$"
+RE_EMAIL = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
+
+
+def _dec(c: str) -> Column:
+    return F.expr(f"try_cast({c} as decimal(18,6))")
+
+
+def _dec_sql(c: str) -> str:
+    return f"TRY_CAST({c} AS DECIMAL(18,6))"
+
+
+def _num(c: str) -> Column:
+    return F.expr(f"try_cast({c} as double)")
+
+
+@dataclass(frozen=True)
+class Stat:
+    """One profile statistic, defined for both engines."""
+
+    name: str
+    kind: str  # STRINGY / NUMERIC / ANY
+    spark: Callable[[str], Column]
+    sql: Callable[[str], str]
+
+
+def _count_if(cond_sql: str) -> str:
+    return f"CAST(count_if({cond_sql}) AS DOUBLE)"
+
+
+def _char_class_spark(c: str, char_re: str) -> Column:
+    # total characters of a class = sum(len - len(strip(class)))
+    s = F.coalesce(F.col(c).cast("string"), F.lit(""))
+    return F.sum(F.length(s) - F.length(F.regexp_replace(s, char_re, ""))).cast("double")
+
+
+def _char_class_sql(c: str, char_re: str) -> str:
+    s = f"COALESCE(CAST({c} AS VARCHAR), '')"
+    return (
+        f"CAST(SUM(length({s}) - length(regexp_replace({s}, '{char_re}', '', 'g'))) AS DOUBLE)"
+    )
+
+
+def _ratio_rlike_spark(c: str, pat: str) -> Column:
+    s = F.col(c).cast("string")
+    return (
+        F.sum(F.when(s.rlike(pat), 1).otherwise(0)).cast("double")
+        / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0))
+    )
+
+
+def _ratio_rlike_sql(c: str, pat: str) -> str:
+    s = f"CAST({c} AS VARCHAR)"
+    return f"CAST(count_if(regexp_matches({s}, '{pat}')) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0)"
+
+
+def _cells_rlike_spark(c: str, pat: str) -> Column:
+    s = F.col(c).cast("string")
+    return F.sum(F.when(s.rlike(pat), 1).otherwise(0)).cast("double")
+
+
+def _cells_rlike_sql(c: str, pat: str) -> str:
+    s = f"CAST({c} AS VARCHAR)"
+    return f"CAST(count_if(regexp_matches({s}, '{pat}')) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# The registry
+# ---------------------------------------------------------------------------
+
+STATS: list[Stat] = [
+    # P1 row count
+    Stat(
+        "row_num",
+        ANY,
+        lambda c: F.count(F.lit(1)).cast("double"),
+        lambda c: "CAST(count(*) AS DOUBLE)",
+    ),
+    # P2 null ratio — reference counts empty strings (profiler.py:181)
+    Stat(
+        "null_ratio",
+        ANY,
+        lambda c: (
+            F.sum(
+                F.when(F.col(c).isNull() | (F.col(c).cast("string") == ""), 1).otherwise(0)
+            ).cast("double")
+            / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0))
+        ),
+        lambda c: (
+            f"CAST(count_if({c} IS NULL OR CAST({c} AS VARCHAR) = '') AS DOUBLE)"
+            f" / nullif(CAST(count(*) AS DOUBLE), 0.0)"
+        ),
+    ),
+    # P3 distinct count + unique ratio (exact mode; approx variant in profiler)
+    Stat(
+        "distinct_num",
+        ANY,
+        lambda c: F.countDistinct(F.col(c)).cast("double"),
+        lambda c: f"CAST(count(DISTINCT {c}) AS DOUBLE)",
+    ),
+    Stat(
+        "unique_ratio",
+        ANY,
+        lambda c: F.countDistinct(F.col(c)).cast("double")
+        / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
+        lambda c: f"CAST(count(DISTINCT {c}) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0)",
+    ),
+    # P16 length stats
+    Stat(
+        "min_len",
+        STRINGY,
+        lambda c: F.min(F.length(F.col(c).cast("string"))).cast("double"),
+        lambda c: f"CAST(min(length(CAST({c} AS VARCHAR))) AS DOUBLE)",
+    ),
+    Stat(
+        "max_len",
+        STRINGY,
+        lambda c: F.max(F.length(F.col(c).cast("string"))).cast("double"),
+        lambda c: f"CAST(max(length(CAST({c} AS VARCHAR))) AS DOUBLE)",
+    ),
+    Stat(
+        "avg_len",
+        STRINGY,
+        lambda c: (
+            F.sum(F.length(F.col(c).cast("string"))).cast("double")
+            / F.nullif(F.count(F.col(c)).cast("double"), F.lit(0.0))
+        ),
+        lambda c: (
+            f"CAST(sum(length(CAST({c} AS VARCHAR))) AS DOUBLE)"
+            f" / nullif(CAST(count({c}) AS DOUBLE), 0.0)"
+        ),
+    ),
+    # P4 character-class totals (per-character classification, loop-free)
+    Stat(
+        "characters_alphabet",
+        STRINGY,
+        lambda c: _char_class_spark(c, "[A-Za-z]"),
+        lambda c: _char_class_sql(c, "[A-Za-z]"),
+    ),
+    Stat(
+        "characters_numeric",
+        STRINGY,
+        lambda c: _char_class_spark(c, "[0-9]"),
+        lambda c: _char_class_sql(c, "[0-9]"),
+    ),
+    Stat(
+        "characters_punctuation",
+        STRINGY,
+        lambda c: _char_class_spark(c, r"[^A-Za-z0-9\s]"),
+        lambda c: _char_class_sql(c, r"[^A-Za-z0-9\s]"),
+    ),
+    Stat(
+        "characters_miscellaneous",
+        STRINGY,
+        lambda c: _char_class_spark(c, r"[^A-Za-z0-9]"),
+        lambda c: _char_class_sql(c, "[^A-Za-z0-9]"),
+    ),
+    # P6 whole-cell classification counts
+    Stat(
+        "cells_alphabet",
+        STRINGY,
+        lambda c: _cells_rlike_spark(c, RE_ALPHA_CELL),
+        lambda c: _cells_rlike_sql(c, RE_ALPHA_CELL),
+    ),
+    Stat(
+        "cells_numeric",
+        STRINGY,
+        lambda c: _cells_rlike_spark(c, RE_NUMERIC),
+        lambda c: _cells_rlike_sql(c, RE_NUMERIC),
+    ),
+    Stat(
+        "cells_punctuation",
+        STRINGY,
+        lambda c: _cells_rlike_spark(c, RE_PUNCT_CELL),
+        lambda c: _cells_rlike_sql(c, RE_PUNCT_CELL),
+    ),
+    # P8 numeric min/max (pd.to_numeric(errors="coerce") ≡ try_cast)
+    Stat(
+        "numeric_min",
+        NUMERIC,
+        lambda c: F.min(_num(c)),
+        lambda c: f"min(TRY_CAST({c} AS DOUBLE))",
+    ),
+    Stat(
+        "numeric_max",
+        NUMERIC,
+        lambda c: F.max(_num(c)),
+        lambda c: f"max(TRY_CAST({c} AS DOUBLE))",
+    ),
+    # mean/std via exact decimal sums → identical doubles in both engines
+    Stat(
+        "numeric_sum",
+        NUMERIC,
+        lambda c: F.sum(_dec(c)).cast("double"),
+        lambda c: f"CAST(sum({_dec_sql(c)}) AS DOUBLE)",
+    ),
+    Stat(
+        "numeric_mean",
+        NUMERIC,
+        lambda c: F.sum(_dec(c)).cast("double")
+        / F.nullif(F.count(_num(c)).cast("double"), F.lit(0.0)),
+        lambda c: (
+            f"CAST(sum({_dec_sql(c)}) AS DOUBLE)"
+            f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE), 0.0)"
+        ),
+    ),
+    Stat(
+        "numeric_std",
+        NUMERIC,
+        # sample std from decimal sum / sum-of-squares:
+        # sqrt((sumsq - sum*sum/n) / (n-1)). Squares are computed in
+        # double (bit-identical both engines) then summed as
+        # DECIMAL(38,12) so each engine is order-independent and
+        # rerun-stable; the double→decimal cast of the *products*
+        # rounds differently across engines (~1e-13 relative), so the
+        # final value is rounded to 6 decimals for cross-engine parity.
+        lambda c: F.round(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    (
+                        F.sum(
+                            F.expr(
+                                f"cast(try_cast({c} as double) * try_cast({c} as double)"
+                                " as decimal(38,12))"
+                            )
+                        ).cast("double")
+                        - F.sum(_dec(c)).cast("double")
+                        * F.sum(_dec(c)).cast("double")
+                        / F.nullif(F.count(_num(c)).cast("double"), F.lit(0.0))
+                    )
+                    / F.nullif(F.count(_num(c)).cast("double") - F.lit(1.0), F.lit(0.0)),
+                )
+            ),
+            6,
+        ),
+        lambda c: (
+            "round(sqrt(greatest(0.0, ("
+            f"CAST(sum(CAST(TRY_CAST({c} AS DOUBLE) * TRY_CAST({c} AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
+            f" - CAST(sum({_dec_sql(c)}) AS DOUBLE)"
+            f" * CAST(sum({_dec_sql(c)}) AS DOUBLE)"
+            f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE), 0.0))"
+            f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE) - 1.0, 0.0))), 6)"
+        ),
+    ),
+    # P12 max significant digits / max decimal places
+    Stat(
+        "max_digits",
+        NUMERIC,
+        lambda c: F.max(
+            F.length(F.regexp_replace(F.col(c).cast("string"), r"[^0-9]", ""))
+        ).cast("double"),
+        lambda c: (
+            f"CAST(max(length(regexp_replace(CAST({c} AS VARCHAR), '[^0-9]', '', 'g')))"
+            " AS DOUBLE)"
+        ),
+    ),
+    Stat(
+        "max_decimals",
+        NUMERIC,
+        # decimal places after stripping trailing zeros (evaluation.py:192-200)
+        lambda c: F.max(
+            F.length(
+                F.regexp_replace(
+                    F.regexp_extract(F.col(c).cast("string"), r"\.(\d+)$", 1), r"0+$", ""
+                )
+            )
+        ).cast("double"),
+        lambda c: (
+            "CAST(max(length(regexp_replace("
+            f"regexp_extract(CAST({c} AS VARCHAR), '\\.(\\d+)$', 1), '0+$', '', 'g')))"
+            " AS DOUBLE)"
+        ),
+    ),
+    # P18 type-inference vote ratios (threshold cascade applied downstream)
+    Stat(
+        "type_ratio_integer",
+        STRINGY,
+        lambda c: _ratio_rlike_spark(c, RE_INT),
+        lambda c: _ratio_rlike_sql(c, RE_INT),
+    ),
+    Stat(
+        "type_ratio_float",
+        STRINGY,
+        lambda c: _ratio_rlike_spark(c, RE_FLOAT),
+        lambda c: _ratio_rlike_sql(c, RE_FLOAT),
+    ),
+    Stat(
+        "type_ratio_date",
+        STRINGY,
+        lambda c: _ratio_rlike_spark(c, RE_DATE),
+        lambda c: _ratio_rlike_sql(c, RE_DATE),
+    ),
+    Stat(
+        "type_ratio_boolean",
+        STRINGY,
+        lambda c: _ratio_rlike_spark(c, "(?i)" + RE_BOOL),
+        lambda c: _ratio_rlike_sql(c, "(?i)" + RE_BOOL),
+    ),
+]
+
+STAT_BY_NAME: dict[str, Stat] = {s.name: s for s in STATS}
+
+
+def stats_for_kind(kind: str) -> list[Stat]:
+    """Stats applicable to a column kind ('string' or 'numeric')."""
+    if kind == NUMERIC:
+        wanted = {ANY, NUMERIC}
+    else:
+        wanted = {ANY, STRINGY}
+    return [s for s in STATS if s.kind in wanted]

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-conscious defaults.
+
+Defaults are tuned so the same code runs on ``local[N]`` for tests and
+on a real cluster unchanged: AQE on (runtime coalescing + skew-join
+handling), Arrow on (every pandas_udf / toPandas hop is batched),
+shuffle partitions sized by parallelism instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "datalakerulegeneration_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    conf = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # Parquet scans: keep row groups splittable, prune aggressively.
+        "spark.sql.parquet.filterPushdown": "true",
+        # testdata parquet carries TIMESTAMP(NANOS); read as long and
+        # convert to microsecond timestamps in the catalog (DuckDB
+        # truncates ns→µs the same way).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # Broadcast threshold: profile/dimension tables are tiny, let
+        # Catalyst broadcast up to 64 MB before falling back to SMJ.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
