@@ -1,0 +1,70 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect with results discarded);
+the first run of the session pays JVM/codegen warmup, so a tiny warmup
+query runs first and is not counted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datalakerulegeneration_spark import queries as Q
+from datalakerulegeneration_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "profile_lineitem",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "latest_events_per_user",
+    "three_sigma_events",
+    "violations_events",
+    "fd_conflicts_orders",
+    "dedup_minhash_documents",
+    "simhash_documents",
+    "ann_topk_embeddings",
+    "token_count_documents",
+    "quality_score_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs = Q.queries()
+
+    # warmup: session + codegen + parquet footer reads
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,10 @@ TIMESTAMP_NANOS_COLS: dict[str, tuple[str, ...]] = {
 
 def load_sf_tables(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables for one scale factor."""
+    if not os.path.isdir(sf_dir):
+        raise FileNotFoundError(
+            f"scale-factor dir not found: {sf_dir!r} (expected e.g. /root/testdata/sf0.01)"
+        )
     out: dict[str, DataFrame] = {}
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -1,0 +1,6 @@
+from datalakerulegeneration_spark.evaluation.ground_truth import cell_diff  # noqa: F401
+from datalakerulegeneration_spark.evaluation.metrics import (  # noqa: F401
+    cell_metrics,
+    column_metrics,
+    merge_errors,
+)

@@ -1,0 +1,64 @@
+"""Cell-level P/R/F1 vs ground truth (reference J2, A1-A2).
+
+Predicted violations and actual errors are both ``(column, row_id)``
+cell sets; TP/FP/FN are joins (inner / left_anti), never driver-side
+set algebra (reference utils/metrics.py:60-68, 142-157).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_errors(violations: DataFrame) -> DataFrame:
+    """Distinct predicted error cells (reference utils/metrics.py:11-19
+    unions per-rule index lists; here a distinct over cell grain)."""
+    return violations.select("column", "row_id").distinct()
+
+
+def cell_metrics(violations: DataFrame, truth: DataFrame) -> dict:
+    """Overall precision/recall/F1 of predicted vs actual error cells."""
+    pred = merge_errors(violations)
+    act = truth.select("column", "row_id").distinct()
+    tp = pred.join(act, ["column", "row_id"], "inner").count()
+    fp = pred.join(act, ["column", "row_id"], "left_anti").count()
+    fn = act.join(pred, ["column", "row_id"], "left_anti").count()
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def column_metrics(violations: DataFrame, truth: DataFrame) -> DataFrame:
+    """Per-column P/R/F1 as a DataFrame (reference utils/metrics.py:142-157).
+
+    One full-outer join at (column, row_id) grain + one aggregation —
+    no per-column loops.
+    """
+    pred = merge_errors(violations).withColumn("p", F.lit(1))
+    act = truth.select("column", "row_id").distinct().withColumn("a", F.lit(1))
+    j = pred.join(act, ["column", "row_id"], "full")
+    per = j.groupBy("column").agg(
+        F.sum(F.when(F.col("p").isNotNull() & F.col("a").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("p").isNotNull() & F.col("a").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("p").isNull() & F.col("a").isNotNull(), 1).otherwise(0)).alias("fn"),
+    )
+    prec = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    rec = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+    return per.select(
+        "column",
+        "tp",
+        "fp",
+        "fn",
+        F.coalesce(prec, F.lit(0.0)).alias("precision"),
+        F.coalesce(rec, F.lit(0.0)).alias("recall"),
+        F.coalesce(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)), F.lit(0.0)).alias("f1"),
+    )

@@ -1,0 +1,398 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-conscious (no O(n²) cross joins):
+
+* **exact**      — hash groupBy on the full text;
+* **MinHash+LSH** — word shingles → k md5-derived min-hashes → banded
+  signatures → candidate pairs via an equi-join on (band, band_hash)
+  → exact-Jaccard verification of candidates only;
+* **n-gram Jaccard** — candidate pairs = pairs sharing ≥1 shingle
+  (inverted-index join), Jaccard from intersection counts;
+* **SimHash**    — 32-bit fingerprint from token hashes; near-dup =
+  pairs agreeing on ≥1 of 4 bit-bands with Hamming distance ≤ k.
+
+Portability contract: every hash is md5-based (identical hex in Spark
+and DuckDB; 15 hex chars → unsigned-safe BIGINT), so each operator has
+an exactly-matching DuckDB oracle — the ``*_SQL`` builders emit it.
+
+At 100 TB: shingling/minhashing are map-side only; the only shuffles
+are the signature groupBy (keyed by doc) and the band join (keyed by
+band hash, which LSH makes near-uniform). Exact-verify touches only
+candidate pairs. Band count / rows-per-band trade recall for join
+fan-out; defaults (16 hashes = 4×4) suit ~0.5+ Jaccard targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per duplicated text with the
+    keeper (min id) and the duplicate count."""
+    return (
+        df.groupBy(F.col(text_col).alias("text"))
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("keeper_id", "n_copies")
+    )
+
+
+def exact_dedup_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT min({id_col}) AS keeper_id, count(*) AS n_copies
+FROM {table}
+GROUP BY {text_col}
+HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# word shingles (shared by minhash / ngram-jaccard)
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document: ``(id, shingle)``.
+
+    Tokenizer: lowercase, split on whitespace runs, drop empties —
+    the same normalization the profiler's token pass uses.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def shingles_sql(table: str, id_col: str, text_col: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (as a FROM-able subquery)."""
+    return f"""
+SELECT DISTINCT id, shingle FROM (
+  SELECT {id_col} AS id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - {n - 1}),
+           i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
+         )) AS shingle
+  FROM (
+    SELECT {id_col}, list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '') AS toks
+    FROM {table}
+  ) base
+  WHERE len(toks) >= {n}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _hash64(col_expr: str) -> str:
+    """Spark SQL: md5-derived 60-bit integer (portable to DuckDB)."""
+    return f"cast(conv(substr(md5({col_expr}), 1, 15), 16, 10) as bigint)"
+
+
+def minhash_signatures(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
+    """k min-hashes per doc: ``(id, h0..h{k-1})``.
+
+    One explode (seed index) + one groupBy(id) with k min aggregates —
+    the seed dimension is folded into the hash input, not k passes.
+    """
+    seeded = sh.select(
+        "id",
+        *[
+            F.expr(_hash64(f"concat('{i}|', shingle)")).alias(f"x{i}")
+            for i in range(k)
+        ],
+    )
+    return seeded.groupBy("id").agg(
+        *[F.min(f"x{i}").alias(f"h{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = N_HASHES, bands: int = N_BANDS
+) -> DataFrame:
+    """Candidate pairs: docs sharing any band signature → (id_a, id_b)."""
+    rows = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + j}").cast("string") for j in range(rows)]
+        band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"b{b}"))
+    banded = sigs.select("id", *band_cols)
+    long = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (or all co-shingled
+    pairs when ``candidates`` is None — the pure n-gram-Jaccard path).
+
+    ``(id_a, id_b, jaccard)`` with jaccard = |∩| / (|A| + |B| − |∩|),
+    an exact integer expression → bit-identical across engines.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    candidate join → exact-Jaccard verify ≥ threshold."""
+    sh = shingles(df, id_col, text_col, n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
+    return jaccard_pairs(sh, cands).where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup via inverted-index join (no LSH
+    recall loss; heavier join fan-out — the exact baseline)."""
+    sh = shingles(df, id_col, text_col, n)
+    return jaccard_pairs(sh).where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_sql(
+    table: str, id_col: str, text_col: str, threshold: float = 0.5, n: int = 3
+) -> str:
+    """DuckDB oracle for :func:`ngram_jaccard_dedup`."""
+    return f"""
+WITH sh AS ({shingles_sql(table, id_col, text_col, n)}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {threshold}
+"""
+
+
+def minhash_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+) -> str:
+    """DuckDB oracle for :func:`minhash_dedup` — same md5 hash family,
+    same banding, same verify."""
+    rows = k // bands
+    hash_cols = ",\n    ".join(
+        f"min(('0x' || substr(md5(concat('{i}|', shingle)), 1, 15))::BIGINT) AS h{i}"
+        for i in range(k)
+    )
+    band_rows = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        band_rows.append(f"SELECT id, {b} AS band, md5({parts}) AS bh FROM sigs")
+    bands_sql = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH sh AS ({shingles_sql(table, id_col, text_col, n)}),
+sigs AS (
+  SELECT id,
+    {hash_cols}
+  FROM sh GROUP BY id
+),
+bands AS (
+{bands_sql}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document: ``(id, simhash)``.
+
+    Token hash = md5-derived 60-bit int; bit j of the fingerprint is 1
+    iff the (weighted) sum of ±1 votes over tokens is positive. One
+    explode + one groupBy(id) with 32 sum aggregates.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    t = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .select("id", F.explode("toks").alias("tok"))
+        .select("id", F.expr(_hash64("tok")).alias("h"))
+    )
+    votes = t.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    bit_terms = " + ".join(
+        f"(case when v{j} > 0 then cast({1 << j} as bigint) else 0 end)"
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.select("id", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_sql(table: str, id_col: str, text_col: str) -> str:
+    vote_cols = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT {id_col},
+           unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')) AS tok
+    FROM {table}
+  )
+),
+votes AS (
+  SELECT id,
+    {vote_cols}
+  FROM t GROUP BY id
+)
+SELECT id, {bit_terms} AS simhash FROM votes
+"""
+
+
+def simhash_near_dups(
+    fp: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs from fingerprints via bit-banding.
+
+    The 32 bits split into ``n_bands`` equal bands; pairs equal on ≥1
+    band are candidates (pigeonhole guarantee: every pair with hamming
+    ≤ n_bands−1 is generated), then verified with
+    ``bit_count(xor) <= max_hamming``. More bands → higher guaranteed
+    recall but narrower band values → bigger candidate fan-out at
+    scale; 4×8-bit bands is the classic ≤3-hamming setting.
+    """
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    band_exprs = [
+        F.expr(f"(simhash >> {width * b}) & {mask}").alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = fp.select("id", "simhash", *band_exprs)
+    long = banded.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bv"))
+                for b in range(n_bands)
+            ])
+        ).alias("e"),
+    ).select("id", "simhash", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

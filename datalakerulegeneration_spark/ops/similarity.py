@@ -1,0 +1,222 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* **brute-force cosine top-k** — the exact baseline: block-nested-loop
+  expressed as a crossJoin + ranked window. Correct at any k; O(n·m)
+  — use only when one side is small or as the verification oracle.
+* **LSH-bucketed top-k** — the scale path: random-hyperplane signatures
+  bucket the vectors; candidates = same-bucket pairs; exact cosine
+  re-rank inside buckets. Hyperplanes are generated deterministically
+  from md5 so the plan is reproducible run-to-run (no Math.random).
+
+Floats: cosine is computed in double; for oracle-checked outputs the
+similarity is rounded to 6 decimals (sum order across 64 dims differs
+at ~1e-15 between engines) and ties rank by neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    # left-fold in array order — same evaluation order DuckDB's
+    # list_dot_product uses; rounded downstream anyway.
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """Spark SQL cosine similarity between two float-array columns."""
+    return (
+        f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``(query_id, neighbor_id, cos_sim, rank)``; similarity rounded to
+    6 dp, rank ties broken by neighbor id. Queries are broadcast —
+    at scale this is "small probe set vs huge corpus", the right
+    brute-force shape.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(cosine_expr("qv", "nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_sql(
+    vectors_table: str,
+    queries_sql: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`brute_force_topk`. ``queries_sql`` is a
+    subquery yielding (query_id, qv)."""
+    return f"""
+WITH q AS ({queries_sql}),
+scored AS (
+  SELECT q.query_id, v.{id_col} AS neighbor_id,
+         round(
+           list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(v.{vec_col} AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(v.{vec_col} AS DOUBLE[]), CAST(v.{vec_col} AS DOUBLE[])))),
+           6) AS cos_sim
+  FROM {vectors_table} v, q
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (no RNG state).
+
+    Component (p, d) = ±1 by md5 parity — cheap, reproducible, and
+    adequate for sign-LSH bucketing. ``seed`` namespaces hash tables.
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_signatures(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """(id, vec, table, bucket) — one signature row per hash table.
+
+    Multi-table sign-LSH: each table has its own deterministic plane
+    set (seeded by table index); a pair is a candidate if it collides
+    in ANY table (OR-amplification → recall scales with n_tables).
+    """
+    per_table = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed=t)
+        planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+        sig = F.expr(
+            "aggregate(transform(__planes, p -> "
+            f"case when aggregate(zip_with(p, {vec_col}, (x, y) -> x * cast(y as double)),"
+            " cast(0.0 as double), (acc, v) -> acc + v) >= 0 then 1 else 0 end),"
+            " (0L, 0), (acc, b) -> (acc.col1 * 2 + b, 0), acc -> acc.col1)"
+        )
+        per_table.append(
+            df.withColumn("__planes", planes_lit).select(
+                F.col(id_col).alias(id_alias),
+                F.col(vec_col).alias(vec_alias),
+                F.lit(t).alias("table_idx"),
+                sig.alias("bucket"),
+            )
+        )
+    out = per_table[0]
+    for p in per_table[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH bucket join + exact
+    re-rank of candidates.
+
+    Each of ``n_tables`` hash tables has 2^n_planes buckets; a query
+    compares only against vectors sharing a bucket in some table.
+    Recall grows with n_tables (OR) and shrinks with n_planes (AND) —
+    the standard LSH trade; compute is ~n_tables·n/2^n_planes
+    candidates per query instead of n.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    v = _bucket_signatures(
+        vectors, "neighbor_id", "nv", id_col, vec_col, dim, n_planes, n_tables
+    )
+    q = _bucket_signatures(
+        queries, "query_id", "qv", query_id_col, query_vec_col, dim, n_planes, n_tables
+    )
+    cands = (
+        v.join(q, ["table_idx", "bucket"])
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(cosine_expr("qv", "nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table LSH:
+    ``(id_a, id_b, cos_sim)`` with cos_sim ≥ threshold. Pairs are only
+    compared inside a shared bucket — the scale-safe near-dup join
+    (high thresholds collide with near-certainty under sign-LSH)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    v = _bucket_signatures(vectors, "id", "vec", id_col, vec_col, dim, n_planes, n_tables)
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, ["table_idx", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(F.expr(cosine_expr("a.vec", "b.vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

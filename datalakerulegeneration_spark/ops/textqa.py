@@ -1,0 +1,141 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword/charset heuristic), quality scoring, token
+counting, and document fingerprinting — all as builtin-function
+expressions over the ``documents`` table, each with an exactly-matching
+DuckDB oracle builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword marker sets per language — heuristic
+# language ID (the reference has no lang-id; this is the pipeline
+# extension). Marker words chosen to be disjoint across languages.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with", "for", "that"),
+    "es": ("el", "la", "los", "las", "es", "y", "de", "que", "con", "por"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "für", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "avec", "pour", "que", "dans", "un"),
+}
+CJK_RE = r"[一-鿿]"
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate.
+
+    The subword estimate counts runs of letters/digits/punctuation
+    (a deterministic proxy for BPE token counts, documented as such).
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    # RE2-safe subword proxy: alnum runs count 1, each other
+    # non-space char counts 1 (no lookarounds — DuckDB is RE2 too)
+    bpe_ish = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        bpe_ish.cast("bigint").alias("n_subwords"),
+    )
+
+
+def token_count_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT {id_col} AS id,
+       len(list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')) AS n_tokens,
+       len(regexp_extract_all({text_col}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_subwords
+FROM {table}
+"""
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: CJK char share → 'zh'; else the language
+    whose marker-stopword share of tokens is highest (ties → language
+    name ascending); no markers at all → 'und'."""
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"), toks.alias("toks"))
+    cjk_chars = F.length(F.regexp_replace("t", r"[^一-鿿]", ""))
+    scores = [
+        (
+            lang,
+            F.size(F.array_intersect("toks", F.array(*[F.lit(w) for w in words])))
+            .cast("double")
+            / F.nullif(F.size("toks").cast("double"), F.lit(0.0)),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # fixed evaluation order → deterministic tie-break by language name
+    for lang, sc in scores:
+        cond = sc > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, sc).otherwise(best_score)
+    lang_col = F.when(
+        cjk_chars.cast("double") / F.nullif(F.length("t").cast("double"), F.lit(0.0)) > 0.2,
+        F.lit("zh"),
+    ).otherwise(best)
+    return d.select("id", lang_col.alias("lang_pred"))
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document quality heuristics: length band, alpha ratio, stopword
+    presence, mean word length band → score in [0, 1], rounded to 6 dp.
+
+    All components are exact integer ratios, so the score hash-matches
+    across engines.
+    """
+    t = F.col(text_col)
+    toks = F.array_remove(F.split(F.lower(t), r"\s+"), "")
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(t).cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+        / F.nullif(n_chars, F.lit(0.0))
+    )
+    mean_wlen = (
+        (n_chars - (n_tok - 1)) / F.nullif(n_tok, F.lit(0.0))
+    )
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.0)
+    score = F.round(
+        0.4 * F.coalesce(alpha_ratio, F.lit(0.0)) + 0.3 * len_ok + 0.3 * wlen_ok, 6
+    )
+    return df.select(F.col(id_col).alias("id"), score.alias("quality"))
+
+
+def quality_score_sql(table: str, id_col: str, text_col: str) -> str:
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    n_tok = f"CAST(len({toks}) AS DOUBLE)"
+    n_chars = f"CAST(length({text_col}) AS DOUBLE)"
+    alpha = (
+        f"CAST(length(regexp_replace({text_col}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        f" / nullif({n_chars}, 0.0)"
+    )
+    mean_wlen = f"({n_chars} - ({n_tok} - 1)) / nullif({n_tok}, 0.0)"
+    return f"""
+SELECT {id_col} AS id,
+  round(0.4 * COALESCE({alpha}, 0.0)
+      + 0.3 * (CASE WHEN {n_tok} >= 10 AND {n_tok} <= 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (CASE WHEN {mean_wlen} >= 2.0 AND {mean_wlen} <= 12.0 THEN 1.0 ELSE 0.0 END),
+    6) AS quality
+FROM {table}
+"""
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercase text (portable across engines)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"), F.md5(norm).alias("fingerprint")
+    )
+
+
+def fingerprint_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT {id_col} AS id,
+       md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))) AS fingerprint
+FROM {table}
+"""

@@ -1,0 +1,552 @@
+"""Declared query registry: every entry is (spark_impl, duckdb_oracle).
+
+This is the correctness surface the driver checks (SURVEY §2 inventory →
+``__spark_entry__.queries()`` / ``oracle_sql()``). Each Spark
+implementation and its DuckDB SQL are built from the same definitions
+(stat registry, shared hash family, identical tie-breaks), so the pair
+hash-matches exactly at sf0.01.
+
+Conventions for cross-engine hash parity:
+* aggregates of doubles go through DECIMAL(18,6) casts of raw values
+  (order-independent, portable) — derived floats rounded to 6 dp;
+* every top-k / modal uses an explicit total order (value tie-break);
+* outputs avoid raw timestamps (bigint/string/double only);
+* md5 is the shared hash for minhash/simhash/fingerprints.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.catalog import load_sf_tables
+from datalakerulegeneration_spark.ops import dedup, similarity, textqa
+from datalakerulegeneration_spark.profiling import scalar_stats_long
+from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
+from datalakerulegeneration_spark.profiling.profiler import STOPWORDS, column_kind
+from datalakerulegeneration_spark.profiling import stats as S
+
+# Columns fed to the oracle-checked profile queries (timestamps excluded:
+# their string rendering differs subtly across engines; they are profiled
+# engine-side only).
+PROFILE_COLUMNS: dict[str, list[str]] = {
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    ],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "events": ["event_id", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+}
+
+# column kinds mirroring profiler.column_kind for the oracle generator
+NUMERIC_COLUMNS = {
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax",
+    "o_orderkey", "o_custkey", "o_totalprice",
+    "c_custkey", "c_nationkey", "c_acctbal",
+    "event_id", "user_id", "value",
+    "doc_id", "n_chars", "vec_id", "label",
+    "p_partkey", "p_size", "p_retailprice", "s_suppkey", "s_nationkey",
+    "s_acctbal", "n_nationkey", "n_regionkey", "r_regionkey",
+}
+
+
+def _kind(col: str) -> str:
+    return S.NUMERIC if col in NUMERIC_COLUMNS else S.STRINGY
+
+
+def _dec(c: str) -> str:
+    return f"cast(`{c}` as decimal(18,6))"
+
+
+def _dec_sql(c: str) -> str:
+    return f"CAST({c} AS DECIMAL(18,6))"
+
+
+# ---------------------------------------------------------------------------
+# profile queries (P1-P18): engine = registry Spark exprs; oracle =
+# registry SQL templates — structural parity.
+# ---------------------------------------------------------------------------
+
+def _profile_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_sf_tables(spark, sf_dir, (table,))[table]
+        return scalar_stats_long(df, table, columns=PROFILE_COLUMNS[table]).select(
+            "col_name", "stat_name", "stat_value"
+        )
+
+    return run
+
+
+def _profile_oracle(table: str) -> str:
+    selects = []
+    for c in PROFILE_COLUMNS[table]:
+        for st in S.stats_for_kind(_kind(c)):
+            selects.append(
+                f"SELECT '{c}' AS col_name, '{st.name}' AS stat_name,"
+                f" ({st.sql(c)}) AS stat_value FROM {table}"
+            )
+    return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# dominant pattern (P17)
+# ---------------------------------------------------------------------------
+
+_PATTERN_COLS = ["c_name", "c_mktsegment"]
+
+
+def q_dominant_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_sf_tables(spark, sf_dir, ("customer",))["customer"]
+    parts = [f"'{c}', CAST(`{c}` AS STRING)" for c in _PATTERN_COLS]
+    melted = df.select(
+        F.expr(f"stack({len(parts)}, {', '.join(parts)}) as (col_name, value_str)")
+    ).where(F.col("value_str").isNotNull())
+    pats = melted.select("col_name", symbolic_pattern(F.col("value_str")).alias("pattern"))
+    counts = pats.groupBy("col_name", "pattern").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("pattern"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("col_name", F.col("pattern").alias("dominant_pattern"), F.col("cnt").alias("n_rows"))
+    )
+
+
+def q_dominant_pattern_oracle() -> str:
+    selects = []
+    for c in _PATTERN_COLS:
+        selects.append(f"""
+SELECT '{c}' AS col_name, pattern AS dominant_pattern, cnt AS n_rows FROM (
+  SELECT {symbolic_pattern_sql(c)} AS pattern, count(*) AS cnt
+  FROM customer WHERE {c} IS NOT NULL
+  GROUP BY 1 ORDER BY cnt DESC, pattern LIMIT 1
+)""")
+    return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# rule-engine violations (R3/R5/R7 row-local batch; R1 unique; R15 3σ;
+# J4 FD; J9 inclusion)
+# ---------------------------------------------------------------------------
+
+def q_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    eng = RuleEngine(spark)
+    bindings = [
+        Binding("event_type", Rule("is_not_nullable", validate={"type": "not_null"})),
+        Binding("event_type", Rule("matches_regex_event", validate={"type": "regex", "pattern": "[a-z]+"})),
+        Binding("value", Rule("value_in_range", validate={"type": "range", "lo": 0, "hi": 450})),
+    ]
+    v = eng.detect(ev, "events", bindings, row_id_col="event_id", suppress_full_column=False)
+    return v.select("column", "row_id", "rule", "value")
+
+
+Q_VIOLATIONS_EVENTS_ORACLE = """
+SELECT 'event_type' AS "column", CAST(event_id AS VARCHAR) AS row_id,
+       'is_not_nullable' AS rule, CAST(event_type AS VARCHAR) AS value
+FROM events WHERE event_type IS NULL OR CAST(event_type AS VARCHAR) = ''
+UNION ALL
+SELECT 'event_type', CAST(event_id AS VARCHAR), 'matches_regex_event', CAST(event_type AS VARCHAR)
+FROM events WHERE event_type IS NOT NULL AND CAST(event_type AS VARCHAR) <> ''
+  AND NOT regexp_matches(CAST(event_type AS VARCHAR), '^(?:[a-z]+)$')
+UNION ALL
+SELECT 'value', CAST(event_id AS VARCHAR), 'value_in_range', CAST(value AS VARCHAR)
+FROM events WHERE value IS NOT NULL AND CAST(value AS VARCHAR) <> ''
+  AND (TRY_CAST(value AS DOUBLE) IS NULL OR TRY_CAST(value AS DOUBLE) < 0 OR TRY_CAST(value AS DOUBLE) > 450)
+"""
+
+
+def q_violations_unique_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    orders = load_sf_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = RuleEngine(spark)
+    v = eng.detect(
+        orders,
+        "orders",
+        [Binding("o_custkey", Rule("is_unique", validate={"type": "unique"}))],
+        row_id_col="o_orderkey",
+        suppress_full_column=False,
+    )
+    return v.select("column", "row_id", "rule", "value")
+
+
+Q_VIOLATIONS_UNIQUE_ORDERS_ORACLE = """
+SELECT 'o_custkey' AS "column", CAST(o_orderkey AS VARCHAR) AS row_id,
+       'is_unique' AS rule, CAST(o_custkey AS VARCHAR) AS value
+FROM orders
+WHERE o_custkey IN (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 1)
+"""
+
+
+def q_three_sigma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ outliers with mean/std from exact decimal sums (identical in
+    both engines → identical flag set; reference rules/evaluation.py:434-440)."""
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    agg = ev.agg(
+        F.sum(F.expr(_dec("value"))).cast("double").alias("s"),
+        F.sum(F.expr(f"cast(value * value as decimal(38,12))")).cast("double").alias("sq"),
+        F.count("value").cast("double").alias("n"),
+    )
+    stats = agg.select(
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1.0)).alias("sd"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .where(F.abs(F.col("value") - F.col("mu")) > 3.0 * F.col("sd"))
+        .select("event_id", "value")
+    )
+
+
+Q_THREE_SIGMA_EVENTS_ORACLE = f"""
+WITH agg AS (
+  SELECT CAST(sum({_dec_sql('value')}) AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sq,
+         CAST(count(value) AS DOUBLE) AS n
+  FROM events
+), stats AS (
+  SELECT s / n AS mu, sqrt((sq - s * s / n) / (n - 1.0)) AS sd FROM agg
+)
+SELECT event_id, value FROM events, stats
+WHERE abs(value - mu) > 3.0 * sd
+"""
+
+
+def q_fd_conflicts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD check o_custkey → o_orderstatus (reference profile_similarity.py:55-61)."""
+    orders = load_sf_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderstatus").alias("n_values"))
+        .where(F.col("n_values") > 1)
+    )
+
+
+Q_FD_CONFLICTS_ORDERS_ORACLE = """
+SELECT o_custkey, count(DISTINCT o_orderstatus) AS n_values
+FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderstatus) > 1
+"""
+
+
+def q_inclusion_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion dependency orders.o_custkey ⊆ customer.c_custkey
+    (rules.yaml:22-32 spec, executed as a broadcast anti-join)."""
+    t = load_sf_tables(spark, sf_dir, ("orders", "customer"))
+    keys = t["customer"].select(F.col("c_custkey").alias("k")).distinct()
+    return (
+        t["orders"]
+        .join(F.broadcast(keys), t["orders"].o_custkey == F.col("k"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+Q_INCLUSION_ORACLE = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytical headline queries (joins / aggregation / window) — these are
+# also the bench workload
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_sf_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    f = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.expr(
+        "cast(cast(l_extendedprice as decimal(18,6)) * (1 - cast(l_discount as decimal(18,6)))"
+        " as decimal(18,4))"
+    )
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(_dec("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(F.expr(_dec("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(F.expr(_dec("l_quantity"))).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum({_dec_sql('l_quantity')}) AS DOUBLE) AS sum_qty,
+  CAST(sum({_dec_sql('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST({_dec_sql('l_extendedprice')} * (1 - {_dec_sql('l_discount')}) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum({_dec_sql('l_quantity')}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_sf_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    # 2dp × 2dp values ⇒ the product is exactly 4dp; summing at
+    # DECIMAL(18,4) keeps the internal integer < 2^53 so the final
+    # decimal→double cast is exact in BOTH engines (DuckDB's int128
+    # path double-rounds for scale-12 sums above 2^53).
+    revenue = F.expr(
+        "cast(cast(l_extendedprice as decimal(18,6)) * (1 - cast(l_discount as decimal(18,6)))"
+        " as decimal(18,4))"
+    )
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_mktsegment") == "BUILDING")
+    )
+    agg = j.groupBy("o_orderkey").agg(F.sum(revenue).cast("double").alias("revenue"))
+    return agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+Q3_ORACLE = f"""
+SELECT o_orderkey, CAST(sum(CAST({_dec_sql('l_extendedprice')} * (1 - {_dec_sql('l_discount')}) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_sf_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation", "region"))
+    # 2dp × 2dp values ⇒ the product is exactly 4dp; summing at
+    # DECIMAL(18,4) keeps the internal integer < 2^53 so the final
+    # decimal→double cast is exact in BOTH engines (DuckDB's int128
+    # path double-rounds for scale-12 sums above 2^53).
+    revenue = F.expr(
+        "cast(cast(l_extendedprice as decimal(18,6)) * (1 - cast(l_discount as decimal(18,6)))"
+        " as decimal(18,4))"
+    )
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q5_ORACLE = f"""
+SELECT r_name, n_name,
+       CAST(sum(CAST({_dec_sql('l_extendedprice')} * (1 - {_dec_sql('l_discount')}) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most recent events per user (W1-family ranked window)."""
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "value", "rn")
+    )
+
+
+Q_LATEST_EVENTS_ORACLE = """
+SELECT user_id, event_id, event_type, value, rn FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_top_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-10 keywords (P7 at dataset grain)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        F.explode(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("tok")
+    )
+    counts = (
+        toks.where(F.col("tok").rlike("^[a-z]+$") & ~F.col("tok").isin(STOPWORDS))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(10)
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+Q_TOP_KEYWORDS_ORACLE = f"""
+SELECT tok, count(*) AS cnt FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+)
+WHERE regexp_matches(tok, '^(?:[a-z]+)$') AND tok NOT IN ({_STOP_SQL})
+GROUP BY tok
+ORDER BY cnt DESC, tok
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text ops
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.ngram_jaccard_dedup(docs, "doc_id", "text", threshold=0.2)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.2, k=16, bands=8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant (multi-table sign-LSH) — no SQL oracle (the
+    bucketing is engine-defined); driver records rows-only check."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_bucket_topk(emb, queries, k=10, n_planes=4, n_tables=8)
+
+
+def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (threshold tuned to the synthetic
+    embeddings' similarity range)."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.expr(similarity.cosine_expr("va", "vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.45)
+    )
+
+
+Q_NEAR_DUP_EMB_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.45
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.token_count(docs, "doc_id", "text")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.quality_score(docs, "doc_id", "text")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.fingerprint(docs, "doc_id", "text")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic lang-id — engine-defined marker sets, no SQL oracle."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.language_id(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# name -> (impl, oracle_sql or None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # profiling (§2.2)
+    "profile_lineitem": (_profile_query("lineitem"), _profile_oracle("lineitem")),
+    "profile_orders": (_profile_query("orders"), _profile_oracle("orders")),
+    "profile_customer": (_profile_query("customer"), _profile_oracle("customer")),
+    "profile_events": (_profile_query("events"), _profile_oracle("events")),
+    "profile_documents": (_profile_query("documents"), _profile_oracle("documents")),
+    "dominant_pattern_customer": (q_dominant_pattern, q_dominant_pattern_oracle()),
+    # rules / violations (§2.3)
+    "violations_events": (q_violations_events, Q_VIOLATIONS_EVENTS_ORACLE),
+    "violations_unique_orders": (q_violations_unique_orders, Q_VIOLATIONS_UNIQUE_ORDERS_ORACLE),
+    "three_sigma_events": (q_three_sigma_events, Q_THREE_SIGMA_EVENTS_ORACLE),
+    "fd_conflicts_orders": (q_fd_conflicts_orders, Q_FD_CONFLICTS_ORDERS_ORACLE),
+    "inclusion_orders_customer": (q_inclusion_orders_customer, Q_INCLUSION_ORACLE),
+    # joins / aggregation / windows (§2.4-2.6)
+    "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q3_top_orders": (q3_top_orders, Q3_ORACLE),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_ORACLE),
+    "latest_events_per_user": (q_latest_events_per_user, Q_LATEST_EVENTS_ORACLE),
+    "top_keywords_documents": (q_top_keywords_documents, Q_TOP_KEYWORDS_ORACLE),
+    # dedup / similarity / text (scale extensions)
+    "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
+    "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),
+    "dedup_minhash_documents": (q_dedup_minhash, dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)),
+    "simhash_documents": (q_simhash, dedup.simhash_sql("documents", "doc_id", "text")),
+    "ann_topk_embeddings": (q_ann_topk, similarity.brute_force_topk_sql(
+        "embeddings",
+        "SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10",
+        k=10,
+    )),
+    "ann_topk_lsh_embeddings": (q_ann_topk_lsh, None),
+    "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
+    "token_count_documents": (q_token_count, textqa.token_count_sql("documents", "doc_id", "text")),
+    "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),
+    "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
+    "language_id_documents": (q_language_id, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: impl for name, (impl, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

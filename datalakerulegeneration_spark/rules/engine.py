@@ -1,0 +1,219 @@
+"""Batched cell-level rule executor → ``violations`` DataFrame.
+
+The reference's executor loops cluster × rule × column × cell
+(rules/evaluation.py:449-655). Here all row-local rules bound to a
+table are compiled into ONE pass over that table (a single select that
+emits an array of violation structs, then one explode); set/aggregate
+rules (uniqueness, modal, 3σ, frequency, dictionary, inclusion, FD)
+each become a small aggregate + join plan that Catalyst broadcasts.
+
+Violations schema: ``(table, column, row_id, rule, value)``.
+
+Scale notes: the row-local pass is one scan regardless of how many
+rules are bound; aggregate rules shuffle only the columns they touch;
+dictionary lookups broadcast; the R18 full-column suppressor is a
+HAVING-style post-filter, not a second data pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.rules.compiler import ROW_LOCAL_TYPES, row_violation
+from datalakerulegeneration_spark.rules.spec import Rule
+
+VIOLATION_COLUMNS = ("table", "column", "row_id", "rule", "value")
+
+
+@dataclass
+class Binding:
+    """One (column, rule) obligation, with prepared params.
+
+    ``params`` is the Spark analogue of the reference's
+    ``BaseRule.prepare`` output (modal value, quartiles, pattern) —
+    resolved once from the profiles table, not per cell.
+    """
+
+    column: str
+    rule: Rule
+    params: dict = field(default_factory=dict)
+
+
+class RuleEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        dimensions: dict[str, DataFrame] | None = None,
+        parents: dict[str, DataFrame] | None = None,
+    ):
+        self.spark = spark
+        # reference dimension tables for semantic-domain rules (R10) —
+        # looked up via broadcast anti-joins, never per-cell sets
+        self.dimensions = dimensions or {}
+        # parent tables for inclusion-dependency rules (J9)
+        self.parents = parents or {}
+
+    # -- helpers ----------------------------------------------------------
+
+    @staticmethod
+    def _with_row_id(df: DataFrame, row_id_col: str | None) -> tuple[DataFrame, str]:
+        # shares with_row_id with the ground-truth differ so predicted
+        # and actual error cells land on the same id space
+        from datalakerulegeneration_spark.evaluation.ground_truth import with_row_id
+
+        return with_row_id(df, row_id_col), row_id_col or "__pos__"
+
+    def _emit(self, df: DataFrame, table: str, col: str, rule: str) -> DataFrame:
+        return df.select(
+            F.lit(table).alias("table"),
+            F.lit(col).alias("column"),
+            F.col("__row_id").alias("row_id"),
+            F.lit(rule).alias("rule"),
+            F.col(f"`{col}`").cast("string").alias("value"),
+        )
+
+    # -- main entry --------------------------------------------------------
+
+    def detect(
+        self,
+        df: DataFrame,
+        table: str,
+        bindings: list[Binding],
+        row_id_col: str | None = None,
+        suppress_full_column: bool = True,
+    ) -> DataFrame:
+        """Run all bound rules against one table → violations DataFrame."""
+        dfi, _ = self._with_row_id(df, row_id_col)
+        plans: list[DataFrame] = []
+
+        # ---- one fused pass for every row-local rule ----
+        row_local = [b for b in bindings if b.rule.validate and b.rule.validate["type"] in ROW_LOCAL_TYPES]
+        if row_local:
+            structs = []
+            for b in row_local:
+                pred = row_violation(b.column, b.rule.validate, b.params)
+                structs.append(
+                    F.when(
+                        pred,
+                        F.struct(
+                            F.lit(b.column).alias("column"),
+                            F.lit(b.rule.name).alias("rule"),
+                            F.col(f"`{b.column}`").cast("string").alias("value"),
+                        ),
+                    )
+                )
+            fused = dfi.select(
+                "__row_id", F.explode(F.array_compact(F.array(*structs))).alias("v")
+            ).select(
+                F.lit(table).alias("table"),
+                F.col("v.column").alias("column"),
+                F.col("__row_id").alias("row_id"),
+                F.col("v.rule").alias("rule"),
+                F.col("v.value").alias("value"),
+            )
+            plans.append(fused)
+
+        # ---- aggregate/set-based rules ----
+        for b in bindings:
+            if not b.rule.validate:
+                continue
+            t = b.rule.validate["type"]
+            c = b.column
+            if t in ROW_LOCAL_TYPES:
+                continue
+            if t == "unique":
+                dups = (
+                    dfi.groupBy(F.col(f"`{c}`").alias("__k"))
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .where(F.col("__n") > 1)
+                    .select("__k")
+                )
+                hit = dfi.join(F.broadcast(dups), dfi[f"`{c}`"] == dups["__k"], "inner")
+                plans.append(self._emit(hit, table, c, b.rule.name))
+            elif t == "constant":
+                expected = b.params.get("expected_value")
+                if expected is None:
+                    # prepare: modal value (reference dictionary_rule.py:330-332)
+                    row = (
+                        dfi.groupBy(F.col(f"`{c}`").cast("string").alias("__k"))
+                        .count()
+                        .orderBy(F.desc("count"), F.asc("__k"))
+                        .limit(1)
+                        .collect()
+                    )
+                    expected = row[0]["__k"] if row else None
+                hit = dfi.where(
+                    F.col(f"`{c}`").isNotNull()
+                    & (F.col(f"`{c}`").cast("string") != F.lit(str(expected)))
+                )
+                plans.append(self._emit(hit, table, c, b.rule.name))
+            elif t == "three_sigma":
+                tol = float(b.rule.validate.get("tol", 3.0))
+                n = F.expr(f"try_cast(`{c}` as double)")
+                stats = dfi.agg(
+                    F.avg(n).alias("__mu"), F.stddev_samp(n).alias("__sd")
+                )
+                hit = dfi.crossJoin(F.broadcast(stats)).where(
+                    n.isNotNull()
+                    & (F.col("__sd") > 0)
+                    & (F.abs(n - F.col("__mu")) > tol * F.col("__sd"))
+                )
+                plans.append(self._emit(hit, table, c, b.rule.name))
+            elif t == "low_frequency":
+                min_ratio = float(b.rule.validate.get("min_ratio", 0.01))
+                freq = dfi.groupBy(F.col(f"`{c}`").alias("__k")).agg(
+                    F.count(F.lit(1)).alias("__n")
+                )
+                total = dfi.count()
+                rare = freq.where(F.col("__n") / F.lit(total) < min_ratio).select("__k")
+                hit = dfi.join(F.broadcast(rare), dfi[f"`{c}`"] == rare["__k"], "inner")
+                plans.append(self._emit(hit, table, c, b.rule.name))
+            elif t == "dictionary":
+                dim = self.dimensions[b.rule.validate["dimension"]]
+                dc = b.rule.validate["dim_column"]
+                norm = F.lower(F.trim(F.col(f"`{c}`").cast("string")))
+                keys = dim.select(F.lower(F.trim(F.col(dc))).alias("__k")).distinct()
+                hit = dfi.withColumn("__norm", norm).join(
+                    F.broadcast(keys), F.col("__norm") == F.col("__k"), "left_anti"
+                ).where(F.col(f"`{c}`").isNotNull() & (F.col(f"`{c}`").cast("string") != ""))
+                plans.append(self._emit(hit, table, c, b.rule.name))
+            elif t == "inclusion":
+                parent = self.parents[b.rule.validate["parent_table"]]
+                pc = b.rule.validate["parent_column"]
+                keys = parent.select(F.col(pc).alias("__k")).distinct()
+                hit = dfi.join(
+                    F.broadcast(keys), dfi[f"`{c}`"] == F.col("__k"), "left_anti"
+                ).where(F.col(f"`{c}`").isNotNull())
+                plans.append(self._emit(hit, table, c, b.rule.name))
+            elif t == "fd":
+                det = b.rule.validate["determinant"]
+                conflicts = (
+                    dfi.groupBy(F.col(f"`{det}`").alias("__k"))
+                    .agg(F.countDistinct(F.col(f"`{c}`")).alias("__n"))
+                    .where(F.col("__n") > 1)
+                    .select("__k")
+                )
+                hit = dfi.join(F.broadcast(conflicts), dfi[f"`{det}`"] == F.col("__k"), "inner")
+                plans.append(self._emit(hit, table, c, b.rule.name))
+            else:
+                raise ValueError(f"unknown validator type: {t}")
+
+        if not plans:
+            return self.spark.createDataFrame(
+                [], "table string, column string, row_id string, rule string, value string"
+            )
+        out = plans[0]
+        for p in plans[1:]:
+            out = out.unionByName(p)
+
+        if suppress_full_column:
+            # R18: a rule that flags every row of a column is wrong, drop
+            # it (reference rules/evaluation.py:640-647)
+            total = df.count()
+            per = out.groupBy("column", "rule").agg(F.count(F.lit(1)).alias("__viol"))
+            keep = per.where(F.col("__viol") < F.lit(total)).select("column", "rule")
+            out = out.join(F.broadcast(keep), ["column", "rule"], "left_semi")
+        return out

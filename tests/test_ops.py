@@ -1,0 +1,142 @@
+"""Scale-ops parity vs DuckDB on the real documents/embeddings tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.ops import dedup, similarity, textqa, multimodal
+
+
+def _cmp(spark_df, duck, sql, round_floats=None):
+    got = sorted(tuple(r) for r in spark_df.collect())
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert len(got) == len(exp), (len(got), len(exp))
+    assert got == exp
+
+
+def test_exact_dedup_matches(sf_tables, duck):
+    df = dedup.exact_dedup(sf_tables["documents"], "doc_id", "text")
+    _cmp(df, duck, dedup.exact_dedup_sql("documents", "doc_id", "text"))
+
+
+def test_shingles_match(sf_tables, duck):
+    sh = dedup.shingles(sf_tables["documents"].limit(50), "doc_id", "text")
+    sql = dedup.shingles_sql("(SELECT * FROM documents WHERE doc_id < 50)", "doc_id", "text")
+    got = sorted(tuple(r) for r in sh.collect())
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_ngram_jaccard_matches(sf_tables, duck):
+    df = dedup.ngram_jaccard_dedup(sf_tables["documents"], "doc_id", "text", threshold=0.2)
+    _cmp(df, duck, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2))
+
+
+def test_minhash_dedup_matches(sf_tables, duck):
+    df = dedup.minhash_dedup(sf_tables["documents"], "doc_id", "text", threshold=0.2)
+    _cmp(df, duck, dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2))
+
+
+def test_minhash_candidates_superset_check(spark):
+    """LSH candidates must contain every真 near-dup pair at high jaccard
+    (banding guarantee sanity on constructed dups)."""
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs and len(pairs) == 1
+
+
+def test_simhash_matches(sf_tables, duck):
+    df = dedup.simhash(sf_tables["documents"].limit(100), "doc_id", "text")
+    sql = dedup.simhash_sql("(SELECT * FROM documents WHERE doc_id < 100)", "doc_id", "text")
+    _cmp(df, duck, sql)
+
+
+def test_simhash_near_dups(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact → hamming 0
+            (3, "the quick brown fox jumps over the lazy cat"),  # hamming 6 on this corpus
+            (4, "completely different words entirely unrelated content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = dedup.simhash(df, "doc_id", "text")
+    # 4 bands guarantee recall only for hamming <= 3
+    nd4 = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_dups(fp, max_hamming=3).collect()}
+    assert (1, 2) in nd4 and (1, 4) not in nd4
+    # 8 narrower bands raise the guarantee to hamming <= 7 → (1,3) found
+    nd8 = {(r["id_a"], r["id_b"]) for r in
+           dedup.simhash_near_dups(fp, max_hamming=7, n_bands=8).collect()}
+    assert (1, 3) in nd8 and (1, 4) not in nd8
+
+
+def test_brute_force_topk_matches(sf_tables, duck):
+    emb = sf_tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = similarity.brute_force_topk(emb, queries, k=10)
+    sql = similarity.brute_force_topk_sql(
+        "embeddings",
+        "SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5",
+        k=10,
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+
+
+def test_lsh_topk_recall(sf_tables):
+    emb = sf_tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_bucket_topk(emb, queries, k=5, n_planes=4, n_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+
+
+def test_textqa_match(sf_tables, duck):
+    docs = sf_tables["documents"]
+    _cmp(textqa.token_count(docs, "doc_id", "text"), duck,
+         textqa.token_count_sql("documents", "doc_id", "text"))
+    _cmp(textqa.quality_score(docs, "doc_id", "text"), duck,
+         textqa.quality_score_sql("documents", "doc_id", "text"))
+    _cmp(textqa.fingerprint(docs, "doc_id", "text"), duck,
+         textqa.fingerprint_sql("documents", "doc_id", "text"))
+
+
+def test_language_id_heuristic(spark, sf_tables):
+    # NOTE: the testdata documents.lang labels are synthetic (all texts
+    # are the same English-ish word soup), so accuracy is asserted on
+    # constructed snippets; the fixture run just checks stability.
+    rows = [
+        (1, "the cat is on the mat and the dog is here with that"),
+        (2, "el perro es grande y la casa es blanca con los gatos"),
+        (3, "der Hund ist groß und die Katze ist klein mit ein Haus"),
+        (4, "le chat est dans la maison avec les chiens et un oiseau"),
+        (5, "数据湖中的质量规则生成系统非常有用"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = {r["id"]: r["lang_pred"] for r in textqa.language_id(df, "doc_id", "text").collect()}
+    assert pred == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "zh"}
+    # deterministic on the fixture corpus
+    a = textqa.language_id(sf_tables["documents"], "doc_id", "text").collect()
+    b = textqa.language_id(sf_tables["documents"], "doc_id", "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_multimodal_plumbing(spark, sf_tables):
+    assets = multimodal.make_assets_from_documents(sf_tables["documents"], n=50)
+    feats = multimodal.extract_features(assets).collect()
+    assert len(feats) == 50
+    r = feats[0]
+    assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+    assert 64 <= r["width"] < 256 and 0.0 <= r["mean_luma"] <= 1.0
+    # deterministic rerun
+    feats2 = multimodal.extract_features(assets).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+    # skew-guard repartition keeps rows intact
+    re = multimodal.repartition_by_payload_size(assets, target_mb=1)
+    assert re.count() == 50

@@ -1,0 +1,150 @@
+"""Rule DSL, compiler, engine: the reference's minimum slice —
+profile a dirty table, apply rules, emit error cells, score vs clean
+(mirrors main.py --mode single)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.rules import (
+    Rule,
+    RuleEngine,
+    load_all_rules,
+    parse_expr,
+    rules_for_profiles,
+)
+from datalakerulegeneration_spark.rules.engine import Binding
+from datalakerulegeneration_spark.profiling import profile_table
+from datalakerulegeneration_spark.evaluation import cell_diff, cell_metrics, column_metrics
+
+
+@pytest.fixture(scope="module")
+def beers(spark):
+    """Beers-like dirty/clean pair (FIXTURES.md §1): unit suffixes,
+    percent suffixes, nulls in non-nullable, out-of-range."""
+    clean_rows = [
+        (str(i), f"beer {i}", "12", "0.05", "CA") for i in range(20)
+    ]
+    dirty_rows = [list(r) for r in clean_rows]
+    dirty_rows[3][2] = "12.0 oz"      # unit suffix → regex violation
+    dirty_rows[7][3] = "0.05%"        # percent suffix
+    dirty_rows[11][0] = ""            # null in id column
+    dirty_rows[15][4] = "XX"          # invalid state
+    schema = "index string, beer_name string, ounces string, abv string, state string"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame([tuple(r) for r in dirty_rows], schema)
+    return dirty, clean
+
+
+def test_parse_expr():
+    e = parse_expr("unique_ratio >= 1.0 and null_ratio == 0")
+    assert e == {"all": [
+        {"feature": "unique_ratio", "op": ">=", "value": 1.0},
+        {"feature": "null_ratio", "op": "==", "value": 0.0},
+    ]}
+
+
+def test_rules_for_profiles(spark, sf_tables):
+    profiles = profile_table(spark, sf_tables["nation"], "nation")
+    matched = rules_for_profiles(profiles, load_all_rules())
+    byrule = {
+        (r["column"], r["rule"]) for r in matched.collect()
+    }
+    # n_nationkey is a perfect key → uniqueness rules apply
+    assert ("n_nationkey", "is_id") in byrule
+    assert ("n_nationkey", "is_unique") in byrule
+    # n_regionkey repeats values → pattern rule applies, uniqueness not
+    assert ("n_regionkey", "matches_dominant_pattern") in byrule
+    assert ("n_regionkey", "is_unique") not in byrule
+
+
+def test_row_local_rules_single_pass(spark, beers):
+    dirty, _ = beers
+    eng = RuleEngine(spark)
+    bindings = [
+        Binding("index", Rule("is_not_nullable", validate={"type": "not_null"})),
+        Binding("ounces", Rule("matches_regex_ounces", validate={"type": "regex", "pattern": r"\d{1,2}"})),
+        Binding("abv", Rule("decimal_precision", validate={"type": "decimal_precision", "max_decimals": 3})),
+        Binding("abv", Rule("value_in_range", validate={"type": "range", "lo": 0, "hi": 1})),
+    ]
+    v = eng.detect(dirty, "beers", bindings, row_id_col="index")
+    got = {(r["column"], r["rule"]) for r in v.collect()}
+    assert ("index", "is_not_nullable") in got
+    assert ("ounces", "matches_regex_ounces") in got
+    assert ("abv", "decimal_precision") in got   # "0.05%" is non-numeric
+    assert ("abv", "value_in_range") in got
+
+
+def test_aggregate_rules(spark):
+    df = spark.createDataFrame(
+        [("1", "a", 10.0), ("2", "a", 11.0), ("2", "b", 9.0), ("3", "a", 10.5),
+         ("4", "a", 9.5), ("5", "a", 1000.0)],
+        "id string, cat string, x double",
+    )
+    eng = RuleEngine(spark)
+    v = eng.detect(
+        df,
+        "t",
+        [
+            Binding("id", Rule("is_unique", validate={"type": "unique"})),
+            Binding("x", Rule("three_sigma", validate={"type": "three_sigma", "tol": 1.5})),
+        ],
+        row_id_col="id",
+    )
+    got = {(r["column"], r["rule"], r["value"]) for r in v.collect()}
+    assert ("id", "is_unique", "2") in got
+    assert ("x", "three_sigma", "1000.0") in got
+
+
+def test_dictionary_and_inclusion(spark):
+    dim = spark.createDataFrame([("austin",), ("dallas",)], "city string")
+    parent = spark.createDataFrame([(1,), (2,)], "k int")
+    child = spark.createDataFrame(
+        [("1", "Austin", 1), ("2", "Nowhere", 2), ("3", "dallas", 9)],
+        "id string, city string, fk int",
+    )
+    eng = RuleEngine(spark, dimensions={"cities": dim}, parents={"p": parent})
+    v = eng.detect(
+        child,
+        "c",
+        [
+            Binding("city", Rule("is_city", validate={"type": "dictionary", "dimension": "cities", "dim_column": "city"})),
+            Binding("fk", Rule("fk_in_parent", validate={"type": "inclusion", "parent_table": "p", "parent_column": "k"})),
+        ],
+        row_id_col="id",
+    )
+    got = {(r["column"], r["row_id"]) for r in v.collect()}
+    assert ("city", "2") in got and ("fk", "3") in got
+    assert ("city", "1") not in got  # case-insensitive match
+
+
+def test_full_column_suppressor(spark):
+    df = spark.createDataFrame([("1", "x"), ("2", "y")], "id string, c string")
+    eng = RuleEngine(spark)
+    # a regex nothing matches would flag 100% of rows → suppressed (R18)
+    v = eng.detect(
+        df,
+        "t",
+        [Binding("c", Rule("bad_pattern", validate={"type": "regex", "pattern": r"\d+"}))],
+        row_id_col="id",
+    )
+    assert v.count() == 0
+
+
+def test_end_to_end_minimum_slice(spark, beers):
+    """Profile dirty → bind rules → violations → P/R/F1 vs clean."""
+    dirty, clean = beers
+    eng = RuleEngine(spark)
+    bindings = [
+        Binding("index", Rule("is_not_nullable", validate={"type": "not_null"})),
+        Binding("ounces", Rule("rx", validate={"type": "regex", "pattern": r"\d{1,2}"})),
+        Binding("abv", Rule("rng", validate={"type": "range", "lo": 0, "hi": 1})),
+    ]
+    v = eng.detect(dirty, "beers", bindings, row_id_col=None)
+    truth = cell_diff(dirty, clean)  # positional ids on both sides
+    m = cell_metrics(v, truth)
+    # planted: ounces@3 (regex hit), abv@7 (range hit), index@11 (null
+    # hit); state@15 has no bound rule → 1 FN; no false positives
+    assert m["tp"] == 3 and m["fp"] == 0 and m["fn"] == 1
+    assert m["precision"] == 1.0 and m["recall"] == pytest.approx(0.75)
+    cm = {r["column"]: r for r in column_metrics(v, truth).collect()}
+    assert cm["ounces"]["f1"] == 1.0 and cm["state"]["recall"] == 0.0
