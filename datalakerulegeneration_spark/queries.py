@@ -256,6 +256,152 @@ WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
 
 
 # ---------------------------------------------------------------------------
+# dBoost statistical models as declarative plans (D2, D5-D7)
+# ---------------------------------------------------------------------------
+
+def q_dboost_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-model outliers (dboost models/discrete.py:7-92) on the
+    value-band feature of events: the band histogram is peaked (top-2
+    classes ≥ 0.8 of mass, ≤ 16 classes), so rows in classes holding
+    < 0.2 of the mass are flagged — declarative twin of
+    ``HistogramModel`` (testdata categoricals are uniform, so a raw
+    column would correctly gate the model off)."""
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    banded = ev.withColumn("value_band", F.floor(F.col("value") / 100).cast("bigint"))
+    counts = banded.groupBy("value_band").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("classes")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("value_band"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    peak2 = ranked.where(F.col("rk") <= 2).agg(F.sum("n").alias("peak_mass"))
+    qualified = (
+        counts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(peak2))
+        .where(
+            (F.col("classes") <= 16)
+            & (F.col("peak_mass").cast("double") / F.col("total") >= 0.8)
+            & (F.col("n").cast("double") / F.col("total") < 0.2)
+        )
+        .select("value_band")
+    )
+    return banded.join(F.broadcast(qualified), "value_band", "left_semi").select(
+        "event_id", "value_band"
+    )
+
+
+Q_DBOOST_HISTOGRAM_ORACLE = """
+WITH banded AS (
+  SELECT event_id, CAST(floor(value / 100) AS BIGINT) AS value_band FROM events
+), counts AS (
+  SELECT value_band, count(*) AS n FROM banded GROUP BY value_band
+), tot AS (
+  SELECT sum(n) AS total, count(*) AS classes FROM counts
+), peak2 AS (
+  SELECT sum(n) AS peak_mass FROM (
+    SELECT n FROM counts ORDER BY n DESC, value_band LIMIT 2
+  )
+), qualified AS (
+  SELECT value_band FROM counts, tot, peak2
+  WHERE classes <= 16
+    AND CAST(peak_mass AS DOUBLE) / total >= 0.8
+    AND CAST(n AS DOUBLE) / total < 0.2
+)
+SELECT event_id, value_band FROM banded
+WHERE value_band IN (SELECT value_band FROM qualified)
+"""
+
+
+def q_dboost_partitioned_hist_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-histogram outliers (dboost models/discretepart.py:27-86):
+    value-band conditioned on event_type; bands holding < 5% of their
+    type's mass flag their rows."""
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    banded = ev.withColumn("value_band", F.floor(F.col("value") / 100).cast("bigint"))
+    counts = banded.groupBy("event_type", "value_band").agg(F.count(F.lit(1)).alias("n"))
+    totals = banded.groupBy("event_type").agg(F.count(F.lit(1)).alias("kn"))
+    rare = (
+        counts.join(totals, "event_type")
+        .where(F.col("n").cast("double") / F.col("kn") < 0.05)
+        .select("event_type", "value_band")
+    )
+    return banded.join(F.broadcast(rare), ["event_type", "value_band"], "left_semi").select(
+        "event_id", "event_type", "value_band"
+    )
+
+
+Q_DBOOST_PART_HIST_ORACLE = """
+WITH banded AS (
+  SELECT event_id, event_type, CAST(floor(value / 100) AS BIGINT) AS value_band FROM events
+), counts AS (
+  SELECT event_type, value_band, count(*) AS n FROM banded GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, count(*) AS kn FROM banded GROUP BY 1
+), rare AS (
+  SELECT c.event_type, c.value_band FROM counts c JOIN totals t USING (event_type)
+  WHERE CAST(n AS DOUBLE) / kn < 0.05
+)
+SELECT event_id, b.event_type, b.value_band
+FROM banded b JOIN rare r ON b.event_type = r.event_type AND b.value_band = r.value_band
+"""
+
+
+_PEARSON_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_extendedprice", "l_discount"),
+    ("l_orderkey", "l_partkey"),
+]
+
+
+def q_dboost_pearson_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per feature pair from exact decimal sums
+    (dboost analyzers/statistical.py:53-77) — deterministic unlike
+    ``corr()``; rounded to 6 dp for cross-engine hashing."""
+    li = load_sf_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    seen = set()
+    for a, b in _PEARSON_PAIRS:
+        for c in (a, b):
+            if c not in seen:
+                seen.add(c)
+                aggs.append(F.sum(F.expr(_dec(c))).cast("double").alias(f"s_{c}"))
+                aggs.append(
+                    F.sum(F.expr(f"cast(`{c}` * `{c}` as decimal(38,12))")).cast("double").alias(f"ss_{c}")
+                )
+        aggs.append(
+            F.sum(F.expr(f"cast(`{a}` * `{b}` as decimal(38,12))")).cast("double").alias(f"sp_{a}_{b}")
+        )
+    one = li.agg(*aggs)
+    parts = []
+    for a, b in _PEARSON_PAIRS:
+        r = (
+            f"round((n * `sp_{a}_{b}` - `s_{a}` * `s_{b}`) / "
+            f"(sqrt(n * `ss_{a}` - `s_{a}` * `s_{a}`) * sqrt(n * `ss_{b}` - `s_{b}` * `s_{b}`)), 6)"
+        )
+        parts.append(f"'{a}', '{b}', {r}")
+    stack = f"stack({len(parts)}, {', '.join(parts)}) as (feat_a, feat_b, pearson_r)"
+    return one.select(F.expr(stack))
+
+
+def _pearson_oracle() -> str:
+    selects = []
+    for a, b in _PEARSON_PAIRS:
+        selects.append(f"""
+SELECT '{a}' AS feat_a, '{b}' AS feat_b,
+  round((n * sp - sa * sb) / (sqrt(n * ssa - sa * sa) * sqrt(n * ssb - sb * sb)), 6) AS pearson_r
+FROM (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum({_dec_sql(a)}) AS DOUBLE) AS sa,
+         CAST(sum({_dec_sql(b)}) AS DOUBLE) AS sb,
+         CAST(sum(CAST({a} * {a} AS DECIMAL(38,12))) AS DOUBLE) AS ssa,
+         CAST(sum(CAST({b} * {b} AS DECIMAL(38,12))) AS DOUBLE) AS ssb,
+         CAST(sum(CAST({a} * {b} AS DECIMAL(38,12))) AS DOUBLE) AS sp
+  FROM lineitem
+)""")
+    return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
 # analytical headline queries (joins / aggregation / window) — these are
 # also the bench workload
 # ---------------------------------------------------------------------------
@@ -517,6 +663,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "violations_events": (q_violations_events, Q_VIOLATIONS_EVENTS_ORACLE),
     "violations_unique_orders": (q_violations_unique_orders, Q_VIOLATIONS_UNIQUE_ORDERS_ORACLE),
     "three_sigma_events": (q_three_sigma_events, Q_THREE_SIGMA_EVENTS_ORACLE),
+    # dBoost statistical models (§2.10)
+    "dboost_histogram_events": (q_dboost_histogram_events, Q_DBOOST_HISTOGRAM_ORACLE),
+    "dboost_partitioned_hist_events": (q_dboost_partitioned_hist_events, Q_DBOOST_PART_HIST_ORACLE),
+    "dboost_pearson_lineitem": (q_dboost_pearson_lineitem, _pearson_oracle()),
     "fd_conflicts_orders": (q_fd_conflicts_orders, Q_FD_CONFLICTS_ORDERS_ORACLE),
     "inclusion_orders_customer": (q_inclusion_orders_customer, Q_INCLUSION_ORACLE),
     # joins / aggregation / windows (§2.4-2.6)
