@@ -1,0 +1,120 @@
+"""End-to-end quality pipeline (reference main.py --mode multi, §3.2).
+
+profile → cluster → share rules → PREPARE per-column params from
+profiles (the reference's ``BaseRule.prepare``) → batched detection →
+P/R/F1 vs clean ground truth. Each stage is the engine primitive; this
+module only wires them and resolves rule parameters from the profiles
+table (modal value for constants, min/max + quartiles for ranges,
+dominant pattern for pattern rules, max_decimals for precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakerulegeneration_spark.clustering import (
+    cluster_columns_dbscan,
+    shared_rules_by_threshold,
+)
+from datalakerulegeneration_spark.evaluation import cell_diff, cell_metrics, column_metrics
+from datalakerulegeneration_spark.profiling import profile_tables
+from datalakerulegeneration_spark.rules import load_all_rules
+from datalakerulegeneration_spark.rules.engine import Binding, RuleEngine
+from datalakerulegeneration_spark.rules.spec import Rule
+
+
+def prepare_params(rule: Rule, profile_row: dict) -> dict:
+    """Resolve a rule's prepared params from a column's profile row —
+    the Spark analogue of rules/dictionary_rule.py:329-346."""
+    t = rule.validate["type"] if rule.validate else None
+    p: dict = {}
+    if t == "range":
+        p["lo"] = profile_row.get("numeric_min")
+        p["hi"] = profile_row.get("numeric_max")
+    elif t == "pattern":
+        p["dominant_pattern"] = profile_row.get("dominant_pattern")
+    elif t == "constant":
+        p["expected_value"] = profile_row.get("histogram")
+    elif t == "decimal_precision":
+        md = profile_row.get("max_decimals")
+        if md is not None:
+            p["max_decimals"] = int(md)
+    elif t == "regex" and rule.validate.get("pattern") is None:
+        # derive an anchored regex from the dominant symbolic pattern
+        pat = profile_row.get("dominant_pattern")
+        if pat:
+            import re as _re
+
+            rx = "".join(
+                r"\d" if ch == "0" else ("[A-Za-z]" if ch == "A" else ("\\s" if ch == "_" else _re.escape(ch)))
+                for ch in pat
+            )
+            p["pattern"] = f"^{rx}$"
+    return p
+
+
+def generate_bindings(
+    profiles: DataFrame,
+    clusters: DataFrame,
+    shared_rules: DataFrame,
+    rules: list[Rule],
+    table: str,
+) -> list[Binding]:
+    """Bindings for one table: each member column gets its cluster's
+    shared rules, with params prepared from the column's OWN profile
+    (the reference prepares from the cluster's sample column —
+    rules/evaluation.py:449-655; using the member's profile is the
+    per-column-faithful variant, noted as a delta)."""
+    rule_by_name = {r.name: r for r in rules}
+    prof_rows = {r["unique_id"]: r.asDict() for r in profiles.where(profiles.table == table).collect()}
+    cid_by_col = {
+        r["unique_id"]: r["cluster_id"]
+        for r in clusters.collect()
+        if r["unique_id"].startswith(f"{table}::")
+    }
+    rules_by_cid: dict[int, list[str]] = {}
+    for r in shared_rules.collect():
+        rules_by_cid.setdefault(r["cluster_id"], []).append(r["rule"])
+    bindings: list[Binding] = []
+    for uid, cid in cid_by_col.items():
+        col = uid.split("::", 1)[1]
+        for rn in rules_by_cid.get(cid, []):
+            rule = rule_by_name.get(rn)
+            if rule is None or rule.validate is None:
+                continue
+            bindings.append(Binding(col, rule, prepare_params(rule, prof_rows.get(uid, {}))))
+    return bindings
+
+
+def run_quality_pipeline(
+    spark: SparkSession,
+    clean_tables: dict[str, DataFrame],
+    dirty_tables: dict[str, DataFrame],
+    key_cols: dict[str, str] | None = None,
+    rules: list[Rule] | None = None,
+    eps: float = 0.5,
+    min_samples: int = 1,
+    share_threshold: float = 0.7,
+) -> dict:
+    """Full run: returns violations, per-column metrics, and overall
+    P/R/F1 per table. Clean tables provide profiles + ground truth;
+    dirty tables are what gets checked (mirrors the golden-pair
+    evaluation protocol, SURVEY §5)."""
+    key_cols = key_cols or {}
+    rules = rules or load_all_rules()
+    profiles = profile_tables(spark, clean_tables, with_tokens=False)
+    clusters = cluster_columns_dbscan(profiles, eps=eps, min_samples=min_samples)
+    shared = shared_rules_by_threshold(profiles, clusters, rules, threshold=share_threshold)
+    eng = RuleEngine(spark)
+    out: dict = {"profiles": profiles, "clusters": clusters, "shared_rules": shared, "tables": {}}
+    for name, dirty in dirty_tables.items():
+        bindings = generate_bindings(profiles, clusters, shared, rules, name)
+        v = eng.detect(dirty, name, bindings, row_id_col=key_cols.get(name))
+        truth = cell_diff(dirty, clean_tables[name], key=key_cols.get(name))
+        out["tables"][name] = {
+            "violations": v,
+            "truth": truth,
+            "metrics": cell_metrics(v, truth),
+            "column_metrics": column_metrics(v, truth),
+        }
+    return out

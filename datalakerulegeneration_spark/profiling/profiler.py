@@ -450,6 +450,9 @@ def profile_table(
                 numeric_max=g("numeric_max"),
                 numeric_mean=g("numeric_mean"),
                 numeric_std=g("numeric_std"),
+                q1=g("q1"),
+                q2=g("q2"),
+                q3=g("q3"),
                 max_digits=g("max_digits"),
                 max_decimals=g("max_decimals"),
                 type_ratio_integer=ratios["integer"],
@@ -498,6 +501,9 @@ PROFILE_SCHEMA = T.StructType(
         ("numeric_max", T.DoubleType()),
         ("numeric_mean", T.DoubleType()),
         ("numeric_std", T.DoubleType()),
+        ("q1", T.DoubleType()),
+        ("q2", T.DoubleType()),
+        ("q3", T.DoubleType()),
         ("max_digits", T.DoubleType()),
         ("max_decimals", T.DoubleType()),
         ("type_ratio_integer", T.DoubleType()),

@@ -284,6 +284,27 @@ STATS: list[Stat] = [
             f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE) - 1.0, 0.0))), 6)"
         ),
     ),
+    # P9 quartiles — exact percentile (R-7 linear interpolation) matches
+    # DuckDB quantile_cont bit-for-bit; approx mode swaps in
+    # percentile_approx at scale (documented tolerance)
+    Stat(
+        "q1",
+        NUMERIC,
+        lambda c: F.expr(f"percentile(try_cast({c} as double), 0.25)"),
+        lambda c: f"quantile_cont(TRY_CAST({c} AS DOUBLE), 0.25)",
+    ),
+    Stat(
+        "q2",
+        NUMERIC,
+        lambda c: F.expr(f"percentile(try_cast({c} as double), 0.5)"),
+        lambda c: f"quantile_cont(TRY_CAST({c} AS DOUBLE), 0.5)",
+    ),
+    Stat(
+        "q3",
+        NUMERIC,
+        lambda c: F.expr(f"percentile(try_cast({c} as double), 0.75)"),
+        lambda c: f"quantile_cont(TRY_CAST({c} AS DOUBLE), 0.75)",
+    ),
     # P12 max significant digits / max decimal places
     Stat(
         "max_digits",

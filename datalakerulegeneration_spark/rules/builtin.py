@@ -70,21 +70,32 @@ BUILTIN_RULES: list[Rule] = [
         validate=None,
         description="categorical-like column (profile predicate only)",
     ),
-    # R5 pattern conformance via cluster dominant pattern
+    # R5 pattern conformance via cluster dominant pattern — gated OFF
+    # numeric columns (their symbolic patterns legitimately vary in
+    # digit count, so pattern checks there are precision poison)
     Rule(
         "matches_dominant_pattern",
         applies={"all": [
             {"feature": "null_ratio", "op": "<", "value": 0.5},
             {"feature": "unique_ratio", "op": "<", "value": 1.0},
+            {"not": {"feature": "basic_data_type", "op": "==", "value": "integer"}},
+            {"not": {"feature": "basic_data_type", "op": "==", "value": "float"}},
         ]},
         validate={"type": "pattern"},
-        description="cell's symbolic signature != column dominant pattern",
+        description="cell's collapsed symbolic signature != column dominant pattern",
     ),
     # R7 quartile range (dictionary_rule.py:155-172): prepared lo/hi from
-    # profile Q1/Q3 or min/max
+    # profile min/max (or Q1/Q3); applies to any numeric-typed column
+    # (basic_data_type covers typed columns; type ratios cover
+    # number-shaped strings)
     Rule(
         "value_in_range",
-        applies={"feature": "type_ratio_integer", "op": ">=", "value": 0.7},
+        applies={"any": [
+            {"feature": "basic_data_type", "op": "==", "value": "integer"},
+            {"feature": "basic_data_type", "op": "==", "value": "float"},
+            {"feature": "type_ratio_integer", "op": ">=", "value": 0.7},
+            {"feature": "type_ratio_float", "op": ">=", "value": 0.7},
+        ]},
         validate={"type": "range"},
         description="numeric value outside prepared [lo, hi]",
     ),
@@ -101,7 +112,10 @@ BUILTIN_RULES: list[Rule] = [
     # R15 3-sigma outliers (rules/evaluation.py:434-440)
     Rule(
         "three_sigma",
-        applies={"feature": "type_ratio_float", "op": ">=", "value": 0.7},
+        applies={"any": [
+            {"feature": "basic_data_type", "op": "==", "value": "float"},
+            {"feature": "type_ratio_float", "op": ">=", "value": 0.7},
+        ]},
         validate={"type": "three_sigma", "tol": 3.0},
         description="abs(x - mean) > 3*std",
     ),

@@ -41,6 +41,8 @@ def applies_predicate(expr: dict) -> Column:
     if "not" in expr:
         return ~applies_predicate(expr["not"])
     feat, op, val = expr["feature"], expr["op"], expr["value"]
+    # string-valued features (basic_data_type etc.) compare as strings;
+    # numeric features as doubles — F.lit handles both
     return _OPS[op](F.col(feat), F.lit(val))
 
 
@@ -116,13 +118,20 @@ def row_violation(col: str, spec: dict, params: dict | None = None) -> Column:
         anchored = pat if pat.startswith("^") else f"^(?:{pat})$"
         return present & ~s.rlike(anchored)
     if t == "pattern":
-        # validate against the cluster's dominant symbolic pattern
+        # validate against the cluster's dominant symbolic pattern.
+        # Both sides are RUN-COLLAPSED ("AAA-00" → "A-0") so length-
+        # varying values of the same shape don't false-positive —
+        # length deviations are the length_within rule's job.
+        import re as _re
+
         from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern
 
         pat = spec.get("pattern") or params.get("dominant_pattern")
         if pat is None:
             raise ValueError("pattern rule needs prepared dominant_pattern")
-        return present & (symbolic_pattern(c) != F.lit(pat))
+        collapsed_pat = _re.sub(r"(.)\1+", r"\1", pat)
+        collapsed_cell = F.regexp_replace(symbolic_pattern(c), r"(.)\1+", r"$1")
+        return present & (collapsed_cell != F.lit(collapsed_pat))
     if t == "range":
         lo = spec.get("lo", params.get("lo"))
         hi = spec.get("hi", params.get("hi"))

@@ -1,0 +1,8 @@
+from datalakerulegeneration_spark.streaming.profiler_stream import (  # noqa: F401
+    IncrementalProfiler,
+    stream_profile,
+)
+from datalakerulegeneration_spark.streaming.windows import (  # noqa: F401
+    windowed_event_counts,
+    streaming_gaussian_monitor,
+)

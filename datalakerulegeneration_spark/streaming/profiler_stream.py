@@ -1,0 +1,142 @@
+"""Incremental profiling over Structured Streaming (D10 → Spark-native).
+
+The reference's only streaming trait is out-of-core iteration with
+``seek(0)`` re-reads (dboost/utils/read.py:10-12). The Spark-native
+generalization: profile statistics that are MERGEABLE (count, nulls,
+decimal sums, sum-of-squares, min, max, distinct sketches) are
+maintained per micro-batch via ``foreachBatch`` — each batch computes
+its partial aggregate (same expressions as the batch profiler) and
+merges into a state table; ``finalize()`` derives the profile view
+(mean/std/ratios) exactly as the batch engine would.
+
+Distinct counts use HyperLogLog sketches (``hll_sketch_agg`` /
+``hll_union_agg``) — the only mergeable form of distinctness; exact
+distinct is a batch-mode capability (documented tolerance).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.profiling.profiler import column_kind
+from datalakerulegeneration_spark.profiling import stats as S
+
+
+def _partial_stats(batch: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-batch mergeable partials, one row per column (long format)."""
+    kinds = {f.name: column_kind(f.dataType) for f in batch.schema.fields}
+    plans = []
+    for c in columns:
+        q = f"`{c}`"
+        num = F.expr(f"try_cast({q} as double)")
+        agg = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col(c).isNull() | (F.col(c).cast("string") == ""), 1).otherwise(0)
+            ).alias("nulls"),
+            F.sum(F.expr(f"try_cast({q} as decimal(18,6))")).cast("decimal(38,6)").alias("s"),
+            F.sum(F.expr(f"cast(try_cast({q} as double) * try_cast({q} as double) as decimal(38,12))"))
+            .cast("decimal(38,12)")
+            .alias("sq"),
+            F.count(num).alias("n_num"),
+            F.min(num).alias("mn"),
+            F.max(num).alias("mx"),
+            F.hll_sketch_agg(F.col(c).cast("string")).alias("hll"),
+        )
+        plans.append(agg.select(F.lit(c).alias("column"), "*"))
+    out = plans[0]
+    for p in plans[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+class IncrementalProfiler:
+    """foreachBatch sink maintaining a mergeable stats table on disk."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, columns: list[str]):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.columns = columns
+
+    # -- foreachBatch hook -------------------------------------------------
+
+    def update(self, batch: DataFrame, batch_id: int) -> None:
+        part = _partial_stats(batch, self.columns)
+        state_path = os.path.join(self.state_dir, "state")
+        if os.path.exists(state_path):
+            prev = self.spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("column")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("nulls").alias("nulls"),
+                    F.sum("s").alias("s"),
+                    F.sum("sq").alias("sq"),
+                    F.sum("n_num").alias("n_num"),
+                    F.min("mn").alias("mn"),
+                    F.max("mx").alias("mx"),
+                    F.hll_union_agg("hll").alias("hll"),
+                )
+            )
+        else:
+            merged = part
+        tmp = state_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(state_path)
+
+    # -- profile view ------------------------------------------------------
+
+    def finalize(self) -> DataFrame:
+        """Derive profile stats from the merged state — same formulas as
+        the batch registry (null_ratio, numeric_mean/std, distinct)."""
+        state = self.spark.read.parquet(os.path.join(self.state_dir, "state"))
+        n = F.col("n").cast("double")
+        s = F.col("s").cast("double")
+        sq = F.col("sq").cast("double")
+        nn = F.col("n_num").cast("double")
+        return state.select(
+            "column",
+            n.alias("row_num"),
+            (F.col("nulls").cast("double") / F.nullif(n, F.lit(0.0))).alias("null_ratio"),
+            F.hll_sketch_estimate("hll").cast("double").alias("distinct_num_approx"),
+            F.col("mn").alias("numeric_min"),
+            F.col("mx").alias("numeric_max"),
+            (s / F.nullif(nn, F.lit(0.0))).alias("numeric_mean"),
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    (sq - s * s / F.nullif(nn, F.lit(0.0)))
+                    / F.nullif(nn - F.lit(1.0), F.lit(0.0)),
+                )
+            ).alias("numeric_std"),
+        )
+
+
+def stream_profile(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    columns: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Wire a streaming DataFrame into the incremental profiler.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    Use ``trigger(availableNow=True)`` semantics for catch-up profiling
+    of a file stream.
+    """
+    cols = columns or stream.columns
+    prof = IncrementalProfiler(spark, state_dir, cols)
+    writer = (
+        stream.writeStream.foreachBatch(prof.update)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start(), prof

@@ -1,0 +1,75 @@
+"""Event-time streaming operators (beyond-reference Spark capabilities).
+
+The reference has no event-time semantics (SURVEY §2.11); these are the
+Structured Streaming counterparts a lake-quality pipeline needs when
+the events table is a live stream: watermarked windowed aggregation and
+a streaming 3σ monitor (the dBoost Gaussian model applied per window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-type event counts in event-time windows with late-data
+    handling. Works identically on a batch frame (windows become plain
+    groupBy buckets) — the batch/stream-unified plan."""
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(value as decimal(18,6))")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def streaming_gaussian_monitor(
+    events: DataFrame,
+    tol: float = 3.0,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Windowed mean/std so a downstream join can flag |x−μ| > tol·σ
+    per window — the streaming shape of dBoost's Gaussian model. The
+    stats stream (not row-level flags) is emitted: at scale you
+    broadcast these tiny per-window stats back onto the raw stream."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("mu"),
+            F.stddev_samp(value_col).alias("sd"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n",
+            "mu",
+            "sd",
+            F.lit(tol).alias("tol"),
+        )
+    )

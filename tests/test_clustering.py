@@ -1,0 +1,110 @@
+"""Clustering + rule sharing + threshold training."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.clustering import (
+    cluster_columns_dbscan,
+    cluster_columns_kmeans,
+    dbscan,
+    shared_rules_by_sample_column,
+    shared_rules_by_threshold,
+    train_profile_thresholds,
+    two_stage_clustering,
+    rule_centric_confidence,
+)
+from datalakerulegeneration_spark.clustering.sharing import thresholds_to_rules
+from datalakerulegeneration_spark.profiling import profile_tables
+from datalakerulegeneration_spark.rules import load_all_rules
+
+
+@pytest.fixture(scope="module")
+def profiles(spark, sf_tables):
+    return profile_tables(
+        spark,
+        {k: sf_tables[k] for k in ("nation", "region", "supplier")},
+        with_tokens=False,
+    )
+
+
+def test_dbscan_basic():
+    mat = np.array([[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [5.0, 5.0], [5.1, 5.0]])
+    labels = dbscan(mat, eps=0.5, min_samples=1)
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4]
+    assert labels[0] != labels[3]
+    # min_samples > cluster size → noise
+    labels2 = dbscan(mat, eps=0.05, min_samples=2)
+    assert (labels2 == -1).all()
+
+
+def test_cluster_columns_dbscan(spark, profiles):
+    clusters = cluster_columns_dbscan(profiles, eps=0.5, min_samples=1)
+    rows = clusters.collect()
+    assert len(rows) == profiles.count()  # min_samples=1 → no noise
+    # key-like columns (unique, numeric) should co-cluster
+    byid = {r["unique_id"]: r["cluster_id"] for r in rows}
+    assert byid["nation::n_nationkey"] == byid["region::r_regionkey"]
+
+
+def test_cluster_columns_kmeans(spark, profiles):
+    clusters = cluster_columns_kmeans(profiles, k=4)
+    assert clusters.select("cluster_id").distinct().count() <= 4
+    assert clusters.count() == profiles.count()
+    # deterministic with fixed seed
+    a = sorted(map(tuple, clusters.collect()))
+    b = sorted(map(tuple, cluster_columns_kmeans(profiles, k=4).collect()))
+    assert a == b
+
+
+def test_two_stage(spark, profiles):
+    clusters = two_stage_clustering(profiles, name_jaccard_min=0.4)
+    assert clusters.count() == profiles.count()
+
+
+def test_shared_rules_sample_column(spark, profiles):
+    from datalakerulegeneration_spark.rules.spec import Rule
+
+    clusters = cluster_columns_dbscan(profiles)
+    rules = [
+        Rule("anchored", sample_columns=("nation::n_nationkey",)),
+        Rule("unanchored", sample_columns=("nope::missing",)),
+    ]
+    shared = shared_rules_by_sample_column(clusters, rules)
+    names = {r["rule"] for r in shared.collect()}
+    assert names == {"anchored"}
+
+
+def test_shared_rules_threshold(spark, profiles):
+    clusters = cluster_columns_dbscan(profiles)
+    shared = shared_rules_by_threshold(profiles, clusters, load_all_rules(), threshold=0.7)
+    rows = shared.collect()
+    assert len(rows) > 0
+    # every member of the nationkey/regionkey cluster is unique+non-null
+    byid = {r["unique_id"]: r["cluster_id"] for r in clusters.collect()}
+    cid = byid["nation::n_nationkey"]
+    cluster_rules = {r["rule"] for r in rows if r["cluster_id"] == cid}
+    assert "is_not_nullable" in cluster_rules
+
+
+def test_train_thresholds_and_materialize(spark, profiles):
+    th = train_profile_thresholds(profiles)
+    rows = th.collect()
+    feats = {r["feature"] for r in rows}
+    assert "null_ratio" in feats and "unique_ratio" in feats
+    nr = next(r for r in rows if r["feature"] == "null_ratio")
+    assert nr["lo"] == 0.0 and nr["hi"] == 0.0  # all test columns null-free
+    rules = thresholds_to_rules(th)
+    assert any(r.name.startswith("trained_null_ratio") for r in rules)
+    # trained rule applies to every clean column
+    from datalakerulegeneration_spark.rules import rules_for_profiles
+
+    matched = rules_for_profiles(profiles, [r for r in rules if "null_ratio" in r.name])
+    assert matched.count() == profiles.count()
+
+
+def test_rule_centric_confidence(spark, profiles):
+    conf = rule_centric_confidence(profiles, load_all_rules())
+    rows = conf.collect()
+    assert rows and all(0.0 <= r["confidence"] <= 1.0 for r in rows)

@@ -1,0 +1,108 @@
+"""Schema matching: similarity, Hungarian, binding, transfer."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.matching import (
+    apply_bound_rules,
+    bind_rules,
+    column_match_scores,
+    global_assignment,
+    hungarian,
+    transfer_confidence,
+    update_success_rate,
+)
+from datalakerulegeneration_spark.profiling import profile_table
+from datalakerulegeneration_spark.rules.spec import Rule
+
+
+def test_hungarian_known_solution():
+    cost = np.array([[4, 1, 3], [2, 0, 5], [3, 2, 2]])
+    rows, cols = hungarian(cost)
+    total = sum(cost[r, c] for r, c in zip(rows, cols))
+    assert total == 5  # classic optimum
+    assert sorted(rows) == [0, 1, 2] and sorted(cols) == [0, 1, 2]
+
+
+def test_hungarian_rectangular():
+    cost = np.array([[1.0, 9.0, 9.0], [9.0, 1.0, 9.0]])
+    rows, cols = hungarian(cost)
+    assert list(zip(rows, cols)) == [(0, 0), (1, 1)]
+
+
+@pytest.fixture(scope="module")
+def match_profiles(spark, sf_tables):
+    src = profile_table(spark, sf_tables["nation"], "nation", with_tokens=False)
+    tgt = profile_table(
+        spark,
+        sf_tables["nation"].withColumnRenamed("n_name", "nation_name")
+        .withColumnRenamed("n_nationkey", "nation_key")
+        .withColumnRenamed("n_regionkey", "region_key"),
+        "nation2",
+        with_tokens=False,
+    )
+    return src, tgt
+
+
+def test_column_match_and_assignment(spark, match_profiles):
+    src, tgt = match_profiles
+    scores = column_match_scores(src, tgt)
+    assert scores.count() == 9  # 3 × 3
+    assign = global_assignment(scores)
+    pairs = {(r["src_id"], r["tgt_id"]) for r in assign.collect()}
+    # renamed-but-identical columns must match 1:1
+    assert ("nation::n_nationkey", "nation2::nation_key") in pairs
+    assert ("nation::n_name", "nation2::nation_name") in pairs
+    assert ("nation::n_regionkey", "nation2::region_key") in pairs
+
+
+def test_bind_and_apply(spark, sf_tables, match_profiles):
+    src, tgt = match_profiles
+    assign = global_assignment(column_match_scores(src, tgt))
+    rules_by_src = {
+        "nation::n_nationkey": [Rule("is_unique", validate={"type": "unique"})],
+        "nation::n_regionkey": [Rule("in_range", validate={"type": "range", "lo": 0, "hi": 4})],
+    }
+    bound = bind_rules(assign, rules_by_src)
+    assert {(t, c, r.name) for t, c, r, _ in bound} == {
+        ("nation2", "nation_key", "is_unique"),
+        ("nation2", "region_key", "in_range"),
+    }
+    tgt_df = (
+        sf_tables["nation"]
+        .withColumnRenamed("n_name", "nation_name")
+        .withColumnRenamed("n_nationkey", "nation_key")
+        .withColumnRenamed("n_regionkey", "region_key")
+    )
+    violations, runs = apply_bound_rules(
+        spark, {"nation2": tgt_df}, bound, row_id_cols={"nation2": "nation_key"}
+    )
+    # clean data: unique key holds, regions within range → no violations
+    assert violations.count() == 0
+    assert runs.count() == 0
+
+
+def test_transfer_policy(spark):
+    cands = spark.createDataFrame(
+        [
+            ("r1", "universal", 0.2, 1.0),
+            ("r2", "table", 0.65, 1.0),   # below 0.7 gate → dropped
+            ("r3", "table", 0.8, 0.5),
+            ("r4", "instance", 0.95, None),
+        ],
+        "rule string, level string, similarity double, success_rate double",
+    )
+    out = {r["rule"]: r["confidence"] for r in transfer_confidence(cands).collect()}
+    assert "r2" not in out
+    assert out["r1"] == pytest.approx(0.2 * 1.0 * 1.0)
+    assert out["r3"] == pytest.approx(0.8 * 0.8 * 0.5)
+    assert out["r4"] == pytest.approx(round(0.95 * 0.7, 6))
+
+
+def test_success_rate_ema(spark):
+    stats = spark.createDataFrame([("r1", 1.0), ("r2", 0.5)], "rule string, success_rate double")
+    outcomes = spark.createDataFrame([("r1", 0.0)], "rule string, success double")
+    out = {r["rule"]: r["success_rate"] for r in update_success_rate(stats, outcomes).collect()}
+    assert out["r1"] == pytest.approx(0.9)
+    assert out["r2"] == pytest.approx(0.5)  # no outcome → unchanged

@@ -52,8 +52,10 @@ def test_rules_for_profiles(spark, sf_tables):
     # n_nationkey is a perfect key → uniqueness rules apply
     assert ("n_nationkey", "is_id") in byrule
     assert ("n_nationkey", "is_unique") in byrule
-    # n_regionkey repeats values → pattern rule applies, uniqueness not
-    assert ("n_regionkey", "matches_dominant_pattern") in byrule
+    # n_regionkey is numeric & repeating → range rule applies, pattern
+    # and uniqueness rules must not
+    assert ("n_regionkey", "value_in_range") in byrule
+    assert ("n_regionkey", "matches_dominant_pattern") not in byrule
     assert ("n_regionkey", "is_unique") not in byrule
 
 

@@ -1,0 +1,106 @@
+"""Structured Streaming: incremental profiler + event-time windows."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.streaming import (
+    IncrementalProfiler,
+    stream_profile,
+    streaming_gaussian_monitor,
+    windowed_event_counts,
+)
+
+
+def test_incremental_profiler_matches_batch(spark, sf_tables, tmp_path):
+    """Feed events as a 4-batch stream; merged state must equal the
+    batch profiler's stats (mean/min/max/null exact, distinct approx)."""
+    ev = sf_tables["events"].select("event_id", "event_type", "value")
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    prof = IncrementalProfiler(spark, state, ["event_type", "value"])
+    # simulate micro-batches deterministically
+    for i in range(4):
+        prof.update(ev.where(F.col("event_id") % 4 == i), i)
+    got = {r["column"]: r for r in prof.finalize().collect()}
+
+    exact = ev.agg(
+        F.avg("value").alias("mu"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.countDistinct("event_type").alias("dc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    v = got["value"]
+    assert v["row_num"] == exact["n"]
+    assert v["numeric_min"] == exact["mn"] and v["numeric_max"] == exact["mx"]
+    assert v["numeric_mean"] == pytest.approx(exact["mu"], rel=1e-9)
+    assert v["null_ratio"] == 0.0
+    et = got["event_type"]
+    assert et["distinct_num_approx"] == pytest.approx(exact["dc"], rel=0.1)
+
+
+def test_stream_profile_file_source(spark, tmp_path):
+    """End-to-end: parquet file stream → foreachBatch → finalize."""
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("x")
+    )
+    df.write.parquet(os.path.join(src_dir, "part1"))
+    stream = (
+        spark.readStream.schema("k long, x double")
+        .option("recursiveFileLookup", True)
+        .parquet(src_dir)
+    )
+    q, prof = stream_profile(
+        spark,
+        stream,
+        str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r["column"]: r for r in prof.finalize().collect()}
+    assert got["k"]["row_num"] == 1000
+    assert got["x"]["numeric_max"] == 6.0
+
+
+def test_windowed_counts_batch_parity(spark, sf_tables):
+    """The unified plan runs on the batch frame; totals must reconcile."""
+    ev = sf_tables["events"]
+    win = windowed_event_counts(ev, window="1 hour")
+    total = win.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()
+    mon = streaming_gaussian_monitor(ev, window="6 hours")
+    rows = mon.collect()
+    assert rows and all(r["n"] > 0 for r in rows)
+
+
+def test_windowed_counts_streaming_mode(spark, sf_tables, tmp_path):
+    """Same plan as a real stream (file source, availableNow) — verify
+    watermarking/windowing execute in streaming mode."""
+    src_dir = str(tmp_path / "evin")
+    os.makedirs(src_dir)
+    sf_tables["events"].write.parquet(os.path.join(src_dir, "p1"))
+    schema = sf_tables["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src_dir)
+    )
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with availableNow
+    # the final watermark closes all but the last window(s)
+    n = spark.sql("SELECT count(*) FROM win_counts").collect()[0][0]
+    assert n > 0
