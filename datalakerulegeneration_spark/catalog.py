@@ -206,7 +206,11 @@ def read_delimited_typed(
         reader = reader.option("inferSchema", True)
     df = reader.csv(path)
     if floats_only:
-        df = df.select(*[F.col(c).cast("double").alias(c) for c in df.columns])
+        # try_cast: ANSI mode makes plain cast THROW on malformed input;
+        # the dBoost contract is drop-bad-rows, not fail
+        df = df.select(
+            *[F.expr(f"try_cast(`{c}` as double)").alias(c) for c in df.columns]
+        )
         df = df.na.drop("any")
     return df
 

@@ -203,8 +203,14 @@ def minhash_dedup(
     bands: int = N_BANDS,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidate join → exact-Jaccard verify ≥ threshold."""
-    sh = shingles(df, id_col, text_col, n)
+    candidate join → exact-Jaccard verify ≥ threshold.
+
+    The shingle set feeds three downstream plans (signatures + both
+    sides of the intersection join), so it is persisted — one
+    tokenize/explode pass instead of three (storage is
+    MEMORY_AND_DISK, safe at any scale; Spark evicts LRU).
+    """
+    sh = shingles(df, id_col, text_col, n).persist()
     cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
     return jaccard_pairs(sh, cands).where(F.col("jaccard") >= threshold)
 
@@ -214,7 +220,7 @@ def ngram_jaccard_dedup(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup via inverted-index join (no LSH
     recall loss; heavier join fan-out — the exact baseline)."""
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).persist()
     return jaccard_pairs(sh).where(F.col("jaccard") >= threshold)
 
 

@@ -625,6 +625,52 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_levenshtein_conflicts_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-conflict pairs (F5): distinct p_brand values within edit
+    distance 2 (reference profile_similarity.py:67-74)."""
+    from datalakerulegeneration_spark.functions.text import levenshtein_conflicts
+
+    part = load_sf_tables(spark, sf_dir, ("part",))["part"]
+    return levenshtein_conflicts(part, "p_brand", max_distance=2)
+
+
+Q_LEVENSHTEIN_ORACLE = """
+WITH vals AS (
+  SELECT DISTINCT CAST(p_brand AS VARCHAR) AS v FROM part
+  WHERE p_brand IS NOT NULL AND CAST(p_brand AS VARCHAR) <> ''
+)
+SELECT a.v AS v_a, b.v AS v_b, levenshtein(a.v, b.v) AS distance
+FROM vals a JOIN vals b
+  ON a.v < b.v AND abs(length(a.v) - length(b.v)) <= 2
+WHERE levenshtein(a.v, b.v) <= 2
+"""
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation (batch mode of the streaming
+    plan); window start emitted as epoch seconds (portable)."""
+    from datalakerulegeneration_spark.streaming import windowed_event_counts
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        "n",
+        "value_sum",
+    )
+
+
+Q_WINDOWED_EVENTS_ORACLE = """
+SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_start_epoch,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
     return textqa.token_count(docs, "doc_id", "text")
@@ -675,6 +721,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q5_nation_revenue": (q5_nation_revenue, Q5_ORACLE),
     "latest_events_per_user": (q_latest_events_per_user, Q_LATEST_EVENTS_ORACLE),
     "top_keywords_documents": (q_top_keywords_documents, Q_TOP_KEYWORDS_ORACLE),
+    "levenshtein_conflicts_part": (q_levenshtein_conflicts_part, Q_LEVENSHTEIN_ORACLE),
+    "windowed_event_counts": (q_windowed_event_counts, Q_WINDOWED_EVENTS_ORACLE),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),

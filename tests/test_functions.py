@@ -1,0 +1,122 @@
+"""functions module: levenshtein conflicts, quantile-sketch distances,
+dataset similarity, clustering metrics — and the CSV ingest readers."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.functions import (
+    adjusted_rand_index,
+    dataset_similarity,
+    ks_distance_from_quantiles,
+    levenshtein_conflicts,
+    normalized_mutual_info,
+    pair_accuracy,
+    quantile_vector,
+    wasserstein_from_quantiles,
+)
+from datalakerulegeneration_spark.functions.text import normalize_abbreviations
+
+
+def test_levenshtein_conflicts(spark):
+    df = spark.createDataFrame(
+        [("birmingham",), ("birminghxm",), ("tuscaloosa",), ("birmingham",)],
+        "city string",
+    )
+    out = levenshtein_conflicts(df, "city", max_distance=2)
+    pairs = {(r["v_a"], r["v_b"], r["distance"]) for r in out.collect()}
+    assert ("birmingham", "birminghxm", 1) in pairs
+    assert all("tuscaloosa" not in (a, b) for a, b, _ in pairs)
+
+
+def test_abbrev_normalizer(spark):
+    df = spark.createDataFrame([("St. Paul",), ("Ft Worth",), ("Mt. Vernon",)], "c string")
+    out = [r[0] for r in df.select(normalize_abbreviations(F.col("c"))).collect()]
+    assert out == ["saint paul", "fort worth", "mount vernon"]
+
+
+def test_quantile_distances(spark, sf_tables):
+    ev = sf_tables["events"]
+    qa = quantile_vector(ev, "value", k=16)
+    qb = quantile_vector(ev.withColumn("value", F.col("value") + 10.0), "value", k=16)
+    assert len(qa) == 16
+    w = wasserstein_from_quantiles(qa, qb)
+    assert w == pytest.approx(10.0, rel=0.05)  # pure shift → W1 = shift
+    ks_same = ks_distance_from_quantiles(qa, qa)
+    assert ks_same == 0.0
+    ks_diff = ks_distance_from_quantiles(qa, qb)
+    assert ks_diff > 0.1
+
+
+def test_dataset_similarity(spark, sf_tables):
+    from datalakerulegeneration_spark.profiling import dataset_profile, profile_tables
+
+    profiles = profile_tables(
+        spark, {k: sf_tables[k] for k in ("nation", "region")}, with_tokens=False
+    )
+    dp = dataset_profile(profiles)
+    sim = dataset_similarity(dp).collect()
+    assert len(sim) == 1
+    assert 0.0 <= sim[0]["cosine_sim"] <= 1.0001
+
+
+def test_clustering_metrics():
+    perfect = pair_accuracy([0, 0, 1, 1], [5, 5, 9, 9])
+    assert perfect == 1.0
+    assert adjusted_rand_index([0, 0, 1, 1], [1, 1, 0, 0]) == 1.0
+    assert normalized_mutual_info([0, 0, 1, 1], [1, 1, 0, 0]) == pytest.approx(1.0)
+    assert adjusted_rand_index([0, 1, 0, 1], [0, 0, 1, 1]) < 0.1
+    r = pair_accuracy([0, 0, 0, 1], [0, 0, 1, 1])
+    assert 0.0 < r < 1.0
+
+
+def test_csv_readers(spark, tmp_path):
+    from datalakerulegeneration_spark.catalog import (
+        read_csv_all_string,
+        read_csv_normalized,
+        read_delimited_typed,
+    )
+
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n 1 ,x&amp;y\n,  z   w \n")
+    # S1: all-string, trimmed, nulls → ''
+    df = read_csv_all_string(spark, p)
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [("", "z   w"), ("1", "x&amp;y")]
+    # S2: normalized (html unescape + whitespace collapse)
+    dfn = read_csv_normalized(spark, p)
+    rows = sorted(map(tuple, dfn.collect()), key=lambda t: str(t))
+    assert ("1", "x&y") in rows
+    assert (None, "z w") in rows
+    # S7: typed with DROPMALFORMED
+    p2 = str(tmp_path / "s.tsv")
+    with open(p2, "w") as f:
+        f.write("1\t2.5\nbad\tworse\n3\t4.5\n")
+    dt = read_delimited_typed(spark, p2, sep="\t", floats_only=True)
+    vals = sorted(map(tuple, dt.collect()))
+    assert vals == [(1.0, 2.5), (3.0, 4.5)]
+
+
+def test_strategy_predictor(spark, sf_tables):
+    from datalakerulegeneration_spark.clustering.predictor import (
+        predict_strategy_performance,
+        train_strategy_predictor,
+    )
+    from datalakerulegeneration_spark.profiling import profile_tables
+
+    profiles = profile_tables(
+        spark, {k: sf_tables[k] for k in ("nation", "region", "supplier", "customer")},
+        with_tokens=False,
+    )
+    labeled = profiles.withColumn("perf", F.col("unique_ratio"))
+    model, va, feats = train_strategy_predictor(labeled, "perf")
+    pred = predict_strategy_performance(profiles, model, va, feats)
+    rows = {r["unique_id"]: r["predicted_performance"] for r in pred.collect()}
+    assert len(rows) == profiles.count()
+    # the label IS a feature → near-perfect fit expected
+    truth = {r["unique_id"]: r["unique_ratio"] for r in profiles.collect()}
+    err = sum(abs(rows[k] - truth[k]) for k in rows) / len(rows)
+    assert err < 0.1
