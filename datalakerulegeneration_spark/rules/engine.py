@@ -188,6 +188,36 @@ class RuleEngine:
                     F.broadcast(keys), dfi[f"`{c}`"] == F.col("__k"), "left_anti"
                 ).where(F.col(f"`{c}`").isNotNull())
                 plans.append(self._emit(hit, table, c, b.rule.name))
+            elif t == "spell":
+                # R11: tokens not in the broadcast dictionary flag the
+                # cell (reference rules/evaluation.py:63-99, minus the
+                # spaCy-NER exemptions and Wikipedia fallback — no
+                # network, SURVEY §7.3.1). One explode + one broadcast
+                # anti-join + distinct back to cell grain.
+                dic = self.dimensions[b.rule.validate.get("dimension", "words")]
+                wc = b.rule.validate.get("dim_column", "word")
+                words = dic.select(F.lower(F.col(wc)).alias("__w")).distinct()
+                toks = dfi.select(
+                    "__row_id",
+                    F.col(f"`{c}`").alias("__val"),
+                    F.explode(
+                        F.array_remove(
+                            F.split(F.lower(F.col(f"`{c}`").cast("string")), r"[^a-z]+"), ""
+                        )
+                    ).alias("__tok"),
+                )
+                bad = toks.join(
+                    F.broadcast(words), toks["__tok"] == words["__w"], "left_anti"
+                ).select("__row_id", "__val").distinct()
+                plans.append(
+                    bad.select(
+                        F.lit(table).alias("table"),
+                        F.lit(c).alias("column"),
+                        F.col("__row_id").alias("row_id"),
+                        F.lit(b.rule.name).alias("rule"),
+                        F.col("__val").cast("string").alias("value"),
+                    )
+                )
             elif t == "fd":
                 det = b.rule.validate["determinant"]
                 conflicts = (

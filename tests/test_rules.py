@@ -119,6 +119,26 @@ def test_dictionary_and_inclusion(spark):
     assert ("city", "1") not in got  # case-insensitive match
 
 
+def test_spell_check_rule(spark):
+    words = spark.createDataFrame(
+        [("birmingham",), ("general",), ("hospital",)], "word string"
+    )
+    df = spark.createDataFrame(
+        [("1", "Birmingham General Hospital"), ("2", "Birminghxm General Hospital")],
+        "id string, name string",
+    )
+    eng = RuleEngine(spark, dimensions={"words": words})
+    v = eng.detect(
+        df,
+        "h",
+        [Binding("name", Rule("is_spelled_correctly", validate={"type": "spell", "dimension": "words"}))],
+        row_id_col="id",
+        suppress_full_column=False,
+    )
+    rows = v.collect()
+    assert {r["row_id"] for r in rows} == {"2"}
+
+
 def test_full_column_suppressor(spark):
     df = spark.createDataFrame([("1", "x"), ("2", "y")], "id string, c string")
     eng = RuleEngine(spark)
