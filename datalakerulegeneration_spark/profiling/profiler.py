@@ -118,7 +118,7 @@ def scalar_stats_long(
             aggs.append(st.spark(_q(c)).alias(f"v{i}_{st.name}"))
         if not exact:
             aggs.append(
-                F.approx_count_distinct(F.col(c)).cast("double").alias(f"v{i}_distinct_num")
+                F.expr(f"approx_count_distinct({_q(c)})").cast("double").alias(f"v{i}_distinct_num")
             )
     one = df.agg(*aggs)
     parts = []

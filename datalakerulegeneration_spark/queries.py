@@ -187,6 +187,38 @@ WHERE o_custkey IN (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count
 """
 
 
+def q_violations_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length (R8) + enum (R13) rules fused in one pass over orders:
+    priorities outside the 5..8-char band (both bounds enforced) and
+    order statuses outside {F, O} are violations (deliberately strict
+    bounds so the check is non-empty on clean data)."""
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    orders = load_sf_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = RuleEngine(spark)
+    bindings = [
+        Binding("o_orderpriority", Rule("length_within", validate={"type": "length", "lo": 5, "hi": 8})),
+        Binding("o_orderstatus", Rule("status_enum", validate={"type": "enum", "values": ["F", "O"]})),
+    ]
+    v = eng.detect(orders, "orders", bindings, row_id_col="o_orderkey", suppress_full_column=False)
+    return v.select("column", "row_id", "rule", "value")
+
+
+Q_VIOLATIONS_RULES_ORDERS_ORACLE = """
+SELECT 'o_orderpriority' AS "column", CAST(o_orderkey AS VARCHAR) AS row_id,
+       'length_within' AS rule, CAST(o_orderpriority AS VARCHAR) AS value
+FROM orders
+WHERE o_orderpriority IS NOT NULL AND CAST(o_orderpriority AS VARCHAR) <> ''
+  AND (length(CAST(o_orderpriority AS VARCHAR)) < 5 OR length(CAST(o_orderpriority AS VARCHAR)) > 8)
+UNION ALL
+SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR), 'status_enum', CAST(o_orderstatus AS VARCHAR)
+FROM orders
+WHERE o_orderstatus IS NOT NULL AND CAST(o_orderstatus AS VARCHAR) <> ''
+  AND o_orderstatus NOT IN ('F', 'O')
+"""
+
+
 def q_three_sigma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3σ outliers with mean/std from exact decimal sums (identical in
     both engines → identical flag set; reference rules/evaluation.py:434-440)."""
@@ -708,6 +740,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # rules / violations (§2.3)
     "violations_events": (q_violations_events, Q_VIOLATIONS_EVENTS_ORACLE),
     "violations_unique_orders": (q_violations_unique_orders, Q_VIOLATIONS_UNIQUE_ORDERS_ORACLE),
+    "violations_rules_orders": (q_violations_rules_orders, Q_VIOLATIONS_RULES_ORDERS_ORACLE),
     "three_sigma_events": (q_three_sigma_events, Q_THREE_SIGMA_EVENTS_ORACLE),
     # dBoost statistical models (§2.10)
     "dboost_histogram_events": (q_dboost_histogram_events, Q_DBOOST_HISTOGRAM_ORACLE),

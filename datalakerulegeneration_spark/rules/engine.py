@@ -196,28 +196,34 @@ class RuleEngine:
                 # anti-join + distinct back to cell grain.
                 dic = self.dimensions[b.rule.validate.get("dimension", "words")]
                 wc = b.rule.validate.get("dim_column", "word")
-                words = dic.select(F.lower(F.col(wc)).alias("__w")).distinct()
+                # dictionary entries get the SAME tokenization as the
+                # data ('New York' → {new, york}), so multi-word or
+                # padded entries still match
+                words = (
+                    dic.select(
+                        F.explode(
+                            F.array_remove(
+                                F.split(F.lower(F.trim(F.col(wc).cast("string"))), r"[^a-z]+"),
+                                "",
+                            )
+                        ).alias("__w")
+                    ).distinct()
+                )
                 toks = dfi.select(
                     "__row_id",
-                    F.col(f"`{c}`").alias("__val"),
+                    F.col(f"`{c}`"),
                     F.explode(
                         F.array_remove(
                             F.split(F.lower(F.col(f"`{c}`").cast("string")), r"[^a-z]+"), ""
                         )
                     ).alias("__tok"),
                 )
-                bad = toks.join(
-                    F.broadcast(words), toks["__tok"] == words["__w"], "left_anti"
-                ).select("__row_id", "__val").distinct()
-                plans.append(
-                    bad.select(
-                        F.lit(table).alias("table"),
-                        F.lit(c).alias("column"),
-                        F.col("__row_id").alias("row_id"),
-                        F.lit(b.rule.name).alias("rule"),
-                        F.col("__val").cast("string").alias("value"),
-                    )
+                bad = (
+                    toks.join(F.broadcast(words), toks["__tok"] == words["__w"], "left_anti")
+                    .select("__row_id", f"`{c}`")
+                    .distinct()
                 )
+                plans.append(self._emit(bad, table, c, b.rule.name))
             elif t == "fd":
                 det = b.rule.validate["determinant"]
                 conflicts = (

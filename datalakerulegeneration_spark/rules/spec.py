@@ -31,6 +31,7 @@ Validator specs (``type`` selects the compiler)::
     {"type": "three_sigma", "tol": 3.0}
     {"type": "low_frequency", "min_ratio": 0.01}
     {"type": "dictionary", "dimension": "cities", "dim_column": "city"}
+    {"type": "spell", "dimension": "words", "dim_column": "word"}  # token-grain
     {"type": "pattern"}                                 # cluster dominant_pattern
     {"type": "cross_field", "expr": "a + b == c"}       # row-level SQL predicate
     {"type": "inclusion", "parent_table": "t", "parent_column": "c"}

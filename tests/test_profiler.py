@@ -57,6 +57,32 @@ def test_profile_deterministic_ties(spark, sf_tables):
     assert a == b
 
 
+def test_approx_mode(spark, sf_tables):
+    """exact=False (the 100 TB path): approx distinct within HLL
+    tolerance, everything else identical to exact mode."""
+    li = sf_tables["lineitem"]
+    exact = {
+        (r["col_name"], r["stat_name"]): r["stat_value"]
+        for r in scalar_stats_long(li, "lineitem").collect()
+    }
+    approx = {
+        (r["col_name"], r["stat_name"]): r["stat_value"]
+        for r in scalar_stats_long(li, "lineitem", exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for (c, s), v in exact.items():
+        a = approx[(c, s)]
+        if s in ("distinct_num", "unique_ratio"):
+            if v and v > 0:
+                assert abs(a - v) / v < 0.1, (c, s, a, v)
+            else:
+                assert a == v, (c, s, a, v)
+        elif v is None:
+            assert a is None
+        else:
+            assert a == v, (c, s, a, v)
+
+
 def test_dataset_profile(spark, sf_tables):
     from datalakerulegeneration_spark.profiling import dataset_profile
 
