@@ -39,11 +39,19 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = "/root/testdata/sf0.001"
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = Q.queries()
 
-    # warmup: session + codegen + parquet footer reads
-    qs["q1_pricing_summary"](spark, sf_dir).collect()
+    # JIT warmup: run every query once at the smallest sf — plan
+    # structure is identical across sfs, so generated code and codegen
+    # caches are hot when measurement starts (standard JVM bench
+    # hygiene; measured numbers then reflect data-dependent work).
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in BENCH_QUERIES:
+            qs[name](spark, warm_dir).collect()
+    else:
+        qs["q1_pricing_summary"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -628,6 +628,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb, queries, k=10, n_planes=4, n_tables=8)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans-cell) approximate top-k — engine-defined partitioning,
+    no SQL oracle; driver records rows-only check."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (threshold tuned to the synthetic
     embeddings' similarity range)."""
@@ -767,6 +777,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         k=10,
     )),
     "ann_topk_lsh_embeddings": (q_ann_topk_lsh, None),
+    "ann_topk_ivf_embeddings": (q_ann_topk_ivf, None),
     "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
     "token_count_documents": (q_token_count, textqa.token_count_sql("documents", "doc_id", "text")),
     "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),

@@ -97,6 +97,23 @@ def test_lsh_topk_recall(sf_tables):
     assert recall >= 0.6, recall
 
 
+def test_ivf_topk_recall(sf_tables):
+    emb = sf_tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+    # probing every list must reproduce the exact result
+    full = similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8)
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == e
+
+
 def test_textqa_match(sf_tables, duck):
     docs = sf_tables["documents"]
     _cmp(textqa.token_count(docs, "doc_id", "text"), duck,
