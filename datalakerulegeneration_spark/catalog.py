@@ -54,6 +54,14 @@ TIMESTAMP_NANOS_COLS: dict[str, tuple[str, ...]] = {
 
 def load_sf_tables(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables for one scale factor."""
+    # the testdata carries TIMESTAMP(NANOS); an externally-created
+    # SparkSession (e.g. the driver's) won't have the session factory's
+    # config, so set the runtime-settable SQL conf defensively — without
+    # it the read throws PARQUET_TYPE_ILLEGAL
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down → fall through to the read attempt
     if not os.path.isdir(sf_dir):
         raise FileNotFoundError(
             f"scale-factor dir not found: {sf_dir!r} (expected e.g. /root/testdata/sf0.01)"

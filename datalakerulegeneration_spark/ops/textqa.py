@@ -79,6 +79,48 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return d.select("id", lang_col.alias("lang_pred"))
 
 
+def language_id_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`language_id`.
+
+    The Python loop updates best only on STRICTLY greater score, so the
+    earliest language (sorted order: de, en, es, fr) wins ties; the CASE
+    below replicates that with >= comparisons on earlier languages.
+    """
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_intersect(toks, [{markers}])) AS DOUBLE)"
+            f" / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS s_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        conds.append(f"s_{lang} > 0")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "\n      ".join(cases)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {text_col} AS txt,
+         list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '') AS toks
+  FROM {table}
+), s AS (
+  SELECT id, txt, toks,
+    {", ".join(score_cols)}
+  FROM t
+)
+SELECT id,
+  CASE WHEN CAST(length(regexp_replace(txt, '[^一-鿿]', '', 'g')) AS DOUBLE)
+            / nullif(CAST(length(txt) AS DOUBLE), 0.0) > 0.2 THEN 'zh'
+  ELSE (CASE
+      {case_sql}
+      ELSE 'und' END)
+  END AS lang_pred
+FROM s
+"""
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document quality heuristics: length band, alpha ratio, stopword
     presence, mean word length band → score in [0, 1], rounded to 6 dp.

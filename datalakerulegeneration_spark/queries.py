@@ -729,7 +729,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic lang-id — engine-defined marker sets, no SQL oracle."""
+    """Heuristic lang-id (stopword-marker vote + CJK charset)."""
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
     return textqa.language_id(docs, "doc_id", "text")
 
@@ -782,7 +782,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_count_documents": (q_token_count, textqa.token_count_sql("documents", "doc_id", "text")),
     "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
-    "language_id_documents": (q_language_id, None),
+    "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
 }
 
 

@@ -38,6 +38,46 @@ def test_pipeline_perfect_detection(spark, sf_tables):
         assert tm["tp"] == 0 and tm["fp"] == 0 and tm["fn"] == 0
 
 
+def test_pipeline_on_all_string_csv(spark, tmp_path):
+    """The reference's real modality: dirty/clean CSV pairs ingested
+    all-string (dataset.py semantics) — type inference, rule gating,
+    and detection must work from strings alone."""
+    import csv as _csv
+
+    from datalakerulegeneration_spark.catalog import read_csv_all_string
+
+    clean_rows = [
+        {"index": str(i), "ounces": "12", "abv": "0.05", "city": "portland"}
+        for i in range(40)
+    ]
+    dirty_rows = [dict(r) for r in clean_rows]
+    dirty_rows[3]["ounces"] = "12.0 oz"   # unit-suffix noise
+    dirty_rows[7]["abv"] = "9.5"          # out of observed range
+    dirty_rows[11]["index"] = ""          # null in key
+
+    for name, rows in (("clean", clean_rows), ("dirty", dirty_rows)):
+        p = tmp_path / f"{name}.csv"
+        with open(p, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=["index", "ounces", "abv", "city"])
+            w.writeheader()
+            w.writerows(rows)
+
+    clean = read_csv_all_string(spark, str(tmp_path / "clean.csv"))
+    dirty = read_csv_all_string(spark, str(tmp_path / "dirty.csv"))
+    res = run_quality_pipeline(
+        spark, {"beers": clean}, {"beers": dirty}, key_cols={"beers": "index"}
+    )
+    m = res["tables"]["beers"]["metrics"]
+    # all three planted errors found; note the empty-key row breaks the
+    # key join for ground truth of that row — detection still flags it
+    v = res["tables"]["beers"]["violations"]
+    flagged = {(r["column"], r["row_id"]) for r in v.collect()}
+    assert ("ounces", "3") in flagged
+    assert ("abv", "7") in flagged
+    assert ("index", "") in flagged
+    assert m["fp"] <= 1  # at most the key-join artifact
+
+
 def test_pipeline_artifacts(spark, sf_tables):
     clean = {k: sf_tables[k] for k in ("nation", "region")}
     res = run_quality_pipeline(spark, clean, clean, key_cols=KEYS)
