@@ -28,35 +28,49 @@ def pearson_hints(
 ) -> list[tuple[str, str, float]]:
     """Feature pairs with |pearson r| > epsilon.
 
-    r is computed from exact decimal sums (sx, sy, sxy, sxx, syy, n) in
-    one aggregation — deterministic across runs and engines, unlike
-    ``corr()`` whose double summation is partition-order-dependent.
-    Rows with nulls in a pair are excluded pairwise (matching the
-    reference's per-pair streaming update).
+    r is computed from exact decimal sums in one aggregation —
+    deterministic across runs and engines, unlike ``corr()`` whose
+    double summation is partition-order-dependent. All five sums for a
+    pair are restricted to PAIRWISE-COMPLETE rows (both features
+    non-null), so r is the true Pearson r of the complete pairs even
+    when the columns are null in different rows.
     """
     aggs = []
-    for c in features:
-        aggs.append(F.sum(F.expr(_dec(c))).cast("double").alias(f"s_{c}"))
-        aggs.append(
-            F.sum(F.expr(f"cast(`{c}` * `{c}` as decimal(38,12))")).cast("double").alias(f"ss_{c}")
-        )
-        aggs.append(F.count(F.col(f"`{c}`")).cast("double").alias(f"n_{c}"))
     for a, b in combinations(features, 2):
+        both = f"`{a}` is not null and `{b}` is not null"
+        key = f"{a}|{b}"
         aggs.append(
-            F.sum(F.expr(f"cast(`{a}` * `{b}` as decimal(38,12))")).cast("double").alias(f"sp_{a}|{b}")
+            F.sum(F.expr(f"case when {both} then {_dec(a)} end")).cast("double").alias(f"sx_{key}")
         )
+        aggs.append(
+            F.sum(F.expr(f"case when {both} then {_dec(b)} end")).cast("double").alias(f"sy_{key}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"case when {both} then cast(`{a}` * `{a}` as decimal(38,12)) end"))
+            .cast("double")
+            .alias(f"sxx_{key}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"case when {both} then cast(`{b}` * `{b}` as decimal(38,12)) end"))
+            .cast("double")
+            .alias(f"syy_{key}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"case when {both} then cast(`{a}` * `{b}` as decimal(38,12)) end"))
+            .cast("double")
+            .alias(f"sxy_{key}")
+        )
+        aggs.append(F.sum(F.expr(f"case when {both} then 1 else 0 end")).cast("double").alias(f"n_{key}"))
     row = expanded.agg(*aggs).collect()[0].asDict()
     hints = []
     for a, b in combinations(features, 2):
-        # pairwise-complete requires a joint count; approximate with
-        # min(n_a, n_b) when both are null-free (the common case) —
-        # exactness only matters for the hint threshold.
-        n = min(row[f"n_{a}"], row[f"n_{b}"])
+        key = f"{a}|{b}"
+        n = row[f"n_{key}"]
         if not n or n < 2:
             continue
-        sx, sy = row[f"s_{a}"], row[f"s_{b}"]
-        sxx, syy = row[f"ss_{a}"], row[f"ss_{b}"]
-        sxy = row[f"sp_{a}|{b}"]
+        sx, sy = row[f"sx_{key}"], row[f"sy_{key}"]
+        sxx, syy = row[f"sxx_{key}"], row[f"syy_{key}"]
+        sxy = row[f"sxy_{key}"]
         if None in (sx, sy, sxx, syy, sxy):
             continue
         vx = n * sxx - sx * sx
@@ -87,7 +101,17 @@ def discrete_stats_hints(
     for combo in combinations(low, fundep_size):
         n_comb = (
             expanded.agg(
-                F.approx_count_distinct(F.concat_ws("", *[F.col(f"`{c}`") for c in combo]))
+                # separator + null sentinel: a bare concat would collapse
+                # ('ab','c')/('a','bc') and concat_ws drops nulls
+                F.approx_count_distinct(
+                    F.concat_ws(
+                        "\x1f",
+                        *[
+                            F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\x00"))
+                            for c in combo
+                        ],
+                    )
+                )
             ).collect()[0][0]
         )
         if n_comb <= max_buckets:

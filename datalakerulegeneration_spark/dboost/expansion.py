@@ -96,11 +96,17 @@ def expand(
     """
     disabled = disabled or set()
     cols = columns or df.columns
+    if not (row_id_col and row_id_col in df.columns):
+        # positional ids in the SAME id space the rule engine and
+        # ground-truth differ use (zipWithIndex), so dBoost discrepancy
+        # row_ids join against violations/truth; monotonically_
+        # increasing_id would be partition-dependent and disjoint
+        from datalakerulegeneration_spark.evaluation.ground_truth import with_row_id
+
+        df = with_row_id(df, None)
+        row_id_col = "__row_id"
     out: list[Column] = []
-    if row_id_col and row_id_col in df.columns:
-        out.append(F.col(row_id_col).cast("string").alias("__row_id"))
-    else:
-        out.append(F.monotonically_increasing_id().cast("string").alias("__row_id"))
+    out.append(F.col(f"`{row_id_col}`").cast("string").alias("__row_id"))
     for f in df.schema.fields:
         if f.name not in cols:
             continue

@@ -191,6 +191,8 @@ class MixtureModel:
             return _union([], test.sparkSession)
         flagged = []
         for r in rows:
+            if r[a] is None or r[b] is None:
+                continue  # fit skipped invalid rows; scoring must too
             x = np.array([r[a], r[b]], dtype=float)
             score = 0.0
             for w, m, inv in zip(weights, means, invs):
@@ -231,10 +233,25 @@ def outliers(
     ex_test = expand(test, columns=columns, disabled=disabled, row_id_col=row_id_col)
     plans = []
     for m in models:
-        if not getattr(m, "stats_", None) and hasattr(m, "fit"):
-            try:
-                m.fit(ex_train)
-            except TypeError:
-                pass  # models needing explicit args (pair/key) are pre-fit
+        if _is_fitted(m):
+            pass  # honor the caller's fitted state (D9 --train-with)
+        elif isinstance(m, (MixtureModel, PartitionedHistogramModel)):
+            raise ValueError(
+                f"{type(m).__name__} requires explicit fit(pair=/key=/value=) "
+                "before outliers() — it cannot be auto-fit"
+            )
+        else:
+            m.fit(ex_train)
         plans.append(m.find_discrepancies(ex_test))
     return _union(plans, test.sparkSession)
+
+
+def _is_fitted(m) -> bool:
+    """Model-specific fitted markers (each model stores its state in a
+    different attribute)."""
+    return bool(
+        getattr(m, "stats_", None)
+        or getattr(m, "hists_", None)
+        or getattr(m, "table_", None)
+        or getattr(m, "model_", None)
+    )

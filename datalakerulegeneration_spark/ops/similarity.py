@@ -235,16 +235,19 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
+    # rank centroids by EUCLIDEAN distance — the metric KMeans assigned
+    # cells with; a dot-product ranking would prefer large-norm
+    # centroids and probe the wrong cells for unnormalized vectors
     qc = q.crossJoin(F.broadcast(cdf)).select(
         "query_id",
         "qv",
         "cell",
         F.expr(
-            "aggregate(zip_with(qv, cvec, (x, y) -> cast(x as double) * y),"
+            "aggregate(zip_with(qv, cvec, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
             " cast(0.0 as double), (acc, p) -> acc + p)"
-        ).alias("cdot"),
+        ).alias("cdist2"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cdot"), F.asc("cell"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist2"), F.asc("cell"))
     probes = qc.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= n_probe)
 
     scored = probes.join(assigned, "cell").select(

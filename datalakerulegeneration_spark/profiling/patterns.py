@@ -54,9 +54,12 @@ def regex_pattern(col: Column) -> Column:
     # escape regex metacharacters that survive generalization
     s = F.regexp_replace(s, r"([.^$*+?()\[\]{}|\\])", r"\\$1")
     s = F.regexp_replace(s, r"[0-9]", r"\\d")
-    s = F.regexp_replace(s, r"[A-Za-z]", "@")  # placeholder, avoids clobber
+    # placeholder must be a char that can't occur in data — a literal
+    # '@' in the value (emails!) would otherwise be clobbered into the
+    # alpha class and the pattern would reject its own source value
+    s = F.regexp_replace(s, r"[A-Za-z]", "\x01")
     s = F.regexp_replace(s, r"\s", r"\\s")
-    s = F.regexp_replace(s, "@", "[A-Za-z]")
+    s = F.regexp_replace(s, "\x01", "[A-Za-z]")
     return F.concat(F.lit("^"), s, F.lit("$"))
 
 

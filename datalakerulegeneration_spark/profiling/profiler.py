@@ -109,7 +109,9 @@ def scalar_stats_long(
     spark = df.sparkSession
     df = ensure_parallelism(df)
 
-    skip = {"distinct_num", "unique_ratio"} if exact else {"distinct_num", "unique_ratio"}
+    # registry distinct stats are always computed outside the wide agg
+    # (melt in exact mode, approx_count_distinct appended below)
+    skip = {"distinct_num", "unique_ratio"}
     aggs = []
     for i, c in enumerate(cols):
         for st in S.stats_for_kind(kinds[c]):
@@ -413,10 +415,11 @@ def profile_table(
             "boolean": g("type_ratio_boolean") or 0.0,
         }
         null_ratio = g("null_ratio") or 0.0
-        if kinds[c] == S.NUMERIC:
-            basic = "float" if (g("max_decimals") or 0) > 0 else "integer"
-        elif null_ratio >= 0.999:
+        if null_ratio >= 0.999:
+            # an all-null column is 'empty' regardless of physical type
             basic = "empty"
+        elif kinds[c] == S.NUMERIC:
+            basic = "float" if (g("max_decimals") or 0) > 0 else "integer"
         elif ratios["date"] >= TYPE_THRESHOLD:
             basic = "date"
         elif ratios["boolean"] >= TYPE_THRESHOLD:
@@ -464,6 +467,7 @@ def profile_table(
                 type_ratio_boolean=ratios["boolean"],
                 histogram=v.get("histogram"),
                 histogram_freq=v.get("histogram_freq"),
+                histogram_topk=v.get("histogram_topk"),
                 dominant_pattern=v.get("dominant_pattern"),
                 first_digit=v.get("first_digit"),
                 first_digit_distribution=v.get("first_digit_distribution"),
@@ -515,6 +519,7 @@ PROFILE_SCHEMA = T.StructType(
         ("type_ratio_boolean", T.DoubleType()),
         ("histogram", T.StringType()),
         ("histogram_freq", T.DoubleType()),
+        ("histogram_topk", T.MapType(T.StringType(), T.DoubleType())),
         ("dominant_pattern", T.StringType()),
         ("first_digit", T.StringType()),
         ("first_digit_distribution", T.MapType(T.StringType(), T.DoubleType())),
