@@ -23,6 +23,27 @@ from datalakerulegeneration_spark.rules.engine import Binding, RuleEngine
 from datalakerulegeneration_spark.rules.spec import Rule
 
 
+def _phone_override(rule: Rule, column: str) -> Rule | None:
+    """R6 (rules/evaluation.py:172-177): a phone-named column validates
+    pattern/regex rules against the NANP phone regex instead of the
+    cluster pattern. Returns the substituted rule, or None."""
+    import re as _re
+
+    from datalakerulegeneration_spark.rules.builtin import PHONE_NAME_REGEX, PHONE_REGEX
+
+    t = rule.validate["type"] if rule.validate else None
+    if t in ("regex", "pattern") and _re.search(
+        PHONE_NAME_REGEX.replace("(?i)", ""), column, _re.I
+    ):
+        return Rule(
+            rule.name,
+            applies=rule.applies,
+            validate={"type": "regex", "pattern": f"^{PHONE_REGEX}$"},
+            description="phone-name override: NANP pattern",
+        )
+    return None
+
+
 def prepare_params(rule: Rule, profile_row: dict) -> dict:
     """Resolve a rule's prepared params from a column's profile row —
     the Spark analogue of rules/dictionary_rule.py:329-346."""
@@ -75,13 +96,34 @@ def generate_bindings(
     rules_by_cid: dict[int, list[str]] = {}
     for r in shared_rules.collect():
         rules_by_cid.setdefault(r["cluster_id"], []).append(r["rule"])
+    import re as _re
+
+    from datalakerulegeneration_spark.rules.builtin import PHONE_NAME_REGEX, PHONE_REGEX
+
     bindings: list[Binding] = []
     for uid, cid in cid_by_col.items():
         col = uid.split("::", 1)[1]
+        # R6: phone-named columns always carry the NANP check — even
+        # when no cluster pattern rule attaches (a unique phone column
+        # has unique_ratio 1.0 which gates the generic pattern rule off)
+        if _re.search(PHONE_NAME_REGEX.replace("(?i)", ""), col, _re.I):
+            bindings.append(
+                Binding(
+                    col,
+                    Rule(
+                        "matches_phone_pattern",
+                        validate={"type": "regex", "pattern": f"^{PHONE_REGEX}$"},
+                        description="phone-name override: NANP pattern",
+                    ),
+                )
+            )
         for rn in rules_by_cid.get(cid, []):
             rule = rule_by_name.get(rn)
             if rule is None or rule.validate is None:
                 continue
+            override = _phone_override(rule, col)
+            if override is not None:
+                continue  # the unconditional NANP binding above covers it
             bindings.append(Binding(col, rule, prepare_params(rule, prof_rows.get(uid, {}))))
     return bindings
 

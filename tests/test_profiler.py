@@ -83,6 +83,59 @@ def test_approx_mode(spark, sf_tables):
             assert a == v, (c, s, a, v)
 
 
+def test_value_stats_vs_duckdb(spark, sf_tables, duck):
+    """Modal value/freq (P13), most-freq ratio (P10), Benford first
+    digit (P11) against direct DuckDB computations on customer."""
+    from datalakerulegeneration_spark.profiling.profiler import value_stats
+
+    rows = {r["col_name"]: r for r in value_stats(sf_tables["customer"], "customer").collect()}
+
+    modal = duck.execute("""
+        SELECT CAST(c_mktsegment AS VARCHAR) v, count(*) n FROM customer
+        WHERE c_mktsegment IS NOT NULL GROUP BY 1 ORDER BY n DESC, v LIMIT 1
+    """).fetchone()
+    assert rows["c_mktsegment"]["histogram"] == modal[0]
+    assert rows["c_mktsegment"]["histogram_freq"] == float(modal[1])
+
+    mfr = duck.execute("""
+        WITH c AS (SELECT TRY_CAST(c_nationkey AS DOUBLE) v, count(*) n FROM customer
+                   WHERE c_nationkey IS NOT NULL GROUP BY 1)
+        SELECT CAST(max(n) AS DOUBLE) / sum(n) FROM c
+    """).fetchone()[0]
+    assert rows["c_nationkey"]["most_freq_value_ratio"] == pytest.approx(mfr)
+
+    fd = duck.execute("""
+        SELECT substr(regexp_replace(CAST(c_acctbal AS VARCHAR), '[^0-9]', '', 'g'), 1, 1) d,
+               count(*) n
+        FROM customer WHERE c_acctbal IS NOT NULL
+        GROUP BY 1 HAVING d <> '' ORDER BY n DESC, d LIMIT 1
+    """).fetchone()
+    assert rows["c_acctbal"]["first_digit"] == fd[0]
+    dist = rows["c_acctbal"]["first_digit_distribution"]
+    assert abs(sum(dist.values()) - 1.0) < 1e-9
+
+
+def test_phone_name_override(spark):
+    """R6: a phone-named column validates against the NANP regex
+    regardless of the cluster's dominant pattern."""
+    from datalakerulegeneration_spark.pipeline import _phone_override
+    from datalakerulegeneration_spark.rules.spec import Rule
+    from datalakerulegeneration_spark.rules import RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    base = Rule("matches_dominant_pattern", validate={"type": "pattern"})
+    assert _phone_override(base, "beer_name") is None
+    o = _phone_override(base, "phone_number")
+    assert o is not None and o.validate["type"] == "regex"
+
+    df = spark.createDataFrame(
+        [("1", "205-555-0199"), ("2", "not-a-phone")], "id string, phone string"
+    )
+    eng = RuleEngine(spark)
+    v = eng.detect(df, "t", [Binding("phone", o)], row_id_col="id", suppress_full_column=False)
+    assert {r["row_id"] for r in v.collect()} == {"2"}
+
+
 def test_dataset_profile(spark, sf_tables):
     from datalakerulegeneration_spark.profiling import dataset_profile
 
