@@ -78,12 +78,31 @@ def two_stage_clustering(
     name_jaccard_min: float = 0.4,
     eps: float = 0.5,
     min_samples: int = 1,
+    name_embedding_fn=None,
+    embedding_eps: float = 0.2,
 ) -> DataFrame:
-    """Stage 1: table groups by name-trigram Jaccard (≥ threshold edge,
-    connected components); stage 2: DBSCAN per group; noise →
-    singleton clusters. Returns (unique_id, cluster_id)."""
+    """Stage 1: table groups by name similarity; stage 2: DBSCAN per
+    group; noise → singleton clusters. Returns (unique_id, cluster_id).
+
+    Stage-1 similarity is trigram Jaccard by default (deterministic,
+    dependency-free). Pass ``name_embedding_fn(names: list[str]) ->
+    ndarray`` to plug a real sentence-embedding model back in — that
+    restores the reference's cosine-DBSCAN stage
+    (utils/two_stage_clustering.py:73-120) when a model is available.
+    """
     tables = [r["table"] for r in profiles.select("table").distinct().collect()]
     tables.sort()
+
+    if name_embedding_fn is not None:
+        import numpy as np
+
+        emb = np.asarray(name_embedding_fn(tables))
+        labels = dbscan(emb, eps=embedding_eps, min_samples=1, metric="cosine")
+        groups_by_label: dict[int, list[str]] = {}
+        for t, lbl in zip(tables, labels):
+            groups_by_label.setdefault(int(lbl), []).append(t)
+        return _stage2(profiles, sorted(groups_by_label.values()), eps, min_samples)
+
     grams = {t: _name_trigrams(t) for t in tables}
     parent = {t: t for t in tables}
 
@@ -102,11 +121,17 @@ def two_stage_clustering(
     groups: dict[str, list[str]] = {}
     for t in tables:
         groups.setdefault(find(t), []).append(t)
+    return _stage2(profiles, [m for _, m in sorted(groups.items())], eps, min_samples)
 
+
+def _stage2(
+    profiles: DataFrame, groups: list[list[str]], eps: float, min_samples: int
+) -> DataFrame:
+    """Per-table-group profile DBSCAN; noise → singletons."""
     spark = profiles.sparkSession
     out_rows: list[tuple[str, int]] = []
     next_cid = 0
-    for _, members in sorted(groups.items()):
+    for members in groups:
         sub = profiles.where(F.col("table").isin(members))
         ids, mat = profile_feature_matrix(sub)
         if len(ids) == 0:

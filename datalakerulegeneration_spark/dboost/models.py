@@ -223,12 +223,17 @@ def outliers(
     row_id_col: str | None = None,
     columns: list[str] | None = None,
     disabled: set[str] | None = None,
+    max_records: int | None = None,
 ) -> DataFrame:
     """The dBoost 3-pass pipeline on DataFrames (dboost/__init__.py:27-47):
     expand → fit models on train → score test. ``--train-with`` (D9) is
-    just passing a different train frame."""
+    just passing a different train frame; ``max_records`` is the
+    ``--max-records`` training cutoff (cli.py:58-60) — it limits FIT
+    input only, scoring always covers the full test frame."""
     from datalakerulegeneration_spark.dboost.expansion import expand
 
+    if max_records is not None:
+        train = train.limit(max_records)
     ex_train = expand(train, columns=columns, disabled=disabled, row_id_col=row_id_col)
     ex_test = expand(test, columns=columns, disabled=disabled, row_id_col=row_id_col)
     plans = []

@@ -63,6 +63,28 @@ def test_two_stage(spark, profiles):
     assert clusters.count() == profiles.count()
 
 
+def test_two_stage_embedding_hook(spark, profiles):
+    """Pluggable name-embedding stage 1 (the reference's
+    sentence-transformer path) via a deterministic fake embedder."""
+    import hashlib
+
+    import numpy as np
+
+    def fake_embed(names):
+        out = []
+        for n in names:
+            h = hashlib.md5(n.encode()).digest()
+            out.append([b / 255.0 for b in h[:8]])
+        return np.array(out)
+
+    clusters = two_stage_clustering(profiles, name_embedding_fn=fake_embed, embedding_eps=0.05)
+    assert clusters.count() == profiles.count()
+    a = sorted(map(tuple, clusters.collect()))
+    b = sorted(map(tuple, two_stage_clustering(
+        profiles, name_embedding_fn=fake_embed, embedding_eps=0.05).collect()))
+    assert a == b
+
+
 def test_shared_rules_sample_column(spark, profiles):
     from datalakerulegeneration_spark.rules.spec import Rule
 

@@ -130,6 +130,18 @@ def test_mixture_model(spark, sensors):
     assert {100, 500, 900} <= flagged
 
 
+def test_max_records_training_cutoff(spark, sensors):
+    """D10 --max-records: fit on a prefix, score everything."""
+    res = outliers(
+        sensors, sensors, [GaussianModel(tol=3.0)],
+        row_id_col="rid", columns=["temperature", "voltage"], max_records=400,
+    )
+    flagged = {int(r["row_id"]) for r in res.collect()}
+    # train prefix (0..399) contains outlier 100 but stats still put the
+    # planted rows far outside 3σ; full test frame scored
+    assert {100, 500, 900} <= flagged
+
+
 def test_train_test_split(spark, sensors):
     """D9: fit on clean train, detect on dirty test."""
     clean = sensors.where(~F.col("rid").isin(100, 500, 900))
