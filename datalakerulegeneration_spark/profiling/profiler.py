@@ -139,7 +139,13 @@ def scalar_stats_long(
         # so string-grain distinct == native distinct). A per-column
         # union of native countDistinct branches was measured SLOWER
         # (10 extra aggregation stage pairs beat the saved string casts)
-        # — one melted groupBy keeps it a single shuffle.
+        # — one melted groupBy keeps it a single shuffle. The same
+        # groupBy also emits count(*) per col_name group, which IS the
+        # table row count (melt preserves nulls), so unique_ratio needs
+        # no join back to the wide agg: the whole pass is exactly TWO
+        # table scans (wide agg + melt). The previous join-on-row_num
+        # formulation recomputed both branches — 4 scans, measured ~1.5×
+        # slower on 600k-row lineitem.
         melt_parts = [f"'{c}', CAST({_q(c)} AS STRING)" for c in cols]
         melted = df.select(
             F.expr(
@@ -147,25 +153,19 @@ def scalar_stats_long(
             )
         )
         dist = melted.groupBy("col_name").agg(
-            F.countDistinct("value_str").cast("double").alias("dn")
+            F.countDistinct("value_str").cast("double").alias("dn"),
+            F.count(F.lit(1)).cast("double").alias("rn"),
         )
         dist_long = dist.select(
             F.lit(table).alias("table"),
+            F.expr(
+                "stack(2, 'distinct_num', dn,"
+                " 'unique_ratio', dn / nullif(rn, 0.0))"
+                " as (stat_name, stat_value)"
+            ),
             "col_name",
-            F.lit("distinct_num").alias("stat_name"),
-            F.col("dn").alias("stat_value"),
-        )
-        rn = (
-            wide_long.where(F.col("stat_name") == "row_num")
-            .select("col_name", F.col("stat_value").alias("rn"))
-        )
-        ur_long = dist.join(F.broadcast(rn), "col_name").select(
-            F.lit(table).alias("table"),
-            "col_name",
-            F.lit("unique_ratio").alias("stat_name"),
-            (F.col("dn") / F.nullif(F.col("rn"), F.lit(0.0))).alias("stat_value"),
-        )
-        return wide_long.unionByName(dist_long).unionByName(ur_long)
+        ).select("table", "col_name", "stat_name", "stat_value")
+        return wide_long.unionByName(dist_long)
     else:
         # approx path also derives unique_ratio from the approx count
         dist = one  # distinct included in the wide agg
@@ -208,112 +208,133 @@ def value_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
     cols = columns or df.columns
     df = ensure_parallelism(df)
     melted = _melt(df, cols).where(F.col("value_str").isNotNull() & (F.col("value_str") != ""))
-    melted = melted.withColumn("value_num", F.expr("try_cast(value_str as double)"))
 
-    # modal raw value + frequency (P13) — one shuffle on (col, value)
+    # ONE linear chain — no diamond consumption, so nothing depends on
+    # Spark's (best-effort) exchange reuse and no caching is needed:
+    #
+    #   cells → (col, value) counts            [cell-grain shuffle]
+    #        → stack into (kind, key) rows      [distinct-value grain]
+    #        → (col, kind, key) counts          [small shuffle]
+    #        → windows per (col, kind)          [rank / totals / range]
+    #        → one groupBy(col) assembly        [tiny]
+    #
+    # kinds: 'val' = the raw value (modal/histogram, P13),
+    #        'pat' = symbolic pattern (P17),
+    #        'dig' = Benford first digit (P11),
+    #        'num' = canonical double rendering (P10/P14/P15).
+    # Every stat is a function of the value, so per-cell regex work
+    # becomes per-distinct-value work, weighted by the counts.
     vc = melted.groupBy("col_name", "value_str").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("value_str"))
-    modal = (
-        vc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K_HISTOGRAM)
-        .groupBy("col_name")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("value_str"))).alias("histogram"),
-            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).cast("double").alias("histogram_freq"),
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("value_str", F.col("cnt").cast("double"))))
-            ).alias("histogram_topk"),
-        )
-    )
-
-    # dominant symbolic pattern (P17)
-    pat = melted.select("col_name", symbolic_pattern(F.col("value_str")).alias("pattern"))
-    pc = pat.groupBy("col_name", "pattern").agg(F.count(F.lit(1)).alias("cnt"))
-    wp = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("pattern"))
-    dom_pat = (
-        pc.withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") == 1)
-        .select("col_name", F.col("pattern").alias("dominant_pattern"))
-    )
-
-    # Benford first digit + distribution (P11)
-    fd = melted.select(
-        "col_name",
-        F.substring(F.regexp_replace("value_str", r"[^0-9]", ""), 1, 1).alias("digit"),
-    ).where(F.col("digit") != "")
-    fdc = fd.groupBy("col_name", "digit").agg(F.count(F.lit(1)).alias("cnt"))
-    wd = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("digit"))
-    tot = Window.partitionBy("col_name")
-    benford = (
-        fdc.withColumn("rn", F.row_number().over(wd))
-        .withColumn("share", F.col("cnt").cast("double") / F.sum("cnt").over(tot))
-        .groupBy("col_name")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("digit"))).alias("first_digit"),
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("digit", "share")))
-            ).alias("first_digit_distribution"),
-        )
-    )
-
-    # most_freq_value_ratio over numeric values (P10)
-    nvc = (
-        melted.where(F.col("value_num").isNotNull())
-        .groupBy("col_name", "value_num")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    mfr = nvc.groupBy("col_name").agg(
-        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
-            "most_freq_value_ratio"
-        )
-    )
-
-    # equi-width fullest bin (P14): bucket on (max-min)/10
-    rng = melted.groupBy("col_name").agg(
-        F.min("value_num").alias("mn"), F.max("value_num").alias("mx")
-    )
-    ew = (
-        melted.join(F.broadcast(rng), "col_name")
-        .where(F.col("value_num").isNotNull() & (F.col("mx") > F.col("mn")))
-        .withColumn(
-            "bucket",
-            F.least(
-                F.lit(9),
-                F.floor((F.col("value_num") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)),
+    kc = (
+        vc.withColumn("pat", symbolic_pattern(F.col("value_str")))
+        .select(
+            "col_name",
+            "cnt",
+            F.expr(
+                "stack(4,"
+                " 'val', value_str,"
+                " 'pat', pat,"
+                " 'dig', nullif(substring(regexp_replace(value_str, '[^0-9]', ''), 1, 1), ''),"
+                " 'num', CAST(try_cast(value_str AS DOUBLE) AS STRING)"
+                ") as (kind, key)"
             ),
         )
-        .groupBy("col_name", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    wew = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("bucket"))
-    ew_top = (
-        ew.withColumn("rn", F.row_number().over(wew))
-        .where(F.col("rn") == 1)
-        .select("col_name", F.col("bucket").cast("string").alias("equi_width_bin"))
+        .where(F.col("key").isNotNull())
+        .groupBy("col_name", "kind", "key")
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
-    # equi-depth fullest bin (P15): ntile(10); at scale switch to
-    # percentile_approx edges (no global sort)
-    wnt = Window.partitionBy("col_name").orderBy("value_num")
-    ed = (
-        melted.where(F.col("value_num").isNotNull())
-        .withColumn("tile", F.ntile(10).over(wnt))
-        .groupBy("col_name", "tile")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.partitionBy("col_name", "kind").orderBy(F.desc("cnt"), F.asc("key"))
+    wp = Window.partitionBy("col_name", "kind")
+    x = (
+        kc.withColumn("rn", F.row_number().over(wo))
+        .withColumn("total", F.sum("cnt").over(wp))
+        .withColumn("vnum", F.expr("try_cast(key as double)"))
+        .withColumn("mn", F.min("vnum").over(wp))
+        .withColumn("mx", F.max("vnum").over(wp))
     )
-    wed = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("tile"))
-    ed_top = (
-        ed.withColumn("rn", F.row_number().over(wed))
-        .where(F.col("rn") == 1)
-        .select("col_name", F.col("tile").cast("string").alias("equi_depth_bin"))
+    # equi-width bucket (P14) per distinct numeric value, then a bucket
+    # count via a second (still distinct-grain) window
+    x = x.withColumn(
+        "bucket",
+        F.when(
+            (F.col("kind") == "num") & (F.col("mx") > F.col("mn")),
+            F.least(
+                F.lit(9),
+                F.floor((F.col("vnum") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)),
+            ),
+        ),
     )
+    wb = Window.partitionBy("col_name", "kind", "bucket")
+    x = x.withColumn("bucket_cnt", F.sum(F.when(F.col("bucket").isNotNull(), F.col("cnt"))).over(wb))
 
+    is_val = F.col("kind") == "val"
+    is_pat = F.col("kind") == "pat"
+    is_dig = F.col("kind") == "dig"
+    is_num = F.col("kind") == "num"
+    # fullest equi-width bin = max by (bucket_cnt desc, bucket asc);
+    # encoded as max(struct(bucket_cnt, -bucket))
+    ew_pick = F.max(
+        F.when(
+            is_num & F.col("bucket").isNotNull(),
+            F.struct(F.col("bucket_cnt").alias("bc"), (-F.col("bucket")).alias("negb")),
+        )
+    )
     out = (
-        modal.join(dom_pat, "col_name", "full")
-        .join(benford, "col_name", "full")
-        .join(mfr, "col_name", "full")
-        .join(ew_top, "col_name", "full")
-        .join(ed_top, "col_name", "full")
+        x.groupBy("col_name")
+        .agg(
+            F.max(F.when(is_val & (F.col("rn") == 1), F.col("key"))).alias("histogram"),
+            F.max(F.when(is_val & (F.col("rn") == 1), F.col("cnt")))
+            .cast("double")
+            .alias("histogram_freq"),
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            is_val & (F.col("rn") <= TOP_K_HISTOGRAM),
+                            F.struct(
+                                F.col("key").alias("value_str"),
+                                F.col("cnt").cast("double").alias("cnt"),
+                            ),
+                        )
+                    )
+                )
+            ).alias("histogram_topk"),
+            F.max(F.when(is_pat & (F.col("rn") == 1), F.col("key"))).alias("dominant_pattern"),
+            F.max(F.when(is_dig & (F.col("rn") == 1), F.col("key"))).alias("first_digit"),
+            F.when(
+                F.max(F.when(is_dig, F.lit(1))).isNotNull(),
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                is_dig,
+                                F.struct(
+                                    F.col("key").alias("digit"),
+                                    (
+                                        F.col("cnt").cast("double")
+                                        / F.col("total").cast("double")
+                                    ).alias("share"),
+                                ),
+                            )
+                        )
+                    )
+                ),
+            ).alias("first_digit_distribution"),
+            (
+                F.max(F.when(is_num, F.col("cnt"))).cast("double")
+                / F.max(F.when(is_num, F.col("total"))).cast("double")
+            ).alias("most_freq_value_ratio"),
+            ew_pick.alias("_ew"),
+            # equi-depth fullest bin (P15): ntile(10) bucket sizes depend
+            # only on n (first n%10 tiles get ceil(n/10) rows, the rest
+            # floor(n/10)), so the fullest tile is ALWAYS tile 1 whenever
+            # any numeric value exists — the former per-column global
+            # sort computed a constant. Closed form, identical output.
+            F.max(F.when(is_num, F.lit("1"))).alias("equi_depth_bin"),
+        )
+        .withColumn("equi_width_bin", (-F.col("_ew.negb")).cast("string"))
+        .drop("_ew")
         .withColumn("table", F.lit(table))
     )
     return out
@@ -345,36 +366,43 @@ def token_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
         F.explode(F.split(F.lower(F.col("value_str")), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
 
-    word_counts = toks.groupBy("col_name").agg(
-        F.countDistinct("tok").cast("double").alias("words_unique"),
-        F.sum(F.when(F.col("tok").rlike(r"^[a-z]+$"), 1).otherwise(0))
-        .cast("double")
-        .alias("words_alphabet"),
-        F.sum(F.when(F.col("tok").rlike(r"^-?\d+(\.\d+)?$"), 1).otherwise(0))
+    # ONE linear chain (same design as value_stats): token counts per
+    # (col, tok), then every stat derives from that distinct-token
+    # grain in a single window + groupBy — the explode and the
+    # token-grain shuffle happen exactly once. Eligible keywords sort
+    # first in the window, so rn <= K over eligible rows is the top-k.
+    tc = toks.groupBy("col_name", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    is_alpha = F.col("tok").rlike(r"^[a-z]+$")
+    elig = is_alpha & ~F.col("tok").isin(STOPWORDS)
+    wk = Window.partitionBy("col_name").orderBy(
+        F.desc(elig.cast("int")), F.desc("cnt"), F.asc("tok")
+    )
+    x = tc.withColumn("elig", elig).withColumn("rn", F.row_number().over(wk))
+    out = x.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("double").alias("words_unique"),
+        F.sum(F.when(is_alpha, F.col("cnt")).otherwise(0)).cast("double").alias("words_alphabet"),
+        F.sum(F.when(F.col("tok").rlike(r"^-?\d+(\.\d+)?$"), F.col("cnt")).otherwise(0))
         .cast("double")
         .alias("words_numeric"),
-        (F.sum(F.length("tok")).cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "words_length_avg"
-        ),
-    )
-
-    kw = (
-        toks.where(F.col("tok").rlike(r"^[a-z]+$") & ~F.col("tok").isin(STOPWORDS))
-        .groupBy("col_name", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    wk = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("tok"))
-    topk = (
-        kw.withColumn("rn", F.row_number().over(wk))
-        .where(F.col("rn") <= TOP_K_KEYWORDS)
-        .groupBy("col_name")
-        .agg(
+        (
+            F.sum(F.length("tok") * F.col("cnt")).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("words_length_avg"),
+        F.when(
+            F.max(F.when(F.col("elig"), F.lit(1))).isNotNull(),
             F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("tok", F.col("cnt").cast("double"))))
-            ).alias("top_keywords")
-        )
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("elig") & (F.col("rn") <= TOP_K_KEYWORDS),
+                            F.struct("tok", F.col("cnt").cast("double").alias("cnt")),
+                        )
+                    )
+                )
+            ),
+        ).alias("top_keywords"),
     )
-    return word_counts.join(topk, "col_name", "full").withColumn("table", F.lit(table))
+    return out.withColumn("table", F.lit(table))
 
 
 # ---------------------------------------------------------------------------
@@ -395,13 +423,21 @@ def profile_table(
     a ``profiles`` DataFrame with ``unique_id = table::column``
     (reference profiler.py:303).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     kinds = {f.name: column_kind(f.dataType) for f in df.schema.fields}
-    scalar = {
-        (r["col_name"], r["stat_name"]): r["stat_value"]
-        for r in scalar_stats_long(df, table, exact=exact).collect()
-    }
-    vrows = {r["col_name"]: r.asDict() for r in value_stats(df, table).collect()} if with_values else {}
-    trows = {r["col_name"]: r.asDict() for r in token_stats(df, table).collect()} if with_tokens else {}
+    # The three passes are independent jobs over the same table — submit
+    # them concurrently (Spark's scheduler interleaves their stages;
+    # wall time ≈ the slowest pass, not the sum).
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_scalar = pool.submit(lambda: scalar_stats_long(df, table, exact=exact).collect())
+        f_value = pool.submit(lambda: value_stats(df, table).collect()) if with_values else None
+        f_token = pool.submit(lambda: token_stats(df, table).collect()) if with_tokens else None
+        scalar = {
+            (r["col_name"], r["stat_name"]): r["stat_value"] for r in f_scalar.result()
+        }
+        vrows = {r["col_name"]: r.asDict() for r in f_value.result()} if f_value else {}
+        trows = {r["col_name"]: r.asDict() for r in f_token.result()} if f_token else {}
 
     out_rows = []
     for c in df.columns:
