@@ -167,16 +167,30 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     an exact integer expression → bit-identical across engines.
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Count shared shingles ONLY for LSH candidate pairs: expand the
+        # (tiny) candidate set by id_a's shingles, then equi-join id_b's
+        # shingles on (id, shingle). The inverted-index self-join below
+        # would score every co-shingled pair and throw most of them
+        # away — the whole point of LSH is to never generate them.
+        # AQE broadcasts the candidate side when it is small.
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            candidates.join(a, F.col("id_a") == F.col("a.id"))
+            .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
