@@ -119,19 +119,54 @@ def discrete_stats_hints(
     return hints
 
 
+def cords_threshold(d1: int, d2: int, p: float, delta: float = 0.005) -> float:
+    """The CORDS chi² rejection threshold (reference cords.py:76-80).
+
+    CORDS sizes a hypothetical sample ``n`` from the table shape and
+    the worst-case false-reject probability ``p`` (the paper's
+    sample-size formula), derives the non-centrality ``λ = n(d−1)δ``,
+    and converts it to a chi² cutoff through a normal approximation.
+    A float-degenerate denominator (erf ≈ −1) means "never reject" →
+    +inf.
+    """
+    import math
+
+    v = max((d1 - 1) * (d2 - 1), 1)
+    d = min(d1, d2)
+    lnp = math.log(p * math.sqrt(2 * math.pi))
+    n = (math.sqrt(-16 * v * lnp) - 8 * lnp) / (
+        1.69 * delta * max(d - 1, 1) * pow(v, -0.071)
+    )
+    lda = n * (d - 1) * delta
+    denom = 0.5 * (1 + math.erf(((1 - p) - (v + lda)) / math.sqrt(2 * v + 4 * lda)))
+    return (1 / denom) if denom > 0 else float("inf")
+
+
 def cords_hints(
     expanded: DataFrame,
     features: list[str],
     p_value_max: float = 0.001,
+    delta: float = 0.005,
     max_buckets: int = 64,
 ) -> list[tuple[str, str, float]]:
-    """CORDS-style correlated-column detection: chi-squared statistic on
-    the pair contingency table (reference analyzers/cords.py:26-90).
+    """CORDS correlated-column detection (reference cords.py:26-90):
+    chi-squared statistic on the pair contingency table against the
+    CORDS sample-size threshold.
 
-    Returns (a, b, chi2_stat) pairs whose independence hypothesis is
-    wildly violated. Computed from grouped counts — one shuffle per
-    pair of low-cardinality features; the chi2 statistic is compared to
-    a conservative threshold (df-scaled) instead of a p-value (no scipy).
+    Reference parity notes:
+
+    * **sparse-table shortcut** (cords.py:66-69): if more than half the
+      d1×d2 cells are empty the pair is a soft-FD hint outright
+      (emitted with chi2 = +inf, no test needed);
+    * **threshold** — the reference's sample-size formula via
+      :func:`cords_threshold` (p = worst-case false-reject probability,
+      δ = the --statistical epsilon), not a fixed df multiple;
+    * the contingency table is built at value grain from grouped counts
+      (one shuffle per low-cardinality pair) instead of the reference's
+      ``hash(x) % cardinality`` bucketing (a dictionary-free artifact —
+      cords.py:44-47 FIXME), and the statistic uses the standard
+      expected count Nx·Ny/n where the reference multiplies raw margins
+      (cords.py:78 — scales as n², acknowledged "hackety hack").
     """
     card = expanded.agg(
         *[F.approx_count_distinct(f"`{c}`").alias(c) for c in features]
@@ -150,14 +185,17 @@ def cords_hints(
         for r in rows:
             rx[r["x"]] = rx.get(r["x"], 0) + r["n"]
             ry[r["y"]] = ry.get(r["y"], 0) + r["n"]
+        d1, d2 = len(rx), len(ry)
+        if d1 < 2 or d2 < 2:
+            continue
+        if d1 * d2 - len(rows) > d1 * d2 * 0.5:
+            out.append((a, b, float("inf")))  # sparse → soft FD
+            continue
         chi2 = 0.0
         for r in rows:
             exp = rx[r["x"]] * ry[r["y"]] / tot
             if exp > 0:
                 chi2 += (r["n"] - exp) ** 2 / exp
-        dof = max((len(rx) - 1) * (len(ry) - 1), 1)
-        # crude threshold: chi2 >> dof signals dependence; 10×dof+20 is
-        # far past the p=0.001 critical value for all small dof
-        if chi2 > 10 * dof + 20:
+        if chi2 > cords_threshold(d1, d2, p_value_max, delta):
             out.append((a, b, chi2))
     return out

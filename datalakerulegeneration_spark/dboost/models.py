@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -174,37 +175,46 @@ class MixtureModel:
         outlier when ``max_k weight_k · (1 − erf(mahalanobis_k/√2))``
         falls below the cutoff — a degenerate low-weight component
         (the classic "outlier cluster") can never clear a cutoff above
-        its own weight. Scoring runs as a vectorized expression over
-        the collected gaussians (k is tiny); erf via builtin SQL."""
+        its own weight. The k fitted gaussians are tiny and close over
+        an Arrow-batched pandas UDF, so scoring is distributed and
+        vectorized (no driver-side collect of the test frame)."""
         import math
 
         import numpy as np
+        from pyspark.sql.functions import pandas_udf
 
         a, b = self.pair
         gauss = self.model_.gaussiansDF.collect()
         weights = list(self.model_.weights)
         means = [g["mean"].toArray() for g in gauss]
         invs = [np.linalg.pinv(g["cov"].toArray()) for g in gauss]
+        params = [
+            (float(w), m.astype(float), inv.astype(float))
+            for w, m, inv in zip(weights, means, invs)
+        ]
+        cutoff = float(self.cutoff)
+        sqrt2 = math.sqrt(2.0)
 
-        rows = test.select("__row_id", f"`{a}`", f"`{b}`").collect()
-        if not rows:
-            return _union([], test.sparkSession)
-        flagged = []
-        for r in rows:
-            if r[a] is None or r[b] is None:
-                continue  # fit skipped invalid rows; scoring must too
-            x = np.array([r[a], r[b]], dtype=float)
-            score = 0.0
-            for w, m, inv in zip(weights, means, invs):
-                d = x - m
-                maha = float(np.sqrt(max(d @ inv @ d, 0.0)))
-                score = max(score, w * (1.0 - math.erf(maha / math.sqrt(2.0))))
-            if score < self.cutoff:
-                flagged.append((r["__row_id"], f"{a}|{b}", str(r[a])))
-        spark = test.sparkSession
-        return spark.createDataFrame(
-            flagged or [], "row_id string, feature string, value string"
+        @pandas_udf("double")
+        def _score(xa: pd.Series, xb: pd.Series) -> pd.Series:
+            X = np.stack([xa.to_numpy(dtype=float), xb.to_numpy(dtype=float)], axis=1)
+            best = np.zeros(len(X))
+            erf = np.vectorize(math.erf, otypes=[float])
+            for w, m, inv in params:
+                D = X - m
+                maha2 = np.maximum(np.einsum("ij,ij->i", D @ inv, D), 0.0)
+                s = w * (1.0 - erf(np.sqrt(maha2) / sqrt2))
+                np.maximum(best, s, out=best)
+            return pd.Series(best)
+
+        hit = (
+            test.where(F.col(f"`{a}`").isNotNull() & F.col(f"`{b}`").isNotNull())
+            .withColumn(
+                "__score", _score(F.col(f"`{a}`").cast("double"), F.col(f"`{b}`").cast("double"))
+            )
+            .where(F.col("__score") < F.lit(cutoff))
         )
+        return _emit(hit, f"{a}|{b}", a)
 
 
 def _union(plans: list[DataFrame], spark) -> DataFrame:

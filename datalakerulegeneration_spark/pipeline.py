@@ -80,22 +80,56 @@ def generate_bindings(
     shared_rules: DataFrame,
     rules: list[Rule],
     table: str,
+    param_source: str = "member",
 ) -> list[Binding]:
     """Bindings for one table: each member column gets its cluster's
-    shared rules, with params prepared from the column's OWN profile
-    (the reference prepares from the cluster's sample column —
-    rules/evaluation.py:449-655; using the member's profile is the
-    per-column-faithful variant, noted as a delta)."""
+    shared rules.
+
+    ``param_source`` picks whose profile prepares the rule params:
+
+    * ``"member"`` (default) — the column's OWN profile: every column
+      is checked against its own ranges/patterns (quality mode);
+    * ``"cluster_sample"`` — the cluster's sample column, i.e. the
+      first member (min unique_id) whose profile satisfies the rule's
+      applies() predicate. This is the reference's behavior: a rule
+      carries the conditions captured from the column that generated it
+      (rules/evaluation.py:449-655 reads ``rule.conditions`` /
+      ``rule.sample_column``), so every cluster member is validated
+      against the sample column's values (parity mode).
+    """
+    if param_source not in ("member", "cluster_sample"):
+        raise ValueError(f"unknown param_source: {param_source!r}")
     rule_by_name = {r.name: r for r in rules}
-    prof_rows = {r["unique_id"]: r.asDict() for r in profiles.where(profiles.table == table).collect()}
+    all_prof_rows = {r["unique_id"]: r.asDict() for r in profiles.collect()}
+    prof_rows = {u: d for u, d in all_prof_rows.items() if d["table"] == table}
+    all_clusters = clusters.collect()
     cid_by_col = {
         r["unique_id"]: r["cluster_id"]
-        for r in clusters.collect()
+        for r in all_clusters
         if r["unique_id"].startswith(f"{table}::")
     }
     rules_by_cid: dict[int, list[str]] = {}
     for r in shared_rules.collect():
         rules_by_cid.setdefault(r["cluster_id"], []).append(r["rule"])
+
+    sample_uid: dict[tuple[int, str], str] = {}
+    if param_source == "cluster_sample":
+        from datalakerulegeneration_spark.clustering.sharing import rules_for_profiles
+
+        applicable = {
+            (r["unique_id"], r["rule"])
+            for r in rules_for_profiles(profiles, rules).collect()
+        }
+        members_by_cid: dict[int, list[str]] = {}
+        for r in all_clusters:
+            members_by_cid.setdefault(r["cluster_id"], []).append(r["unique_id"])
+        for cid, rns in rules_by_cid.items():
+            for rn in rns:
+                cands = sorted(
+                    u for u in members_by_cid.get(cid, []) if (u, rn) in applicable
+                )
+                if cands:
+                    sample_uid[(cid, rn)] = cands[0]
     import re as _re
 
     from datalakerulegeneration_spark.rules.builtin import PHONE_NAME_REGEX, PHONE_REGEX
@@ -124,7 +158,10 @@ def generate_bindings(
             override = _phone_override(rule, col)
             if override is not None:
                 continue  # the unconditional NANP binding above covers it
-            bindings.append(Binding(col, rule, prepare_params(rule, prof_rows.get(uid, {}))))
+            src_uid = sample_uid.get((cid, rn), uid) if param_source == "cluster_sample" else uid
+            bindings.append(
+                Binding(col, rule, prepare_params(rule, all_prof_rows.get(src_uid, {})))
+            )
     return bindings
 
 
@@ -137,6 +174,7 @@ def run_quality_pipeline(
     eps: float = 0.5,
     min_samples: int = 1,
     share_threshold: float = 0.7,
+    param_source: str = "member",
 ) -> dict:
     """Full run: returns violations, per-column metrics, and overall
     P/R/F1 per table. Clean tables provide profiles + ground truth;
@@ -150,7 +188,9 @@ def run_quality_pipeline(
     eng = RuleEngine(spark)
     out: dict = {"profiles": profiles, "clusters": clusters, "shared_rules": shared, "tables": {}}
     for name, dirty in dirty_tables.items():
-        bindings = generate_bindings(profiles, clusters, shared, rules, name)
+        bindings = generate_bindings(
+            profiles, clusters, shared, rules, name, param_source=param_source
+        )
         v = eng.detect(dirty, name, bindings, row_id_col=key_cols.get(name))
         truth = cell_diff(dirty, clean_tables[name], key=key_cols.get(name))
         out["tables"][name] = {

@@ -78,6 +78,43 @@ def test_pipeline_on_all_string_csv(spark, tmp_path):
     assert m["fp"] <= 1  # at most the key-join artifact
 
 
+def test_cluster_sample_param_source(spark):
+    """Parity mode: params come from the cluster's sample column (min
+    unique_id member satisfying the rule), not the member's own
+    profile — reference rules/evaluation.py:449-655 semantics."""
+    from datalakerulegeneration_spark.clustering import (
+        cluster_columns_dbscan,
+        shared_rules_by_threshold,
+    )
+    from datalakerulegeneration_spark.pipeline import generate_bindings
+    from datalakerulegeneration_spark.profiling import profile_tables
+    from datalakerulegeneration_spark.rules import load_all_rules
+
+    # two numeric columns with identical shape but different ranges —
+    # they cluster together; the sample column is the min unique_id
+    rows_a = [(float(i % 50),) for i in range(200)]
+    rows_b = [(float(i % 50) + 1000.0,) for i in range(200)]
+    ta = spark.createDataFrame(rows_a, "val double")
+    tb = spark.createDataFrame(rows_b, "val double")
+    profiles = profile_tables(spark, {"aa": ta, "bb": tb}, with_tokens=False)
+    clusters = cluster_columns_dbscan(profiles, eps=10.0, min_samples=1)
+    rules = load_all_rules()
+    shared = shared_rules_by_threshold(profiles, clusters, rules, threshold=0.5)
+
+    member = generate_bindings(profiles, clusters, shared, rules, "bb")
+    parity = generate_bindings(
+        profiles, clusters, shared, rules, "bb", param_source="cluster_sample"
+    )
+    m_range = {b.rule.name: b.params for b in member if "lo" in (b.params or {})}
+    p_range = {b.rule.name: b.params for b in parity if "lo" in (b.params or {})}
+    assert m_range and p_range
+    # member mode: bb's own range (≥1000); parity mode: aa's range
+    for params in m_range.values():
+        assert params["lo"] >= 1000.0
+    for params in p_range.values():
+        assert params["lo"] == 0.0 and params["hi"] == 49.0
+
+
 def test_pipeline_artifacts(spark, sf_tables):
     clean = {k: sf_tables[k] for k in ("nation", "region")}
     res = run_quality_pipeline(spark, clean, clean, key_cols=KEYS)
