@@ -30,6 +30,25 @@ from pyspark.sql import functions as F
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
+# Universal-hash family for minhash: ONE md5 per shingle (28-bit base
+# hash) and k affine derivations (a_i·h + b_i) mod P — the classic
+# (a·x+b mod p) permutation family, portable bit-for-bit to DuckDB.
+# Constants are md5-derived so both SQL builders embed identical
+# literals; all products stay < 2^56 (no BIGINT overflow in either
+# engine).
+_MINHASH_PRIME = 1073741789  # largest prime < 2^30
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return out
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -115,18 +134,20 @@ def _hash64(col_expr: str) -> str:
 def minhash_signatures(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
     """k min-hashes per doc: ``(id, h0..h{k-1})``.
 
-    One explode (seed index) + one groupBy(id) with k min aggregates —
-    the seed dimension is folded into the hash input, not k passes.
+    ONE md5 per shingle; the k permutations are affine derivations of
+    that base hash (universal-hash family), so the map-side cost is a
+    single digest + k integer ops per shingle instead of k digests.
+    One groupBy(id) with k min aggregates.
     """
-    seeded = sh.select(
+    base = sh.select(
         "id",
-        *[
-            F.expr(_hash64(f"concat('{i}|', shingle)")).alias(f"x{i}")
-            for i in range(k)
-        ],
+        F.expr("cast(conv(substr(md5(shingle), 1, 7), 16, 10) as bigint)").alias("hb"),
     )
-    return seeded.groupBy("id").agg(
-        *[F.min(f"x{i}").alias(f"h{i}") for i in range(k)]
+    return base.groupBy("id").agg(
+        *[
+            F.min(F.expr(f"({a} * hb + {b}) % {_MINHASH_PRIME}")).alias(f"h{i}")
+            for i, (a, b) in enumerate(_minhash_params(k))
+        ]
     )
 
 
@@ -272,8 +293,8 @@ def minhash_dedup_sql(
     same banding, same verify."""
     rows = k // bands
     hash_cols = ",\n    ".join(
-        f"min(('0x' || substr(md5(concat('{i}|', shingle)), 1, 15))::BIGINT) AS h{i}"
-        for i in range(k)
+        f"min(({a} * hb + {b}) % {_MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_params(k))
     )
     band_rows = []
     for b in range(bands):
@@ -284,10 +305,13 @@ def minhash_dedup_sql(
     bands_sql = "\nUNION ALL\n".join(band_rows)
     return f"""
 WITH sh AS ({shingles_sql(table, id_col, text_col, n)}),
+shb AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hb FROM sh
+),
 sigs AS (
   SELECT id,
     {hash_cols}
-  FROM sh GROUP BY id
+  FROM shb GROUP BY id
 ),
 bands AS (
 {bands_sql}

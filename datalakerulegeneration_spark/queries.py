@@ -704,7 +704,11 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_WINDOWED_EVENTS_ORACLE = """
-SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_start_epoch,
+-- epoch arithmetic, not time_bucket: Spark's window() origin is the
+-- 1970 epoch while DuckDB's time_bucket origin is 2000-01-01, so the
+-- two only agree for intervals dividing a day; floor-division on epoch
+-- seconds matches Spark for ANY window length
+SELECT floor(epoch(ts) / 3600)::BIGINT * 3600 AS window_start_epoch,
        event_type,
        count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
