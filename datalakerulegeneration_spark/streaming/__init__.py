@@ -2,6 +2,9 @@ from datalakerulegeneration_spark.streaming.profiler_stream import (  # noqa: F4
     IncrementalProfiler,
     stream_profile,
 )
+from datalakerulegeneration_spark.streaming.stateful import (  # noqa: F401
+    stateful_gaussian_flags,
+)
 from datalakerulegeneration_spark.streaming.windows import (  # noqa: F401
     windowed_event_counts,
     streaming_gaussian_monitor,

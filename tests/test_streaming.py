@@ -78,6 +78,49 @@ def test_windowed_counts_batch_parity(spark, sf_tables):
     assert rows and all(r["n"] > 0 for r in rows)
 
 
+def test_stateful_gaussian_flags(spark, tmp_path):
+    """applyInPandasWithState: batch 2 outliers are scored against
+    batch 1's running moments; batch 1 has no prior model so nothing
+    from it is flagged."""
+    import time as _time
+
+    from datalakerulegeneration_spark.streaming import stateful_gaussian_flags
+
+    src_dir = str(tmp_path / "sgin")
+    os.makedirs(src_dir)
+    b1 = [("a", 10.0 + (i % 5) * 0.1) for i in range(100)]
+    b2 = [("a", 10.2)] * 50 + [("a", 999.0)]  # planted outlier
+    spark.createDataFrame(b1, "event_type string, value double").coalesce(1).write.parquet(
+        os.path.join(src_dir, "b1")
+    )
+    _time.sleep(1.1)  # file-source batch order follows modification time
+    spark.createDataFrame(b2, "event_type string, value double").coalesce(1).write.parquet(
+        os.path.join(src_dir, "b2")
+    )
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = stateful_gaussian_flags(stream, tol=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sg_flags")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sgckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sg_flags").collect()
+    flagged_vals = {r["value"] for r in rows}
+    assert 999.0 in flagged_vals
+    assert 10.2 not in flagged_vals  # in-band value not flagged
+    for r in rows:
+        assert r["n_prior"] >= 100  # scored against batch-1 state
+
+
 def test_windowed_counts_streaming_mode(spark, sf_tables, tmp_path):
     """Same plan as a real stream (file source, availableNow) — verify
     watermarking/windowing execute in streaming mode."""
