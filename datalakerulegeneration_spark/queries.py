@@ -717,6 +717,118 @@ GROUP BY 1, 2
 """
 
 
+_VALUE_STATS_COLS = ["c_acctbal", "c_mktsegment", "c_name", "c_nationkey"]
+
+
+def q_value_stats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full value pass (P10/P11/P13/P14/P15/P17) on customer —
+    scalar outputs only (map columns don't hash portably across
+    engines)."""
+    from datalakerulegeneration_spark.profiling.profiler import value_stats
+
+    df = load_sf_tables(spark, sf_dir, ("customer",))["customer"]
+    return value_stats(df, "customer", columns=_VALUE_STATS_COLS).select(
+        "col_name",
+        "histogram",
+        "histogram_freq",
+        "dominant_pattern",
+        "first_digit",
+        "most_freq_value_ratio",
+        "equi_width_bin",
+        "equi_depth_bin",
+    )
+
+
+def _value_stats_oracle() -> str:
+    melts = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM customer"
+        f" WHERE {c} IS NOT NULL AND CAST({c} AS VARCHAR) <> ''"
+        for c in _VALUE_STATS_COLS
+    )
+    return f"""
+WITH melted AS ({melts}),
+vc AS (SELECT col_name, v, count(*) AS cnt FROM melted GROUP BY 1, 2),
+hist AS (
+  SELECT col_name, v AS histogram, CAST(cnt AS DOUBLE) AS histogram_freq
+  FROM (SELECT *, row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, v ASC) AS rn FROM vc)
+  WHERE rn = 1
+),
+pat AS (
+  SELECT col_name, pattern AS dominant_pattern FROM (
+    SELECT col_name, pattern,
+           row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, pattern ASC) AS rn
+    FROM (SELECT col_name, {symbolic_pattern_sql('v')} AS pattern, sum(cnt) AS cnt
+          FROM vc GROUP BY 1, 2)
+  ) WHERE rn = 1
+),
+dig AS (
+  SELECT col_name, digit AS first_digit FROM (
+    SELECT col_name, digit,
+           row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, digit ASC) AS rn
+    FROM (SELECT col_name, substr(regexp_replace(v, '[^0-9]', '', 'g'), 1, 1) AS digit,
+                 sum(cnt) AS cnt
+          FROM vc WHERE substr(regexp_replace(v, '[^0-9]', '', 'g'), 1, 1) <> ''
+          GROUP BY 1, 2)
+  ) WHERE rn = 1
+),
+nvc AS (
+  SELECT col_name, TRY_CAST(v AS DOUBLE) AS vn, sum(cnt) AS cnt
+  FROM vc WHERE TRY_CAST(v AS DOUBLE) IS NOT NULL GROUP BY 1, 2
+),
+mfr AS (
+  SELECT col_name, CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS most_freq_value_ratio
+  FROM nvc GROUP BY 1
+),
+rng AS (SELECT col_name, min(vn) AS mn, max(vn) AS mx FROM nvc GROUP BY 1),
+ew AS (
+  SELECT col_name, CAST(bucket AS VARCHAR) AS equi_width_bin FROM (
+    SELECT col_name, bucket,
+           row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, bucket ASC) AS rn
+    FROM (
+      SELECT n.col_name,
+             CAST(least(9, floor((n.vn - r.mn) / ((r.mx - r.mn) / 10))) AS BIGINT) AS bucket,
+             sum(n.cnt) AS cnt
+      FROM nvc n JOIN rng r ON n.col_name = r.col_name
+      WHERE r.mx > r.mn GROUP BY 1, 2)
+  ) WHERE rn = 1
+),
+ed AS (SELECT col_name, '1' AS equi_depth_bin FROM nvc GROUP BY col_name)
+SELECT h.col_name, h.histogram, h.histogram_freq, p.dominant_pattern, d.first_digit,
+       m.most_freq_value_ratio, w.equi_width_bin, e.equi_depth_bin
+FROM hist h
+LEFT JOIN pat p ON p.col_name = h.col_name
+LEFT JOIN dig d ON d.col_name = h.col_name
+LEFT JOIN mfr m ON m.col_name = h.col_name
+LEFT JOIN ew w ON w.col_name = h.col_name
+LEFT JOIN ed e ON e.col_name = h.col_name
+"""
+
+
+def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-class counts (P5) on documents.text — scalar outputs only
+    (the top-keywords map doesn't hash portably)."""
+    from datalakerulegeneration_spark.profiling.profiler import token_stats
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return token_stats(docs, "documents", columns=["text"]).select(
+        "col_name", "words_unique", "words_alphabet", "words_numeric", "words_length_avg"
+    )
+
+
+Q_TOKEN_STATS_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+)
+SELECT 'text' AS col_name,
+       CAST(count(DISTINCT tok) AS DOUBLE) AS words_unique,
+       CAST(count_if(regexp_matches(tok, '^[a-z]+$')) AS DOUBLE) AS words_alphabet,
+       CAST(count_if(regexp_matches(tok, '^-?\d+(\.\d+)?$')) AS DOUBLE) AS words_numeric,
+       CAST(sum(length(tok)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS words_length_avg
+FROM toks
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
     return textqa.token_count(docs, "doc_id", "text")
@@ -751,6 +863,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "profile_events": (_profile_query("events"), _profile_oracle("events")),
     "profile_documents": (_profile_query("documents"), _profile_oracle("documents")),
     "dominant_pattern_customer": (q_dominant_pattern, q_dominant_pattern_oracle()),
+    "value_stats_customer": (q_value_stats_customer, _value_stats_oracle()),
+    "token_stats_documents": (q_token_stats_documents, Q_TOKEN_STATS_ORACLE),
     # rules / violations (§2.3)
     "violations_events": (q_violations_events, Q_VIOLATIONS_EVENTS_ORACLE),
     "violations_unique_orders": (q_violations_unique_orders, Q_VIOLATIONS_UNIQUE_ORDERS_ORACLE),
