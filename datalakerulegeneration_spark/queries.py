@@ -219,6 +219,54 @@ WHERE o_orderstatus IS NOT NULL AND CAST(o_orderstatus AS VARCHAR) <> ''
 """
 
 
+def q_violations_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant (R2, engine-derived modal), decimal precision (R9),
+    low-frequency (R16) and equality (R17) rules over orders in one
+    detect() call — the aggregate-backed validators under the oracle."""
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    orders = load_sf_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = RuleEngine(spark)
+    bindings = [
+        Binding("o_totalprice", Rule("price_precision", validate={"type": "decimal_precision", "max_decimals": 1})),
+        Binding("o_orderstatus", Rule("status_constant", validate={"type": "constant"})),
+        Binding("o_orderstatus", Rule("status_low_freq", validate={"type": "low_frequency", "min_ratio": 0.05})),
+        Binding("o_orderpriority", Rule("priority_equality", validate={"type": "equality", "value": "1-URGENT"})),
+    ]
+    v = eng.detect(orders, "orders", bindings, row_id_col="o_orderkey", suppress_full_column=False)
+    return v.select("column", "row_id", "rule", "value")
+
+
+Q_VIOLATIONS_STATS_ORDERS_ORACLE = r"""
+WITH total AS (SELECT count(*) AS n FROM orders),
+modal AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS k
+  FROM orders GROUP BY 1 ORDER BY count(*) DESC, k ASC LIMIT 1
+),
+freq AS (SELECT o_orderstatus AS k, count(*) AS cnt FROM orders GROUP BY 1)
+SELECT 'o_totalprice' AS "column", CAST(o_orderkey AS VARCHAR) AS row_id,
+       'price_precision' AS rule, CAST(o_totalprice AS VARCHAR) AS value
+FROM orders
+WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS VARCHAR) <> ''
+  AND (TRY_CAST(o_totalprice AS DOUBLE) IS NULL
+       OR length(regexp_replace(regexp_extract(CAST(o_totalprice AS VARCHAR), '\.(\d+)$', 1), '0+$', '', 'g')) > 1)
+UNION ALL
+SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR), 'status_constant', CAST(o_orderstatus AS VARCHAR)
+FROM orders, modal
+WHERE o_orderstatus IS NOT NULL AND CAST(o_orderstatus AS VARCHAR) <> modal.k
+UNION ALL
+SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR), 'status_low_freq', CAST(o_orderstatus AS VARCHAR)
+FROM orders JOIN freq ON orders.o_orderstatus = freq.k CROSS JOIN total
+WHERE CAST(freq.cnt AS DOUBLE) / total.n < 0.05
+UNION ALL
+SELECT 'o_orderpriority', CAST(o_orderkey AS VARCHAR), 'priority_equality', CAST(o_orderpriority AS VARCHAR)
+FROM orders
+WHERE o_orderpriority IS NOT NULL AND CAST(o_orderpriority AS VARCHAR) <> ''
+  AND CAST(o_orderpriority AS VARCHAR) <> '1-URGENT'
+"""
+
+
 def q_three_sigma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3σ outliers with mean/std from exact decimal sums (identical in
     both engines → identical flag set; reference rules/evaluation.py:434-440)."""
@@ -869,6 +917,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "violations_events": (q_violations_events, Q_VIOLATIONS_EVENTS_ORACLE),
     "violations_unique_orders": (q_violations_unique_orders, Q_VIOLATIONS_UNIQUE_ORDERS_ORACLE),
     "violations_rules_orders": (q_violations_rules_orders, Q_VIOLATIONS_RULES_ORDERS_ORACLE),
+    "violations_stats_orders": (q_violations_stats_orders, Q_VIOLATIONS_STATS_ORDERS_ORACLE),
     "three_sigma_events": (q_three_sigma_events, Q_THREE_SIGMA_EVENTS_ORACLE),
     # dBoost statistical models (§2.10)
     "dboost_histogram_events": (q_dboost_histogram_events, Q_DBOOST_HISTOGRAM_ORACLE),
