@@ -132,6 +132,45 @@ def repartition_by_payload_size(assets: DataFrame, target_mb: int = 64) -> DataF
     return sized.repartition(n, F.col("asset_id")).drop("__sz")
 
 
+FRAME_SCHEMA = "asset_id long, frame_idx int, ts_ms long, frame_payload binary"
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: one asset row → ``n_frames`` frame rows (the 1:N
+    ``mapInPandas`` shape a real video pipeline needs — output batches
+    are NOT 1:1 with input rows).
+
+    Frames are spaced evenly across the asset's ``duration_ms`` (or
+    index-spaced when unknown). The frame decode itself is STUBBED:
+    deterministic fake frame bytes derived from (payload digest,
+    frame index) — swap ``_fake_frame`` for a pyav/ffmpeg seek+decode;
+    the plan shape, schema, and partitioning carry over unchanged.
+    """
+
+    def _fake_frame(payload: bytes, idx: int) -> bytes:
+        if payload is None:
+            raise NotImplementedError("real frame decode requires payload bytes")
+        return hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for aid, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"].apply(lambda m: m["duration_ms"] if m is not None else None)
+            ):
+                step = (dur // n_frames) if dur else 1000
+                for i in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    tss.append(i * step)
+                    frames.append(_fake_frame(payload, i))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame_payload": frames}
+            )
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: plan-level contract only (payload passthrough +
     target dims recorded). A real implementation swaps the identity

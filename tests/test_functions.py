@@ -100,6 +100,42 @@ def test_csv_readers(spark, tmp_path):
     assert vals == [(1.0, 2.5), (3.0, 4.5)]
 
 
+def test_folder_discovery_and_csv_sink(spark, tmp_path):
+    """S5 dataset-folder discovery + S8 CSV sink round-trip."""
+    import os
+
+    from datalakerulegeneration_spark.catalog import (
+        discover_dataset_folders,
+        read_csv_all_string,
+        write_csv,
+    )
+
+    root = tmp_path / "lake"
+    for group, name, kinds in (
+        ("Quintet", "beers", ("dirty", "clean")),
+        ("Quintet", "movies", ("dirty",)),
+    ):
+        d = root / group / name
+        os.makedirs(d)
+        for kind in kinds:
+            (d / f"{kind}.csv").write_text("a,b\n1,x\n")
+    cat = discover_dataset_folders(spark, str(root))
+    rows = sorted(map(tuple, cat.collect()))
+    assert [(g, t, k) for g, t, k, _ in rows] == [
+        ("Quintet", "beers", "clean"),
+        ("Quintet", "beers", "dirty"),
+        ("Quintet", "movies", "dirty"),
+    ]
+    # discovered paths are readable, and the sink round-trips
+    df = read_csv_all_string(spark, rows[0][3])
+    out = str(tmp_path / "out_csv")
+    write_csv(df, out)
+    back = sorted(map(tuple, read_csv_all_string(spark, out).collect()))
+    assert back == sorted(map(tuple, df.collect()))
+    # missing root yields an empty catalog, not an error
+    assert discover_dataset_folders(spark, str(tmp_path / "nope")).count() == 0
+
+
 def test_strategy_predictor(spark, sf_tables):
     from datalakerulegeneration_spark.clustering.predictor import (
         predict_strategy_performance,

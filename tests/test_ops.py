@@ -157,3 +157,22 @@ def test_multimodal_plumbing(spark, sf_tables):
     # skew-guard repartition keeps rows intact
     re = multimodal.repartition_by_payload_size(assets, target_mb=1)
     assert re.count() == 50
+
+
+def test_multimodal_frame_sampling(spark, sf_tables):
+    """1:N mapInPandas shape: each asset expands to n_frames rows with
+    deterministic stub frame bytes and evenly spaced timestamps."""
+    assets = multimodal.make_assets_from_documents(sf_tables["documents"], n=20)
+    frames = multimodal.sample_frames(assets, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 80
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for aid, fr in by_asset.items():
+        assert sorted(f["frame_idx"] for f in fr) == [0, 1, 2, 3]
+        assert len({bytes(f["frame_payload"]) for f in fr}) == 4  # distinct frames
+        assert all(f["ts_ms"] == f["frame_idx"] * 1000 for f in fr)  # no duration -> index spacing
+    # deterministic rerun
+    rows2 = frames.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
