@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.rules.compiler import ROW_LOCAL_TYPES, row_violation
@@ -137,18 +137,25 @@ class RuleEngine:
                 expected = b.params.get("expected_value")
                 if expected is None:
                     # prepare: modal value (reference dictionary_rule.py:330-332)
-                    row = (
-                        dfi.groupBy(F.col(f"`{c}`").cast("string").alias("__k"))
+                    # — kept IN the plan (broadcast 1-row frame), no
+                    # driver round-trip: detect() stays fully lazy and
+                    # the table is not scanned eagerly per rule
+                    modal = (
+                        dfi.groupBy(F.col(f"`{c}`").cast("string").alias("__expected"))
                         .count()
-                        .orderBy(F.desc("count"), F.asc("__k"))
+                        .orderBy(F.desc("count"), F.asc("__expected"))
                         .limit(1)
-                        .collect()
+                        .select("__expected")
                     )
-                    expected = row[0]["__k"] if row else None
-                hit = dfi.where(
-                    F.col(f"`{c}`").isNotNull()
-                    & (F.col(f"`{c}`").cast("string") != F.lit(str(expected)))
-                )
+                    hit = dfi.crossJoin(F.broadcast(modal)).where(
+                        F.col(f"`{c}`").isNotNull()
+                        & (F.col(f"`{c}`").cast("string") != F.col("__expected"))
+                    )
+                else:
+                    hit = dfi.where(
+                        F.col(f"`{c}`").isNotNull()
+                        & (F.col(f"`{c}`").cast("string") != F.lit(str(expected)))
+                    )
                 plans.append(self._emit(hit, table, c, b.rule.name))
             elif t == "three_sigma":
                 tol = float(b.rule.validate.get("tol", 3.0))
@@ -167,8 +174,14 @@ class RuleEngine:
                 freq = dfi.groupBy(F.col(f"`{c}`").alias("__k")).agg(
                     F.count(F.lit(1)).alias("__n")
                 )
-                total = dfi.count()
-                rare = freq.where(F.col("__n") / F.lit(total) < min_ratio).select("__k")
+                # total share via a window over the (tiny) frequency
+                # frame — no eager count(), no second table scan
+                tot = Window.partitionBy()
+                rare = (
+                    freq.withColumn("__tot", F.sum("__n").over(tot))
+                    .where(F.col("__n") / F.col("__tot") < min_ratio)
+                    .select("__k")
+                )
                 hit = dfi.join(F.broadcast(rare), dfi[f"`{c}`"] == rare["__k"], "inner")
                 plans.append(self._emit(hit, table, c, b.rule.name))
             elif t == "dictionary":
@@ -247,9 +260,15 @@ class RuleEngine:
 
         if suppress_full_column:
             # R18: a rule that flags every row of a column is wrong, drop
-            # it (reference rules/evaluation.py:640-647)
-            total = df.count()
+            # it (reference rules/evaluation.py:640-647). The row total
+            # rides along as a broadcast 1-row aggregate — detect()
+            # builds one lazy plan end-to-end.
+            tot = df.agg(F.count(F.lit(1)).alias("__tot"))
             per = out.groupBy("column", "rule").agg(F.count(F.lit(1)).alias("__viol"))
-            keep = per.where(F.col("__viol") < F.lit(total)).select("column", "rule")
+            keep = (
+                per.crossJoin(F.broadcast(tot))
+                .where(F.col("__viol") < F.col("__tot"))
+                .select("column", "rule")
+            )
             out = out.join(F.broadcast(keep), ["column", "rule"], "left_semi")
         return out
