@@ -39,19 +39,20 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    warm_dir = "/root/testdata/sf0.001"
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = Q.queries()
 
-    # JIT warmup: run every query once at the smallest sf — plan
-    # structure is identical across sfs, so generated code and codegen
-    # caches are hot when measurement starts (standard JVM bench
-    # hygiene; measured numbers then reflect data-dependent work).
-    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for name in BENCH_QUERIES:
-            qs[name](spark, warm_dir).collect()
-    else:
-        qs["q1_pricing_summary"](spark, sf_dir).collect()
+    # JIT warmup at the MEASURED sf: AQE picks different physical plans
+    # per data size (broadcast vs shuffle, coalesced partitions), so
+    # warming at a smaller sf leaves the measured plans cold — the
+    # first sf0.1 run would pay fresh codegen. One untimed pass per
+    # query, then caches are dropped so the timed pass re-reads and
+    # re-materializes everything (persisted frames would otherwise be
+    # silently reused via CacheManager plan-dedup): the measurement is
+    # warm-JVM, cold-data — standard JVM bench hygiene.
+    for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir).collect()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
