@@ -85,15 +85,26 @@ class RuleEngine:
         row_id_col: str | None = None,
         suppress_full_column: bool = True,
     ) -> DataFrame:
-        """Run all bound rules against one table → violations DataFrame."""
+        """Run all bound rules against one table → violations DataFrame.
+
+        Plan shape: every rule that can be decided per-row — the truly
+        row-local validators AND the aggregate-backed ones (uniqueness,
+        modal, 3σ, frequency, dictionary, inclusion, FD) — lands in ONE
+        fused pass over the table. Each aggregate rule contributes a
+        small derived frame (duplicate keys, modal value, stats row,
+        rare keys, conflict determinants) that is broadcast-joined into
+        that single pass, so the big table is traversed once for the
+        row stage regardless of how many rules are bound; only the
+        per-rule aggregates themselves re-read it. Token-grain rules
+        (spell) keep their own explode plan.
+        """
         dfi, _ = self._with_row_id(df, row_id_col)
         plans: list[DataFrame] = []
 
-        # ---- one fused pass for every row-local rule ----
-        row_local = [b for b in bindings if b.rule.validate and b.rule.validate["type"] in ROW_LOCAL_TYPES]
-        if row_local:
-            structs = []
-            for b in row_local:
+        structs: list = []  # per-row violation struct whens (fused pass)
+        joined = dfi  # progressively broadcast-joined lookups
+        for b in bindings:
+            if b.rule.validate and b.rule.validate["type"] in ROW_LOCAL_TYPES:
                 pred = row_violation(b.column, b.rule.validate, b.params)
                 structs.append(
                     F.when(
@@ -105,19 +116,21 @@ class RuleEngine:
                         ),
                     )
                 )
-            fused = dfi.select(
-                "__row_id", F.explode(F.array_compact(F.array(*structs))).alias("v")
-            ).select(
-                F.lit(table).alias("table"),
-                F.col("v.column").alias("column"),
-                F.col("__row_id").alias("row_id"),
-                F.col("v.rule").alias("rule"),
-                F.col("v.value").alias("value"),
-            )
-            plans.append(fused)
 
-        # ---- aggregate/set-based rules ----
-        for b in bindings:
+        # ---- aggregate-backed rules: broadcast lookup + fused predicate ----
+        def emit(pred, b):
+            structs.append(
+                F.when(
+                    pred,
+                    F.struct(
+                        F.lit(b.column).alias("column"),
+                        F.lit(b.rule.name).alias("rule"),
+                        F.col(f"`{b.column}`").cast("string").alias("value"),
+                    ),
+                )
+            )
+
+        for i, b in enumerate(bindings):
             if not b.rule.validate:
                 continue
             t = b.rule.validate["type"]
@@ -126,52 +139,52 @@ class RuleEngine:
                 continue
             if t == "unique":
                 dups = (
-                    dfi.groupBy(F.col(f"`{c}`").alias("__k"))
+                    dfi.groupBy(F.col(f"`{c}`").alias(f"__k{i}"))
                     .agg(F.count(F.lit(1)).alias("__n"))
                     .where(F.col("__n") > 1)
-                    .select("__k")
+                    .select(f"__k{i}")
                 )
-                hit = dfi.join(F.broadcast(dups), dfi[f"`{c}`"] == dups["__k"], "inner")
-                plans.append(self._emit(hit, table, c, b.rule.name))
+                joined = joined.join(
+                    F.broadcast(dups), F.col(f"`{c}`") == F.col(f"__k{i}"), "left"
+                )
+                emit(F.col(f"__k{i}").isNotNull(), b)
             elif t == "constant":
                 expected = b.params.get("expected_value")
                 if expected is None:
-                    # prepare: modal value (reference dictionary_rule.py:330-332)
-                    # — kept IN the plan (broadcast 1-row frame), no
-                    # driver round-trip: detect() stays fully lazy and
-                    # the table is not scanned eagerly per rule
+                    # prepare: modal value (reference dictionary_rule.py:
+                    # 330-332) — a broadcast 1-row frame, no driver
+                    # round-trip; detect() stays fully lazy
                     modal = (
-                        dfi.groupBy(F.col(f"`{c}`").cast("string").alias("__expected"))
+                        dfi.groupBy(F.col(f"`{c}`").cast("string").alias(f"__expected{i}"))
                         .count()
-                        .orderBy(F.desc("count"), F.asc("__expected"))
+                        .orderBy(F.desc("count"), F.asc(f"__expected{i}"))
                         .limit(1)
-                        .select("__expected")
+                        .select(f"__expected{i}")
                     )
-                    hit = dfi.crossJoin(F.broadcast(modal)).where(
-                        F.col(f"`{c}`").isNotNull()
-                        & (F.col(f"`{c}`").cast("string") != F.col("__expected"))
-                    )
+                    joined = joined.crossJoin(F.broadcast(modal))
+                    exp_col = F.col(f"__expected{i}")
                 else:
-                    hit = dfi.where(
-                        F.col(f"`{c}`").isNotNull()
-                        & (F.col(f"`{c}`").cast("string") != F.lit(str(expected)))
-                    )
-                plans.append(self._emit(hit, table, c, b.rule.name))
+                    exp_col = F.lit(str(expected))
+                emit(
+                    F.col(f"`{c}`").isNotNull() & (F.col(f"`{c}`").cast("string") != exp_col),
+                    b,
+                )
             elif t == "three_sigma":
                 tol = float(b.rule.validate.get("tol", 3.0))
                 n = F.expr(f"try_cast(`{c}` as double)")
                 stats = dfi.agg(
-                    F.avg(n).alias("__mu"), F.stddev_samp(n).alias("__sd")
+                    F.avg(n).alias(f"__mu{i}"), F.stddev_samp(n).alias(f"__sd{i}")
                 )
-                hit = dfi.crossJoin(F.broadcast(stats)).where(
+                joined = joined.crossJoin(F.broadcast(stats))
+                emit(
                     n.isNotNull()
-                    & (F.col("__sd") > 0)
-                    & (F.abs(n - F.col("__mu")) > tol * F.col("__sd"))
+                    & (F.col(f"__sd{i}") > 0)
+                    & (F.abs(n - F.col(f"__mu{i}")) > tol * F.col(f"__sd{i}")),
+                    b,
                 )
-                plans.append(self._emit(hit, table, c, b.rule.name))
             elif t == "low_frequency":
                 min_ratio = float(b.rule.validate.get("min_ratio", 0.01))
-                freq = dfi.groupBy(F.col(f"`{c}`").alias("__k")).agg(
+                freq = dfi.groupBy(F.col(f"`{c}`").alias(f"__k{i}")).agg(
                     F.count(F.lit(1)).alias("__n")
                 )
                 # total share via a window over the (tiny) frequency
@@ -180,27 +193,44 @@ class RuleEngine:
                 rare = (
                     freq.withColumn("__tot", F.sum("__n").over(tot))
                     .where(F.col("__n") / F.col("__tot") < min_ratio)
-                    .select("__k")
+                    .select(f"__k{i}")
                 )
-                hit = dfi.join(F.broadcast(rare), dfi[f"`{c}`"] == rare["__k"], "inner")
-                plans.append(self._emit(hit, table, c, b.rule.name))
+                joined = joined.join(
+                    F.broadcast(rare), F.col(f"`{c}`") == F.col(f"__k{i}"), "left"
+                )
+                emit(F.col(f"__k{i}").isNotNull(), b)
             elif t == "dictionary":
                 dim = self.dimensions[b.rule.validate["dimension"]]
                 dc = b.rule.validate["dim_column"]
                 norm = F.lower(F.trim(F.col(f"`{c}`").cast("string")))
-                keys = dim.select(F.lower(F.trim(F.col(dc))).alias("__k")).distinct()
-                hit = dfi.withColumn("__norm", norm).join(
-                    F.broadcast(keys), F.col("__norm") == F.col("__k"), "left_anti"
-                ).where(F.col(f"`{c}`").isNotNull() & (F.col(f"`{c}`").cast("string") != ""))
-                plans.append(self._emit(hit, table, c, b.rule.name))
+                keys = dim.select(F.lower(F.trim(F.col(dc))).alias(f"__k{i}")).distinct()
+                joined = joined.join(F.broadcast(keys), norm == F.col(f"__k{i}"), "left")
+                emit(
+                    F.col(f"`{c}`").isNotNull()
+                    & (F.col(f"`{c}`").cast("string") != "")
+                    & F.col(f"__k{i}").isNull(),
+                    b,
+                )
             elif t == "inclusion":
                 parent = self.parents[b.rule.validate["parent_table"]]
                 pc = b.rule.validate["parent_column"]
-                keys = parent.select(F.col(pc).alias("__k")).distinct()
-                hit = dfi.join(
-                    F.broadcast(keys), dfi[f"`{c}`"] == F.col("__k"), "left_anti"
-                ).where(F.col(f"`{c}`").isNotNull())
-                plans.append(self._emit(hit, table, c, b.rule.name))
+                keys = parent.select(F.col(pc).alias(f"__k{i}")).distinct()
+                joined = joined.join(
+                    F.broadcast(keys), F.col(f"`{c}`") == F.col(f"__k{i}"), "left"
+                )
+                emit(F.col(f"`{c}`").isNotNull() & F.col(f"__k{i}").isNull(), b)
+            elif t == "fd":
+                det = b.rule.validate["determinant"]
+                conflicts = (
+                    dfi.groupBy(F.col(f"`{det}`").alias(f"__k{i}"))
+                    .agg(F.countDistinct(F.col(f"`{c}`")).alias("__n"))
+                    .where(F.col("__n") > 1)
+                    .select(f"__k{i}")
+                )
+                joined = joined.join(
+                    F.broadcast(conflicts), F.col(f"`{det}`") == F.col(f"__k{i}"), "left"
+                )
+                emit(F.col(f"__k{i}").isNotNull(), b)
             elif t == "spell":
                 # R11: tokens not in the broadcast dictionary flag the
                 # cell (reference rules/evaluation.py:63-99, minus the
@@ -237,18 +267,20 @@ class RuleEngine:
                     .distinct()
                 )
                 plans.append(self._emit(bad, table, c, b.rule.name))
-            elif t == "fd":
-                det = b.rule.validate["determinant"]
-                conflicts = (
-                    dfi.groupBy(F.col(f"`{det}`").alias("__k"))
-                    .agg(F.countDistinct(F.col(f"`{c}`")).alias("__n"))
-                    .where(F.col("__n") > 1)
-                    .select("__k")
-                )
-                hit = dfi.join(F.broadcast(conflicts), dfi[f"`{det}`"] == F.col("__k"), "inner")
-                plans.append(self._emit(hit, table, c, b.rule.name))
             else:
                 raise ValueError(f"unknown validator type: {t}")
+
+        if structs:
+            fused = joined.select(
+                "__row_id", F.explode(F.array_compact(F.array(*structs))).alias("v")
+            ).select(
+                F.lit(table).alias("table"),
+                F.col("v.column").alias("column"),
+                F.col("__row_id").alias("row_id"),
+                F.col("v.rule").alias("rule"),
+                F.col("v.value").alias("value"),
+            )
+            plans.append(fused)
 
         if not plans:
             return self.spark.createDataFrame(
