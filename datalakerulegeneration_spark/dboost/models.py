@@ -81,9 +81,13 @@ class HistogramModel:
         )
         self.hists_ = {}
         for c in feats:
+            # limit(max_classes+1) bounds the driver collect: a
+            # high-cardinality feature returns max_classes+1 rows (and
+            # is skipped), never its full distinct-value set
             counts = (
                 train.groupBy(F.col(f"`{c}`").alias("v"))
                 .agg(F.count(F.lit(1)).alias("n"))
+                .limit(self.max_classes + 1)
                 .collect()
             )
             if len(counts) > self.max_classes or len(counts) < 2:
@@ -116,7 +120,7 @@ class PartitionedHistogramModel:
     value: str = ""
     outlier_s: float = 0.2
     max_classes: int = 64
-    table_: list = field(default_factory=list)
+    rare_: DataFrame | None = None
 
     def fit(self, train: DataFrame, key: str | None = None, value: str | None = None):
         self.key = key or self.key
@@ -128,17 +132,20 @@ class PartitionedHistogramModel:
         tot = train.groupBy(F.col(f"`{self.key}`").alias("k")).agg(
             F.count(F.lit(1)).alias("kn")
         )
-        joined = counts.join(tot, "k").collect()
-        self.table_ = [
-            (r["k"], r["v"]) for r in joined if r["n"] / r["kn"] < self.outlier_s
-        ]
+        # fitted state stays a (lazy) DataFrame — the rare (key, value)
+        # pairs are joined against the test frame, never collected: key
+        # cardinality does not bound driver memory
+        self.rare_ = (
+            counts.join(tot, "k")
+            .where(F.col("n") / F.col("kn") < self.outlier_s)
+            .select("k", "v")
+        )
         return self
 
     def find_discrepancies(self, test: DataFrame) -> DataFrame:
-        if not self.table_:
+        if self.rare_ is None:
             return _union([], test.sparkSession)
-        spark = test.sparkSession
-        rare = spark.createDataFrame(self.table_, ["k", "v"])
+        rare = self.rare_
         hit = test.join(
             F.broadcast(rare),
             (test[f"`{self.key}`"] == rare["k"]) & (test[f"`{self.value}`"] == rare["v"]),
@@ -267,6 +274,6 @@ def _is_fitted(m) -> bool:
     return bool(
         getattr(m, "stats_", None)
         or getattr(m, "hists_", None)
-        or getattr(m, "table_", None)
+        or getattr(m, "rare_", None) is not None
         or getattr(m, "model_", None)
     )
