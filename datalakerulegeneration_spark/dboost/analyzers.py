@@ -178,8 +178,8 @@ def cords_hints(
             expanded.groupBy(F.col(f"`{a}`").alias("x"), F.col(f"`{b}`").alias("y"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        tot = ct.agg(F.sum("n")).collect()[0][0]
         rows = ct.collect()
+        tot = sum(r["n"] for r in rows)
         rx: dict = {}
         ry: dict = {}
         for r in rows:
