@@ -112,10 +112,24 @@ def scalar_stats_long(
     # registry distinct stats are always computed outside the wide agg
     # (melt in exact mode, approx_count_distinct appended below)
     skip = {"distinct_num", "unique_ratio"}
+    quartile_p = {"q1": 1, "q2": 2, "q3": 3}
     aggs = []
     for i, c in enumerate(cols):
         for st in S.stats_for_kind(kinds[c]):
             if st.name in skip:
+                continue
+            if not exact and st.name in quartile_p:
+                # 100 TB path: approx_percentile sketches (bounded
+                # memory) instead of the exact percentile value buffer;
+                # the three quartiles share ONE sketch via Catalyst's
+                # aggregate dedup, same as the exact percentile child
+                k = quartile_p[st.name]
+                aggs.append(
+                    F.expr(
+                        f"element_at(approx_percentile(try_cast({_q(c)} as double),"
+                        f" array(0.25D, 0.5D, 0.75D), 10000), {k})"
+                    ).alias(f"v{i}_{st.name}")
+                )
                 continue
             aggs.append(st.spark(_q(c)).alias(f"v{i}_{st.name}"))
         if not exact:

@@ -77,10 +77,32 @@ def test_approx_mode(spark, sf_tables):
                 assert abs(a - v) / v < 0.1, (c, s, a, v)
             else:
                 assert a == v, (c, s, a, v)
+        elif s in ("q1", "q2", "q3"):
+            pass  # rank-based guarantee, checked separately below
         elif v is None:
             assert a is None
         else:
             assert a == v, (c, s, a, v)
+
+    # approx quartiles: the sketch guarantee is on RANK, not value (it
+    # returns a real data value, no interpolation) — each approx
+    # quartile must sit between the exact quantiles at p ± 1%
+    from pyspark.sql import functions as F
+
+    ps = {"q1": 0.25, "q2": 0.5, "q3": 0.75}
+    for c in ("l_quantity", "l_extendedprice", "l_suppkey"):
+        lo_hi = li.agg(
+            *[
+                F.expr(
+                    f"percentile(try_cast(`{c}` as double), array({p - 0.01}D, {p + 0.01}D))"
+                ).alias(q)
+                for q, p in ps.items()
+            ]
+        ).collect()[0]
+        for q in ps:
+            a = approx[(c, q)]
+            lo, hi = lo_hi[q]
+            assert lo <= a <= hi, (c, q, a, lo, hi)
 
 
 def test_value_stats_vs_duckdb(spark, sf_tables, duck):
