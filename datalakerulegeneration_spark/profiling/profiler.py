@@ -588,10 +588,23 @@ PROFILE_SCHEMA = T.StructType(
 def profile_tables(
     spark: SparkSession, tables: dict[str, DataFrame], exact: bool = True, **kw
 ) -> DataFrame:
-    """Profile many tables into one ``profiles`` DataFrame."""
+    """Profile many tables into one ``profiles`` DataFrame.
+
+    Tables are profiled concurrently (each profile is an independent
+    set of jobs; the scheduler interleaves their stages), unioned in
+    input order so the output is deterministic.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = list(tables)
+    with ThreadPoolExecutor(max_workers=min(4, max(len(names), 1))) as pool:
+        futs = [
+            pool.submit(profile_table, spark, tables[n], n, exact=exact, **kw)
+            for n in names
+        ]
+        parts = [f.result() for f in futs]
     out = None
-    for name, df in tables.items():
-        p = profile_table(spark, df, name, exact=exact, **kw)
+    for p in parts:
         out = p if out is None else out.unionByName(p)
     return out
 
