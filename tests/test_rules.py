@@ -119,6 +119,51 @@ def test_dictionary_and_inclusion(spark):
     assert ("city", "1") not in got  # case-insensitive match
 
 
+def test_fused_pass_equals_individual_detects(spark):
+    """The fused broadcast-lookup pass must produce exactly the union
+    of running every rule alone — including several aggregate rules on
+    the same column plus dictionary/inclusion/FD lookups together."""
+    dim = spark.createDataFrame([("red",), ("blue",)], "color string")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    rows = [
+        ("1", "red", 1, 10.0, "x"),
+        ("2", "red", 2, 10.5, "x"),
+        ("3", "GREEN", 9, 11.0, "y"),
+        ("4", "blue", 3, 11.5, "x"),
+        ("5", "red", 1, 500.0, "x"),
+        ("6", "red", 2, 10.0, "z"),
+        ("7", "red", 2, 10.0, "x"),
+        ("8", "red", 2, 10.0, "x"),
+    ]
+    df = spark.createDataFrame(rows, "id string, color string, fk int, v double, grp string")
+    bindings = [
+        Binding("id", Rule("id_unique", validate={"type": "unique"})),
+        Binding("color", Rule("color_modal", validate={"type": "constant"})),
+        Binding("color", Rule("color_rare", validate={"type": "low_frequency", "min_ratio": 0.2})),
+        Binding("color", Rule("color_dict", validate={"type": "dictionary", "dimension": "colors", "dim_column": "color"})),
+        Binding("v", Rule("v_sigma", validate={"type": "three_sigma", "tol": 1.5})),
+        Binding("fk", Rule("fk_incl", validate={"type": "inclusion", "parent_table": "p", "parent_column": "k"})),
+        Binding("grp", Rule("grp_fd", validate={"type": "fd", "determinant": "color"})),
+        Binding("v", Rule("v_range", validate={"type": "range", "lo": 0.0, "hi": 100.0})),
+    ]
+    eng = RuleEngine(spark, dimensions={"colors": dim}, parents={"p": parent})
+    fused = {
+        (r["column"], r["row_id"], r["rule"])
+        for r in eng.detect(df, "t", bindings, row_id_col="id", suppress_full_column=False).collect()
+    }
+    solo = set()
+    for b in bindings:
+        solo |= {
+            (r["column"], r["row_id"], r["rule"])
+            for r in eng.detect(df, "t", [b], row_id_col="id", suppress_full_column=False).collect()
+        }
+    assert fused == solo
+    # sanity: the planted anomalies are present
+    assert ("v", "5", "v_sigma") in fused and ("v", "5", "v_range") in fused
+    assert ("color", "3", "color_dict") in fused
+    assert ("fk", "3", "fk_incl") in fused
+
+
 def test_spell_check_rule(spark):
     words = spark.createDataFrame(
         [("birmingham",), ("general",), ("hospital",)], "word string"
