@@ -274,14 +274,24 @@ def embedding_near_dups(
     dim = len(vectors.select(vec_col).first()[0])
     v = _bucket_signatures(vectors, "id", "vec", id_col, vec_col, dim, n_planes, n_tables)
     a, b = v.alias("a"), v.alias("b")
-    return (
+    # dedup candidate pairs BEFORE scoring: a pair colliding in several
+    # hash tables would otherwise be cosine-scored once per collision
+    cands = (
         a.join(b, ["table_idx", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(F.expr(cosine_expr("a.vec", "b.vec")), 6).alias("cos_sim"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.round(F.expr(cosine_expr("va", "vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
-        .distinct()
     )
