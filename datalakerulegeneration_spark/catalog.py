@@ -52,8 +52,22 @@ TIMESTAMP_NANOS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+_SF_TABLE_CACHE: dict = {}
+
+
 def load_sf_tables(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> dict[str, DataFrame]:
-    """Load the driver-generated parquet tables for one scale factor."""
+    """Load the driver-generated parquet tables for one scale factor.
+
+    Loaded frames are memoized per (session, dir, tables): reading a
+    parquet path runs a footer/schema job on the driver, and registry
+    queries re-load the same tables constantly. DataFrames are
+    immutable plans, so handing the same objects back is safe; the
+    testdata dirs are static.
+    """
+    key = (id(spark), os.path.abspath(sf_dir), tuple(tables))
+    hit = _SF_TABLE_CACHE.get(key)
+    if hit is not None:
+        return dict(hit)
     # the testdata carries TIMESTAMP(NANOS); an externally-created
     # SparkSession (e.g. the driver's) won't have the session factory's
     # config, so set the runtime-settable SQL conf defensively — without
@@ -78,6 +92,7 @@ def load_sf_tables(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> 
                     c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
                 )
         out[t] = df
+    _SF_TABLE_CACHE[key] = dict(out)
     return out
 
 
