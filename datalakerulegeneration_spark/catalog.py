@@ -252,6 +252,32 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "ove
     df.write.format(fmt).mode(mode).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist as a Spark bucketed (+sorted) table and return it.
+
+    Rows are hash-co-located by ``bucket_col`` at WRITE time, so every
+    later join or aggregation keyed on it reads pre-partitioned data
+    and skips the shuffle entirely — the standard pattern for a fact
+    table joined repeatedly on the same key at 100 TB (pay one shuffle
+    at ingest, none per query). Same ``n_buckets`` on both sides of a
+    join ⇒ shuffle-free sort-merge join.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(sort_col or bucket_col)
+        .saveAsTable(table_name)
+    )
+    return df.sparkSession.table(table_name)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink (reference dataset.py:50-54)."""
     df.write.option("header", True).mode(mode).csv(path)

@@ -53,6 +53,10 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # bucketed tables (write_bucketed) land here, not in $PWD
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -144,6 +144,51 @@ def test_language_id_heuristic(spark, sf_tables):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_bucketed_join_skips_shuffle(spark, sf_tables):
+    """Bucketed tables with matching bucket counts join WITHOUT a
+    shuffle exchange — the pay-once-at-ingest co-location pattern."""
+    from datalakerulegeneration_spark.catalog import write_bucketed
+
+    o = write_bucketed(sf_tables["orders"], "orders_b", "o_custkey", n_buckets=8)
+    c = write_bucketed(sf_tables["customer"], "customer_b", "c_custkey", n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = o.join(c, o["o_custkey"] == c["c_custkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        expected = (
+            sf_tables["orders"]
+            .join(
+                sf_tables["customer"],
+                sf_tables["orders"]["o_custkey"] == sf_tables["customer"]["c_custkey"],
+            )
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_salting_helpers(spark):
+    """Salted aggregation/join are row-identical to their plain
+    counterparts on a hot-key distribution."""
+    from datalakerulegeneration_spark.ops.skew import salted_group_count, salted_join
+
+    rows = [("hot", i % 7) for i in range(5000)] + [(f"k{i}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    plain = {(r["k"], r["count"]) for r in df.groupBy("k").count().collect()}
+    salted = {(r["k"], r["count"]) for r in salted_group_count(df, ["k"]).collect()}
+    assert plain == salted
+
+    dim = spark.createDataFrame([("hot", "H"), ("k3", "K")], "k string, label string")
+    pj = sorted(map(tuple, df.join(dim, "k", "inner").collect()))
+    sj = sorted(map(tuple, salted_join(df, dim, "k", n_salts=8).collect()))
+    assert pj == sj
+    pl = sorted(map(tuple, df.join(dim, "k", "left").collect()))
+    sl = sorted(map(tuple, salted_join(df, dim, "k", n_salts=8, how="left").collect()))
+    assert pl == sl
+
+
 def test_multimodal_plumbing(spark, sf_tables):
     assets = multimodal.make_assets_from_documents(sf_tables["documents"], n=50)
     feats = multimodal.extract_features(assets).collect()
