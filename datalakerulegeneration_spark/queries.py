@@ -267,6 +267,136 @@ WHERE o_orderpriority IS NOT NULL AND CAST(o_orderpriority AS VARCHAR) <> ''
 """
 
 
+_LANG_DIM = ["de", "en", "es", "fr"]
+
+
+def q_violations_dictionary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-domain rule (R10): documents.lang validated against a
+    dictionary dimension via broadcast anti-join."""
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    dim = spark.createDataFrame([(x,) for x in _LANG_DIM], "lang string")
+    eng = RuleEngine(spark, dimensions={"langs": dim})
+    bindings = [
+        Binding("lang", Rule("lang_in_dict", validate={"type": "dictionary", "dimension": "langs", "dim_column": "lang"})),
+    ]
+    v = eng.detect(docs, "documents", bindings, row_id_col="doc_id", suppress_full_column=False)
+    return v.select("column", "row_id", "rule", "value")
+
+
+Q_VIOLATIONS_DICT_ORACLE = f"""
+SELECT 'lang' AS "column", CAST(doc_id AS VARCHAR) AS row_id,
+       'lang_in_dict' AS rule, CAST(lang AS VARCHAR) AS value
+FROM documents
+WHERE lang IS NOT NULL AND CAST(lang AS VARCHAR) <> ''
+  AND lower(trim(CAST(lang AS VARCHAR))) NOT IN ({', '.join(repr(x) for x in _LANG_DIM)})
+"""
+
+
+def q_violations_dates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-format rule (R14): a derived date-string column (10% of
+    rows corrupted with a trailing marker) validated with
+    try_to_timestamp — parse failures are violations."""
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("X")).otherwise(F.lit("")),
+        ).alias("day_str"),
+    )
+    eng = RuleEngine(spark)
+    bindings = [
+        Binding("day_str", Rule("day_fmt", validate={"type": "date_format", "format": "yyyy-MM-dd"})),
+    ]
+    v = eng.detect(d, "events", bindings, row_id_col="event_id", suppress_full_column=False)
+    return v.select("column", "row_id", "rule", "value")
+
+
+Q_VIOLATIONS_DATES_ORACLE = """
+WITH d AS (
+  SELECT event_id,
+         strftime(ts, '%Y-%m-%d') || (CASE WHEN event_id % 10 = 0 THEN 'X' ELSE '' END) AS day_str
+  FROM events
+)
+SELECT 'day_str' AS "column", CAST(event_id AS VARCHAR) AS row_id,
+       'day_fmt' AS rule, day_str AS value
+FROM d
+WHERE day_str IS NOT NULL AND day_str <> ''
+  AND try_strptime(day_str, '%Y-%m-%d') IS NULL
+"""
+
+
+_SPELL_WORDS = [
+    "the", "and", "of", "to", "is", "with", "for", "that", "data", "quality",
+    "el", "la", "los", "las", "es", "y", "de", "que", "con", "por",
+]
+
+
+def q_violations_spell_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-check rule (R11): documents whose source field contains a
+    token outside the broadcast dictionary (token-grain anti-join,
+    distinct back to cell grain)."""
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    dim = spark.createDataFrame([(w,) for w in _SPELL_WORDS], "word string")
+    eng = RuleEngine(spark, dimensions={"words": dim})
+    bindings = [
+        Binding("source", Rule("source_spell", validate={"type": "spell", "dimension": "words", "dim_column": "word"})),
+    ]
+    v = eng.detect(docs, "documents", bindings, row_id_col="doc_id", suppress_full_column=False)
+    return v.select("column", "row_id", "rule", "value")
+
+
+def _spell_oracle() -> str:
+    words = ", ".join(repr(w) for w in _SPELL_WORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(CAST(source AS VARCHAR)), '[^a-z]+'), t -> t <> '')) AS tok
+  FROM documents
+)
+SELECT DISTINCT 'source' AS "column", CAST(doc_id AS VARCHAR) AS row_id,
+       'source_spell' AS rule, CAST(source AS VARCHAR) AS value
+FROM toks
+WHERE tok NOT IN ({words})
+"""
+
+
+def q_violations_suppressor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18 full-column suppressor: a rule flagging EVERY row of a
+    column is dropped; the partial rule's violations survive."""
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    orders = load_sf_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = RuleEngine(spark)
+    bindings = [
+        # flags all rows -> suppressed
+        Binding("o_orderstatus", Rule("status_impossible", validate={"type": "equality", "value": "ZZZ"})),
+        # flags some rows -> kept
+        Binding("o_orderstatus", Rule("status_enum", validate={"type": "enum", "values": ["F", "O"]})),
+    ]
+    v = eng.detect(orders, "orders", bindings, row_id_col="o_orderkey", suppress_full_column=True)
+    return v.select("column", "row_id", "rule", "value")
+
+
+Q_VIOLATIONS_SUPPRESSOR_ORACLE = """
+SELECT 'o_orderstatus' AS "column", CAST(o_orderkey AS VARCHAR) AS row_id,
+       'status_enum' AS rule, CAST(o_orderstatus AS VARCHAR) AS value
+FROM orders
+WHERE o_orderstatus IS NOT NULL AND CAST(o_orderstatus AS VARCHAR) <> ''
+  AND o_orderstatus NOT IN ('F', 'O')
+"""
+
+
 def q_three_sigma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3σ outliers with mean/std from exact decimal sums (identical in
     both engines → identical flag set; reference rules/evaluation.py:434-440)."""
@@ -918,6 +1048,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "violations_unique_orders": (q_violations_unique_orders, Q_VIOLATIONS_UNIQUE_ORDERS_ORACLE),
     "violations_rules_orders": (q_violations_rules_orders, Q_VIOLATIONS_RULES_ORDERS_ORACLE),
     "violations_stats_orders": (q_violations_stats_orders, Q_VIOLATIONS_STATS_ORDERS_ORACLE),
+    "violations_dictionary_documents": (q_violations_dictionary_documents, Q_VIOLATIONS_DICT_ORACLE),
+    "violations_spell_documents": (q_violations_spell_documents, _spell_oracle()),
+    "violations_dates_events": (q_violations_dates_events, Q_VIOLATIONS_DATES_ORACLE),
+    "violations_suppressor_orders": (q_violations_suppressor_orders, Q_VIOLATIONS_SUPPRESSOR_ORACLE),
     "three_sigma_events": (q_three_sigma_events, Q_THREE_SIGMA_EVENTS_ORACLE),
     # dBoost statistical models (§2.10)
     "dboost_histogram_events": (q_dboost_histogram_events, Q_DBOOST_HISTOGRAM_ORACLE),
