@@ -269,13 +269,25 @@ def write_bucketed(
     at ingest, none per query). Same ``n_buckets`` on both sides of a
     join ⇒ shuffle-free sort-merge join.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a fresh (in-memory) catalog doesn't know tables written by a
+        # previous session, but their warehouse directories persist and
+        # saveAsTable refuses a non-empty managed location — drop both
+        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(wh.removeprefix("file:"), table_name.lower())
+        if wh and os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, bucket_col)
         .sortBy(sort_col or bucket_col)
         .saveAsTable(table_name)
     )
-    return df.sparkSession.table(table_name)
+    return spark.table(table_name)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
