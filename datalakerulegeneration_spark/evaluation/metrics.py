@@ -26,12 +26,23 @@ def merge_errors(violations: DataFrame) -> DataFrame:
 
 
 def cell_metrics(violations: DataFrame, truth: DataFrame) -> dict:
-    """Overall precision/recall/F1 of predicted vs actual error cells."""
-    pred = merge_errors(violations)
-    act = truth.select("column", "row_id").distinct()
-    tp = pred.join(act, ["column", "row_id"], "inner").count()
-    fp = pred.join(act, ["column", "row_id"], "left_anti").count()
-    fn = act.join(pred, ["column", "row_id"], "left_anti").count()
+    """Overall precision/recall/F1 of predicted vs actual error cells.
+
+    ONE full-outer join + one aggregate (a single job) — the former
+    three-join formulation (inner + two anti) shuffled both cell sets
+    three times for the same numbers.
+    """
+    pred = merge_errors(violations).withColumn("p", F.lit(1))
+    act = truth.select("column", "row_id").distinct().withColumn("a", F.lit(1))
+    j = pred.join(act, ["column", "row_id"], "full")
+    row = j.agg(
+        F.sum(F.when(F.col("p").isNotNull() & F.col("a").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("p").isNotNull() & F.col("a").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("p").isNull() & F.col("a").isNotNull(), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp = int(row["tp"] or 0)
+    fp = int(row["fp"] or 0)
+    fn = int(row["fn"] or 0)
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
