@@ -52,7 +52,12 @@ TIMESTAMP_NANOS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-_SF_TABLE_CACHE: dict = {}
+import weakref
+
+# weak-keyed by the live SparkSession object: entries die with their
+# session (no stale-session hits from recycled id()s, no unbounded
+# growth across session restarts)
+_SF_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def load_sf_tables(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> dict[str, DataFrame]:
@@ -64,18 +69,19 @@ def load_sf_tables(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> 
     immutable plans, so handing the same objects back is safe; the
     testdata dirs are static.
     """
-    key = (id(spark), os.path.abspath(sf_dir), tuple(tables))
-    hit = _SF_TABLE_CACHE.get(key)
-    if hit is not None:
-        return dict(hit)
     # the testdata carries TIMESTAMP(NANOS); an externally-created
     # SparkSession (e.g. the driver's) won't have the session factory's
     # config, so set the runtime-settable SQL conf defensively — without
-    # it the read throws PARQUET_TYPE_ILLEGAL
+    # it the read throws PARQUET_TYPE_ILLEGAL (set on cache hits too:
+    # execution reads the conf at runtime, not only at plan time)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf locked down → fall through to the read attempt
+    key = (os.path.abspath(sf_dir), tuple(tables))
+    hit = _SF_TABLE_CACHE.get(spark, {}).get(key)
+    if hit is not None:
+        return dict(hit)
     if not os.path.isdir(sf_dir):
         raise FileNotFoundError(
             f"scale-factor dir not found: {sf_dir!r} (expected e.g. /root/testdata/sf0.01)"
@@ -92,7 +98,7 @@ def load_sf_tables(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> 
                     c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
                 )
         out[t] = df
-    _SF_TABLE_CACHE[key] = dict(out)
+    _SF_TABLE_CACHE.setdefault(spark, {})[key] = dict(out)
     return out
 
 

@@ -119,27 +119,38 @@ def discrete_stats_hints(
     return hints
 
 
-def cords_threshold(d1: int, d2: int, p: float, delta: float = 0.005) -> float:
-    """The CORDS chi² rejection threshold (reference cords.py:76-80).
-
-    CORDS sizes a hypothetical sample ``n`` from the table shape and
-    the worst-case false-reject probability ``p`` (the paper's
-    sample-size formula), derives the non-centrality ``λ = n(d−1)δ``,
-    and converts it to a chi² cutoff through a normal approximation.
-    A float-degenerate denominator (erf ≈ −1) means "never reject" →
-    +inf.
-    """
+def cords_sample_size(d1: int, d2: int, p: float, delta: float = 0.005) -> float:
+    """The CORDS sample-size formula (reference cords.py:76-77): rows
+    needed so a dependence of strength ``delta`` is detected with
+    worst-case false-reject probability ``p``. Advisory — callers can
+    sample ``n`` rows instead of scanning everything."""
     import math
 
     v = max((d1 - 1) * (d2 - 1), 1)
     d = min(d1, d2)
     lnp = math.log(p * math.sqrt(2 * math.pi))
-    n = (math.sqrt(-16 * v * lnp) - 8 * lnp) / (
+    return (math.sqrt(-16 * v * lnp) - 8 * lnp) / (
         1.69 * delta * max(d - 1, 1) * pow(v, -0.071)
     )
-    lda = n * (d - 1) * delta
-    denom = 0.5 * (1 + math.erf(((1 - p) - (v + lda)) / math.sqrt(2 * v + 4 * lda)))
-    return (1 / denom) if denom > 0 else float("inf")
+
+
+def cords_threshold(d1: int, d2: int, p: float) -> float:
+    """Chi² critical value at significance ``p`` for a d1×d2 table
+    (Wilson–Hilferty approximation, stdlib only).
+
+    The reference pairs its threshold with an unnormalized statistic
+    that scales as n² (cords.py:78 — raw Nx·Ny products instead of
+    expected counts Nx·Ny/n, an acknowledged hack); against the
+    standard Pearson statistic that threshold is unreachable (≥5·10⁴
+    even for 2×2). We keep the standard statistic and test it against
+    the proper chi² quantile, which is what the CORDS paper's test
+    reduces to at full-data scan.
+    """
+    from statistics import NormalDist
+
+    v = max((d1 - 1) * (d2 - 1), 1)
+    z = NormalDist().inv_cdf(1 - p)
+    return v * (1 - 2 / (9 * v) + z * (2 / (9 * v)) ** 0.5) ** 3
 
 
 def cords_hints(
@@ -158,9 +169,10 @@ def cords_hints(
     * **sparse-table shortcut** (cords.py:66-69): if more than half the
       d1×d2 cells are empty the pair is a soft-FD hint outright
       (emitted with chi2 = +inf, no test needed);
-    * **threshold** — the reference's sample-size formula via
-      :func:`cords_threshold` (p = worst-case false-reject probability,
-      δ = the --statistical epsilon), not a fixed df multiple;
+    * **threshold** — the chi² quantile at significance p via
+      :func:`cords_threshold`; the paper's sample-size formula is
+      exposed as :func:`cords_sample_size` (p = worst-case false-reject
+      probability, δ = the --statistical epsilon);
     * the contingency table is built at value grain from grouped counts
       (one shuffle per low-cardinality pair) instead of the reference's
       ``hash(x) % cardinality`` bucketing (a dictionary-free artifact —
@@ -196,6 +208,6 @@ def cords_hints(
             exp = rx[r["x"]] * ry[r["y"]] / tot
             if exp > 0:
                 chi2 += (r["n"] - exp) ** 2 / exp
-        if chi2 > cords_threshold(d1, d2, p_value_max, delta):
+        if chi2 > cords_threshold(d1, d2, p_value_max):
             out.append((a, b, chi2))
     return out

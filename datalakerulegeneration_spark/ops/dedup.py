@@ -197,6 +197,11 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
         # AQE broadcasts the candidate side when it is small.
         a = sh.alias("a")
         b = sh.alias("b")
+        # normalize defensively: the inverted-index path only ever
+        # produced id_a < id_b pairs, so a caller-supplied candidates
+        # frame with self-pairs or reversed duplicates must not widen
+        # the output contract
+        candidates = candidates.where(F.col("id_a") < F.col("id_b"))
         inter = (
             candidates.join(a, F.col("id_a") == F.col("a.id"))
             .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))

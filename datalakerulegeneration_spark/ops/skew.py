@@ -7,9 +7,12 @@ plan-level tool for the cases AQE can't reach: hot-key aggregations
 (one reducer owns the key) and broadcast-ineligible joins against a
 replicable side.
 
-Both helpers are deterministic (md5-free hash salting, no rand()), so
-results are stable run-to-run and testable by equality against the
-unsalted plan.
+Salts derive from the row's physical position (partition id + offset),
+NOT from row content: a content hash would send the canonical worst
+case — millions of IDENTICAL rows under one hot key — to a single
+(key, salt) group and mitigate nothing. The salt assignment therefore
+depends on the input's physical layout; the RESULTS never do (any salt
+assignment aggregates/joins to the same rows).
 """
 
 from __future__ import annotations
@@ -18,15 +21,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _position_salt(n_salts: int):
+    # spark_partition_id is stable for a given layout; the intra-task
+    # monotonic id spreads rows WITHIN a partition across salts
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+
+
 def salted_group_count(df: DataFrame, keys: list[str], n_salts: int = 16) -> DataFrame:
     """``groupBy(keys).count()`` in two stages: rows first aggregate
     under (keys, salt) — spreading a hot key over ``n_salts`` reducers —
-    then the per-salt partials (≤ n_salts rows per key) merge. The salt
-    is a deterministic hash of the whole row, so identical inputs give
-    identical plans and results."""
-    salt = F.pmod(F.hash(F.struct(*[F.col(c) for c in df.columns])), F.lit(n_salts))
+    then the per-salt partials (≤ n_salts rows per key) merge."""
     partial = (
-        df.withColumn("__salt", salt)
+        df.withColumn("__salt", _position_salt(n_salts))
         .groupBy(*keys, "__salt")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
@@ -52,8 +58,7 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (right side is replicated)")
-    salt = F.pmod(F.hash(F.struct(*[F.col(c) for c in left.columns])), F.lit(n_salts))
-    l = left.withColumn("__salt", salt)
+    l = left.withColumn("__salt", _position_salt(n_salts))
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

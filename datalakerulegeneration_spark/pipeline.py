@@ -100,8 +100,12 @@ def generate_bindings(
     if param_source not in ("member", "cluster_sample"):
         raise ValueError(f"unknown param_source: {param_source!r}")
     rule_by_name = {r.name: r for r in rules}
-    all_prof_rows = {r["unique_id"]: r.asDict() for r in profiles.collect()}
-    prof_rows = {u: d for u, d in all_prof_rows.items() if d["table"] == table}
+    # member mode only needs this table's profiles; parity mode needs
+    # every table's (the sample column can live anywhere)
+    prof_src = profiles if param_source == "cluster_sample" else profiles.where(
+        profiles.table == table
+    )
+    all_prof_rows = {r["unique_id"]: r.asDict() for r in prof_src.collect()}
     all_clusters = clusters.collect()
     cid_by_col = {
         r["unique_id"]: r["cluster_id"]

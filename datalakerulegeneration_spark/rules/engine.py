@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.rules.compiler import ROW_LOCAL_TYPES, row_violation
@@ -187,11 +187,14 @@ class RuleEngine:
                 freq = dfi.groupBy(F.col(f"`{c}`").alias(f"__k{i}")).agg(
                     F.count(F.lit(1)).alias("__n")
                 )
-                # total share via a window over the (tiny) frequency
-                # frame — no eager count(), no second table scan
-                tot = Window.partitionBy()
+                # total share via a broadcast 1-row aggregate (a
+                # global window would coalesce the whole frequency
+                # frame into one task — a straggler for
+                # high-cardinality columns); no eager count(), no
+                # second table scan
+                tot = freq.agg(F.sum("__n").alias("__tot"))
                 rare = (
-                    freq.withColumn("__tot", F.sum("__n").over(tot))
+                    freq.crossJoin(F.broadcast(tot))
                     .where(F.col("__n") / F.col("__tot") < min_ratio)
                     .select(f"__k{i}")
                 )

@@ -52,6 +52,8 @@ def stateful_gaussian_flags(
         else:
             n, s, sq = 0, 0.0, 0.0
         mu = sd = None
+        n_prior = n  # snapshot: Arrow may deliver the batch in chunks,
+        # and every emitted row must report the SAME prior-batch model
         if n >= 2:
             mu = s / n
             sd = math.sqrt(max((sq - s * s / n) / (n - 1), 0.0))
@@ -61,7 +63,7 @@ def stateful_gaussian_flags(
             vals = vals[vals.notna()]
             if mu is not None and sd and sd > 0:
                 for v in vals[(vals - mu).abs() > tol * sd]:
-                    out.append((str(key[0]), float(v), mu, sd, n))
+                    out.append((str(key[0]), float(v), mu, sd, n_prior))
             n += int(len(vals))
             s += float(vals.sum())
             sq += float((vals * vals).sum())

@@ -120,6 +120,22 @@ def test_discrete_stats_and_cords(spark):
     assert not any({a, b} == {"m__id", "u__id"} for a, b, _ in chi)
 
 
+def test_cords_chi2_branch(spark):
+    """A correlated NON-sparse pair must fire via the chi² test itself
+    (not the sparse-table shortcut), and an independent full-table pair
+    must not."""
+    rows = [
+        (i, i % 4, (i % 4 + (1 if i % 5 == 0 else 0)) % 4, (i * 7 + i // 4) % 4)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "rid long, x long, y long, z long")
+    ex = expand(df, columns=["x", "y", "z"], row_id_col="rid")
+    hints = cords_hints(ex, ["x__id", "y__id", "z__id"])
+    found = {frozenset((a, b)): c for a, b, c in hints}
+    xy = found.get(frozenset(("x__id", "y__id")))
+    assert xy is not None and xy != float("inf")  # chi² branch, not shortcut
+
+
 def test_mixture_model(spark, sensors):
     ex = expand(sensors, columns=["temperature", "voltage"], row_id_col="rid")
     m = MixtureModel(n_components=2, cutoff=0.01).fit(

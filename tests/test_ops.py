@@ -188,6 +188,17 @@ def test_salting_helpers(spark):
     sl = sorted(map(tuple, salted_join(df, dim, "k", n_salts=8, how="left").collect()))
     assert pl == sl
 
+    # the canonical worst case — thousands of IDENTICAL rows under one
+    # hot key — must spread across many salts (content-hash salting
+    # would collapse them onto one reducer)
+    from datalakerulegeneration_spark.ops.skew import _position_salt
+
+    dup = spark.createDataFrame([("hot", 1)] * 4000, "k string, v int").repartition(8)
+    n_salts_used = (
+        dup.withColumn("s", _position_salt(16)).select("s").distinct().count()
+    )
+    assert n_salts_used >= 8
+
 
 def test_multimodal_plumbing(spark, sf_tables):
     assets = multimodal.make_assets_from_documents(sf_tables["documents"], n=50)
