@@ -85,6 +85,37 @@ def test_two_stage_embedding_hook(spark, profiles):
     assert a == b
 
 
+def test_auto_labeler(spark, profiles):
+    """Reference auto_labeler cascade: ID-like, numeric, text, date
+    clusters labeled from aggregate profile features; config assembly
+    merges defaults + overrides."""
+    from datalakerulegeneration_spark.clustering import (
+        auto_label_clusters,
+        build_rule_config,
+        cluster_columns_dbscan,
+    )
+    from datalakerulegeneration_spark.clustering.auto_labeler import to_yaml
+
+    clusters = cluster_columns_dbscan(profiles, eps=0.5, min_samples=1)
+    labeled = auto_label_clusters(profiles, clusters)
+    rows = {r["cluster_id"]: r for r in labeled.collect()}
+    assert rows and all(
+        r["label"] in ("ID_like", "Numeric_like", "Text_like", "Date_like", "Other")
+        for r in rows.values()
+    )
+    # key columns (unique, non-null) must label ID_like; the labeled
+    # set covers every cluster
+    by_member = {m: r["label"] for r in rows.values() for m in r["members"]}
+    assert by_member["nation::n_nationkey"] == "ID_like"
+    assert set(by_member) == {r["unique_id"] for r in clusters.collect()}
+
+    cfg = build_rule_config(labeled, overrides={"nation::n_name": [{"rule": "is_unique"}]})
+    assert cfg["cluster_profiles"]["ID_like"]["defaults"] == [{"rule": "is_unique"}]
+    assert cfg["overrides"]["nation::n_name"]
+    assert len(cfg["clusters"]) == len(rows)
+    assert "cluster_profiles" in to_yaml(cfg)
+
+
 def test_shared_rules_sample_column(spark, profiles):
     from datalakerulegeneration_spark.rules.spec import Rule
 
