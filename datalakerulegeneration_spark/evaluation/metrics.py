@@ -56,6 +56,37 @@ def cell_metrics(violations: DataFrame, truth: DataFrame) -> dict:
     }
 
 
+def error_type_breakdown(
+    violations: DataFrame, truth: DataFrame, error_types: DataFrame
+) -> DataFrame:
+    """Per-error-type detection recall (reference
+    break_down_analysis/break_down_eds.py annotates each result cell
+    with its error type from a per-dataset error_types table, then
+    aggregates). ``error_types`` is ``(column, row_id, error_type)``
+    cell grain; unannotated truth cells report as 'unknown'.
+
+    Returns ``(error_type, n_errors, n_detected, recall)`` — two joins
+    and one aggregation, no per-row loops.
+    """
+    pred = merge_errors(violations).withColumn("p", F.lit(1))
+    act = truth.select("column", "row_id").distinct()
+    j = (
+        act.join(error_types, ["column", "row_id"], "left")
+        .join(pred, ["column", "row_id"], "left")
+        .withColumn("error_type", F.coalesce(F.col("error_type"), F.lit("unknown")))
+    )
+    per = j.groupBy("error_type").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.sum(F.when(F.col("p").isNotNull(), 1).otherwise(0)).alias("n_detected"),
+    )
+    return per.select(
+        "error_type",
+        "n_errors",
+        "n_detected",
+        (F.col("n_detected") / F.nullif(F.col("n_errors"), F.lit(0))).alias("recall"),
+    )
+
+
 def column_metrics(violations: DataFrame, truth: DataFrame) -> DataFrame:
     """Per-column P/R/F1 as a DataFrame (reference utils/metrics.py:142-157).
 

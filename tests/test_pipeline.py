@@ -14,6 +14,28 @@ KEYS = {
 }
 
 
+def test_error_type_breakdown(spark):
+    """Per-error-type recall: detected/missed truth cells aggregate by
+    their annotated type; unannotated cells report 'unknown'."""
+    from datalakerulegeneration_spark.evaluation import error_type_breakdown
+
+    truth = spark.createDataFrame(
+        [("a", "1"), ("a", "2"), ("b", "3"), ("b", "4")], "column string, row_id string"
+    )
+    viol = spark.createDataFrame(
+        [("a", "1", "r", "v"), ("b", "3", "r", "v")],
+        "column string, row_id string, rule string, value string",
+    )
+    et = spark.createDataFrame(
+        [("a", "1", "typo"), ("a", "2", "typo"), ("b", "3", "missing")],
+        "column string, row_id string, error_type string",
+    )
+    rows = {r["error_type"]: r for r in error_type_breakdown(viol, truth, et).collect()}
+    assert rows["typo"]["n_errors"] == 2 and rows["typo"]["n_detected"] == 1
+    assert rows["missing"]["recall"] == 1.0
+    assert rows["unknown"]["n_errors"] == 1 and rows["unknown"]["n_detected"] == 0
+
+
 def test_pipeline_perfect_detection(spark, sf_tables):
     clean = {k: sf_tables[k] for k in KEYS}
     dirty = dict(clean)
