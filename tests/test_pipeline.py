@@ -1,6 +1,8 @@
 """Full quality pipeline: profile → cluster → share → prepare →
 detect → score (the reference's main.py --mode multi flow)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -12,6 +14,40 @@ KEYS = {
     "supplier": "s_suppkey",
     "customer": "c_custkey",
 }
+
+
+def test_cli_main(spark, tmp_path, capsys):
+    """python -m datalakerulegeneration_spark --mode multi over a
+    discovered dataset-folder tree (the reference's main.py surface)."""
+    import csv as _csv
+    import json as _json
+
+    from datalakerulegeneration_spark.__main__ import main
+
+    d = tmp_path / "lake" / "Quintet" / "beers"
+    os.makedirs(d)
+    clean_rows = [
+        {"index": str(i), "ounces": "12", "city": "portland"} for i in range(30)
+    ]
+    dirty_rows = [dict(r) for r in clean_rows]
+    dirty_rows[4]["ounces"] = "not-a-number"
+    for kind, rows in (("clean", clean_rows), ("dirty", dirty_rows)):
+        with open(d / f"{kind}.csv", "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=["index", "ounces", "city"])
+            w.writeheader()
+            w.writerows(rows)
+    out = main(
+        [
+            "--mode", "multi", "--data-root", str(tmp_path / "lake"),
+            "--dataset-group", "Quintet", "--key-column", "index",
+            "--output", str(tmp_path / "res"),
+        ]
+    )
+    printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed == {"mode": "multi", "tables": {"beers": out["tables"]["beers"]}}
+    m = out["tables"]["beers"]
+    assert m["tp"] >= 1 and m["fn"] == 0
+    assert os.path.isdir(str(tmp_path / "res" / "beers_violations"))
 
 
 def test_error_type_breakdown(spark):
