@@ -23,6 +23,7 @@ from datalakerulegeneration_spark.session import get_spark
 BENCH_QUERIES = [
     "profile_lineitem",
     "q1_pricing_summary",
+    "q6_forecast_revenue",
     "q3_top_orders",
     "q5_nation_revenue",
     "latest_events_per_user",

@@ -648,6 +648,34 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue from discounted small-quantity shipments in a
+    date window — the classic pushed-filter + single-agg plan (one
+    scan, filters reach the parquet reader, no shuffle of raw rows)."""
+    li = load_sf_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    # 2dp × 2dp ⇒ exact at scale 4 (same reasoning as q3's revenue)
+    revenue = F.expr(
+        "cast(cast(l_extendedprice as decimal(18,6)) * cast(l_discount as decimal(18,6))"
+        " as decimal(18,4))"
+    )
+    return f.agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+Q6_ORACLE = f"""
+SELECT CAST(sum(CAST({_dec_sql('l_extendedprice')} * {_dec_sql('l_discount')} AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_sf_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     # 2dp × 2dp values ⇒ the product is exactly 4dp; summing at
@@ -1061,6 +1089,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "inclusion_orders_customer": (q_inclusion_orders_customer, Q_INCLUSION_ORACLE),
     # joins / aggregation / windows (§2.4-2.6)
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_ORACLE),
     "q3_top_orders": (q3_top_orders, Q3_ORACLE),
     "q5_nation_revenue": (q5_nation_revenue, Q5_ORACLE),
     "latest_events_per_user": (q_latest_events_per_user, Q_LATEST_EVENTS_ORACLE),
