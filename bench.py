@@ -20,6 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datalakerulegeneration_spark import queries as Q
 from datalakerulegeneration_spark.session import get_spark
 
+# The registry's public ``queries()`` wraps each entry in a prepared-plan
+# cache (legitimate engine feature: identical repeated calls reuse the
+# analyzed plan). The bench deliberately BYPASSES it: re-collecting the
+# same physical plan lets AQE reuse already-materialized shuffle stages,
+# which would turn the timed pass into a result-cache measurement. Each
+# timed run below builds a fresh plan and executes it against cold data
+# — end-to-end latency as a first-time caller sees it.
+_IMPLS = {name: impl for name, (impl, _) in Q.REGISTRY.items()}
+
 BENCH_QUERIES = [
     "profile_lineitem",
     "q1_pricing_summary",
@@ -41,7 +50,6 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
-    qs = Q.queries()
 
     # JIT warmup at the MEASURED sf: AQE picks different physical plans
     # per data size (broadcast vs shuffle, coalesced partitions), so
@@ -52,7 +60,7 @@ def main() -> None:
     # silently reused via CacheManager plan-dedup): the measurement is
     # warm-JVM, cold-data — standard JVM bench hygiene.
     for name in BENCH_QUERIES:
-        qs[name](spark, sf_dir).collect()
+        _IMPLS[name](spark, sf_dir).collect()
     spark.catalog.clearCache()
 
     # two timed passes, per-query min: wall-clock on a shared box
@@ -63,7 +71,7 @@ def main() -> None:
     for _ in range(2):
         for name in BENCH_QUERIES:
             t0 = time.time()
-            qs[name](spark, sf_dir).collect()
+            _IMPLS[name](spark, sf_dir).collect()
             el = round(time.time() - t0, 3)
             if name not in timings or el < timings[name]:
                 timings[name] = el

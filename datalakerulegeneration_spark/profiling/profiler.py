@@ -110,9 +110,12 @@ def scalar_stats_long(
     df = ensure_parallelism(df)
 
     # registry distinct stats are always computed outside the wide agg
-    # (melt in exact mode, approx_count_distinct appended below)
+    # (melt in exact mode, approx_count_distinct appended below); in
+    # exact mode the quartiles also move to the melt chain — see below
     skip = {"distinct_num", "unique_ratio"}
     quartile_p = {"q1": 1, "q2": 2, "q3": 3}
+    if exact:
+        skip = skip | set(quartile_p)
     aggs = []
     for i, c in enumerate(cols):
         for st in S.stats_for_kind(kinds[c]):
@@ -153,32 +156,96 @@ def scalar_stats_long(
         # so string-grain distinct == native distinct). A per-column
         # union of native countDistinct branches was measured SLOWER
         # (10 extra aggregation stage pairs beat the saved string casts)
-        # — one melted groupBy keeps it a single shuffle. The same
-        # groupBy also emits count(*) per col_name group, which IS the
-        # table row count (melt preserves nulls), so unique_ratio needs
-        # no join back to the wide agg: the whole pass is exactly TWO
-        # table scans (wide agg + melt). The previous join-on-row_num
-        # formulation recomputed both branches — 4 scans, measured ~1.5×
-        # slower on 600k-row lineitem.
+        # — one melted groupBy keeps it a single shuffle. The whole pass
+        # is exactly TWO table scans (wide agg + melt).
+        #
+        # The same chain also computes the EXACT quartiles (P9) from the
+        # distinct-value counts: a running-count window over values
+        # sorted per column gives each distinct value its rank interval
+        # [cum-cnt+1, cum]; R-7 interpolation picks the two straddling
+        # ranks. This replaces ``percentile()`` in the wide agg, whose
+        # partial state is the full value MULTISET — O(rows) shuffled
+        # per column and a serial final merge (measured ~2s of the
+        # 600k-row lineitem profile on 32 cores). Here the shuffled
+        # state is O(distinct values) — for low-cardinality columns
+        # (flags, discounts, quantities) orders of magnitude smaller at
+        # 100 TB — and the interpolation arithmetic replicates Spark's
+        # ``Percentile.getPercentile`` / DuckDB ``quantile_cont``
+        # operation-for-operation, so results stay bit-identical.
         melt_parts = [f"'{c}', CAST({_q(c)} AS STRING)" for c in cols]
         melted = df.select(
             F.expr(
                 f"stack({len(melt_parts)}, {', '.join(melt_parts)}) as (col_name, value_str)"
             )
         )
-        dist = melted.groupBy("col_name").agg(
-            F.countDistinct("value_str").cast("double").alias("dn"),
-            F.count(F.lit(1)).cast("double").alias("rn"),
+        vc = (
+            melted.groupBy("col_name", "value_str")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("v", F.expr("try_cast(value_str as double)"))
+            # numeric occurrence count (distinct strings can collide on
+            # the same double — '1' and '1.0' — so cnt is summed per row
+            # and ranks still partition correctly under any tie order)
+            .withColumn("cntn", F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
         )
-        dist_long = dist.select(
+        wpart = Window.partitionBy("col_name")
+        wcum = (
+            Window.partitionBy("col_name")
+            .orderBy(F.asc_nulls_first("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        x = vc.withColumn("cum", F.sum("cntn").over(wcum)).withColumn(
+            "nnum", F.sum("cntn").over(wpart)
+        )
+        aggs2 = [
+            F.sum(F.when(F.col("value_str").isNotNull(), 1).otherwise(0))
+            .cast("double")
+            .alias("dn"),
+            F.sum("cnt").cast("double").alias("rn"),
+        ]
+        for nm, p in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+            # replicate Percentile.getPercentile: position = (count-1)*p
+            # (count→double), lower/higher = floor/ceil(position)
+            h = (F.col("nnum") - F.lit(1)).cast("double") * F.lit(p)
+            for side, rank in (("lo", F.floor(h) + F.lit(1)), ("hi", F.ceil(h) + F.lit(1))):
+                covers = (
+                    F.col("v").isNotNull()
+                    & ((F.col("cum") - F.col("cntn")) < rank)
+                    & (rank <= F.col("cum"))
+                )
+                aggs2.append(F.max(F.when(covers, F.col("v"))).alias(f"{nm}_{side}"))
+            aggs2.append(F.max(h).alias(f"{nm}_h"))
+        g = x.groupBy("col_name").agg(*aggs2)
+        for nm in ("q1", "q2", "q3"):
+            # Percentile's exact arithmetic: early-return lowerKey when
+            # the two ranks coincide, else
+            # (higher-position)*lowerKey + (position-lower)*higherKey
+            # — NOT lo + (hi-lo)*frac, which differs in final bits
+            h = F.col(f"{nm}_h")
+            lo_d = F.floor(h).cast("double")
+            hi_d = F.ceil(h).cast("double")
+            g = g.withColumn(
+                nm,
+                F.when(hi_d == lo_d, F.col(f"{nm}_lo")).otherwise(
+                    (hi_d - h) * F.col(f"{nm}_lo") + (h - lo_d) * F.col(f"{nm}_hi")
+                ),
+            )
+        num_cols = [c for c in cols if kinds[c] == S.NUMERIC]
+        dist_long = g.select(
             F.lit(table).alias("table"),
             F.expr(
-                "stack(2, 'distinct_num', dn,"
-                " 'unique_ratio', dn / nullif(rn, 0.0))"
+                "stack(5, 'distinct_num', dn,"
+                " 'unique_ratio', dn / nullif(rn, 0.0),"
+                " 'q1', q1, 'q2', q2, 'q3', q3)"
                 " as (stat_name, stat_value)"
             ),
             "col_name",
         ).select("table", "col_name", "stat_name", "stat_value")
+        # quartiles are a NUMERIC-kind stat: keep the long output's
+        # (column × stat) set identical to the registry's
+        dist_long = dist_long.where(
+            (~F.col("stat_name").isin("q1", "q2", "q3"))
+            | F.col("col_name").isin(num_cols)
+        )
         return wide_long.unionByName(dist_long)
     else:
         # approx path also derives unique_ratio from the approx count
