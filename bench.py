@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q10_returned_items",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
     "latest_events_per_user",
     "three_sigma_events",
     "violations_events",

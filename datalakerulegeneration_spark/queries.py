@@ -1057,6 +1057,258 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-family analytical queries (joins §2.4 / aggregations §2.5):
+# semi-join (q4), multi-way broadcast join (q10), conditional
+# aggregation (q12), broadcast agg-share (q14), HAVING-on-agg join
+# (q18), disjunctive pushdown (q19), anti-join + scalar agg (q22).
+# All money sums go through DECIMAL(18,6) so both engines sum exactly
+# (order-independent) before the final cast to double.
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE = (
+    "cast(cast(l_extendedprice as decimal(18,6)) * (1 - cast(l_discount as decimal(18,6)))"
+    " as decimal(18,4))"
+)
+_DISC_PRICE_SQL = (
+    f"CAST({_dec_sql('l_extendedprice')} * (1 - {_dec_sql('l_discount')}) AS DECIMAL(18,4))"
+)
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts over orders that HAVE a
+    high-quantity lineitem — a LEFT SEMI join (Spark never
+    materializes the probe side's payload columns; the quantity
+    filter is pushed into the lineitem scan)."""
+    t = load_sf_tables(spark, sf_dir, ("orders", "lineitem"))
+    big = t["lineitem"].where(F.col("l_quantity") > 45).select("l_orderkey")
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a
+    quarter. lineitem is the only big side; customer and nation are
+    broadcast so the plan has ONE shuffle (the final aggregation)."""
+    t = load_sf_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    j = (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-ship-year counts of high- vs low-priority
+    lines — conditional aggregation over one lineitem⋈orders join."""
+    t = load_sf_tables(spark, sf_dir, ("orders", "lineitem"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        j.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT year(l_shipdate) AS ship_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY year(l_shipdate)
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month. part is broadcast;
+    both sums come out of ONE aggregate over exact decimals, so the
+    final double division is identical across engines (rounded 6dp
+    for the hash compare)."""
+    t = load_sf_tables(spark, sf_dir, ("part", "lineitem"))
+    j = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.expr(_DISC_PRICE)).otherwise(
+        F.expr("cast(0 as decimal(18,4))")
+    )
+    agg = j.agg(
+        F.sum(promo).cast("double").alias("promo"),
+        F.sum(F.expr(_DISC_PRICE)).cast("double").alias("total"),
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias("promo_revenue_pct")
+    )
+
+
+Q14_ORACLE = f"""
+SELECT round(100.0 * promo / total, 6) AS promo_revenue_pct FROM (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo,
+         CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS total
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold —
+    aggregate-then-HAVING on the big table FIRST (shrinks lineitem to
+    qualifying orderkeys before any join), then broadcast-join the
+    survivors to orders and customer."""
+    t = load_sf_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    qty = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.expr(_dec("l_quantity"))).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    j = (
+        qty.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(sum({_dec_sql('l_quantity')}) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides. part is broadcast; the part-only and
+    lineitem-only conjuncts are still pushable per-branch and the
+    whole disjunction evaluates inside one codegen stage."""
+    t = load_sf_tables(spark, sf_dir, ("part", "lineitem"))
+    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_ORACLE = f"""
+SELECT CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count/balance of above-average-
+    balance customers with no orders in the final year — scalar-agg
+    broadcast (the average) + LEFT ANTI join against recent orders.
+    The threshold is derived from an exact decimal sum so both
+    engines compare against bit-identical doubles."""
+    t = load_sf_tables(spark, sf_dir, ("customer", "orders"))
+    avg_bal = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.expr(_dec("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.expr(_dec("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q22_ORACLE = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum({_dec_sql('c_acctbal')}) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+        SELECT CAST(sum({_dec_sql('c_acctbal')}) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c.c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1091,7 +1343,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_ORACLE),
     "q3_top_orders": (q3_top_orders, Q3_ORACLE),
+    "q4_order_priority": (q4_order_priority, Q4_ORACLE),
     "q5_nation_revenue": (q5_nation_revenue, Q5_ORACLE),
+    "q10_returned_items": (q10_returned_items, Q10_ORACLE),
+    "q12_priority_shipping": (q12_priority_shipping, Q12_ORACLE),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_ORACLE),
+    "q18_large_volume": (q18_large_volume, Q18_ORACLE),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_ORACLE),
+    "q22_idle_customers": (q22_idle_customers, Q22_ORACLE),
     "latest_events_per_user": (q_latest_events_per_user, Q_LATEST_EVENTS_ORACLE),
     "top_keywords_documents": (q_top_keywords_documents, Q_TOP_KEYWORDS_ORACLE),
     "levenshtein_conflicts_part": (q_levenshtein_conflicts_part, Q_LEVENSHTEIN_ORACLE),
