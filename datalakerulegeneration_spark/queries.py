@@ -1057,6 +1057,150 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dBoost analyzers as declarative queries: D3 soft-FD discovery and
+# D4 CORDS chi², oracle-checked; D8 mixture (Spark ML GMM) rows-only.
+# ---------------------------------------------------------------------------
+
+# low-cardinality lineitem features for pair analysis (ship_year derived)
+_DS_FEATURES = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount", "l_tax", "ship_year"]
+_DS_MAX_BUCKETS = 64
+_NUL, _SEP = "\x00", "\x1f"
+
+
+def _pair_key(cols: list[str]) -> F.Column:
+    return F.concat_ws(
+        _SEP, *[F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(_NUL)) for c in cols]
+    )
+
+
+def q_dboost_discrete_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (DiscreteStats, analyzers/discrete.py:27-55) as ONE declarative
+    pass: exact distinct-combination counts for every low-cardinality
+    feature pair; a pair is a soft-FD hint iff its co-occurrence
+    histogram stays within max_buckets. The stack multiplies rows
+    before ONE groupBy — at scale you swap countDistinct for
+    approx_count_distinct in a single no-shuffle agg (that is what
+    ``dboost.analyzers.discrete_stats_hints`` does)."""
+    from itertools import combinations
+
+    li = (
+        load_sf_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+        .withColumn("ship_year", F.year("l_shipdate"))
+    )
+    pairs = list(combinations(_DS_FEATURES, 2))
+    stack_parts = []
+    for a, b in pairs:
+        stack_parts.append((f"{a}|{b}", a, b))
+    exprs = ", ".join(
+        f"'{name}', concat_ws('{_SEP}', coalesce(cast(`{a}` as string), '{_NUL}'),"
+        f" coalesce(cast(`{b}` as string), '{_NUL}'))"
+        for name, a, b in stack_parts
+    )
+    long = li.select(
+        F.expr(f"stack({len(stack_parts)}, {exprs}) as (pair, combo)")
+    )
+    return (
+        long.groupBy("pair")
+        .agg(F.countDistinct("combo").alias("n_classes"))
+        .where(F.col("n_classes") <= _DS_MAX_BUCKETS)
+    )
+
+
+def _discrete_stats_oracle() -> str:
+    from itertools import combinations
+
+    selects = []
+    for a, b in combinations(_DS_FEATURES, 2):
+        expr_a = f"coalesce(CAST({'year(l_shipdate)' if a == 'ship_year' else a} AS VARCHAR), chr(0))"
+        expr_b = f"coalesce(CAST({'year(l_shipdate)' if b == 'ship_year' else b} AS VARCHAR), chr(0))"
+        selects.append(
+            f"SELECT '{a}|{b}' AS pair,"
+            f" count(DISTINCT concat_ws(chr(31), {expr_a}, {expr_b})) AS n_classes"
+            f" FROM lineitem"
+        )
+    return (
+        "SELECT pair, n_classes FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + f"\n) WHERE n_classes <= {_DS_MAX_BUCKETS}"
+    )
+
+
+_CORDS_PAIRS = [("event_type", "dow"), ("event_type", "yr"), ("dow", "yr")]
+
+
+def q_dboost_cords_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (CORDS, cords.py:26-90) chi² per feature pair, fully
+    declarative: contingency counts from ONE groupBy per pair, margins
+    via windows over the (tiny) grouped frame, Pearson statistic with
+    expected counts Nx·Ny/n. Chi² is relabeling-invariant, so derived
+    features (day-of-week, year) need no cross-engine value parity —
+    only injective mappings. Rounded 4dp (double-sum order tolerance)."""
+    ev = (
+        load_sf_tables(spark, sf_dir, ("events",))["events"]
+        .withColumn("dow", F.dayofweek("ts"))
+        .withColumn("yr", F.year("ts"))
+    )
+    plans = []
+    for a, b in _CORDS_PAIRS:
+        ct = ev.groupBy(F.col(a).alias("x"), F.col(b).alias("y")).agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
+        wx, wy, wall = Window.partitionBy("x"), Window.partitionBy("y"), Window.partitionBy()
+        terms = ct.select(
+            "x",
+            "y",
+            "n",
+            (F.sum("n").over(wx) * F.sum("n").over(wy) / F.sum("n").over(wall)).alias("ex"),
+        )
+        plans.append(
+            terms.agg(
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                F.round(F.sum((F.col("n") - F.col("ex")) ** 2 / F.col("ex")), 4).alias("chi2"),
+                ((F.countDistinct("x") - 1) * (F.countDistinct("y") - 1)).alias("dof"),
+            )
+        )
+    out = plans[0]
+    for p in plans[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _cords_oracle() -> str:
+    ddl = {"event_type": "event_type", "dow": "dayofweek(ts)", "yr": "year(ts)"}
+    selects = []
+    for a, b in _CORDS_PAIRS:
+        selects.append(f"""
+SELECT '{a}' AS feat_a, '{b}' AS feat_b,
+       round(sum(pow(n - ex, 2) / ex), 4) AS chi2,
+       (count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS dof
+FROM (
+  SELECT x, y, n,
+         sum(n) OVER (PARTITION BY x) * sum(n) OVER (PARTITION BY y) / sum(n) OVER () AS ex
+  FROM (SELECT {ddl[a]} AS x, {ddl[b]} AS y, CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2)
+)""")
+    return "\nUNION ALL\n".join(selects)
+
+
+def q_dboost_mixture_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 (Mixture, mixture.py:33-68): seeded Spark ML GMM over the
+    correlated (l_quantity, l_extendedprice) pair; outliers by the
+    reference's weight·(1−erf(mahalanobis/√2)) < cutoff criterion.
+    Iterative ML fit — not SQL-expressible, rows-only check."""
+    from datalakerulegeneration_spark.dboost.models import MixtureModel
+
+    li = load_sf_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("__row_id"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    m = MixtureModel(n_components=3, cutoff=0.005).fit(
+        li, pair=("l_quantity", "l_extendedprice")
+    )
+    return m.find_discrepancies(li)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-family analytical queries (joins §2.4 / aggregations §2.5):
 # semi-join (q4), multi-way broadcast join (q10), conditional
 # aggregation (q12), broadcast agg-share (q14), HAVING-on-agg join
@@ -1337,6 +1481,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dboost_histogram_events": (q_dboost_histogram_events, Q_DBOOST_HISTOGRAM_ORACLE),
     "dboost_partitioned_hist_events": (q_dboost_partitioned_hist_events, Q_DBOOST_PART_HIST_ORACLE),
     "dboost_pearson_lineitem": (q_dboost_pearson_lineitem, _pearson_oracle()),
+    "dboost_discrete_stats_lineitem": (q_dboost_discrete_stats_lineitem, _discrete_stats_oracle()),
+    "dboost_cords_events": (q_dboost_cords_events, _cords_oracle()),
+    "dboost_mixture_lineitem": (q_dboost_mixture_lineitem, None),
     "fd_conflicts_orders": (q_fd_conflicts_orders, Q_FD_CONFLICTS_ORDERS_ORACLE),
     "inclusion_orders_customer": (q_inclusion_orders_customer, Q_INCLUSION_ORACLE),
     # joins / aggregation / windows (§2.4-2.6)
