@@ -40,6 +40,8 @@ PROFILE_COLUMNS: dict[str, list[str]] = {
     "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
     "events": ["event_id", "user_id", "event_type", "value", "props"],
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
 }
 
 # column kinds mirroring profiler.column_kind for the oracle generator
@@ -1464,6 +1466,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "profile_customer": (_profile_query("customer"), _profile_oracle("customer")),
     "profile_events": (_profile_query("events"), _profile_oracle("events")),
     "profile_documents": (_profile_query("documents"), _profile_oracle("documents")),
+    "profile_part": (_profile_query("part"), _profile_oracle("part")),
+    "profile_supplier": (_profile_query("supplier"), _profile_oracle("supplier")),
     "dominant_pattern_customer": (q_dominant_pattern, q_dominant_pattern_oracle()),
     "value_stats_customer": (q_value_stats_customer, _value_stats_oracle()),
     "token_stats_documents": (q_token_stats_documents, Q_TOKEN_STATS_ORACLE),
