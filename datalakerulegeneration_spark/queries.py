@@ -1058,6 +1058,45 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.language_id(docs, "doc_id", "text")
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics — vector math stays JVM-side
+    (zip_with/aggregate fold, no UDF). Per-row norms round to 6dp,
+    cross-row averaging goes through exact decimals (the registry's
+    standard portability recipe for float aggregates)."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    dot = (
+        "aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nrm = F.round(F.sqrt(F.expr(dot)), 6)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.expr("cast(nrm as decimal(18,6))")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+Q_EMBEDDING_STATS_ORACLE = """
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm,
+       min(nrm) AS min_norm, max(nrm) AS max_norm
+FROM (
+  SELECT label,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS nrm
+  FROM embeddings
+)
+GROUP BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # dBoost analyzers as declarative queries: D3 soft-FD discovery and
 # D4 CORDS chi², oracle-checked; D8 mixture (Spark ML GMM) rows-only.
@@ -1519,6 +1558,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk_lsh_embeddings": (q_ann_topk_lsh, None),
     "ann_topk_ivf_embeddings": (q_ann_topk_ivf, None),
     "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
+    "embedding_stats_by_label": (q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
     "token_count_documents": (q_token_count, textqa.token_count_sql("documents", "doc_id", "text")),
     "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
