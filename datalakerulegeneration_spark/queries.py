@@ -1058,6 +1058,60 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.language_id(docs, "doc_id", "text")
 
 
+# ---------------------------------------------------------------------------
+# matching / clustering / dataset-similarity surfaces (J5, M2, A6) as
+# end-to-end queries over live profiles. Rows-only: the scoring and ML
+# stages aggregate the (tiny, #columns-row) profile frame the
+# oracle-checked profile_* queries already verify stat-by-stat.
+# ---------------------------------------------------------------------------
+
+_MATCH_TABLES = ("nation", "region", "supplier", "customer")
+
+
+def _live_profiles(spark: SparkSession, sf_dir: str):
+    from datalakerulegeneration_spark.profiling import profile_tables
+
+    t = load_sf_tables(spark, sf_dir, _MATCH_TABLES)
+    return profile_tables(spark, {n: t[n] for n in _MATCH_TABLES}, with_tokens=False)
+
+
+def q_column_match_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/M5: every customer column scored against every supplier
+    column (name/structure/distribution/content components + combined
+    score) from live profiles — the schema-matching crossJoin."""
+    from datalakerulegeneration_spark.matching.similarity import column_match_scores
+    from datalakerulegeneration_spark.profiling import profile_table
+
+    t = load_sf_tables(spark, sf_dir, ("customer", "supplier"))
+    src = profile_table(spark, t["customer"], "customer", with_tokens=False)
+    tgt = profile_table(spark, t["supplier"], "supplier", with_tokens=False)
+    out = column_match_scores(src, tgt)
+    score_cols = [c for c in ("name_sim", "struct_sim", "dist_sim", "content_sim", "score") if c in out.columns]
+    return out.select(
+        F.col("src_id"), F.col("tgt_id"), *[F.round(F.col(c), 6).alias(c) for c in score_cols]
+    ).orderBy("src_id", "tgt_id")
+
+
+def q_cluster_columns_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: seeded Spark ML KMeans over MinMax-scaled profile vectors of
+    four tables' columns — (unique_id, cluster_id). Iterative ML fit,
+    rows-only."""
+    from datalakerulegeneration_spark.clustering.cluster import cluster_columns_kmeans
+
+    return cluster_columns_kmeans(_live_profiles(spark, sf_dir), k=4).orderBy("unique_id")
+
+
+def q_dataset_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: pairwise cosine of dataset-level profile vectors (mean/var
+    of per-column stats) across four tables."""
+    from datalakerulegeneration_spark.functions.stats import dataset_similarity
+    from datalakerulegeneration_spark.profiling import dataset_profile
+
+    return dataset_similarity(dataset_profile(_live_profiles(spark, sf_dir))).orderBy(
+        "table_a", "table_b"
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norm statistics — vector math stays JVM-side
     (zip_with/aggregate fold, no UDF). Per-row norms round to 6dp,
@@ -1559,6 +1613,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk_ivf_embeddings": (q_ann_topk_ivf, None),
     "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
     "embedding_stats_by_label": (q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
+    # matching / clustering / dataset similarity (J5, M2, A6)
+    "column_match_customer_supplier": (q_column_match_customer_supplier, None),
+    "cluster_columns_kmeans_profiles": (q_cluster_columns_kmeans, None),
+    "dataset_similarity_tables": (q_dataset_similarity, None),
     "token_count_documents": (q_token_count, textqa.token_count_sql("documents", "doc_id", "text")),
     "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
