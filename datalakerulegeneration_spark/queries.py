@@ -1386,7 +1386,7 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     j = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
     return (
-        j.groupBy(F.year("l_shipdate").alias("ship_year"))
+        j.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
@@ -1394,10 +1394,12 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BIGINT casts keep DuckDB's integer sums out of HUGEINT (which lands as
+# float64 in pandas and breaks the driver's value hash vs Spark's int64).
 Q12_ORACLE = """
-SELECT year(l_shipdate) AS ship_year,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY year(l_shipdate)

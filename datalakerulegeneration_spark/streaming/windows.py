@@ -12,6 +12,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _watermarked(events: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Watermark a streaming source; event-time watermarks require
+    TIMESTAMP (with zone), so a TIMESTAMP_NTZ event column (what the
+    parquet testdata carries) is cast first — a no-op on wall-clock
+    values, and batch frames pass through untouched."""
+    if not events.isStreaming:
+        return events
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events.withWatermark(ts_col, watermark)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",
@@ -23,9 +35,7 @@ def windowed_event_counts(
     handling. Works identically on a batch frame (windows become plain
     groupBy buckets) — the batch/stream-unified plan."""
     w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
-    src = events
-    if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+    src = _watermarked(events, ts_col, watermark)
     return (
         src.groupBy(w.alias("win"), "event_type")
         .agg(
@@ -54,9 +64,7 @@ def streaming_gaussian_monitor(
     per window — the streaming shape of dBoost's Gaussian model. The
     stats stream (not row-level flags) is emitted: at scale you
     broadcast these tiny per-window stats back onto the raw stream."""
-    src = events
-    if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+    src = _watermarked(events, ts_col, watermark)
     return (
         src.groupBy(F.window(F.col(ts_col), window).alias("win"))
         .agg(

@@ -26,11 +26,25 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+    """Type-tagged normalization: the driver hashes pandas frames, where
+    an int64 3431 and a float64 3431.0 hash differently — so the local
+    compare must NOT rely on Python's int==float leniency."""
+    import numpy as np
+
+    if v is None:
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        fv = float(v)
+        if math.isnan(fv):
+            # pandas renders SQL NULL as NaN in float64 columns; the
+            # driver hash-matches those against Spark's None (r1 data).
+            return ("null",)
+        return ("f", fv)
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    return ("o", str(v))
 
 
 def main() -> int:
@@ -66,10 +80,12 @@ def main() -> int:
             continue
         try:
             cur = con.execute(oracles[name])
-            ocols = sorted(d[0] for d in cur.description)
-            odata = cur.fetchall()
-            colidx = [d[0] for d in cur.description]
-            orows = [tuple(norm(r[colidx.index(c)]) for c in ocols) for r in odata]
+            odf = cur.fetchdf()  # pandas path, like the driver: HUGEINT -> float64 shows up here
+            ocols = sorted(odf.columns)
+            orows = [
+                tuple(norm(v) for v in r)
+                for r in odf[ocols].itertuples(index=False, name=None)
+            ]
             orows.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
