@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q18_large_volume",
     "q19_disjunctive_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "latest_events_per_user",
     "three_sigma_events",
     "violations_events",

@@ -1625,6 +1625,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
 }
 
+# extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
+from datalakerulegeneration_spark.tpch_ext import EXT_REGISTRY
+
+REGISTRY.update(EXT_REGISTRY)
+
 
 import weakref
 
