@@ -116,6 +116,10 @@ def scalar_stats_long(
     quartile_p = {"q1": 1, "q2": 2, "q3": 3}
     if exact:
         skip = skip | set(quartile_p)
+    # the whole wide agg is shipped as SQL text in ONE selectExpr call:
+    # building hundreds of Column trees costs a py4j round-trip per
+    # operator (~1s of driver time per table at 10 columns; the text
+    # path parses to the identical plan)
     aggs = []
     for i, c in enumerate(cols):
         for st in S.stats_for_kind(kinds[c]):
@@ -128,18 +132,16 @@ def scalar_stats_long(
                 # aggregate dedup, same as the exact percentile child
                 k = quartile_p[st.name]
                 aggs.append(
-                    F.expr(
-                        f"element_at(approx_percentile(try_cast({_q(c)} as double),"
-                        f" array(0.25D, 0.5D, 0.75D), 10000), {k})"
-                    ).alias(f"v{i}_{st.name}")
+                    f"element_at(approx_percentile(try_cast({_q(c)} as double),"
+                    f" array(0.25D, 0.5D, 0.75D), 10000), {k}) AS `v{i}_{st.name}`"
                 )
                 continue
-            aggs.append(st.spark(_q(c)).alias(f"v{i}_{st.name}"))
+            aggs.append(f"({st.ssql(_q(c))}) AS `v{i}_{st.name}`")
         if not exact:
             aggs.append(
-                F.expr(f"approx_count_distinct({_q(c)})").cast("double").alias(f"v{i}_distinct_num")
+                f"CAST(approx_count_distinct({_q(c)}) AS DOUBLE) AS `v{i}_distinct_num`"
             )
-    one = df.agg(*aggs)
+    one = df.selectExpr(*aggs)
     parts = []
     for i, c in enumerate(cols):
         for st in S.stats_for_kind(kinds[c]):
@@ -152,15 +154,18 @@ def scalar_stats_long(
     wide_long = one.select(F.lit(table).alias("table"), F.expr(stack_expr))
 
     if exact:
-        # melt (nulls preserved; Java/DuckDB double→string is injective,
-        # so string-grain distinct == native distinct). A per-column
-        # union of native countDistinct branches was measured SLOWER
-        # (10 extra aggregation stage pairs beat the saved string casts)
-        # — one melted groupBy keeps it a single shuffle. The whole pass
-        # is exactly TWO table scans (wide agg + melt).
+        # Distinct counts + exact quartiles from a kind-split melt.
+        # Numeric columns melt as NATIVE doubles (no per-cell string
+        # render — exact: distinct doubles == distinct values below
+        # 2^53, and try_cast is what both engines' quartiles use
+        # anyway); string columns melt separately and never enter the
+        # sort — their chain is two hash aggregations with no window.
+        # A per-column union of native countDistinct branches was
+        # measured SLOWER (10 extra aggregation stage pairs); one
+        # melted groupBy per kind keeps it one shuffle each.
         #
-        # The same chain also computes the EXACT quartiles (P9) from the
-        # distinct-value counts: a running-count window over values
+        # The numeric chain also computes the EXACT quartiles (P9) from
+        # the distinct-value counts: a running-count window over values
         # sorted per column gives each distinct value its rank interval
         # [cum-cnt+1, cum]; R-7 interpolation picks the two straddling
         # ranks. This replaces ``percentile()`` in the wide agg, whose
@@ -172,80 +177,103 @@ def scalar_stats_long(
         # 100 TB — and the interpolation arithmetic replicates Spark's
         # ``Percentile.getPercentile`` / DuckDB ``quantile_cont``
         # operation-for-operation, so results stay bit-identical.
-        melt_parts = [f"'{c}', CAST({_q(c)} AS STRING)" for c in cols]
-        melted = df.select(
-            F.expr(
-                f"stack({len(melt_parts)}, {', '.join(melt_parts)}) as (col_name, value_str)"
-            )
-        )
-        vc = (
-            melted.groupBy("col_name", "value_str")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("v", F.expr("try_cast(value_str as double)"))
-            # numeric occurrence count (distinct strings can collide on
-            # the same double — '1' and '1.0' — so cnt is summed per row
-            # and ranks still partition correctly under any tie order)
-            .withColumn("cntn", F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
-        )
-        wpart = Window.partitionBy("col_name")
-        wcum = (
-            Window.partitionBy("col_name")
-            .orderBy(F.asc_nulls_first("v"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        x = vc.withColumn("cum", F.sum("cntn").over(wcum)).withColumn(
-            "nnum", F.sum("cntn").over(wpart)
-        )
-        aggs2 = [
-            F.sum(F.when(F.col("value_str").isNotNull(), 1).otherwise(0))
-            .cast("double")
-            .alias("dn"),
-            F.sum("cnt").cast("double").alias("rn"),
-        ]
-        for nm, p in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
-            # replicate Percentile.getPercentile: position = (count-1)*p
-            # (count→double), lower/higher = floor/ceil(position)
-            h = (F.col("nnum") - F.lit(1)).cast("double") * F.lit(p)
-            for side, rank in (("lo", F.floor(h) + F.lit(1)), ("hi", F.ceil(h) + F.lit(1))):
-                covers = (
-                    F.col("v").isNotNull()
-                    & ((F.col("cum") - F.col("cntn")) < rank)
-                    & (rank <= F.col("cum"))
-                )
-                aggs2.append(F.max(F.when(covers, F.col("v"))).alias(f"{nm}_{side}"))
-            aggs2.append(F.max(h).alias(f"{nm}_h"))
-        g = x.groupBy("col_name").agg(*aggs2)
-        for nm in ("q1", "q2", "q3"):
-            # Percentile's exact arithmetic: early-return lowerKey when
-            # the two ranks coincide, else
-            # (higher-position)*lowerKey + (position-lower)*higherKey
-            # — NOT lo + (hi-lo)*frac, which differs in final bits
-            h = F.col(f"{nm}_h")
-            lo_d = F.floor(h).cast("double")
-            hi_d = F.ceil(h).cast("double")
-            g = g.withColumn(
-                nm,
-                F.when(hi_d == lo_d, F.col(f"{nm}_lo")).otherwise(
-                    (hi_d - h) * F.col(f"{nm}_lo") + (h - lo_d) * F.col(f"{nm}_hi")
-                ),
-            )
         num_cols = [c for c in cols if kinds[c] == S.NUMERIC]
-        dist_long = g.select(
-            F.lit(table).alias("table"),
-            F.expr(
-                "stack(5, 'distinct_num', dn,"
-                " 'unique_ratio', dn / nullif(rn, 0.0),"
-                " 'q1', q1, 'q2', q2, 'q3', q3)"
-                " as (stat_name, stat_value)"
-            ),
-            "col_name",
-        ).select("table", "col_name", "stat_name", "stat_value")
-        # quartiles are a NUMERIC-kind stat: keep the long output's
-        # (column × stat) set identical to the registry's
-        dist_long = dist_long.where(
-            (~F.col("stat_name").isin("q1", "q2", "q3"))
-            | F.col("col_name").isin(num_cols)
-        )
+        str_cols = [c for c in cols if kinds[c] != S.NUMERIC]
+        branches = []
+        if num_cols:
+            melt_parts = [f"'{c}', try_cast({_q(c)} as double)" for c in num_cols]
+            melted = df.selectExpr(
+                f"stack({len(melt_parts)}, {', '.join(melt_parts)}) as (col_name, v)"
+            )
+            vc = (
+                melted.groupBy("col_name", "v")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                # null cells carry cnt for the row total but rank 0
+                .withColumn(
+                    "cntn",
+                    F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0)),
+                )
+            )
+            wpart = Window.partitionBy("col_name")
+            wcum = (
+                Window.partitionBy("col_name")
+                .orderBy(F.asc_nulls_first("v"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            x = vc.withColumn("cum", F.sum("cntn").over(wcum)).withColumn(
+                "nnum", F.sum("cntn").over(wpart)
+            )
+            aggs2 = [
+                F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+                .cast("double")
+                .alias("dn"),
+                F.sum("cnt").cast("double").alias("rn"),
+            ]
+            for nm, p in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+                # replicate Percentile.getPercentile: position =
+                # (count-1)*p (count→double), lower/higher = floor/ceil
+                h = (F.col("nnum") - F.lit(1)).cast("double") * F.lit(p)
+                for side, rank in (("lo", F.floor(h) + F.lit(1)), ("hi", F.ceil(h) + F.lit(1))):
+                    covers = (
+                        F.col("v").isNotNull()
+                        & ((F.col("cum") - F.col("cntn")) < rank)
+                        & (rank <= F.col("cum"))
+                    )
+                    aggs2.append(F.max(F.when(covers, F.col("v"))).alias(f"{nm}_{side}"))
+                aggs2.append(F.max(h).alias(f"{nm}_h"))
+            g = x.groupBy("col_name").agg(*aggs2)
+            for nm in ("q1", "q2", "q3"):
+                # Percentile's exact arithmetic: early-return lowerKey
+                # when the two ranks coincide, else
+                # (higher-position)*lowerKey + (position-lower)*higherKey
+                # — NOT lo + (hi-lo)*frac, which differs in final bits
+                h = F.col(f"{nm}_h")
+                lo_d = F.floor(h).cast("double")
+                hi_d = F.ceil(h).cast("double")
+                g = g.withColumn(
+                    nm,
+                    F.when(hi_d == lo_d, F.col(f"{nm}_lo")).otherwise(
+                        (hi_d - h) * F.col(f"{nm}_lo") + (h - lo_d) * F.col(f"{nm}_hi")
+                    ),
+                )
+            branches.append(
+                g.selectExpr(
+                    f"'{table}' AS `table`",
+                    "col_name",
+                    "stack(5, 'distinct_num', dn,"
+                    " 'unique_ratio', dn / nullif(rn, 0.0),"
+                    " 'q1', q1, 'q2', q2, 'q3', q3)"
+                    " as (stat_name, stat_value)",
+                ).select("table", "col_name", "stat_name", "stat_value")
+            )
+        if str_cols:
+            melt_parts = [f"'{c}', CAST({_q(c)} AS STRING)" for c in str_cols]
+            smelted = df.selectExpr(
+                f"stack({len(melt_parts)}, {', '.join(melt_parts)}) as (col_name, s)"
+            )
+            sg = (
+                smelted.groupBy("col_name", "s")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy("col_name")
+                .agg(
+                    F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0))
+                    .cast("double")
+                    .alias("dn"),
+                    F.sum("cnt").cast("double").alias("rn"),
+                )
+            )
+            branches.append(
+                sg.selectExpr(
+                    f"'{table}' AS `table`",
+                    "col_name",
+                    "stack(2, 'distinct_num', dn,"
+                    " 'unique_ratio', dn / nullif(rn, 0.0))"
+                    " as (stat_name, stat_value)",
+                ).select("table", "col_name", "stat_name", "stat_value")
+            )
+        dist_long = branches[0]
+        for b in branches[1:]:
+            dist_long = dist_long.unionByName(b)
         return wide_long.unionByName(dist_long)
     else:
         # approx path also derives unique_ratio from the approx count

@@ -1,15 +1,24 @@
 """Per-column statistic registry (reference operators P1-P18).
 
-Every statistic is defined ONCE as a pair of builders:
+Every statistic is defined ONCE as a triple of builders:
 
-* ``spark(col)``  -> a PySpark ``Column`` aggregate expression
-* ``sql(col)``    -> the equivalent DuckDB/ANSI SQL aggregate string
+* ``spark(col)`` -> a PySpark ``Column`` aggregate expression
+* ``ssql(col)``  -> the same aggregate as Spark-SQL text
+* ``sql(col)``   -> the equivalent DuckDB/ANSI SQL aggregate string
 
 so the engine's profiler and the DuckDB correctness oracle are
 structurally guaranteed to compute the same thing. Reference
 semantics: profiling/profiler.py:169-357 computes these in per-cell
 Python loops; here each is one aggregate expression inside a single
 wide aggregation per table (one scan, map-side partial aggregation).
+
+Why a text form next to the Column form: the profiler's wide agg holds
+~25 aggregates × N columns, and building hundreds of ``Column`` trees
+costs a py4j round-trip per operator (~1s of pure driver-side plan
+construction per profiled table, measured at 10 columns). One
+``selectExpr(*strings)`` call ships the whole aggregation in a single
+round-trip; the parsed plan is identical. ``spark`` builders remain for
+callers composing stats into larger Column expressions.
 
 Determinism across engines: float aggregates are computed via exact
 DECIMAL(18,6) sums (order-independent, bit-identical in Spark and
@@ -43,6 +52,13 @@ RE_BOOL = r"^(true|false|yes|no|t|f|y|n|0|1)$"
 RE_EMAIL = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
 
 
+def _lit(pat: str) -> str:
+    """Embed a regex in a Spark SQL string literal (backslashes are
+    escape-processed by the SQL parser, so they must be doubled;
+    DuckDB standard literals pass backslashes through untouched)."""
+    return "'" + pat.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def _dec(c: str) -> Column:
     return F.expr(f"try_cast({c} as decimal(18,6))")
 
@@ -57,12 +73,14 @@ def _num(c: str) -> Column:
 
 @dataclass(frozen=True)
 class Stat:
-    """One profile statistic, defined for both engines."""
+    """One profile statistic, defined for Spark (Column + SQL text)
+    and DuckDB (SQL text)."""
 
     name: str
     kind: str  # STRINGY / NUMERIC / ANY
     spark: Callable[[str], Column]
     sql: Callable[[str], str]
+    ssql: Callable[[str], str]
 
 
 def _count_if(cond_sql: str) -> str:
@@ -73,6 +91,13 @@ def _char_class_spark(c: str, char_re: str) -> Column:
     # total characters of a class = sum(len - len(strip(class)))
     s = F.coalesce(F.col(c).cast("string"), F.lit(""))
     return F.sum(F.length(s) - F.length(F.regexp_replace(s, char_re, ""))).cast("double")
+
+
+def _char_class_ssql(c: str, char_re: str) -> str:
+    s = f"COALESCE(CAST({c} AS STRING), '')"
+    return (
+        f"CAST(sum(length({s}) - length(regexp_replace({s}, {_lit(char_re)}, ''))) AS DOUBLE)"
+    )
 
 
 def _char_class_sql(c: str, char_re: str) -> str:
@@ -90,6 +115,13 @@ def _ratio_rlike_spark(c: str, pat: str) -> Column:
     )
 
 
+def _ratio_rlike_ssql(c: str, pat: str) -> str:
+    return (
+        f"CAST(count_if(CAST({c} AS STRING) RLIKE {_lit(pat)}) AS DOUBLE)"
+        f" / nullif(CAST(count(*) AS DOUBLE), 0.0)"
+    )
+
+
 def _ratio_rlike_sql(c: str, pat: str) -> str:
     s = f"CAST({c} AS VARCHAR)"
     return f"CAST(count_if(regexp_matches({s}, '{pat}')) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0)"
@@ -100,9 +132,23 @@ def _cells_rlike_spark(c: str, pat: str) -> Column:
     return F.sum(F.when(s.rlike(pat), 1).otherwise(0)).cast("double")
 
 
+def _cells_rlike_ssql(c: str, pat: str) -> str:
+    return f"CAST(count_if(CAST({c} AS STRING) RLIKE {_lit(pat)}) AS DOUBLE)"
+
+
 def _cells_rlike_sql(c: str, pat: str) -> str:
     s = f"CAST({c} AS VARCHAR)"
     return f"CAST(count_if(regexp_matches({s}, '{pat}')) AS DOUBLE)"
+
+
+_STD_SSQL = (
+    "round(sqrt(greatest(0.0D, ("
+    "CAST(sum(cast(try_cast({c} as double) * try_cast({c} as double) as decimal(38,12))) AS DOUBLE)"
+    " - CAST(sum(try_cast({c} as decimal(18,6))) AS DOUBLE)"
+    " * CAST(sum(try_cast({c} as decimal(18,6))) AS DOUBLE)"
+    " / nullif(CAST(count(try_cast({c} as double)) AS DOUBLE), 0.0D))"
+    " / nullif(CAST(count(try_cast({c} as double)) AS DOUBLE) - 1.0D, 0.0D))), 6)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -115,6 +161,7 @@ STATS: list[Stat] = [
         "row_num",
         ANY,
         lambda c: F.count(F.lit(1)).cast("double"),
+        lambda c: "CAST(count(*) AS DOUBLE)",
         lambda c: "CAST(count(*) AS DOUBLE)",
     ),
     # P2 null ratio — reference counts empty strings (profiler.py:181).
@@ -134,6 +181,10 @@ STATS: list[Stat] = [
             f"CAST(count_if({c} IS NULL OR CAST({c} AS VARCHAR) = '') AS DOUBLE)"
             f" / nullif(CAST(count(*) AS DOUBLE), 0.0)"
         ),
+        lambda c: (
+            f"CAST(count_if({c} IS NULL OR CAST({c} AS STRING) = '') AS DOUBLE)"
+            f" / nullif(CAST(count(*) AS DOUBLE), 0.0)"
+        ),
     ),
     Stat(
         "null_ratio",
@@ -146,12 +197,18 @@ STATS: list[Stat] = [
             f"CAST(count_if({c} IS NULL) AS DOUBLE)"
             f" / nullif(CAST(count(*) AS DOUBLE), 0.0)"
         ),
+        lambda c: (
+            f"CAST(count_if({c} IS NULL) AS DOUBLE)"
+            f" / nullif(CAST(count(*) AS DOUBLE), 0.0)"
+        ),
     ),
-    # P3 distinct count + unique ratio (exact mode; approx variant in profiler)
+    # P3 distinct count + unique ratio (exact mode computes these in the
+    # profiler's distinct-value chain, not the wide agg — see profiler)
     Stat(
         "distinct_num",
         ANY,
         lambda c: F.countDistinct(F.col(c)).cast("double"),
+        lambda c: f"CAST(count(DISTINCT {c}) AS DOUBLE)",
         lambda c: f"CAST(count(DISTINCT {c}) AS DOUBLE)",
     ),
     Stat(
@@ -160,6 +217,7 @@ STATS: list[Stat] = [
         lambda c: F.countDistinct(F.col(c)).cast("double")
         / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
         lambda c: f"CAST(count(DISTINCT {c}) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0)",
+        lambda c: f"CAST(count(DISTINCT {c}) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0)",
     ),
     # P16 length stats
     Stat(
@@ -167,12 +225,14 @@ STATS: list[Stat] = [
         STRINGY,
         lambda c: F.min(F.length(F.col(c).cast("string"))).cast("double"),
         lambda c: f"CAST(min(length(CAST({c} AS VARCHAR))) AS DOUBLE)",
+        lambda c: f"CAST(min(length(CAST({c} AS STRING))) AS DOUBLE)",
     ),
     Stat(
         "max_len",
         STRINGY,
         lambda c: F.max(F.length(F.col(c).cast("string"))).cast("double"),
         lambda c: f"CAST(max(length(CAST({c} AS VARCHAR))) AS DOUBLE)",
+        lambda c: f"CAST(max(length(CAST({c} AS STRING))) AS DOUBLE)",
     ),
     Stat(
         "avg_len",
@@ -185,6 +245,10 @@ STATS: list[Stat] = [
             f"CAST(sum(length(CAST({c} AS VARCHAR))) AS DOUBLE)"
             f" / nullif(CAST(count({c}) AS DOUBLE), 0.0)"
         ),
+        lambda c: (
+            f"CAST(sum(length(CAST({c} AS STRING))) AS DOUBLE)"
+            f" / nullif(CAST(count({c}) AS DOUBLE), 0.0)"
+        ),
     ),
     # P4 character-class totals (per-character classification, loop-free)
     Stat(
@@ -192,24 +256,28 @@ STATS: list[Stat] = [
         STRINGY,
         lambda c: _char_class_spark(c, "[A-Za-z]"),
         lambda c: _char_class_sql(c, "[A-Za-z]"),
+        lambda c: _char_class_ssql(c, "[A-Za-z]"),
     ),
     Stat(
         "characters_numeric",
         STRINGY,
         lambda c: _char_class_spark(c, "[0-9]"),
         lambda c: _char_class_sql(c, "[0-9]"),
+        lambda c: _char_class_ssql(c, "[0-9]"),
     ),
     Stat(
         "characters_punctuation",
         STRINGY,
         lambda c: _char_class_spark(c, r"[^A-Za-z0-9\s]"),
         lambda c: _char_class_sql(c, r"[^A-Za-z0-9\s]"),
+        lambda c: _char_class_ssql(c, r"[^A-Za-z0-9\s]"),
     ),
     Stat(
         "characters_miscellaneous",
         STRINGY,
         lambda c: _char_class_spark(c, r"[^A-Za-z0-9]"),
         lambda c: _char_class_sql(c, "[^A-Za-z0-9]"),
+        lambda c: _char_class_ssql(c, "[^A-Za-z0-9]"),
     ),
     # P6 whole-cell classification counts
     Stat(
@@ -217,18 +285,21 @@ STATS: list[Stat] = [
         STRINGY,
         lambda c: _cells_rlike_spark(c, RE_ALPHA_CELL),
         lambda c: _cells_rlike_sql(c, RE_ALPHA_CELL),
+        lambda c: _cells_rlike_ssql(c, RE_ALPHA_CELL),
     ),
     Stat(
         "cells_numeric",
         STRINGY,
         lambda c: _cells_rlike_spark(c, RE_NUMERIC),
         lambda c: _cells_rlike_sql(c, RE_NUMERIC),
+        lambda c: _cells_rlike_ssql(c, RE_NUMERIC),
     ),
     Stat(
         "cells_punctuation",
         STRINGY,
         lambda c: _cells_rlike_spark(c, RE_PUNCT_CELL),
         lambda c: _cells_rlike_sql(c, RE_PUNCT_CELL),
+        lambda c: _cells_rlike_ssql(c, RE_PUNCT_CELL),
     ),
     # P8 numeric min/max (pd.to_numeric(errors="coerce") ≡ try_cast)
     Stat(
@@ -236,12 +307,14 @@ STATS: list[Stat] = [
         NUMERIC,
         lambda c: F.min(_num(c)),
         lambda c: f"min(TRY_CAST({c} AS DOUBLE))",
+        lambda c: f"min(try_cast({c} as double))",
     ),
     Stat(
         "numeric_max",
         NUMERIC,
         lambda c: F.max(_num(c)),
         lambda c: f"max(TRY_CAST({c} AS DOUBLE))",
+        lambda c: f"max(try_cast({c} as double))",
     ),
     # mean/std via exact decimal sums → identical doubles in both engines
     Stat(
@@ -249,6 +322,7 @@ STATS: list[Stat] = [
         NUMERIC,
         lambda c: F.sum(_dec(c)).cast("double"),
         lambda c: f"CAST(sum({_dec_sql(c)}) AS DOUBLE)",
+        lambda c: f"CAST(sum(try_cast({c} as decimal(18,6))) AS DOUBLE)",
     ),
     Stat(
         "numeric_mean",
@@ -258,6 +332,10 @@ STATS: list[Stat] = [
         lambda c: (
             f"CAST(sum({_dec_sql(c)}) AS DOUBLE)"
             f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE), 0.0)"
+        ),
+        lambda c: (
+            f"CAST(sum(try_cast({c} as decimal(18,6))) AS DOUBLE)"
+            f" / nullif(CAST(count(try_cast({c} as double)) AS DOUBLE), 0.0)"
         ),
     ),
     Stat(
@@ -298,6 +376,7 @@ STATS: list[Stat] = [
             f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE), 0.0))"
             f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE) - 1.0, 0.0))), 6)"
         ),
+        lambda c: _STD_SSQL.format(c=c),
     ),
     # P9 quartiles — exact percentile (R-7 linear interpolation) matches
     # DuckDB quantile_cont bit-for-bit; approx mode swaps in
@@ -312,6 +391,7 @@ STATS: list[Stat] = [
             f"element_at(percentile(try_cast({c} as double), array(0.25D, 0.5D, 0.75D)), 1)"
         ),
         lambda c: f"quantile_cont(TRY_CAST({c} AS DOUBLE), 0.25)",
+        lambda c: f"element_at(percentile(try_cast({c} as double), array(0.25D, 0.5D, 0.75D)), 1)",
     ),
     Stat(
         "q2",
@@ -320,6 +400,7 @@ STATS: list[Stat] = [
             f"element_at(percentile(try_cast({c} as double), array(0.25D, 0.5D, 0.75D)), 2)"
         ),
         lambda c: f"quantile_cont(TRY_CAST({c} AS DOUBLE), 0.5)",
+        lambda c: f"element_at(percentile(try_cast({c} as double), array(0.25D, 0.5D, 0.75D)), 2)",
     ),
     Stat(
         "q3",
@@ -328,6 +409,7 @@ STATS: list[Stat] = [
             f"element_at(percentile(try_cast({c} as double), array(0.25D, 0.5D, 0.75D)), 3)"
         ),
         lambda c: f"quantile_cont(TRY_CAST({c} AS DOUBLE), 0.75)",
+        lambda c: f"element_at(percentile(try_cast({c} as double), array(0.25D, 0.5D, 0.75D)), 3)",
     ),
     # P12 max significant digits / max decimal places
     Stat(
@@ -342,6 +424,9 @@ STATS: list[Stat] = [
         lambda c: (
             f"CAST(max(length(regexp_replace(CAST({c} AS VARCHAR), '[^0-9]', '', 'g')))"
             " AS DOUBLE)"
+        ),
+        lambda c: (
+            f"CAST(max(length(translate(CAST({c} AS STRING), '-.E+', ''))) AS DOUBLE)"
         ),
     ),
     Stat(
@@ -360,6 +445,11 @@ STATS: list[Stat] = [
             f"regexp_extract(CAST({c} AS VARCHAR), '\\.(\\d+)$', 1), '0+$', '', 'g')))"
             " AS DOUBLE)"
         ),
+        lambda c, _p=_lit(r"\.(\d+)$"): (
+            "CAST(max(length(regexp_replace("
+            f"regexp_extract(CAST({c} AS STRING), {_p}, 1), '0+$', '')))"
+            " AS DOUBLE)"
+        ),
     ),
     # P18 type-inference vote ratios (threshold cascade applied downstream)
     Stat(
@@ -367,24 +457,28 @@ STATS: list[Stat] = [
         STRINGY,
         lambda c: _ratio_rlike_spark(c, RE_INT),
         lambda c: _ratio_rlike_sql(c, RE_INT),
+        lambda c: _ratio_rlike_ssql(c, RE_INT),
     ),
     Stat(
         "type_ratio_float",
         STRINGY,
         lambda c: _ratio_rlike_spark(c, RE_FLOAT),
         lambda c: _ratio_rlike_sql(c, RE_FLOAT),
+        lambda c: _ratio_rlike_ssql(c, RE_FLOAT),
     ),
     Stat(
         "type_ratio_date",
         STRINGY,
         lambda c: _ratio_rlike_spark(c, RE_DATE),
         lambda c: _ratio_rlike_sql(c, RE_DATE),
+        lambda c: _ratio_rlike_ssql(c, RE_DATE),
     ),
     Stat(
         "type_ratio_boolean",
         STRINGY,
         lambda c: _ratio_rlike_spark(c, "(?i)" + RE_BOOL),
         lambda c: _ratio_rlike_sql(c, "(?i)" + RE_BOOL),
+        lambda c: _ratio_rlike_ssql(c, "(?i)" + RE_BOOL),
     ),
 ]
 

@@ -491,21 +491,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned line on a multi-supplier F-status order'). The classic
     formulation is EXISTS + NOT EXISTS self-joins on lineitem; at
     scale that is two extra shuffles of the fact table, so the plan
-    here computes both existence tests in ONE per-order aggregate
-    (distinct suppliers, distinct returned suppliers) and joins it
-    back — same semantics, one self-association instead of two."""
+    here reduces lineitem ONCE to (order, supplier, any-returned) grain
+    — both existence tests AND the returned-pair probe side then come
+    from that single aggregate (two countDistinct over raw lines would
+    Expand-multiply the fact table; a distinct-pair probe would shuffle
+    it a second time). Same semantics, one fact-table shuffle total."""
     t = load_sf_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
-    ord_stats = t["lineitem"].groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    pair = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret")
+    )
+    ord_stats = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_ret").alias("n_ret_supp"),
     )
     fails = (
-        t["lineitem"]
-        .where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        pair.where(F.col("has_ret") == 1)
         .join(
             t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
