@@ -626,7 +626,15 @@ def profile_table(
                 top_keywords=t.get("top_keywords"),
             )
         )
-    return spark.createDataFrame(out_rows, schema=PROFILE_SCHEMA)
+    # ONE slice at creation: createDataFrame defaults to
+    # defaultParallelism slices, and a #columns-row frame split 32 ways
+    # turns every downstream crossJoin into p×q near-empty tasks
+    # (measured 12s of task-launch overhead for a 5×4-column match) and
+    # every groupBy into 100+ tasks after unions. (A coalesce(1) after
+    # the fact is WORSE: its single task replays all 32 Python-worker
+    # partition round-trips serially, ~4s per frame.)
+    rdd = spark.sparkContext.parallelize(out_rows, 1)
+    return spark.createDataFrame(rdd, schema=PROFILE_SCHEMA)
 
 
 PROFILE_SCHEMA = T.StructType(
