@@ -1,0 +1,177 @@
+"""Temporal operators Spark lacks natively: sessionization and as-of
+join (scale extensions; no reference counterpart — the reference has no
+event-time semantics at all, SURVEY §2.11).
+
+Both are built the shuffle-minimal way:
+
+* ``sessionize`` — ONE shuffle (hash by key) + ONE per-key sort; the
+  gap test is a lag() window and session ids are a running sum of
+  session-start flags. No self-join, no range join.
+* ``asof_join`` — the union-sort trick: tag both inputs, union, sort
+  per key by (time, tag), carry the last non-null right-side value
+  forward with last_value(ignorenulls) — each left row sees the most
+  recent right row at or before its timestamp. ONE shuffle of
+  |left|+|right| rows; the naive formulation (per-left-row subquery or
+  range join) is O(n·m) and unusable at 100 TB.
+
+Timestamps in oracle-checked outputs are rendered as epoch seconds
+(BIGINT) — raw timestamp values hash differently across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    agg_col: str | None = "value",
+) -> DataFrame:
+    """Split each key's event stream into sessions at inactivity gaps.
+
+    Returns one row per session: key, session index (1-based, in time
+    order), epoch-second start/end, event count and optional value sum
+    (exact DECIMAL(18,6) → double, the cross-engine float recipe).
+    """
+    gap_s = _duration_seconds(gap)
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col))
+    e = events.withColumn("_ts", F.unix_timestamp(F.col(ts_col).cast("timestamp")))
+    e = e.withColumn(
+        "_new",
+        F.when(
+            (F.lag("_ts").over(w).isNull())
+            | (F.col("_ts") - F.lag("_ts").over(w) > gap_s),
+            1,
+        ).otherwise(0),
+    )
+    e = e.withColumn(
+        "session_idx",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    aggs = [
+        F.min("_ts").alias("session_start"),
+        F.max("_ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if agg_col is not None:
+        aggs.append(
+            F.sum(F.expr(f"cast({agg_col} as decimal(18,6))"))
+            .cast("double")
+            .alias("value_sum")
+        )
+    return e.groupBy(F.col(key_col), F.col("session_idx")).agg(*aggs)
+
+
+def sessionize_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    agg_col: str | None = "value",
+) -> str:
+    """DuckDB oracle for :func:`sessionize` (same lag + running-sum
+    construction)."""
+    gap_s = _duration_seconds(gap)
+    val = (
+        f", CAST(sum(CAST({agg_col} AS DECIMAL(18,6))) AS DOUBLE) AS value_sum"
+        if agg_col is not None
+        else ""
+    )
+    return f"""
+WITH e AS (
+  -- floor, not CAST: DuckDB CAST(double AS BIGINT) rounds, while
+  -- Spark's unix_timestamp truncates sub-second parts
+  SELECT {key_col}, CAST(floor(epoch({ts_col})) AS BIGINT) AS _ts{', ' + agg_col if agg_col else ''}
+  FROM {table}
+), flagged AS (
+  SELECT *, CASE WHEN lag(_ts) OVER w IS NULL
+                   OR _ts - lag(_ts) OVER w > {gap_s}
+            THEN 1 ELSE 0 END AS _new
+  FROM e
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY _ts ASC)
+), sessions AS (
+  SELECT *, sum(_new) OVER (PARTITION BY {key_col} ORDER BY _ts ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT {key_col},
+       -- BIGINT: DuckDB's windowed sum(int) widens to HUGEINT, which
+       -- lands as float64 in pandas and breaks the driver value hash
+       CAST(session_idx AS BIGINT) AS session_idx,
+       min(_ts) AS session_start, max(_ts) AS session_end,
+       count(*) AS n_events{val}
+FROM sessions
+GROUP BY {key_col}, session_idx
+"""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` for the same key (backward as-of join,
+    ties broken toward the right row sorting last).
+
+    Implementation: tag and union both sides, sort per key by
+    (time, side) with right rows first at equal times, and propagate
+    the last seen right values with ``last_value(..., ignorenulls)``.
+    One |L|+|R| shuffle — no range join, no per-row lookup.
+    """
+    lt = left.withColumn("_k", F.col(left_key)).withColumn(
+        "_t", F.unix_timestamp(F.col(left_ts).cast("timestamp"))
+    )
+    rt = right.withColumn("_k", F.col(right_key)).withColumn(
+        "_t", F.unix_timestamp(F.col(right_ts).cast("timestamp"))
+    )
+    l_tag = lt.select(
+        "_k",
+        "_t",
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in ("_k", "_t")],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_vals],
+    )
+    r_tag = rt.select(
+        "_k",
+        "_t",
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c).alias(f"_r_{c}") for c in right_vals],
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows (_side=0) sort before left rows at the same _t, so an
+    # exactly-simultaneous right row is visible to that left row
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_vals:
+        u = u.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    return (
+        u.where(F.col("_side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"_r_{c}").alias(c) for c in right_vals],
+        )
+    )
+
+
+def _duration_seconds(s: str) -> int:
+    n, unit = s.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit]
+    return int(n) * mult

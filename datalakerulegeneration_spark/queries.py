@@ -102,6 +102,18 @@ def _profile_oracle(table: str) -> str:
 _PATTERN_COLS = ["c_name", "c_mktsegment"]
 
 
+def q_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile mode: approx_count_distinct + approx_percentile
+    sketches inside the single wide aggregation — ONE scan, no melt
+    shuffle, bounded memory per column. Values are within documented
+    sketch tolerance of the exact mode, so this entry is rows-only
+    (the exact twins are the oracle-checked profile_* queries)."""
+    df = load_sf_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return scalar_stats_long(
+        df, "lineitem", columns=PROFILE_COLUMNS["lineitem"], exact=False
+    ).select("col_name", "stat_name", "stat_value")
+
+
 def q_dominant_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_sf_tables(spark, sf_dir, ("customer",))["customer"]
     parts = [f"'{c}', CAST(`{c}` AS STRING)" for c in _PATTERN_COLS]
@@ -928,6 +940,61 @@ GROUP BY 1, 2
 _VALUE_STATS_COLS = ["c_acctbal", "c_mktsegment", "c_name", "c_nationkey"]
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale extension: inactivity-gap sessionization of the event
+    stream — one hash shuffle by user, one per-user sort; session ids
+    are a running sum of gap flags (ops.temporal.sessionize)."""
+    from datalakerulegeneration_spark.ops.temporal import sessionize
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return sessionize(ev, "user_id", "ts", "6 hours", "value")
+
+
+def _sessionize_oracle() -> str:
+    from datalakerulegeneration_spark.ops.temporal import sessionize_sql
+
+    return sessionize_sql("events", "user_id", "ts", "6 hours", "value")
+
+
+def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale extension: backward as-of join — each event picks up the
+    most recent order (by o_orderdate) of the same user. Union-sort
+    construction: ONE |L|+|R| shuffle, no range join (ops.temporal.
+    asof_join). The right side is pre-reduced to one row per
+    (custkey, date) with max(o_orderkey) so the pick is deterministic
+    in both engines."""
+    from datalakerulegeneration_spark.ops.temporal import asof_join
+
+    t = load_sf_tables(spark, sf_dir, ("events", "orders"))
+    ev = t["events"].select("event_id", "user_id", "ts")
+    o1 = (
+        t["orders"]
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    res = asof_join(ev, o1, "user_id", "o_custkey", "ts", "o_orderdate", ["o_orderkey"])
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("event_ts"),
+        F.col("o_orderkey").alias("last_orderkey"),
+    )
+
+
+Q_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS event_ts,
+       (SELECT max(o_orderkey) FROM orders o
+         WHERE o.o_custkey = e.user_id
+           AND floor(epoch(o.o_orderdate)) = (
+                 SELECT max(floor(epoch(o2.o_orderdate))) FROM orders o2
+                 WHERE o2.o_custkey = e.user_id
+                   AND floor(epoch(o2.o_orderdate)) <= floor(epoch(e.ts))))
+       AS last_orderkey
+FROM events e
+"""
+
+
 def q_value_stats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full value pass (P10/P11/P13/P14/P15/P17) on customer —
     scalar outputs only (map columns don't hash portably across
@@ -1563,6 +1630,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "profile_documents": (_profile_query("documents"), _profile_oracle("documents")),
     "profile_part": (_profile_query("part"), _profile_oracle("part")),
     "profile_supplier": (_profile_query("supplier"), _profile_oracle("supplier")),
+    "profile_lineitem_approx": (q_profile_lineitem_approx, None),
     "dominant_pattern_customer": (q_dominant_pattern, q_dominant_pattern_oracle()),
     "value_stats_customer": (q_value_stats_customer, _value_stats_oracle()),
     "token_stats_documents": (q_token_stats_documents, Q_TOKEN_STATS_ORACLE),
@@ -1601,6 +1669,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_keywords_documents": (q_top_keywords_documents, Q_TOP_KEYWORDS_ORACLE),
     "levenshtein_conflicts_part": (q_levenshtein_conflicts_part, Q_LEVENSHTEIN_ORACLE),
     "windowed_event_counts": (q_windowed_event_counts, Q_WINDOWED_EVENTS_ORACLE),
+    "sessionize_events": (q_sessionize_events, _sessionize_oracle()),
+    "asof_join_events_orders": (q_asof_join_events_orders, Q_ASOF_ORACLE),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),

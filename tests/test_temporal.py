@@ -1,0 +1,53 @@
+"""Unit semantics for ops.temporal (sessionize / as-of join) on
+hand-checkable fixtures; the sf0.01 DuckDB-oracle parity runs in the
+driver gate (sessionize_events / asof_join_events_orders)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.ops.temporal import asof_join, sessionize
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+def test_sessionize_gap_split(spark):
+    rows = [
+        (1, _ts(0), 1.0),
+        (1, _ts(10), 2.0),   # same session (10 min gap)
+        (1, _ts(50), 4.0),   # new session (40 min > 30)
+        (2, _ts(5), 8.0),    # separate key
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = {
+        (r.user_id, r.session_idx): r
+        for r in sessionize(df, "user_id", "ts", "30 minutes", "value").collect()
+    }
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert s1.n_events == 2 and s1.value_sum == 3.0
+    assert s1.session_end - s1.session_start == 600
+    assert out[(1, 2)].n_events == 1
+    assert out[(2, 1)].value_sum == 8.0
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(100, 1, _ts(5)), (101, 1, _ts(20)), (102, 2, _ts(10))],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 7), (1, _ts(20), 9), (2, _ts(30), 11)],
+        "k int, rts timestamp, val int",
+    )
+    out = {
+        r.event_id: r.val
+        for r in asof_join(left, right, "user_id", "k", "ts", "rts", ["val"]).collect()
+    }
+    assert out[100] == 7          # only the t=0 order is in the past
+    assert out[101] == 9          # t=20 right row visible at equal time
+    assert out[102] is None       # key 2's only right row is later
