@@ -181,3 +181,63 @@ SELECT {id_col} AS id,
        md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))) AS fingerprint
 FROM {table}
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-width overlapping character chunks —
+    the standard context-window preparation step for training corpora.
+
+    Chunk ``i`` covers characters ``[i*step+1, i*step+size]`` with
+    ``step = size - overlap``; a document of length L yields
+    ``floor((L-1)/step) + 1`` chunks (pure integer arithmetic, so the
+    DuckDB oracle is bit-identical). Runs as one ``posexplode`` over a
+    generated substring array: no shuffle at all until a consumer
+    aggregates — at 100 TB this is a map-only stage whose output
+    partitioning follows the input files.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    chunks = (
+        f"transform(sequence(0, int(floor((greatest(length({text_col}), 1) - 1) / {step}))),"
+        f" i -> substring({text_col}, i * {step} + 1, {size}))"
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk",
+            F.length("chunk").cast("long").alias("chunk_len"),
+        )
+    )
+
+
+def chunk_sql(
+    table: str, id_col: str, text_col: str, size: int = 200, overlap: int = 50
+) -> str:
+    """DuckDB oracle for :func:`chunk_documents` (same integer chunk
+    arithmetic via generate_series)."""
+    step = size - overlap
+    # list-returning generate_series + unnest: the table-function form
+    # cannot take lateral column arguments in DuckDB
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {text_col},
+         unnest(generate_series(0, CAST(floor((greatest(length({text_col}), 1) - 1) / {step}) AS BIGINT))) AS i
+  FROM {table}
+  WHERE {text_col} IS NOT NULL
+)
+SELECT {id_col},
+       i AS chunk_idx,
+       substr({text_col}, CAST(i * {step} + 1 AS BIGINT), {size}) AS chunk,
+       CAST(length(substr({text_col}, CAST(i * {step} + 1 AS BIGINT), {size})) AS BIGINT) AS chunk_len
+FROM base
+"""

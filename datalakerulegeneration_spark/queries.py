@@ -1119,6 +1119,13 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.fingerprint(docs, "doc_id", "text")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale extension: overlapping fixed-width chunking of the corpus
+    (map-only posexplode; ops.textqa.chunk_documents)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.chunk_documents(docs, "doc_id", "text", size=200, overlap=50)
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic lang-id (stopword-marker vote + CJK charset)."""
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
@@ -1693,6 +1700,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
+    "chunk_documents": (q_chunk_documents, textqa.chunk_sql("documents", "doc_id", "text", size=200, overlap=50)),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

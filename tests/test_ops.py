@@ -232,3 +232,20 @@ def test_multimodal_frame_sampling(spark, sf_tables):
     # deterministic rerun
     rows2 = frames.collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_chunk_documents_arithmetic(spark):
+    from datalakerulegeneration_spark.ops.textqa import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 350), (2, "b" * 40), (3, None)], "doc_id int, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", size=200, overlap=50)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # L=350, step=150 -> floor(349/150)+1 = 3 chunks; last covers [301,350]
+    assert sum(1 for k in rows if k[0] == 1) == 3
+    assert rows[(1, 0)].chunk_len == 200
+    assert rows[(1, 2)].chunk_len == 50
+    # short doc -> one whole-doc chunk; null text dropped
+    assert rows[(2, 0)].chunk_len == 40
+    assert not any(k[0] == 3 for k in rows)
