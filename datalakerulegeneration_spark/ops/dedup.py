@@ -445,3 +445,78 @@ def simhash_near_dups(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate groups: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Collapse pairwise near-dup edges ``(id_a, id_b)`` into canonical
+    duplicate groups: ``(id, component)`` with component = the minimum
+    id reachable from ``id``.
+
+    Min-label propagation: every vertex repeatedly adopts the smallest
+    label among itself and its neighbors; converges in O(graph
+    diameter) rounds — near-dup components are shallow (dozens of
+    docs), so a handful of iterations suffice at any corpus size. Each
+    round is ONE join + ONE groupBy keyed by vertex; no driver-side
+    graph. ``localCheckpoint`` truncates the iterative lineage so plans
+    stay constant-size (the classic iterative-algorithm requirement).
+
+    The fixpoint is unique, so the DuckDB oracle (a recursive CTE
+    computing min reachable vertex) matches exactly.
+    """
+    sym = pairs.select(
+        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").cast("long"), F.col("id_a").cast("long"))
+    ).distinct().localCheckpoint()  # edges are re-joined every round:
+    # materialize once or the upstream pair pipeline re-runs per iteration
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.id == nb_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.expr("n.label <> o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def dup_components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for :func:`dup_components`: min reachable vertex
+    via a recursive CTE over the symmetric closure of ``pairs_sql``
+    (a query yielding id_a, id_b)."""
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM ({pairs_sql})
+  UNION
+  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM ({pairs_sql})
+), reach(v, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.v
+)
+SELECT v AS id, min(r) AS component FROM reach GROUP BY v
+"""

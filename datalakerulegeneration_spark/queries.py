@@ -411,6 +411,112 @@ WHERE o_orderstatus IS NOT NULL AND CAST(o_orderstatus AS VARCHAR) <> ''
 """
 
 
+def q_eval_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary metric as ONE oracle-checked query: the
+    full detect→score loop (§3.2 / A2). Orders are deterministically
+    corrupted (invalid priority every 97th key, negative price every
+    101st, an F→O status swap every 113th that stays inside the valid
+    enum — an engineered recall miss), the rule engine detects on the
+    dirty copy, cell_diff derives ground truth against the clean copy,
+    and column_metrics emits per-column TP/FP/FN + P/R/F1. The range
+    rule's tight upper bound fires on some clean rows — an engineered
+    precision miss — so all three metric regimes are exercised."""
+    from datalakerulegeneration_spark.evaluation.ground_truth import cell_diff
+    from datalakerulegeneration_spark.evaluation.metrics import column_metrics
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    clean = load_sf_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    dirty = (
+        clean.withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("XX-INVALID")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit(-1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(
+                (F.col("o_orderkey") % 113 == 0) & (F.col("o_orderstatus") == "F"),
+                F.lit("O"),
+            ).otherwise(F.col("o_orderstatus")),
+        )
+    )
+    eng = RuleEngine(spark)
+    bindings = [
+        Binding("o_orderpriority", Rule("priority_enum", validate={
+            "type": "enum",
+            "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        })),
+        Binding("o_totalprice", Rule("price_range", validate={
+            "type": "range", "lo": 0, "hi": 450000,
+        })),
+        Binding("o_orderstatus", Rule("status_enum", validate={
+            "type": "enum", "values": ["F", "O", "P"],
+        })),
+    ]
+    v = eng.detect(dirty, "orders", bindings, row_id_col="o_orderkey", suppress_full_column=False)
+    truth = cell_diff(dirty, clean, key="o_orderkey")
+    return column_metrics(v, truth).select(
+        "column", "tp", "fp", "fn", "precision", "recall", "f1"
+    )
+
+
+Q_EVAL_METRICS_ORACLE = """
+WITH dirty AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 97 = 0 THEN 'XX-INVALID' ELSE o_orderpriority END AS o_orderpriority,
+    CASE WHEN o_orderkey % 101 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN o_orderkey % 113 = 0 AND o_orderstatus = 'F' THEN 'O' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+), viol AS (
+  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id FROM dirty
+   WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR) FROM dirty
+   WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS VARCHAR) <> ''
+     AND (TRY_CAST(o_totalprice AS DOUBLE) IS NULL OR o_totalprice < 0 OR o_totalprice > 450000)
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR) FROM dirty
+   WHERE o_orderstatus IS NOT NULL AND o_orderstatus <> ''
+     AND o_orderstatus NOT IN ('F', 'O', 'P')
+), truth AS (
+  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id FROM orders
+   WHERE o_orderkey % 97 = 0 AND o_orderpriority <> 'XX-INVALID'
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR) FROM orders
+   WHERE o_orderkey % 101 = 0 AND o_totalprice <> -1.0
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR) FROM orders
+   WHERE o_orderkey % 113 = 0 AND o_orderstatus = 'F'
+), j AS (
+  SELECT coalesce(v.col, t.col) AS c, v.row_id AS p, t.row_id AS a
+  FROM viol v FULL OUTER JOIN truth t ON v.col = t.col AND v.row_id = t.row_id
+), agg AS (
+  SELECT c AS "column",
+         CAST(count_if(p IS NOT NULL AND a IS NOT NULL) AS BIGINT) AS tp,
+         CAST(count_if(p IS NOT NULL AND a IS NULL) AS BIGINT) AS fp,
+         CAST(count_if(p IS NULL AND a IS NOT NULL) AS BIGINT) AS fn
+  FROM j GROUP BY c
+)
+SELECT "column", tp, fp, fn,
+       coalesce(tp / nullif(tp + fp, 0), 0.0) AS precision,
+       coalesce(tp / nullif(tp + fn, 0), 0.0) AS recall,
+       coalesce(2 * (tp / nullif(tp + fp, 0)) * (tp / nullif(tp + fn, 0))
+                / nullif((tp / nullif(tp + fp, 0)) + (tp / nullif(tp + fn, 0)), 0.0), 0.0) AS f1
+FROM agg
+"""
+
+
 def q_three_sigma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3σ outliers with mean/std from exact decimal sums (identical in
     both engines → identical flag set; reference rules/evaluation.py:434-440)."""
@@ -823,6 +929,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.2, k=16, bands=8)
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical duplicate groups: MinHash-LSH pairs collapsed by
+    min-label propagation (ops.dedup.dup_components) — the last step
+    of a dedup pipeline, one join+groupBy per round, O(diameter)
+    rounds. Unique fixpoint ⇒ exact oracle (recursive CTE)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.2, k=16, bands=8)
+    return dedup.dup_components(pairs)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1651,6 +1767,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "violations_dates_events": (q_violations_dates_events, Q_VIOLATIONS_DATES_ORACLE),
     "violations_suppressor_orders": (q_violations_suppressor_orders, Q_VIOLATIONS_SUPPRESSOR_ORACLE),
     "three_sigma_events": (q_three_sigma_events, Q_THREE_SIGMA_EVENTS_ORACLE),
+    "eval_metrics_orders": (q_eval_metrics_orders, Q_EVAL_METRICS_ORACLE),
     # dBoost statistical models (§2.10)
     "dboost_histogram_events": (q_dboost_histogram_events, Q_DBOOST_HISTOGRAM_ORACLE),
     "dboost_partitioned_hist_events": (q_dboost_partitioned_hist_events, Q_DBOOST_PART_HIST_ORACLE),
@@ -1683,6 +1800,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),
     "dedup_minhash_documents": (q_dedup_minhash, dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)),
     "simhash_documents": (q_simhash, dedup.simhash_sql("documents", "doc_id", "text")),
+    "dup_components_documents": (q_dup_components, dedup.dup_components_sql(
+        dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)
+    )),
     "ann_topk_embeddings": (q_ann_topk, similarity.brute_force_topk_sql(
         "embeddings",
         "SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10",

@@ -249,3 +249,17 @@ def test_chunk_documents_arithmetic(spark):
     # short doc -> one whole-doc chunk; null text dropped
     assert rows[(2, 0)].chunk_len == 40
     assert not any(k[0] == 3 for k in rows)
+
+
+def test_dup_components_chain_and_isolated(spark):
+    from datalakerulegeneration_spark.ops.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 41), (41, 42), (42, 40)],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.component for r in dup_components(pairs).collect()}
+    # chain 5-3-9 collapses to min=3 even though 5-9 never paired
+    assert out[5] == out[3] == out[9] == 3
+    assert out[20] == out[21] == 20
+    assert out[40] == out[41] == out[42] == 40
