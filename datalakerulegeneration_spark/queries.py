@@ -1235,6 +1235,45 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.fingerprint(docs, "doc_id", "text")
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle: documents' text bytes
+    stand in as binary payloads (ASSET_SCHEMA contract), and the
+    Arrow-batched mapInPandas extractor computes n_bytes / sha256 /
+    stub dimensions. Every feature is a deterministic function of the
+    payload bytes, so DuckDB reproduces it exactly — proving the
+    pandas-UDF path (batch shape, binary transport, 1:1 contract), not
+    just running it. Ints are widened to BIGINT on both sides (the
+    driver hash is dtype-sensitive)."""
+    from datalakerulegeneration_spark.ops import multimodal
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = multimodal.extract_features(multimodal.make_assets_from_documents(docs))
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "sha256",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        F.col("frames_sampled").cast("long").alias("frames_sampled"),
+    )
+
+
+Q_MULTIMODAL_ORACLE = """
+SELECT doc_id AS asset_id,
+       'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(64 + (CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192) AS BIGINT) AS width,
+       CAST(64 + (CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192) AS BIGINT) AS height,
+       round(CAST('0x' || substr(sha256(text), 5, 2) AS INT) / 255.0, 6) AS mean_luma,
+       CAST(1 AS BIGINT) AS frames_sampled
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale extension: overlapping fixed-width chunking of the corpus
     (map-only posexplode; ops.textqa.chunk_documents)."""
@@ -1821,6 +1860,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
     "chunk_documents": (q_chunk_documents, textqa.chunk_sql("documents", "doc_id", "text", size=200, overlap=50)),
+    "multimodal_features_documents": (q_multimodal_features, Q_MULTIMODAL_ORACLE),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
