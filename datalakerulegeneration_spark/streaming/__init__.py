@@ -6,6 +6,7 @@ from datalakerulegeneration_spark.streaming.stateful import (  # noqa: F401
     stateful_gaussian_flags,
 )
 from datalakerulegeneration_spark.streaming.windows import (  # noqa: F401
+    dedup_stream,
     windowed_event_counts,
     streaming_gaussian_monitor,
 )

@@ -81,3 +81,21 @@ def streaming_gaussian_monitor(
             F.lit(tol).alias("tol"),
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` evicts seen-key state once the
+    watermark passes, so a perpetual stream holds only one horizon's
+    keys — plain ``dropDuplicates`` on a stream grows state forever.
+    On a batch frame this degrades to ordinary dropDuplicates (the
+    batch/stream-unified contract, same as windowed_event_counts)."""
+    src = _watermarked(events, ts_col, watermark)
+    if events.isStreaming:
+        return src.dropDuplicatesWithinWatermark(list(id_cols))
+    return src.dropDuplicates(list(id_cols))

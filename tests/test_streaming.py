@@ -147,3 +147,35 @@ def test_windowed_counts_streaming_mode(spark, sf_tables, tmp_path):
     # the final watermark closes all but the last window(s)
     n = spark.sql("SELECT count(*) FROM win_counts").collect()[0][0]
     assert n > 0
+
+
+def test_dedup_stream_within_watermark(spark, sf_tables, tmp_path):
+    """A doubled event stream dedups back to the distinct id count;
+    state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    from datalakerulegeneration_spark.streaming import dedup_stream
+
+    ev = sf_tables["events"].select("event_id", "ts", "event_type").limit(200)
+    src_dir = str(tmp_path / "dupin")
+    os.makedirs(src_dir)
+    ev.write.parquet(os.path.join(src_dir, "copy1"))
+    ev.write.parquet(os.path.join(src_dir, "copy2"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src_dir)
+    )
+    out_rows = []
+    q = (
+        dedup_stream(stream, ("event_id",), "ts", "1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, _id: out_rows.extend(bdf.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r.event_id for r in out_rows]
+    assert len(ids) == len(set(ids)) == ev.count()
+    # batch path degrades to plain dropDuplicates
+    doubled = ev.unionAll(ev)
+    assert dedup_stream(doubled, ("event_id",), "ts").count() == ev.count()
