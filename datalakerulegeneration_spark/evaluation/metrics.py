@@ -112,3 +112,54 @@ def column_metrics(violations: DataFrame, truth: DataFrame) -> DataFrame:
         F.coalesce(rec, F.lit(0.0)).alias("recall"),
         F.coalesce(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)), F.lit(0.0)).alias("f1"),
     )
+
+
+def cleaning_scores(corrections: DataFrame, truth: DataFrame) -> DataFrame:
+    """The reference's full cleaning score vector
+    ``[ed_p, ed_r, ed_f, ec_p, ec_r, ec_f]`` (dataset.py:86-110) as one
+    row: detection counts a proposed cell that IS an actual error;
+    correction additionally requires the proposed value to equal the
+    clean value (string compare, the reference's all-string frames).
+
+    ``corrections``: (column, row_id, proposed_value);
+    ``truth``: cell_diff output (column, row_id, clean_value, ...).
+    One join at cell grain + two scalar aggregates — no driver dicts.
+    """
+    t = truth.select("column", "row_id", "clean_value").withColumn("_hit", F.lit(1))
+    j = corrections.join(t, ["column", "row_id"], "left")
+    counts = j.agg(
+        F.count(F.lit(1)).alias("output_size"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("ed_tp"),
+        F.sum(
+            F.when(
+                F.col("_hit").isNotNull()
+                & (
+                    F.coalesce(F.col("proposed_value"), F.lit(""))
+                    == F.coalesce(F.col("clean_value"), F.lit(""))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("ec_tp"),
+    )
+    n_actual = truth.select("column", "row_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    c = counts.join(F.broadcast(n_actual))
+    ed_p = F.when(F.col("output_size") == 0, 0.0).otherwise(F.col("ed_tp") / F.col("output_size"))
+    ed_r = F.when(F.col("n_actual") == 0, 0.0).otherwise(F.col("ed_tp") / F.col("n_actual"))
+    ec_p = F.when(F.col("output_size") == 0, 0.0).otherwise(F.col("ec_tp") / F.col("output_size"))
+    ec_r = F.when(F.col("n_actual") == 0, 0.0).otherwise(F.col("ec_tp") / F.col("n_actual"))
+
+    def f1(p, r):
+        return F.when(p + r == 0.0, 0.0).otherwise(2 * p * r / (p + r))
+
+    return c.select(
+        "output_size",
+        "n_actual",
+        ed_p.alias("ed_p"),
+        ed_r.alias("ed_r"),
+        f1(ed_p, ed_r).alias("ed_f"),
+        ec_p.alias("ec_p"),
+        ec_r.alias("ec_r"),
+        f1(ec_p, ec_r).alias("ec_f"),
+    )

@@ -517,6 +517,139 @@ FROM agg
 """
 
 
+def q_eval_correction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full cleaning score vector [ed_p, ed_r, ed_f,
+    ec_p, ec_r, ec_f] (dataset.py:86-110) under the oracle: same
+    corruption + detection as eval_metrics_orders, then a repair
+    proposal per flagged cell — the modal dirty priority for enum
+    violations (R2-style modal repair; partially correct, exercising
+    ec < ed) and a constant floor for price violations (never correct).
+    cleaning_scores joins proposals to the cell_diff ground truth."""
+    from datalakerulegeneration_spark.evaluation.ground_truth import cell_diff
+    from datalakerulegeneration_spark.evaluation.metrics import cleaning_scores
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    clean = load_sf_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    dirty = (
+        clean.withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("XX-INVALID")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit(-1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(
+                (F.col("o_orderkey") % 113 == 0) & (F.col("o_orderstatus") == "F"),
+                F.lit("O"),
+            ).otherwise(F.col("o_orderstatus")),
+        )
+    )
+    eng = RuleEngine(spark)
+    bindings = [
+        Binding("o_orderpriority", Rule("priority_enum", validate={
+            "type": "enum",
+            "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        })),
+        Binding("o_totalprice", Rule("price_range", validate={
+            "type": "range", "lo": 0, "hi": 450000,
+        })),
+    ]
+    v = eng.detect(dirty, "orders", bindings, row_id_col="o_orderkey", suppress_full_column=False)
+    modal = (
+        dirty.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+        .limit(1)
+        .select(F.col("o_orderpriority").alias("proposed_value"))
+    )
+    corr = (
+        v.where(F.col("column") == "o_orderpriority")
+        .select("column", "row_id")
+        .join(F.broadcast(modal))
+        .unionByName(
+            v.where(F.col("column") == "o_totalprice").select(
+                "column", "row_id", F.lit("0.0").alias("proposed_value")
+            )
+        )
+    )
+    truth = cell_diff(dirty, clean, key="o_orderkey")
+    return cleaning_scores(corr, truth)
+
+
+Q_EVAL_CORRECTION_ORACLE = """
+WITH dirty AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 97 = 0 THEN 'XX-INVALID' ELSE o_orderpriority END AS o_orderpriority,
+    CASE WHEN o_orderkey % 101 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN o_orderkey % 113 = 0 AND o_orderstatus = 'F' THEN 'O' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+), viol AS (
+  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id FROM dirty
+   WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR) FROM dirty
+   WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS VARCHAR) <> ''
+     AND (TRY_CAST(o_totalprice AS DOUBLE) IS NULL OR o_totalprice < 0 OR o_totalprice > 450000)
+), modal AS (
+  SELECT o_orderpriority AS m FROM dirty GROUP BY 1 ORDER BY count(*) DESC, o_orderpriority LIMIT 1
+), corr AS (
+  SELECT col, row_id, (SELECT m FROM modal) AS proposed FROM viol WHERE col = 'o_orderpriority'
+  UNION ALL
+  SELECT col, row_id, '0.0' FROM viol WHERE col = 'o_totalprice'
+), truth AS (
+  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id,
+         o_orderpriority AS clean_value
+  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderpriority <> 'XX-INVALID'
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR), CAST(o_totalprice AS VARCHAR)
+  FROM orders WHERE o_orderkey % 101 = 0 AND o_totalprice <> -1.0
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR), o_orderstatus
+  FROM orders WHERE o_orderkey % 113 = 0 AND o_orderstatus = 'F'
+), joined AS (
+  SELECT c.col, c.row_id, c.proposed, t.clean_value,
+         CASE WHEN t.row_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM corr c LEFT JOIN truth t ON c.col = t.col AND c.row_id = t.row_id
+), counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS output_size,
+         CAST(sum(hit) AS BIGINT) AS ed_tp,
+         CAST(sum(CASE WHEN hit = 1 AND coalesce(proposed, '') = coalesce(clean_value, '')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ec_tp,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_actual
+  FROM joined
+)
+SELECT output_size, n_actual,
+  CASE WHEN output_size = 0 THEN 0.0 ELSE ed_tp / output_size END AS ed_p,
+  CASE WHEN n_actual = 0 THEN 0.0 ELSE ed_tp / n_actual END AS ed_r,
+  CASE WHEN (CASE WHEN output_size = 0 THEN 0.0 ELSE ed_tp / output_size END)
+          + (CASE WHEN n_actual = 0 THEN 0.0 ELSE ed_tp / n_actual END) = 0.0 THEN 0.0
+       ELSE 2 * (CASE WHEN output_size = 0 THEN 0.0 ELSE ed_tp / output_size END)
+              * (CASE WHEN n_actual = 0 THEN 0.0 ELSE ed_tp / n_actual END)
+              / ((CASE WHEN output_size = 0 THEN 0.0 ELSE ed_tp / output_size END)
+               + (CASE WHEN n_actual = 0 THEN 0.0 ELSE ed_tp / n_actual END)) END AS ed_f,
+  CASE WHEN output_size = 0 THEN 0.0 ELSE ec_tp / output_size END AS ec_p,
+  CASE WHEN n_actual = 0 THEN 0.0 ELSE ec_tp / n_actual END AS ec_r,
+  CASE WHEN (CASE WHEN output_size = 0 THEN 0.0 ELSE ec_tp / output_size END)
+          + (CASE WHEN n_actual = 0 THEN 0.0 ELSE ec_tp / n_actual END) = 0.0 THEN 0.0
+       ELSE 2 * (CASE WHEN output_size = 0 THEN 0.0 ELSE ec_tp / output_size END)
+              * (CASE WHEN n_actual = 0 THEN 0.0 ELSE ec_tp / n_actual END)
+              / ((CASE WHEN output_size = 0 THEN 0.0 ELSE ec_tp / output_size END)
+               + (CASE WHEN n_actual = 0 THEN 0.0 ELSE ec_tp / n_actual END)) END AS ec_f
+FROM counts
+"""
+
+
 def q_three_sigma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3σ outliers with mean/std from exact decimal sums (identical in
     both engines → identical flag set; reference rules/evaluation.py:434-440)."""
@@ -1807,6 +1940,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "violations_suppressor_orders": (q_violations_suppressor_orders, Q_VIOLATIONS_SUPPRESSOR_ORACLE),
     "three_sigma_events": (q_three_sigma_events, Q_THREE_SIGMA_EVENTS_ORACLE),
     "eval_metrics_orders": (q_eval_metrics_orders, Q_EVAL_METRICS_ORACLE),
+    "eval_correction_orders": (q_eval_correction_orders, Q_EVAL_CORRECTION_ORACLE),
     # dBoost statistical models (§2.10)
     "dboost_histogram_events": (q_dboost_histogram_events, Q_DBOOST_HISTOGRAM_ORACLE),
     "dboost_partitioned_hist_events": (q_dboost_partitioned_hist_events, Q_DBOOST_PART_HIST_ORACLE),

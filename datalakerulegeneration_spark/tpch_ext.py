@@ -497,9 +497,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand-multiply the fact table; a distinct-pair probe would shuffle
     it a second time). Same semantics, one fact-table shuffle total."""
     t = load_sf_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    # persisted: ord_stats and the probe side both consume it, and
+    # Spark does not reuse the exchange across the two subplans —
+    # without this the fact table is scanned and aggregated twice
     pair = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret")
-    )
+    ).persist()
     ord_stats = pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum("has_ret").alias("n_ret_supp"),
