@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "ann_topk_embeddings",
     "token_count_documents",
     "quality_score_documents",
+    "sessionize_events",
+    "asof_join_events_orders",
+    "chunk_documents",
 ]
 
 
