@@ -215,3 +215,23 @@ def test_end_to_end_minimum_slice(spark, beers):
     assert m["precision"] == 1.0 and m["recall"] == pytest.approx(0.75)
     cm = {r["column"]: r for r in column_metrics(v, truth).collect()}
     assert cm["ounces"]["f1"] == 1.0 and cm["state"]["recall"] == 0.0
+
+
+def test_suggest_rules_dispatch(spark, sf_tables):
+    """Profile-driven suggestions mirror generate_rules_from_profile:
+    type/name/null dispatch families."""
+    from datalakerulegeneration_spark.profiling import profile_table
+    from datalakerulegeneration_spark.rules.suggest import suggest_rules
+
+    prof = profile_table(spark, sf_tables["events"], "events", with_tokens=False)
+    out = suggest_rules(prof).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r.column, []).append(r)
+    # id-named columns get a uniqueness suggestion
+    assert any(s.rule_type == "unique" for s in by_col["event_id"])
+    assert any(s.rule_type == "unique" for s in by_col["user_id"])
+    # numeric columns get a type rule
+    assert any(s.kind == "type" for s in by_col["value"])
+    # every suggestion carries a compiler-ready rule_type and a message
+    assert all(s.rule_type and s.message.startswith(s.column) for s in out)
