@@ -9,7 +9,6 @@ and the catalog is itself a DataFrame so discovery composes with joins.
 
 from __future__ import annotations
 
-import html
 import os
 from dataclasses import dataclass
 
@@ -137,10 +136,18 @@ def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
 # S2 — normalized CSV scan (reference utils/read_data.py:18-49)
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf(T.StringType())
-def _html_unescape(s: pd.Series) -> pd.Series:
-    # html.unescape has no Spark builtin; Arrow-batched, used once at ingest.
-    return s.map(lambda v: html.unescape(v) if isinstance(v, str) else v)
+def _html_unescape_udf():
+    # html.unescape has no Spark builtin; Arrow-batched, used once at
+    # ingest. Built inside a function so cloudpickle ships the udf BY
+    # VALUE — a module-level udf serializes as a package reference the
+    # Python workers cannot import when the driver runs outside the repo.
+    @F.pandas_udf(T.StringType())
+    def _html_unescape(s: pd.Series) -> pd.Series:
+        import html as _html
+
+        return s.map(lambda v: _html.unescape(v) if isinstance(v, str) else v)
+
+    return _html_unescape
 
 
 def read_csv_normalized(spark: SparkSession, path: str, encoding: str = "ISO-8859-1") -> DataFrame:
@@ -153,10 +160,11 @@ def read_csv_normalized(spark: SparkSession, path: str, encoding: str = "ISO-885
     evaluation later stays in whole-stage codegen.
     """
     df = spark.read.option("header", True).option("encoding", encoding).csv(path)
+    unescape = _html_unescape_udf()
     cols = []
     for c in df.columns:
         v = F.col(c).cast("string")
-        v = _html_unescape(v)
+        v = unescape(v)
         v = F.regexp_replace(v, r"\s+", " ")
         v = F.trim(v)
         cols.append(v.alias(c))

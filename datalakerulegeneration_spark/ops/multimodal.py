@@ -66,27 +66,6 @@ def make_assets_from_documents(docs: DataFrame, n: int | None = None) -> DataFra
     )
 
 
-def _decode_one(payload: bytes) -> dict:
-    """STUB decoder. Replace with a real codec (PIL / soundfile / pyav).
-
-    Deterministic fake: "dimensions" and "luma" derived from the sha256
-    digest so tests are stable and the downstream plan is exercised
-    with realistic value shapes.
-    """
-    if payload is None:
-        raise NotImplementedError("real decode requires payload bytes")
-    digest = hashlib.sha256(payload).digest()
-    width = 64 + digest[0] % 192
-    height = 64 + digest[1] % 192
-    mean_luma = digest[2] / 255.0
-    return {
-        "sha256": hashlib.sha256(payload).hexdigest(),
-        "width": width,
-        "height": height,
-        "mean_luma": round(mean_luma, 6),
-    }
-
-
 def extract_features(assets: DataFrame, frames_per_video: int = 4) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
@@ -95,7 +74,26 @@ def extract_features(assets: DataFrame, frames_per_video: int = 4) -> DataFrame:
     rows stay 1:1 with assets (frame sampling is metadata here).
     At scale, repartition by size bands first so one huge video
     doesn't skew a task (see :func:`repartition_by_payload_size`).
+
+    The decoder is nested so cloudpickle ships it BY VALUE: a
+    module-level helper would serialize as a reference to this package,
+    which Python workers cannot import when the driver runs outside
+    the repo (only nested functions + stdlib/site-packages references
+    are safe inside worker-side closures).
     """
+
+    def _decode_one(payload: bytes) -> dict:
+        # STUB decoder. Replace with a real codec (PIL/soundfile/pyav):
+        # deterministic fake "dimensions"/"luma" from the sha256 digest.
+        if payload is None:
+            raise NotImplementedError("real decode requires payload bytes")
+        digest = hashlib.sha256(payload).digest()
+        return {
+            "sha256": hashlib.sha256(payload).hexdigest(),
+            "width": 64 + digest[0] % 192,
+            "height": 64 + digest[1] % 192,
+            "mean_luma": round(digest[2] / 255.0, 6),
+        }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
