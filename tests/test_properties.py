@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis): operators vs brute-force Python
+models on small random inputs. Example counts are capped — each example
+runs Spark jobs — but every run explores fresh structures beyond the
+hand-picked fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+SET = settings(max_examples=8, deadline=None)
+
+
+def _dt(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s))
+
+
+@SET
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=6),
+)
+def test_chunking_reconstructs_text(spark, texts, size, overlap):
+    """Dropping each chunk's leading `overlap` chars (except the first)
+    and concatenating reproduces the document exactly — no text is
+    lost or duplicated by the chunker."""
+    from datalakerulegeneration_spark.ops.textqa import chunk_documents
+
+    if overlap >= size:
+        overlap = size - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = chunk_documents(df, "doc_id", "text", size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        prev = by_doc.get(r.doc_id, "")
+        chunk = r.chunk or ""
+        by_doc[r.doc_id] = prev + (chunk if not prev else chunk[overlap:])
+    for i, t in enumerate(texts):
+        assert by_doc.get(i, "") == t
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join == per-row argmax over right rows with rts <= ts
+    (value ties broken by max, matching the pre-reduced right side)."""
+    from pyspark.sql import functions as F
+
+    from datalakerulegeneration_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, _dt(s)) for i, (k, s) in enumerate(lefts)],
+        "event_id int, k int, ts timestamp",
+    )
+    r_reduced = {}
+    for k, s, val in rights:
+        r_reduced[(k, s)] = max(r_reduced.get((k, s), -1), val)
+    right = spark.createDataFrame(
+        [(k, _dt(s), v) for (k, s), v in r_reduced.items()] or [(99, _dt(0), 0)],
+        "rk int, rts timestamp, val int",
+    )
+    out = {
+        r.event_id: r.val
+        for r in asof_join(left, right, "k", "rk", "ts", "rts", ["val"]).collect()
+    }
+    for i, (k, s) in enumerate(lefts):
+        past = [v for (rk, rs), v in r_reduced.items() if rk == k and rs <= s]
+        latest_s = max((rs for (rk, rs) in r_reduced if rk == k and rs <= s), default=None)
+        expect = r_reduced[(k, latest_s)] if latest_s is not None else None
+        assert out[i] == expect, (i, k, s, out[i], expect)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30
+    )
+)
+def test_dup_components_is_union_find(spark, edges):
+    """Components equal a Python union-find over the same edges."""
+    from datalakerulegeneration_spark.ops.dedup import dup_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in dup_components(pairs).collect()}
+    assert got == expected
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50000)), min_size=1, max_size=30
+    ),
+    st.integers(min_value=60, max_value=7200),
+)
+def test_sessionize_gap_invariants(spark, events, gap_s):
+    """Within a session consecutive gaps are <= gap; across session
+    boundaries the gap exceeds it; event counts are conserved."""
+    from datalakerulegeneration_spark.ops.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(k, _dt(s), 1.0) for k, s in events], "user_id int, ts timestamp, value double"
+    )
+    out = sessionize(df, "user_id", "ts", f"{gap_s} seconds", "value").collect()
+    assert sum(r.n_events for r in out) == len(events)
+    by_key = {}
+    for k, s in events:
+        by_key.setdefault(k, []).append(s)
+    for k, times in by_key.items():
+        times.sort()
+        expected_sessions = 1 + sum(
+            1 for a, b in zip(times, times[1:]) if b - a > gap_s
+        )
+        got = [r for r in out if r.user_id == k]
+        assert len(got) == expected_sessions
+        # sessions tile the key's time span without overlap
+        spans = sorted((r.session_start, r.session_end) for r in got)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2 and s2 - e1 > gap_s
