@@ -1,0 +1,94 @@
+"""Deterministic sampling / splitting / shuffling for training-data
+pipelines (scale extensions; the reference's only sampling is pandas
+``sample(n=200, random_state=42)`` — method_2/pipleline_2.py:114-115).
+
+Everything here is HASH-based, not RNG-based: ``rand(seed)`` changes
+with partitioning and Spark version, while ``md5(key)`` gives the same
+sample on any cluster, any engine, any day — which is what makes
+train/test membership auditable and joins against a sample stable.
+All operators are map-only (no shuffle) except the global shuffle,
+which is one sort by hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5 prefix → 28-bit int, uniform on [0, 2^28); the bucket denominator
+_BUCKETS = 1 << 28
+
+
+def _hash_bucket(id_col: str, salt: str):
+    return F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast({id_col} as string))), 1, 7), 16, 10) as bigint)"
+    )
+
+
+def _hash_bucket_sql(id_col: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || ':' || CAST({id_col} AS VARCHAR)), 1, 7)) AS BIGINT)"
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, salt: str = "sample") -> DataFrame:
+    """Reproducible ``rate``-fraction sample: a row is in the sample iff
+    ``md5(salt:id) < rate`` in bucket space. Map-only; membership is a
+    pure function of the id, so the same rows are sampled everywhere
+    and the sample can be re-derived (or anti-joined) at any time."""
+    return df.where(_hash_bucket(id_col, salt) < int(rate * _BUCKETS))
+
+
+def hash_sample_sql(table: str, id_col: str, rate: float, salt: str = "sample") -> str:
+    return f"SELECT * FROM {table} WHERE {_hash_bucket_sql(id_col, salt)} < {int(rate * _BUCKETS)}"
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_rate: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Adds a deterministic ``split`` column ('train'/'test'): the
+    standard leakage-safe split — membership depends only on the id,
+    so re-ingesting, repartitioning, or appending data never moves a
+    row across the boundary."""
+    return df.withColumn(
+        "split",
+        F.when(_hash_bucket(id_col, salt) < int(test_rate * _BUCKETS), "test").otherwise(
+            "train"
+        ),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, strata_col: str, rates: dict[str, float], salt: str = "strat"
+) -> DataFrame:
+    """Per-stratum reproducible sampling (e.g. downsample boilerplate
+    languages, keep all rare ones): one map-only pass, the rate picked
+    per row from a small literal map; strata absent from ``rates``
+    default to 0 (dropped)."""
+    rate_col = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(strata_col) == k
+        rate_col = F.when(cond, F.lit(int(v * _BUCKETS))) if rate_col is None else rate_col.when(cond, F.lit(int(v * _BUCKETS)))
+    rate_col = rate_col.otherwise(F.lit(0)) if rate_col is not None else F.lit(0)
+    return df.where(_hash_bucket(id_col, salt) < rate_col)
+
+
+def stratified_hash_sample_sql(
+    table: str, id_col: str, strata_col: str, rates: dict[str, float], salt: str = "strat"
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v * _BUCKETS)}" for k, v in sorted(rates.items())
+    )
+    return (
+        f"SELECT * FROM {table} WHERE {_hash_bucket_sql(id_col, salt)}"
+        f" < (CASE {cases} ELSE 0 END)"
+    )
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "shuffle") -> DataFrame:
+    """Global reproducible shuffle: rows ranked by ``md5(salt:id)``
+    (ties broken by id). ONE range-partitioned sort — the standard way
+    to randomize training-example order so every rerun, resume, or
+    backfill sees the identical sequence."""
+    w = Window.orderBy(_hash_bucket(id_col, salt).asc(), F.col(id_col).asc())
+    return df.withColumn("shuffle_pos", F.row_number().over(w))

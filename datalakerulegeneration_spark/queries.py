@@ -1368,6 +1368,80 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.fingerprint(docs, "doc_id", "text")
 
 
+def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% corpus sample: membership = md5(salt:id) <
+    rate, a pure function of the id (ops.sampling.hash_sample) —
+    map-only, no shuffle, identical on any cluster/engine/day."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.hash_sample(docs, "doc_id", 0.2)
+
+
+def q_train_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split audit: per (split, lang) counts of the
+    deterministic hash split (ops.sampling.train_test_split)."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        sampling.train_test_split(docs, "doc_id", test_rate=0.1)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling (the boilerplate-language rebalance):
+    keep 100% of rare langs, 25% of English — one map-only pass
+    (ops.sampling.stratified_hash_sample)."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", _STRATA_RATES
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_STRATA_RATES = {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 0.5}
+
+
+def q_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle: rank by md5(salt:id)
+    (ops.sampling.deterministic_shuffle) — one sort, identical sequence
+    on every rerun/backfill."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.deterministic_shuffle(docs, "doc_id").select(
+        "doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos")
+    )
+
+
+def _sampling_oracles() -> dict[str, str]:
+    from datalakerulegeneration_spark.ops import sampling
+
+    shuffle_hash = sampling._hash_bucket_sql("doc_id", "shuffle")
+    return {
+        "hash_sample_documents": sampling.hash_sample_sql("documents", "doc_id", 0.2),
+        "train_test_split_documents": (
+            "SELECT CASE WHEN "
+            + sampling._hash_bucket_sql("doc_id", "split")
+            + f" < {int(0.1 * sampling._BUCKETS)} THEN 'test' ELSE 'train' END AS split,"
+            " lang, count(*) AS n FROM documents GROUP BY 1, 2"
+        ),
+        "stratified_sample_documents": (
+            "SELECT doc_id, lang, source, n_chars FROM ("
+            + sampling.stratified_hash_sample_sql("documents", "doc_id", "lang", _STRATA_RATES)
+            + ")"
+        ),
+        "shuffle_documents": (
+            f"SELECT doc_id, CAST(row_number() OVER (ORDER BY {shuffle_hash} ASC, doc_id ASC) AS BIGINT)"
+            " AS shuffle_pos FROM documents"
+        ),
+    }
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the oracle: documents' text bytes
     stand in as binary payloads (ASSET_SCHEMA contract), and the
@@ -1995,6 +2069,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
     "chunk_documents": (q_chunk_documents, textqa.chunk_sql("documents", "doc_id", "text", size=200, overlap=50)),
     "multimodal_features_documents": (q_multimodal_features, Q_MULTIMODAL_ORACLE),
+    "hash_sample_documents": (q_hash_sample_documents, _sampling_oracles()["hash_sample_documents"]),
+    "train_test_split_documents": (q_train_test_split_documents, _sampling_oracles()["train_test_split_documents"]),
+    "stratified_sample_documents": (q_stratified_sample_documents, _sampling_oracles()["stratified_sample_documents"]),
+    "shuffle_documents": (q_shuffle_documents, _sampling_oracles()["shuffle_documents"]),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

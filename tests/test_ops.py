@@ -263,3 +263,23 @@ def test_dup_components_chain_and_isolated(spark):
     assert out[5] == out[3] == out[9] == 3
     assert out[20] == out[21] == 20
     assert out[40] == out[41] == out[42] == 40
+
+
+def test_hash_sampling_determinism_and_rates(spark, sf_tables):
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = sf_tables["documents"]
+    s1 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # nested rates: a 10% sample is a subset of the 30% sample
+    s_small = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.1).collect()}
+    assert s_small <= s1
+    # split is exhaustive and disjoint
+    sp = sampling.train_test_split(docs, "doc_id", 0.2)
+    counts = dict(sp.groupBy("split").count().collect())
+    assert counts.get("train", 0) + counts.get("test", 0) == docs.count()
+    # deterministic shuffle is a permutation, stable across calls
+    p1 = [r.doc_id for r in sampling.deterministic_shuffle(docs, "doc_id").orderBy("shuffle_pos").collect()]
+    p2 = [r.doc_id for r in sampling.deterministic_shuffle(docs, "doc_id").orderBy("shuffle_pos").collect()]
+    assert p1 == p2 and sorted(p1) == sorted({r.doc_id for r in docs.collect()})
