@@ -1598,6 +1598,47 @@ _DS_MAX_BUCKETS = 64
 _NUL, _SEP = "\x00", "\x1f"
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (prototype) vectors — the reduce step behind
+    IVF cells and class prototypes: posexplode to (label, dim, value)
+    grain, one groupBy, per-dimension means via exact decimal sums
+    (float→decimal is a direct value cast, portable at scale ≤ 6).
+    All JVM-side; no UDF, no driver collect of vectors."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ex = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    return (
+        ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            # float→DOUBLE first: Spark's float→decimal cast rounds the
+            # float's shortest string form, DuckDB rounds its binary
+            # value — via double both engines round the same number
+            (
+                F.sum(F.expr("cast(cast(v as double) as decimal(18,6))")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+Q_EMBEDDING_CENTROIDS_ORACLE = """
+WITH ex AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+)
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid,
+       count(*) AS n_vectors
+FROM ex
+GROUP BY label, CAST(i - 1 AS BIGINT)
+"""
+
+
 def _pair_key(cols: list[str]) -> F.Column:
     return F.concat_ws(
         _SEP, *[F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(_NUL)) for c in cols]
@@ -2059,6 +2100,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk_ivf_embeddings": (q_ann_topk_ivf, None),
     "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
     "embedding_stats_by_label": (q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
+    "embedding_centroids_by_label": (q_embedding_centroids, Q_EMBEDDING_CENTROIDS_ORACLE),
     # matching / clustering / dataset similarity (J5, M2, A6)
     "column_match_customer_supplier": (q_column_match_customer_supplier, None),
     "cluster_columns_kmeans_profiles": (q_cluster_columns_kmeans, None),
