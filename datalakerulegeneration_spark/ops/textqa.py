@@ -241,3 +241,31 @@ SELECT {id_col},
        CAST(length(substr({text_col}, CAST(i * {step} + 1 AS BIGINT), {size})) AS BIGINT) AS chunk_len
 FROM base
 """
+
+
+def quality_filter_by_group(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    keep_fraction: float = 0.5,
+) -> DataFrame:
+    """Corpus curation: keep the top ``keep_fraction`` of documents per
+    group (e.g. per language) by quality score — cumulative
+    distribution via a ranked window inside each group, one shuffle
+    keyed by the group. Ties break on id so the kept set is exactly
+    reproducible; percent_rank is an exact small-integer ratio, so the
+    cut is engine-portable.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(df, id_col, text_col)
+    scored = df.select(F.col(id_col), F.col(group_col)).join(
+        q, df[id_col] == q["id"]
+    ).select(F.col(id_col), F.col(group_col), F.col("quality"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("quality"), F.asc(id_col))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= keep_fraction)
+        .select(F.col(id_col), F.col(group_col), "quality", F.col("pr").alias("quality_rank"))
+    )

@@ -1442,6 +1442,31 @@ def _sampling_oracles() -> dict[str, str]:
     }
 
 
+def q_quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: keep the top half of documents per language by
+    quality score (ops.textqa.quality_filter_by_group) — percent_rank
+    window per group, exact small-integer ratio so the cut is
+    engine-portable."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.quality_filter_by_group(docs, "doc_id", "text", "lang", 0.5)
+
+
+def _quality_filter_oracle() -> str:
+    inner = textqa.quality_score_sql("documents", "doc_id", "text").strip()
+    return f"""
+WITH q AS ({inner}),
+s AS (
+  SELECT d.doc_id, d.lang, q.quality
+  FROM documents d JOIN q ON q.id = d.doc_id
+), r AS (
+  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS pr
+  FROM s
+)
+SELECT doc_id, lang, quality, pr AS quality_rank
+FROM r WHERE pr <= 0.5
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the oracle: documents' text bytes
     stand in as binary payloads (ASSET_SCHEMA contract), and the
@@ -2115,6 +2140,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "train_test_split_documents": (q_train_test_split_documents, _sampling_oracles()["train_test_split_documents"]),
     "stratified_sample_documents": (q_stratified_sample_documents, _sampling_oracles()["stratified_sample_documents"]),
     "shuffle_documents": (q_shuffle_documents, _sampling_oracles()["shuffle_documents"]),
+    "quality_filter_documents": (q_quality_filter_documents, _quality_filter_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
