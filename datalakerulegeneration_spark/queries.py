@@ -1467,6 +1467,43 @@ FROM r WHERE pr <= 0.5
 """
 
 
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents whose
+    normalized-text fingerprint collides with a held-out eval set
+    (stand-in: every 37th doc). Broadcast-able ANTI join on the md5
+    fingerprint — the standard leakage scrub before training. Composes
+    ops.textqa.fingerprint; at scale the eval set is the tiny side and
+    broadcasts, so the corpus is never shuffled."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = textqa.fingerprint(docs, "doc_id", "text")
+    scored = docs.join(fp, docs["doc_id"] == fp["id"]).select(
+        "doc_id", "lang", "source", "fingerprint"
+    )
+    eval_fps = scored.where(F.col("doc_id") % 37 == 0).select(
+        F.col("fingerprint").alias("eval_fp")
+    )
+    return (
+        scored.join(
+            F.broadcast(eval_fps), scored["fingerprint"] == eval_fps["eval_fp"], "left_anti"
+        )
+        .select("doc_id", "lang", "source", "fingerprint")
+    )
+
+
+def _decontaminate_oracle() -> str:
+    inner = textqa.fingerprint_sql("documents", "doc_id", "text").strip()
+    return f"""
+WITH fp AS ({inner}),
+scored AS (
+  SELECT d.doc_id, d.lang, d.source, fp.fingerprint
+  FROM documents d JOIN fp ON fp.id = d.doc_id
+)
+SELECT doc_id, lang, source, fingerprint
+FROM scored
+WHERE fingerprint NOT IN (SELECT fingerprint FROM scored WHERE doc_id % 37 = 0)
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the oracle: documents' text bytes
     stand in as binary payloads (ASSET_SCHEMA contract), and the
@@ -2141,6 +2178,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_sample_documents": (q_stratified_sample_documents, _sampling_oracles()["stratified_sample_documents"]),
     "shuffle_documents": (q_shuffle_documents, _sampling_oracles()["shuffle_documents"]),
     "quality_filter_documents": (q_quality_filter_documents, _quality_filter_oracle()),
+    "decontaminate_documents": (q_decontaminate_documents, _decontaminate_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
