@@ -942,7 +942,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("c_mktsegment") == "BUILDING")
     )
     agg = j.groupBy("o_orderkey").agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -974,7 +974,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -1894,7 +1894,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
@@ -1957,7 +1957,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     )
     promo = F.when(F.col("p_type") == "PROMO", F.expr(_DISC_PRICE)).otherwise(
         F.expr("cast(0 as decimal(18,4))")
@@ -1996,7 +1996,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         qty.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
         j.select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
@@ -2024,7 +2024,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem-only conjuncts are still pushable per-branch and the
     whole disjunction evaluates inside one codegen stage."""
     t = load_sf_tables(spark, sf_dir, ("part", "lineitem"))
-    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    j = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
