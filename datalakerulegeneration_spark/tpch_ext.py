@@ -265,8 +265,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_name") == "NATION_3")
         .select("s_suppkey")
     )
+    # nation_supp scales with SF (|supplier|/25): no forced hint, AQE
+    # broadcasts it while it fits and shuffles when it doesn't
     base = t["lineitem"].join(
-        F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        nation_supp, F.col("l_suppkey") == F.col("s_suppkey")
     )
     per_part = base.groupBy("l_partkey").agg(
         F.sum(F.expr(_REV)).alias("value_dec")
