@@ -451,7 +451,7 @@ def simhash_near_dups(
 # duplicate groups: connected components over candidate pairs
 # ---------------------------------------------------------------------------
 
-def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+def dup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Collapse pairwise near-dup edges ``(id_a, id_b)`` into canonical
     duplicate groups: ``(id, component)`` with component = the minimum
     id reachable from ``id``.
@@ -465,17 +465,21 @@ def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     stay constant-size (the classic iterative-algorithm requirement).
 
     The fixpoint is unique, so the DuckDB oracle (a recursive CTE
-    computing min reachable vertex) matches exactly.
+    computing min reachable vertex) matches exactly. Ids keep their
+    native type (string ids order lexicographically — same ``min`` in
+    both engines); a component whose diameter exceeds ``max_iter``
+    raises instead of silently emitting a partially-merged result.
     """
     sym = pairs.select(
-        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(
-        pairs.select(F.col("id_b").cast("long"), F.col("id_a").cast("long"))
+        pairs.select(F.col("id_b"), F.col("id_a"))
     ).distinct().localCheckpoint()  # edges are re-joined every round:
     # materialize once or the upstream pair pipeline re-runs per iteration
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nb_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -500,7 +504,13 @@ def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_components did not converge within max_iter={max_iter} rounds; "
+            "a component's diameter exceeds the bound — raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

@@ -133,19 +133,26 @@ def asof_join(
     rt = right.withColumn("_k", F.col(right_key)).withColumn(
         "_t", F.unix_timestamp(F.col(right_ts).cast("timestamp"))
     )
+    # right values travel inside ONE struct that is non-null for every
+    # right row: last(ignorenulls) then matches the most recent right
+    # ROW — per-column last() would skip a NULL value in the matched
+    # row and resurrect a stale older value
+    r_struct = F.struct(*[F.col(c).alias(c) for c in right_vals])
     l_tag = lt.select(
         "_k",
         "_t",
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in ("_k", "_t")],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_vals],
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_vals) + ">"
+        ).alias("_r"),
     )
     r_tag = rt.select(
         "_k",
         "_t",
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c).alias(f"_r_{c}") for c in right_vals],
+        r_struct.alias("_r"),
     )
     u = l_tag.unionByName(r_tag)
     # right rows (_side=0) sort before left rows at the same _t, so an
@@ -155,13 +162,12 @@ def asof_join(
         .orderBy(F.asc("_t"), F.asc("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_vals:
-        u = u.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
     return (
         u.where(F.col("_side") == 1)
         .select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"_r_{c}").alias(c) for c in right_vals],
+            *[F.col(f"_r.{c}").alias(c) for c in right_vals],
         )
     )
 

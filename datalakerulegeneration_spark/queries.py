@@ -411,25 +411,22 @@ WHERE o_orderstatus IS NOT NULL AND CAST(o_orderstatus AS VARCHAR) <> ''
 """
 
 
-def q_eval_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's primary metric as ONE oracle-checked query: the
-    full detect→score loop (§3.2 / A2). Orders are deterministically
-    corrupted (invalid priority every 97th key, negative price every
-    101st, an F→O status swap every 113th that stays inside the valid
-    enum — an engineered recall miss), the rule engine detects on the
-    dirty copy, cell_diff derives ground truth against the clean copy,
-    and column_metrics emits per-column TP/FP/FN + P/R/F1. The range
-    rule's tight upper bound fires on some clean rows — an engineered
-    precision miss — so all three metric regimes are exercised."""
-    from datalakerulegeneration_spark.evaluation.ground_truth import cell_diff
-    from datalakerulegeneration_spark.evaluation.metrics import column_metrics
-    from datalakerulegeneration_spark.rules import Rule, RuleEngine
-    from datalakerulegeneration_spark.rules.engine import Binding
+# shared corruption scenario for the two eval_* queries: every 97th key
+# gets an invalid priority, every 101st a negative price, every 113th an
+# F->O status swap (in-domain: an engineered recall miss). The SQL CTE
+# twins below feed both oracles - one edit point for rates and bounds.
+_EVAL_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_EVAL_PRICE_HI = 450000
 
-    clean = load_sf_tables(spark, sf_dir, ("orders",))["orders"].select(
+
+def _eval_clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_sf_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
     )
-    dirty = (
+
+
+def _corrupt_orders(clean: DataFrame) -> DataFrame:
+    return (
         clean.withColumn(
             "o_orderpriority",
             F.when(F.col("o_orderkey") % 97 == 0, F.lit("XX-INVALID")).otherwise(
@@ -450,15 +447,73 @@ def q_eval_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("o_orderstatus")),
         )
     )
-    eng = RuleEngine(spark)
-    bindings = [
+
+
+def _eval_bindings():
+    from datalakerulegeneration_spark.rules import Rule
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    return [
         Binding("o_orderpriority", Rule("priority_enum", validate={
-            "type": "enum",
-            "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            "type": "enum", "values": list(_EVAL_PRIORITIES),
         })),
         Binding("o_totalprice", Rule("price_range", validate={
-            "type": "range", "lo": 0, "hi": 450000,
+            "type": "range", "lo": 0, "hi": _EVAL_PRICE_HI,
         })),
+    ]
+
+
+_EVAL_PRIO_LIST = ", ".join(f"'{p}'" for p in _EVAL_PRIORITIES)
+
+_EVAL_DIRTY_CTE = """
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 97 = 0 THEN 'XX-INVALID' ELSE o_orderpriority END AS o_orderpriority,
+    CASE WHEN o_orderkey % 101 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN o_orderkey % 113 = 0 AND o_orderstatus = 'F' THEN 'O' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+"""
+
+_EVAL_VIOL_CTE = f"""
+  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id FROM dirty
+   WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+     AND o_orderpriority NOT IN ({_EVAL_PRIO_LIST})
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR) FROM dirty
+   WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS VARCHAR) <> ''
+     AND (TRY_CAST(o_totalprice AS DOUBLE) IS NULL OR o_totalprice < 0 OR o_totalprice > {_EVAL_PRICE_HI})
+"""
+
+_EVAL_TRUTH_ROWS = """
+  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id,
+         o_orderpriority AS clean_value
+  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderpriority <> 'XX-INVALID'
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR), CAST(o_totalprice AS VARCHAR)
+  FROM orders WHERE o_orderkey % 101 = 0 AND o_totalprice <> -1.0
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR), o_orderstatus
+  FROM orders WHERE o_orderkey % 113 = 0 AND o_orderstatus = 'F'
+"""
+
+
+def q_eval_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary metric as ONE oracle-checked query: the
+    full detect→score loop (§3.2 / A2). Orders are deterministically
+    corrupted (_corrupt_orders), the rule engine detects on the dirty
+    copy, cell_diff derives ground truth against the clean copy, and
+    column_metrics emits per-column TP/FP/FN + P/R/F1. The status swap
+    stays inside the valid enum (recall miss) and the range rule's
+    tight bound fires on some clean rows (precision miss), so all
+    three metric regimes are exercised."""
+    from datalakerulegeneration_spark.evaluation.ground_truth import cell_diff
+    from datalakerulegeneration_spark.evaluation.metrics import column_metrics
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    clean = _eval_clean_orders(spark, sf_dir)
+    dirty = _corrupt_orders(clean)
+    eng = RuleEngine(spark)
+    bindings = _eval_bindings() + [
         Binding("o_orderstatus", Rule("status_enum", validate={
             "type": "enum", "values": ["F", "O", "P"],
         })),
@@ -470,34 +525,14 @@ def q_eval_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_EVAL_METRICS_ORACLE = """
-WITH dirty AS (
-  SELECT o_orderkey,
-    CASE WHEN o_orderkey % 97 = 0 THEN 'XX-INVALID' ELSE o_orderpriority END AS o_orderpriority,
-    CASE WHEN o_orderkey % 101 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice,
-    CASE WHEN o_orderkey % 113 = 0 AND o_orderstatus = 'F' THEN 'O' ELSE o_orderstatus END AS o_orderstatus
-  FROM orders
-), viol AS (
-  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id FROM dirty
-   WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
-     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
-  UNION ALL
-  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR) FROM dirty
-   WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS VARCHAR) <> ''
-     AND (TRY_CAST(o_totalprice AS DOUBLE) IS NULL OR o_totalprice < 0 OR o_totalprice > 450000)
+Q_EVAL_METRICS_ORACLE = f"""
+WITH dirty AS ({_EVAL_DIRTY_CTE}), viol AS ({_EVAL_VIOL_CTE}
   UNION ALL
   SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR) FROM dirty
    WHERE o_orderstatus IS NOT NULL AND o_orderstatus <> ''
      AND o_orderstatus NOT IN ('F', 'O', 'P')
 ), truth AS (
-  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id FROM orders
-   WHERE o_orderkey % 97 = 0 AND o_orderpriority <> 'XX-INVALID'
-  UNION ALL
-  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR) FROM orders
-   WHERE o_orderkey % 101 = 0 AND o_totalprice <> -1.0
-  UNION ALL
-  SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR) FROM orders
-   WHERE o_orderkey % 113 = 0 AND o_orderstatus = 'F'
+  SELECT col, row_id FROM ({_EVAL_TRUTH_ROWS})
 ), j AS (
   SELECT coalesce(v.col, t.col) AS c, v.row_id AS p, t.row_id AS a
   FROM viol v FULL OUTER JOIN truth t ON v.col = t.col AND v.row_id = t.row_id
@@ -527,44 +562,14 @@ def q_eval_correction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaning_scores joins proposals to the cell_diff ground truth."""
     from datalakerulegeneration_spark.evaluation.ground_truth import cell_diff
     from datalakerulegeneration_spark.evaluation.metrics import cleaning_scores
-    from datalakerulegeneration_spark.rules import Rule, RuleEngine
-    from datalakerulegeneration_spark.rules.engine import Binding
+    from datalakerulegeneration_spark.rules import RuleEngine
 
-    clean = load_sf_tables(spark, sf_dir, ("orders",))["orders"].select(
-        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
-    )
-    dirty = (
-        clean.withColumn(
-            "o_orderpriority",
-            F.when(F.col("o_orderkey") % 97 == 0, F.lit("XX-INVALID")).otherwise(
-                F.col("o_orderpriority")
-            ),
-        )
-        .withColumn(
-            "o_totalprice",
-            F.when(F.col("o_orderkey") % 101 == 0, F.lit(-1.0)).otherwise(
-                F.col("o_totalprice")
-            ),
-        )
-        .withColumn(
-            "o_orderstatus",
-            F.when(
-                (F.col("o_orderkey") % 113 == 0) & (F.col("o_orderstatus") == "F"),
-                F.lit("O"),
-            ).otherwise(F.col("o_orderstatus")),
-        )
-    )
+    clean = _eval_clean_orders(spark, sf_dir)
+    dirty = _corrupt_orders(clean)
     eng = RuleEngine(spark)
-    bindings = [
-        Binding("o_orderpriority", Rule("priority_enum", validate={
-            "type": "enum",
-            "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
-        })),
-        Binding("o_totalprice", Rule("price_range", validate={
-            "type": "range", "lo": 0, "hi": 450000,
-        })),
-    ]
-    v = eng.detect(dirty, "orders", bindings, row_id_col="o_orderkey", suppress_full_column=False)
+    v = eng.detect(
+        dirty, "orders", _eval_bindings(), row_id_col="o_orderkey", suppress_full_column=False
+    )
     modal = (
         dirty.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -586,38 +591,14 @@ def q_eval_correction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning_scores(corr, truth)
 
 
-Q_EVAL_CORRECTION_ORACLE = """
-WITH dirty AS (
-  SELECT o_orderkey,
-    CASE WHEN o_orderkey % 97 = 0 THEN 'XX-INVALID' ELSE o_orderpriority END AS o_orderpriority,
-    CASE WHEN o_orderkey % 101 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice,
-    CASE WHEN o_orderkey % 113 = 0 AND o_orderstatus = 'F' THEN 'O' ELSE o_orderstatus END AS o_orderstatus
-  FROM orders
-), viol AS (
-  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id FROM dirty
-   WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
-     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
-  UNION ALL
-  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR) FROM dirty
-   WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS VARCHAR) <> ''
-     AND (TRY_CAST(o_totalprice AS DOUBLE) IS NULL OR o_totalprice < 0 OR o_totalprice > 450000)
-), modal AS (
+Q_EVAL_CORRECTION_ORACLE = f"""
+WITH dirty AS ({_EVAL_DIRTY_CTE}), viol AS ({_EVAL_VIOL_CTE}), modal AS (
   SELECT o_orderpriority AS m FROM dirty GROUP BY 1 ORDER BY count(*) DESC, o_orderpriority LIMIT 1
 ), corr AS (
   SELECT col, row_id, (SELECT m FROM modal) AS proposed FROM viol WHERE col = 'o_orderpriority'
   UNION ALL
   SELECT col, row_id, '0.0' FROM viol WHERE col = 'o_totalprice'
-), truth AS (
-  SELECT 'o_orderpriority' AS col, CAST(o_orderkey AS VARCHAR) AS row_id,
-         o_orderpriority AS clean_value
-  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderpriority <> 'XX-INVALID'
-  UNION ALL
-  SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR), CAST(o_totalprice AS VARCHAR)
-  FROM orders WHERE o_orderkey % 101 = 0 AND o_totalprice <> -1.0
-  UNION ALL
-  SELECT 'o_orderstatus', CAST(o_orderkey AS VARCHAR), o_orderstatus
-  FROM orders WHERE o_orderkey % 113 = 0 AND o_orderstatus = 'F'
-), joined AS (
+), truth AS ({_EVAL_TRUTH_ROWS}), joined AS (
   SELECT c.col, c.row_id, c.proposed, t.clean_value,
          CASE WHEN t.row_id IS NOT NULL THEN 1 ELSE 0 END AS hit
   FROM corr c LEFT JOIN truth t ON c.col = t.col AND c.row_id = t.row_id
@@ -1499,9 +1480,18 @@ scored AS (
   FROM documents d JOIN fp ON fp.id = d.doc_id
 )
 SELECT doc_id, lang, source, fingerprint
-FROM scored
-WHERE fingerprint NOT IN (SELECT fingerprint FROM scored WHERE doc_id % 37 = 0)
+FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM scored e
+  WHERE e.doc_id % 37 = 0 AND e.fingerprint = s.fingerprint
+)
 """
+# NOT EXISTS, not NOT IN: a NULL fingerprint (null text) makes NOT IN
+# evaluate UNKNOWN and drop rows, while Spark's left_anti keeps them —
+# NOT EXISTS has anti-join semantics in both engines.
+
+
+_S_ORACLES = _sampling_oracles()
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,6 +1506,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalakerulegeneration_spark.ops import multimodal
 
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    # null text → null payload: the stub decoder (rightly) refuses null
+    # payloads, and the oracle's WHERE text IS NOT NULL must see the
+    # same domain
+    docs = docs.where(F.col("text").isNotNull())
     feats = multimodal.extract_features(multimodal.make_assets_from_documents(docs))
     return feats.select(
         "asset_id",
@@ -2173,10 +2167,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
     "chunk_documents": (q_chunk_documents, textqa.chunk_sql("documents", "doc_id", "text", size=200, overlap=50)),
     "multimodal_features_documents": (q_multimodal_features, Q_MULTIMODAL_ORACLE),
-    "hash_sample_documents": (q_hash_sample_documents, _sampling_oracles()["hash_sample_documents"]),
-    "train_test_split_documents": (q_train_test_split_documents, _sampling_oracles()["train_test_split_documents"]),
-    "stratified_sample_documents": (q_stratified_sample_documents, _sampling_oracles()["stratified_sample_documents"]),
-    "shuffle_documents": (q_shuffle_documents, _sampling_oracles()["shuffle_documents"]),
+    "hash_sample_documents": (q_hash_sample_documents, _S_ORACLES["hash_sample_documents"]),
+    "train_test_split_documents": (q_train_test_split_documents, _S_ORACLES["train_test_split_documents"]),
+    "stratified_sample_documents": (q_stratified_sample_documents, _S_ORACLES["stratified_sample_documents"]),
+    "shuffle_documents": (q_shuffle_documents, _S_ORACLES["shuffle_documents"]),
     "quality_filter_documents": (q_quality_filter_documents, _quality_filter_oracle()),
     "decontaminate_documents": (q_decontaminate_documents, _decontaminate_oracle()),
 }

@@ -45,8 +45,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: no partsupp, so 'supplied parts' =
     distinct (l_partkey, l_suppkey) pairs from lineitem, and min
     supply cost becomes max supplier account balance). For every
-    LARGE-type size-15 part, the best EUROPE supplier that has shipped
-    it. Exercises the correlated per-group argmax: dedup'd association
+    LARGE-type part of size ≤ 25, the best EUROPE supplier that has
+    shipped it. Exercises the correlated per-group argmax: dedup'd association
     → broadcast dims → ranked window, never a driver loop."""
     t = load_sf_tables(spark, sf_dir, ("part", "supplier", "lineitem", "nation", "region"))
     pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
@@ -494,29 +494,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation is EXISTS + NOT EXISTS self-joins on lineitem; at
     scale that is two extra shuffles of the fact table, so the plan
     here reduces lineitem ONCE to (order, supplier, any-returned) grain
-    — both existence tests AND the returned-pair probe side then come
-    from that single aggregate (two countDistinct over raw lines would
-    Expand-multiply the fact table; a distinct-pair probe would shuffle
-    it a second time). Same semantics, one fact-table shuffle total."""
+    and derives both existence tests from per-order WINDOW aggregates
+    over that grain — a single linear chain (two countDistinct over raw
+    lines would Expand-multiply the fact table; a separate per-order
+    aggregate would consume the pair frame twice, forcing a persist or
+    a duplicate scan). One fact-table shuffle total; the window rides
+    the aggregation's existing hash partitioning on l_orderkey."""
     t = load_sf_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
-    # persisted: ord_stats and the probe side both consume it, and
-    # Spark does not reuse the exchange across the two subplans —
-    # without this the fact table is scanned and aggregated twice
     pair = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret")
-    ).persist()
-    ord_stats = pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("has_ret").alias("n_ret_supp"),
     )
+    w = Window.partitionBy("l_orderkey")
     fails = (
-        pair.where(F.col("has_ret") == 1)
+        pair.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_ret_supp", F.sum("has_ret").over(w))
+        .where(
+            (F.col("has_ret") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_ret_supp") == 1)
+        )
         .join(
             t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(ord_stats.where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)),
-              "l_orderkey")
     )
     return (
         fails.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))

@@ -37,11 +37,11 @@ def test_sessionize_gap_split(spark):
 
 def test_asof_join_backward(spark):
     left = spark.createDataFrame(
-        [(100, 1, _ts(5)), (101, 1, _ts(20)), (102, 2, _ts(10))],
+        [(100, 1, _ts(5)), (101, 1, _ts(20)), (102, 2, _ts(10)), (103, 3, _ts(30))],
         "event_id int, user_id int, ts timestamp",
     )
     right = spark.createDataFrame(
-        [(1, _ts(0), 7), (1, _ts(20), 9), (2, _ts(30), 11)],
+        [(1, _ts(0), 7), (1, _ts(20), 9), (2, _ts(30), 11), (3, _ts(0), 5), (3, _ts(25), None)],
         "k int, rts timestamp, val int",
     )
     out = {
@@ -51,3 +51,6 @@ def test_asof_join_backward(spark):
     assert out[100] == 7          # only the t=0 order is in the past
     assert out[101] == 9          # t=20 right row visible at equal time
     assert out[102] is None       # key 2's only right row is later
+    # the MATCHED row's value is NULL: must return NULL, not resurrect
+    # the older t=0 value
+    assert out[103] is None

@@ -8,27 +8,18 @@ sorted columns, sorted rows).
 
 from __future__ import annotations
 
-import math
+import os
+import sys
 
 import pytest
 
 from datalakerulegeneration_spark.tpch_ext import EXT_REGISTRY
 from tests.conftest import SF_DIR
 
-
-def _norm(v):
-    import numpy as np
-
-    if v is None:
-        return ("null",)
-    if isinstance(v, (bool, np.bool_)):
-        return ("b", bool(v))
-    if isinstance(v, (float, np.floating)):
-        fv = float(v)
-        return ("null",) if math.isnan(fv) else ("f", fv)
-    if isinstance(v, (int, np.integer)):
-        return ("i", int(v))
-    return ("o", str(v))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+# the gate's own normalization — a copy here could drift from the
+# driver-matching semantics the gate encodes
+from check_correctness import norm as _norm  # noqa: E402
 
 
 @pytest.mark.parametrize("name", sorted(EXT_REGISTRY))
