@@ -7,6 +7,7 @@ from datalakerulegeneration_spark.streaming.stateful import (  # noqa: F401
 )
 from datalakerulegeneration_spark.streaming.windows import (  # noqa: F401
     dedup_stream,
+    sessionize_stream,
     windowed_event_counts,
     streaming_gaussian_monitor,
 )

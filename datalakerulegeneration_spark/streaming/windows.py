@@ -99,3 +99,41 @@ def dedup_stream(
     if events.isStreaming:
         return src.dropDuplicatesWithinWatermark(list(id_cols))
     return src.dropDuplicates(list(id_cols))
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    agg_col: str | None = "value",
+) -> DataFrame:
+    """Streaming sessionization via the native ``session_window``:
+    dynamic-gap windows merge as events arrive and CLOSE once the
+    watermark passes gap's end — state per key is bounded by open
+    sessions, not history. The batch twin (ops.temporal.sessionize,
+    lag + running sum) produces the same per-session aggregates for
+    the same gap; this one runs incrementally on an unbounded stream.
+    """
+    src = _watermarked(events, ts_col, watermark)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if agg_col is not None:
+        aggs.append(
+            F.sum(F.expr(f"cast({agg_col} as decimal(18,6))"))
+            .cast("double")
+            .alias("value_sum")
+        )
+    out_cols = ["n_events"] + (["value_sum"] if agg_col is not None else [])
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *out_cols,
+        )
+    )

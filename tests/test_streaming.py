@@ -179,3 +179,54 @@ def test_dedup_stream_within_watermark(spark, sf_tables, tmp_path):
     # batch path degrades to plain dropDuplicates
     doubled = ev.unionAll(ev)
     assert dedup_stream(doubled, ("event_id",), "ts").count() == ev.count()
+
+
+def test_sessionize_stream_matches_batch(spark, sf_tables, tmp_path):
+    """Native session_window streaming sessionization agrees with the
+    batch lag+running-sum sessionizer on session count and totals."""
+    from datalakerulegeneration_spark.ops.temporal import sessionize
+    from datalakerulegeneration_spark.streaming import sessionize_stream
+
+    # second-truncated event times: the batch sessionizer compares
+    # epoch seconds (oracle portability) while session_window uses full
+    # microsecond timestamps — the comparison needs one time domain.
+    # (Boundary semantics also differ at diff == gap exactly: batch
+    # merges, session_window splits; no such pair exists in this data.)
+    ev = (
+        sf_tables["events"]
+        .select(
+            "event_id",
+            F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+            "user_id",
+            "value",
+        )
+        .where(F.col("event_id") % 2 == 0)  # deterministic subset (a
+        # bare limit() picks different rows per materialization)
+    )
+    src_dir = str(tmp_path / "sessin")
+    os.makedirs(src_dir)
+    ev.write.parquet(os.path.join(src_dir, "p"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src_dir)
+    )
+    batches = {}
+    q = (
+        sessionize_stream(stream, "user_id", "ts", "6 hours", "1 minute", "value")
+        # complete mode: append only emits sessions CLOSED by the
+        # watermark, so sessions still open when the bounded stream
+        # ends would be held back forever
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda bdf, bid: batches.__setitem__(bid, bdf.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = batches[max(batches)]
+    batch = sessionize(ev, "user_id", "ts", "6 hours", "value").collect()
+    assert len(rows) == len(batch)
+    assert sum(r.n_events for r in rows) == sum(r.n_events for r in batch) == ev.count()
+    stream_totals = sorted(round(r.value_sum, 6) for r in rows)
+    batch_totals = sorted(round(r.value_sum, 6) for r in batch)
+    assert stream_totals == batch_totals
