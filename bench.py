@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "asof_join_events_orders",
     "chunk_documents",
+    "eval_metrics_orders",
 ]
 
 
