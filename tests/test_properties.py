@@ -10,7 +10,11 @@ import datetime as dt
 
 from hypothesis import given, settings, strategies as st
 
-SET = settings(max_examples=8, deadline=None)
+# derandomized: examples are a fixed deterministic sequence, so the
+# suite cannot flake in a gate run on a fresh random edge case — new
+# structures are explored by BUMPING max_examples locally, not by
+# re-rolling in CI
+SET = settings(max_examples=8, deadline=None, derandomize=True)
 
 
 def _dt(s):
