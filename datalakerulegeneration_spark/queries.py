@@ -1491,6 +1491,70 @@ WHERE NOT EXISTS (
 # NOT EXISTS has anti-join semantics in both engines.
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: drop corpus docs whose 3-word-shingle
+    Jaccard against ANY eval-set doc (stand-in: every 37th) reaches
+    0.5 — exact fingerprints miss near-verbatim leaks. The shingle
+    inverted-index join touches only co-shingled (corpus, eval) pairs;
+    eval members themselves overlap at 1.0 and are dropped too."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = dedup.shingles(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    eval_sh = sh.join(
+        docs.where(F.col("doc_id") % 37 == 0).select(F.col("doc_id").alias("eid")),
+        sh["id"] == F.col("eid"),
+        "left_semi",
+    ).select(F.col("id").alias("e_id"), F.col("shingle").alias("e_shingle"))
+    inter = (
+        sh.join(eval_sh, sh["shingle"] == eval_sh["e_shingle"])
+        .groupBy("id", "e_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    contaminated = (
+        inter.join(sizes, "id")
+        .join(
+            sizes.select(F.col("id").alias("e_id2"), F.col("sz").alias("e_sz")),
+            F.col("e_id") == F.col("e_id2"),
+        )
+        .where(
+            F.col("inter").cast("double")
+            / (F.col("sz") + F.col("e_sz") - F.col("inter")).cast("double")
+            >= 0.5
+        )
+        .select("id")
+        .distinct()
+    )
+    return docs.join(
+        contaminated, docs["doc_id"] == contaminated["id"], "left_anti"
+    ).select("doc_id", "lang", "source")
+
+
+def _decontaminate_fuzzy_oracle() -> str:
+    sh = dedup.shingles_sql("documents", "doc_id", "text", 3).strip()
+    return f"""
+WITH sh AS ({sh}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+eval_sh AS (
+  SELECT id AS e_id, shingle AS e_shingle FROM sh
+  WHERE id IN (SELECT doc_id FROM documents WHERE doc_id % 37 = 0)
+),
+inter AS (
+  SELECT sh.id, e.e_id, count(*) AS inter
+  FROM sh JOIN eval_sh e ON sh.shingle = e.e_shingle
+  GROUP BY sh.id, e.e_id
+),
+contaminated AS (
+  SELECT DISTINCT i.id
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id
+  JOIN sizes sb ON sb.id = i.e_id
+  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5
+)
+SELECT doc_id, lang, source FROM documents
+WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.id = documents.doc_id)
+"""
+
+
 _S_ORACLES = _sampling_oracles()
 
 
@@ -2173,6 +2237,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "shuffle_documents": (q_shuffle_documents, _S_ORACLES["shuffle_documents"]),
     "quality_filter_documents": (q_quality_filter_documents, _quality_filter_oracle()),
     "decontaminate_documents": (q_decontaminate_documents, _decontaminate_oracle()),
+    "decontaminate_fuzzy_documents": (q_decontaminate_fuzzy, _decontaminate_fuzzy_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
