@@ -73,3 +73,14 @@ def test_q19_disjunctive_predicate_pushed(spark):
     p = _plan(_impl("q19_disjunctive_revenue")(spark, SF_DIR))
     pushed = p.split("PushedFilters:", 1)[1]
     assert "Or(" in pushed
+
+
+def test_value_and_token_passes_single_scan(spark):
+    for name in ("value_stats_customer", "token_stats_documents"):
+        p = _plan(_impl(name)(spark, SF_DIR))
+        assert p.count("FileScan parquet") == 1, name
+
+
+def test_fuzzy_decontamination_no_cartesian(spark):
+    p = _plan(_impl("decontaminate_fuzzy_documents")(spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
