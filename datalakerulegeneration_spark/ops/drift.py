@@ -1,0 +1,129 @@
+"""Distribution drift between two loads of the same column (scale
+extension; the reference's only distribution comparison is the
+matcher's KS/Wasserstein on 200-row samples — method_2/pipleline_2.py:
+90-115 — not a monitoring operator).
+
+Population Stability Index over fixed equi-width bins: the standard
+drift monitor between a baseline load and a new load. One aggregation
+per side at bin grain (map-side combined), a tiny bin-level join, and
+a scalar fold — no raw-row shuffle, so it runs unchanged on 100 TB
+loads. Bin edges come from the BASELINE's min/max (computed once,
+broadcast as literals through the plan), which is how production
+monitors pin edges so drift is attributed to the new data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EPS = 1e-6  # floor for empty-bin shares (standard PSI guard)
+
+
+def psi_bins(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Per-bin shares of both loads + the bin's PSI term:
+    ``(bin, base_share, cur_share, psi_term)``; total PSI = sum of
+    terms. Values outside [lo, hi] clamp into the edge bins (standard
+    monitor behavior for drifting tails). Shares are exact integer
+    ratios; the ln() difference is rounded to 6 dp for engine
+    portability.
+    """
+    if lo is None or hi is None:
+        row = baseline.agg(
+            F.min(F.expr(f"try_cast({col} as double)")).alias("lo"),
+            F.max(F.expr(f"try_cast({col} as double)")).alias("hi"),
+        ).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    width = (hi - lo) / n_bins or 1.0
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.expr(f"try_cast({col} as double)") - lo) / width).cast("int"),
+            ),
+        )
+        return (
+            df.where(F.expr(f"try_cast({col} as double)").isNotNull())
+            .groupBy(b.cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"{name}_n"))
+        )
+
+    base = binned(baseline, "base")
+    cur = binned(current, "cur")
+    bins = base.sparkSession.range(0, n_bins).select(F.col("id").alias("bin"))
+    j = (
+        bins.join(base, "bin", "left")
+        .join(cur, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot = j.agg(
+        F.sum("base_n").alias("bt"), F.sum("cur_n").alias("ct")
+    )
+    ba = F.greatest(F.col("base_n").cast("double") / F.col("bt").cast("double"), F.lit(_EPS))
+    cu = F.greatest(F.col("cur_n").cast("double") / F.col("ct").cast("double"), F.lit(_EPS))
+    return (
+        j.join(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(F.col("base_n").cast("double") / F.col("bt").cast("double"), 6).alias("base_share"),
+            F.round(F.col("cur_n").cast("double") / F.col("ct").cast("double"), 6).alias("cur_share"),
+            F.round((ba - cu) * F.log(ba / cu), 6).alias("psi_term"),
+        )
+    )
+
+
+def psi_bins_sql(
+    base_sql: str,
+    cur_sql: str,
+    col: str,
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> str:
+    """DuckDB oracle for :func:`psi_bins` with pinned edges (the Spark
+    query must pass the same lo/hi so both engines bin identically)."""
+    width = (hi - lo) / n_bins or 1.0
+    bin_expr = (
+        f"least({n_bins - 1}, greatest(0,"
+        f" CAST(floor((TRY_CAST({col} AS DOUBLE) - {lo!r}) / {width!r}) AS INT)))"
+    )
+
+    def side(sql: str, name: str) -> str:
+        return (
+            f"SELECT CAST({bin_expr} AS BIGINT) AS bin, count(*) AS {name}_n"
+            f" FROM ({sql}) WHERE TRY_CAST({col} AS DOUBLE) IS NOT NULL GROUP BY 1"
+        )
+
+    return f"""
+WITH base AS ({side(base_sql, 'base')}),
+cur AS ({side(cur_sql, 'cur')}),
+bins AS (SELECT unnest(generate_series(0, {n_bins - 1})) AS bin),
+j AS (
+  SELECT bins.bin,
+         coalesce(base_n, 0) AS base_n,
+         coalesce(cur_n, 0) AS cur_n
+  FROM bins LEFT JOIN base ON bins.bin = base.bin LEFT JOIN cur ON bins.bin = cur.bin
+), tot AS (SELECT sum(base_n) AS bt, sum(cur_n) AS ct FROM j)
+SELECT CAST(j.bin AS BIGINT) AS bin,
+       round(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), 6) AS base_share,
+       round(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), 6) AS cur_share,
+       round((greatest(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), {_EPS!r})
+            - greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r}))
+           * ln(greatest(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), {_EPS!r})
+              / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6) AS psi_term
+FROM j, tot
+"""

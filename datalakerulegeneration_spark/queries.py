@@ -1555,6 +1555,38 @@ WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.id = documents.doc_id)
 """
 
 
+_DRIFT_BOUNDS = (0.0, 500.0)  # pinned edges for the events.value monitor
+
+
+def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor (ops.drift.psi_bins): PSI of
+    events.value between two deterministic 'loads' (even vs odd
+    event_id — the stand-in for baseline vs new ingest). Per-bin
+    shares + PSI terms; bin-grain aggregation only, no raw-row
+    shuffle."""
+    from datalakerulegeneration_spark.ops.drift import psi_bins
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.where(F.col("event_id") % 2 == 0)
+    cur = ev.where(F.col("event_id") % 2 == 1)
+    lo, hi = _DRIFT_BOUNDS
+    return psi_bins(base, cur, "value", n_bins=10, lo=lo, hi=hi)
+
+
+def _drift_oracle() -> str:
+    from datalakerulegeneration_spark.ops.drift import psi_bins_sql
+
+    lo, hi = _DRIFT_BOUNDS
+    return psi_bins_sql(
+        "SELECT * FROM events WHERE event_id % 2 = 0",
+        "SELECT * FROM events WHERE event_id % 2 = 1",
+        "value",
+        10,
+        lo,
+        hi,
+    )
+
+
 _S_ORACLES = _sampling_oracles()
 
 
@@ -2238,6 +2270,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_filter_documents": (q_quality_filter_documents, _quality_filter_oracle()),
     "decontaminate_documents": (q_decontaminate_documents, _decontaminate_oracle()),
     "decontaminate_fuzzy_documents": (q_decontaminate_fuzzy, _decontaminate_fuzzy_oracle()),
+    "drift_events_value": (q_drift_events_value, _drift_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

@@ -283,3 +283,23 @@ def test_hash_sampling_determinism_and_rates(spark, sf_tables):
     p1 = [r.doc_id for r in sampling.deterministic_shuffle(docs, "doc_id").orderBy("shuffle_pos").collect()]
     p2 = [r.doc_id for r in sampling.deterministic_shuffle(docs, "doc_id").orderBy("shuffle_pos").collect()]
     assert p1 == p2 and sorted(p1) == sorted({r.doc_id for r in docs.collect()})
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    from pyspark.sql import functions as F
+
+    from datalakerulegeneration_spark.ops.drift import psi_bins
+
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("x"))
+    same = spark.range(2000).select((F.col("id") % 100).cast("double").alias("x"))
+    shifted = spark.range(2000).select(
+        ((F.col("id") % 100) * 0.2 + 80).cast("double").alias("x")
+    )
+    no_drift = sum(r.psi_term for r in psi_bins(base, same, "x", 10, 0.0, 100.0).collect())
+    drift = sum(r.psi_term for r in psi_bins(base, shifted, "x", 10, 0.0, 100.0).collect())
+    assert abs(no_drift) < 1e-9          # identical distributions: PSI ~ 0
+    assert drift > 0.5                   # mass moved to the top bins
+    # terms are per-bin and shares sum to 1 on both sides
+    rows = psi_bins(base, shifted, "x", 10, 0.0, 100.0).collect()
+    assert len(rows) == 10
+    assert abs(sum(r.base_share for r in rows) - 1.0) < 1e-4
