@@ -127,3 +127,85 @@ SELECT CAST(j.bin AS BIGINT) AS bin,
               / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6) AS psi_term
 FROM j, tot
 """
+
+
+def ks_statistic(baseline: DataFrame, current: DataFrame, col: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic, distributed:
+    one row ``(ks, n_base, n_cur)``.
+
+    The ECDF step function only changes at observed values, so the
+    max |ECDF_a - ECDF_b| is computed on DISTINCT-value grain: union
+    both sides at (value, side) counts, one cumulative window ordered
+    by value, one max. Shuffled state is O(distinct values) — the
+    same scaling argument as the profiler's exact quartiles — versus
+    the textbook sort-both-samples formulation's O(rows). Exact
+    integer ratios, so the DuckDB oracle matches bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    v = F.expr(f"try_cast({col} as double)")
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.where(v.isNotNull())
+            .groupBy(v.alias("v"))
+            .agg(F.count(F.lit(1)).alias(f"{name}_n"))
+        )
+
+    j = (
+        side(baseline, "base")
+        .join(side(current, "cur"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = j.agg(F.sum("base_n").alias("nb"), F.sum("cur_n").alias("nc"))
+    ecdf = (
+        j.withColumn("ca", F.sum("base_n").over(w))
+        .withColumn("cb", F.sum("cur_n").over(w))
+        .join(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("ca").cast("double") / F.col("nb").cast("double")
+                - F.col("cb").cast("double") / F.col("nc").cast("double")
+            ).alias("d"),
+            "nb",
+            "nc",
+        )
+    )
+    return ecdf.groupBy("nb", "nc").agg(F.round(F.max("d"), 6).alias("ks")).select(
+        "ks", F.col("nb").alias("n_base"), F.col("nc").alias("n_cur")
+    )
+
+
+def ks_statistic_sql(base_sql: str, cur_sql: str, col: str) -> str:
+    """DuckDB oracle for :func:`ks_statistic` (same distinct-value
+    cumulative construction)."""
+    def side(sql: str, name: str) -> str:
+        return (
+            f"SELECT TRY_CAST({col} AS DOUBLE) AS v, count(*) AS {name}_n"
+            f" FROM ({sql}) WHERE TRY_CAST({col} AS DOUBLE) IS NOT NULL GROUP BY 1"
+        )
+
+    return f"""
+WITH base AS ({side(base_sql, 'base')}),
+cur AS ({side(cur_sql, 'cur')}),
+j AS (
+  SELECT coalesce(base.v, cur.v) AS v,
+         coalesce(base_n, 0) AS base_n, coalesce(cur_n, 0) AS cur_n
+  FROM base FULL OUTER JOIN cur ON base.v = cur.v
+), tot AS (SELECT sum(base_n) AS nb, sum(cur_n) AS nc FROM j),
+ecdf AS (
+  SELECT abs(CAST(sum(base_n) OVER w AS DOUBLE) / CAST(nb AS DOUBLE)
+           - CAST(sum(cur_n) OVER w AS DOUBLE) / CAST(nc AS DOUBLE)) AS d,
+         nb, nc
+  FROM j, tot
+  WINDOW w AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT round(max(d), 6) AS ks,
+       CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur
+FROM ecdf GROUP BY nb, nc
+"""

@@ -1587,6 +1587,28 @@ def _drift_oracle() -> str:
     )
 
 
+def q_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between the two event 'loads'
+    (ops.drift.ks_statistic): ECDF max-gap on distinct-value grain —
+    O(distinct) shuffled state, not O(rows)."""
+    from datalakerulegeneration_spark.ops.drift import ks_statistic
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return ks_statistic(
+        ev.where(F.col("event_id") % 2 == 0), ev.where(F.col("event_id") % 2 == 1), "value"
+    )
+
+
+def _ks_oracle() -> str:
+    from datalakerulegeneration_spark.ops.drift import ks_statistic_sql
+
+    return ks_statistic_sql(
+        "SELECT * FROM events WHERE event_id % 2 = 0",
+        "SELECT * FROM events WHERE event_id % 2 = 1",
+        "value",
+    )
+
+
 _S_ORACLES = _sampling_oracles()
 
 
@@ -2271,6 +2293,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate_documents": (q_decontaminate_documents, _decontaminate_oracle()),
     "decontaminate_fuzzy_documents": (q_decontaminate_fuzzy, _decontaminate_fuzzy_oracle()),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
+    "ks_events_value": (q_ks_events_value, _ks_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

@@ -303,3 +303,17 @@ def test_psi_drift_detects_planted_shift(spark):
     rows = psi_bins(base, shifted, "x", 10, 0.0, 100.0).collect()
     assert len(rows) == 10
     assert abs(sum(r.base_share for r in rows) - 1.0) < 1e-4
+
+
+def test_ks_statistic_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from datalakerulegeneration_spark.ops.drift import ks_statistic
+
+    a = spark.range(100).select(F.col("id").cast("double").alias("x"))        # 0..99
+    b = spark.range(100).select((F.col("id") + 50).cast("double").alias("x"))  # 50..149
+    r = ks_statistic(a, b, "x").collect()[0]
+    # ECDFs diverge maximally at x=49.0: F_a=0.5, F_b=0.0
+    assert r.ks == 0.5 and r.n_base == 100 and r.n_cur == 100
+    same = ks_statistic(a, a, "x").collect()[0]
+    assert same.ks == 0.0
