@@ -209,3 +209,121 @@ SELECT round(max(d), 6) AS ks,
        CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur
 FROM ecdf GROUP BY nb, nc
 """
+
+
+def psi_table(
+    baseline: DataFrame,
+    current: DataFrame,
+    bounds: dict[str, tuple[float, float]],
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI for MANY columns in one pass: both sides melt to
+    ``(column, bin)`` grain via one stack each, then a single bin-grain
+    aggregation per side — monitoring every column of a 100 TB table
+    costs the same two scans as monitoring one. ``bounds`` pins each
+    column's [lo, hi] edges. Output: (column, bin, base_share,
+    cur_share, psi_term)."""
+    cols = sorted(bounds)
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        parts = []
+        for c in cols:
+            lo, hi = bounds[c]
+            width = (hi - lo) / n_bins or 1.0
+            parts.append(
+                f"'{c}', least({n_bins - 1}, greatest(0,"
+                f" cast(floor((try_cast(`{c}` as double) - {lo!r}) / {width!r}) as int)))"
+            )
+        m = df.selectExpr(
+            f"stack({len(cols)}, {', '.join(parts)}) as (col_name, bin)"
+        ).where(F.col("bin").isNotNull())
+        return m.groupBy("col_name", F.col("bin").cast("long").alias("bin")).agg(
+            F.count(F.lit(1)).alias(f"{name}_n")
+        )
+
+    base = binned(baseline, "base")
+    cur = binned(current, "cur")
+    spark = baseline.sparkSession
+    grid = (
+        spark.range(0, n_bins)
+        .select(F.col("id").alias("bin"))
+        .crossJoin(spark.createDataFrame([(c,) for c in cols], "col_name string"))
+    )
+    j = (
+        grid.join(base, ["col_name", "bin"], "left")
+        .join(cur, ["col_name", "bin"], "left")
+        .select(
+            "col_name",
+            "bin",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    w_tot = (
+        j.groupBy("col_name").agg(F.sum("base_n").alias("bt"), F.sum("cur_n").alias("ct"))
+    )
+    ba = F.greatest(F.col("base_n").cast("double") / F.col("bt").cast("double"), F.lit(_EPS))
+    cu = F.greatest(F.col("cur_n").cast("double") / F.col("ct").cast("double"), F.lit(_EPS))
+    return (
+        j.join(F.broadcast(w_tot), "col_name")
+        .select(
+            "col_name",
+            "bin",
+            F.round(F.col("base_n").cast("double") / F.col("bt").cast("double"), 6).alias("base_share"),
+            F.round(F.col("cur_n").cast("double") / F.col("ct").cast("double"), 6).alias("cur_share"),
+            F.round((ba - cu) * F.log(ba / cu), 6).alias("psi_term"),
+        )
+    )
+
+
+def psi_table_sql(
+    base_sql: str,
+    cur_sql: str,
+    bounds: dict[str, tuple[float, float]],
+    n_bins: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`psi_table` (per-column UNION ALL of the
+    same pinned-edge binning)."""
+    cols = sorted(bounds)
+
+    def side(sql: str, name: str) -> str:
+        selects = []
+        for c in cols:
+            lo, hi = bounds[c]
+            width = (hi - lo) / n_bins or 1.0
+            b = (
+                f"least({n_bins - 1}, greatest(0,"
+                f" CAST(floor((TRY_CAST({c} AS DOUBLE) - {lo!r}) / {width!r}) AS INT)))"
+            )
+            selects.append(
+                f"SELECT '{c}' AS col_name, CAST({b} AS BIGINT) AS bin, count(*) AS {name}_n"
+                f" FROM ({sql}) WHERE TRY_CAST({c} AS DOUBLE) IS NOT NULL GROUP BY 1, 2"
+            )
+        return "\nUNION ALL\n".join(selects)
+
+    grid = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, unnest(generate_series(0, {n_bins - 1})) AS bin"
+        for c in cols
+    )
+    return f"""
+WITH base AS ({side(base_sql, 'base')}),
+cur AS ({side(cur_sql, 'cur')}),
+grid AS ({grid}),
+j AS (
+  SELECT grid.col_name, grid.bin,
+         coalesce(base_n, 0) AS base_n, coalesce(cur_n, 0) AS cur_n
+  FROM grid
+  LEFT JOIN base ON grid.col_name = base.col_name AND grid.bin = base.bin
+  LEFT JOIN cur ON grid.col_name = cur.col_name AND grid.bin = cur.bin
+), tot AS (
+  SELECT col_name, sum(base_n) AS bt, sum(cur_n) AS ct FROM j GROUP BY col_name
+)
+SELECT j.col_name, j.bin,
+       round(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), 6) AS base_share,
+       round(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), 6) AS cur_share,
+       round((greatest(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), {_EPS!r})
+            - greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r}))
+           * ln(greatest(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), {_EPS!r})
+              / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6) AS psi_term
+FROM j JOIN tot ON j.col_name = tot.col_name
+"""

@@ -1587,6 +1587,33 @@ def _drift_oracle() -> str:
     )
 
 
+_DRIFT_TABLE_BOUNDS = {"value": (0.0, 500.0), "user_id": (0.0, 1500.0)}
+
+
+def q_drift_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level drift: PSI for every monitored numeric column of
+    events in ONE stacked pass per side (ops.drift.psi_table) —
+    monitoring N columns costs the same two scans as one."""
+    from datalakerulegeneration_spark.ops.drift import psi_table
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return psi_table(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        _DRIFT_TABLE_BOUNDS,
+    )
+
+
+def _drift_table_oracle() -> str:
+    from datalakerulegeneration_spark.ops.drift import psi_table_sql
+
+    return psi_table_sql(
+        "SELECT * FROM events WHERE event_id % 2 = 0",
+        "SELECT * FROM events WHERE event_id % 2 = 1",
+        _DRIFT_TABLE_BOUNDS,
+    )
+
+
 def q_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic between the two event 'loads'
     (ops.drift.ks_statistic): ECDF max-gap on distinct-value grain —
@@ -2294,6 +2321,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate_fuzzy_documents": (q_decontaminate_fuzzy, _decontaminate_fuzzy_oracle()),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
+    "drift_table_events": (q_drift_table_events, _drift_table_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
