@@ -327,3 +327,87 @@ SELECT j.col_name, j.bin,
               / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6) AS psi_term
 FROM j JOIN tot ON j.col_name = tot.col_name
 """
+
+
+def wasserstein_1(baseline: DataFrame, current: DataFrame, col: str) -> DataFrame:
+    """EXACT 1-Wasserstein (earth-mover) distance between two samples:
+    ``(w1, n_base, n_cur)`` — W1 = ∫|ECDF_a − ECDF_b| dx, evaluated as
+    the sum of |ecdf gap| × (next value − value) over distinct-value
+    grain (the ECDFs are step functions). Same O(distinct) scaling as
+    :func:`ks_statistic`. Each term rounds to 6 dp and sums through
+    exact decimals, so the result is order-independent and
+    engine-portable (a raw double sum is neither).
+    """
+    from pyspark.sql import Window
+
+    v = F.expr(f"try_cast({col} as double)")
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.where(v.isNotNull())
+            .groupBy(v.alias("v"))
+            .agg(F.count(F.lit(1)).alias(f"{name}_n"))
+        )
+
+    j = (
+        side(baseline, "base")
+        .join(side(current, "cur"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wl = Window.orderBy("v")
+    tot = j.agg(F.sum("base_n").alias("nb"), F.sum("cur_n").alias("nc"))
+    terms = (
+        j.withColumn("ca", F.sum("base_n").over(wc))
+        .withColumn("cb", F.sum("cur_n").over(wc))
+        .withColumn("nxt", F.lead("v").over(wl))
+        .join(F.broadcast(tot))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.expr(
+                "cast(round(abs(cast(ca as double) / cast(nb as double)"
+                " - cast(cb as double) / cast(nc as double)) * (nxt - v), 6)"
+                " as decimal(18,6))"
+            ).alias("term"),
+            "nb",
+            "nc",
+        )
+    )
+    return terms.groupBy("nb", "nc").agg(
+        F.sum("term").cast("double").alias("w1")
+    ).select("w1", F.col("nb").alias("n_base"), F.col("nc").alias("n_cur"))
+
+
+def wasserstein_1_sql(base_sql: str, cur_sql: str, col: str) -> str:
+    """DuckDB oracle for :func:`wasserstein_1`."""
+    def side(sql: str, name: str) -> str:
+        return (
+            f"SELECT TRY_CAST({col} AS DOUBLE) AS v, count(*) AS {name}_n"
+            f" FROM ({sql}) WHERE TRY_CAST({col} AS DOUBLE) IS NOT NULL GROUP BY 1"
+        )
+
+    return f"""
+WITH base AS ({side(base_sql, 'base')}),
+cur AS ({side(cur_sql, 'cur')}),
+j AS (
+  SELECT coalesce(base.v, cur.v) AS v,
+         coalesce(base_n, 0) AS base_n, coalesce(cur_n, 0) AS cur_n
+  FROM base FULL OUTER JOIN cur ON base.v = cur.v
+), tot AS (SELECT sum(base_n) AS nb, sum(cur_n) AS nc FROM j),
+terms AS (
+  SELECT CAST(round(abs(CAST(sum(base_n) OVER w AS DOUBLE) / CAST(nb AS DOUBLE)
+                      - CAST(sum(cur_n) OVER w AS DOUBLE) / CAST(nc AS DOUBLE))
+                 * (lead(v) OVER wo - v), 6) AS DECIMAL(18,6)) AS term,
+         lead(v) OVER wo AS nxt, nb, nc
+  FROM j, tot
+  WINDOW w AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wo AS (ORDER BY v ASC)
+)
+SELECT CAST(sum(term) AS DOUBLE) AS w1,
+       CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur
+FROM terms WHERE nxt IS NOT NULL GROUP BY nb, nc
+"""

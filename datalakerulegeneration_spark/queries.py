@@ -1636,6 +1636,28 @@ def _ks_oracle() -> str:
     )
 
 
+def q_wasserstein_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein distance between the two event 'loads'
+    (ops.drift.wasserstein_1) — completes the F13 family (KS + W1)
+    as exact-at-scale, oracle-checked operators."""
+    from datalakerulegeneration_spark.ops.drift import wasserstein_1
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return wasserstein_1(
+        ev.where(F.col("event_id") % 2 == 0), ev.where(F.col("event_id") % 2 == 1), "value"
+    )
+
+
+def _wasserstein_oracle() -> str:
+    from datalakerulegeneration_spark.ops.drift import wasserstein_1_sql
+
+    return wasserstein_1_sql(
+        "SELECT * FROM events WHERE event_id % 2 = 0",
+        "SELECT * FROM events WHERE event_id % 2 = 1",
+        "value",
+    )
+
+
 _S_ORACLES = _sampling_oracles()
 
 
@@ -2322,6 +2344,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),
+    "wasserstein_events_value": (q_wasserstein_events_value, _wasserstein_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

@@ -317,3 +317,15 @@ def test_ks_statistic_known_values(spark):
     assert r.ks == 0.5 and r.n_base == 100 and r.n_cur == 100
     same = ks_statistic(a, a, "x").collect()[0]
     assert same.ks == 0.0
+
+
+def test_wasserstein_known_shift(spark):
+    from pyspark.sql import functions as F
+
+    from datalakerulegeneration_spark.ops.drift import wasserstein_1
+
+    a = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    b = spark.range(100).select((F.col("id") + 50).cast("double").alias("x"))
+    r = wasserstein_1(a, b, "x").collect()[0]
+    assert abs(r.w1 - 50.0) < 1e-6       # pure translation: W1 = shift
+    assert wasserstein_1(a, a, "x").collect()[0].w1 == 0.0
