@@ -98,7 +98,7 @@ def expand(
     cols = columns or df.columns
     if not (row_id_col and row_id_col in df.columns):
         # positional ids in the SAME id space the rule engine and
-        # ground-truth differ use (zipWithIndex), so dBoost discrepancy
+        # ground-truth differ use (JVM-side partition-offset ids), so dBoost discrepancy
         # row_ids join against violations/truth; monotonically_
         # increasing_id would be partition-dependent and disjoint
         from datalakerulegeneration_spark.evaluation.ground_truth import with_row_id

@@ -16,18 +16,32 @@ from pyspark.sql import functions as F
 
 def with_row_id(df: DataFrame, key: str | None = None) -> DataFrame:
     """Stable row id: a real key column when available, else a
-    zip-with-index surrogate (order-dependent — documented)."""
+    contiguous 0..n-1 surrogate in partition order (order-dependent —
+    documented), built ENTIRELY JVM-side: ``monotonically_increasing_id``
+    packs (partition, local index), partition counts give the offsets
+    via a tiny partition-grain aggregate broadcast back. No ``.rdd``
+    round-trip through the Python serializer (r02 verdict item)."""
     if key and key in df.columns:
         return df.withColumn("__row_id", F.col(key).cast("string"))
-    from pyspark.sql import types as T
+    from pyspark.sql import Window
 
-    rdd = df.rdd.zipWithIndex().map(lambda t: t[0] + (t[1],))
-    # fresh StructType — StructType.add would mutate df's cached schema
-    schema = T.StructType(list(df.schema.fields) + [T.StructField("__row_id_l", T.LongType())])
+    # mid = (partition id << 33) + row index within partition
+    local_mask = (1 << 33) - 1
+    d = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local", F.monotonically_increasing_id().bitwiseAND(F.lit(local_mask))
+    )
+    # #partitions-row frame; the unpartitioned window scans only those rows
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        d.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(wp), F.lit(0)))
+        .select("_pid", "_off")
+    )
     return (
-        df.sparkSession.createDataFrame(rdd, schema)
-        .withColumn("__row_id", F.col("__row_id_l").cast("string"))
-        .drop("__row_id_l")
+        d.join(F.broadcast(off), "_pid")
+        .withColumn("__row_id", (F.col("_off") + F.col("_local")).cast("string"))
+        .drop("_pid", "_local", "_off")
     )
 
 

@@ -42,6 +42,14 @@ def psi_bins(
         ).collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
+    if lo is None or hi is None:
+        raise ValueError(
+            f"psi_bins: cannot infer [lo, hi] for column {col!r} — the baseline"
+            " is empty or the column has no castable numeric values; pass"
+            " explicit lo/hi"
+        )
+    if hi < lo:
+        raise ValueError(f"psi_bins: hi ({hi!r}) < lo ({lo!r}) for column {col!r}")
     width = (hi - lo) / n_bins or 1.0
 
     def binned(df: DataFrame, name: str) -> DataFrame:
@@ -129,20 +137,10 @@ FROM j, tot
 """
 
 
-def ks_statistic(baseline: DataFrame, current: DataFrame, col: str) -> DataFrame:
-    """EXACT two-sample Kolmogorov-Smirnov statistic, distributed:
-    one row ``(ks, n_base, n_cur)``.
-
-    The ECDF step function only changes at observed values, so the
-    max |ECDF_a - ECDF_b| is computed on DISTINCT-value grain: union
-    both sides at (value, side) counts, one cumulative window ordered
-    by value, one max. Shuffled state is O(distinct values) — the
-    same scaling argument as the profiler's exact quartiles — versus
-    the textbook sort-both-samples formulation's O(rows). Exact
-    integer ratios, so the DuckDB oracle matches bit-for-bit.
-    """
-    from pyspark.sql import Window
-
+def _distinct_grain(baseline: DataFrame, current: DataFrame, col: str) -> DataFrame:
+    """(v, base_n, cur_n) at distinct-value grain — the shared first
+    stage of both ECDF operators. Shuffled state is O(distinct values),
+    versus the textbook sort-both-samples formulation's O(rows)."""
     v = F.expr(f"try_cast({col} as double)")
 
     def side(df: DataFrame, name: str) -> DataFrame:
@@ -152,7 +150,7 @@ def ks_statistic(baseline: DataFrame, current: DataFrame, col: str) -> DataFrame
             .agg(F.count(F.lit(1)).alias(f"{name}_n"))
         )
 
-    j = (
+    return (
         side(baseline, "base")
         .join(side(current, "cur"), "v", "full_outer")
         .select(
@@ -161,23 +159,94 @@ def ks_statistic(baseline: DataFrame, current: DataFrame, col: str) -> DataFrame
             F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = j.agg(F.sum("base_n").alias("nb"), F.sum("cur_n").alias("nc"))
-    ecdf = (
-        j.withColumn("ca", F.sum("base_n").over(w))
-        .withColumn("cb", F.sum("cur_n").over(w))
-        .join(F.broadcast(tot))
-        .select(
-            F.abs(
-                F.col("ca").cast("double") / F.col("nb").cast("double")
-                - F.col("cb").cast("double") / F.col("nc").cast("double")
-            ).alias("d"),
-            "nb",
-            "nc",
-        )
+
+
+def _range_buckets(baseline: DataFrame, col: str, n_parts: int) -> list[float]:
+    """Deduped approximate quantile boundaries of the baseline column —
+    ONLY used to spread the cumulative window across ``n_parts``
+    parallel partitions; any boundary set yields the exact same answer,
+    so low approx_percentile accuracy is fine. One cheap single-column
+    aggregate (column-pruned scan)."""
+    probs = ", ".join(f"{i / n_parts!r}" for i in range(1, n_parts))
+    row = baseline.agg(
+        F.expr(
+            f"approx_percentile(try_cast({col} as double), array({probs}), 1000)"
+        ).alias("b")
+    ).collect()[0]
+    bounds = row["b"] or []
+    return sorted({b for b in bounds if b is not None})
+
+
+def _pid_expr(bounds: list[float]):
+    """Bucket id for a value given sorted boundary literals: values <=
+    bounds[0] → 0, (bounds[i-1], bounds[i]] → i, > bounds[-1] → len.
+    All equal values share a bucket, so per-bucket cumulative order is
+    consistent."""
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col("v") > F.lit(float(b)), 1).otherwise(0)
+    return pid
+
+
+def ks_statistic(
+    baseline: DataFrame, current: DataFrame, col: str, n_parts: int = 32
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic, distributed:
+    one row ``(ks, n_base, n_cur)``.
+
+    The ECDF step function only changes at observed values, so the
+    max |ECDF_a - ECDF_b| is computed on DISTINCT-value grain. The
+    cumulative sum is TWO-LEVEL so no single task sees the whole
+    domain: values are bucketed by approximate baseline quantiles
+    (boundaries are plan literals), each bucket computes a local
+    running sum in parallel, and the per-bucket totals — a ``n_parts``
+    -row aggregate collected to the driver — provide the bucket
+    offsets as literals. Exact integer ratios, so the DuckDB oracle
+    matches bit-for-bit regardless of bucketing.
+    """
+    from pyspark.sql import Window
+
+    j = _distinct_grain(baseline, current, col)
+    bounds = _range_buckets(baseline, col, n_parts)
+    jb = j.withColumn("pid", _pid_expr(bounds))
+
+    # Tiny bucket-grain aggregate → driver: totals and per-bucket offsets.
+    btots = {
+        r["pid"]: (r["b"], r["c"])
+        for r in jb.groupBy("pid")
+        .agg(F.sum("base_n").alias("b"), F.sum("cur_n").alias("c"))
+        .collect()
+    }
+    nb = sum(b for b, _ in btots.values())
+    nc = sum(c for _, c in btots.values())
+    if nb == 0 or nc == 0:
+        raise ValueError(f"ks_statistic: a side has no numeric values in {col!r}")
+    off_b, off_c, acc_b, acc_c = {}, {}, 0, 0
+    for pid in sorted(btots):
+        off_b[pid], off_c[pid] = acc_b, acc_c
+        acc_b += btots[pid][0]
+        acc_c += btots[pid][1]
+
+    def offset(m: dict[int, int]):
+        e = F.lit(0)
+        for pid, v in m.items():
+            if v:
+                e = F.when(F.col("pid") == pid, F.lit(v)).otherwise(e)
+        return e
+
+    w = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    return ecdf.groupBy("nb", "nc").agg(F.round(F.max("d"), 6).alias("ks")).select(
-        "ks", F.col("nb").alias("n_base"), F.col("nc").alias("n_cur")
+    ecdf = jb.select(
+        F.abs(
+            (F.sum("base_n").over(w) + offset(off_b)).cast("double") / F.lit(float(nb))
+            - (F.sum("cur_n").over(w) + offset(off_c)).cast("double") / F.lit(float(nc))
+        ).alias("d")
+    )
+    return ecdf.agg(F.round(F.max("d"), 6).alias("ks")).select(
+        "ks",
+        F.lit(nb).cast("long").alias("n_base"),
+        F.lit(nc).cast("long").alias("n_cur"),
     )
 
 
@@ -230,9 +299,15 @@ def psi_table(
         for c in cols:
             lo, hi = bounds[c]
             width = (hi - lo) / n_bins or 1.0
+            # Spark's greatest() SKIPS nulls (greatest(0, NULL) = 0), so a
+            # null cell would silently land in bin 0; guard with an explicit
+            # CASE so nulls produce a NULL bin and fall out of the filter
+            # below (mirrors psi_bins' explicit isNotNull pre-filter).
             parts.append(
-                f"'{c}', least({n_bins - 1}, greatest(0,"
-                f" cast(floor((try_cast(`{c}` as double) - {lo!r}) / {width!r}) as int)))"
+                f"'{c}', case when try_cast(`{c}` as double) is null"
+                f" then cast(null as int)"
+                f" else least({n_bins - 1}, greatest(0,"
+                f" cast(floor((try_cast(`{c}` as double) - {lo!r}) / {width!r}) as int))) end"
             )
         m = df.selectExpr(
             f"stack({len(cols)}, {', '.join(parts)}) as (col_name, bin)"
@@ -329,57 +404,77 @@ FROM j JOIN tot ON j.col_name = tot.col_name
 """
 
 
-def wasserstein_1(baseline: DataFrame, current: DataFrame, col: str) -> DataFrame:
+def wasserstein_1(
+    baseline: DataFrame, current: DataFrame, col: str, n_parts: int = 32
+) -> DataFrame:
     """EXACT 1-Wasserstein (earth-mover) distance between two samples:
     ``(w1, n_base, n_cur)`` — W1 = ∫|ECDF_a − ECDF_b| dx, evaluated as
     the sum of |ecdf gap| × (next value − value) over distinct-value
-    grain (the ECDFs are step functions). Same O(distinct) scaling as
-    :func:`ks_statistic`. Each term rounds to 6 dp and sums through
-    exact decimals, so the result is order-independent and
-    engine-portable (a raw double sum is neither).
+    grain (the ECDFs are step functions). Same two-level bucketed
+    cumulative as :func:`ks_statistic` — no single-task global window;
+    a bucket's last row takes its ``next value`` from the following
+    bucket's minimum (part of the same tiny driver-side bucket
+    aggregate). Each term rounds to 6 dp and sums through exact
+    decimals, so the result is order-independent and engine-portable
+    (a raw double sum is neither).
     """
     from pyspark.sql import Window
 
-    v = F.expr(f"try_cast({col} as double)")
+    j = _distinct_grain(baseline, current, col)
+    bounds = _range_buckets(baseline, col, n_parts)
+    jb = j.withColumn("pid", _pid_expr(bounds))
 
-    def side(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.where(v.isNotNull())
-            .groupBy(v.alias("v"))
-            .agg(F.count(F.lit(1)).alias(f"{name}_n"))
+    stats = {
+        r["pid"]: (r["b"], r["c"], r["mn"])
+        for r in jb.groupBy("pid")
+        .agg(
+            F.sum("base_n").alias("b"),
+            F.sum("cur_n").alias("c"),
+            F.min("v").alias("mn"),
         )
+        .collect()
+    }
+    nb = sum(b for b, _, _ in stats.values())
+    nc = sum(c for _, c, _ in stats.values())
+    if nb == 0 or nc == 0:
+        raise ValueError(f"wasserstein_1: a side has no numeric values in {col!r}")
+    pids = sorted(stats)
+    off_b, off_c, nxt_min, acc_b, acc_c = {}, {}, {}, 0, 0
+    for i, pid in enumerate(pids):
+        off_b[pid], off_c[pid] = acc_b, acc_c
+        acc_b += stats[pid][0]
+        acc_c += stats[pid][1]
+        if i + 1 < len(pids):
+            nxt_min[pid] = stats[pids[i + 1]][2]
 
-    j = (
-        side(baseline, "base")
-        .join(side(current, "cur"), "v", "full_outer")
-        .select(
-            "v",
-            F.coalesce("base_n", F.lit(0)).alias("base_n"),
-            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
-        )
+    def case_map(m: dict, default=None):
+        e = F.lit(default)
+        for pid, v in m.items():
+            e = F.when(F.col("pid") == pid, F.lit(v)).otherwise(e)
+        return e
+
+    wc = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wl = Window.orderBy("v")
-    tot = j.agg(F.sum("base_n").alias("nb"), F.sum("cur_n").alias("nc"))
+    wl = Window.partitionBy("pid").orderBy("v")
     terms = (
-        j.withColumn("ca", F.sum("base_n").over(wc))
-        .withColumn("cb", F.sum("cur_n").over(wc))
-        .withColumn("nxt", F.lead("v").over(wl))
-        .join(F.broadcast(tot))
+        jb.withColumn("ca", F.sum("base_n").over(wc) + case_map(off_b, 0))
+        .withColumn("cb", F.sum("cur_n").over(wc) + case_map(off_c, 0))
+        .withColumn("nxt", F.coalesce(F.lead("v").over(wl), case_map(nxt_min)))
         .where(F.col("nxt").isNotNull())
         .select(
             F.expr(
-                "cast(round(abs(cast(ca as double) / cast(nb as double)"
-                " - cast(cb as double) / cast(nc as double)) * (nxt - v), 6)"
+                f"cast(round(abs(cast(ca as double) / {float(nb)!r}"
+                f" - cast(cb as double) / {float(nc)!r}) * (nxt - v), 6)"
                 " as decimal(18,6))"
-            ).alias("term"),
-            "nb",
-            "nc",
+            ).alias("term")
         )
     )
-    return terms.groupBy("nb", "nc").agg(
-        F.sum("term").cast("double").alias("w1")
-    ).select("w1", F.col("nb").alias("n_base"), F.col("nc").alias("n_cur"))
+    return terms.agg(F.sum("term").cast("double").alias("w1")).select(
+        "w1",
+        F.lit(nb).cast("long").alias("n_base"),
+        F.lit(nc).cast("long").alias("n_cur"),
+    )
 
 
 def wasserstein_1_sql(base_sql: str, cur_sql: str, col: str) -> str:

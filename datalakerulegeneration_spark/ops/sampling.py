@@ -85,10 +85,36 @@ def stratified_hash_sample_sql(
     )
 
 
-def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "shuffle") -> DataFrame:
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "shuffle", n_parts: int = 64
+) -> DataFrame:
     """Global reproducible shuffle: rows ranked by ``md5(salt:id)``
-    (ties broken by id). ONE range-partitioned sort — the standard way
-    to randomize training-example order so every rerun, resume, or
-    backfill sees the identical sequence."""
-    w = Window.orderBy(_hash_bucket(id_col, salt).asc(), F.col(id_col).asc())
-    return df.withColumn("shuffle_pos", F.row_number().over(w))
+    (ties broken by id) — the standard way to randomize
+    training-example order so every rerun, resume, or backfill sees
+    the identical sequence.
+
+    The global rank is TWO-LEVEL so no task sorts the whole table:
+    the md5 bucket value is uniform on [0, 2^28), so its high bits
+    give ``n_parts`` perfectly balanced, deterministic range buckets;
+    each bucket ranks locally in parallel, and bucket offsets come
+    from an ``n_parts``-row count aggregate (its cumulative window
+    touches only those few rows) broadcast back. Output positions are
+    identical to a single global sort.
+    """
+    width = _BUCKETS // n_parts
+    h = _hash_bucket(id_col, salt)
+    d = df.withColumn("_h", h).withColumn("_pid", F.floor(F.col("_h") / width).cast("int"))
+    # n_parts-row frame; the unpartitioned window below scans only these rows.
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        d.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(wp), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    wl = Window.partitionBy("_pid").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn("shuffle_pos", (F.row_number().over(wl) + F.col("_off")).cast("int"))
+        .drop("_h", "_pid", "_off")
+    )

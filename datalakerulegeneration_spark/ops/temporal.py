@@ -127,6 +127,18 @@ def asof_join(
     the last seen right values with ``last_value(..., ignorenulls)``.
     One |L|+|R| shuffle — no range join, no per-row lookup.
     """
+    reserved = {"_k", "_t", "_side", "_r"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns collide with internal names {sorted(clash)}"
+        )
+    overlap = set(right_vals) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join: right_vals {sorted(overlap)} collide with left columns;"
+            " alias them on the right side first"
+        )
     lt = left.withColumn("_k", F.col(left_key)).withColumn(
         "_t", F.unix_timestamp(F.col(left_ts).cast("timestamp"))
     )

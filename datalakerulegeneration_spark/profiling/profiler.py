@@ -75,7 +75,12 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     lost parallelism (measured 14s → 2s on 600k-row lineitem).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() is a metadata-only call; small parquet scans yield at
+    # most ~one partition per file, so few files → repartition. Avoids
+    # df.rdd.getNumPartitions(), which instantiates the RDD lineage
+    # through the Python serializer on every profile call (r02 verdict).
+    files = df.inputFiles()
+    if files and len(files) < target:
         return df.repartition(target)
     return df
 

@@ -55,8 +55,15 @@ RE_EMAIL = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
 def _lit(pat: str) -> str:
     """Embed a regex in a Spark SQL string literal (backslashes are
     escape-processed by the SQL parser, so they must be doubled;
-    DuckDB standard literals pass backslashes through untouched)."""
-    return "'" + pat.replace("\\", "\\\\").replace("'", "''") + "'"
+    DuckDB standard literals pass backslashes through untouched).
+
+    Single quotes are rejected rather than escaped: Spark escapes them
+    with a backslash while doubling ('') silently concatenates adjacent
+    literals, so no one string works for both engines' oracles.
+    """
+    if "'" in pat:
+        raise ValueError(f"regex literal may not contain a single quote: {pat!r}")
+    return "'" + pat.replace("\\", "\\\\") + "'"
 
 
 def _dec(c: str) -> Column:

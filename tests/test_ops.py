@@ -305,6 +305,35 @@ def test_psi_drift_detects_planted_shift(spark):
     assert abs(sum(r.base_share for r in rows) - 1.0) < 1e-4
 
 
+def test_psi_table_drops_null_cells(spark):
+    # Spark's greatest() skips NULLs, so an unguarded bin expression
+    # would silently drop null cells into bin 0 (ADVICE r02); nulls
+    # must not contribute to any bin's count or to the share total.
+    from datalakerulegeneration_spark.ops.drift import psi_table
+
+    base = spark.createDataFrame(
+        [(0.0,), (5.0,), (None,), (None,), (None,)], "x double"
+    )
+    cur = spark.createDataFrame([(0.0,), (5.0,), (5.0,), (5.0,), (9.0,)], "x double")
+    rows = psi_table(base, cur, {"x": (0.0, 10.0)}, n_bins=5).collect()
+    shares = {r.bin: r.base_share for r in rows}
+    # 2 non-null baseline cells: one in bin 0, one in bin 2 → share 0.5 each
+    assert shares[0] == 0.5 and shares[2] == 0.5
+    assert abs(sum(r.base_share for r in rows) - 1.0) < 1e-9
+
+
+def test_psi_bins_rejects_unbinnable(spark):
+    import pytest
+    from datalakerulegeneration_spark.ops.drift import psi_bins
+
+    empty = spark.createDataFrame([], "x double")
+    cur = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="cannot infer"):
+        psi_bins(empty, cur, "x")
+    with pytest.raises(ValueError, match="hi"):
+        psi_bins(cur, cur, "x", lo=5.0, hi=1.0)
+
+
 def test_ks_statistic_known_values(spark):
     from pyspark.sql import functions as F
 
