@@ -194,6 +194,70 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def lsh_bucket_topk_sql(
+    vectors_table: str,
+    queries_sql: str,
+    k: int,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`lsh_bucket_topk` — possible because the
+    hyperplanes are md5-derived ±1 literals, not RNG state: the same
+    plane constants are baked into both engines' plans, the dot products
+    evaluate in identical array order in double, and ranking ties break
+    by neighbor id. ``queries_sql`` yields (query_id, qv)."""
+
+    def bucket(vec_expr: str, table: int) -> str:
+        planes = random_hyperplanes(dim, n_planes, seed=table)
+        terms = []
+        for p, row in enumerate(planes):
+            lit = "[" + ", ".join(f"{x:.1f}" for x in row) + "]"
+            w = 1 << (n_planes - 1 - p)
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), {lit}) >= 0"
+                f" THEN {w} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sv = "\nUNION ALL\n".join(
+        f"SELECT {id_col} AS neighbor_id, {t} AS table_idx, {bucket(vec_col, t)} AS bucket"
+        f" FROM {vectors_table}"
+        for t in range(n_tables)
+    )
+    sq = "\nUNION ALL\n".join(
+        f"SELECT query_id, {t} AS table_idx, {bucket('qv', t)} AS bucket FROM q"
+        for t in range(n_tables)
+    )
+    cos = (
+        f"list_dot_product(CAST(qq.qv AS DOUBLE[]), CAST(vv.{vec_col} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST(qq.qv AS DOUBLE[]), CAST(qq.qv AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST(vv.{vec_col} AS DOUBLE[]), CAST(vv.{vec_col} AS DOUBLE[]))))"
+    )
+    return f"""
+WITH q AS ({queries_sql}),
+sv AS ({sv}),
+sq AS ({sq}),
+cand AS (
+  SELECT DISTINCT sq.query_id, sv.neighbor_id
+  FROM sv JOIN sq ON sv.table_idx = sq.table_idx AND sv.bucket = sq.bucket
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, round({cos}, 6) AS cos_sim
+  FROM cand c
+  JOIN q qq ON c.query_id = qq.query_id
+  JOIN {vectors_table} vv ON c.neighbor_id = vv.{id_col}
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -88,6 +88,7 @@ ROW_LOCAL_TYPES = {
     "equality",
     "cross_field",
     "pattern",
+    "sql",
 }
 
 
@@ -171,4 +172,10 @@ def row_violation(col: str, spec: dict, params: dict | None = None) -> Column:
     if t == "cross_field":
         # row-level SQL predicate that must HOLD; violation = present & !expr
         return present & ~F.expr(spec["expr"])
+    if t == "sql":
+        # raw violation predicate (True = error), applied WITHOUT the
+        # `present` guard — the escape hatch the legacy rule-string
+        # dispatcher compiles into (reference detect_error_cells.py:16-32
+        # flags empty cells too, so the guard must not apply)
+        return F.expr(spec["expr"])
     raise ValueError(f"unknown row-local validator: {t}")

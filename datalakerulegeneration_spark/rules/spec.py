@@ -107,3 +107,56 @@ def parse_yaml_rules(mapping: dict[str, str]) -> list[Rule]:
     """Build profile-level rules from a ``{name: expression}`` mapping
     (the shape of the reference's rules.yaml)."""
     return [Rule(name=n, applies=parse_expr(e), description=e) for n, e in mapping.items()]
+
+
+# ---------------------------------------------------------------------------
+# R19: legacy rule-description dispatcher (reference
+# detect_error_cells.py:16-32) — free-text rule strings like
+# ``MUST NOT be NULL`` / ``FIXED LENGTH FIELD 15`` compile to validator
+# specs so legacy rule files ingest directly. Semantics mirror the
+# reference exactly, including its quirks: values are TRIMMED before
+# checking, empty cells DO violate NULL/length/regex rules, and
+# CATEGORICAL / LIKELY UNIQUE strings produce no row-level check
+# (the reference returns False for both).
+# ---------------------------------------------------------------------------
+
+# trimmed, null-safe string rendering of a cell for the legacy checks
+_LEGACY_CELL = "trim(coalesce(cast(`{col}` as string), ''))"
+
+
+def parse_legacy_rule(column: str, text: str) -> Rule:
+    """One legacy description string → a :class:`Rule` bound to
+    ``column``. The emitted validator is a raw-SQL violation predicate
+    (portable Spark/DuckDB subset: no ``\\d``/``\\w`` classes)."""
+    cell = _LEGACY_CELL.format(col=column)
+    sql = None
+    if text == "MUST NOT be NULL":
+        sql = f"{cell} = ''"
+    elif "FIXED LENGTH FIELD" in text:
+        m = re.findall(r"\d+", text)
+        if not m:
+            raise ValueError(f"FIXED LENGTH FIELD rule needs a length: {text!r}")
+        sql = f"length({cell}) <> {int(m[0])}"
+    elif text.startswith("NUMERIC FIELD"):
+        sql = f"NOT regexp_like({cell}, '^[0-9.,]+$')"
+    elif text.startswith("STRUCTURED FIELD"):
+        sql = f"NOT regexp_like({cell}, '^[A-Za-z0-9_-]+$')"
+    elif text.startswith(("CATEGORICAL FIELD", "LIKELY UNIQUE FIELD")):
+        sql = None  # reference: no row-level check for these
+    else:
+        sql = None  # unknown strings are inert, as in the reference
+    return Rule(
+        name=text,
+        validate={"type": "sql", "expr": sql} if sql else None,
+        description=text,
+    )
+
+
+def parse_legacy_rules(rules_dict: dict[str, list[str]]) -> list[tuple[str, Rule]]:
+    """Whole legacy rules file ``{column: [description, ...]}`` →
+    ``(column, Rule)`` pairs ready for engine bindings."""
+    return [
+        (col, parse_legacy_rule(col, text))
+        for col, texts in rules_dict.items()
+        for text in texts
+    ]

@@ -43,6 +43,43 @@ def test_parse_expr():
     ]}
 
 
+def test_parse_legacy_rules(spark):
+    # R19: reference detect_error_cells.py:16-32 semantics — trimmed
+    # values, empty cells violate, CATEGORICAL/LIKELY UNIQUE are inert
+    from datalakerulegeneration_spark.rules.engine import Binding
+    from datalakerulegeneration_spark.rules.spec import parse_legacy_rules
+
+    pairs = parse_legacy_rules(
+        {
+            "a": ["MUST NOT be NULL", "FIXED LENGTH FIELD 3"],
+            "b": ["NUMERIC FIELD", "CATEGORICAL FIELD"],
+            "c": ["STRUCTURED FIELD (code)", "LIKELY UNIQUE FIELD"],
+        }
+    )
+    inert = [r for _, r in pairs if r.validate is None]
+    assert len(pairs) == 6 and len(inert) == 2
+    df = spark.createDataFrame(
+        [("abc", "12.5", "ok-1"), ("  ", "x2", "has space"), ("abcd", "", "fine_2")],
+        "a string, b string, c string",
+    )
+    from datalakerulegeneration_spark.rules import RuleEngine
+
+    eng = RuleEngine(spark)
+    v = eng.detect(
+        df, "t", [Binding(c, r) for c, r in pairs], row_id_col=None,
+        suppress_full_column=False,
+    )
+    got = {(r.column, r.rule, r.row_id) for r in v.collect()}
+    assert ("a", "MUST NOT be NULL", "1") in got          # whitespace-only
+    assert ("a", "FIXED LENGTH FIELD 3", "1") in got      # trims to 0 chars
+    assert ("a", "FIXED LENGTH FIELD 3", "2") in got      # 4 chars
+    assert ("b", "NUMERIC FIELD", "1") in got             # 'x2'
+    assert ("b", "NUMERIC FIELD", "2") in got             # empty violates
+    assert ("c", "STRUCTURED FIELD (code)", "1") in got   # space
+    assert not any(r == "CATEGORICAL FIELD" for _, r, _ in got)
+    assert ("a", "MUST NOT be NULL", "0") not in got
+
+
 def test_rules_for_profiles(spark, sf_tables):
     profiles = profile_table(spark, sf_tables["nation"], "nation")
     matched = rules_for_profiles(profiles, load_all_rules())
