@@ -1798,6 +1798,38 @@ WHERE text IS NOT NULL
 """
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle: each doc_id becomes an actual
+    PNG payload (solid gray, dims/level arithmetic functions of the
+    id), and extract_features genuinely DECODES it (zlib inflate +
+    scanline unfilter; PIL when present) — so the decoded
+    width/height/mean-luma must equal the closed-form values the
+    DuckDB oracle computes. This is decode-path proof, not plumbing
+    proof (that is multimodal_features_documents' job)."""
+    from datalakerulegeneration_spark.ops import multimodal
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = multimodal.make_png_assets_from_documents(docs)
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        F.col("frames_sampled").cast("long").alias("frames_sampled"),
+    )
+
+
+Q_MULTIMODAL_PNG_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(4 + doc_id % 13 AS BIGINT) AS width,
+       CAST(4 + doc_id % 7 AS BIGINT) AS height,
+       round(((doc_id * 37) % 256) / 255.0, 6) AS mean_luma,
+       CAST(1 AS BIGINT) AS frames_sampled
+FROM documents
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale extension: overlapping fixed-width chunking of the corpus
     (map-only posexplode; ops.textqa.chunk_documents)."""
@@ -2433,6 +2465,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
     "chunk_documents": (q_chunk_documents, textqa.chunk_sql("documents", "doc_id", "text", size=200, overlap=50)),
     "multimodal_features_documents": (q_multimodal_features, Q_MULTIMODAL_ORACLE),
+    "multimodal_png_decode_documents": (q_multimodal_png_decode, Q_MULTIMODAL_PNG_ORACLE),
     "hash_sample_documents": (q_hash_sample_documents, _S_ORACLES["hash_sample_documents"]),
     "train_test_split_documents": (q_train_test_split_documents, _S_ORACLES["train_test_split_documents"]),
     "stratified_sample_documents": (q_stratified_sample_documents, _S_ORACLES["stratified_sample_documents"]),
@@ -2498,7 +2531,7 @@ _GATE_HEAD = [
     "language_id_documents",
     "quality_score_documents",
     "token_count_documents",
-    "multimodal_features_documents",
+    "multimodal_png_decode_documents",
     "shuffle_documents",
     "stratified_sample_documents",
     "quality_filter_documents",

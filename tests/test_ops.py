@@ -234,6 +234,74 @@ def test_multimodal_frame_sampling(spark, sf_tables):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
+def test_png_decode_real(spark):
+    # the extractor must REALLY decode PNG payloads: exact dims and
+    # luma of known images, including non-trivial filter types
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from datalakerulegeneration_spark.ops import multimodal
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    def png_rgb(arr, filt):
+        # encode an RGB array with a fixed filter type per row
+        h, w, _ = arr.shape
+        rows = []
+        prev = np.zeros(w * 3, dtype=np.uint8)
+        for y in range(h):
+            line = arr[y].reshape(-1)
+            if filt == 0:
+                enc = line
+            elif filt == 2:
+                enc = (line.astype(int) - prev.astype(int)) % 256
+            elif filt == 1:
+                enc = line.astype(int).copy()
+                for x in range(w * 3 - 1, -1, -1):
+                    a = int(line[x - 3]) if x >= 3 else 0
+                    enc[x] = (int(line[x]) - a) % 256
+            rows.append(bytes([filt]) + bytes(enc.astype(np.uint8)))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            multimodal.PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    expected_luma = round(
+        float(
+            (0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]).mean()
+            / 255.0
+        ),
+        6,
+    )
+    payloads = [
+        (0, png_rgb(arr, 0)),
+        (1, png_rgb(arr, 1)),
+        (2, png_rgb(arr, 2)),
+        (3, multimodal.encode_png_gray(9, 3, 200)),
+    ]
+    assets = spark.createDataFrame(
+        [(i, "image", "image/png", p, None) for i, p in payloads],
+        multimodal.ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in multimodal.extract_features(assets).collect()}
+    for i in (0, 1, 2):  # every filter type decodes to the same image
+        assert (rows[i].width, rows[i].height) == (4, 5)
+        assert rows[i].mean_luma == expected_luma
+    assert (rows[3].width, rows[3].height) == (9, 3)
+    assert rows[3].mean_luma == round(200 / 255.0, 6)
+
+
 def test_chunk_documents_arithmetic(spark):
     from datalakerulegeneration_spark.ops.textqa import chunk_documents
 
