@@ -12,6 +12,42 @@ from __future__ import annotations
 import numpy as np
 
 
+def k_distances(mat: np.ndarray, k: int = 4, metric: str = "euclidean") -> np.ndarray:
+    """W7: sorted distance-to-k-th-nearest-neighbor curve — the DBSCAN
+    eps-selection helper (reference utils/clustering.py:9-21, minus the
+    matplotlib plot; the caller plots or knees the returned array).
+    Same tiny-matrix scale class as :func:`dbscan`."""
+    n = len(mat)
+    if n == 0:
+        return np.array([], dtype=float)
+    k = min(k, n)
+    if metric == "cosine":
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        dist = 1.0 - unit @ unit.T
+    else:
+        sq = (mat * mat).sum(axis=1)
+        dist = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2 * mat @ mat.T, 0.0))
+    # k-th neighbor INCLUDING self, as sklearn NearestNeighbors does
+    # when fit and queried on the same matrix (distances[:, k-1])
+    kth = np.sort(dist, axis=1)[:, k - 1]
+    return np.sort(kth)
+
+
+def suggest_eps(mat: np.ndarray, k: int = 4, metric: str = "euclidean") -> float:
+    """Knee of the k-distance curve by the max-distance-to-chord rule —
+    a deterministic stand-in for eyeballing the reference's plot."""
+    d = k_distances(mat, k, metric)
+    if len(d) < 3:
+        return float(d[-1]) if len(d) else 0.0
+    x = np.arange(len(d), dtype=float)
+    x0, y0, x1, y1 = x[0], d[0], x[-1], d[-1]
+    denom = np.hypot(x1 - x0, y1 - y0) or 1.0
+    gap = np.abs((y1 - y0) * x - (x1 - x0) * d + x1 * y0 - y1 * x0) / denom
+    return float(d[int(gap.argmax())])
+
+
 def dbscan(
     mat: np.ndarray,
     eps: float = 0.5,

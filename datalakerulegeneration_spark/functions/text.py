@@ -31,6 +31,27 @@ def normalize_abbreviations(col: Column) -> Column:
     return F.trim(F.regexp_replace(out, r"\.", ""))
 
 
+def tokenize_column_name(name: str, strip_fn=None) -> list[str]:
+    """F4: column-name tokenization (reference utils.py:27-41) —
+    underscores/punctuation → spaces, camelCase split, alpha-only
+    lowercase tokens.
+
+    The reference then strips likely prefixes with a SentenceTransformer
+    similarity test (utils.py:13-25). Deterministic substitute: drop
+    bare single-letter tokens (the TPC-H ``o_``/``l_`` style prefixes);
+    pass ``strip_fn(token) -> token`` to plug the model-based stripper.
+    """
+    import re
+
+    s = re.sub(r"[_\W]+", " ", name)
+    s = re.sub(r"([a-z])([A-Z])", r"\1 \2", s)
+    tokens = [t.lower() for t in re.findall(r"[a-zA-Z]+", s)]
+    if strip_fn is not None:
+        return [strip_fn(t) for t in tokens]
+    kept = [t for t in tokens if len(t) > 1]
+    return kept or tokens
+
+
 def levenshtein_conflicts(
     df: DataFrame,
     col: str,

@@ -161,3 +161,24 @@ def test_rule_centric_confidence(spark, profiles):
     conf = rule_centric_confidence(profiles, load_all_rules())
     rows = conf.collect()
     assert rows and all(0.0 <= r["confidence"] <= 1.0 for r in rows)
+
+
+def test_k_distance_and_eps_suggestion():
+    # W7 (utils/clustering.py:9-21): sorted k-NN distance curve + knee
+    import numpy as np
+
+    from datalakerulegeneration_spark.clustering.dbscan import k_distances, suggest_eps
+
+    # two tight clusters far apart: k-distances are small within
+    # clusters, so the suggested eps must sit well under the gap
+    a = np.array([[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [0.1, 0.1]])
+    b = a + 10.0
+    mat = np.vstack([a, b])
+    d = k_distances(mat, k=2)
+    assert len(d) == 8 and np.all(np.diff(d) >= 0)      # sorted curve
+    assert d[-1] <= 0.15                                 # 2nd NN stays in-cluster
+    eps = suggest_eps(mat, k=2)
+    assert 0.0 < eps <= 0.15
+    # degenerate inputs
+    assert len(k_distances(np.empty((0, 2)))) == 0
+    assert suggest_eps(np.array([[1.0, 1.0]])) >= 0.0

@@ -46,6 +46,21 @@ def test_expansion_shapes(spark):
     assert row["s__sig"] == "AB<num>"
     assert row["f__frac"] == 0.5
     assert row["ts__unix_year"] == 2023.0
+    # F10 bits/div expansions (features/__init__.py:96-110,131-134)
+    assert (row["i__bit0"], row["i__bit1"], row["i__bit2"]) == (1.0, 0.0, 0.0)
+    assert (row["i__div3"], row["i__div5"]) == (0.0, 0.0)
+    assert (row["ts__div5"], row["ts__bit5"]) == (1.0, 0.0)
+    # unicode_sig is DEFAULT_DISABLED (python path): absent by default
+    assert "s__unicode_sig" not in names
+
+
+def test_expansion_unicode_signature(spark):
+    # F11 (features/__init__.py:48-50): opt-in pandas_udf path
+    df = spark.createDataFrame([("Ab1 é!",), (None,)], "s string")
+    ex = expand(df, disabled=set())
+    vals = [r["s__unicode_sig"] for r in ex.orderBy("__row_id").collect()]
+    assert vals[0] == "Lu,Ll,Nd,Zs,Ll,Po"
+    assert vals[1] is None
 
 
 def test_gaussian_model_flags_planted_outliers(spark, sensors):

@@ -106,3 +106,69 @@ def test_success_rate_ema(spark):
     out = {r["rule"]: r["success_rate"] for r in update_success_rate(stats, outcomes).collect()}
     assert out["r1"] == pytest.approx(0.9)
     assert out["r2"] == pytest.approx(0.5)  # no outcome → unchanged
+
+
+def test_name_categories_default_and_model_seam(spark):
+    # P21: deterministic trigram default + the embedding_fn model seam
+    # (column_name_features.py:57-96,109-137)
+    import numpy as np
+
+    from datalakerulegeneration_spark.matching.name_categories import (
+        COLUMN_CATEGORY_PROTOTYPES,
+        column_name_categories,
+    )
+
+    names = ["customer_id", "emailAddress", "unit-price", "start_date"]
+    got = {
+        r.column_name: r.category
+        for r in column_name_categories(spark, names).collect()
+    }
+    assert got["customer_id"] == "id"
+    assert got["emailAddress"] == "email"
+    assert got["unit-price"] == "price"
+    assert got["start_date"] == "date"
+
+    # fake model: one-hot on whether the text contains the category word
+    labels = list(COLUMN_CATEGORY_PROTOTYPES)
+
+    def fake_embed(texts):
+        return np.array(
+            [[1.0 if lab.split()[0] in t.lower() else 0.0 for lab in labels] for t in texts]
+        ) + 1e-6
+
+    got2 = {
+        r.column_name: r.category
+        for r in column_name_categories(spark, ["the_email_field"], embedding_fn=fake_embed).collect()
+    }
+    assert got2["the_email_field"] == "email"
+
+
+def test_semantic_domains_default_and_model_seam(spark):
+    # P19: regex default entirely JVM-side + Doduo-shaped model_fn seam
+    from datalakerulegeneration_spark.profiling.semantic import semantic_domains
+
+    df = spark.createDataFrame(
+        [
+            ("a@x.io", "2024-01-02", "hello world"),
+            ("b@y.org", "2024-05-06", "free text"),
+            ("c@z.net", "2024-07-08", "more text"),
+        ],
+        "contact string, day string, blurb string",
+    )
+    got = {r.column: (r.semantic_domain, r.confidence) for r in semantic_domains(df, "t").collect()}
+    assert got["contact"] == ("email", 1.0)
+    assert got["day"] == ("date", 1.0)
+    assert got["blurb"][0] == "unknown"
+
+    calls = {}
+
+    def fake_model(name, values):
+        calls[name] = len(values)
+        return ("custom:" + name, 0.9)
+
+    got2 = {
+        r.column: r.semantic_domain
+        for r in semantic_domains(df, "t", model_fn=fake_model, n_sample=2).collect()
+    }
+    assert got2 == {"contact": "custom:contact", "day": "custom:day", "blurb": "custom:blurb"}
+    assert all(n <= 2 for n in calls.values())  # bounded sample reached the model
