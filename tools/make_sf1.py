@@ -1,0 +1,78 @@
+"""Synthesize an sf1-scale benchmark directory from sf0.1 (no network,
+so no real TPC-H generator): fact tables replicate 10x with key shifts
+that preserve join structure, dimension tables copy through.
+
+* orders / lineitem: orderkey += r * (max orderkey + 1) per replica —
+  order↔lineitem joins stay consistent; dims (cust/supp/part) are NOT
+  scaled, so each dimension row simply sees 10x fact traffic.
+* documents: doc_id shifts; every token gets a per-replica suffix so
+  replicas are NOT near-duplicates of each other and the dedup
+  workload keeps sf0.1's duplicate structure at 10x volume.
+* everything else copies as-is.
+
+Output: /root/repo/.bench/sf1/*.parquet (gitignored; ~10x sf0.1).
+Usage: python tools/make_sf1.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench", "sf1")
+REPLICAS = 10
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+
+    def src(t: str) -> str:
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    def write(t: str, sql: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    (max_ok,) = con.execute(f"SELECT max(o_orderkey) + 1 FROM {src('orders')}").fetchone()
+    (max_doc,) = con.execute(f"SELECT max(doc_id) + 1 FROM {src('documents')}").fetchone()
+
+    write(
+        "orders",
+        " UNION ALL ".join(
+            f"SELECT o_orderkey + {r * max_ok} AS o_orderkey, o_custkey, o_orderstatus,"
+            f" o_totalprice, o_orderdate, o_orderpriority FROM {src('orders')}"
+            for r in range(REPLICAS)
+        ),
+    )
+    write(
+        "lineitem",
+        " UNION ALL ".join(
+            f"SELECT l_orderkey + {r * max_ok} AS l_orderkey, l_partkey, l_suppkey,"
+            f" l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+            f" l_returnflag, l_linestatus, l_shipdate FROM {src('lineitem')}"
+            for r in range(REPLICAS)
+        ),
+    )
+    write(
+        "documents",
+        " UNION ALL ".join(
+            f"SELECT doc_id + {r * max_doc} AS doc_id,"
+            + (
+                "text"
+                if r == 0
+                else f"regexp_replace(text, '(\\S+)', '\\1x{r}', 'g') AS text"
+            )
+            + f", lang, source, n_chars FROM {src('documents')}"
+            for r in range(REPLICAS)
+        ),
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "events", "embeddings"):
+        write(t, f"SELECT * FROM {src(t)}")
+
+
+if __name__ == "__main__":
+    main()
