@@ -8,7 +8,7 @@ DuckDB oracle builder.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword marker sets per language — heuristic
@@ -269,3 +269,206 @@ def quality_filter_by_group(
         .where(F.col("pr") <= keep_fraction)
         .select(F.col(id_col), F.col(group_col), "quality", F.col("pr").alias("quality_rank"))
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: token
+    count, distinct-token count, duplicate-token fraction, top-token
+    share, and top-word-bigram share (Rae et al. 2021's repetition
+    filters, re-expressed as one Spark aggregation chain).
+
+    Runs as ONE explode over (unigrams + bigrams) tagged by kind,
+    followed by two hash aggregations — a single token-grain shuffle,
+    the same shape as ``token_stats``; at 100 TB the state is
+    O(distinct grams per doc), never a per-document collect. All ratios
+    are exact small-integer divisions rounded to 6 dp, so the DuckDB
+    oracle hash-matches. Documents with zero tokens drop out (explode
+    of an empty array), mirrored by the oracle.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    d = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    bigrams = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " (t, i) -> concat(t, ' ', toks[i + 1]))"
+    )
+    grams = d.select(
+        "id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("toks"),
+                    lambda t: F.struct(F.lit("u").alias("kind"), t.alias("g")),
+                ),
+                F.transform(
+                    bigrams,
+                    lambda b: F.struct(F.lit("b").alias("kind"), b.alias("g")),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.kind").alias("kind"), F.col("e.g").alias("g"))
+    counts = grams.groupBy("id", "kind", "g").agg(F.count(F.lit(1)).alias("c"))
+    u = F.col("kind") == "u"
+    b = F.col("kind") == "b"
+    n_tok = F.sum(F.when(u, F.col("c")))
+    n_distinct = F.count(F.when(u, F.lit(1)))
+    top_tok = F.max(F.when(u, F.col("c")))
+    n_bi = F.sum(F.when(b, F.col("c")))
+    top_bi = F.max(F.when(b, F.col("c")))
+    return counts.groupBy("id").agg(
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        F.round(F.lit(1.0) - n_distinct / n_tok, 6).alias("dup_token_frac"),
+        F.round(top_tok / n_tok, 6).alias("top_token_share"),
+        F.coalesce(F.round(top_bi / n_bi, 6), F.lit(0.0)).alias("top_bigram_share"),
+    )
+
+
+def repetition_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle for :func:`repetition_stats` (same gram grains,
+    same integer-ratio arithmetic)."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}
+),
+grams AS (
+  SELECT id, 'u' AS kind, unnest(toks) AS g FROM t
+  UNION ALL
+  SELECT id, 'b' AS kind,
+         unnest(list_transform(list_slice(toks, 1, len(toks) - 1),
+                               (x, i) -> x || ' ' || toks[i + 1])) AS g
+  FROM t
+),
+counts AS (
+  SELECT id, kind, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+)
+SELECT id,
+  CAST(sum(CASE WHEN kind = 'u' THEN c END) AS BIGINT) AS n_tokens,
+  CAST(count(CASE WHEN kind = 'u' THEN 1 END) AS BIGINT) AS n_distinct_tokens,
+  round(1.0 - count(CASE WHEN kind = 'u' THEN 1 END)
+            / CAST(sum(CASE WHEN kind = 'u' THEN c END) AS DOUBLE), 6) AS dup_token_frac,
+  round(max(CASE WHEN kind = 'u' THEN c END)
+      / CAST(sum(CASE WHEN kind = 'u' THEN c END) AS DOUBLE), 6) AS top_token_share,
+  COALESCE(round(max(CASE WHEN kind = 'b' THEN c END)
+      / CAST(sum(CASE WHEN kind = 'b' THEN c END) AS DOUBLE), 6), 0.0) AS top_bigram_share
+FROM counts
+GROUP BY id
+"""
+
+
+# PII patterns: RE2-compatible (no lookarounds), valid for both Java
+# regex (Spark) and RE2 (DuckDB). Applied via Column-literal patterns
+# on the Spark side — no SQL string parsing, so no backslash doubling.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction for training corpora: count email /
+    phone / IPv4 matches and emit the text with each span replaced by
+    a typed placeholder. Pure map-only builtin expressions (regexp
+    runs JVM-side inside whole-stage codegen) — at 100 TB this stage
+    has no shuffle at all. Counts are measured on the ORIGINAL text;
+    redaction applies email → phone → IPv4 in that fixed order so the
+    output is engine-reproducible.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(PII_IPV4),
+        F.lit("<IP>"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))).cast("bigint").alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def pii_scrub_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle for :func:`pii_scrub` (RE2 engine; standard
+    string literals pass backslashes through untouched)."""
+    return f"""
+SELECT {id_col} AS id,
+  CAST(len(regexp_extract_all({text_col}, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all({text_col}, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all({text_col}, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace({text_col}, '{PII_EMAIL}', '<EMAIL>', 'g'),
+      '{PII_PHONE}', '<PHONE>', 'g'),
+    '{PII_IPV4}', '<IP>', 'g') AS scrubbed
+FROM {table}
+"""
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (keyword extraction for
+    corpus curation): tf from one token-grain aggregation, document
+    frequency from a term-grain aggregation over the tf frame (already
+    (doc, term)-distinct, so no countDistinct Expand), corpus size N
+    as a broadcast 1-row aggregate, score = tf · ln(N/df) rounded to
+    6 dp, top-k via row_number per doc with a term-ascending tie-break.
+
+    Scale shape: two hash-aggregation shuffles plus one per-doc window
+    riding the tf partitioning; ``df_terms`` is vocabulary-sized and
+    AQE will broadcast it at any realistic scale.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    terms = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_terms = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = terms.agg(F.countDistinct("id").alias("n_docs"))
+    scored = (
+        tf.join(df_terms, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank_in_doc", F.row_number().over(w))
+        .where(F.col("rank_in_doc") <= k)
+        .select(
+            "id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            "score",
+            F.col("rank_in_doc").cast("bigint").alias("rank_in_doc"),
+        )
+    )
+
+
+def tfidf_top_terms_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
+    """DuckDB oracle for :func:`tfidf_top_terms`."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {id_col} AS id, unnest({toks}) AS term FROM {table}
+),
+tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT id) AS n_docs FROM terms),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf, dfreq.doc_freq,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT id, term, CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,
+       score, CAST(rank_in_doc AS BIGINT) AS rank_in_doc
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rank_in_doc
+  FROM scored
+)
+WHERE rank_in_doc <= {k}
+"""

@@ -1443,6 +1443,27 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.fingerprint(docs, "doc_id", "text")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-token fraction, top token /
+    bigram shares) as one tagged-gram explode + two hash aggs."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.repetition_stats(docs, "doc_id", "text")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII count + redaction (email/phone/IPv4) — map-only regexp
+    expressions, no shuffle."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.pii_scrub(docs, "doc_id", "text")
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document: tf agg + vocab-sized df agg
+    + broadcast N + per-doc ranked window."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
 def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 20% corpus sample: membership = md5(salt:id) <
     rate, a pure function of the id (ops.sampling.hash_sample) —
@@ -2461,6 +2482,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dataset_similarity_tables": (q_dataset_similarity, None),
     "token_count_documents": (q_token_count, textqa.token_count_sql("documents", "doc_id", "text")),
     "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),
+    "repetition_stats_documents": (q_repetition_stats, textqa.repetition_stats_sql("documents", "doc_id", "text")),
+    "pii_scrub_documents": (q_pii_scrub, textqa.pii_scrub_sql("documents", "doc_id", "text")),
+    "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
     "chunk_documents": (q_chunk_documents, textqa.chunk_sql("documents", "doc_id", "text", size=200, overlap=50)),

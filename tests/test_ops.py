@@ -426,3 +426,59 @@ def test_wasserstein_known_shift(spark):
     r = wasserstein_1(a, b, "x").collect()[0]
     assert abs(r.w1 - 50.0) < 1e-6       # pure translation: W1 = shift
     assert wasserstein_1(a, a, "x").collect()[0].w1 == 0.0
+
+
+def test_repetition_stats_match(sf_tables, duck):
+    _cmp(textqa.repetition_stats(sf_tables["documents"], "doc_id", "text"), duck,
+         textqa.repetition_stats_sql("documents", "doc_id", "text"))
+
+
+def test_repetition_stats_semantics(spark):
+    rows = [
+        (1, "a a a a"),                      # one token repeated 4x
+        (2, "a b c d"),                      # all distinct
+        (3, "x y x y x y"),                  # dominant bigram pattern
+        (4, "solo"),                         # single token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in textqa.repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["dup_token_frac"] == 0.75 and out[1]["top_token_share"] == 1.0
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["top_token_share"] == 0.25
+    # "x y" appears 3 times of 5 bigrams
+    assert out[3]["top_bigram_share"] == 0.6
+    assert out[4]["n_tokens"] == 1 and out[4]["top_bigram_share"] == 0.0
+
+
+def test_pii_scrub_match_and_detects(spark, sf_tables, duck):
+    _cmp(textqa.pii_scrub(sf_tables["documents"], "doc_id", "text"), duck,
+         textqa.pii_scrub_sql("documents", "doc_id", "text"))
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call 555-867-5309 now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in textqa.pii_scrub(df, "doc_id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["scrubbed"] and "<PHONE>" in out[1]["scrubbed"]
+    assert "jane" not in out[1]["scrubbed"] and "5309" not in out[1]["scrubbed"]
+    assert out[2]["n_ips"] == 2 and out[2]["scrubbed"].count("<IP>") == 2
+    assert out[3]["scrubbed"] == rows[2][1]
+
+
+def test_tfidf_top_terms_match(sf_tables, duck):
+    _cmp(textqa.tfidf_top_terms(sf_tables["documents"], "doc_id", "text", k=5), duck,
+         textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5))
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    rows = [
+        (1, "common common zebra zebra zebra"),
+        (2, "common common common apple"),
+        (3, "common banana banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textqa.tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r["id"]: r["term"] for r in out}
+    # 'common' is in every doc (idf=0); the doc-unique term must win
+    assert top == {1: "zebra", 2: "apple", 3: "banana"}
