@@ -118,3 +118,79 @@ def deterministic_shuffle(
         .withColumn("shuffle_pos", (F.row_number().over(wl) + F.col("_off")).cast("int"))
         .drop("_h", "_pid", "_off")
     )
+
+
+def group_mix(df: DataFrame, group_col: str, weight_col: str | None = None) -> DataFrame:
+    """Data-mixture report: per-group row count, optional weight sum
+    (e.g. token counts), and exact share of the total — the standard
+    first look at a training corpus's source composition. One small
+    aggregation; shares are integer ratios rounded to 6 dp so they
+    hash-match across engines."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("bigint").alias("weight_sum"))
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    tot = g.agg(F.sum("n_rows").alias("_total"))
+    out = g.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.round(F.col("n_rows") / F.col("_total"), 6)
+    )
+    cols = ["grp", "n_rows"] + (["weight_sum"] if weight_col is not None else []) + ["share"]
+    return out.select(*cols)
+
+
+def group_mix_sql(table: str, group_col: str, weight_col: str | None = None) -> str:
+    w = f", CAST(sum({weight_col}) AS BIGINT) AS weight_sum" if weight_col else ""
+    return f"""
+SELECT {group_col} AS grp, count(*) AS n_rows{w},
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM {table}
+GROUP BY {group_col}
+"""
+
+
+def rebalance_groups(
+    df: DataFrame, id_col: str, group_col: str, cap_share: float, salt: str = "rebalance"
+) -> DataFrame:
+    """Mixture rebalancing: cap every group (source/language/domain) at
+    ``cap_share`` of the ORIGINAL total by deterministically
+    hash-downsampling over-represented groups; groups under the cap
+    pass through untouched.
+
+    A row in an over-cap group survives iff
+    ``hash * grp_n < cap_n * 2^28`` — pure int64 arithmetic (hash <
+    2^28, counts < 2^35 stay in range), so membership is an exact,
+    engine-portable function of the id, and re-running on appended
+    data keeps previously-surviving rows stable within a group size.
+    Cost: one count aggregate per group (broadcast back) + a map-only
+    filter — no data-sized shuffle at any scale.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_grp_n"))
+    tot = counts.agg(F.sum("_grp_n").alias("_total"))
+    cap = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "_grp_n",
+        F.floor(F.lit(cap_share) * F.col("_total")).cast("bigint").alias("_cap_n"),
+    )
+    keep = (F.col("_grp_n") <= F.col("_cap_n")) | (
+        _hash_bucket(id_col, salt) * F.col("_grp_n") < F.col("_cap_n") * F.lit(_BUCKETS)
+    )
+    return (
+        df.join(F.broadcast(cap), group_col)
+        .where(keep)
+        .select(*df.columns)
+    )
+
+
+def rebalance_groups_sql(
+    table: str, id_col: str, group_col: str, cap_share: float, salt: str = "rebalance"
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {group_col} AS grp, count(*) AS grp_n,
+         CAST(floor({cap_share} * sum(count(*)) OVER ()) AS BIGINT) AS cap_n
+  FROM {table} GROUP BY {group_col}
+)
+SELECT t.* FROM {table} t JOIN counts c ON t.{group_col} = c.grp
+WHERE c.grp_n <= c.cap_n
+   OR {_hash_bucket_sql(f"t.{id_col}", salt)} * c.grp_n < c.cap_n * {_BUCKETS}
+"""

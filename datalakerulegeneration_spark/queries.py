@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.catalog import load_sf_tables
-from datalakerulegeneration_spark.ops import dedup, similarity, textqa
+from datalakerulegeneration_spark.ops import dedup, sampling, similarity, textqa
 from datalakerulegeneration_spark.profiling import scalar_stats_long
 from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
 from datalakerulegeneration_spark.profiling.profiler import STOPWORDS, column_kind
@@ -1464,6 +1464,24 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.tfidf_top_terms(docs, "doc_id", "text", k=5)
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: per-source rows, char weight, exact share."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.group_mix(docs, "source", "n_chars")
+
+
+def q_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: cap each source at 3% of the corpus by
+    deterministic hash-downsampling (group counts broadcast back; the
+    filter itself is map-only)."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.rebalance_groups(docs, "doc_id", "source", cap_share=0.03)
+
+
 def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 20% corpus sample: membership = md5(salt:id) <
     rate, a pure function of the id (ops.sampling.hash_sample) —
@@ -2485,6 +2503,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition_stats_documents": (q_repetition_stats, textqa.repetition_stats_sql("documents", "doc_id", "text")),
     "pii_scrub_documents": (q_pii_scrub, textqa.pii_scrub_sql("documents", "doc_id", "text")),
     "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
+    "source_mix_documents": (q_source_mix, sampling.group_mix_sql("documents", "source", "n_chars")),
+    "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
     "chunk_documents": (q_chunk_documents, textqa.chunk_sql("documents", "doc_id", "text", size=200, overlap=50)),

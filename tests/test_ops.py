@@ -482,3 +482,28 @@ def test_tfidf_ranks_distinctive_terms(spark):
     top = {r["id"]: r["term"] for r in out}
     # 'common' is in every doc (idf=0); the doc-unique term must win
     assert top == {1: "zebra", 2: "apple", 3: "banana"}
+
+
+def test_group_mix_match(sf_tables, duck):
+    from datalakerulegeneration_spark.ops import sampling
+    _cmp(sampling.group_mix(sf_tables["documents"], "source", "n_chars"), duck,
+         sampling.group_mix_sql("documents", "source", "n_chars"))
+
+
+def test_rebalance_groups_caps_dominant_source(spark, sf_tables, duck):
+    from datalakerulegeneration_spark.ops import sampling
+    _cmp(sampling.rebalance_groups(sf_tables["documents"], "doc_id", "source", 0.03), duck,
+         sampling.rebalance_groups_sql("documents", "doc_id", "source", 0.03))
+    # skewed corpus: one giant source must be cut near the cap,
+    # small sources pass through entirely
+    rows = [(i, "big") for i in range(900)] + [(i + 900, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.rebalance_groups(df, "doc_id", "source", cap_share=0.2)
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["small"] == 100
+    # expected survivors ≈ cap_n = 200; binomial tolerance
+    assert 140 <= by_src["big"] <= 260
+    # determinism: identical membership on rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in sampling.rebalance_groups(df, "doc_id", "source", 0.2).collect())
+    assert a == b
