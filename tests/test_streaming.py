@@ -230,3 +230,83 @@ def test_sessionize_stream_matches_batch(spark, sf_tables, tmp_path):
     stream_totals = sorted(round(r.value_sum, 6) for r in rows)
     batch_totals = sorted(round(r.value_sum, 6) for r in batch)
     assert stream_totals == batch_totals
+
+
+def test_psi_drift_stream_batch_parity_and_shift(spark, sf_tables):
+    """Batch-mode run of the streaming monitor must equal the batch PSI
+    operator's total on the same window of data; a planted shift must
+    raise PSI far above the self-comparison."""
+    from datalakerulegeneration_spark.ops.drift import psi_bins
+    from datalakerulegeneration_spark.streaming import psi_drift_stream
+
+    ev = sf_tables["events"]
+    base = ev.where(F.col("event_id") % 2 == 0)
+    cur = ev.where(F.col("event_id") % 2 == 1)
+    out = psi_drift_stream(
+        cur, base, "value", lo=0.0, hi=200.0, n_bins=8, window="52 weeks"
+    ).collect()
+    total_n = sum(r["n"] for r in out)
+    assert total_n == cur.where(F.expr("try_cast(value as double)").isNotNull()).count()
+    # one-window PSI ≈ batch operator's term sum (terms rounded per-bin there)
+    batch_terms = psi_bins(base, cur, "value", n_bins=8, lo=0.0, hi=200.0).collect()
+    batch_psi = sum(r["psi_term"] for r in batch_terms)
+    assert len(out) >= 1
+    one = psi_drift_stream(
+        cur, base, "value", lo=0.0, hi=200.0, n_bins=8, window="520 weeks"
+    ).collect()
+    assert len(one) == 1
+    assert abs(one[0]["psi"] - batch_psi) < 1e-4
+    # identical halves → near-zero PSI; shifted copy → large PSI
+    shifted = cur.withColumn("value", F.col("value") + F.lit(80.0))
+    drifted = psi_drift_stream(
+        shifted, base, "value", lo=0.0, hi=200.0, n_bins=8, window="520 weeks"
+    ).collect()[0]["psi"]
+    # sf0.001 halves are 500 rows each → sampling noise ≈ 0.05 PSI;
+    # the planted shift lands at ~10.9, two orders above the cut
+    assert one[0]["psi"] < 0.2 < drifted
+
+
+def test_psi_drift_stream_streaming_mode(spark, sf_tables, tmp_path):
+    """Real streaming execution: file source, availableNow trigger,
+    per-window PSI rows equal the batch-mode run of the same monitor."""
+    from datalakerulegeneration_spark.streaming import psi_drift_stream
+
+    ev = sf_tables["events"].select("event_id", "ts", "value")
+    base = ev.where(F.col("event_id") % 2 == 0)
+    src_dir = str(tmp_path / "driftin")
+    os.makedirs(src_dir)
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(os.path.join(src_dir, "p1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src_dir)
+    )
+    out = psi_drift_stream(
+        stream, base, "value", lo=0.0, hi=200.0, n_bins=8,
+        window="6 hours", watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psi_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["window_end"]): (r["n"], r["psi"])
+        for r in spark.sql("SELECT * FROM psi_stream").collect()
+    }
+    exp_all = {
+        (r["window_start"], r["window_end"]): (r["n"], r["psi"])
+        for r in psi_drift_stream(
+            ev.where(F.col("event_id") % 2 == 1), base, "value",
+            lo=0.0, hi=200.0, n_bins=8, window="6 hours",
+        ).collect()
+    }
+    assert len(got) > 0
+    # append mode withholds windows the final watermark hasn't closed;
+    # every emitted window must match the batch computation exactly
+    for k, v in got.items():
+        assert exp_all[k] == v
