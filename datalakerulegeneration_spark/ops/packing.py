@@ -1,0 +1,109 @@
+"""Sequence packing for pretraining-batch assembly (scale extension).
+
+GPT-style training concatenates documents in a fixed deterministic
+order and slices the token stream into ``seq_len`` windows; each
+document therefore occupies the half-open token interval
+``[offset, offset + weight)`` of the global stream and lands in packs
+``floor(offset/seq_len) .. floor((offset+weight-1)/seq_len)``. This
+module computes that assignment distributively and EXACTLY:
+
+* Order is the deterministic hash shuffle (md5 bucket, id) — the same
+  engine-portable ordering ``ops.sampling.deterministic_shuffle`` uses,
+  so reruns/backfills produce the identical packing.
+* The global exclusive prefix-sum of weights is TWO-LEVEL (the same
+  trick as deterministic_shuffle): per-bucket partial sums, an
+  ``n_parts``-row cumulative window for bucket offsets broadcast back,
+  then a within-bucket cumulative window. No task ever sorts or scans
+  the whole table, so the operator survives 100 TB; all arithmetic is
+  int64, so the DuckDB oracle (single global window) hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.ops.sampling import _BUCKETS, _hash_bucket, _hash_bucket_sql
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    seq_len: int,
+    salt: str = "pack",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Assign every row a token offset in the deterministic
+    concatenation order and its first/last ``seq_len`` pack ids.
+
+    ``weight_col`` must be a non-negative integer token count;
+    zero-weight rows are pinned to the pack containing their offset.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    width = _BUCKETS // n_parts
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+        )
+        .withColumn("_h", _hash_bucket("id", salt))
+        .withColumn("_pid", F.floor(F.col("_h") / width).cast("int"))
+    )
+    # n_parts-row frame; its unpartitioned window scans only these rows
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        d.groupBy("_pid")
+        .agg(F.sum("weight").alias("_w"))
+        .withColumn("_boff", F.coalesce(F.sum("_w").over(wp), F.lit(0)))
+        .select("_pid", "_boff")
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_h").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.col("_boff") + F.coalesce(F.sum("weight").over(wl), F.lit(0))
+    last_tok = offset + F.greatest(F.col("weight"), F.lit(1)) - 1
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn("offset", offset)
+        .select(
+            "id",
+            "weight",
+            "offset",
+            F.floor(F.col("offset") / seq_len).cast("bigint").alias("pack_first"),
+            F.floor(last_tok / seq_len).cast("bigint").alias("pack_last"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    id_col: str,
+    weight_expr: str,
+    seq_len: int,
+    salt: str = "pack",
+) -> str:
+    """DuckDB oracle for :func:`pack_sequences` — one global window
+    (the oracle may be sequential; only the Spark side must scale)."""
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id,
+         CAST({weight_expr} AS BIGINT) AS weight,
+         {_hash_bucket_sql(id_col, salt)} AS h
+  FROM {table}
+),
+o AS (
+  SELECT id, weight,
+         -- cast: DuckDB sums BIGINT into HUGEINT, which pandas floats
+         CAST(COALESCE(sum(weight) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM w
+)
+SELECT id, weight, "offset",
+       CAST(floor("offset" / {seq_len}) AS BIGINT) AS pack_first,
+       CAST(floor(("offset" + greatest(weight, 1) - 1) / {seq_len}) AS BIGINT) AS pack_last
+FROM o
+"""

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.catalog import load_sf_tables
-from datalakerulegeneration_spark.ops import dedup, sampling, similarity, textqa
+from datalakerulegeneration_spark.ops import dedup, packing, sampling, similarity, textqa
 from datalakerulegeneration_spark.profiling import scalar_stats_long
 from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
 from datalakerulegeneration_spark.profiling.profiler import STOPWORDS, column_kind
@@ -1464,6 +1464,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.tfidf_top_terms(docs, "doc_id", "text", k=5)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: deterministic concatenation order,
+    two-level distributed prefix-sum of token counts, 2048-token packs."""
+    from datalakerulegeneration_spark.ops import packing
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    d = docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
+    return packing.pack_sequences(d, "doc_id", "n_tokens", seq_len=2048)
+
+
+PACK_WEIGHT_SQL = (
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
+)
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report: per-source rows, char weight, exact share."""
     from datalakerulegeneration_spark.ops import sampling
@@ -2504,6 +2520,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub_documents": (q_pii_scrub, textqa.pii_scrub_sql("documents", "doc_id", "text")),
     "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
     "source_mix_documents": (q_source_mix, sampling.group_mix_sql("documents", "source", "n_chars")),
+    "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),
     "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),

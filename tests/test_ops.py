@@ -507,3 +507,39 @@ def test_rebalance_groups_caps_dominant_source(spark, sf_tables, duck):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in sampling.rebalance_groups(df, "doc_id", "source", 0.2).collect())
     assert a == b
+
+
+def test_pack_sequences_match(sf_tables, duck):
+    from datalakerulegeneration_spark.ops import packing
+    docs = sf_tables["documents"]
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    d = docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
+    _cmp(
+        packing.pack_sequences(d, "doc_id", "n_tokens", seq_len=256),
+        duck,
+        packing.pack_sequences_sql(
+            "documents", "doc_id",
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))",
+            seq_len=256,
+        ),
+    )
+
+
+def test_pack_sequences_invariants(spark):
+    from datalakerulegeneration_spark.ops import packing
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 10) for i in range(300)], "doc_id long, w long"
+    )
+    out = packing.pack_sequences(df, "doc_id", "w", seq_len=128).collect()
+    rows = sorted(out, key=lambda r: r["offset"])
+    # offsets tile the stream exactly: each row starts where the previous ended
+    pos = 0
+    for r in rows:
+        assert r["offset"] == pos
+        pos += r["weight"]
+        assert r["pack_first"] == r["offset"] // 128
+        assert r["pack_last"] == (r["offset"] + max(r["weight"], 1) - 1) // 128
+    assert pos == sum(r["weight"] for r in rows)
+    # deterministic across reruns
+    again = packing.pack_sequences(df, "doc_id", "w", seq_len=128).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
