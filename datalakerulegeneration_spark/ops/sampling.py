@@ -130,10 +130,12 @@ def group_mix(df: DataFrame, group_col: str, weight_col: str | None = None) -> D
     if weight_col is not None:
         aggs.append(F.sum(weight_col).cast("bigint").alias("weight_sum"))
     g = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
-    tot = g.agg(F.sum("n_rows").alias("_total"))
-    out = g.crossJoin(F.broadcast(tot)).withColumn(
-        "share", F.round(F.col("n_rows") / F.col("_total"), 6)
+    # total via an unpartitioned window over the group-sized frame —
+    # an aggregate branch would re-scan the corpus for the total
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    out = g.withColumn("share", F.round(F.col("n_rows") / F.sum("n_rows").over(wall), 6))
     cols = ["grp", "n_rows"] + (["weight_sum"] if weight_col is not None else []) + ["share"]
     return out.select(*cols)
 
@@ -164,12 +166,17 @@ def rebalance_groups(
     Cost: one count aggregate per group (broadcast back) + a map-only
     filter — no data-sized shuffle at any scale.
     """
+    # the corpus total rides an unpartitioned window over the
+    # group-count-sized counts frame (a few hundred rows at most) —
+    # an aggregate branch would re-scan the group column of the corpus
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_grp_n"))
-    tot = counts.agg(F.sum("_grp_n").alias("_total"))
-    cap = counts.crossJoin(F.broadcast(tot)).select(
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cap = counts.select(
         group_col,
         "_grp_n",
-        F.floor(F.lit(cap_share) * F.col("_total")).cast("bigint").alias("_cap_n"),
+        F.floor(F.lit(cap_share) * F.sum("_grp_n").over(wall)).cast("bigint").alias("_cap_n"),
     )
     keep = (F.col("_grp_n") <= F.col("_cap_n")) | (
         _hash_bucket(id_col, salt) * F.col("_grp_n") < F.col("_cap_n") * F.lit(_BUCKETS)

@@ -424,10 +424,14 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Da
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     terms = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_terms = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    n = terms.agg(F.countDistinct("id").alias("n_docs"))
+    # doc_freq rides a window over the tf frame instead of a second
+    # aggregate + join, and N is the corpus row count (the standard
+    # IDF denominator) read from the id column alone — so the TEXT is
+    # scanned and exploded exactly ONCE (plan-asserted); branch-pruned
+    # re-aggregations of the corpus would re-explode 100 TB of text.
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df_terms, "term")
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -457,12 +461,13 @@ WITH terms AS (
   SELECT {id_col} AS id, unnest({toks}) AS term FROM {table}
 ),
 tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
-n AS (SELECT count(DISTINCT id) AS n_docs FROM terms),
+n AS (SELECT count(*) AS n_docs FROM {table}),
 scored AS (
-  SELECT tf.id, tf.term, tf.tf, dfreq.doc_freq,
-         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6) AS score
-  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+  SELECT tf.id, tf.term, tf.tf,
+         count(*) OVER (PARTITION BY tf.term) AS doc_freq,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+             / (count(*) OVER (PARTITION BY tf.term))), 6) AS score
+  FROM tf CROSS JOIN n
 )
 SELECT id, term, CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,
        score, CAST(rank_in_doc AS BIGINT) AS rank_in_doc

@@ -84,3 +84,45 @@ def test_value_and_token_passes_single_scan(spark):
 def test_fuzzy_decontamination_no_cartesian(spark):
     p = _plan(_impl("decontaminate_fuzzy_documents")(spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pii_scrub_map_only(spark):
+    p = _plan(_impl("pii_scrub_documents")(spark, SF_DIR))
+    assert p.count("FileScan parquet") == 1
+    assert "Exchange" not in p
+
+
+def test_repetition_single_scan_two_aggs(spark):
+    p = _plan(_impl("repetition_stats_documents")(spark, SF_DIR))
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Exchange") == 2
+
+
+def test_tfidf_single_text_scan(spark):
+    """The corpus text must be scanned/exploded exactly once; the N
+    branch is a metadata-only count (empty ReadSchema)."""
+    p = _plan(_impl("tfidf_top_terms_documents")(spark, SF_DIR))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert sum("text" in s for s in schemas) == 1
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_mixture_ops_scan_budget(spark):
+    p = _plan(_impl("source_mix_documents")(spark, SF_DIR))
+    assert p.count("FileScan parquet") == 1
+    p = _plan(_impl("rebalance_sources_documents")(spark, SF_DIR))
+    # full scan + a source-column-only count pass, nothing more
+    assert p.count("FileScan parquet") == 2
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any(s == "source:string" for s in schemas)
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Two-level prefix sum: no task may sort or rank the whole table —
+    the only unpartitioned window runs over the n_parts-row bucket
+    frame, and the bucket offsets come back via broadcast."""
+    p = _plan(_impl("pack_sequences_documents")(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # exactly one single-partition exchange (the n_parts-row offsets)
+    assert p.count("Exchange SinglePartition") == 1
