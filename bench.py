@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "asof_join_events_orders",
     "chunk_documents",
     "eval_metrics_orders",
+    "repetition_stats_documents",
+    "tfidf_top_terms_documents",
+    "pack_sequences_documents",
 ]
 
 

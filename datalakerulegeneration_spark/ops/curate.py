@@ -1,0 +1,164 @@
+"""End-to-end corpus curation: the flagship training-data pipeline.
+
+Chains the individual operators this package provides into the
+standard pretraining-corpus assembly line, all in ONE lazy plan:
+
+  1. score    — quality + fingerprint + token count folded into the
+                FIRST scan (column expressions, not joined passes)
+  2. filter   — drop documents below the quality threshold
+  3. dedup    — keep the lowest id per exact fingerprint (window)
+  4. decon    — anti-join against the held-out eval set's fingerprints
+                (eval side is tiny → broadcast; the corpus never
+                shuffles for this step)
+  5. rebalance— cap any source at ``cap_share`` of the surviving
+                corpus by deterministic hash-downsampling
+  6. pack     — GPT-style sequence packing of the survivors' token
+                stream into ``seq_len`` windows
+
+Every stage is deterministic integer/hash arithmetic, so the WHOLE
+pipeline has an exact DuckDB oracle (:func:`curate_corpus_sql`).
+
+Scale notes: the text column is scanned once (stage 1); dedup is one
+fingerprint-keyed shuffle; decon is a broadcast anti-join; rebalance
+is a group-count broadcast + map filter; packing is the two-level
+prefix sum (no global sort). Peak shuffled state is O(rows), with
+rows already stripped to (id, source, fingerprint, n_tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.ops import packing, sampling, textqa
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    eval_mod: int = 37,
+    quality_min: float = 0.5,
+    cap_share: float = 0.03,
+    seq_len: int = 2048,
+    materialize_manifest: bool = False,
+) -> DataFrame:
+    """Run the full curation pipeline; returns the training manifest
+    (id, source group, token weight, stream offset, first/last pack).
+
+    The eval set is the stand-in "every ``eval_mod``-th document" (the
+    same convention as the standalone decontamination query); a real
+    deployment passes its eval corpus through the same fingerprint
+    expression. The rebalance cap is relative to the ORIGINAL corpus
+    size (a metadata-only count), not the surviving subset — which
+    also keeps the total off the re-derivation path.
+
+    ``materialize_manifest=True`` persists the thin post-curation
+    manifest (id, group, token count — no text) before packing: at
+    lake scale this collapses the two packing passes and the curation
+    chain to one text scan total, at the cost of caching ~24 bytes/row.
+    The default stays pure-lazy so prepared plans hold no executor
+    memory.
+    """
+    # Spark re-derives a lazy subtree once PER CONSUMING BRANCH, so the
+    # pipeline is shaped to keep branches few and thin: the eval side
+    # filters the RAW table (not the scored chain), the rebalance cap
+    # is "cap_share of the ORIGINAL corpus" so the total is a
+    # metadata-only count(*) branch, per-group survivor counts ride a
+    # window (no aggregate+join re-derivation of the dedup chain), and
+    # packing carries the group column through instead of joining back.
+    d0 = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        textqa.quality_col(text_col).alias("quality"),
+        textqa.fingerprint_col(text_col).alias("fp"),
+        textqa.ntokens_col(text_col).alias("n_tokens"),
+    )
+    d1 = d0.where(F.col("quality") >= quality_min)
+    w = Window.partitionBy("fp").orderBy(F.col("id").asc())
+    d2 = d1.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    eval_fps = (
+        docs.where(F.col(id_col) % eval_mod == 0)
+        .select(textqa.fingerprint_col(text_col).alias("eval_fp"))
+        .distinct()
+    )
+    d3 = (
+        d2.join(F.broadcast(eval_fps), d2["fp"] == eval_fps["eval_fp"], "left_anti")
+        .select("id", "grp", "n_tokens")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    cap_n = F.floor(F.lit(cap_share) * F.col("_total")).cast("bigint")
+    keep = (F.col("_grp_n") <= cap_n) | (
+        sampling._hash_bucket("id", "rebalance") * F.col("_grp_n")
+        < cap_n * F.lit(sampling._BUCKETS)
+    )
+    d4 = (
+        d3.withColumn("_grp_n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+        .crossJoin(F.broadcast(total))
+        .where(keep)
+        .select("id", "grp", "n_tokens")
+    )
+    if materialize_manifest:
+        d4 = d4.persist()
+    return packing.pack_sequences(d4, "id", "n_tokens", seq_len, carry_cols=("grp",))
+
+
+def curate_corpus_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    eval_mod: int = 37,
+    quality_min: float = 0.5,
+    cap_share: float = 0.03,
+    seq_len: int = 2048,
+) -> str:
+    """Exact DuckDB oracle for :func:`curate_corpus` — the same six
+    stages as CTEs (the oracle may run sequentially; only the Spark
+    side must scale)."""
+    buckets = sampling._BUCKETS
+    reb_hash = sampling._hash_bucket_sql("d3.id", "rebalance")
+    pack_hash = sampling._hash_bucket_sql("id", "pack")
+    return f"""
+WITH d0 AS (
+  SELECT {id_col} AS id, {group_col} AS grp,
+         {textqa.quality_sql_expr(text_col)} AS quality,
+         {textqa.fingerprint_sql_expr(text_col)} AS fp,
+         {textqa.ntokens_sql_expr(text_col)} AS n_tokens
+  FROM {table}
+),
+d1 AS (SELECT * FROM d0 WHERE quality >= {quality_min}),
+d2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id ASC) AS rn FROM d1
+  ) WHERE rn = 1
+),
+eval_fps AS (
+  SELECT DISTINCT {textqa.fingerprint_sql_expr(text_col)} AS eval_fp
+  FROM {table} WHERE {id_col} % {eval_mod} = 0
+),
+d3 AS (
+  SELECT d2.id, d2.grp, d2.n_tokens,
+         count(*) OVER (PARTITION BY d2.grp) AS grp_n
+  FROM d2 ANTI JOIN eval_fps ON d2.fp = eval_fps.eval_fp
+),
+tot AS (
+  SELECT CAST(floor({cap_share} * count(*)) AS BIGINT) AS cap_n FROM {table}
+),
+d4 AS (
+  SELECT d3.id, d3.grp, d3.n_tokens FROM d3 CROSS JOIN tot
+  WHERE d3.grp_n <= tot.cap_n OR {reb_hash} * d3.grp_n < tot.cap_n * {buckets}
+),
+w AS (SELECT id, grp, n_tokens AS weight, {pack_hash} AS h FROM d4),
+o AS (
+  SELECT id, grp, weight,
+         CAST(COALESCE(sum(weight) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM w
+)
+SELECT id, grp, weight, "offset",
+       CAST(floor("offset" / {seq_len}) AS BIGINT) AS pack_first,
+       CAST(floor(("offset" + greatest(weight, 1) - 1) / {seq_len}) AS BIGINT) AS pack_last
+FROM o
+"""

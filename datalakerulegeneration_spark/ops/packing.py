@@ -33,12 +33,16 @@ def pack_sequences(
     seq_len: int,
     salt: str = "pack",
     n_parts: int = 64,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every row a token offset in the deterministic
     concatenation order and its first/last ``seq_len`` pack ids.
 
     ``weight_col`` must be a non-negative integer token count;
     zero-weight rows are pinned to the pack containing their offset.
+    ``carry_cols`` flow through to the output unchanged — composed
+    pipelines use this instead of a join-back (which would re-derive
+    the whole upstream plan for the join's other side).
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
@@ -47,6 +51,7 @@ def pack_sequences(
         df.select(
             F.col(id_col).alias("id"),
             F.col(weight_col).cast("bigint").alias("weight"),
+            *carry_cols,
         )
         .withColumn("_h", _hash_bucket("id", salt))
         .withColumn("_pid", F.floor(F.col("_h") / width).cast("int"))
@@ -71,6 +76,7 @@ def pack_sequences(
         .withColumn("offset", offset)
         .select(
             "id",
+            *carry_cols,
             "weight",
             "offset",
             F.floor(F.col("offset") / seq_len).cast("bigint").alias("pack_first"),

@@ -121,13 +121,10 @@ FROM s
 """
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Document quality heuristics: length band, alpha ratio, stopword
-    presence, mean word length band → score in [0, 1], rounded to 6 dp.
-
-    All components are exact integer ratios, so the score hash-matches
-    across engines.
-    """
+def quality_col(text_col: str):
+    """Quality score as a reusable Column expression (see
+    :func:`quality_score`) so composed pipelines can fold it into an
+    existing scan instead of joining a second pass."""
     t = F.col(text_col)
     toks = F.array_remove(F.split(F.lower(t), r"\s+"), "")
     n_tok = F.size(toks).cast("double")
@@ -141,13 +138,24 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
     wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.0)
-    score = F.round(
+    return F.round(
         0.4 * F.coalesce(alpha_ratio, F.lit(0.0)) + 0.3 * len_ok + 0.3 * wlen_ok, 6
     )
-    return df.select(F.col(id_col).alias("id"), score.alias("quality"))
 
 
-def quality_score_sql(table: str, id_col: str, text_col: str) -> str:
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document quality heuristics: length band, alpha ratio, stopword
+    presence, mean word length band → score in [0, 1], rounded to 6 dp.
+
+    All components are exact integer ratios, so the score hash-matches
+    across engines.
+    """
+    return df.select(F.col(id_col).alias("id"), quality_col(text_col).alias("quality"))
+
+
+def quality_sql_expr(text_col: str) -> str:
+    """The quality score as a DuckDB scalar expression (the oracle twin
+    of :func:`quality_col`)."""
     toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
     n_tok = f"CAST(len({toks}) AS DOUBLE)"
     n_chars = f"CAST(length({text_col}) AS DOUBLE)"
@@ -156,31 +164,60 @@ def quality_score_sql(table: str, id_col: str, text_col: str) -> str:
         f" / nullif({n_chars}, 0.0)"
     )
     mean_wlen = f"({n_chars} - ({n_tok} - 1)) / nullif({n_tok}, 0.0)"
+    return (
+        f"round(0.4 * COALESCE({alpha}, 0.0)"
+        f" + 0.3 * (CASE WHEN {n_tok} >= 10 AND {n_tok} <= 100000 THEN 1.0 ELSE 0.0 END)"
+        f" + 0.3 * (CASE WHEN {mean_wlen} >= 2.0 AND {mean_wlen} <= 12.0 THEN 1.0 ELSE 0.0 END),"
+        f" 6)"
+    )
+
+
+def quality_score_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
-SELECT {id_col} AS id,
-  round(0.4 * COALESCE({alpha}, 0.0)
-      + 0.3 * (CASE WHEN {n_tok} >= 10 AND {n_tok} <= 100000 THEN 1.0 ELSE 0.0 END)
-      + 0.3 * (CASE WHEN {mean_wlen} >= 2.0 AND {mean_wlen} <= 12.0 THEN 1.0 ELSE 0.0 END),
-    6) AS quality
+SELECT {id_col} AS id, {quality_sql_expr(text_col)} AS quality
 FROM {table}
 """
+
+
+def fingerprint_col(text_col: str):
+    """md5 fingerprint of whitespace-normalized lowercase text as a
+    reusable Column expression."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return F.md5(norm)
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized lowercase text (portable across engines)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(
-        F.col(id_col).alias("id"), F.md5(norm).alias("fingerprint")
+        F.col(id_col).alias("id"), fingerprint_col(text_col).alias("fingerprint")
     )
+
+
+def fingerprint_sql_expr(text_col: str) -> str:
+    return f"md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')))"
 
 
 def fingerprint_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
 SELECT {id_col} AS id,
-       md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))) AS fingerprint
+       {fingerprint_sql_expr(text_col)} AS fingerprint
 FROM {table}
 """
+
+
+def ntokens_col(text_col: str):
+    """Whitespace token count as a reusable Column expression."""
+    return F.size(
+        F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    ).cast("bigint")
+
+
+def ntokens_sql_expr(text_col: str) -> str:
+    return (
+        f"CAST(len(list_filter(string_split_regex(lower({text_col}), '\\s+'),"
+        f" x -> x <> '')) AS BIGINT)"
+    )
 
 
 def chunk_documents(

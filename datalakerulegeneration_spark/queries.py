@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.catalog import load_sf_tables
-from datalakerulegeneration_spark.ops import dedup, packing, sampling, similarity, textqa
+from datalakerulegeneration_spark.ops import curate, dedup, packing, sampling, similarity, textqa
 from datalakerulegeneration_spark.profiling import scalar_stats_long
 from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
 from datalakerulegeneration_spark.profiling.profiler import STOPWORDS, column_kind
@@ -1480,6 +1480,18 @@ PACK_WEIGHT_SQL = (
 )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP pipeline: quality filter → exact dedup → eval-set
+    decontamination → source rebalancing → sequence packing, as ONE
+    lazy plan (text scanned once; dedup is the only corpus-keyed
+    shuffle; decon broadcasts; packing is the two-level prefix sum).
+    Exact end-to-end DuckDB oracle."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return curate.curate_corpus(docs)
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report: per-source rows, char weight, exact share."""
     from datalakerulegeneration_spark.ops import sampling
@@ -2521,6 +2533,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
     "source_mix_documents": (q_source_mix, sampling.group_mix_sql("documents", "source", "n_chars")),
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),
+    "curate_corpus_documents": (q_curate_corpus, curate.curate_corpus_sql("documents")),
     "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),

@@ -543,3 +543,44 @@ def test_pack_sequences_invariants(spark):
     # deterministic across reruns
     again = packing.pack_sequences(df, "doc_id", "w", seq_len=128).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curate_corpus_end_to_end_match(sf_tables, duck):
+    from datalakerulegeneration_spark.ops import curate
+    _cmp(curate.curate_corpus(sf_tables["documents"]), duck,
+         curate.curate_corpus_sql("documents"))
+
+
+def test_curate_corpus_stage_invariants(sf_tables, duck):
+    """Each stage visibly removes what it should: no eval fingerprints,
+    no duplicate fingerprints, no over-cap source, contiguous offsets."""
+    from datalakerulegeneration_spark.ops import curate, textqa
+    docs = sf_tables["documents"]
+    out = curate.curate_corpus(docs, cap_share=0.03).collect()
+    ids = {r["id"] for r in out}
+    fp = {r["id"]: r["fingerprint"] for r in textqa.fingerprint(docs, "doc_id", "text").collect()}
+    eval_fps = {fp[i] for i in fp if i % 37 == 0}
+    kept_fps = [fp[i] for i in ids]
+    assert len(kept_fps) == len(set(kept_fps))          # deduped
+    assert not (set(kept_fps) & eval_fps)               # decontaminated
+    from collections import Counter
+    by_grp = Counter(r["grp"] for r in out)
+    # no group exceeds cap by more than binomial noise (hard bound:
+    # twice the cap would mean rebalancing did nothing)
+    assert max(by_grp.values()) <= 2 * max(1, int(0.03 * 500))
+    # packing offsets tile the stream
+    rows = sorted(out, key=lambda r: r["offset"])
+    pos = 0
+    for r in rows:
+        assert r["offset"] == pos
+        pos += r["weight"]
+
+
+def test_curate_corpus_materialized_identical(spark, sf_tables):
+    from datalakerulegeneration_spark.ops import curate
+    docs = sf_tables["documents"]
+    lazy = sorted(map(tuple, curate.curate_corpus(docs).collect()))
+    mat_df = curate.curate_corpus(docs, materialize_manifest=True)
+    mat = sorted(map(tuple, mat_df.collect()))
+    assert lazy == mat
+    spark.catalog.clearCache()

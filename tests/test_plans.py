@@ -126,3 +126,15 @@ def test_pack_sequences_no_global_sort(spark):
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     # exactly one single-partition exchange (the n_parts-row offsets)
     assert p.count("Exchange SinglePartition") == 1
+
+
+def test_curate_corpus_scan_budget(spark):
+    """Flagship pipeline: ≤4 independent text scans pre-reuse (main
+    chain, eval set, packing's bucket-totals branch), no sort-merge
+    join, eval anti-join broadcast. AQE additionally dedupes the
+    dedup-shuffle via ReusedExchange at runtime."""
+    p = _plan(_impl("curate_corpus_documents")(spark, SF_DIR))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert sum("text" in s for s in schemas) <= 4
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
