@@ -152,3 +152,74 @@ def test_sessionize_gap_invariants(spark, events, gap_s):
         spans = sorted((r.session_start, r.session_end) for r in got)
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert e1 < s2 and s2 - e1 > gap_s
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=64),
+)
+def test_packing_matches_sequential_model(spark, weights, seq_len):
+    """pack_sequences must equal the sequential model: sort rows by
+    (md5 bucket, id), walk the stream accumulating offsets, slice into
+    seq_len packs."""
+    from datalakerulegeneration_spark.ops.packing import pack_sequences
+    from datalakerulegeneration_spark.ops.sampling import _BUCKETS
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id int, w long"
+    )
+    got = {r["id"]: (r["offset"], r["pack_first"], r["pack_last"])
+           for r in pack_sequences(df, "doc_id", "w", seq_len, n_parts=4).collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:7], 16)
+
+    pos = 0
+    exp = {}
+    for i, w in sorted(enumerate(weights), key=lambda t: (h(t[0]), t[0])):
+        exp[i] = (pos, pos // seq_len, (pos + max(w, 1) - 1) // seq_len)
+        pos += w
+    assert got == exp
+
+
+@SET
+@given(
+    st.lists(st.sampled_from("pqr"), min_size=1, max_size=60),
+    st.floats(min_value=0.05, max_value=0.9),
+)
+def test_rebalance_invariants(spark, groups, cap_share):
+    """Survivors are a subset; groups at-or-under the cap survive
+    whole; membership is a pure function of (id, group size, cap)."""
+    from datalakerulegeneration_spark.ops.sampling import rebalance_groups
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string")
+    out = rebalance_groups(df, "doc_id", "grp", cap_share).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept <= {i for i, _ in rows}
+    from collections import Counter
+    sizes = Counter(g for _, g in rows)
+    cap_n = int(cap_share * len(rows))
+    for g, n in sizes.items():
+        if n <= cap_n:
+            assert {i for i, gg in rows if gg == g} <= kept
+
+
+@SET
+@given(st.lists(st.text(alphabet="xy z", min_size=0, max_size=24), min_size=1, max_size=12))
+def test_repetition_ratios_bounded(spark, texts):
+    """All emitted ratios live in [0, 1]; n_distinct ≤ n_tokens; docs
+    with no tokens are absent."""
+    from datalakerulegeneration_spark.ops.textqa import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    rows = repetition_stats(df, "doc_id", "text").collect()
+    emitted = {r["id"] for r in rows}
+    for i, t in enumerate(texts):
+        assert (len(t.split()) > 0) == (i in emitted)
+    for r in rows:
+        assert 1 <= r["n_distinct_tokens"] <= r["n_tokens"]
+        for c in ("dup_token_frac", "top_token_share", "top_bigram_share"):
+            assert 0.0 <= r[c] <= 1.0
