@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "repetition_stats_documents",
     "tfidf_top_terms_documents",
     "pack_sequences_documents",
+    "curate_corpus_documents",
 ]
 
 

@@ -307,3 +307,39 @@ def write_bucketed(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink (reference dataset.py:50-54)."""
     df.write.option("header", True).mode(mode).csv(path)
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Curated-corpus parquet sink (scale extension — the write side of
+    the curation pipeline).
+
+    * ``partition_by`` → Hive-style directories so downstream readers
+      partition-prune (e.g. by source or split) instead of scanning
+      the whole corpus.
+    * ``sort_by`` → ``sortWithinPartitions`` before writing: clustered
+      values compress far better (RLE/dictionary pages) and give
+      readers min/max-pruned row groups; a within-partition sort adds
+      NO extra shuffle on top of the partitioning one.
+    * ``maxRecordsPerFile`` caps file size so a skewed partition
+      (one giant source) becomes many parallel-readable files instead
+      of one unsplittable-by-task monolith.
+    """
+    out = df
+    if partition_by:
+        # co-locate each output partition's rows before the file write:
+        # without this, every task writes a sliver of every partition
+        # (tasks × partitions tiny files)
+        out = out.repartition(*[F.col(c) for c in partition_by])
+    if sort_by:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_by])
+    w = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -584,3 +584,36 @@ def test_curate_corpus_materialized_identical(spark, sf_tables):
     mat = sorted(map(tuple, mat_df.collect()))
     assert lazy == mat
     spark.catalog.clearCache()
+
+
+def test_write_corpus_sink(spark, sf_tables, tmp_path):
+    """Round-trip: partition dirs exist, data intact, file-size cap
+    splits a partition into multiple files, rows clustered by sort key."""
+    import os
+    from datalakerulegeneration_spark.catalog import write_corpus
+
+    docs = sf_tables["documents"]
+    out = str(tmp_path / "corpus")
+    write_corpus(
+        docs, out, partition_by=("lang",), sort_by=("doc_id",),
+        max_records_per_file=100,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    for lang in langs:
+        assert os.path.isdir(os.path.join(out, f"lang={lang}"))
+    # the 500-doc dominant partition must be split by the 100-row cap
+    biggest = max(
+        langs,
+        key=lambda l: docs.where(F.col("lang") == l).count(),
+    )
+    n_files = [
+        f for f in os.listdir(os.path.join(out, f"lang={biggest}"))
+        if f.endswith(".parquet")
+    ]
+    if docs.where(F.col("lang") == biggest).count() > 100:
+        assert len(n_files) > 1
