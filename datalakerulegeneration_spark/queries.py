@@ -2576,19 +2576,19 @@ _GATE_HEAD = [
     "violations_dates_events",
     "three_sigma_events",
     "dboost_histogram_events",
-    "dboost_pearson_lineitem",
+    "pii_scrub_documents",
     "dboost_cords_events",
     "eval_metrics_orders",
-    "eval_correction_orders",
+    "tfidf_top_terms_documents",
     "fd_conflicts_orders",
     "inclusion_orders_customer",
     "q1_pricing_summary",
     "q5_nation_revenue",
     "q18_large_volume",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
+    "curate_corpus_documents",
+    "pack_sequences_documents",
     "q13_customer_distribution",
-    "q17_small_qty_revenue",
+    "repetition_stats_documents",
     "q21_waiting_suppliers",
     "latest_events_per_user",
     "sessionize_events",
@@ -2598,7 +2598,7 @@ _GATE_HEAD = [
     "dup_components_documents",
     "ann_topk_embeddings",
     "ann_recall_embeddings",
-    "near_dup_embeddings",
+    "rebalance_sources_documents",
     "embedding_stats_by_label",
     "column_match_customer_supplier",
     "dataset_similarity_tables",
@@ -2606,7 +2606,7 @@ _GATE_HEAD = [
     "quality_score_documents",
     "token_count_documents",
     "multimodal_png_decode_documents",
-    "shuffle_documents",
+    "source_mix_documents",
     "stratified_sample_documents",
     "quality_filter_documents",
     "decontaminate_documents",

@@ -5,6 +5,9 @@ from datalakerulegeneration_spark.streaming.profiler_stream import (  # noqa: F4
 from datalakerulegeneration_spark.streaming.stateful import (  # noqa: F401
     stateful_gaussian_flags,
 )
+from datalakerulegeneration_spark.streaming.curate_stream import (  # noqa: F401
+    curate_stream,
+)
 from datalakerulegeneration_spark.streaming.drift_stream import (  # noqa: F401
     baseline_shares,
     psi_drift_stream,

@@ -310,3 +310,74 @@ def test_psi_drift_stream_streaming_mode(spark, sf_tables, tmp_path):
     # every emitted window must match the batch computation exactly
     for k, v in got.items():
         assert exp_all[k] == v
+
+
+def test_curate_stream_batch_twin_matches_oracle(spark, sf_tables, duck):
+    """Batch-mode curate_stream (quality gate → min-id fingerprint
+    dedup → eval anti-join) must match an independent DuckDB oracle."""
+    from datalakerulegeneration_spark.ops import textqa
+    from datalakerulegeneration_spark.streaming import curate_stream
+
+    docs = sf_tables["documents"]
+    eval_fps = (
+        textqa.fingerprint(docs.where(F.col("doc_id") % 37 == 0), "doc_id", "text")
+        .select(F.col("fingerprint").alias("eval_fp"))
+        .distinct()
+    )
+    got = sorted(
+        map(tuple, curate_stream(docs, eval_fps).drop("quality").collect())
+    )
+    q = textqa.quality_sql_expr("text")
+    fp = textqa.fingerprint_sql_expr("text")
+    nt = textqa.ntokens_sql_expr("text")
+    sql = f"""
+WITH d0 AS (
+  SELECT doc_id AS id, source AS grp, {q} AS quality, {fp} AS fp, {nt} AS n_tokens
+  FROM documents
+),
+d1 AS (SELECT * FROM d0 WHERE quality >= 0.5),
+d2 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id) rn FROM d1) WHERE rn = 1),
+ev AS (SELECT DISTINCT {fp} AS eval_fp FROM documents WHERE doc_id % 37 = 0)
+SELECT d2.id, d2.grp, d2.fp, d2.n_tokens FROM d2 ANTI JOIN ev ON d2.fp = ev.eval_fp
+"""
+    exp = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert got == exp and len(got) > 0
+
+
+def test_curate_stream_streaming_mode(spark, sf_tables, tmp_path):
+    """Real streaming run: the surviving fingerprint SET equals the
+    batch twin's (which member of a dup group survives depends on
+    arrival order; the set of deduped fingerprints does not)."""
+    from datalakerulegeneration_spark.ops import textqa
+    from datalakerulegeneration_spark.streaming import curate_stream
+
+    docs = sf_tables["documents"].withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id"))
+    )
+    eval_fps = (
+        textqa.fingerprint(docs.where(F.col("doc_id") % 37 == 0), "doc_id", "text")
+        .select(F.col("fingerprint").alias("eval_fp"))
+        .distinct()
+    )
+    src = str(tmp_path / "curin")
+    os.makedirs(src)
+    docs.write.parquet(os.path.join(src, "p1"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    out = curate_stream(stream, eval_fps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM curated_stream").collect()
+    twin = curate_stream(docs, eval_fps).collect()
+    assert {r["fp"] for r in got} == {r["fp"] for r in twin}
+    assert len(got) == len(twin) > 0
