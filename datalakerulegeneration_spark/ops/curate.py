@@ -144,7 +144,9 @@ d3 AS (
   FROM d2 ANTI JOIN eval_fps ON d2.fp = eval_fps.eval_fp
 ),
 tot AS (
-  SELECT CAST(floor({cap_share} * count(*)) AS BIGINT) AS cap_n FROM {table}
+  -- CAST: DuckDB parses the literal as DECIMAL, whose exact product
+  -- can floor one short of Spark's double arithmetic
+  SELECT CAST(floor(CAST({cap_share} AS DOUBLE) * count(*)) AS BIGINT) AS cap_n FROM {table}
 ),
 d4 AS (
   SELECT d3.id, d3.grp, d3.n_tokens FROM d3 CROSS JOIN tot

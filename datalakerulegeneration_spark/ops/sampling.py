@@ -194,7 +194,9 @@ def rebalance_groups_sql(
     return f"""
 WITH counts AS (
   SELECT {group_col} AS grp, count(*) AS grp_n,
-         CAST(floor({cap_share} * sum(count(*)) OVER ()) AS BIGINT) AS cap_n
+         -- CAST: DuckDB parses the literal as DECIMAL, whose exact
+         -- product can floor one short of Spark's double arithmetic
+         CAST(floor(CAST({cap_share} AS DOUBLE) * sum(count(*)) OVER ()) AS BIGINT) AS cap_n
   FROM {table} GROUP BY {group_col}
 )
 SELECT t.* FROM {table} t JOIN counts c ON t.{group_col} = c.grp

@@ -223,3 +223,46 @@ def test_repetition_ratios_bounded(spark, texts):
         assert 1 <= r["n_distinct_tokens"] <= r["n_tokens"]
         for c in ("dup_token_frac", "top_token_share", "top_bigram_share"):
             assert 0.0 <= r[c] <= 1.0
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab c", min_size=0, max_size=40),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.floats(min_value=0.1, max_value=0.9),
+    st.integers(min_value=8, max_value=256),
+)
+def test_curate_pipeline_matches_oracle_on_random_corpora(spark, rows, cap_share, seq_len):
+    """The full six-stage curation pipeline equals its DuckDB oracle on
+    arbitrary corpora — duplicates, empty texts, skewed sources,
+    any cap/seq_len."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops.curate import curate_corpus, curate_corpus_sql
+
+    data = [(i, t, s) for i, (t, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = sorted(
+        map(
+            tuple,
+            curate_corpus(
+                df, eval_mod=3, quality_min=0.3, cap_share=cap_share, seq_len=seq_len
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(data, columns=["doc_id", "text", "source"])
+    )
+    sql = curate_corpus_sql(
+        "documents", eval_mod=3, quality_min=0.3, cap_share=cap_share, seq_len=seq_len
+    )
+    exp = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == exp
