@@ -266,3 +266,36 @@ def test_curate_pipeline_matches_oracle_on_random_corpora(spark, rows, cap_share
     )
     exp = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == exp
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet="abø. c", min_size=0, max_size=40), min_size=1, max_size=20
+    )
+)
+def test_textqa_ops_match_oracle_on_random_corpora(spark, texts):
+    """repetition_stats and tfidf_top_terms equal their DuckDB oracles
+    on arbitrary corpora (unicode, punctuation, empties, dup tokens)."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import textqa
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(data, columns=["doc_id", "text"]))
+    for spark_df, sql in [
+        (
+            textqa.repetition_stats(df, "doc_id", "text"),
+            textqa.repetition_stats_sql("documents", "doc_id", "text"),
+        ),
+        (
+            textqa.tfidf_top_terms(df, "doc_id", "text", k=3),
+            textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=3),
+        ),
+    ]:
+        got = sorted(map(tuple, spark_df.collect()))
+        exp = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == exp
