@@ -23,7 +23,16 @@ def build_parser() -> argparse.ArgumentParser:
         prog="datalakerulegeneration_spark",
         description="Run clustering and evaluation over dirty/clean dataset pairs.",
     )
-    p.add_argument("--mode", choices=["single", "multi"], default="single")
+    p.add_argument("--mode", choices=["single", "multi", "curate"], default="single")
+    # curate mode (beyond-reference): run the corpus curation pipeline
+    # on a parquet documents table and write the training manifest
+    p.add_argument("--input", default=None, help="curate: documents parquet path")
+    p.add_argument("--id-column", dest="id_column", default="doc_id")
+    p.add_argument("--text-column", dest="text_column", default="text")
+    p.add_argument("--group-column", dest="group_column", default="source")
+    p.add_argument("--quality-min", dest="quality_min", type=float, default=0.5)
+    p.add_argument("--cap-share", dest="cap_share", type=float, default=0.03)
+    p.add_argument("--seq-len", dest="seq_len", type=int, default=2048)
     p.add_argument("--dataset-name", "--dataset_name", dest="dataset_name")
     p.add_argument("--dataset-group", "--dataset_group", dest="dataset_group")
     p.add_argument("--data-root", dest="data_root", default="datasets")
@@ -51,6 +60,43 @@ def main(argv: list[str] | None = None) -> dict:
 
     args = build_parser().parse_args(argv)
     spark = get_spark("datalakerulegeneration_spark-cli")
+    if args.mode == "curate":
+        from pyspark.sql import functions as F
+
+        from datalakerulegeneration_spark.catalog import write_corpus
+        from datalakerulegeneration_spark.ops.curate import curate_corpus
+
+        if not args.input:
+            raise SystemExit("--mode curate requires --input")
+        docs = spark.read.parquet(args.input)
+        manifest = curate_corpus(
+            docs,
+            id_col=args.id_column,
+            text_col=args.text_column,
+            group_col=args.group_column,
+            quality_min=args.quality_min,
+            cap_share=args.cap_share,
+            seq_len=args.seq_len,
+            materialize_manifest=True,
+        )
+        stats = manifest.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("weight").alias("tokens"),
+            (F.max("pack_last") + 1).alias("packs"),
+        ).collect()[0]
+        out = {
+            "mode": "curate",
+            "input_docs": docs.count(),
+            "kept_docs": stats["docs"],
+            "tokens": stats["tokens"],
+            "packs": stats["packs"],
+            "seq_len": args.seq_len,
+        }
+        if args.output:
+            write_corpus(manifest, args.output, partition_by=("grp",), sort_by=("offset",))
+        spark.catalog.clearCache()
+        print(json.dumps(out, sort_keys=True))
+        return out
     cat = discover_dataset_folders(spark, args.data_root)
     rows = cat.collect()
     if args.dataset_group:

@@ -179,3 +179,25 @@ def test_pipeline_artifacts(spark, sf_tables):
     assert res["profiles"].count() == 5
     assert res["clusters"].count() == 5
     assert res["shared_rules"].count() > 0
+
+
+def test_cli_curate_mode(spark, tmp_path, capsys):
+    """--mode curate runs the curation pipeline on a parquet corpus and
+    writes a partitioned manifest."""
+    import json as _json
+    import os
+
+    from datalakerulegeneration_spark.__main__ import main
+
+    out_dir = str(tmp_path / "manifest")
+    res = main([
+        "--mode", "curate",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir,
+        "--seq-len", "512",
+    ])
+    assert res["kept_docs"] > 0 and res["kept_docs"] < res["input_docs"]
+    assert res["packs"] == (res["tokens"] - 1) // 512 + 1
+    back = spark.read.parquet(out_dir)
+    assert back.count() == res["kept_docs"]
+    assert any(d.startswith("grp=") for d in os.listdir(out_dir))
