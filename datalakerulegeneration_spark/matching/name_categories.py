@@ -101,14 +101,20 @@ def column_name_categories(
         rows = []
         for c in column_names:
             tri = _trigrams(_norm(c))
-            best_label, best_score = "unknown", -1.0
+            best_label, best_score = "unknown", 0.0
             for label in sorted(protos):
                 score = max(
-                    len(tri & _trigrams(_norm(k))) / len(tri | _trigrams(_norm(k)))
+                    (
+                        len(tri & kt) / len(tri | kt)
+                        if (kt := _trigrams(_norm(k))) or tri
+                        else 0.0
+                    )
                     for k in protos[label]
                 )
                 if score > best_score:
                     best_label, best_score = label, score
+            # a name that shares nothing with any prototype stays
+            # 'unknown' rather than winning the alphabetically-first label
             rows.append((c, best_label, round(best_score, 6)))
 
     return spark.createDataFrame(

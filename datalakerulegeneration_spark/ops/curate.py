@@ -88,7 +88,11 @@ def curate_corpus(
         .select("id", "grp", "n_tokens")
     )
     total = docs.agg(F.count(F.lit(1)).alias("_total"))
-    cap_n = F.floor(F.lit(cap_share) * F.col("_total")).cast("bigint")
+    # floor ≥ 1: a tiny corpus must not collapse to cap 0 and emit an
+    # empty manifest
+    cap_n = F.greatest(
+        F.lit(1), F.floor(F.lit(cap_share) * F.col("_total")).cast("bigint")
+    )
     keep = (F.col("_grp_n") <= cap_n) | (
         sampling._hash_bucket("id", "rebalance") * F.col("_grp_n")
         < cap_n * F.lit(sampling._BUCKETS)
@@ -145,8 +149,9 @@ d3 AS (
 ),
 tot AS (
   -- CAST: DuckDB parses the literal as DECIMAL, whose exact product
-  -- can floor one short of Spark's double arithmetic
-  SELECT CAST(floor(CAST({cap_share} AS DOUBLE) * count(*)) AS BIGINT) AS cap_n FROM {table}
+  -- can floor one short of Spark's double arithmetic;
+  -- greatest(1,..): tiny corpora must not collapse to cap 0
+  SELECT greatest(1, CAST(floor(CAST({cap_share} AS DOUBLE) * count(*)) AS BIGINT)) AS cap_n FROM {table}
 ),
 d4 AS (
   SELECT d3.id, d3.grp, d3.n_tokens FROM d3 CROSS JOIN tot

@@ -208,7 +208,12 @@ def ks_statistic(
 
     j = _distinct_grain(baseline, current, col)
     bounds = _range_buckets(baseline, col, n_parts)
-    jb = j.withColumn("pid", _pid_expr(bounds))
+    # persist: the bucket-totals action below AND the caller's final
+    # collect both consume jb; without it the distinct-grain join (the
+    # operator's most expensive shuffle) executes twice. The frame is
+    # O(distinct values) — the operator's bounded state — so caching
+    # it is the right call at any scale.
+    jb = j.withColumn("pid", _pid_expr(bounds)).persist()
 
     # Tiny bucket-grain aggregate → driver: totals and per-bucket offsets.
     btots = {
@@ -422,7 +427,10 @@ def wasserstein_1(
 
     j = _distinct_grain(baseline, current, col)
     bounds = _range_buckets(baseline, col, n_parts)
-    jb = j.withColumn("pid", _pid_expr(bounds))
+    # persist: same rationale as ks_statistic — the stats action and
+    # the caller's collect would otherwise run the distinct-grain
+    # join twice; the frame is O(distinct values).
+    jb = j.withColumn("pid", _pid_expr(bounds)).persist()
 
     stats = {
         r["pid"]: (r["b"], r["c"], r["mn"])

@@ -226,7 +226,14 @@ def extract_features(assets: DataFrame, frames_per_video: int = 4) -> DataFrame:
             raise NotImplementedError("real decode requires payload bytes")
         feats = None
         if payload.startswith(PNG_MAGIC):
-            feats = _decode_png_pil(payload) or _decode_png_pure(payload)
+            # a corrupt/truncated payload (bad IDAT, out-of-range
+            # palette, PIL decode error) must fall through to the
+            # digest stub, not kill the Spark task — one bad image in
+            # a 100 TB corpus cannot be allowed to fail the job
+            try:
+                feats = _decode_png_pil(payload) or _decode_png_pure(payload)
+            except Exception:
+                feats = None
         if feats is None:
             # non-PNG (or exotic PNG) fallback: deterministic digest
             # stub — swap for soundfile/pyav per modality in production

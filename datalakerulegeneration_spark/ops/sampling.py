@@ -128,7 +128,11 @@ def group_mix(df: DataFrame, group_col: str, weight_col: str | None = None) -> D
     hash-match across engines."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if weight_col is not None:
-        aggs.append(F.sum(weight_col).cast("bigint").alias("weight_sum"))
+        # round-then-cast: Spark's double→bigint cast truncates while
+        # DuckDB's rounds, so a fractional weight sum would diverge
+        aggs.append(
+            F.round(F.sum(weight_col), 0).cast("bigint").alias("weight_sum")
+        )
     g = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
     # total via an unpartitioned window over the group-sized frame —
     # an aggregate branch would re-scan the corpus for the total
@@ -141,7 +145,7 @@ def group_mix(df: DataFrame, group_col: str, weight_col: str | None = None) -> D
 
 
 def group_mix_sql(table: str, group_col: str, weight_col: str | None = None) -> str:
-    w = f", CAST(sum({weight_col}) AS BIGINT) AS weight_sum" if weight_col else ""
+    w = f", CAST(round(sum({weight_col}), 0) AS BIGINT) AS weight_sum" if weight_col else ""
     return f"""
 SELECT {group_col} AS grp, count(*) AS n_rows{w},
        round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
@@ -173,16 +177,23 @@ def rebalance_groups(
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # floor ≥ 1: a tiny corpus (total < 1/cap_share) must not collapse
+    # to cap 0 and silently drop every row
     cap = counts.select(
-        group_col,
+        F.col(group_col).alias("_grp_key"),  # fresh name: cap shares df's lineage
         "_grp_n",
-        F.floor(F.lit(cap_share) * F.sum("_grp_n").over(wall)).cast("bigint").alias("_cap_n"),
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(cap_share) * F.sum("_grp_n").over(wall)).cast("bigint"),
+        ).alias("_cap_n"),
     )
     keep = (F.col("_grp_n") <= F.col("_cap_n")) | (
         _hash_bucket(id_col, salt) * F.col("_grp_n") < F.col("_cap_n") * F.lit(_BUCKETS)
     )
+    # null-safe equality: a NULL group is a group like any other — a
+    # plain equi-join would silently drop every NULL-group row
     return (
-        df.join(F.broadcast(cap), group_col)
+        df.join(F.broadcast(cap), F.col(group_col).eqNullSafe(F.col("_grp_key")))
         .where(keep)
         .select(*df.columns)
     )
@@ -195,11 +206,12 @@ def rebalance_groups_sql(
 WITH counts AS (
   SELECT {group_col} AS grp, count(*) AS grp_n,
          -- CAST: DuckDB parses the literal as DECIMAL, whose exact
-         -- product can floor one short of Spark's double arithmetic
-         CAST(floor(CAST({cap_share} AS DOUBLE) * sum(count(*)) OVER ()) AS BIGINT) AS cap_n
+         -- product can floor one short of Spark's double arithmetic;
+         -- greatest(1,..): tiny corpora must not collapse to cap 0
+         greatest(1, CAST(floor(CAST({cap_share} AS DOUBLE) * sum(count(*)) OVER ()) AS BIGINT)) AS cap_n
   FROM {table} GROUP BY {group_col}
 )
-SELECT t.* FROM {table} t JOIN counts c ON t.{group_col} = c.grp
+SELECT t.* FROM {table} t JOIN counts c ON t.{group_col} IS NOT DISTINCT FROM c.grp
 WHERE c.grp_n <= c.cap_n
    OR {_hash_bucket_sql(f"t.{id_col}", salt)} * c.grp_n < c.cap_n * {_BUCKETS}
 """

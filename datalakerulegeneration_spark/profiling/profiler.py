@@ -27,6 +27,8 @@ to ``approx_count_distinct`` and quantiles to ``percentile_approx``
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -75,14 +77,33 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     lost parallelism (measured 14s → 2s on 600k-row lineitem).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    # inputFiles() is a metadata-only call; small parquet scans yield at
-    # most ~one partition per file, so few files → repartition. Avoids
-    # df.rdd.getNumPartitions(), which instantiates the RDD lineage
-    # through the Python serializer on every profile call (r02 verdict).
+    # inputFiles() is a metadata-only call (avoids df.rdd, which
+    # instantiates the RDD lineage on every profile call — r02
+    # verdict). Few files alone does NOT imply few scan partitions:
+    # the scan splits big files at maxPartitionBytes, and forcing a
+    # repartition of a 4×1 GB table would shuffle 4 GB for nothing —
+    # so estimate the split count from local file sizes and only
+    # shuffle when the scan genuinely under-parallelizes (the small
+    # local-bench files this fix targets). Non-local URIs stat-fail
+    # and are left to the scan's own splitting.
     files = df.inputFiles()
-    if files and len(files) < target:
-        return df.repartition(target)
-    return df
+    if not files or len(files) >= target:
+        return df
+    conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    num = conf.rstrip("kmgb")
+    mult = units.get(conf.removesuffix("b")[-1:], 1)
+    max_pb = int(num) * mult if num.isdigit() else 134217728
+    est = 0
+    for f in files:
+        try:
+            sz = os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return df
+        est += max(1, -(-sz // max_pb))
+        if est >= target:
+            return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------

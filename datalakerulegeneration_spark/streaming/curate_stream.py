@@ -49,6 +49,14 @@ def curate_stream(
     if eval_fps.isStreaming:
         raise ValueError("eval_fps must be a static frame (it broadcasts)")
     has_ts = ts_col in stream.columns
+    if stream.isStreaming and not has_ts:
+        # without event time the dedup stage would fall into the batch
+        # row_number branch, which Structured Streaming rejects with an
+        # unrelated analysis error — fail with the real cause instead
+        raise ValueError(
+            f"curate_stream: streaming input has no {ts_col!r} column; "
+            "watermarked dedup needs an event-time column (pass ts_col=)"
+        )
     cols = [
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),

@@ -172,3 +172,18 @@ def test_semantic_domains_default_and_model_seam(spark):
     }
     assert got2 == {"contact": "custom:contact", "day": "custom:day", "blurb": "custom:blurb"}
     assert all(n <= 2 for n in calls.values())  # bounded sample reached the model
+
+
+def test_name_categories_unknown_for_no_overlap(spark):
+    """Review fix: a name sharing nothing with any prototype is labeled
+    'unknown' (score 0), not the alphabetically-first category."""
+    from datalakerulegeneration_spark.matching.name_categories import (
+        column_name_categories,
+    )
+
+    rows = {r["column_name"]: r for r in column_name_categories(
+        spark, ["123", "####", "customer_name"]
+    ).collect()}
+    assert rows["123"]["category"] == "unknown" and rows["123"]["confidence"] == 0.0
+    assert rows["####"]["category"] == "unknown"
+    assert rows["customer_name"]["category"] != "unknown"

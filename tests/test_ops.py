@@ -617,3 +617,48 @@ def test_write_corpus_sink(spark, sf_tables, tmp_path):
     ]
     if docs.where(F.col("lang") == biggest).count() > 100:
         assert len(n_files) > 1
+
+
+def test_rebalance_null_group_and_tiny_corpus(spark):
+    """Review fixes: NULL-group rows are a group like any other (not
+    silently dropped), and a corpus smaller than 1/cap_share keeps at
+    least one row per group instead of emptying out."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.rebalance_groups(df, "doc_id", "grp", cap_share=0.9).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3, 4, 5]
+    # tiny corpus: cap floors to 0 without the greatest(1, ...) guard
+    tiny = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, grp string")
+    kept = sampling.rebalance_groups(tiny, "doc_id", "grp", cap_share=0.05).count()
+    assert kept >= 1
+
+
+def test_group_mix_fractional_weights_match(spark, duck):
+    """Review fix: fractional weight sums must agree between engines
+    (Spark cast truncates, DuckDB rounds — both now round first)."""
+    import pandas as pd
+    from datalakerulegeneration_spark.ops import sampling
+
+    rows = [(1, "a", 3.4), (2, "a", 7.3), (3, "b", 0.9)]  # a sums to 10.7
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    duck.register("gm_frac", pd.DataFrame(rows, columns=["doc_id", "grp", "w"]))
+    got = sorted(map(tuple, sampling.group_mix(df, "grp", "w").collect()))
+    exp = sorted(map(tuple, duck.execute(sampling.group_mix_sql("gm_frac", "grp", "w")).fetchall()))
+    assert got == exp
+
+
+def test_multimodal_corrupt_png_falls_back(spark):
+    """Review fix: a payload with the PNG magic but corrupt body must
+    fall back to the digest stub, not crash the task."""
+    import hashlib
+    from datalakerulegeneration_spark.ops.multimodal import PNG_MAGIC, extract_features
+
+    bad = PNG_MAGIC + b"\x00garbage-not-a-real-png\xff" * 3
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bad))], "asset_id long, modality string, payload binary"
+    )
+    row = extract_features(df).collect()[0]
+    assert row["sha256"] == hashlib.sha256(bad).hexdigest()
+    assert row["width"] > 0 and row["height"] > 0  # stub features emitted

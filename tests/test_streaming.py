@@ -381,3 +381,22 @@ def test_curate_stream_streaming_mode(spark, sf_tables, tmp_path):
     twin = curate_stream(docs, eval_fps).collect()
     assert {r["fp"] for r in got} == {r["fp"] for r in twin}
     assert len(got) == len(twin) > 0
+
+
+def test_curate_stream_requires_event_time(spark, sf_tables, tmp_path):
+    """Review fix: a streaming input without the event-time column must
+    fail with the real cause, not a cryptic window AnalysisException."""
+    from datalakerulegeneration_spark.streaming import curate_stream
+
+    docs = sf_tables["documents"]
+    eval_fps = spark.createDataFrame([("x",)], "eval_fp string")
+    src = str(tmp_path / "nots")
+    os.makedirs(src)
+    docs.write.parquet(os.path.join(src, "p1"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="event-time"):
+        curate_stream(stream, eval_fps)
