@@ -514,3 +514,56 @@ FROM (
 )
 WHERE rank_in_doc <= {k}
 """
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the classic cheap perplexity proxy for corpus
+    quality (documents full of rare/garbled tokens score low, fluent
+    boilerplate scores high; CCNet/KenLM filtering uses the same idea
+    with a 5-gram LM).
+
+    score(d) = mean over tokens t of ln(count(t) / total_tokens).
+
+    Shape mirrors :func:`tfidf_top_terms`: ONE text scan into a
+    (doc, term) tf aggregation; corpus term counts ride a window over
+    that frame (partitioned by term — no second corpus pass) and the
+    token total is a broadcast 1-row aggregate of the tf frame.
+    Rounded to 6 dp for engine parity.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    terms = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n_total"))
+    corpus_tf = F.sum("tf").over(Window.partitionBy("term"))
+    scored = (
+        tf.withColumn("corpus_tf", corpus_tf)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp", F.col("tf") * F.log(F.col("corpus_tf") / F.col("n_total"))
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("lp") / F.sum("tf"), 6).alias("mean_logprob"),
+    )
+
+
+def unigram_logprob_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle for :func:`unigram_logprob`."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    return f"""
+WITH terms AS (
+  SELECT {id_col} AS id, unnest({toks}) AS term FROM {table}
+),
+tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM tf),
+scored AS (
+  SELECT tf.id, tf.tf,
+         tf.tf * ln((sum(tf.tf) OVER (PARTITION BY tf.term)) / tot.n_total) AS lp
+  FROM tf CROSS JOIN tot
+)
+SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(lp) / sum(tf), 6) AS mean_logprob
+FROM scored GROUP BY id
+"""

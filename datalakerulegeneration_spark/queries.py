@@ -1480,6 +1480,14 @@ PACK_WEIGHT_SQL = (
 )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: per-doc mean unigram
+    log-probability under the corpus's own token distribution (one
+    text scan, term-window corpus counts)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.unigram_logprob(docs, "doc_id", "text")
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP pipeline: quality filter → exact dedup → eval-set
     decontamination → source rebalancing → sequence packing, as ONE
@@ -2530,6 +2538,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),
     "repetition_stats_documents": (q_repetition_stats, textqa.repetition_stats_sql("documents", "doc_id", "text")),
     "pii_scrub_documents": (q_pii_scrub, textqa.pii_scrub_sql("documents", "doc_id", "text")),
+    "unigram_logprob_documents": (q_unigram_logprob, textqa.unigram_logprob_sql("documents", "doc_id", "text")),
     "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
     "source_mix_documents": (q_source_mix, sampling.group_mix_sql("documents", "source", "n_chars")),
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),

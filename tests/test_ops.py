@@ -662,3 +662,18 @@ def test_multimodal_corrupt_png_falls_back(spark):
     row = extract_features(df).collect()[0]
     assert row["sha256"] == hashlib.sha256(bad).hexdigest()
     assert row["width"] > 0 and row["height"] > 0  # stub features emitted
+
+
+def test_unigram_logprob_match_and_ranks(spark, sf_tables, duck):
+    _cmp(textqa.unigram_logprob(sf_tables["documents"], "doc_id", "text"), duck,
+         textqa.unigram_logprob_sql("documents", "doc_id", "text"))
+    # a doc of corpus-common tokens must outscore a doc of hapaxes
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common common"),
+        (3, "qzx wvu jkl mnop"),  # appear once each in the corpus
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r["mean_logprob"] for r in
+           textqa.unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1] == out[2] > out[3]
