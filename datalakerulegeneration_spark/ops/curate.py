@@ -43,6 +43,7 @@ def curate_corpus(
     cap_share: float = 0.03,
     seq_len: int = 2048,
     materialize_manifest: bool = False,
+    near_dup_threshold: float | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the training manifest
     (id, source group, token weight, stream offset, first/last pack).
@@ -60,7 +61,25 @@ def curate_corpus(
     chain to one text scan total, at the cost of caching ~24 bytes/row.
     The default stays pure-lazy so prepared plans hold no executor
     memory.
+
+    ``near_dup_threshold`` (e.g. 0.2) inserts MinHash-LSH near-dedup
+    as stage 0.5: duplicate components are computed over the raw
+    corpus (banded LSH candidates → exact-Jaccard verify → min-label
+    propagation) and only each component's minimum-id representative
+    enters the pipeline. Exact dedup (stage 3) still runs — it catches
+    byte-identical texts the shingle threshold might ignore.
     """
+    if near_dup_threshold is not None:
+        from datalakerulegeneration_spark.ops import dedup
+
+        pairs = dedup.minhash_dedup(docs, id_col, text_col, threshold=near_dup_threshold)
+        comps = dedup.dup_components(pairs)
+        nd_drop = comps.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias("_nd_id")
+        )
+        # no broadcast hint: the drop list scales with corpus dup rate —
+        # AQE picks the strategy
+        docs = docs.join(nd_drop, docs[id_col] == nd_drop["_nd_id"], "left_anti")
     # Spark re-derives a lazy subtree once PER CONSUMING BRANCH, so the
     # pipeline is shaped to keep branches few and thin: the eval side
     # filters the RAW table (not the scored chain), the rebalance cap
@@ -117,15 +136,42 @@ def curate_corpus_sql(
     quality_min: float = 0.5,
     cap_share: float = 0.03,
     seq_len: int = 2048,
+    near_dup_threshold: float | None = None,
 ) -> str:
     """Exact DuckDB oracle for :func:`curate_corpus` — the same six
     stages as CTEs (the oracle may run sequentially; only the Spark
-    side must scale)."""
+    side must scale). With ``near_dup_threshold`` the base corpus is
+    first reduced to MinHash-component representatives via a recursive
+    CTE over the same banded-LSH pair query the Spark side runs."""
     buckets = sampling._BUCKETS
     reb_hash = sampling._hash_bucket_sql("d3.id", "rebalance")
     pack_hash = sampling._hash_bucket_sql("id", "pack")
+    nd_prefix = ""
+    if near_dup_threshold is not None:
+        from datalakerulegeneration_spark.ops import dedup
+
+        pairs_sql = dedup.minhash_dedup_sql(
+            table, id_col, text_col, threshold=near_dup_threshold
+        ).strip()
+        nd_prefix = f"""RECURSIVE nd AS ({pairs_sql}),
+sym AS (
+  SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM nd
+  UNION
+  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM nd
+),
+reach(v, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.v
+),
+nd_drop AS (SELECT v AS id FROM reach GROUP BY v HAVING v <> min(r)),
+base AS (
+  SELECT t.* FROM {table} t ANTI JOIN nd_drop ON t.{id_col} = nd_drop.id
+),
+"""
+        table = "base"
     return f"""
-WITH d0 AS (
+WITH {nd_prefix}d0 AS (
   SELECT {id_col} AS id, {group_col} AS grp,
          {textqa.quality_sql_expr(text_col)} AS quality,
          {textqa.fingerprint_sql_expr(text_col)} AS fp,

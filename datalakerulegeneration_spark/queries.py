@@ -1500,6 +1500,17 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate_corpus(docs)
 
 
+def q_curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with MinHash near-dedup as stage 0.5:
+    banded-LSH components over the raw corpus, min-id representative
+    kept, then the full quality → dedup → decon → rebalance → pack
+    chain. Exact oracle incl. the recursive component CTE."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return curate.curate_corpus(docs, near_dup_threshold=0.2)
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report: per-source rows, char weight, exact share."""
     from datalakerulegeneration_spark.ops import sampling
@@ -2543,6 +2554,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "source_mix_documents": (q_source_mix, sampling.group_mix_sql("documents", "source", "n_chars")),
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),
     "curate_corpus_documents": (q_curate_corpus, curate.curate_corpus_sql("documents")),
+    "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),
     "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
