@@ -516,6 +516,180 @@ WHERE rank_in_doc <= {k}
 """
 
 
+def ngram_overlap(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Contamination AUDIT (GPT-3/PaLM style): for every corpus document,
+    the fraction of its distinct word ``n``-grams that also occur
+    anywhere in the held-out eval set — ``(id, n_grams, n_overlap,
+    overlap_frac, contaminated)``. Where the fuzzy decontaminator DROPS
+    near-verbatim docs pairwise, this reports per-document overlap
+    against the eval set's gram UNION, which is how train/test overlap
+    is usually measured and thresholded.
+
+    Scale shape: the corpus side is one distinct-(doc, gram) explode;
+    the eval side reduces to its distinct-gram set — benchmark suites
+    are tiny relative to a training corpus, so that set broadcasts and
+    the corpus is NEVER shuffled (semi-join + one per-doc aggregation
+    riding the explode's partitioning). All ratios are exact integer
+    divisions rounded to 6 dp. Documents with fewer than ``n`` tokens
+    have no grams and drop out (mirrored by the oracle).
+    """
+    from datalakerulegeneration_spark.ops.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n)
+    eval_grams = (
+        shingles(eval_df, id_col, text_col, n)
+        .select(F.col("shingle").alias("eg"))
+        .distinct()
+    )
+    tot = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ov = (
+        sh.join(F.broadcast(eval_grams), sh["shingle"] == F.col("eg"), "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.round(
+        F.col("n_overlap").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return (
+        tot.join(ov, "id", "left")
+        .select(
+            "id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
+            (F.coalesce(frac, F.lit(0.0)) >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def ngram_overlap_sql(
+    table: str,
+    eval_pred: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB oracle for :func:`ngram_overlap`; ``eval_pred`` is a SQL
+    predicate over ``{table}`` selecting the eval-set rows."""
+    from datalakerulegeneration_spark.ops.dedup import shingles_sql
+
+    sh = shingles_sql(table, id_col, text_col, n).strip()
+    return f"""
+WITH sh AS ({sh}),
+eval_grams AS (
+  SELECT DISTINCT shingle FROM sh
+  WHERE id IN (SELECT {id_col} FROM {table} WHERE {eval_pred})
+),
+tot AS (SELECT id, count(*) AS n_grams FROM sh GROUP BY id),
+ov AS (
+  SELECT id, count(*) AS n_overlap FROM sh
+  WHERE shingle IN (SELECT shingle FROM eval_grams)
+  GROUP BY id
+)
+SELECT tot.id,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(round(CAST(ov.n_overlap AS DOUBLE) / CAST(tot.n_grams AS DOUBLE), 6), 0.0) AS overlap_frac,
+       COALESCE(round(CAST(ov.n_overlap AS DOUBLE) / CAST(tot.n_grams AS DOUBLE), 6), 0.0) >= {threshold!r} AS contaminated
+FROM tot LEFT JOIN ov ON tot.id = ov.id
+"""
+
+
+def common_line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style line-level dedup: a line (``sep``-separated segment,
+    ``sep`` is a regex) occurring in at least ``min_docs`` DISTINCT
+    documents is boilerplate (headers, nav bars, license blurbs) and is
+    removed from every document. Returns ``(id, n_lines, n_kept,
+    cleaned_text)`` with surviving lines rejoined by newline in their
+    original order; a document whose every line is common keeps an
+    empty string.
+
+    Scale shape: one line-grain explode; the document frequency is two
+    hash aggregations at (line, id) then (line) grain — never a
+    countDistinct Expand; the frequency join back is the inverted-index
+    shape (only lines, never raw docs, shuffle — state O(distinct
+    lines)); reassembly is one per-doc aggregation over line structs.
+    The reference has no corpus-dedup surface at all; this extends the
+    pipeline family (SURVEY §2 scale extensions).
+    """
+    lines = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        )
+    )
+    line_docs = (
+        lines.select("line", "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tagged = lines.join(line_docs, "line").withColumn(
+        "keep", F.col("n_docs") < min_docs
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return tagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count(F.when(F.col("keep"), F.lit(1))).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+
+
+def common_line_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    sep: str = "\\n",
+    min_docs: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`common_line_dedup` (``sep`` as an RE2
+    regex in a standard single-quoted literal)."""
+    return f"""
+WITH l AS (
+  SELECT id, u.pos AS pos, u.line AS line FROM (
+    SELECT {id_col} AS id, string_split_regex({text_col}, '{sep}') AS lines
+    FROM {table} WHERE {text_col} IS NOT NULL
+  ), LATERAL (
+    SELECT unnest(list_transform(lines, (x, i) -> {{'pos': i, 'line': x}}),
+                  recursive := true)
+  ) u
+),
+freq AS (
+  SELECT line, count(*) AS n_docs
+  FROM (SELECT DISTINCT line, id FROM l) GROUP BY line
+)
+SELECT l.id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(CASE WHEN freq.n_docs < {min_docs} THEN 1 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN freq.n_docs < {min_docs} THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS cleaned_text
+FROM l JOIN freq ON l.line = freq.line
+GROUP BY l.id
+"""
+
+
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     token distribution — the classic cheap perplexity proxy for corpus

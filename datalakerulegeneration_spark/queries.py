@@ -1735,6 +1735,75 @@ WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.id = documents.doc_id)
 """
 
 
+def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit (ops.textqa.ngram_overlap): per-document
+    fraction of distinct 3-grams shared with the eval set (every 37th
+    doc — the same held-out stand-in the decontamination queries use).
+    The eval gram set broadcasts; the corpus is never shuffled."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    eval_docs = docs.where(F.col("doc_id") % 37 == 0)
+    return textqa.ngram_overlap(docs, eval_docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+Q_NGRAM_OVERLAP_ORACLE = textqa.ngram_overlap_sql(
+    "documents", "doc_id % 37 = 0", "doc_id", "text", n=3, threshold=0.2
+)
+
+
+# Line-grain synthesis for the line-dedup query: the documents fixture
+# is single-line, so both engines deterministically re-wrap each text
+# into 3-token lines first — short lines over a ~30-word vocabulary
+# REALLY collide across documents, so the common-line filter does real
+# work under the oracle (the same fixture-synthesis pattern the PNG
+# decode query uses).
+def _wrapped_docs(docs: DataFrame) -> DataFrame:
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(F.col("doc_id"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, greatest(int(ceil(size(toks) / 3.0)), 1)),"
+                    " i -> concat_ws(' ', slice(toks, (i - 1) * 3 + 1, 3)))"
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+
+
+_WRAPPED_DOCS_SQL = """(
+  SELECT doc_id,
+         array_to_string(list_transform(
+           generate_series(1, greatest(CAST(ceil(len(toks) / 3.0) AS BIGINT), 1)),
+           i -> array_to_string(list_slice(toks, (i - 1) * 3 + 1, (i - 1) * 3 + 3), ' ')
+         ), chr(10)) AS text
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents WHERE text IS NOT NULL
+  )
+) wrapped"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style common-line removal (ops.textqa.common_line_dedup):
+    lines occurring in ≥2 distinct documents are boilerplate and are
+    scrubbed from every document; cleaned text is reassembled in
+    original line order."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.common_line_dedup(
+        _wrapped_docs(docs), "doc_id", "text", sep="\n", min_docs=2
+    )
+
+
+Q_LINE_DEDUP_ORACLE = textqa.common_line_dedup_sql(
+    _WRAPPED_DOCS_SQL, "doc_id", "text", sep="\\n", min_docs=2
+)
+
+
 _DRIFT_BOUNDS = (0.0, 500.0)  # pinned edges for the events.value monitor
 
 
@@ -2568,6 +2637,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_filter_documents": (q_quality_filter_documents, _quality_filter_oracle()),
     "decontaminate_documents": (q_decontaminate_documents, _decontaminate_oracle()),
     "decontaminate_fuzzy_documents": (q_decontaminate_fuzzy, _decontaminate_fuzzy_oracle()),
+    "ngram_overlap_documents": (q_ngram_overlap, Q_NGRAM_OVERLAP_ORACLE),
+    "line_dedup_documents": (q_line_dedup, Q_LINE_DEDUP_ORACLE),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),

@@ -466,6 +466,72 @@ def test_pii_scrub_match_and_detects(spark, sf_tables, duck):
     assert out[3]["scrubbed"] == rows[2][1]
 
 
+def test_ngram_overlap_semantics(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # partially leaked
+            (2, "completely different words in this one here now"),
+            (3, "the quick brown fox jumps"),  # fully inside the eval doc
+            (4, "hi"),  # < n tokens: no grams, drops out
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps straight up")], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in textqa.ngram_overlap(corpus, eval_df, "doc_id", "text", n=3).collect()
+    }
+    # doc 3: grams = {the quick brown, quick brown fox, brown fox jumps} — all leaked
+    assert out[3]["n_grams"] == 3 and out[3]["overlap_frac"] == 1.0
+    assert out[3]["contaminated"] is True
+    assert out[1]["n_overlap"] == 3 and 0 < out[1]["overlap_frac"] < 1
+    assert out[2]["n_overlap"] == 0 and out[2]["contaminated"] is False
+    assert 4 not in out
+
+
+def test_common_line_dedup_semantics(spark):
+    boiler = "subscribe to our newsletter"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique alpha content\nall rights reserved"),
+            (2, f"{boiler}\nunique beta content\nall rights reserved"),
+            (3, "entirely original document body"),
+            (4, f"{boiler}"),  # all lines common → empty cleaned text
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in textqa.common_line_dedup(corpus, "doc_id", "text", min_docs=2).collect()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[1]["cleaned_text"] == "unique alpha content"
+    assert out[2]["cleaned_text"] == "unique beta content"
+    assert out[3]["n_kept"] == 1 and out[3]["cleaned_text"] == corpus.collect()[2]["text"]
+    assert out[4]["n_kept"] == 0 and out[4]["cleaned_text"] == ""
+
+
+def test_common_line_dedup_preserves_order(spark):
+    # kept lines must rejoin in ORIGINAL order even when interleaved
+    # with removed ones and lexically descending
+    corpus = spark.createDataFrame(
+        [
+            (1, "zeta first\ncommon\nalpha second\ncommon\nmiddle third"),
+            (2, "common\ncommon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in textqa.common_line_dedup(corpus, "doc_id", "text", min_docs=2).collect()
+    }
+    assert out[1]["cleaned_text"] == "zeta first\nalpha second\nmiddle third"
+    # within-doc repeats of a common line all drop; n_lines counts repeats
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 0
+
+
 def test_tfidf_top_terms_match(sf_tables, duck):
     _cmp(textqa.tfidf_top_terms(sf_tables["documents"], "doc_id", "text", k=5), duck,
          textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5))
