@@ -313,6 +313,173 @@ def make_png_assets_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema=ASSET_SCHEMA)
 
 
+WAV_MAGIC = b"RIFF"
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, n_bytes long, sha256 string, sample_rate int,"
+    " n_channels int, n_frames long, duration_ms long, rms double"
+)
+
+
+def encode_wav_pcm16(
+    n_frames: int, sample_rate: int, amplitude: int, n_channels: int = 1
+) -> bytes:
+    """Minimal REAL WAV encoder (stdlib ``wave``): PCM16 frames whose
+    samples alternate ``+amplitude``/``-amplitude`` per frame (same value
+    in every channel), so the decoded RMS is exactly ``amplitude``.
+    Used to build fixture payloads with arithmetically-known features."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(n_channels)
+    w.setsampwidth(2)
+    w.setframerate(sample_rate)
+    samples = [
+        (amplitude if i % 2 == 0 else -amplitude)
+        for i in range(n_frames)
+        for _ in range(n_channels)
+    ]
+    w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    w.close()
+    return buf.getvalue()
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: REAL decode for WAV
+    payloads (stdlib ``wave`` header + PCM16 frame read — sample rate,
+    channel count, frame count, duration, normalized RMS), digest stub
+    for other formats (mp3/flac decoders are not in the container —
+    swap the fallback for soundfile, nothing else changes). Same
+    ``mapInPandas`` 1:1 shape as :func:`extract_features`; a corrupt
+    payload falls back to the stub rather than failing the task.
+
+    Decoders are nested so cloudpickle ships them by value (workers may
+    not be able to import this package when the driver runs off-repo).
+    """
+
+    def _decode_wav(payload: bytes) -> dict | None:
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload), "rb") as r:
+            if r.getsampwidth() != 2:
+                return None
+            n_frames = r.getnframes()
+            rate = r.getframerate()
+            x = np.frombuffer(r.readframes(n_frames), dtype="<i2").astype(np.float64)
+            # RMS on the RAW int16 scale, rounded 6 dp: the fixture's
+            # constant-|amplitude| signals give exact integer RMS, so
+            # the SQL oracle reproduces it with no float-tie risk (a
+            # normalized amp/2^15 can land exactly on a .xxxxxx5
+            # decimal, where Python rounds half-even but SQL engines
+            # round half-away)
+            rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
+            return {
+                "sample_rate": rate,
+                "n_channels": r.getnchannels(),
+                "n_frames": n_frames,
+                "duration_ms": n_frames * 1000 // rate if rate else 0,
+                "rms": round(rms, 6),
+            }
+
+    def _decode_one(payload: bytes) -> dict:
+        if payload is None:
+            raise NotImplementedError("real decode requires payload bytes")
+        feats = None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            try:
+                feats = _decode_wav(payload)
+            except Exception:
+                feats = None
+        if feats is None:
+            import hashlib as _h
+
+            d = _h.sha256(payload).digest()
+            feats = {
+                "sample_rate": 8000 + (d[0] % 8) * 1000,
+                "n_channels": 1 + d[1] % 2,
+                "n_frames": 100 + d[2],
+                "duration_ms": (100 + d[2]) * 1000 // (8000 + (d[0] % 8) * 1000),
+                "rms": round(d[3] / 255.0, 6),
+            }
+        return feats
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        for pdf in batches:
+            feats = [_decode_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "sha256": [_h.sha256(p).hexdigest() for p in pdf["payload"]],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def make_wav_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Asset table with REAL WAV payloads: each doc_id becomes a PCM16
+    waveform whose rate/channels/frames/amplitude are arithmetic
+    functions of the id, so every decoded feature is verifiable by pure
+    SQL (the audio twin of :func:`make_png_assets_from_documents`)."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import io
+        import struct
+        import wave
+
+        def enc(n_frames: int, rate: int, amp: int, nch: int) -> bytes:
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            samples = [
+                (amp if i % 2 == 0 else -amp)
+                for i in range(n_frames)
+                for _ in range(nch)
+            ]
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            w.close()
+            return buf.getvalue()
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": "audio",
+                    "mime": "audio/wav",
+                    "payload": [
+                        enc(
+                            100 + int(i) % 50,
+                            8000 + (int(i) % 3) * 4000,
+                            (int(i) * 37) % 10000,
+                            1 + int(i) % 2,
+                        )
+                        for i in ids
+                    ],
+                    "meta": [None] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=ASSET_SCHEMA)
+
+
 def repartition_by_payload_size(assets: DataFrame, target_mb: int = 64) -> DataFrame:
     """Skew guard: spread assets so each task sees ~target_mb of
     payload. Large blobs dominate task time; hashing on a size band +

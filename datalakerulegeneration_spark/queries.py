@@ -1985,6 +1985,40 @@ FROM documents
 """
 
 
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle: each doc_id becomes an actual
+    PCM16 WAV payload (rate/channels/frames/amplitude arithmetic
+    functions of the id), and extract_audio_features genuinely DECODES
+    it with the stdlib wave reader — header fields AND a frame-level
+    RMS over the PCM samples — so every output must equal the
+    closed-form values the DuckDB oracle computes (the audio twin of
+    multimodal_png_decode_documents)."""
+    from datalakerulegeneration_spark.ops import multimodal
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = multimodal.make_wav_assets_from_documents(docs)
+    feats = multimodal.extract_audio_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "n_frames",
+        "duration_ms",
+        "rms",
+    )
+
+
+Q_MULTIMODAL_WAV_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+       CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+       CAST((100 + doc_id % 50) * 1000 // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_ms,
+       round(CAST((doc_id * 37) % 10000 AS DOUBLE), 6) AS rms
+FROM documents
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale extension: overlapping fixed-width chunking of the corpus
     (map-only posexplode; ops.textqa.chunk_documents)."""
@@ -2630,6 +2664,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents": (q_chunk_documents, textqa.chunk_sql("documents", "doc_id", "text", size=200, overlap=50)),
     "multimodal_features_documents": (q_multimodal_features, Q_MULTIMODAL_ORACLE),
     "multimodal_png_decode_documents": (q_multimodal_png_decode, Q_MULTIMODAL_PNG_ORACLE),
+    "multimodal_wav_decode_documents": (q_multimodal_wav_decode, Q_MULTIMODAL_WAV_ORACLE),
     "hash_sample_documents": (q_hash_sample_documents, _S_ORACLES["hash_sample_documents"]),
     "train_test_split_documents": (q_train_test_split_documents, _S_ORACLES["train_test_split_documents"]),
     "stratified_sample_documents": (q_stratified_sample_documents, _S_ORACLES["stratified_sample_documents"]),

@@ -302,6 +302,36 @@ def test_png_decode_real(spark):
     assert rows[3].mean_luma == round(200 / 255.0, 6)
 
 
+def test_wav_decode_real(spark):
+    # the audio extractor must REALLY decode WAV payloads: header
+    # fields and a frame-level RMS over the PCM16 samples
+    from datalakerulegeneration_spark.ops import multimodal
+
+    payloads = [
+        (0, multimodal.encode_wav_pcm16(120, 8000, 1000, n_channels=1)),
+        (1, multimodal.encode_wav_pcm16(44100, 44100, 12345, n_channels=2)),
+        (2, multimodal.encode_wav_pcm16(0, 16000, 0, n_channels=1)),  # empty audio
+        (3, b"RIFFxxxxWAVEgarbage-not-a-real-wav"),  # corrupt → stub fallback
+        (4, b"not audio at all"),  # non-WAV → stub fallback
+    ]
+    assets = spark.createDataFrame(
+        [(i, "audio", "audio/wav", p, None) for i, p in payloads],
+        multimodal.ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in multimodal.extract_audio_features(assets).collect()}
+    assert (rows[0].sample_rate, rows[0].n_channels, rows[0].n_frames) == (8000, 1, 120)
+    assert rows[0].duration_ms == 15 and rows[0].rms == 1000.0
+    assert (rows[1].sample_rate, rows[1].n_channels) == (44100, 2)
+    assert rows[1].duration_ms == 1000 and rows[1].rms == 12345.0
+    assert rows[2].n_frames == 0 and rows[2].rms == 0.0
+    # fallbacks are deterministic digest stubs, not task failures
+    for i in (3, 4):
+        assert rows[i].sample_rate >= 8000 and rows[i].n_frames >= 100
+    # deterministic rerun
+    rows2 = {r.asset_id: r for r in multimodal.extract_audio_features(assets).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in rows2.items()}
+
+
 def test_chunk_documents_arithmetic(spark):
     from datalakerulegeneration_spark.ops.textqa import chunk_documents
 
