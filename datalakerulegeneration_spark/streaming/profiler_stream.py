@@ -30,7 +30,11 @@ def _partial_stats(batch: DataFrame, columns: list[str]) -> DataFrame:
     kinds = {f.name: column_kind(f.dataType) for f in batch.schema.fields}
     plans = []
     for c in columns:
-        q = f"`{c}`"
+        # non-numeric Spark types (timestamp/date/bool/binary) reject a
+        # direct try_cast to decimal at ANALYSIS time — route them
+        # through their string form (the batch profiler's convention);
+        # numeric columns cast directly so no precision is lost
+        q = f"`{c}`" if kinds.get(c) == S.NUMERIC else f"cast(`{c}` as string)"
         num = F.expr(f"try_cast({q} as double)")
         agg = batch.agg(
             F.count(F.lit(1)).alias("n"),
@@ -53,6 +57,65 @@ def _partial_stats(batch: DataFrame, columns: list[str]) -> DataFrame:
     return out
 
 
+def partial_stats(batch: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Batch-facing partial profile of ONE load: a mergeable state frame
+    (one row per column). Profile each daily/hourly load once, keep the
+    tiny state frames, and :func:`merge_partials` them — re-profiling
+    100 TB of history to add a day's data is exactly the anti-pattern
+    this avoids. The streaming profiler's foreachBatch sink uses the
+    same expressions, so batch and streaming states are interchangeable."""
+    return _partial_stats(batch, columns or batch.columns)
+
+
+def merge_partials(*states: DataFrame) -> DataFrame:
+    """Merge any number of partial-state frames into one: sums add,
+    min/max fold, HLL sketches union (the only mergeable form of
+    distinctness). Counts/sums/extrema merge EXACTLY in any order or
+    tree shape; the HLL union carries the sketch family's usual ~1%
+    relative error versus a single-pass sketch (a DataSketches union
+    gadget is not bit-identical to a directly-built sketch), which is
+    the standard, bounded trade for mergeability."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("column").agg(
+        F.sum("n").alias("n"),
+        F.sum("nulls").alias("nulls"),
+        F.sum("s").alias("s"),
+        F.sum("sq").alias("sq"),
+        F.sum("n_num").alias("n_num"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.hll_union_agg("hll").alias("hll"),
+    )
+
+
+def finalize_state(state: DataFrame) -> DataFrame:
+    """Derive the profile view from a (merged) state frame — same
+    formulas as the batch registry (null_ratio, numeric mean/std,
+    sketch-estimated distinct)."""
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    sq = F.col("sq").cast("double")
+    nn = F.col("n_num").cast("double")
+    return state.select(
+        "column",
+        n.alias("row_num"),
+        (F.col("nulls").cast("double") / F.nullif(n, F.lit(0.0))).alias("null_ratio"),
+        F.hll_sketch_estimate("hll").cast("double").alias("distinct_num_approx"),
+        F.col("mn").alias("numeric_min"),
+        F.col("mx").alias("numeric_max"),
+        (s / F.nullif(nn, F.lit(0.0))).alias("numeric_mean"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (sq - s * s / F.nullif(nn, F.lit(0.0)))
+                / F.nullif(nn - F.lit(1.0), F.lit(0.0)),
+            )
+        ).alias("numeric_std"),
+    )
+
+
 class IncrementalProfiler:
     """foreachBatch sink maintaining a mergeable stats table on disk."""
 
@@ -68,20 +131,7 @@ class IncrementalProfiler:
         state_path = os.path.join(self.state_dir, "state")
         if os.path.exists(state_path):
             prev = self.spark.read.parquet(state_path)
-            merged = (
-                prev.unionByName(part)
-                .groupBy("column")
-                .agg(
-                    F.sum("n").alias("n"),
-                    F.sum("nulls").alias("nulls"),
-                    F.sum("s").alias("s"),
-                    F.sum("sq").alias("sq"),
-                    F.sum("n_num").alias("n_num"),
-                    F.min("mn").alias("mn"),
-                    F.max("mx").alias("mx"),
-                    F.hll_union_agg("hll").alias("hll"),
-                )
-            )
+            merged = merge_partials(prev, part)
         else:
             merged = part
         tmp = state_path + ".tmp"
@@ -95,26 +145,7 @@ class IncrementalProfiler:
         """Derive profile stats from the merged state — same formulas as
         the batch registry (null_ratio, numeric_mean/std, distinct)."""
         state = self.spark.read.parquet(os.path.join(self.state_dir, "state"))
-        n = F.col("n").cast("double")
-        s = F.col("s").cast("double")
-        sq = F.col("sq").cast("double")
-        nn = F.col("n_num").cast("double")
-        return state.select(
-            "column",
-            n.alias("row_num"),
-            (F.col("nulls").cast("double") / F.nullif(n, F.lit(0.0))).alias("null_ratio"),
-            F.hll_sketch_estimate("hll").cast("double").alias("distinct_num_approx"),
-            F.col("mn").alias("numeric_min"),
-            F.col("mx").alias("numeric_max"),
-            (s / F.nullif(nn, F.lit(0.0))).alias("numeric_mean"),
-            F.sqrt(
-                F.greatest(
-                    F.lit(0.0),
-                    (sq - s * s / F.nullif(nn, F.lit(0.0)))
-                    / F.nullif(nn - F.lit(1.0), F.lit(0.0)),
-                )
-            ).alias("numeric_std"),
-        )
+        return finalize_state(state)
 
 
 def stream_profile(

@@ -42,6 +42,45 @@ def test_incremental_profiler_matches_batch(spark, sf_tables, tmp_path):
     assert et["distinct_num_approx"] == pytest.approx(exact["dc"], rel=0.1)
 
 
+def test_batch_partials_merge_equals_whole(spark, sf_tables):
+    """Batch incremental profiling: per-load partials merged in ANY
+    order must finalize to exactly the single-pass profile of the whole
+    table (HLL included — unioning sketches of a partition of the data
+    reproduces the whole-data sketch registers bit-for-bit)."""
+    from datalakerulegeneration_spark.streaming.profiler_stream import (
+        finalize_state,
+        merge_partials,
+        partial_stats,
+    )
+
+    li = sf_tables["lineitem"].select("l_quantity", "l_returnflag", "l_shipdate")
+    loads = [li.where(F.col("l_quantity") % 3 == i) for i in range(3)]
+    parts = [partial_stats(ld) for ld in loads]
+
+    def rows(state):
+        return {r["column"]: r.asDict() for r in finalize_state(state).collect()}
+
+    whole = rows(partial_stats(li))
+    merged = rows(merge_partials(*parts))
+    reordered = rows(merge_partials(parts[2], parts[0], parts[1]))
+    exact_fields = ("row_num", "null_ratio", "numeric_min", "numeric_max", "numeric_mean", "numeric_std")
+    for col in whole:
+        for f in exact_fields:
+            assert merged[col][f] == whole[col][f], (col, f)
+            assert reordered[col][f] == whole[col][f], (col, f)
+        # distinct rides an HLL union: ~1% sketch error vs single-pass
+        assert merged[col]["distinct_num_approx"] == pytest.approx(
+            whole[col]["distinct_num_approx"], rel=0.05
+        )
+        assert reordered[col]["distinct_num_approx"] == pytest.approx(
+            whole[col]["distinct_num_approx"], rel=0.05
+        )
+    # the timestamp column must profile (analysis-time cast guard) with
+    # null numeric stats and a real distinct estimate
+    assert whole["l_shipdate"]["numeric_mean"] is None
+    assert whole["l_shipdate"]["distinct_num_approx"] > 100
+
+
 def test_stream_profile_file_source(spark, tmp_path):
     """End-to-end: parquet file stream → foreachBatch → finalize."""
     src_dir = str(tmp_path / "in")
