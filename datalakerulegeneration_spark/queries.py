@@ -1804,6 +1804,22 @@ Q_LINE_DEDUP_ORACLE = textqa.common_line_dedup_sql(
 )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter (ops.quality_model): weak labels from the
+    heuristic score's extremes, a hashed-bag-of-words logistic
+    regression fit with Spark ML, map-only scoring of the whole corpus.
+    Rows-only: the L-BFGS fit is iterative ML (like the GMM query), so
+    probabilities are not engine-portable — the classifier's held-out
+    separation is pytest-verified instead."""
+    from datalakerulegeneration_spark.ops.quality_model import train_and_score
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    out = train_and_score(docs, "doc_id", "text")
+    return out.select(
+        "id", F.round("prob_quality", 6).alias("prob_quality"), "quality_pred"
+    )
+
+
 _DRIFT_BOUNDS = (0.0, 500.0)  # pinned edges for the events.value monitor
 
 
@@ -2674,6 +2690,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate_fuzzy_documents": (q_decontaminate_fuzzy, _decontaminate_fuzzy_oracle()),
     "ngram_overlap_documents": (q_ngram_overlap, Q_NGRAM_OVERLAP_ORACLE),
     "line_dedup_documents": (q_line_dedup, Q_LINE_DEDUP_ORACLE),
+    "quality_classifier_documents": (q_quality_classifier, None),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),

@@ -496,6 +496,45 @@ def test_pii_scrub_match_and_detects(spark, sf_tables, duck):
     assert out[3]["scrubbed"] == rows[2][1]
 
 
+def test_quality_classifier_separates_garbage(spark):
+    """Weak-label bootstrap → train → score must separate fluent text
+    from garbage it never saw (generalization via token features, not
+    memorization of the training ids)."""
+    from datalakerulegeneration_spark.ops.quality_model import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    words = (
+        "the quick brown fox jumps over lazy dog while many people read "
+        "good books about science history travel music and nature today"
+    ).split()
+    good = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(12)))
+        for i in range(40)
+    ]
+    garbage = [
+        (100 + i, " ".join(["#$%@!", "zzzz", "!!!", "@@" * (i % 3 + 1)] * 4))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(good + garbage, "doc_id long, text string")
+    train = df.where(F.col("doc_id") % 2 == 0)
+    heldout = df.where(F.col("doc_id") % 2 == 1)
+
+    labeled = weak_quality_labels(train, "doc_id", "text")
+    lab = {r["doc_id"]: r["label"] for r in labeled.collect()}
+    # the weak labeler itself must align with the planted split
+    assert all(v == 1.0 for k, v in lab.items() if k < 100)
+    assert all(v == 0.0 for k, v in lab.items() if k >= 100)
+
+    model = train_quality_classifier(labeled, "doc_id", "text")
+    scores = {r["id"]: r["prob_quality"] for r in score_quality(model, heldout, "doc_id", "text").collect()}
+    good_scores = [v for k, v in scores.items() if k < 100]
+    bad_scores = [v for k, v in scores.items() if k >= 100]
+    assert min(good_scores) > max(bad_scores)  # perfect held-out separation
+
+
 def test_ngram_overlap_semantics(spark):
     corpus = spark.createDataFrame(
         [
