@@ -323,6 +323,59 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def semdedup(
+    vectors: DataFrame,
+    k_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings and dropping near-identical items WITHIN each
+    cluster. Returns ``(id, cell, is_kept, dup_of)`` — an item is
+    dropped when some lower-id member of its cluster has cosine ≥
+    ``threshold`` with it (greedy min-id representative, the same
+    convention as ``dedup.dup_components``); ``dup_of`` is that lowest
+    such id, NULL for kept items.
+
+    Scale shape: the KMeans assignment is one Spark ML fit + a map-only
+    transform; the quadratic compare is CONFINED to single cells by the
+    self-join on ``cell`` — that bound is the whole point of SemDeDup
+    (size ``k_cells`` ∝ corpus so cells stay ~constant; the LSH variant
+    :func:`embedding_near_dups` is the alternative when clusters are
+    unavailable). Seeded fit keeps runs reproducible; the pairwise rule
+    is order-free so the output is deterministic GIVEN an assignment.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__mlvec"),
+    )
+    km = KMeans(k=k_cells, featuresCol="__mlvec", predictionCol="cell", seed=seed)
+    assigned = km.fit(v).transform(v).select("id", "vec", "cell")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_pairs = (
+        a.join(b, "cell")
+        .where(F.col("b.id") < F.col("a.id"))
+        .where(F.round(F.expr(cosine_expr("a.vec", "b.vec")), 6) >= threshold)
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.min(F.col("b.id")).alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_pairs, "id", "left")
+        .select(
+            "id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.99,

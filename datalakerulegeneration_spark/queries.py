@@ -1820,6 +1820,17 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ops.similarity.semdedup): KMeans-cell semantic dedup
+    of the embeddings table. Rows-only (iterative ML assignment, like
+    the IVF query); the drop/keep semantics are pytest-verified on
+    planted duplicates."""
+    from datalakerulegeneration_spark.ops.similarity import semdedup
+
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return semdedup(emb, k_cells=16, threshold=0.95)
+
+
 _DRIFT_BOUNDS = (0.0, 500.0)  # pinned edges for the events.value monitor
 
 
@@ -2691,6 +2702,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_overlap_documents": (q_ngram_overlap, Q_NGRAM_OVERLAP_ORACLE),
     "line_dedup_documents": (q_line_dedup, Q_LINE_DEDUP_ORACLE),
     "quality_classifier_documents": (q_quality_classifier, None),
+    "semdedup_embeddings": (q_semdedup, None),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),

@@ -496,6 +496,33 @@ def test_pii_scrub_match_and_detects(spark, sf_tables, duck):
     assert out[3]["scrubbed"] == rows[2][1]
 
 
+def test_semdedup_drops_planted_near_dups(spark):
+    from datalakerulegeneration_spark.ops.similarity import semdedup
+
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    # scaled copies: cosine exactly 1.0 with their originals
+    dups = [(10 + i, [x * 2.0 for x in v]) for i, v in base[:3]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base + dups],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["id"]: r.asDict() for r in semdedup(df, k_cells=4, threshold=0.99).collect()}
+    assert len(out) == 8
+    for orig, dup in ((0, 10), (1, 11), (2, 12)):
+        assert out[orig]["is_kept"] is True
+        assert out[dup]["is_kept"] is False and out[dup]["dup_of"] == orig
+    assert out[3]["is_kept"] and out[4]["is_kept"]
+    # deterministic rerun (seeded fit)
+    out2 = {r["id"]: r.asDict() for r in semdedup(df, k_cells=4, threshold=0.99).collect()}
+    assert out == out2
+
+
 def test_quality_classifier_separates_garbage(spark):
     """Weak-label bootstrap → train → score must separate fluent text
     from garbage it never saw (generalization via token features, not
