@@ -8,6 +8,7 @@ DuckDB oracle builder.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -687,6 +688,65 @@ SELECT l.id,
                            chr(10) ORDER BY l.pos), '') AS cleaned_text
 FROM l JOIN freq ON l.line = freq.line
 GROUP BY l.id
+"""
+
+
+# C0 control chars (minus \t \n) + DEL. C1 (\x80-\x9f) deliberately
+# excluded: Java regex ranges are code points while RE2 would see UTF-8
+# bytes there — an engine-divergent class — and real C1 garbage is rare.
+CONTROL_RE = r"[\x00-\x08\x0B-\x1F\x7F]"
+
+
+def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus text normalization — the standard pre-tokenization scrub:
+    strip control characters, collapse whitespace runs to single
+    spaces, trim, then Unicode-NFC normalize (so decomposed ``e`` +
+    combining-accent and precomposed ``é`` tokenize identically).
+    Returns ``(id, cleaned, changed)``.
+
+    The regex stages run JVM-side in whole-stage codegen; only the NFC
+    step is Python (an Arrow-batched pandas_udf over already-shrunk
+    strings — there is no JVM-side normalizer in Spark SQL). Map-only:
+    zero shuffles at any scale. The UDF is nested so cloudpickle ships
+    it by value (workers may not be able to import this package when
+    the driver runs off-repo).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    t = F.col(text_col)
+    pre = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(CONTROL_RE), F.lit("")),
+            F.lit(r"\s+"),
+            F.lit(" "),
+        )
+    )
+    return (
+        df.where(t.isNotNull())
+        .select(F.col(id_col).alias("id"), t.alias("__orig"), _nfc(pre).alias("cleaned"))
+        .select("id", "cleaned", (F.col("cleaned") != F.col("__orig")).alias("changed"))
+    )
+
+
+def clean_text_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle for :func:`clean_text` (nfc_normalize is DuckDB's
+    NFC — same Unicode normalization the pandas_udf applies)."""
+    return f"""
+SELECT {id_col} AS id,
+       nfc_normalize(trim(regexp_replace(regexp_replace({text_col},
+           '{CONTROL_RE}', '', 'g'), '\\s+', ' ', 'g'))) AS cleaned,
+       nfc_normalize(trim(regexp_replace(regexp_replace({text_col},
+           '{CONTROL_RE}', '', 'g'), '\\s+', ' ', 'g'))) <> {text_col} AS changed
+FROM {table}
+WHERE {text_col} IS NOT NULL
 """
 
 

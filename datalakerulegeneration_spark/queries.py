@@ -1820,6 +1820,39 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization under the oracle: deterministic dirt (a
+    decomposed accent, a precomposed accent + tab, or a control char —
+    keyed by doc_id) is appended to each document, then
+    ops.textqa.clean_text must strip/collapse/NFC-normalize it — the
+    pandas_udf NFC step is proven against DuckDB's nfc_normalize."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    dirt = (
+        # case 0 is DECOMPOSED (e + combining acute): the Spark-side
+        # NFC must actually merge it to match the oracle's nfc_normalize
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301  x"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" café\tx"))
+        .otherwise(F.lit(" ok"))
+    )
+    dirty = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.concat(F.col("text"), dirt).alias("text")
+    )
+    return textqa.clean_text(dirty, "doc_id", "text")
+
+
+Q_CLEAN_TEXT_ORACLE = textqa.clean_text_sql(
+    """(
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || '  x'
+                      WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) || chr(9) || 'x'
+                      ELSE chr(7) || ' ok' END AS text
+  FROM documents WHERE text IS NOT NULL
+) dirty""",
+    "doc_id",
+    "text",
+)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (ops.similarity.semdedup): KMeans-cell semantic dedup
     of the embeddings table. Rows-only (iterative ML assignment, like
@@ -2703,6 +2736,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "line_dedup_documents": (q_line_dedup, Q_LINE_DEDUP_ORACLE),
     "quality_classifier_documents": (q_quality_classifier, None),
     "semdedup_embeddings": (q_semdedup, None),
+    "clean_text_documents": (q_clean_text, Q_CLEAN_TEXT_ORACLE),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),

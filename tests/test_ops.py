@@ -496,6 +496,25 @@ def test_pii_scrub_match_and_detects(spark, sf_tables, duck):
     assert out[3]["scrubbed"] == rows[2][1]
 
 
+def test_clean_text_semantics(spark):
+    rows = [
+        (1, "cafe\u0301 latte"),  # decomposed accent -> NFC precomposed
+        (2, "caf\u00e9 latte"),  # already NFC
+        (3, "tabs\tand\nnewlines  everywhere "),
+        (4, "bell\x07and\x00nulls"),
+        (5, "already clean"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in textqa.clean_text(df, "doc_id", "text").collect()}
+    assert out[1]["cleaned"] == out[2]["cleaned"] == "caf\u00e9 latte"
+    assert out[1]["changed"] is True and out[2]["changed"] is False
+    assert out[3]["cleaned"] == "tabs and newlines everywhere"
+    assert out[4]["cleaned"] == "bellandnulls"
+    assert out[5]["changed"] is False
+    assert 6 not in out
+
+
 def test_semdedup_drops_planted_near_dups(spark):
     from datalakerulegeneration_spark.ops.similarity import semdedup
 
