@@ -127,6 +127,143 @@ def curate_corpus(
     return packing.pack_sequences(d4, "id", "n_tokens", seq_len, carry_cols=("grp",))
 
 
+FUNNEL_STAGES = ("raw", "quality", "exact_dedup", "decontaminate", "rebalance")
+
+
+def curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    eval_mod: int = 37,
+    quality_min: float = 0.5,
+    cap_share: float = 0.03,
+) -> DataFrame:
+    """Pipeline observability: how many documents/tokens survive each
+    curation stage — ``(stage_idx, stage, n_docs, n_tokens)``, one row
+    per stage of :func:`curate_corpus` (raw → quality → exact dedup →
+    decontaminate → rebalance).
+
+    The naive funnel counts each stage's output separately, which lazy
+    Spark would answer by RE-DERIVING the chain once per stage — five
+    text scans. This computes per-document SURVIVAL FLAGS in one pass
+    (each stage's filter becomes a conditional window over the same
+    frame: min-id-per-fingerprint for dedup, a conditional per-group
+    count for the rebalance cap), then one wide aggregate unpivoted to
+    stage rows — ONE text scan at any corpus size. Flag semantics are
+    the exact stage predicates of curate_corpus, so stage 4's counts
+    equal the manifest the pipeline emits.
+    """
+    d0 = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        textqa.quality_col(text_col).alias("quality"),
+        textqa.fingerprint_col(text_col).alias("fp"),
+        textqa.ntokens_col(text_col).alias("n_tokens"),
+    )
+    eval_fps = (
+        docs.where(F.col(id_col) % eval_mod == 0)
+        .select(textqa.fingerprint_col(text_col).alias("eval_fp"))
+        .distinct()
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    cap_n = F.greatest(
+        F.lit(1), F.floor(F.lit(cap_share) * F.col("_total")).cast("bigint")
+    )
+    s1 = F.col("quality") >= quality_min
+    fp_min = F.min(F.when(s1, F.col("id"))).over(Window.partitionBy("fp"))
+    s2 = s1 & (F.col("id") == fp_min)
+    flagged = (
+        d0.join(F.broadcast(eval_fps), d0["fp"] == F.col("eval_fp"), "left")
+        .withColumn("s2", s2)
+        .withColumn("s3", F.col("s2") & F.col("eval_fp").isNull())
+    )
+    grp_n = F.count(F.when(F.col("s3"), F.lit(1))).over(Window.partitionBy("grp"))
+    keep = (F.col("_grp_n") <= cap_n) | (
+        sampling._hash_bucket("id", "rebalance") * F.col("_grp_n")
+        < cap_n * F.lit(sampling._BUCKETS)
+    )
+    flagged = (
+        flagged.withColumn("_grp_n", grp_n)
+        .crossJoin(F.broadcast(total))
+        .withColumn("s4", F.col("s3") & keep)
+    )
+    aggs = []
+    conds = [F.lit(True), s1, F.col("s2"), F.col("s3"), F.col("s4")]
+    for k, cond in enumerate(conds):
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"nd_{k}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("n_tokens"))), F.lit(0)).alias(f"nt_{k}")
+        )
+    wide = flagged.agg(*aggs)
+    stack = ", ".join(
+        f"{k}L, '{name}', nd_{k}, nt_{k}" for k, name in enumerate(FUNNEL_STAGES)
+    )
+    return wide.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stack})"
+        " as (stage_idx, stage, n_docs, n_tokens)"
+    )
+
+
+def curation_funnel_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    eval_mod: int = 37,
+    quality_min: float = 0.5,
+    cap_share: float = 0.03,
+) -> str:
+    """DuckDB oracle for :func:`curation_funnel` (same survival-flag
+    construction; stages as a UNION ALL of conditional aggregates)."""
+    buckets = sampling._BUCKETS
+    reb_hash = sampling._hash_bucket_sql("f.id", "rebalance")
+    selects = []
+    conds = ["TRUE", "s1", "s2", "s3", "s4"]
+    for k, (name, cond) in enumerate(zip(FUNNEL_STAGES, conds)):
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS stage_idx, '{name}' AS stage,"
+            f" CAST(count(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_docs,"
+            f" CAST(COALESCE(sum(CASE WHEN {cond} THEN n_tokens END), 0) AS BIGINT) AS n_tokens"
+            f" FROM f"
+        )
+    return f"""
+WITH d0 AS (
+  SELECT {id_col} AS id, {group_col} AS grp,
+         {textqa.quality_sql_expr(text_col)} AS quality,
+         {textqa.fingerprint_sql_expr(text_col)} AS fp,
+         {textqa.ntokens_sql_expr(text_col)} AS n_tokens
+  FROM {table}
+),
+eval_fps AS (
+  SELECT DISTINCT {textqa.fingerprint_sql_expr(text_col)} AS eval_fp
+  FROM {table} WHERE {id_col} % {eval_mod} = 0
+),
+tot AS (
+  SELECT greatest(1, CAST(floor(CAST({cap_share} AS DOUBLE) * count(*)) AS BIGINT)) AS cap_n FROM {table}
+),
+flags AS (
+  SELECT d0.*, (quality >= {quality_min}) AS s1,
+         (quality >= {quality_min}) AND id = min(CASE WHEN quality >= {quality_min} THEN id END)
+             OVER (PARTITION BY fp) AS s2
+  FROM d0
+),
+flags3 AS (
+  SELECT flags.*,
+         s2 AND fp NOT IN (SELECT eval_fp FROM eval_fps) AS s3
+  FROM flags
+),
+f AS (
+  SELECT f.*, f.s3 AND (grp_n <= tot.cap_n OR {reb_hash} * grp_n < tot.cap_n * {buckets}) AS s4
+  FROM (
+    SELECT flags3.*, count(CASE WHEN s3 THEN 1 END) OVER (PARTITION BY grp) AS grp_n
+    FROM flags3
+  ) f CROSS JOIN tot
+)
+{" UNION ALL ".join(selects)}
+"""
+
+
 def curate_corpus_sql(
     table: str,
     id_col: str = "doc_id",

@@ -1511,6 +1511,17 @@ def q_curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate_corpus(docs, near_dup_threshold=0.2)
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability (ops.curate.curation_funnel): documents
+    and tokens surviving each curation stage, computed as per-doc
+    survival flags in ONE text scan (not one chain re-derivation per
+    stage). Stage 4 equals the flagship manifest's population."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return curate.curation_funnel(docs)
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report: per-source rows, char weight, exact share."""
     from datalakerulegeneration_spark.ops import sampling
@@ -2718,6 +2729,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),
     "curate_corpus_documents": (q_curate_corpus, curate.curate_corpus_sql("documents")),
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),
+    "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
     "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),

@@ -726,6 +726,27 @@ def test_pack_sequences_invariants(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_curation_funnel_matches_and_agrees_with_pipeline(sf_tables, duck):
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = sf_tables["documents"]
+    funnel = curate.curation_funnel(docs)
+    _cmp(funnel, duck, curate.curation_funnel_sql("documents"))
+    rows = {r["stage"]: r.asDict() for r in funnel.collect()}
+    assert list(r["stage"] for r in sorted(rows.values(), key=lambda r: r["stage_idx"])) == list(
+        curate.FUNNEL_STAGES
+    )
+    # monotone non-increasing survivors
+    ordered = sorted(rows.values(), key=lambda r: r["stage_idx"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert b["n_docs"] <= a["n_docs"] and b["n_tokens"] <= a["n_tokens"]
+    # stage-4 population must equal the flagship manifest
+    manifest = curate.curate_corpus(docs)
+    assert rows["rebalance"]["n_docs"] == manifest.count()
+    total_tokens = manifest.agg(F.sum("weight")).first()[0]
+    assert rows["rebalance"]["n_tokens"] == total_tokens
+
+
 def test_curate_corpus_end_to_end_match(sf_tables, duck):
     from datalakerulegeneration_spark.ops import curate
     _cmp(curate.curate_corpus(sf_tables["documents"]), duck,

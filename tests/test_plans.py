@@ -128,6 +128,16 @@ def test_pack_sequences_no_global_sort(spark):
     assert p.count("Exchange SinglePartition") == 1
 
 
+def test_curation_funnel_scan_budget(spark):
+    """The funnel must count every stage from SURVIVAL FLAGS in one
+    pass — two text scans total (flag chain + the eval-fingerprint
+    branch), never one re-derivation per stage."""
+    p = _plan(_impl("curation_funnel_documents")(spark, SF_DIR))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert sum("text" in s for s in schemas) <= 2
+    assert "SortMergeJoin" not in p
+
+
 def test_curate_corpus_scan_budget(spark):
     """Flagship pipeline: ≤4 independent text scans pre-reuse (main
     chain, eval set, packing's bucket-totals branch), no sort-merge
