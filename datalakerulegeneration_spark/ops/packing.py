@@ -85,6 +85,85 @@ def pack_sequences(
     )
 
 
+def pack_manifest(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Expand a :func:`pack_sequences` assignment to (pack, document)
+    SPANS — the manifest a training dataloader actually consumes: for
+    each pack, which documents contribute tokens, where in the pack
+    they start, and how many tokens they contribute.
+
+    ``(pack_id, id, begin_in_pack, n_tokens_in_pack)`` with
+    ``begin_in_pack`` the 0-based position inside the pack and spans
+    clipped to pack boundaries (a document crossing K boundaries emits
+    K+1 rows). Map-only: one ``posexplode`` over the per-doc pack
+    range — no shuffle until a consumer aggregates; all arithmetic is
+    int64, so the DuckDB oracle hash-matches.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    pack = F.col("pack_id")
+    lo = F.greatest(F.col("offset"), pack * seq_len)
+    hi = F.least(F.col("offset") + F.col("weight"), (pack + 1) * seq_len)
+    return (
+        packed.select(
+            "id",
+            "weight",
+            "offset",
+            F.explode(F.expr("sequence(pack_first, pack_last)")).alias("pack_id"),
+        )
+        .select(
+            pack.cast("bigint").alias("pack_id"),
+            "id",
+            (lo - pack * seq_len).cast("bigint").alias("begin_in_pack"),
+            F.greatest(hi - lo, F.lit(0)).cast("bigint").alias("n_tokens_in_pack"),
+        )
+    )
+
+
+def pack_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-pack fill statistics from a :func:`pack_sequences`
+    assignment: ``(pack_id, n_docs, n_tokens, fill_ratio,
+    n_boundary_docs)`` — n_boundary_docs counts documents in this pack
+    that continue into (or arrive from) another pack. One aggregation
+    over the map-only manifest; fill_ratio is an exact integer ratio
+    rounded to 6 dp. The final pack is the only one allowed to be
+    underfull in concat-order packing — everything else at 1.0 is the
+    zero-padding-waste property, which this report makes auditable."""
+    m = pack_manifest(packed, seq_len).join(
+        packed.select("id", "pack_first", "pack_last"), "id"
+    )
+    return (
+        m.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens_in_pack").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens_in_pack").cast("double") / F.lit(float(seq_len)), 6
+            ).alias("fill_ratio"),
+            F.count(F.when(F.col("pack_first") != F.col("pack_last"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_boundary_docs"),
+        )
+    )
+
+
+def pack_manifest_sql(pack_sql: str, seq_len: int) -> str:
+    """DuckDB oracle for :func:`pack_manifest` over a pack-assignment
+    subquery (e.g. :func:`pack_sequences_sql`)."""
+    return f"""
+WITH packed AS ({pack_sql}),
+m AS (
+  SELECT id, weight, "offset",
+         unnest(generate_series(pack_first, pack_last)) AS pack_id
+  FROM packed
+)
+SELECT CAST(pack_id AS BIGINT) AS pack_id, id,
+       CAST(greatest("offset", pack_id * {seq_len}) - pack_id * {seq_len} AS BIGINT) AS begin_in_pack,
+       CAST(greatest(least("offset" + weight, (pack_id + 1) * {seq_len})
+                   - greatest("offset", pack_id * {seq_len}), 0) AS BIGINT) AS n_tokens_in_pack
+FROM m
+"""
+
+
 def pack_sequences_sql(
     table: str,
     id_col: str,

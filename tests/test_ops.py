@@ -690,6 +690,39 @@ def test_rebalance_groups_caps_dominant_source(spark, sf_tables, duck):
     assert a == b
 
 
+def test_pack_manifest_spans_and_stats(spark):
+    from datalakerulegeneration_spark.ops import packing
+
+    # weights chosen so the concat stream is 10+25+0+5 = 40 tokens at
+    # seq_len 16: some doc must cross a boundary wherever hashing puts it
+    df = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 0), (4, 5)], "doc_id long, w long"
+    )
+    packed = packing.pack_sequences(df, "doc_id", "w", seq_len=16)
+    man = packing.pack_manifest(packed, seq_len=16).collect()
+    by_doc = {}
+    for r in man:
+        by_doc.setdefault(r["id"], []).append(r)
+    total = {r["id"]: r["weight"] for r in packed.collect()}
+    for did, spans in by_doc.items():
+        # spans cover exactly the doc's weight, clipped to boundaries
+        assert sum(s["n_tokens_in_pack"] for s in spans) == total[did]
+        for s in spans:
+            assert 0 <= s["begin_in_pack"] < 16
+            assert s["begin_in_pack"] + s["n_tokens_in_pack"] <= 16
+    # zero-weight doc still appears, contributing nothing
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens_in_pack"] == 0
+    # the 25-token doc must span ≥2 packs
+    assert len(by_doc[2]) >= 2
+
+    stats = {r["pack_id"]: r.asDict() for r in packing.pack_stats(packed, 16).collect()}
+    last = max(stats)
+    for pid, s in stats.items():
+        if pid != last:
+            assert s["fill_ratio"] == 1.0  # zero padding waste mid-stream
+    assert sum(s["n_tokens"] for s in stats.values()) == 40
+
+
 def test_pack_sequences_match(sf_tables, duck):
     from datalakerulegeneration_spark.ops import packing
     docs = sf_tables["documents"]
