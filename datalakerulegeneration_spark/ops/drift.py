@@ -409,6 +409,74 @@ FROM j JOIN tot ON j.col_name = tot.col_name
 """
 
 
+def schema_drift(baseline: DataFrame, current: DataFrame) -> DataFrame:
+    """Schema diff between two loads: ``(column, status, base_type,
+    cur_type)`` with status ∈ added | removed | type_changed |
+    unchanged. Schemas are catalog METADATA — this never scans either
+    table, so it is free at any scale (run it before the data-level
+    monitors to catch the breakages PSI can't see)."""
+    spark = baseline.sparkSession
+    b = {f.name: f.dataType.simpleString() for f in baseline.schema.fields}
+    c = {f.name: f.dataType.simpleString() for f in current.schema.fields}
+    rows = []
+    for col in sorted(set(b) | set(c)):
+        if col not in c:
+            status = "removed"
+        elif col not in b:
+            status = "added"
+        elif b[col] != c[col]:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append((col, status, b.get(col), c.get(col)))
+    return spark.createDataFrame(
+        rows, "column string, status string, base_type string, cur_type string"
+    )
+
+
+def profile_drift(
+    baseline: DataFrame, current: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Profile-level drift between two loads of the same table: per
+    common column, null-ratio / mean / std / distinct-estimate on both
+    sides plus their deltas. Built on the mergeable partial-stats
+    states (one column-pruned aggregation pass per side, then a
+    #columns-row join) — at 100 TB this costs two scans and nothing
+    else, and either side's state can come from a SAVED partial frame
+    instead of a rescan. Distribution-shape drift is :func:`psi_bins`
+    / :func:`psi_table`'s job; this catches completeness and moment
+    shifts."""
+    from datalakerulegeneration_spark.streaming.profiler_stream import (
+        finalize_state,
+        partial_stats,
+    )
+
+    common = [c for c in (columns or baseline.columns) if c in current.columns]
+    b = finalize_state(partial_stats(baseline.select(common)))
+    c = finalize_state(partial_stats(current.select(common)))
+    pick = lambda side, name: F.col(f"{side}.{name}").alias(f"{side}_{name}")  # noqa: E731
+    rel = (F.col("cur.numeric_mean") - F.col("base.numeric_mean")) / F.nullif(
+        F.abs(F.col("base.numeric_mean")), F.lit(0.0)
+    )
+    return (
+        b.alias("base")
+        .join(c.alias("cur"), F.col("base.column") == F.col("cur.column"))
+        .select(
+            F.col("base.column").alias("column"),
+            pick("base", "null_ratio"),
+            pick("cur", "null_ratio"),
+            (F.col("cur.null_ratio") - F.col("base.null_ratio")).alias("null_ratio_delta"),
+            pick("base", "numeric_mean"),
+            pick("cur", "numeric_mean"),
+            rel.alias("mean_rel_shift"),
+            pick("base", "numeric_std"),
+            pick("cur", "numeric_std"),
+            pick("base", "distinct_num_approx"),
+            pick("cur", "distinct_num_approx"),
+        )
+    )
+
+
 def wasserstein_1(
     baseline: DataFrame, current: DataFrame, col: str, n_parts: int = 32
 ) -> DataFrame:

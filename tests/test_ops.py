@@ -383,6 +383,42 @@ def test_hash_sampling_determinism_and_rates(spark, sf_tables):
     assert p1 == p2 and sorted(p1) == sorted({r.doc_id for r in docs.collect()})
 
 
+def test_schema_drift_statuses(spark, sf_tables):
+    from datalakerulegeneration_spark.ops.drift import schema_drift
+
+    ev = sf_tables["events"]
+    cur = (
+        ev.drop("props")
+        .withColumn("value", F.col("value").cast("string"))
+        .withColumn("extra", F.lit(1))
+    )
+    out = {r["column"]: r.asDict() for r in schema_drift(ev, cur).collect()}
+    assert out["props"]["status"] == "removed" and out["props"]["cur_type"] is None
+    assert out["extra"]["status"] == "added" and out["extra"]["base_type"] is None
+    assert out["value"]["status"] == "type_changed"
+    assert out["value"]["base_type"] == "double" and out["value"]["cur_type"] == "string"
+    assert out["event_id"]["status"] == "unchanged"
+
+
+def test_profile_drift_detects_null_and_mean_shift(spark, sf_tables):
+    from datalakerulegeneration_spark.ops.drift import profile_drift
+
+    ev = sf_tables["events"].select("event_id", "value")
+    # planted corruption: 20% of values nulled, remainder shifted +100
+    cur = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value") + 100.0),
+    )
+    out = {r["column"]: r.asDict() for r in profile_drift(ev, cur).collect()}
+    v = out["value"]
+    assert v["base_null_ratio"] == 0.0
+    assert abs(v["null_ratio_delta"] - 0.2) < 0.01
+    assert v["cur_numeric_mean"] > v["base_numeric_mean"]
+    assert v["mean_rel_shift"] > 0
+    # id column unchanged
+    assert out["event_id"]["null_ratio_delta"] == 0.0
+
+
 def test_psi_drift_detects_planted_shift(spark):
     from pyspark.sql import functions as F
 
