@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "tfidf_top_terms_documents",
     "pack_sequences_documents",
     "curate_corpus_documents",
+    "ngram_overlap_documents",
+    "line_dedup_documents",
+    "clean_text_documents",
+    "multimodal_wav_decode_documents",
 ]
 
 
