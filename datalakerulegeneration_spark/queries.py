@@ -2804,7 +2804,7 @@ _GATE_HEAD = [
     "q5_nation_revenue",
     "q18_large_volume",
     "curate_corpus_documents",
-    "pack_sequences_documents",
+    "pack_manifest_documents",
     "q13_customer_distribution",
     "repetition_stats_documents",
     "q21_waiting_suppliers",
@@ -2812,23 +2812,23 @@ _GATE_HEAD = [
     "sessionize_events",
     "asof_join_events_orders",
     "dedup_minhash_documents",
-    "simhash_documents",
+    "line_dedup_documents",
     "dup_components_documents",
     "ann_topk_embeddings",
     "ann_recall_embeddings",
     "rebalance_sources_documents",
-    "embedding_stats_by_label",
+    "multimodal_wav_decode_documents",
     "column_match_customer_supplier",
     "dataset_similarity_tables",
     "language_id_documents",
-    "quality_score_documents",
-    "token_count_documents",
+    "curation_funnel_documents",
+    "clean_text_documents",
     "multimodal_png_decode_documents",
     "source_mix_documents",
     "stratified_sample_documents",
     "quality_filter_documents",
     "decontaminate_documents",
-    "decontaminate_fuzzy_documents",
+    "ngram_overlap_documents",
     "drift_events_value",
     "drift_table_events",
     "ks_events_value",

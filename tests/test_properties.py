@@ -271,6 +271,103 @@ def test_curate_pipeline_matches_oracle_on_random_corpora(spark, rows, cap_share
 @SET
 @given(
     st.lists(
+        st.text(alphabet="ab c\nd", min_size=0, max_size=40), min_size=1, max_size=20
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_line_dedup_matches_oracle_on_random_corpora(spark, texts, min_docs):
+    """common_line_dedup equals its DuckDB oracle on arbitrary
+    multi-line corpora (repeated lines, empty lines, line-only docs)."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import textqa
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(data, columns=["doc_id", "text"]))
+    got = sorted(
+        map(tuple, textqa.common_line_dedup(df, "doc_id", "text", min_docs=min_docs).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                textqa.common_line_dedup_sql("documents", "doc_id", "text", min_docs=min_docs)
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=50), min_size=2, max_size=20
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_ngram_overlap_matches_oracle_on_random_corpora(spark, texts, n):
+    """ngram_overlap equals its DuckDB oracle on arbitrary corpora
+    (short docs dropping out, full/partial/zero overlap)."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import textqa
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    eval_df = df.where("doc_id % 3 = 0")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(data, columns=["doc_id", "text"]))
+    got = sorted(
+        map(tuple, textqa.ngram_overlap(df, eval_df, "doc_id", "text", n=n).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                textqa.ngram_overlap_sql("documents", "doc_id % 3 = 0", "doc_id", "text", n=n)
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet="ae b\t\x07\u0301\u00e9", min_size=0, max_size=30),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_clean_text_matches_oracle_on_random_corpora(spark, texts):
+    """clean_text (incl. the pandas_udf NFC stage) equals DuckDB's
+    nfc_normalize pipeline on arbitrary dirty strings."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import textqa
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(data, columns=["doc_id", "text"]))
+    got = sorted(map(tuple, textqa.clean_text(df, "doc_id", "text").collect()))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(textqa.clean_text_sql("documents", "doc_id", "text")).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+@SET
+@given(
+    st.lists(
         st.text(alphabet="abø. c", min_size=0, max_size=40), min_size=1, max_size=20
     )
 )
