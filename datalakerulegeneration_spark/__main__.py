@@ -23,10 +23,22 @@ def build_parser() -> argparse.ArgumentParser:
         prog="datalakerulegeneration_spark",
         description="Run clustering and evaluation over dirty/clean dataset pairs.",
     )
-    p.add_argument("--mode", choices=["single", "multi", "curate"], default="single")
+    p.add_argument(
+        "--mode", choices=["single", "multi", "curate", "monitor"], default="single"
+    )
     # curate mode (beyond-reference): run the corpus curation pipeline
     # on a parquet documents table and write the training manifest
-    p.add_argument("--input", default=None, help="curate: documents parquet path")
+    p.add_argument("--input", default=None, help="curate/monitor: parquet path")
+    # monitor mode: drift report of --input (current load) vs --baseline
+    p.add_argument("--baseline", default=None, help="monitor: baseline parquet path")
+    p.add_argument(
+        "--null-delta", dest="null_delta", type=float, default=0.01,
+        help="monitor: flag columns whose null-ratio moved more than this",
+    )
+    p.add_argument(
+        "--mean-shift", dest="mean_shift", type=float, default=0.05,
+        help="monitor: flag columns whose mean moved more than this fraction",
+    )
     p.add_argument("--id-column", dest="id_column", default="doc_id")
     p.add_argument("--text-column", dest="text_column", default="text")
     p.add_argument("--group-column", dest="group_column", default="source")
@@ -60,6 +72,46 @@ def main(argv: list[str] | None = None) -> dict:
 
     args = build_parser().parse_args(argv)
     spark = get_spark("datalakerulegeneration_spark-cli")
+    if args.mode == "monitor":
+        from datalakerulegeneration_spark.ops.drift import profile_drift, schema_drift
+
+        if not args.input or not args.baseline:
+            raise SystemExit("--mode monitor requires --input and --baseline")
+        base = spark.read.parquet(args.baseline)
+        cur = spark.read.parquet(args.input)
+        schema_rows = schema_drift(base, cur).collect()
+        schema_changes = [
+            {"column": r["column"], "status": r["status"],
+             "base_type": r["base_type"], "cur_type": r["cur_type"]}
+            for r in schema_rows if r["status"] != "unchanged"
+        ]
+        flagged = []
+        for r in profile_drift(base, cur).collect():
+            null_moved = (
+                r["null_ratio_delta"] is not None
+                and abs(r["null_ratio_delta"]) > args.null_delta
+            )
+            mean_moved = (
+                r["mean_rel_shift"] is not None
+                and abs(r["mean_rel_shift"]) > args.mean_shift
+            )
+            if null_moved or mean_moved:
+                flagged.append(
+                    {
+                        "column": r["column"],
+                        "null_ratio_delta": r["null_ratio_delta"],
+                        "mean_rel_shift": r["mean_rel_shift"],
+                    }
+                )
+        out = {
+            "mode": "monitor",
+            "n_columns": len(schema_rows),
+            "schema_changes": schema_changes,
+            "flagged_columns": flagged,
+            "ok": not schema_changes and not flagged,
+        }
+        print(json.dumps(out, sort_keys=True))
+        return out
     if args.mode == "curate":
         from pyspark.sql import functions as F
 

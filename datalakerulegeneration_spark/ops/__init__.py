@@ -1,1 +1,13 @@
-from datalakerulegeneration_spark.ops import dedup, similarity, textqa, multimodal  # noqa: F401
+from datalakerulegeneration_spark.ops import (  # noqa: F401
+    curate,
+    dedup,
+    drift,
+    multimodal,
+    packing,
+    quality_model,
+    sampling,
+    similarity,
+    skew,
+    temporal,
+    textqa,
+)

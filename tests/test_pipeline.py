@@ -16,6 +16,41 @@ KEYS = {
 }
 
 
+def test_cli_monitor(spark, sf_tables, tmp_path, capsys):
+    """--mode monitor: drift report between two parquet loads — schema
+    changes and flagged profile shifts surface in the JSON line."""
+    from pyspark.sql import functions as F
+
+    from datalakerulegeneration_spark.__main__ import main
+
+    base_dir = str(tmp_path / "base")
+    cur_dir = str(tmp_path / "cur")
+    ev = sf_tables["events"].select("event_id", "event_type", "value")
+    ev.write.parquet(base_dir)
+    # planted: value nulled for 20% and type of event_type changed
+    (
+        ev.withColumn(
+            "value",
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")),
+        )
+        .withColumn("event_type", F.length("event_type"))
+        .write.parquet(cur_dir)
+    )
+    out = main(["--mode", "monitor", "--baseline", base_dir, "--input", cur_dir])
+    assert out["ok"] is False
+    assert any(
+        c["column"] == "event_type" and c["status"] == "type_changed"
+        for c in out["schema_changes"]
+    )
+    assert any(
+        f["column"] == "value" and abs(f["null_ratio_delta"] - 0.2) < 0.01
+        for f in out["flagged_columns"]
+    )
+    # identical loads are clean
+    out2 = main(["--mode", "monitor", "--baseline", base_dir, "--input", base_dir])
+    assert out2["ok"] is True and out2["flagged_columns"] == []
+
+
 def test_cli_main(spark, tmp_path, capsys):
     """python -m datalakerulegeneration_spark --mode multi over a
     discovered dataset-folder tree (the reference's main.py surface)."""
