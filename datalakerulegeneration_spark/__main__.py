@@ -87,20 +87,30 @@ def main(argv: list[str] | None = None) -> dict:
         ]
         flagged = []
         for r in profile_drift(base, cur).collect():
+            # a metric that became INCOMPARABLE is drift, not health: a
+            # null_ratio that went NULL means a side has no rows; a NULL
+            # rel-shift (zero baseline mean) falls back to the absolute
+            # shift
             null_moved = (
-                r["null_ratio_delta"] is not None
-                and abs(r["null_ratio_delta"]) > args.null_delta
+                abs(r["null_ratio_delta"]) > args.null_delta
+                if r["null_ratio_delta"] is not None
+                else (r["base_null_ratio"] is not None) != (r["cur_null_ratio"] is not None)
             )
-            mean_moved = (
-                r["mean_rel_shift"] is not None
-                and abs(r["mean_rel_shift"]) > args.mean_shift
-            )
+            if r["mean_rel_shift"] is not None:
+                mean_moved = abs(r["mean_rel_shift"]) > args.mean_shift
+            elif r["mean_abs_shift"] is not None:
+                mean_moved = r["mean_abs_shift"] != 0.0
+            else:
+                mean_moved = (r["base_numeric_mean"] is not None) != (
+                    r["cur_numeric_mean"] is not None
+                )
             if null_moved or mean_moved:
                 flagged.append(
                     {
                         "column": r["column"],
                         "null_ratio_delta": r["null_ratio_delta"],
                         "mean_rel_shift": r["mean_rel_shift"],
+                        "mean_abs_shift": r["mean_abs_shift"],
                     }
                 )
         out = {

@@ -249,8 +249,14 @@ flags AS (
   FROM d0
 ),
 flags3 AS (
+  -- NOT EXISTS, not NOT IN: a NULL eval fingerprint (NULL text in the
+  -- eval slice) makes NOT IN evaluate UNKNOWN for EVERY row, zeroing
+  -- stages 3-4; NOT EXISTS has the anti-join semantics the Spark side
+  -- (left join + isNull) implements
   SELECT flags.*,
-         s2 AND fp NOT IN (SELECT eval_fp FROM eval_fps) AS s3
+         s2 AND NOT EXISTS (
+           SELECT 1 FROM eval_fps WHERE eval_fps.eval_fp = flags.fp
+         ) AS s3
   FROM flags
 ),
 f AS (

@@ -468,7 +468,10 @@ def profile_drift(
             (F.col("cur.null_ratio") - F.col("base.null_ratio")).alias("null_ratio_delta"),
             pick("base", "numeric_mean"),
             pick("cur", "numeric_mean"),
+            # rel is NULL when the baseline mean is exactly 0 — consumers
+            # must fall back to the absolute shift, not treat NULL as calm
             rel.alias("mean_rel_shift"),
+            (F.col("cur.numeric_mean") - F.col("base.numeric_mean")).alias("mean_abs_shift"),
             pick("base", "numeric_std"),
             pick("cur", "numeric_std"),
             pick("base", "distinct_num_approx"),

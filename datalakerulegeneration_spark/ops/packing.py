@@ -50,7 +50,10 @@ def pack_sequences(
     d = (
         df.select(
             F.col(id_col).alias("id"),
-            F.col(weight_col).cast("bigint").alias("weight"),
+            # NULL weight → 0: a NULL would silently vanish from the
+            # prefix sums AND make least/greatest skip it downstream
+            # (pack_manifest span clipping) — coalesce pins the contract
+            F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)).alias("weight"),
             *carry_cols,
         )
         .withColumn("_h", _hash_bucket("id", salt))
@@ -101,8 +104,12 @@ def pack_manifest(packed: DataFrame, seq_len: int) -> DataFrame:
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     pack = F.col("pack_id")
+    # coalesce: a NULL weight from a hand-built frame would make
+    # least() SKIP the operand and credit the doc with tokens to the
+    # pack boundary (Spark least/greatest ignore NULLs)
+    w = F.coalesce(F.col("weight"), F.lit(0))
     lo = F.greatest(F.col("offset"), pack * seq_len)
-    hi = F.least(F.col("offset") + F.col("weight"), (pack + 1) * seq_len)
+    hi = F.least(F.col("offset") + w, (pack + 1) * seq_len)
     return (
         packed.select(
             "id",
@@ -176,7 +183,7 @@ def pack_sequences_sql(
     return f"""
 WITH w AS (
   SELECT {id_col} AS id,
-         CAST({weight_expr} AS BIGINT) AS weight,
+         COALESCE(CAST({weight_expr} AS BIGINT), 0) AS weight,
          {_hash_bucket_sql(id_col, salt)} AS h
   FROM {table}
 ),

@@ -37,11 +37,13 @@ def weak_quality_labels(
     documents above the ``high_q`` quantile → 1, below ``low_q`` → 0,
     the ambiguous middle band is dropped. One pass for the scores, one
     tiny 2-value quantile aggregate, one map-only filter."""
-    from datalakerulegeneration_spark.ops.textqa import quality_score
+    from datalakerulegeneration_spark.ops.textqa import quality_col
 
-    scored = df.select(F.col(id_col), F.col(text_col)).join(
-        quality_score(df, id_col, text_col).withColumnRenamed("id", id_col),
-        id_col,
+    # quality folds into the ONE scan (quality_col is a column
+    # expression) — a join against quality_score would rescan the
+    # corpus and shuffle it on id for a self-join
+    scored = df.select(
+        F.col(id_col), F.col(text_col), quality_col(text_col).alias("quality")
     )
     lo, hi = scored.approxQuantile("quality", [low_q, high_q], 0.001)
     return (
@@ -56,10 +58,8 @@ def weak_quality_labels(
 
 def train_quality_classifier(
     labeled: DataFrame,
-    id_col: str,
     text_col: str,
     label_col: str = "label",
-    seed: int = 42,
     reg_param: float = 1e-4,
 ):
     """Fit the tokenize → hash → logistic-regression pipeline on a
@@ -99,12 +99,11 @@ def score_quality(model, df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def train_and_score(
-    df: DataFrame, id_col: str, text_col: str, seed: int = 42
-) -> DataFrame:
+def train_and_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """End-to-end weak-label bootstrap: label from the heuristic's
     extremes, train, score the WHOLE corpus (including the ambiguous
-    middle band the labeler dropped)."""
+    middle band the labeler dropped). The L-BFGS fit is deterministic
+    for a given data partitioning; no seed exists to thread."""
     labeled = weak_quality_labels(df, id_col, text_col)
-    model = train_quality_classifier(labeled, id_col, text_col, seed=seed)
+    model = train_quality_classifier(labeled, text_col)
     return score_quality(model, df, id_col, text_col)

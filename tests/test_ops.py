@@ -610,7 +610,7 @@ def test_quality_classifier_separates_garbage(spark):
     assert all(v == 1.0 for k, v in lab.items() if k < 100)
     assert all(v == 0.0 for k, v in lab.items() if k >= 100)
 
-    model = train_quality_classifier(labeled, "doc_id", "text")
+    model = train_quality_classifier(labeled, "text")
     scores = {r["id"]: r["prob_quality"] for r in score_quality(model, heldout, "doc_id", "text").collect()}
     good_scores = [v for k, v in scores.items() if k < 100]
     bad_scores = [v for k, v in scores.items() if k >= 100]
@@ -793,6 +793,59 @@ def test_pack_sequences_invariants(spark):
     # deterministic across reruns
     again = packing.pack_sequences(df, "doc_id", "w", seq_len=128).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curation_funnel_null_text_in_eval_slice(spark):
+    """A NULL-text doc in the eval slice must not poison the oracle's
+    decontamination stage (NOT EXISTS, not NOT IN) — Spark and oracle
+    agree on a corpus where doc 0 (eval member) has NULL text."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import curate
+
+    data = [
+        (0, None, "s1"),  # eval member (0 % 3 == 0) with NULL text
+        (1, "good words here about many things for reading today", "s1"),
+        (2, "other quality content with plenty of readable tokens", "s2"),
+        (3, "third fine document with enough words to pass easily", "s1"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = sorted(
+        map(tuple, curate.curation_funnel(df, eval_mod=3, quality_min=0.3).collect())
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(data, columns=["doc_id", "text", "source"]))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                curate.curation_funnel_sql("documents", eval_mod=3, quality_min=0.3)
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    # docs 1 and 2 survive (doc 3 is itself an eval member, 3 % 3 == 0);
+    # the NOT IN bug zeroed this stage instead
+    by_stage = {r[1]: r for r in got}
+    assert by_stage["decontaminate"][2] == 2
+
+
+def test_pack_null_weight_contributes_nothing(spark):
+    from datalakerulegeneration_spark.ops import packing
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 6)], "doc_id long, w long"
+    )
+    packed = packing.pack_sequences(df, "doc_id", "w", seq_len=8)
+    rows = {r["id"]: r for r in packed.collect()}
+    assert rows[2]["weight"] == 0  # NULL pinned to the contract
+    man = packing.pack_manifest(packed, seq_len=8).collect()
+    by_doc = {}
+    for r in man:
+        by_doc.setdefault(r["id"], 0)
+        by_doc[r["id"]] += r["n_tokens_in_pack"]
+    assert by_doc[2] == 0 and by_doc[1] == 10 and by_doc[3] == 6
 
 
 def test_curation_funnel_matches_and_agrees_with_pipeline(sf_tables, duck):

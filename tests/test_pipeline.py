@@ -49,6 +49,20 @@ def test_cli_monitor(spark, sf_tables, tmp_path, capsys):
     # identical loads are clean
     out2 = main(["--mode", "monitor", "--baseline", base_dir, "--input", base_dir])
     assert out2["ok"] is True and out2["flagged_columns"] == []
+    # zero-baseline-mean column: rel shift is undefined, the ABSOLUTE
+    # shift must still flag (NULL metrics are drift, not health)
+    zb = str(tmp_path / "zb")
+    zc = str(tmp_path / "zc")
+    ev.withColumn("value", F.lit(0.0)).write.parquet(zb)
+    ev.withColumn("value", F.lit(5.0)).write.parquet(zc)
+    out3 = main(["--mode", "monitor", "--baseline", zb, "--input", zc])
+    assert any(f["column"] == "value" and f["mean_abs_shift"] == 5.0
+               for f in out3["flagged_columns"])
+    # an EMPTY current load must never report ok
+    ze = str(tmp_path / "ze")
+    ev.where(F.lit(False)).write.parquet(ze)
+    out4 = main(["--mode", "monitor", "--baseline", base_dir, "--input", ze])
+    assert out4["ok"] is False and len(out4["flagged_columns"]) > 0
 
 
 def test_cli_main(spark, tmp_path, capsys):
