@@ -1844,6 +1844,50 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column extraction: events.props is a JSON string;
+    ``from_json`` parses it with a TYPED schema (JVM-side, codegen —
+    the Spark-native path for JSON-in-a-column lakes) and the parsed
+    field aggregates per event type. Every 97th event's props is
+    replaced by malformed JSON on BOTH engines, proving the parse is
+    null-safe rather than task-fatal."""
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    props = F.when(F.col("event_id") % 97 == 0, F.lit("not json")).otherwise(
+        F.col("props")
+    )
+    k = F.from_json(props, "k bigint")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("k").cast("bigint").alias("n_parsed"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count("k").cast("double"), 6).alias(
+                "mean_k"
+            ),
+        )
+    )
+
+
+Q_JSON_PROPS_ORACLE = """
+WITH parsed AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(
+           TRY_CAST(CASE WHEN event_id % 97 = 0 THEN 'not json' ELSE props END AS JSON),
+           '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE), 6) AS mean_k
+FROM parsed
+GROUP BY event_type
+"""
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization under the oracle: deterministic dirt (a
     decomposed accent, a precomposed accent + tab, or a control char —
@@ -2765,6 +2809,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_classifier_documents": (q_quality_classifier, None),
     "semdedup_embeddings": (q_semdedup, None),
     "clean_text_documents": (q_clean_text, Q_CLEAN_TEXT_ORACLE),
+    "json_props_events": (q_json_props_events, Q_JSON_PROPS_ORACLE),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),
