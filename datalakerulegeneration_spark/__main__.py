@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     # curate mode (beyond-reference): run the corpus curation pipeline
     # on a parquet documents table and write the training manifest
     p.add_argument("--input", default=None, help="curate/monitor: parquet path")
+    p.add_argument(
+        "--input-format", dest="input_format", choices=["parquet", "jsonl"],
+        default="parquet",
+        help="curate/monitor: storage format of --input/--baseline",
+    )
     # monitor mode: drift report of --input (current load) vs --baseline
     p.add_argument("--baseline", default=None, help="monitor: baseline parquet path")
     p.add_argument(
@@ -77,8 +82,14 @@ def main(argv: list[str] | None = None) -> dict:
 
         if not args.input or not args.baseline:
             raise SystemExit("--mode monitor requires --input and --baseline")
-        base = spark.read.parquet(args.baseline)
-        cur = spark.read.parquet(args.input)
+        if args.input_format == "jsonl":
+            from datalakerulegeneration_spark.catalog import read_jsonl
+
+            base = read_jsonl(spark, args.baseline)
+            cur = read_jsonl(spark, args.input)
+        else:
+            base = spark.read.parquet(args.baseline)
+            cur = spark.read.parquet(args.input)
         schema_rows = schema_drift(base, cur).collect()
         schema_changes = [
             {"column": r["column"], "status": r["status"],
@@ -130,7 +141,12 @@ def main(argv: list[str] | None = None) -> dict:
 
         if not args.input:
             raise SystemExit("--mode curate requires --input")
-        docs = spark.read.parquet(args.input)
+        if args.input_format == "jsonl":
+            from datalakerulegeneration_spark.catalog import read_jsonl
+
+            docs = read_jsonl(spark, args.input)
+        else:
+            docs = spark.read.parquet(args.input)
         manifest = curate_corpus(
             docs,
             id_col=args.id_column,

@@ -309,6 +309,43 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.option("header", True).mode(mode).csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    drop_malformed: bool = True,
+) -> DataFrame:
+    """JSON-lines source — the de-facto interchange format for training
+    corpora (one JSON document per line). Pass an explicit ``schema``
+    in production: without one Spark runs an extra inference pass over
+    the data, and a 100 TB corpus should never be read twice for its
+    own schema. ``drop_malformed`` discards broken lines (the corpus
+    convention — one truncated record must not fail an ingest job);
+    with it off, malformed lines surface in the
+    ``_corrupt_record`` column for quarantine flows."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if drop_malformed:
+        reader = reader.option("mode", "DROPMALFORMED")
+    else:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None
+) -> None:
+    """JSON-lines sink (one document per line, optionally compressed —
+    gzip/zstd per-file compression is the usual corpus-at-rest form)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def write_corpus(
     df: DataFrame,
     path: str,

@@ -100,6 +100,39 @@ def test_csv_readers(spark, tmp_path):
     assert vals == [(1.0, 2.5), (3.0, 4.5)]
 
 
+def test_jsonl_roundtrip_and_malformed(spark, tmp_path):
+    """JSONL source/sink: round-trip preserves rows; malformed lines
+    drop (or quarantine into _corrupt_record with drop_malformed off)."""
+    from datalakerulegeneration_spark.catalog import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "web"), (2, "ça va héhé", "books")],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, compression="gzip")
+    back = read_jsonl(spark, out, schema="doc_id long, text string, source string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # hand-written file with one broken line
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    clean = read_jsonl(spark, str(raw), schema="doc_id long, text string")
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    quarantined = read_jsonl(
+        spark,
+        str(raw),
+        schema="doc_id long, text string, _corrupt_record string",
+        drop_malformed=False,
+    )
+    bad = [r for r in quarantined.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
 def test_folder_discovery_and_csv_sink(spark, tmp_path):
     """S5 dataset-folder discovery + S8 CSV sink round-trip."""
     import os
