@@ -549,24 +549,24 @@ def ngram_overlap(
         .select(F.col("shingle").alias("eg"))
         .distinct()
     )
-    tot = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    ov = (
-        sh.join(F.broadcast(eval_grams), sh["shingle"] == F.col("eg"), "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    # ONE pass over the corpus grams: left-join the (distinct) eval
+    # gram set — at most one match per gram — and count total vs
+    # matched in the same aggregation. A semi-join + separate total
+    # aggregate would explode the corpus text twice.
+    joined = sh.join(F.broadcast(eval_grams), sh["shingle"] == F.col("eg"), "left")
+    agg = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("eg").alias("n_overlap"),
     )
     frac = F.round(
         F.col("n_overlap").cast("double") / F.col("n_grams").cast("double"), 6
     )
-    return (
-        tot.join(ov, "id", "left")
-        .select(
-            "id",
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
-            F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
-            (F.coalesce(frac, F.lit(0.0)) >= threshold).alias("contaminated"),
-        )
+    return agg.select(
+        "id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
     )
 
 

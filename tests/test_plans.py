@@ -128,6 +128,16 @@ def test_pack_sequences_no_global_sort(spark):
     assert p.count("Exchange SinglePartition") == 1
 
 
+def test_line_dedup_and_ngram_overlap_scan_budget(spark):
+    """Both corpus-grain round-3 text ops stay within two text scans
+    and never fall into a cartesian or sort-merge join."""
+    for name in ("line_dedup_documents", "ngram_overlap_documents"):
+        p = _plan(_impl(name)(spark, SF_DIR))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert sum("text" in s for s in schemas) <= 2, name
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name
+
+
 def test_curation_funnel_scan_budget(spark):
     """The funnel must count every stage from SURVIVAL FLAGS in one
     pass — two text scans total (flag chain + the eval-fingerprint
