@@ -266,6 +266,32 @@ def test_curate_pipeline_matches_oracle_on_random_corpora(spark, rows, cap_share
     )
     exp = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == exp
+    # the funnel's survival flags must agree with its oracle on the
+    # same random corpus (incl. NULL-ish empties and dup fingerprints)
+    from datalakerulegeneration_spark.ops.curate import (
+        curation_funnel,
+        curation_funnel_sql,
+    )
+
+    got_f = sorted(
+        map(
+            tuple,
+            curation_funnel(
+                df, eval_mod=3, quality_min=0.3, cap_share=cap_share
+            ).collect(),
+        )
+    )
+    exp_f = sorted(
+        map(
+            tuple,
+            con.execute(
+                curation_funnel_sql(
+                    "documents", eval_mod=3, quality_min=0.3, cap_share=cap_share
+                )
+            ).fetchall(),
+        )
+    )
+    assert got_f == exp_f
 
 
 @SET
