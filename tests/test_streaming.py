@@ -106,6 +106,45 @@ def test_stream_profile_file_source(spark, tmp_path):
     assert got["x"]["numeric_max"] == 6.0
 
 
+def test_textqa_map_only_ops_run_on_streams(spark, tmp_path):
+    """The map-only text operators (pii_scrub, clean_text incl. its
+    pandas_udf NFC stage) apply UNCHANGED to a streaming DataFrame —
+    no stateful rewrite needed — and produce exactly the batch
+    results. This is the design payoff of keeping them shuffle-free."""
+    from datalakerulegeneration_spark.ops import textqa
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a@b.co now café please"),
+            (2, "tabs\there and  runs"),
+            (3, "plain"),
+        ],
+        "doc_id long, text string",
+    )
+    df.write.parquet(os.path.join(src, "p1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    for op, name in ((textqa.pii_scrub, "pii"), (textqa.clean_text, "clean")):
+        out = op(stream, "doc_id", "text")
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"tq_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.sql(f"select * from tq_{name}").collect()))
+        exp = sorted(map(tuple, op(df, "doc_id", "text").collect()))
+        assert got == exp
+
+
 def test_windowed_counts_batch_parity(spark, sf_tables):
     """The unified plan runs on the batch frame; totals must reconcile."""
     ev = sf_tables["events"]
