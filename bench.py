@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "line_dedup_documents",
     "clean_text_documents",
     "multimodal_wav_decode_documents",
+    "curation_funnel_documents",
+    "json_props_events",
 ]
 
 

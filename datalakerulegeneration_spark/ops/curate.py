@@ -44,9 +44,18 @@ def curate_corpus(
     seq_len: int = 2048,
     materialize_manifest: bool = False,
     near_dup_threshold: float | None = None,
+    quality_fn=None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the training manifest
     (id, source group, token weight, stream offset, first/last pack).
+
+    ``quality_fn`` swaps the stage-1 quality signal: given the text
+    column name it returns the scoring Column (default:
+    ``textqa.quality_col`` — the heuristic). Pass a closure over a
+    trained model's scores (e.g. broadcast-join ``ops.quality_model``
+    probabilities first and return that column) to curate with a
+    LEARNED filter; every downstream stage is unchanged. The exact
+    DuckDB oracle applies to the default heuristic only.
 
     The eval set is the stand-in "every ``eval_mod``-th document" (the
     same convention as the standalone decontamination query); a real
@@ -87,10 +96,11 @@ def curate_corpus(
     # metadata-only count(*) branch, per-group survivor counts ride a
     # window (no aggregate+join re-derivation of the dedup chain), and
     # packing carries the group column through instead of joining back.
+    q_col = (quality_fn or textqa.quality_col)(text_col)
     d0 = docs.select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),
-        textqa.quality_col(text_col).alias("quality"),
+        q_col.alias("quality"),
         textqa.fingerprint_col(text_col).alias("fp"),
         textqa.ntokens_col(text_col).alias("n_tokens"),
     )

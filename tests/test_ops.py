@@ -795,6 +795,31 @@ def test_pack_sequences_invariants(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_curate_quality_fn_seam(spark, sf_tables):
+    """A custom quality expression plugs into stage 1 and changes the
+    kept set exactly as its predicate dictates (here: token-length
+    gate), with downstream stages untouched."""
+    from datalakerulegeneration_spark.ops import curate, textqa
+
+    docs = sf_tables["documents"]
+    custom = lambda text_col: (  # noqa: E731
+        textqa.ntokens_col(text_col).cast("double") / 1000.0
+    )
+    out = curate.curate_corpus(docs, quality_fn=custom, quality_min=0.05)
+    kept = {r["id"] for r in out.collect()}
+    # every kept doc has >= 50 tokens (0.05 * 1000); default heuristic
+    # would keep a different set
+    ntok = {
+        r["id"]: r["n"]
+        for r in docs.select(
+            F.col("doc_id").alias("id"), textqa.ntokens_col("text").alias("n")
+        ).collect()
+    }
+    assert kept and all(ntok[i] >= 50 for i in kept)
+    default_kept = {r["id"] for r in curate.curate_corpus(docs).collect()}
+    assert kept != default_kept
+
+
 def test_curation_funnel_null_text_in_eval_slice(spark):
     """A NULL-text doc in the eval slice must not poison the oracle's
     decontamination stage (NOT EXISTS, not NOT IN) — Spark and oracle
