@@ -171,6 +171,23 @@ FROM m
 """
 
 
+def pack_stats_sql(pack_sql: str, seq_len: int) -> str:
+    """DuckDB oracle for :func:`pack_stats` (manifest re-aggregated at
+    pack grain)."""
+    manifest = pack_manifest_sql(pack_sql, seq_len).strip()
+    return f"""
+WITH packed2 AS ({pack_sql}),
+manifest AS ({manifest})
+SELECT m.pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(m.n_tokens_in_pack) AS BIGINT) AS n_tokens,
+       round(CAST(sum(m.n_tokens_in_pack) AS DOUBLE) / {float(seq_len)!r}, 6) AS fill_ratio,
+       CAST(count(CASE WHEN p.pack_first <> p.pack_last THEN 1 END) AS BIGINT) AS n_boundary_docs
+FROM manifest m JOIN packed2 p ON m.id = p.id
+GROUP BY m.pack_id
+"""
+
+
 def pack_sequences_sql(
     table: str,
     id_col: str,

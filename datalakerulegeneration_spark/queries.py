@@ -1493,6 +1493,20 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_manifest(packed, seq_len=2048)
 
 
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack fill audit (ops.packing.pack_stats): docs, tokens,
+    fill ratio and boundary-crossing docs for every 2048-token pack —
+    mid-stream packs must fill to exactly 1.0 (the zero-padding-waste
+    property of concat-order packing, here oracle-checked)."""
+    from datalakerulegeneration_spark.ops import packing
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    d = docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
+    packed = packing.pack_sequences(d, "doc_id", "n_tokens", seq_len=2048)
+    return packing.pack_stats(packed, seq_len=2048)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality signal: per-doc mean unigram
     log-probability under the corpus's own token distribution (one
@@ -2788,6 +2802,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),
     "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
     "pack_manifest_documents": (q_pack_manifest, packing.pack_manifest_sql(
+        packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048), seq_len=2048
+    )),
+    "pack_stats_documents": (q_pack_stats, packing.pack_stats_sql(
         packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048), seq_len=2048
     )),
     "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
