@@ -135,8 +135,24 @@ def pack_stats(packed: DataFrame, seq_len: int) -> DataFrame:
     rounded to 6 dp. The final pack is the only one allowed to be
     underfull in concat-order packing — everything else at 1.0 is the
     zero-padding-waste property, which this report makes auditable."""
-    m = pack_manifest(packed, seq_len).join(
-        packed.select("id", "pack_first", "pack_last"), "id"
+    # expand inline (not via pack_manifest + join-back on id): the join
+    # would re-derive the whole packed chain a second time — the
+    # boundary flag rides the SAME explode instead
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    pack = F.col("pack_id")
+    w = F.coalesce(F.col("weight"), F.lit(0))
+    lo = F.greatest(F.col("offset"), pack * seq_len)
+    hi = F.least(F.col("offset") + w, (pack + 1) * seq_len)
+    m = packed.select(
+        "weight",
+        "offset",
+        (F.col("pack_first") != F.col("pack_last")).alias("crosses"),
+        F.explode(F.expr("sequence(pack_first, pack_last)")).alias("pack_id"),
+    ).select(
+        pack.cast("bigint").alias("pack_id"),
+        F.greatest(hi - lo, F.lit(0)).alias("n_tokens_in_pack"),
+        "crosses",
     )
     return (
         m.groupBy("pack_id")
@@ -146,9 +162,7 @@ def pack_stats(packed: DataFrame, seq_len: int) -> DataFrame:
             F.round(
                 F.sum("n_tokens_in_pack").cast("double") / F.lit(float(seq_len)), 6
             ).alias("fill_ratio"),
-            F.count(F.when(F.col("pack_first") != F.col("pack_last"), F.lit(1)))
-            .cast("bigint")
-            .alias("n_boundary_docs"),
+            F.count(F.when(F.col("crosses"), F.lit(1))).cast("bigint").alias("n_boundary_docs"),
         )
     )
 
