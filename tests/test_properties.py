@@ -186,6 +186,52 @@ def test_packing_matches_sequential_model(spark, weights, seq_len):
 
 @SET
 @given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=48),
+)
+def test_pack_manifest_matches_sequential_model(spark, weights, seq_len):
+    """pack_manifest spans equal the sequential stream-slicing model;
+    pack_stats tokens reconcile to the total stream."""
+    import hashlib
+
+    from datalakerulegeneration_spark.ops.packing import (
+        pack_manifest,
+        pack_sequences,
+        pack_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id int, w long"
+    )
+    packed = pack_sequences(df, "doc_id", "w", seq_len, n_parts=4)
+    got = sorted(
+        (r["pack_id"], r["id"], r["begin_in_pack"], r["n_tokens_in_pack"])
+        for r in pack_manifest(packed, seq_len).collect()
+    )
+
+    def h(i):
+        return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:7], 16)
+
+    pos, exp = 0, []
+    for i, w in sorted(enumerate(weights), key=lambda t: (h(t[0]), t[0])):
+        first, last = pos // seq_len, (pos + max(w, 1) - 1) // seq_len
+        for p in range(first, last + 1):
+            lo = max(pos, p * seq_len)
+            hi = min(pos + w, (p + 1) * seq_len)
+            exp.append((p, i, lo - p * seq_len, max(hi - lo, 0)))
+        pos += w
+    assert got == sorted(exp)
+
+    stats = pack_stats(packed, seq_len).collect()
+    assert sum(r["n_tokens"] for r in stats) == sum(weights)
+    last_pack = max((r["pack_id"] for r in stats), default=0)
+    for r in stats:
+        if r["pack_id"] != last_pack:
+            assert r["fill_ratio"] == 1.0
+
+
+@SET
+@given(
     st.lists(st.sampled_from("pqr"), min_size=1, max_size=60),
     st.floats(min_value=0.05, max_value=0.9),
 )
