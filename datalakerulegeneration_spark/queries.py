@@ -1507,6 +1507,13 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_stats(packed, seq_len=2048)
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design statistic (ops.textqa.vocab_coverage): top-50
+    corpus terms with per-term and cumulative token-stream share."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.vocab_coverage(docs, "text", k=50)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality signal: per-doc mean unigram
     log-probability under the corpus's own token distribution (one
@@ -2795,6 +2802,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition_stats_documents": (q_repetition_stats, textqa.repetition_stats_sql("documents", "doc_id", "text")),
     "pii_scrub_documents": (q_pii_scrub, textqa.pii_scrub_sql("documents", "doc_id", "text")),
     "unigram_logprob_documents": (q_unigram_logprob, textqa.unigram_logprob_sql("documents", "doc_id", "text")),
+    "vocab_coverage_documents": (q_vocab_coverage, textqa.vocab_coverage_sql("documents", "text", k=50)),
     "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
     "source_mix_documents": (q_source_mix, sampling.group_mix_sql("documents", "source", "n_chars")),
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),

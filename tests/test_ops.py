@@ -532,6 +532,20 @@ def test_pii_scrub_match_and_detects(spark, sf_tables, duck):
     assert out[3]["scrubbed"] == rows[2][1]
 
 
+def test_vocab_coverage_semantics_and_match(spark, sf_tables, duck):
+    _cmp(textqa.vocab_coverage(sf_tables["documents"], "text", k=30), duck,
+         textqa.vocab_coverage_sql("documents", "text", k=30))
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a d")], "doc_id long, text string"
+    )
+    out = {r["rank"]: r.asDict() for r in textqa.vocab_coverage(df, "text", k=10).collect()}
+    # a:4 b:2 c:1 d:1 of 8 tokens; c before d on the term tie-break
+    assert out[1]["term"] == "a" and out[1]["share"] == 0.5
+    assert out[2]["term"] == "b" and out[2]["cum_share"] == 0.75
+    assert out[3]["term"] == "c" and out[4]["term"] == "d"
+    assert out[4]["cum_share"] == 1.0
+
+
 def test_clean_text_semantics(spark):
     rows = [
         (1, "cafe\u0301 latte"),  # decomposed accent -> NFC precomposed
