@@ -199,6 +199,101 @@ def rebalance_groups(
     )
 
 
+def target_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, float],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Mixture TARGETING (the DoReMi/data-mixing shape): downsample each
+    targeted group toward the given proportions, water-filled to the
+    largest total the corpus can support — the binding group (whose
+    rows run out first relative to its share) keeps everything and
+    every other group hash-downsamples to match. Each row's membership
+    is an independent hash threshold, so realized shares equal the
+    targets IN EXPECTATION with ±O(1/√group size) binomial noise —
+    negligible at corpus scale, and the price of staying MAP-ONLY (an
+    exactly-k variant needs a per-group sort, one shuffle the size of
+    the corpus). Groups absent from ``targets`` are dropped; a targeted
+    group with NO rows makes the achievable total 0 (empty result) —
+    the honest water-filling answer, not an error.
+
+    Membership is the same exact int64 hash arithmetic as
+    :func:`rebalance_groups` (engine-portable, append-stable). Cost:
+    one count aggregate over targeted rows, a #groups-row window, one
+    broadcast join + map filter — no data-sized shuffle.
+    """
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise ValueError("targets must be a non-empty dict of positive weights")
+    total_w = sum(targets.values())
+    shares = {g: w / total_w for g, w in targets.items()}
+    share_expr = F.lit(None).cast("double")
+    for g, s in shares.items():
+        share_expr = F.when(F.col("_grp_key") == g, F.lit(s)).otherwise(share_expr)
+
+    targeted = df.where(F.col(group_col).isin(list(targets)))
+    counts = (
+        targeted.groupBy(F.col(group_col).alias("_grp_key"))
+        .agg(F.count(F.lit(1)).alias("_grp_n"))
+        .withColumn("_share", share_expr)
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # water-fill: N = min over groups of grp_n / share; a targeted group
+    # with zero rows never appears in counts, so emulate it by taking
+    # min over PRESENT groups and capping with presence count — if any
+    # targeted group is missing, N must be 0
+    present = F.count(F.lit(1)).over(wall)
+    n_total = F.when(
+        present < F.lit(len(shares)), F.lit(0.0)
+    ).otherwise(F.min(F.col("_grp_n").cast("double") / F.col("_share")).over(wall))
+    caps = counts.select(
+        "_grp_key",
+        "_grp_n",
+        F.floor(F.col("_share") * n_total).cast("bigint").alias("_target_n"),
+    )
+    keep = _hash_bucket(id_col, salt) * F.col("_grp_n") < F.col("_target_n") * F.lit(_BUCKETS)
+    return (
+        targeted.join(F.broadcast(caps), F.col(group_col) == F.col("_grp_key"))
+        .where(keep)
+        .select(*df.columns)
+    )
+
+
+def target_mixture_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, float],
+    salt: str = "mixture",
+) -> str:
+    """DuckDB oracle for :func:`target_mixture`."""
+    total_w = sum(targets.values())
+    shares = {g: w / total_w for g, w in targets.items()}
+    in_list = ", ".join(f"'{g}'" for g in shares)
+    share_case = " ".join(
+        f"WHEN '{g}' THEN CAST({s!r} AS DOUBLE)" for g, s in shares.items()
+    )
+    return f"""
+WITH counts AS (
+  SELECT {group_col} AS grp, count(*) AS grp_n,
+         CASE {group_col} {share_case} END AS share
+  FROM {table} WHERE {group_col} IN ({in_list}) GROUP BY {group_col}
+),
+caps AS (
+  SELECT grp, grp_n,
+         CAST(floor(share * (CASE WHEN count(*) OVER () < {len(shares)}
+              THEN 0.0
+              ELSE min(CAST(grp_n AS DOUBLE) / share) OVER () END)) AS BIGINT) AS target_n
+  FROM counts
+)
+SELECT t.* FROM {table} t JOIN caps c ON t.{group_col} = c.grp
+WHERE {_hash_bucket_sql(f"t.{id_col}", salt)} * c.grp_n < c.target_n * {_BUCKETS}
+"""
+
+
 def rebalance_groups_sql(
     table: str, id_col: str, group_col: str, cap_share: float, salt: str = "rebalance"
 ) -> str:

@@ -1556,6 +1556,19 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curation_funnel(docs)
 
 
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_target_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture targeting (ops.sampling.target_mixture): downsample three
+    sources to exact 50/30/20 proportions, water-filled to the largest
+    achievable corpus; everything else is dropped."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.target_mixture(docs, "doc_id", "source", _MIX_TARGETS)
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report: per-source rows, char weight, exact share."""
     from datalakerulegeneration_spark.ops import sampling
@@ -2816,6 +2829,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048), seq_len=2048
     )),
     "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
+    "target_mixture_documents": (q_target_mixture, sampling.target_mixture_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "fingerprint_documents": (q_fingerprint, textqa.fingerprint_sql("documents", "doc_id", "text")),
     "language_id_documents": (q_language_id, textqa.language_id_sql("documents", "doc_id", "text")),
     "chunk_documents": (q_chunk_documents, textqa.chunk_sql("documents", "doc_id", "text", size=200, overlap=50)),

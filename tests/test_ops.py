@@ -532,6 +532,33 @@ def test_pii_scrub_match_and_detects(spark, sf_tables, duck):
     assert out[3]["scrubbed"] == rows[2][1]
 
 
+def test_target_mixture_proportions(spark, sf_tables, duck):
+    from datalakerulegeneration_spark.ops import sampling
+
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = sampling.target_mixture(sf_tables["documents"], "doc_id", "source", targets)
+    _cmp(out, duck, sampling.target_mixture_sql("documents", "doc_id", "source", targets))
+    # sources are 25 rows each; binding group is src0 (25/0.5 = 50) →
+    # targets 25/15/10
+    from collections import Counter
+
+    got = Counter(r["source"] for r in out.collect())
+    assert set(got) <= set(targets)
+    assert got["src0"] == 25  # binding group keeps everything
+    # membership is per-row hash-threshold: targets 15/10 hold in
+    # expectation with binomial noise (~±4 at n=25)
+    assert 9 <= got["src1"] <= 21 and 5 <= got["src2"] <= 16
+    # a missing targeted group → achievable total is 0 → empty
+    empty = sampling.target_mixture(
+        sf_tables["documents"], "doc_id", "source", {"src0": 0.5, "nope": 0.5}
+    )
+    assert empty.count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sampling.target_mixture(sf_tables["documents"], "doc_id", "source", {})
+
+
 def test_vocab_coverage_semantics_and_match(spark, sf_tables, duck):
     _cmp(textqa.vocab_coverage(sf_tables["documents"], "text", k=30), duck,
          textqa.vocab_coverage_sql("documents", "text", k=30))
