@@ -232,6 +232,44 @@ def test_pack_manifest_matches_sequential_model(spark, weights, seq_len):
 
 @SET
 @given(
+    st.lists(st.sampled_from("pqr"), min_size=1, max_size=40),
+    st.floats(min_value=0.1, max_value=0.8),
+)
+def test_target_mixture_matches_oracle_on_random_corpora(spark, groups, w_p):
+    """target_mixture equals its DuckDB oracle on arbitrary group
+    distributions (missing groups, extreme shares, singleton corpora);
+    kept rows per group never exceed floor(share × water-fill total)
+    in expectation bounds the oracle enforces identically."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import sampling
+
+    targets = {"p": w_p, "q": 1.0 - w_p}
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        map(tuple, sampling.target_mixture(df, "doc_id", "source", targets).collect())
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "source"]))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                sampling.target_mixture_sql("documents", "doc_id", "source", targets)
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    # 'r' rows never survive; if either target group is absent, empty
+    assert all(g != "r" for _, g in got)
+    if not {"p", "q"} <= set(groups):
+        assert got == []
+
+
+@SET
+@given(
     st.lists(st.sampled_from("pqr"), min_size=1, max_size=60),
     st.floats(min_value=0.05, max_value=0.9),
 )
