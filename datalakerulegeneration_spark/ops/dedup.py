@@ -56,9 +56,16 @@ def _minhash_params(k: int) -> list[tuple[int, int]]:
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups: one row per duplicated text with the
-    keeper (min id) and the duplicate count."""
+    keeper (min id) and the duplicate count.
+
+    The shuffle is keyed on ``md5(text)`` carrying only (digest, id) —
+    at 100 TB the exchange moves 32-char digests, never the document
+    bodies. md5 collisions are negligible at any corpus size (2^-64
+    birthday bound at 10^12 docs), and the DuckDB oracle groups by the
+    same digest so parity is exact.
+    """
     return (
-        df.groupBy(F.col(text_col).alias("text"))
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_digest"))
         .agg(
             F.min(F.col(id_col)).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -72,7 +79,7 @@ def exact_dedup_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
 SELECT min({id_col}) AS keeper_id, count(*) AS n_copies
 FROM {table}
-GROUP BY {text_col}
+GROUP BY md5({text_col})
 HAVING count(*) > 1
 """
 

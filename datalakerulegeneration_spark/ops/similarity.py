@@ -412,3 +412,59 @@ def embedding_near_dups(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def _bucket_sql(vec_expr: str, table: int, dim: int, n_planes: int) -> str:
+    """DuckDB expression for one table's sign-LSH bucket id — the same
+    md5-derived ±1 plane literals :func:`_bucket_signatures` bakes into
+    the Spark plan, so both engines compute identical buckets."""
+    planes = random_hyperplanes(dim, n_planes, seed=table)
+    terms = []
+    for p, row in enumerate(planes):
+        lit = "[" + ", ".join(f"{x:.1f}" for x in row) + "]"
+        w = 1 << (n_planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), {lit}) >= 0"
+            f" THEN {w} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def embedding_near_dups_sql(
+    vectors_table: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`embedding_near_dups`: the exact cosine
+    SQL RESTRICTED to co-bucketed pairs — possible because the
+    hyperplanes are md5-derived literals (same trick as
+    :func:`lsh_bucket_topk_sql`), so "which pairs collide" is identical
+    arithmetic in both engines, not a property of Spark's planner."""
+    sv = "\nUNION ALL\n".join(
+        f"SELECT {id_col} AS id, {t} AS table_idx,"
+        f" {_bucket_sql(vec_col, t, dim, n_planes)} AS bucket"
+        f" FROM {vectors_table}"
+        for t in range(n_tables)
+    )
+    cos = (
+        f"list_dot_product(CAST(va.{vec_col} AS DOUBLE[]), CAST(vb.{vec_col} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST(va.{vec_col} AS DOUBLE[]), CAST(va.{vec_col} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST(vb.{vec_col} AS DOUBLE[]), CAST(vb.{vec_col} AS DOUBLE[]))))"
+    )
+    return f"""
+WITH sv AS ({sv}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sv a JOIN sv b ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+  WHERE a.id < b.id
+)
+SELECT c.id_a, c.id_b, round({cos}, 6) AS cos_sim
+FROM cand c
+JOIN {vectors_table} va ON c.id_a = va.{id_col}
+JOIN {vectors_table} vb ON c.id_b = vb.{id_col}
+WHERE round({cos}, 6) >= {threshold}
+"""

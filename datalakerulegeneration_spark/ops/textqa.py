@@ -758,10 +758,14 @@ def vocab_coverage(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
     sizes a vocabulary ("the top 32k terms cover 98.7% of tokens").
 
     Shape: one explode + one term-grain hash aggregation (state =
-    O(vocabulary), not corpus); the top-k cut and running sum ride one
-    window over the vocabulary-sized frame, and only after a rank
-    filter would ever reach the driver. Ties break by term ascending;
-    shares are exact integer ratios rounded to 6 dp.
+    O(vocabulary), not corpus); the top-k cut is a two-phase
+    ``orderBy().limit(k)`` (TakeOrderedAndProject — each partition
+    keeps its local top-k, the driver merges k·n_parts rows), so the
+    rank/cumulative window only ever sees the k-row result, never the
+    vocabulary-sized frame. At 100 TB the vocabulary is 10⁸–10⁹ terms;
+    a pre-filter global window would sort it all in one task. Ties
+    break by term ascending; shares are exact integer ratios rounded
+    to 6 dp.
     """
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     tf = (
@@ -769,13 +773,13 @@ def vocab_coverage(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    total = tf.agg(F.sum("n").alias("total"))
+    topk = tf.orderBy(F.desc("n"), F.asc("term")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("term"))
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total = tf.agg(F.sum("n").alias("total"))
     return (
-        tf.withColumn("rank", F.row_number().over(w))
+        topk.withColumn("rank", F.row_number().over(w))
         .withColumn("cum_n", F.sum("n").over(wc))
-        .where(F.col("rank") <= k)
         .crossJoin(F.broadcast(total))
         .select(
             F.col("rank").cast("bigint").alias("rank"),

@@ -1183,32 +1183,21 @@ GROUP BY e.query_id
 
 
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs (threshold tuned to the synthetic
-    embeddings' similarity range)."""
+    """Embedding-cosine near-dup pairs via multi-table sign-LSH
+    (ops.similarity.embedding_near_dups): pairs are only scored inside
+    a shared (table, bucket) — the scale-safe plan, no all-pairs cross
+    join. The oracle is the exact cosine SQL RESTRICTED to co-bucketed
+    pairs, reproducible because the hyperplanes are md5-derived
+    literals baked into both engines' plans."""
     emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.expr(similarity.cosine_expr("va", "vb")), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.45)
+    return similarity.embedding_near_dups(
+        emb, threshold=0.45, n_planes=4, n_tables=8
     )
 
 
-Q_NEAR_DUP_EMB_ORACLE = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.45
-"""
+Q_NEAR_DUP_EMB_ORACLE = similarity.embedding_near_dups_sql(
+    "embeddings", 0.45, dim=64, n_planes=4, n_tables=8
+)
 
 
 def q_levenshtein_conflicts_part(spark: SparkSession, sf_dir: str) -> DataFrame:

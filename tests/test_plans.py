@@ -158,3 +158,42 @@ def test_curate_corpus_scan_budget(spark):
     assert sum("text" in s for s in schemas) <= 4
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_vocab_coverage_no_global_vocab_window(spark):
+    """The rank/cum-share window must run over the k-row top-k result,
+    never the vocabulary-sized frame: the term-grain agg feeds a
+    TakeOrderedAndProject(limit=k) (parallel partial top-k), and every
+    Window node's child chain contains that limit — an unpartitioned
+    window directly over the term aggregation would single-task-sort
+    10^8+ terms at 100 TB."""
+    p = _plan(_impl("vocab_coverage_documents")(spark, SF_DIR))
+    assert "TakeOrderedAndProject(limit=50" in p
+    lines = p.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window [" in ln]
+    assert win_idx, "expected a window over the k-row frame"
+    for i in win_idx:
+        # the window's subtree must hit the limit before any HashAggregate
+        below = "\n".join(lines[i:])
+        assert below.index("TakeOrderedAndProject") < below.index("HashAggregate")
+
+
+def test_near_dup_embeddings_no_cartesian(spark):
+    """Registered near-dup plan is the LSH bucket join: no cartesian,
+    pairs scored only inside shared (table, bucket)."""
+    p = _plan(_impl("near_dup_embeddings")(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exact_dedup_digest_keyed_exchange(spark):
+    """exact_dedup's shuffle is keyed on md5(text), not the document
+    body — the exchange moves 32-char digests at 100 TB."""
+    p = _plan(_impl("dedup_exact_documents")(spark, SF_DIR))
+    assert "md5(cast(text" in p
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            # keyed on the projected digest (_groupingexpression /
+            # text_digest), never the raw text attribute
+            assert "text_digest" in ln or "_groupingexpression" in ln
+            assert not re.search(r"hashpartitioning\(text#", ln)
