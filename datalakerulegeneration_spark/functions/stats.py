@@ -85,3 +85,57 @@ def transferability_score(
 ) -> float:
     """A7: α·sim + β·support − γ·conflict (profile_similarity.py:64-65)."""
     return alpha * similarity + beta * support - gamma * conflict
+
+
+def dataset_similarity_sql(
+    tables: list[str], cols_kinds: dict[str, list[tuple[str, str]]]
+) -> str:
+    """DuckDB oracle for :func:`dataset_similarity` over LIVE profiles
+    (profile_tables(with_tokens=False) → dataset_profile → cosine).
+
+    Mirrors the engine end-to-end: wide per-column profiles re-derived
+    from the raw tables (profiling.wide_sql), decimal-exact mean /
+    population variance per stat (dataset_profile's portable recipe),
+    then the cosine as the same left-folded sum-of-products over the
+    (mean, var) vector in PROFILE_SCHEMA stat order, NULL slots
+    coalesced to 0. Token-pass stats are NULL columns (with_tokens=False
+    is the only oracle-checked mode).
+    """
+    from datalakerulegeneration_spark.profiling.wide_sql import (
+        DOUBLE_STATS,
+        wide_profile_sql,
+    )
+
+    prof = "\nUNION ALL\n".join(
+        wide_profile_sql(t, cols_kinds[t], with_values=True) for t in tables
+    )
+    sums = []
+    for c in DOUBLE_STATS:
+        # value rounding happens at DECIMAL(18,6) — Spark's cast scale;
+        # the widening to (19,6) only switches DuckDB's multiply onto
+        # the INT128 path (DECIMAL(18)*DECIMAL(18) overflows its INT64
+        # kernel); both engines' sums stay exact, so values agree.
+        d = f"CAST(TRY_CAST({c} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
+        sums.append(f"sum({d}) AS s1_{c}")
+        sums.append(f"sum({d} * {d}) AS s2_{c}")
+        sums.append(f"CAST(count({c}) AS DOUBLE) AS n_{c}")
+    moments = []
+    for c in DOUBLE_STATS:
+        mean = f"(CAST(s1_{c} AS DOUBLE) / NULLIF(n_{c}, 0.0))"
+        moments.append(f"{mean} AS {c}_mean")
+        moments.append(
+            f"(CAST(s2_{c} AS DOUBLE) / NULLIF(n_{c}, 0.0) - {mean} * {mean}) AS {c}_var"
+        )
+    vec_names = [f"{c}_{m}" for c in DOUBLE_STATS for m in ("mean", "var")]
+    dot = " + ".join(f"COALESCE(a.{v}, 0.0) * COALESCE(b.{v}, 0.0)" for v in vec_names)
+    na = " + ".join(f"COALESCE(a.{v}, 0.0) * COALESCE(a.{v}, 0.0)" for v in vec_names)
+    nb = " + ".join(f"COALESCE(b.{v}, 0.0) * COALESCE(b.{v}, 0.0)" for v in vec_names)
+    return f"""
+WITH prof AS ({prof}),
+sums AS (SELECT tbl, {', '.join(sums)} FROM prof GROUP BY tbl),
+ds AS (SELECT tbl, {', '.join(moments)} FROM sums)
+SELECT a.tbl AS table_a, b.tbl AS table_b,
+       round((0.0 + {dot}) / NULLIF(sqrt(0.0 + {na}) * sqrt(0.0 + {nb}), 0.0), 6) AS cosine_sim
+FROM ds a CROSS JOIN ds b
+WHERE a.tbl < b.tbl
+"""

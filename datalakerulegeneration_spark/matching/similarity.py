@@ -129,3 +129,83 @@ def column_match_scores(
             .drop("s_cid", "t_cid")
         )
     return out
+
+
+def _rel_sim_sql(a: str, b: str) -> str:
+    """DuckDB twin of column_match_scores' rel_sim: 1 − min(|Δ|/scale, 1)
+    with NULL stats coalesced to 0 and a 1e-9 scale floor."""
+    ca, cb = f"COALESCE({a}, 0.0)", f"COALESCE({b}, 0.0)"
+    return (
+        f"(1.0 - LEAST(abs({ca} - {cb})"
+        f" / GREATEST(abs({ca}), abs({cb}), 1e-9), 1.0))"
+    )
+
+
+def column_match_scores_sql(
+    src_table: str,
+    src_cols_kinds: list[tuple[str, str]],
+    tgt_table: str,
+    tgt_cols_kinds: list[tuple[str, str]],
+) -> str:
+    """DuckDB oracle for :func:`column_match_scores` over LIVE profiles
+    (the with_tokens=False mode the registered query uses, so
+    kw_overlap is the 0.0 branch and content_sim = type_agree / 2).
+
+    End-to-end: the wide profile CTEs re-derive every input stat from
+    the raw tables via the stat registry's paired SQL, the trigram
+    Jaccard is computed in SQL from the column-name literals, and the
+    component arithmetic mirrors the Spark expressions term for term
+    (same left-associated float order), so 6-dp rounds agree.
+    """
+    from datalakerulegeneration_spark.profiling.wide_sql import wide_profile_sql
+
+    tri = (
+        "list_distinct(list_transform(generate_series(1, greatest(length({p}) - 2, 1)),"
+        " i -> substring({p}, i, 3)))"
+    )
+    rel = _rel_sim_sql
+    struct_sim = (
+        f"({rel('s_avg_len', 't_avg_len')} + {rel('s_ca', 't_ca')}"
+        f" + {rel('s_cn', 't_cn')} + {rel('s_nr', 't_nr')}) / 4.0"
+    )
+    dist_sim = (
+        f"({rel('s_nmin', 't_nmin')} + {rel('s_nmax', 't_nmax')}"
+        f" + {rel('s_nmean', 't_nmean')} + {rel('s_nstd', 't_nstd')}) / 4.0"
+    )
+    content_sim = "((CASE WHEN s_bdt = t_bdt THEN 1.0 ELSE 0.0 END) + 0.0) / 2.0"
+    return f"""
+WITH sprof AS ({wide_profile_sql(src_table, src_cols_kinds, with_values=False)}),
+tprof AS ({wide_profile_sql(tgt_table, tgt_cols_kinds, with_values=False)}),
+pairs AS (
+  SELECT s.unique_id AS src_id, t.unique_id AS tgt_id,
+         '  ' || lower(s.colname) || '  ' AS p_s,
+         '  ' || lower(t.colname) || '  ' AS p_t,
+         s.avg_len AS s_avg_len, t.avg_len AS t_avg_len,
+         s.characters_alphabet AS s_ca, t.characters_alphabet AS t_ca,
+         s.characters_numeric AS s_cn, t.characters_numeric AS t_cn,
+         s.null_ratio AS s_nr, t.null_ratio AS t_nr,
+         s.numeric_min AS s_nmin, t.numeric_min AS t_nmin,
+         s.numeric_max AS s_nmax, t.numeric_max AS t_nmax,
+         s.numeric_mean AS s_nmean, t.numeric_mean AS t_nmean,
+         s.numeric_std AS s_nstd, t.numeric_std AS t_nstd,
+         s.basic_data_type AS s_bdt, t.basic_data_type AS t_bdt
+  FROM sprof s CROSS JOIN tprof t
+),
+comp AS (
+  SELECT src_id, tgt_id,
+         CAST(len(list_intersect({tri.format(p='p_s')}, {tri.format(p='p_t')})) AS DOUBLE)
+           / NULLIF(CAST(len(list_distinct(list_concat({tri.format(p='p_s')}, {tri.format(p='p_t')}))) AS DOUBLE), 0.0) AS name_sim,
+         {struct_sim} AS struct_sim,
+         {dist_sim} AS dist_sim,
+         {content_sim} AS content_sim
+  FROM pairs
+)
+SELECT src_id, tgt_id,
+       round(COALESCE(name_sim, 0.0), 6) AS name_sim,
+       round(struct_sim, 6) AS struct_sim,
+       round(dist_sim, 6) AS dist_sim,
+       round(content_sim, 6) AS content_sim,
+       round(0.3 * COALESCE(name_sim, 0.0) + 0.25 * struct_sim
+             + 0.25 * dist_sim + 0.2 * content_sim, 6) AS score
+FROM comp
+"""

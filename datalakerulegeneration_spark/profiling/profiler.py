@@ -739,8 +739,17 @@ def profile_tables(
 
 
 def dataset_profile(profiles: DataFrame) -> DataFrame:
-    """Dataset-level profile (P20): mean & variance of per-column stats
-    across each table's columns (reference profiler.py:587-630)."""
+    """Dataset-level profile (P20): mean & population variance of
+    per-column stats across each table's columns (reference
+    profiler.py:587-630).
+
+    Portability: mean/var go through exact DECIMAL sums (the registry's
+    standard recipe) instead of float avg/var_pop — decimal addition is
+    order-independent and bit-identical in Spark and DuckDB, so the
+    downstream dataset-similarity cosine is oracle-checkable; float
+    var_pop's Welford state would differ in the last ulp between
+    engines (and between partitionings of the same data).
+    """
     num_cols = [
         f.name
         for f in profiles.schema.fields
@@ -748,6 +757,13 @@ def dataset_profile(profiles: DataFrame) -> DataFrame:
     ]
     aggs = []
     for c in num_cols:
-        aggs.append(F.avg(c).alias(f"{c}_mean"))
-        aggs.append(F.var_pop(c).alias(f"{c}_var"))
+        d = F.expr(f"try_cast(`{c}` as decimal(18,6))")
+        mean = F.sum(d).cast("double") / F.expr(f"nullif(cast(count(`{c}`) as double), 0.0)")
+        var = (
+            F.sum(d * d).cast("double")
+            / F.expr(f"nullif(cast(count(`{c}`) as double), 0.0)")
+            - mean * mean
+        )
+        aggs.append(mean.alias(f"{c}_mean"))
+        aggs.append(var.alias(f"{c}_var"))
     return profiles.groupBy("table").agg(*aggs)

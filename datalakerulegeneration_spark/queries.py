@@ -1131,13 +1131,18 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans-cell) approximate top-k — engine-defined partitioning,
-    no SQL oracle; driver records rows-only check."""
+    """IVF (KMeans-cell) top-k at FULL probe (n_probe = n_lists): every
+    cell is probed, so the result must equal the exact brute force no
+    matter how the seeded KMeans split the corpus — which makes the
+    whole IVF machinery (cell assignment, centroid routing, per-cell
+    re-rank) checkable against the brute-force SQL oracle. The
+    production approx path (n_probe < n_lists) is the same code with a
+    smaller probe budget; pytest covers its recall separately."""
     emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+    return similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=16)
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2237,6 +2242,42 @@ def q_dataset_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cols_kinds(table: str) -> list[tuple[str, str]]:
+    return [(c, _kind(c)) for c in PROFILE_COLUMNS[table]]
+
+
+def _column_match_oracle() -> str:
+    """End-to-end oracle for J5/M5: wide profiles re-derived from the
+    raw customer/supplier tables + the pair arithmetic in SQL."""
+    from datalakerulegeneration_spark.matching.similarity import column_match_scores_sql
+
+    return column_match_scores_sql(
+        "customer", _cols_kinds("customer"), "supplier", _cols_kinds("supplier")
+    )
+
+
+# match tables not covered by PROFILE_COLUMNS (their schemas are fixed
+# in TESTDATA.md; timestamps absent so every column is oracle-safe)
+_MATCH_COLS_KINDS: dict[str, list[tuple[str, str]]] = {
+    "nation": [("n_nationkey", S.NUMERIC), ("n_name", S.STRINGY), ("n_regionkey", S.NUMERIC)],
+    "region": [("r_regionkey", S.NUMERIC), ("r_name", S.STRINGY)],
+    "supplier": None,  # filled from PROFILE_COLUMNS below
+    "customer": None,
+}
+
+
+def _dataset_similarity_oracle() -> str:
+    """End-to-end oracle for A6: per-table wide profiles → decimal-exact
+    mean/var per stat → left-folded cosine over the flattened vector,
+    mirroring dataset_profile + dataset_similarity expression order."""
+    from datalakerulegeneration_spark.functions.stats import dataset_similarity_sql
+
+    cols = {
+        t: (_MATCH_COLS_KINDS[t] or _cols_kinds(t)) for t in _MATCH_TABLES
+    }
+    return dataset_similarity_sql(list(_MATCH_TABLES), cols)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norm statistics — vector math stays JVM-side
     (zip_with/aggregate fold, no UDF). Per-row norms round to 6dp,
@@ -2790,15 +2831,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk_lsh_embeddings": (q_ann_topk_lsh, similarity.lsh_bucket_topk_sql(
         "embeddings", _ANN_QUERIES_SQL, 10, 4, 8, 64,
     )),
-    "ann_topk_ivf_embeddings": (q_ann_topk_ivf, None),
+    # full probe ≡ exact brute force, so the IVF machinery is gated on
+    # the brute-force oracle (see q_ann_topk_ivf docstring)
+    "ann_topk_ivf_embeddings": (q_ann_topk_ivf, similarity.brute_force_topk_sql(
+        "embeddings", _ANN_QUERIES_SQL, k=10)),
     "ann_recall_embeddings": (q_ann_recall, Q_ANN_RECALL_ORACLE),
     "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
     "embedding_stats_by_label": (q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
     "embedding_centroids_by_label": (q_embedding_centroids, Q_EMBEDDING_CENTROIDS_ORACLE),
     # matching / clustering / dataset similarity (J5, M2, A6)
-    "column_match_customer_supplier": (q_column_match_customer_supplier, None),
+    "column_match_customer_supplier": (q_column_match_customer_supplier, _column_match_oracle()),
     "cluster_columns_kmeans_profiles": (q_cluster_columns_kmeans, None),
-    "dataset_similarity_tables": (q_dataset_similarity, None),
+    "dataset_similarity_tables": (q_dataset_similarity, _dataset_similarity_oracle()),
     "token_count_documents": (q_token_count, textqa.token_count_sql("documents", "doc_id", "text")),
     "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),
     "repetition_stats_documents": (q_repetition_stats, textqa.repetition_stats_sql("documents", "doc_id", "text")),
