@@ -201,14 +201,33 @@ def discover_dataset_folders(spark: SparkSession, root: str) -> DataFrame:
 # S6 — JDBC source (reference dBoost utils/db.py:4-10)
 # ---------------------------------------------------------------------------
 
-def read_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:
-    """Stream rows from a database query (reference iter_db).
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str | None = None,
+    dbtable: str | None = None,
+    **options,
+) -> DataFrame:
+    """Stream rows from a database (reference iter_db).
 
-    On a cluster, set ``partitionColumn/lowerBound/upperBound/
-    numPartitions`` so the read parallelizes instead of funneling
-    through one connection.
+    Pass exactly one of ``query`` (arbitrary SQL pushed to the DB) or
+    ``dbtable`` (a table / aliased subquery). On a cluster, pair
+    ``dbtable`` with ``partitionColumn/lowerBound/upperBound/
+    numPartitions`` so the read parallelizes into numPartitions
+    range-predicated connections instead of funneling through one —
+    Spark's JDBC source only allows partitioned reads via ``dbtable``.
+
+    Exercised in-process against embedded Apache Derby (the JDBC driver
+    Spark itself ships), including the partitioned path
+    (tests/test_functions.py::test_jdbc_roundtrip_derby).
     """
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    if (query is None) == (dbtable is None):
+        raise ValueError("pass exactly one of query= or dbtable=")
+    reader = spark.read.format("jdbc").option("url", url)
+    if query is not None:
+        reader = reader.option("query", query)
+    else:
+        reader = reader.option("dbtable", dbtable)
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load()

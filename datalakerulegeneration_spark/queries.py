@@ -1899,12 +1899,19 @@ def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_JSON_PROPS_ORACLE = """
-WITH parsed AS (
+WITH js AS (
   SELECT event_type,
-         TRY_CAST(json_extract_string(
-           TRY_CAST(CASE WHEN event_id % 97 = 0 THEN 'not json' ELSE props END AS JSON),
-           '$.k') AS BIGINT) AS k
+         TRY_CAST(CASE WHEN event_id % 97 = 0 THEN 'not json' ELSE props END AS JSON) AS j
   FROM events
+),
+-- typed extraction: Spark's from_json('k bigint') yields NULL unless
+-- the JSON value is an integer token (a string "5" or a float 5.0
+-- does NOT parse as bigint), so gate on json_type before casting
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_type(j, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(json_extract_string(j, '$.k') AS BIGINT) END AS k
+  FROM js
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -1928,7 +1935,9 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NFC must actually merge it to match the oracle's nfc_normalize
         F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301  x"))
         .when(F.col("doc_id") % 3 == 1, F.lit(" café\tx"))
-        .otherwise(F.lit(" ok"))
+        # \x07 (BEL) spelled as an escape: mirrors the oracle's chr(7);
+        # a raw control byte here would be invisible and formatter-fragile
+        .otherwise(F.lit("\x07 ok"))
     )
     dirty = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.concat(F.col("text"), dirt).alias("text")
@@ -2893,63 +2902,68 @@ from datalakerulegeneration_spark.tpch_ext import EXT_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 
-# The driver's correctness gate samples the FIRST 50 queries() entries, so
-# the head of the registry must span EVERY operator family (profiling,
-# rules incl. the legacy dispatcher, outliers/dBoost, evaluation,
-# join-dependency, base+extended TPC-H, windows/temporal, dedup, ANN,
-# matching, text QA, multimodal, sampling, decontamination, drift). Pure
-# ordering — every entry keeps its oracle; the remainder follows after.
+# The driver's correctness gate samples the FIRST 50 queries() entries.
+# Round-4 rotation: rounds 1-3 gated one head; this head is 44 entries
+# that have NEVER received a driver-side CORRECTNESS row (all six
+# remaining per-table profiles, the ungated rule/violation and dBoost
+# analyzers, all 16 not-yet-gated TPC-H plans, the sampling family,
+# fuzzy decontamination, text-QA scores) plus the six entries whose
+# plan or oracle CHANGED this round (exact dedup digest keying, LSH
+# near-dup registration, two-phase vocab top-k, full-probe IVF, the
+# promoted column-match / dataset-similarity oracles, typed-JSON
+# extraction). Everything from the r1-r3 head stays in the registry and
+# in the replica gate (tools/check_correctness.py runs all 113).
 _GATE_HEAD = [
-    "profile_lineitem",
-    "dominant_pattern_customer",
-    "value_stats_customer",
-    "token_stats_documents",
-    "violations_rules_orders",
-    "violations_unique_orders",
-    "violations_legacy_orders",
-    "violations_dictionary_documents",
-    "violations_dates_events",
-    "three_sigma_events",
-    "dboost_histogram_events",
-    "pii_scrub_documents",
-    "dboost_cords_events",
-    "eval_metrics_orders",
-    "tfidf_top_terms_documents",
-    "fd_conflicts_orders",
-    "inclusion_orders_customer",
-    "q1_pricing_summary",
-    "q5_nation_revenue",
-    "q18_large_volume",
-    "curate_corpus_documents",
-    "pack_manifest_documents",
-    "q13_customer_distribution",
-    "repetition_stats_documents",
-    "q21_waiting_suppliers",
-    "latest_events_per_user",
-    "sessionize_events",
-    "asof_join_events_orders",
-    "dedup_minhash_documents",
-    "line_dedup_documents",
-    "dup_components_documents",
-    "ann_topk_embeddings",
-    "ann_recall_embeddings",
-    "rebalance_sources_documents",
-    "multimodal_wav_decode_documents",
+    "profile_orders",
+    "profile_customer",
+    "profile_events",
+    "profile_documents",
+    "profile_part",
+    "profile_supplier",
+    "violations_events",
+    "violations_stats_orders",
+    "violations_spell_documents",
+    "violations_suppressor_orders",
+    "eval_correction_orders",
+    "dboost_partitioned_hist_events",
+    "dboost_pearson_lineitem",
+    "dboost_discrete_stats_lineitem",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q20_promotion_suppliers",
+    "q3_top_orders",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "top_keywords_documents",
+    "levenshtein_conflicts_part",
+    "windowed_event_counts",
+    "dedup_exact_documents",
+    "dedup_ngram_documents",
+    "simhash_documents",
+    "ann_topk_lsh_embeddings",
+    "ann_topk_ivf_embeddings",
+    "near_dup_embeddings",
+    "token_count_documents",
+    "quality_score_documents",
+    "unigram_logprob_documents",
+    "vocab_coverage_documents",
+    "hash_sample_documents",
+    "train_test_split_documents",
+    "shuffle_documents",
+    "decontaminate_fuzzy_documents",
+    "json_props_events",
     "column_match_customer_supplier",
     "dataset_similarity_tables",
-    "language_id_documents",
-    "curation_funnel_documents",
-    "clean_text_documents",
-    "multimodal_png_decode_documents",
-    "source_mix_documents",
-    "stratified_sample_documents",
-    "quality_filter_documents",
-    "decontaminate_documents",
-    "ngram_overlap_documents",
-    "drift_events_value",
-    "drift_table_events",
-    "ks_events_value",
-    "wasserstein_events_value",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {
