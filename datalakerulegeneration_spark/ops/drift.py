@@ -585,3 +585,240 @@ SELECT CAST(sum(term) AS DOUBLE) AS w1,
        CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur
 FROM terms WHERE nxt IS NOT NULL GROUP BY nb, nc
 """
+
+
+# ---------------------------------------------------------------------------
+# table-grain exact KS / W1 — M columns in ONE stacked pass per side
+# ---------------------------------------------------------------------------
+
+def _distinct_grain_table(
+    baseline: DataFrame, current: DataFrame, cols: list[str]
+) -> DataFrame:
+    """(col_name, v, base_n, cur_n) on distinct-value grain for MANY
+    columns at once: each side melts through one ``stack`` (one scan
+    per side, column-pruned to ``cols``), the tagged union aggregates
+    in a SINGLE (col_name, v)-keyed shuffle — monitoring M columns
+    costs two scans + one shuffle, not 2M scans."""
+    parts = ", ".join(f"'{c}', try_cast(`{c}` as double)" for c in cols)
+
+    def melt(df: DataFrame, b: int) -> DataFrame:
+        return (
+            df.selectExpr(f"stack({len(cols)}, {parts}) as (col_name, v)")
+            .where(F.col("v").isNotNull())
+            .select(
+                "col_name", "v",
+                F.lit(b).alias("base_i"), F.lit(1 - b).alias("cur_i"),
+            )
+        )
+
+    return (
+        melt(baseline, 1)
+        .unionByName(melt(current, 0))
+        .groupBy("col_name", "v")
+        .agg(F.sum("base_i").alias("base_n"), F.sum("cur_i").alias("cur_n"))
+    )
+
+
+def _table_buckets(
+    baseline: DataFrame, cols: list[str], n_parts: int
+) -> dict[str, list[float]]:
+    """Per-column bucket boundaries from ONE baseline aggregate (all
+    columns' approx_percentile in a single column-pruned scan). Only
+    parallelism, never values, depends on these — see _range_buckets."""
+    probs = ", ".join(f"{i / n_parts!r}" for i in range(1, n_parts))
+    aggs = [
+        F.expr(
+            f"approx_percentile(try_cast(`{c}` as double), array({probs}), 1000)"
+        ).alias(c)
+        for c in cols
+    ]
+    row = baseline.agg(*aggs).collect()[0]
+    return {
+        c: sorted({b for b in (row[c] or []) if b is not None}) for c in cols
+    }
+
+
+def _col_case(values: dict[str, float | int], default=None):
+    """when-chain keyed by col_name → literal (M branches, M = #cols)."""
+    e = F.lit(default)
+    for c, v in values.items():
+        e = F.when(F.col("col_name") == c, F.lit(v)).otherwise(e)
+    return e
+
+
+def _table_pid(bounds: dict[str, list[float]]):
+    pid = F.lit(0)
+    for c, bs in bounds.items():
+        inner = F.lit(0)
+        for b in bs:
+            inner = inner + F.when(F.col("v") > F.lit(float(b)), 1).otherwise(0)
+        pid = F.when(F.col("col_name") == c, inner).otherwise(pid)
+    return pid
+
+
+def ks_table(
+    baseline: DataFrame, current: DataFrame, cols: list[str], n_parts: int = 32
+) -> DataFrame:
+    """EXACT two-sample KS for MANY columns in one stacked pass per
+    side: ``(col_name, ks, n_base, n_cur)`` — the table-grain twin of
+    :func:`ks_statistic`, same two-level bucketed cumulative sum (the
+    running-sum window partitions on (col_name, pid), never a whole
+    column's domain in one task), with bucket offsets from one tiny
+    (M·n_parts)-row driver aggregate."""
+    from pyspark.sql import Window
+
+    jb = (
+        _distinct_grain_table(baseline, current, cols)
+        .withColumn("pid", _table_pid(_table_buckets(baseline, cols, n_parts)))
+        .persist()
+    )
+    stats = {
+        (r["col_name"], r["pid"]): (r["b"], r["c"])
+        for r in jb.groupBy("col_name", "pid")
+        .agg(F.sum("base_n").alias("b"), F.sum("cur_n").alias("c"))
+        .collect()
+    }
+    nb = {c: sum(v[0] for (cc, _), v in stats.items() if cc == c) for c in cols}
+    nc = {c: sum(v[1] for (cc, _), v in stats.items() if cc == c) for c in cols}
+    for c in cols:
+        if nb[c] == 0 or nc[c] == 0:
+            raise ValueError(f"ks_table: a side has no numeric values in {c!r}")
+    off_b, off_c = {}, {}
+    for c in cols:
+        acc_b = acc_c = 0
+        for cc, pid in sorted(k for k in stats if k[0] == c):
+            off_b[(c, pid)], off_c[(c, pid)] = acc_b, acc_c
+            acc_b += stats[(c, pid)][0]
+            acc_c += stats[(c, pid)][1]
+
+    def pair_case(m: dict):
+        e = F.lit(0)
+        for (c, pid), v in m.items():
+            if v:
+                e = F.when(
+                    (F.col("col_name") == c) & (F.col("pid") == pid), F.lit(v)
+                ).otherwise(e)
+        return e
+
+    w = Window.partitionBy("col_name", "pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = F.abs(
+        (F.sum("base_n").over(w) + pair_case(off_b)).cast("double")
+        / _col_case({c: float(v) for c, v in nb.items()})
+        - (F.sum("cur_n").over(w) + pair_case(off_c)).cast("double")
+        / _col_case({c: float(v) for c, v in nc.items()})
+    )
+    return (
+        jb.select("col_name", d.alias("d"))
+        .groupBy("col_name")
+        .agg(F.round(F.max("d"), 6).alias("ks"))
+        .select(
+            "col_name",
+            "ks",
+            _col_case(nb).cast("long").alias("n_base"),
+            _col_case(nc).cast("long").alias("n_cur"),
+        )
+    )
+
+
+def ks_table_sql(base_sql: str, cur_sql: str, cols: list[str]) -> str:
+    """DuckDB oracle for :func:`ks_table` — per-column UNION ALL of the
+    single-column construction, tagged by col_name."""
+    parts = []
+    for c in cols:
+        one = ks_statistic_sql(base_sql, cur_sql, c)
+        parts.append(f"SELECT '{c}' AS col_name, * FROM ({one})")
+    return "\nUNION ALL\n".join(parts)
+
+
+def wasserstein_table(
+    baseline: DataFrame, current: DataFrame, cols: list[str], n_parts: int = 32
+) -> DataFrame:
+    """EXACT 1-Wasserstein for MANY columns in one stacked pass per
+    side: ``(col_name, w1, n_base, n_cur)`` — the table-grain twin of
+    :func:`wasserstein_1` (same decimal-exact term sum; a bucket's last
+    row takes its next value from the following bucket's minimum within
+    the same column)."""
+    from pyspark.sql import Window
+
+    jb = (
+        _distinct_grain_table(baseline, current, cols)
+        .withColumn("pid", _table_pid(_table_buckets(baseline, cols, n_parts)))
+        .persist()
+    )
+    stats = {
+        (r["col_name"], r["pid"]): (r["b"], r["c"], r["mn"])
+        for r in jb.groupBy("col_name", "pid")
+        .agg(
+            F.sum("base_n").alias("b"),
+            F.sum("cur_n").alias("c"),
+            F.min("v").alias("mn"),
+        )
+        .collect()
+    }
+    nb = {c: sum(v[0] for (cc, _), v in stats.items() if cc == c) for c in cols}
+    nc = {c: sum(v[1] for (cc, _), v in stats.items() if cc == c) for c in cols}
+    for c in cols:
+        if nb[c] == 0 or nc[c] == 0:
+            raise ValueError(f"wasserstein_table: a side has no numeric values in {c!r}")
+    off_b, off_c, nxt_min = {}, {}, {}
+    for c in cols:
+        acc_b = acc_c = 0
+        pids = sorted(k[1] for k in stats if k[0] == c)
+        for i, pid in enumerate(pids):
+            off_b[(c, pid)], off_c[(c, pid)] = acc_b, acc_c
+            acc_b += stats[(c, pid)][0]
+            acc_c += stats[(c, pid)][1]
+            if i + 1 < len(pids):
+                nxt_min[(c, pid)] = stats[(c, pids[i + 1])][2]
+
+    def pair_case(m: dict, default=None):
+        e = F.lit(default)
+        for (c, pid), v in m.items():
+            e = F.when(
+                (F.col("col_name") == c) & (F.col("pid") == pid), F.lit(v)
+            ).otherwise(e)
+        return e
+
+    wc = Window.partitionBy("col_name", "pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.partitionBy("col_name", "pid").orderBy("v")
+    nb_e = _col_case({c: float(v) for c, v in nb.items()})
+    nc_e = _col_case({c: float(v) for c, v in nc.items()})
+    terms = (
+        jb.withColumn("ca", F.sum("base_n").over(wc) + pair_case(off_b, 0))
+        .withColumn("cb", F.sum("cur_n").over(wc) + pair_case(off_c, 0))
+        .withColumn("nxt", F.coalesce(F.lead("v").over(wl), pair_case(nxt_min)))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "col_name",
+            F.round(
+                F.abs(F.col("ca").cast("double") / nb_e - F.col("cb").cast("double") / nc_e)
+                * (F.col("nxt") - F.col("v")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("col_name")
+        .agg(F.sum("term").cast("double").alias("w1"))
+        .select(
+            "col_name",
+            "w1",
+            _col_case(nb).cast("long").alias("n_base"),
+            _col_case(nc).cast("long").alias("n_cur"),
+        )
+    )
+
+
+def wasserstein_table_sql(base_sql: str, cur_sql: str, cols: list[str]) -> str:
+    """DuckDB oracle for :func:`wasserstein_table`."""
+    parts = []
+    for c in cols:
+        one = wasserstein_1_sql(base_sql, cur_sql, c)
+        parts.append(f"SELECT '{c}' AS col_name, * FROM ({one})")
+    return "\nUNION ALL\n".join(parts)

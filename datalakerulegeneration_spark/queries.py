@@ -2072,6 +2072,54 @@ def _wasserstein_oracle() -> str:
     )
 
 
+def q_ks_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KS for every monitored numeric column of events in ONE
+    stacked pass per side (ops.drift.ks_table) — monitoring M columns
+    costs two scans + one (col, value)-grain shuffle, not 2M scans;
+    the cumulative window stays (col, bucket)-partitioned."""
+    from datalakerulegeneration_spark.ops.drift import ks_table
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return ks_table(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        ["user_id", "value"],
+    )
+
+
+def _ks_table_oracle() -> str:
+    from datalakerulegeneration_spark.ops.drift import ks_table_sql
+
+    return ks_table_sql(
+        "SELECT * FROM events WHERE event_id % 2 = 0",
+        "SELECT * FROM events WHERE event_id % 2 = 1",
+        ["user_id", "value"],
+    )
+
+
+def q_wasserstein_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein for every monitored numeric column of events
+    in ONE stacked pass per side (ops.drift.wasserstein_table)."""
+    from datalakerulegeneration_spark.ops.drift import wasserstein_table
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return wasserstein_table(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        ["user_id", "value"],
+    )
+
+
+def _wasserstein_table_oracle() -> str:
+    from datalakerulegeneration_spark.ops.drift import wasserstein_table_sql
+
+    return wasserstein_table_sql(
+        "SELECT * FROM events WHERE event_id % 2 = 0",
+        "SELECT * FROM events WHERE event_id % 2 = 1",
+        ["user_id", "value"],
+    )
+
+
 _S_ORACLES = _sampling_oracles()
 
 
@@ -2895,6 +2943,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),
     "wasserstein_events_value": (q_wasserstein_events_value, _wasserstein_oracle()),
+    "ks_table_events": (q_ks_table_events, _ks_table_oracle()),
+    "wasserstein_table_events": (q_wasserstein_table_events, _wasserstein_table_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

@@ -1096,3 +1096,28 @@ def test_curate_neardup_removes_planted_dups(spark):
     # (1,2) is a 0.92-Jaccard pair the banding always catches; doc 3's
     # banding outcome is LSH-recall-dependent, so it is not asserted
     assert 2 not in ids
+
+
+def test_ks_and_w1_table_match_single_column(spark, sf_tables):
+    """The stacked multi-column KS/W1 must equal the single-column
+    operators exactly, per column (same distinct-grain construction,
+    different pass structure)."""
+    from datalakerulegeneration_spark.ops.drift import (
+        ks_statistic, ks_table, wasserstein_1, wasserstein_table,
+    )
+
+    ev = sf_tables["events"]
+    base = ev.where(F.col("event_id") % 2 == 0)
+    cur = ev.where(F.col("event_id") % 2 == 1)
+    cols = ["user_id", "value"]
+
+    kt = {r["col_name"]: r.asDict() for r in ks_table(base, cur, cols, n_parts=8).collect()}
+    wt = {r["col_name"]: r.asDict() for r in wasserstein_table(base, cur, cols, n_parts=8).collect()}
+    assert set(kt) == set(cols) and set(wt) == set(cols)
+    for c in cols:
+        k1 = ks_statistic(base, cur, c, n_parts=8).collect()[0]
+        w1 = wasserstein_1(base, cur, c, n_parts=8).collect()[0]
+        assert kt[c]["ks"] == k1["ks"]
+        assert (kt[c]["n_base"], kt[c]["n_cur"]) == (k1["n_base"], k1["n_cur"])
+        assert wt[c]["w1"] == w1["w1"]
+        assert (wt[c]["n_base"], wt[c]["n_cur"]) == (w1["n_base"], w1["n_cur"])
