@@ -1121,3 +1121,54 @@ def test_ks_and_w1_table_match_single_column(spark, sf_tables):
         assert (kt[c]["n_base"], kt[c]["n_cur"]) == (k1["n_base"], k1["n_cur"])
         assert wt[c]["w1"] == w1["w1"]
         assert (wt[c]["n_base"], wt[c]["n_cur"]) == (w1["n_base"], w1["n_cur"])
+
+
+def test_curate_with_trained_classifier_end_to_end(spark, sf_tables):
+    """Closes the trained-curation loop: weak-label bootstrap → train →
+    broadcast-score the corpus → curate with the LEARNED filter via the
+    quality_fn seam. The learned manifest must (a) gate stage 1 exactly
+    on the classifier's probability, (b) keep every downstream
+    invariant (contiguous token offsets, pack ids), and (c) differ from
+    the heuristic manifest only through stage-1 survivorship — curating
+    the learned-survivor subset with an always-pass filter reproduces
+    it row for row."""
+    from datalakerulegeneration_spark.ops import curate
+    from datalakerulegeneration_spark.ops.quality_model import train_and_score
+
+    docs = sf_tables["documents"]
+    scores = train_and_score(docs, "doc_id", "text").select(
+        F.col("id").alias("_sid"), "prob_quality"
+    )
+    docs2 = docs.join(
+        F.broadcast(scores), docs["doc_id"] == F.col("_sid"), "left"
+    ).drop("_sid")
+
+    learned_fn = lambda tc: F.coalesce(F.col("prob_quality"), F.lit(0.0))  # noqa: E731
+    out = curate.curate_corpus(docs2, quality_fn=learned_fn, quality_min=0.5)
+    rows = sorted(out.collect(), key=lambda r: r["offset"])
+    assert rows
+
+    # (a) stage-1 gate == classifier decision
+    probs = {r["doc_id"]: r["prob_quality"] for r in docs2.select("doc_id", "prob_quality").collect()}
+    assert all(probs[r["id"]] >= 0.5 for r in rows)
+
+    # (b) manifest invariants hold under the learned filter
+    pos = 0
+    for r in rows:
+        assert r["offset"] == pos
+        pos += r["weight"]
+
+    # (c) the learned column acts ONLY as the stage-1 gate: replacing
+    # it with its own 0/1 threshold indicator reproduces the manifest
+    # row for row (eval set and rebalance cap still derive from the
+    # full raw corpus, by design — pre-filtering the input would
+    # change both, so equality must be checked on the same frame)
+    indicator = lambda tc: F.when(  # noqa: E731
+        F.coalesce(F.col("prob_quality"), F.lit(0.0)) >= 0.5, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    expected = curate.curate_corpus(docs2, quality_fn=indicator, quality_min=0.5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expected.collect()))
+
+    # and it is a genuinely different corpus than the heuristic one
+    heur = {r["id"] for r in curate.curate_corpus(docs).collect()}
+    assert {r["id"] for r in rows} != heur
