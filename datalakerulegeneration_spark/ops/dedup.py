@@ -209,8 +209,18 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
         # frame with self-pairs or reversed duplicates must not widen
         # the output contract
         candidates = candidates.where(F.col("id_a") < F.col("id_b"))
+        # shuffle_hash hints, build side = the candidate-derived frame:
+        # the shingle frame's STATIC size estimate is the (compressed,
+        # pre-explode) file size, so without the hint Catalyst happily
+        # broadcasts the whole exploded corpus once the file passes the
+        # broadcast threshold — a 3.9 GiB driver OOM at 100x sf0.1
+        # (found in the r4 sf10 run). A hinted shuffle-hash join keys
+        # both sides and builds only the per-partition candidate slice;
+        # nothing ever depends on the unknowable post-explode estimate.
         inter = (
-            candidates.join(a, F.col("id_a") == F.col("a.id"))
+            candidates.hint("shuffle_hash")
+            .join(a, F.col("id_a") == F.col("a.id"))
+            .hint("shuffle_hash")
             .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("inter"))
@@ -226,8 +236,13 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
         )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # same estimate-blindness fix: sizes is doc-grain (corpus-sized) —
+    # a static broadcast of it is the same OOM in miniature; build on
+    # the pair-grain inter side instead
     return (
-        inter.join(sa, "id_a")
+        inter.hint("shuffle_hash")
+        .join(sa, "id_a")
+        .hint("shuffle_hash")
         .join(sb, "id_b")
         .select(
             "id_a",

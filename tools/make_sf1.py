@@ -11,21 +11,34 @@ that preserve join structure, dimension tables copy through.
 * everything else copies as-is.
 
 Output: /root/repo/.bench/sf1/*.parquet (gitignored; ~10x sf0.1).
-Usage: python tools/make_sf1.py
+Usage: python tools/make_sf1.py [--replicas N] [--dst DIR] [--tables a,b]
+  e.g. --replicas 100 --dst .bench/sf10 --tables documents  (the 100x
+  token-volume set for the dedup/text family scaling runs)
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench", "sf1")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(_REPO, ".bench", "sf1")
 REPLICAS = 10
 
 
 def main() -> None:
+    global DST, REPLICAS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument("--dst", default=DST)
+    ap.add_argument("--tables", default=None, help="comma list; default all")
+    args = ap.parse_args()
+    REPLICAS = args.replicas
+    DST = args.dst if os.path.isabs(args.dst) else os.path.join(_REPO, args.dst)
+    only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
 
@@ -37,18 +50,23 @@ def main() -> None:
         n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")
 
+    def want(t: str) -> bool:
+        return only is None or t in only
+
     (max_ok,) = con.execute(f"SELECT max(o_orderkey) + 1 FROM {src('orders')}").fetchone()
     (max_doc,) = con.execute(f"SELECT max(doc_id) + 1 FROM {src('documents')}").fetchone()
 
-    write(
+    if want("orders"):
+      write(
         "orders",
         " UNION ALL ".join(
             f"SELECT o_orderkey + {r * max_ok} AS o_orderkey, o_custkey, o_orderstatus,"
             f" o_totalprice, o_orderdate, o_orderpriority FROM {src('orders')}"
             for r in range(REPLICAS)
         ),
-    )
-    write(
+      )
+    if want("lineitem"):
+      write(
         "lineitem",
         " UNION ALL ".join(
             f"SELECT l_orderkey + {r * max_ok} AS l_orderkey, l_partkey, l_suppkey,"
@@ -56,8 +74,9 @@ def main() -> None:
             f" l_returnflag, l_linestatus, l_shipdate FROM {src('lineitem')}"
             for r in range(REPLICAS)
         ),
-    )
-    write(
+      )
+    if want("documents"):
+      write(
         "documents",
         " UNION ALL ".join(
             f"SELECT doc_id + {r * max_doc} AS doc_id,"
@@ -69,9 +88,10 @@ def main() -> None:
             + f", lang, source, n_chars FROM {src('documents')}"
             for r in range(REPLICAS)
         ),
-    )
+      )
     for t in ("region", "nation", "customer", "supplier", "part", "events", "embeddings"):
-        write(t, f"SELECT * FROM {src(t)}")
+        if want(t):
+            write(t, f"SELECT * FROM {src(t)}")
 
 
 if __name__ == "__main__":
