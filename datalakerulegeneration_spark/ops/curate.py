@@ -86,9 +86,16 @@ def curate_corpus(
         nd_drop = comps.where(F.col("id") != F.col("component")).select(
             F.col("id").alias("_nd_id")
         )
-        # no broadcast hint: the drop list scales with corpus dup rate —
-        # AQE picks the strategy
-        docs = docs.join(nd_drop, docs[id_col] == nd_drop["_nd_id"], "left_anti")
+        # shuffle_hash hint, build on the drop list: it scales with the
+        # corpus dup rate, so neither a static broadcast (Catalyst's
+        # estimate of this multi-join subtree is meaningless — the sf10
+        # audit caught it broadcasting such frames) nor an unhinted plan
+        # is safe; a keyed shuffle join holds at any drop-list size
+        docs = docs.join(
+            nd_drop.hint("shuffle_hash"),
+            docs[id_col] == nd_drop["_nd_id"],
+            "left_anti",
+        )
     # Spark re-derives a lazy subtree once PER CONSUMING BRANCH, so the
     # pipeline is shaped to keep branches few and thin: the eval side
     # filters the RAW table (not the scored chain), the rebalance cap

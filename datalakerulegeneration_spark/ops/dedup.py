@@ -179,8 +179,13 @@ def lsh_candidate_pairs(
     ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     a = long.alias("a")
     b = long.alias("b")
+    # merge hint: the band self-join is corpus × corpus on (band, bh);
+    # Catalyst's static estimate of the signature subtree tracks the
+    # (compressed) file size, so at small inputs it broadcasts and at
+    # large ones it doesn't — pin the one shape that is correct at
+    # every scale (keyed sort-merge, LSH makes band hashes near-uniform)
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        a.join(b.hint("merge"), (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -228,8 +233,13 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     else:
         a = sh.alias("a")
         b = sh.alias("b")
+        # merge hint: corpus × corpus self-join on the shingle key —
+        # static estimates see only the pre-explode file size and would
+        # broadcast one whole exploded side; sort-merge shuffles both
+        # sides and spills at any scale (see jaccard candidate path
+        # above for the sf10 OOM this class of plan produces)
         inter = (
-            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            a.join(b.hint("merge"), F.col("a.shingle") == F.col("b.shingle"))
             .where(F.col("a.id") < F.col("b.id"))
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("inter"))

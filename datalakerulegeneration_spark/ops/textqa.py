@@ -640,7 +640,14 @@ def common_line_dedup(
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    tagged = lines.join(line_docs, "line").withColumn(
+    # merge hint: both sides are corpus-scale (line instances × distinct
+    # lines) and the line-instance subtree's STATIC size estimate is the
+    # pre-explode file size, so without the hint Catalyst broadcasts the
+    # whole distinct-line table once the file passes the threshold (the
+    # sf10 audit caught exactly that). Sort-merge shuffles both sides on
+    # the line key and spills — the only join shape that survives any
+    # corpus size.
+    tagged = lines.join(line_docs.hint("merge"), "line").withColumn(
         "keep", F.col("n_docs") < min_docs
     )
     kept_struct = F.when(

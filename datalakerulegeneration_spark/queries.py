@@ -1737,13 +1737,20 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh["id"] == F.col("eid"),
         "left_semi",
     ).select(F.col("id").alias("e_id"), F.col("shingle").alias("e_shingle"))
+    # eval side broadcast EXPLICITLY (held-out eval suites are small by
+    # design — same contract as ngram_overlap); the size joins build on
+    # the pair-grain inter side via shuffle_hash so nothing rests on the
+    # corpus-sized `sizes` frame's static estimate (the sf10 audit found
+    # Catalyst statically broadcasting frames like it)
     inter = (
-        sh.join(eval_sh, sh["shingle"] == eval_sh["e_shingle"])
+        sh.join(F.broadcast(eval_sh), sh["shingle"] == eval_sh["e_shingle"])
         .groupBy("id", "e_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     contaminated = (
-        inter.join(sizes, "id")
+        inter.hint("shuffle_hash")
+        .join(sizes, "id")
+        .hint("shuffle_hash")
         .join(
             sizes.select(F.col("id").alias("e_id2"), F.col("sz").alias("e_sz")),
             F.col("e_id") == F.col("e_id2"),
@@ -1757,7 +1764,9 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return docs.join(
-        contaminated, docs["doc_id"] == contaminated["id"], "left_anti"
+        contaminated.hint("shuffle_hash"),
+        docs["doc_id"] == contaminated["id"],
+        "left_anti",
     ).select("doc_id", "lang", "source")
 
 

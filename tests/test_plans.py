@@ -129,13 +129,22 @@ def test_pack_sequences_no_global_sort(spark):
 
 
 def test_line_dedup_and_ngram_overlap_scan_budget(spark):
-    """Both corpus-grain round-3 text ops stay within two text scans
-    and never fall into a cartesian or sort-merge join."""
+    """Both corpus-grain text ops stay within two text scans and never
+    cartesian. Join shapes differ BY DESIGN: ngram_overlap broadcasts
+    the (small-by-contract) eval gram set, so no sort-merge; line_dedup
+    joins corpus × corpus on the line key, where the r4 sf10 audit
+    showed the 'optimized' alternative was a static broadcast of the
+    whole distinct-line table — its correct plan is a hinted SMJ and
+    ZERO broadcasts."""
     for name in ("line_dedup_documents", "ngram_overlap_documents"):
         p = _plan(_impl(name)(spark, SF_DIR))
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
         assert sum("text" in s for s in schemas) <= 2, name
-        assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = _plan(_impl("ngram_overlap_documents")(spark, SF_DIR))
+    assert "SortMergeJoin" not in p
+    p = _plan(_impl("line_dedup_documents")(spark, SF_DIR))
+    assert "SortMergeJoin" in p and "BroadcastExchange" not in p
 
 
 def test_curation_funnel_scan_budget(spark):
@@ -197,3 +206,20 @@ def test_exact_dedup_digest_keyed_exchange(spark):
             # text_digest), never the raw text attribute
             assert "text_digest" in ln or "_groupingexpression" in ln
             assert not re.search(r"hashpartitioning\(text#", ln)
+
+
+def test_corpus_joins_never_static_broadcast(spark):
+    """sf10 found Catalyst statically broadcasting exploded corpus
+    frames (shingles, distinct lines, doc-grain sizes) because their
+    size estimate is the pre-explode compressed file size — a 3.9 GiB
+    driver OOM at 100x. These ops' joins must be hinted shuffle joins;
+    the ONLY broadcasts allowed are small-by-design sides (1-row
+    totals, eval sets, n_parts maps), identified here by what they
+    are NOT: no broadcast whose key is the shingle/line/doc-size frame.
+    The dedup family must carry zero broadcast exchanges at all."""
+    for name in ("dedup_minhash_documents", "dedup_ngram_documents",
+                 "line_dedup_documents", "simhash_documents",
+                 "dup_components_documents", "dedup_exact_documents"):
+        p = _plan(_impl(name)(spark, SF_DIR))
+        assert "BroadcastExchange" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
