@@ -128,29 +128,38 @@ def _bucket_signatures(
     Multi-table sign-LSH: each table has its own deterministic plane
     set (seeded by table index); a pair is a candidate if it collides
     in ANY table (OR-amplification → recall scales with n_tables).
+
+    ONE scan: all n_tables signatures are computed in a single
+    projection (plane literals inlined per table) and fanned out by
+    posexplode — the previous union-of-per-table-frames shape re-read
+    the vector source n_tables times (16 parquet scans for the default
+    8-table near-dup plan; at 100 TB that is 15 wasted corpus passes).
     """
-    per_table = []
+
+    def plane_sql(planes: list[list[float]]) -> str:
+        return (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"cast({x!r} as double)" for x in row) + ")"
+                for row in planes
+            )
+            + ")"
+        )
+
+    sigs = []
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed=t)
-        planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
-        sig = F.expr(
-            "aggregate(transform(__planes, p -> "
+        sigs.append(
+            f"aggregate(transform({plane_sql(planes)}, p -> "
             f"case when aggregate(zip_with(p, {vec_col}, (x, y) -> x * cast(y as double)),"
             " cast(0.0 as double), (acc, v) -> acc + v) >= 0 then 1 else 0 end),"
             " (0L, 0), (acc, b) -> (acc.col1 * 2 + b, 0), acc -> acc.col1)"
         )
-        per_table.append(
-            df.withColumn("__planes", planes_lit).select(
-                F.col(id_col).alias(id_alias),
-                F.col(vec_col).alias(vec_alias),
-                F.lit(t).alias("table_idx"),
-                sig.alias("bucket"),
-            )
-        )
-    out = per_table[0]
-    for p in per_table[1:]:
-        out = out.unionByName(p)
-    return out
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.posexplode(F.array(*[F.expr(s) for s in sigs])).alias("table_idx", "bucket"),
+    )
 
 
 def lsh_bucket_topk(

@@ -223,3 +223,13 @@ def test_corpus_joins_never_static_broadcast(spark):
         p = _plan(_impl(name)(spark, SF_DIR))
         assert "BroadcastExchange" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_lsh_signature_single_scan(spark):
+    """Multi-table LSH signatures are one projection + posexplode, not
+    a union of per-table re-scans: near-dup and LSH top-k read each
+    vector source once per side (8 tables used to cost 16 scans)."""
+    p = _plan(_impl("near_dup_embeddings")(spark, SF_DIR))
+    assert p.count("FileScan parquet") <= 2
+    p = _plan(_impl("ann_topk_lsh_embeddings")(spark, SF_DIR))
+    assert p.count("FileScan parquet") <= 2
