@@ -86,12 +86,17 @@ def main() -> None:
     # everything (persisted frames would otherwise be silently reused
     # via CacheManager plan-dedup): the headline measurement is
     # warm-JVM, cold-data — standard JVM bench hygiene.
+    # clearCache after EVERY query, not just every pass: an operator
+    # that persists internally (and any future one that forgets to
+    # unpersist) must not feed the next query's byte-identical subtree
+    # through CacheManager plan-dedup — r4's review caught exactly that
+    # feeding wasserstein_table from ks_table's grain cache.
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         _IMPLS[name](spark, sf_dir).collect()
         cold[name] = round(time.time() - t0, 3)
-    spark.catalog.clearCache()
+        spark.catalog.clearCache()
 
     # two timed passes, per-query min: wall-clock on a shared box
     # varies ±30% with ambient load; the min is the least-contended
@@ -105,7 +110,7 @@ def main() -> None:
             el = round(time.time() - t0, 3)
             if name not in timings or el < timings[name]:
                 timings[name] = el
-        spark.catalog.clearCache()
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -118,7 +118,9 @@ def dataset_similarity_sql(
         d = f"CAST(TRY_CAST({c} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
         sums.append(f"sum({d}) AS s1_{c}")
         sums.append(f"sum({d} * {d}) AS s2_{c}")
-        sums.append(f"CAST(count({c}) AS DOUBLE) AS n_{c}")
+        # count the CAST value (overflow -> NULL leaves numerator AND
+        # denominator), mirroring dataset_profile
+        sums.append(f"CAST(count({d}) AS DOUBLE) AS n_{c}")
     moments = []
     for c in DOUBLE_STATS:
         mean = f"(CAST(s1_{c} AS DOUBLE) / NULLIF(n_{c}, 0.0))"

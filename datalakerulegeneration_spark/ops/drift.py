@@ -137,122 +137,18 @@ FROM j, tot
 """
 
 
-def _distinct_grain(baseline: DataFrame, current: DataFrame, col: str) -> DataFrame:
-    """(v, base_n, cur_n) at distinct-value grain — the shared first
-    stage of both ECDF operators. Shuffled state is O(distinct values),
-    versus the textbook sort-both-samples formulation's O(rows)."""
-    v = F.expr(f"try_cast({col} as double)")
-
-    def side(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.where(v.isNotNull())
-            .groupBy(v.alias("v"))
-            .agg(F.count(F.lit(1)).alias(f"{name}_n"))
-        )
-
-    return (
-        side(baseline, "base")
-        .join(side(current, "cur"), "v", "full_outer")
-        .select(
-            "v",
-            F.coalesce("base_n", F.lit(0)).alias("base_n"),
-            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
-        )
-    )
-
-
-def _range_buckets(baseline: DataFrame, col: str, n_parts: int) -> list[float]:
-    """Deduped approximate quantile boundaries of the baseline column —
-    ONLY used to spread the cumulative window across ``n_parts``
-    parallel partitions; any boundary set yields the exact same answer,
-    so low approx_percentile accuracy is fine. One cheap single-column
-    aggregate (column-pruned scan)."""
-    probs = ", ".join(f"{i / n_parts!r}" for i in range(1, n_parts))
-    row = baseline.agg(
-        F.expr(
-            f"approx_percentile(try_cast({col} as double), array({probs}), 1000)"
-        ).alias("b")
-    ).collect()[0]
-    bounds = row["b"] or []
-    return sorted({b for b in bounds if b is not None})
-
-
-def _pid_expr(bounds: list[float]):
-    """Bucket id for a value given sorted boundary literals: values <=
-    bounds[0] → 0, (bounds[i-1], bounds[i]] → i, > bounds[-1] → len.
-    All equal values share a bucket, so per-bucket cumulative order is
-    consistent."""
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + F.when(F.col("v") > F.lit(float(b)), 1).otherwise(0)
-    return pid
-
-
 def ks_statistic(
     baseline: DataFrame, current: DataFrame, col: str, n_parts: int = 32
 ) -> DataFrame:
     """EXACT two-sample Kolmogorov-Smirnov statistic, distributed:
-    one row ``(ks, n_base, n_cur)``.
-
-    The ECDF step function only changes at observed values, so the
-    max |ECDF_a - ECDF_b| is computed on DISTINCT-value grain. The
-    cumulative sum is TWO-LEVEL so no single task sees the whole
-    domain: values are bucketed by approximate baseline quantiles
-    (boundaries are plan literals), each bucket computes a local
-    running sum in parallel, and the per-bucket totals — a ``n_parts``
-    -row aggregate collected to the driver — provide the bucket
-    offsets as literals. Exact integer ratios, so the DuckDB oracle
-    matches bit-for-bit regardless of bucketing.
-    """
-    from pyspark.sql import Window
-
-    j = _distinct_grain(baseline, current, col)
-    bounds = _range_buckets(baseline, col, n_parts)
-    # persist: the bucket-totals action below AND the caller's final
-    # collect both consume jb; without it the distinct-grain join (the
-    # operator's most expensive shuffle) executes twice. The frame is
-    # O(distinct values) — the operator's bounded state — so caching
-    # it is the right call at any scale.
-    jb = j.withColumn("pid", _pid_expr(bounds)).persist()
-
-    # Tiny bucket-grain aggregate → driver: totals and per-bucket offsets.
-    btots = {
-        r["pid"]: (r["b"], r["c"])
-        for r in jb.groupBy("pid")
-        .agg(F.sum("base_n").alias("b"), F.sum("cur_n").alias("c"))
-        .collect()
-    }
-    nb = sum(b for b, _ in btots.values())
-    nc = sum(c for _, c in btots.values())
-    if nb == 0 or nc == 0:
+    one row ``(ks, n_base, n_cur)``. Thin wrapper over the table-grain
+    engine (:func:`ks_table` with one column) — one implementation of
+    the two-level bucketed cumulative machinery, proven equal to the
+    stacked plan by pytest and by both queries' DuckDB oracles."""
+    out = ks_table(baseline, current, [col], n_parts)
+    if not out.take(1):
         raise ValueError(f"ks_statistic: a side has no numeric values in {col!r}")
-    off_b, off_c, acc_b, acc_c = {}, {}, 0, 0
-    for pid in sorted(btots):
-        off_b[pid], off_c[pid] = acc_b, acc_c
-        acc_b += btots[pid][0]
-        acc_c += btots[pid][1]
-
-    def offset(m: dict[int, int]):
-        e = F.lit(0)
-        for pid, v in m.items():
-            if v:
-                e = F.when(F.col("pid") == pid, F.lit(v)).otherwise(e)
-        return e
-
-    w = Window.partitionBy("pid").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ecdf = jb.select(
-        F.abs(
-            (F.sum("base_n").over(w) + offset(off_b)).cast("double") / F.lit(float(nb))
-            - (F.sum("cur_n").over(w) + offset(off_c)).cast("double") / F.lit(float(nc))
-        ).alias("d")
-    )
-    return ecdf.agg(F.round(F.max("d"), 6).alias("ks")).select(
-        "ks",
-        F.lit(nb).cast("long").alias("n_base"),
-        F.lit(nc).cast("long").alias("n_cur"),
-    )
+    return out.select("ks", "n_base", "n_cur")
 
 
 def ks_statistic_sql(base_sql: str, cur_sql: str, col: str) -> str:
@@ -484,76 +380,13 @@ def wasserstein_1(
     baseline: DataFrame, current: DataFrame, col: str, n_parts: int = 32
 ) -> DataFrame:
     """EXACT 1-Wasserstein (earth-mover) distance between two samples:
-    ``(w1, n_base, n_cur)`` — W1 = ∫|ECDF_a − ECDF_b| dx, evaluated as
-    the sum of |ecdf gap| × (next value − value) over distinct-value
-    grain (the ECDFs are step functions). Same two-level bucketed
-    cumulative as :func:`ks_statistic` — no single-task global window;
-    a bucket's last row takes its ``next value`` from the following
-    bucket's minimum (part of the same tiny driver-side bucket
-    aggregate). Each term rounds to 6 dp and sums through exact
-    decimals, so the result is order-independent and engine-portable
-    (a raw double sum is neither).
-    """
-    from pyspark.sql import Window
-
-    j = _distinct_grain(baseline, current, col)
-    bounds = _range_buckets(baseline, col, n_parts)
-    # persist: same rationale as ks_statistic — the stats action and
-    # the caller's collect would otherwise run the distinct-grain
-    # join twice; the frame is O(distinct values).
-    jb = j.withColumn("pid", _pid_expr(bounds)).persist()
-
-    stats = {
-        r["pid"]: (r["b"], r["c"], r["mn"])
-        for r in jb.groupBy("pid")
-        .agg(
-            F.sum("base_n").alias("b"),
-            F.sum("cur_n").alias("c"),
-            F.min("v").alias("mn"),
-        )
-        .collect()
-    }
-    nb = sum(b for b, _, _ in stats.values())
-    nc = sum(c for _, c, _ in stats.values())
-    if nb == 0 or nc == 0:
+    ``(w1, n_base, n_cur)`` — W1 = ∫|ECDF_a − ECDF_b| dx on
+    distinct-value grain. Thin wrapper over :func:`wasserstein_table`
+    with one column (see :func:`ks_statistic` for the rationale)."""
+    out = wasserstein_table(baseline, current, [col], n_parts)
+    if not out.take(1):
         raise ValueError(f"wasserstein_1: a side has no numeric values in {col!r}")
-    pids = sorted(stats)
-    off_b, off_c, nxt_min, acc_b, acc_c = {}, {}, {}, 0, 0
-    for i, pid in enumerate(pids):
-        off_b[pid], off_c[pid] = acc_b, acc_c
-        acc_b += stats[pid][0]
-        acc_c += stats[pid][1]
-        if i + 1 < len(pids):
-            nxt_min[pid] = stats[pids[i + 1]][2]
-
-    def case_map(m: dict, default=None):
-        e = F.lit(default)
-        for pid, v in m.items():
-            e = F.when(F.col("pid") == pid, F.lit(v)).otherwise(e)
-        return e
-
-    wc = Window.partitionBy("pid").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wl = Window.partitionBy("pid").orderBy("v")
-    terms = (
-        jb.withColumn("ca", F.sum("base_n").over(wc) + case_map(off_b, 0))
-        .withColumn("cb", F.sum("cur_n").over(wc) + case_map(off_c, 0))
-        .withColumn("nxt", F.coalesce(F.lead("v").over(wl), case_map(nxt_min)))
-        .where(F.col("nxt").isNotNull())
-        .select(
-            F.expr(
-                f"cast(round(abs(cast(ca as double) / {float(nb)!r}"
-                f" - cast(cb as double) / {float(nc)!r}) * (nxt - v), 6)"
-                " as decimal(18,6))"
-            ).alias("term")
-        )
-    )
-    return terms.agg(F.sum("term").cast("double").alias("w1")).select(
-        "w1",
-        F.lit(nb).cast("long").alias("n_base"),
-        F.lit(nc).cast("long").alias("n_cur"),
-    )
+    return out.select("w1", "n_base", "n_cur")
 
 
 def wasserstein_1_sql(base_sql: str, cur_sql: str, col: str) -> str:
@@ -638,110 +471,21 @@ def _table_buckets(
     }
 
 
-def _col_case(values: dict[str, float | int], default=None):
-    """when-chain keyed by col_name → literal (M branches, M = #cols)."""
-    e = F.lit(default)
-    for c, v in values.items():
-        e = F.when(F.col("col_name") == c, F.lit(v)).otherwise(e)
-    return e
+def _bucketed_grain(
+    baseline: DataFrame, current: DataFrame, cols: list[str], n_parts: int
+):
+    """Shared engine state for the table-grain KS/W1: the persisted
+    (col, value, counts, pid) frame plus a TINY broadcast frame carrying
+    per-(col, pid) cumulative offsets, per-col totals, and the next
+    bucket's minimum value — joined onto the grain instead of compiled
+    into M·n_parts-deep CASE chains (which blow past codegen limits on
+    wide tables). Columns empty on either side are SKIPPED (a drift
+    monitor must keep reporting the healthy columns when one breaks),
+    so the returned kept-list may be shorter than ``cols``.
 
-
-def _table_pid(bounds: dict[str, list[float]]):
-    pid = F.lit(0)
-    for c, bs in bounds.items():
-        inner = F.lit(0)
-        for b in bs:
-            inner = inner + F.when(F.col("v") > F.lit(float(b)), 1).otherwise(0)
-        pid = F.when(F.col("col_name") == c, inner).otherwise(pid)
-    return pid
-
-
-def ks_table(
-    baseline: DataFrame, current: DataFrame, cols: list[str], n_parts: int = 32
-) -> DataFrame:
-    """EXACT two-sample KS for MANY columns in one stacked pass per
-    side: ``(col_name, ks, n_base, n_cur)`` — the table-grain twin of
-    :func:`ks_statistic`, same two-level bucketed cumulative sum (the
-    running-sum window partitions on (col_name, pid), never a whole
-    column's domain in one task), with bucket offsets from one tiny
-    (M·n_parts)-row driver aggregate."""
-    from pyspark.sql import Window
-
-    jb = (
-        _distinct_grain_table(baseline, current, cols)
-        .withColumn("pid", _table_pid(_table_buckets(baseline, cols, n_parts)))
-        .persist()
-    )
-    stats = {
-        (r["col_name"], r["pid"]): (r["b"], r["c"])
-        for r in jb.groupBy("col_name", "pid")
-        .agg(F.sum("base_n").alias("b"), F.sum("cur_n").alias("c"))
-        .collect()
-    }
-    nb = {c: sum(v[0] for (cc, _), v in stats.items() if cc == c) for c in cols}
-    nc = {c: sum(v[1] for (cc, _), v in stats.items() if cc == c) for c in cols}
-    for c in cols:
-        if nb[c] == 0 or nc[c] == 0:
-            raise ValueError(f"ks_table: a side has no numeric values in {c!r}")
-    off_b, off_c = {}, {}
-    for c in cols:
-        acc_b = acc_c = 0
-        for cc, pid in sorted(k for k in stats if k[0] == c):
-            off_b[(c, pid)], off_c[(c, pid)] = acc_b, acc_c
-            acc_b += stats[(c, pid)][0]
-            acc_c += stats[(c, pid)][1]
-
-    def pair_case(m: dict):
-        e = F.lit(0)
-        for (c, pid), v in m.items():
-            if v:
-                e = F.when(
-                    (F.col("col_name") == c) & (F.col("pid") == pid), F.lit(v)
-                ).otherwise(e)
-        return e
-
-    w = Window.partitionBy("col_name", "pid").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    d = F.abs(
-        (F.sum("base_n").over(w) + pair_case(off_b)).cast("double")
-        / _col_case({c: float(v) for c, v in nb.items()})
-        - (F.sum("cur_n").over(w) + pair_case(off_c)).cast("double")
-        / _col_case({c: float(v) for c, v in nc.items()})
-    )
-    return (
-        jb.select("col_name", d.alias("d"))
-        .groupBy("col_name")
-        .agg(F.round(F.max("d"), 6).alias("ks"))
-        .select(
-            "col_name",
-            "ks",
-            _col_case(nb).cast("long").alias("n_base"),
-            _col_case(nc).cast("long").alias("n_cur"),
-        )
-    )
-
-
-def ks_table_sql(base_sql: str, cur_sql: str, cols: list[str]) -> str:
-    """DuckDB oracle for :func:`ks_table` — per-column UNION ALL of the
-    single-column construction, tagged by col_name."""
-    parts = []
-    for c in cols:
-        one = ks_statistic_sql(base_sql, cur_sql, c)
-        parts.append(f"SELECT '{c}' AS col_name, * FROM ({one})")
-    return "\nUNION ALL\n".join(parts)
-
-
-def wasserstein_table(
-    baseline: DataFrame, current: DataFrame, cols: list[str], n_parts: int = 32
-) -> DataFrame:
-    """EXACT 1-Wasserstein for MANY columns in one stacked pass per
-    side: ``(col_name, w1, n_base, n_cur)`` — the table-grain twin of
-    :func:`wasserstein_1` (same decimal-exact term sum; a bucket's last
-    row takes its next value from the following bucket's minimum within
-    the same column)."""
-    from pyspark.sql import Window
-
+    Caller MUST unpersist the returned grain frame after its final
+    action.
+    """
     jb = (
         _distinct_grain_table(baseline, current, cols)
         .withColumn("pid", _table_pid(_table_buckets(baseline, cols, n_parts)))
@@ -759,59 +503,130 @@ def wasserstein_table(
     }
     nb = {c: sum(v[0] for (cc, _), v in stats.items() if cc == c) for c in cols}
     nc = {c: sum(v[1] for (cc, _), v in stats.items() if cc == c) for c in cols}
-    for c in cols:
-        if nb[c] == 0 or nc[c] == 0:
-            raise ValueError(f"wasserstein_table: a side has no numeric values in {c!r}")
-    off_b, off_c, nxt_min = {}, {}, {}
-    for c in cols:
+    kept = [c for c in cols if nb[c] > 0 and nc[c] > 0]
+    rows = []
+    for c in kept:
         acc_b = acc_c = 0
         pids = sorted(k[1] for k in stats if k[0] == c)
         for i, pid in enumerate(pids):
-            off_b[(c, pid)], off_c[(c, pid)] = acc_b, acc_c
+            nxt = stats[(c, pids[i + 1])][2] if i + 1 < len(pids) else None
+            rows.append((c, pid, acc_b, acc_c, float(nb[c]), float(nc[c]), nxt))
             acc_b += stats[(c, pid)][0]
             acc_c += stats[(c, pid)][1]
-            if i + 1 < len(pids):
-                nxt_min[(c, pid)] = stats[(c, pids[i + 1])][2]
-
-    def pair_case(m: dict, default=None):
-        e = F.lit(default)
-        for (c, pid), v in m.items():
-            e = F.when(
-                (F.col("col_name") == c) & (F.col("pid") == pid), F.lit(v)
-            ).otherwise(e)
-        return e
-
-    wc = Window.partitionBy("col_name", "pid").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    offs = jb.sparkSession.createDataFrame(
+        rows,
+        "col_name string, pid int, off_b long, off_c long,"
+        " nb double, nc double, nxt_min double",
     )
-    wl = Window.partitionBy("col_name", "pid").orderBy("v")
-    nb_e = _col_case({c: float(v) for c, v in nb.items()})
-    nc_e = _col_case({c: float(v) for c, v in nc.items()})
-    terms = (
-        jb.withColumn("ca", F.sum("base_n").over(wc) + pair_case(off_b, 0))
-        .withColumn("cb", F.sum("cur_n").over(wc) + pair_case(off_c, 0))
-        .withColumn("nxt", F.coalesce(F.lead("v").over(wl), pair_case(nxt_min)))
-        .where(F.col("nxt").isNotNull())
-        .select(
-            "col_name",
-            F.round(
-                F.abs(F.col("ca").cast("double") / nb_e - F.col("cb").cast("double") / nc_e)
-                * (F.col("nxt") - F.col("v")),
-                6,
+    grain = jb.join(F.broadcast(offs), ["col_name", "pid"])
+    return jb, grain, kept, nb, nc
+
+
+def _table_pid(bounds: dict[str, list[float]]):
+    pid = F.lit(0)
+    for c, bs in bounds.items():
+        inner = F.lit(0)
+        for b in bs:
+            inner = inner + F.when(F.col("v") > F.lit(float(b)), 1).otherwise(0)
+        pid = F.when(F.col("col_name") == c, inner).otherwise(pid)
+    return pid
+
+
+def ks_table(
+    baseline: DataFrame, current: DataFrame, cols: list[str], n_parts: int = 32
+) -> DataFrame:
+    """EXACT two-sample KS for MANY columns in one stacked pass per
+    side: ``(col_name, ks, n_base, n_cur)`` — the two-level bucketed
+    cumulative sum (the running-sum window partitions on
+    (col_name, pid), never a whole column's domain in one task), with
+    bucket offsets/totals broadcast-joined from a tiny literal frame.
+    Columns with no numeric values on a side are omitted from the
+    output (the monitor keeps reporting healthy columns). The result is
+    M rows — materialized so the grain cache can be released before
+    returning (the driver boundary the profiler already uses)."""
+    from pyspark.sql import Window
+
+    jb, grain, kept, nb, nc = _bucketed_grain(baseline, current, cols, n_parts)
+    try:
+        w = Window.partitionBy("col_name", "pid").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        d = F.abs(
+            (F.sum("base_n").over(w) + F.col("off_b")).cast("double") / F.col("nb")
+            - (F.sum("cur_n").over(w) + F.col("off_c")).cast("double") / F.col("nc")
+        )
+        rows = (
+            grain.select("col_name", d.alias("d"))
+            .groupBy("col_name")
+            .agg(F.round(F.max("d"), 6).alias("ks"))
+            .collect()
+        )
+    finally:
+        jb.unpersist()
+    ks = {r["col_name"]: r["ks"] for r in rows}
+    out = [(c, ks[c], nb[c], nc[c]) for c in kept if c in ks]
+    return jb.sparkSession.createDataFrame(
+        out, "col_name string, ks double, n_base long, n_cur long"
+    )
+
+
+def ks_table_sql(base_sql: str, cur_sql: str, cols: list[str]) -> str:
+    """DuckDB oracle for :func:`ks_table` — per-column UNION ALL of the
+    single-column construction, tagged by col_name."""
+    parts = []
+    for c in cols:
+        one = ks_statistic_sql(base_sql, cur_sql, c)
+        parts.append(f"SELECT '{c}' AS col_name, * FROM ({one})")
+    return "\nUNION ALL\n".join(parts)
+
+
+def wasserstein_table(
+    baseline: DataFrame, current: DataFrame, cols: list[str], n_parts: int = 32
+) -> DataFrame:
+    """EXACT 1-Wasserstein for MANY columns in one stacked pass per
+    side: ``(col_name, w1, n_base, n_cur)`` — same engine as
+    :func:`ks_table`; a bucket's last row takes its next value from the
+    following bucket's minimum (the broadcast frame's ``nxt_min``).
+    Empty columns are omitted; the M-row result is materialized so the
+    grain cache can be released."""
+    from pyspark.sql import Window
+
+    jb, grain, kept, nb, nc = _bucketed_grain(baseline, current, cols, n_parts)
+    try:
+        wc = Window.partitionBy("col_name", "pid").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wl = Window.partitionBy("col_name", "pid").orderBy("v")
+        terms = (
+            grain.withColumn("ca", F.sum("base_n").over(wc) + F.col("off_b"))
+            .withColumn("cb", F.sum("cur_n").over(wc) + F.col("off_c"))
+            .withColumn("nxt", F.coalesce(F.lead("v").over(wl), F.col("nxt_min")))
+            .where(F.col("nxt").isNotNull())
+            .select(
+                "col_name",
+                F.round(
+                    F.abs(
+                        F.col("ca").cast("double") / F.col("nb")
+                        - F.col("cb").cast("double") / F.col("nc")
+                    )
+                    * (F.col("nxt") - F.col("v")),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("term"),
             )
-            .cast("decimal(18,6)")
-            .alias("term"),
         )
-    )
-    return (
-        terms.groupBy("col_name")
-        .agg(F.sum("term").cast("double").alias("w1"))
-        .select(
-            "col_name",
-            "w1",
-            _col_case(nb).cast("long").alias("n_base"),
-            _col_case(nc).cast("long").alias("n_cur"),
+        rows = (
+            terms.groupBy("col_name")
+            .agg(F.sum("term").cast("double").alias("w1"))
+            .collect()
         )
+    finally:
+        jb.unpersist()
+    w1 = {r["col_name"]: r["w1"] for r in rows}
+    out = [(c, w1[c], nb[c], nc[c]) for c in kept if c in w1]
+    return jb.sparkSession.createDataFrame(
+        out, "col_name string, w1 double, n_base long, n_cur long"
     )
 
 

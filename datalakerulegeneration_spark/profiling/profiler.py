@@ -758,12 +758,15 @@ def dataset_profile(profiles: DataFrame) -> DataFrame:
     aggs = []
     for c in num_cols:
         d = F.expr(f"try_cast(`{c}` as decimal(18,6))")
-        mean = F.sum(d).cast("double") / F.expr(f"nullif(cast(count(`{c}`) as double), 0.0)")
-        var = (
-            F.sum(d * d).cast("double")
-            / F.expr(f"nullif(cast(count(`{c}`) as double), 0.0)")
-            - mean * mean
+        # count d, NOT the raw column: a stat outside decimal(18,6)'s
+        # range try_casts to NULL and must leave the denominator too,
+        # or the mean/var would be silently biased (and the oracle,
+        # computing the same thing, would agree with the bias)
+        n = F.expr(
+            f"nullif(cast(count(try_cast(`{c}` as decimal(18,6))) as double), 0.0)"
         )
+        mean = F.sum(d).cast("double") / n
+        var = F.sum(d * d).cast("double") / n - mean * mean
         aggs.append(mean.alias(f"{c}_mean"))
         aggs.append(var.alias(f"{c}_var"))
     return profiles.groupBy("table").agg(*aggs)
