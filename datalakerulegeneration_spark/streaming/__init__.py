@@ -9,7 +9,10 @@ from datalakerulegeneration_spark.streaming.curate_stream import (  # noqa: F401
     curate_stream,
 )
 from datalakerulegeneration_spark.streaming.drift_stream import (  # noqa: F401
+    baseline_cdf_at,
+    baseline_edges,
     baseline_shares,
+    ks_drift_stream,
     psi_drift_stream,
 )
 from datalakerulegeneration_spark.streaming.windows import (  # noqa: F401

@@ -107,3 +107,91 @@ def psi_drift_stream(
         "n",
         F.round(psi, 6).alias("psi"),
     )
+
+
+def baseline_cdf_at(
+    baseline: DataFrame, col: str, edges: list[float]
+) -> list[float]:
+    """The baseline's EXACT empirical CDF evaluated at ``edges``: one
+    small aggregation (len(edges) conditional counters + a total)."""
+    v = F.expr(f"try_cast({col} as double)")
+    row = (
+        baseline.where(v.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.when(v <= F.lit(float(e)), 1).otherwise(0)).alias(f"_e{i}")
+                for i, e in enumerate(edges)
+            ],
+        )
+        .collect()[0]
+    )
+    if row["n"] == 0:
+        raise ValueError(f"baseline_cdf_at: no castable values in column {col!r}")
+    return [row[f"_e{i}"] / row["n"] for i in range(len(edges))]
+
+
+def baseline_edges(baseline: DataFrame, col: str, n_edges: int = 32) -> list[float]:
+    """Deduped approximate-quantile edge grid of the baseline column
+    (the grid placement only affects RESOLUTION, never correctness —
+    the CDF values at the grid are computed exactly)."""
+    probs = ", ".join(f"{i / (n_edges + 1)!r}" for i in range(1, n_edges + 1))
+    row = baseline.agg(
+        F.expr(
+            f"approx_percentile(try_cast({col} as double), array({probs}), 1000)"
+        ).alias("e")
+    ).collect()[0]
+    return sorted({e for e in (row["e"] or []) if e is not None})
+
+
+def ks_drift_stream(
+    stream: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    n_edges: int = 32,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-event-time-window KS statistic of ``col`` against a static
+    baseline, evaluated on a fixed edge grid: ``(window_start,
+    window_end, n, ks)`` with ks = max over grid edges e of
+    |F_window(e) − F_baseline(e)|.
+
+    The grid form is what makes KS streamable with bounded state: the
+    true two-sample KS needs the full distinct-value ECDF (unbounded
+    per-window state), while the grid statistic needs ``n_edges``
+    conditional counters per window — the SAME incremental windowed-
+    aggregation shape as the PSI monitor — and is exact at every grid
+    edge (both CDFs are computed exactly there), so it lower-bounds the
+    true KS and converges to it as the grid refines (error ≤ the
+    baseline mass of the widest grid cell). Edges come from baseline
+    quantiles, so cells carry ~equal mass where it matters.
+    """
+    edges = baseline_edges(baseline, col, n_edges)
+    if not edges:
+        raise ValueError(f"ks_drift_stream: baseline column {col!r} has no values")
+    fb = baseline_cdf_at(baseline, col, edges)
+    v = F.expr(f"try_cast({col} as double)")
+    src = _watermarked(stream, ts_col, watermark).where(v.isNotNull())
+    agg = (
+        src.groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.when(v <= F.lit(float(e)), 1).otherwise(0)).alias(f"_e{i}")
+                for i, e in enumerate(edges)
+            ],
+        )
+    )
+    n = F.col("n").cast("double")
+    ks = None
+    for i, e in enumerate(edges):
+        gap = F.abs(F.col(f"_e{i}").cast("double") / n - F.lit(fb[i]))
+        ks = gap if ks is None else F.greatest(ks, gap)
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n",
+        F.round(ks, 6).alias("ks"),
+    )

@@ -478,3 +478,80 @@ def test_curate_stream_requires_event_time(spark, sf_tables, tmp_path):
     )
     with pytest.raises(ValueError, match="event-time"):
         curate_stream(stream, eval_fps)
+
+
+def test_ks_drift_stream_batch_parity_and_shift(spark, sf_tables):
+    """Grid-KS monitor: on one all-covering window it must (a) lower-
+    bound and approximate the exact two-sample KS (grid form), (b) sit
+    near zero for identical halves and spike for a planted shift, and
+    (c) equal a hand-computed max CDF gap on its own grid."""
+    from datalakerulegeneration_spark.ops.drift import ks_statistic
+    from datalakerulegeneration_spark.streaming import (
+        baseline_cdf_at, baseline_edges, ks_drift_stream,
+    )
+
+    ev = sf_tables["events"]
+    base = ev.where(F.col("event_id") % 2 == 0)
+    cur = ev.where(F.col("event_id") % 2 == 1)
+    one = ks_drift_stream(cur, base, "value", n_edges=64, window="520 weeks").collect()
+    assert len(one) == 1
+    grid_ks = one[0]["ks"]
+    exact = ks_statistic(base, cur, "value").collect()[0]["ks"]
+    assert grid_ks <= exact + 1e-9
+    assert exact - grid_ks < 0.05  # 64 quantile edges resolve the gap
+
+    # hand check: max |F_cur(e) - F_base(e)| over the same grid
+    edges = baseline_edges(base, "value", 64)
+    fb = baseline_cdf_at(base, "value", edges)
+    fc = baseline_cdf_at(cur, "value", edges)
+    expected = round(max(abs(a - b) for a, b in zip(fc, fb)), 6)
+    assert abs(grid_ks - expected) < 1e-9
+
+    shifted = cur.withColumn("value", F.col("value") + F.lit(80.0))
+    drifted = ks_drift_stream(shifted, base, "value", n_edges=64, window="520 weeks")
+    assert drifted.collect()[0]["ks"] > 0.3 > grid_ks
+
+
+def test_ks_drift_stream_streaming_mode(spark, sf_tables, tmp_path):
+    """Real streaming execution of the grid-KS monitor (file source,
+    availableNow): per-window rows equal the batch-mode run."""
+    from datalakerulegeneration_spark.streaming import ks_drift_stream
+
+    ev = sf_tables["events"].select("event_id", "ts", "value")
+    base = ev.where(F.col("event_id") % 2 == 0)
+    src_dir = str(tmp_path / "ksin")
+    os.makedirs(src_dir)
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(os.path.join(src_dir, "p1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src_dir)
+    )
+    out = ks_drift_stream(
+        stream, base, "value", n_edges=16, window="6 hours", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ks_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ks"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["window_end"]): (r["n"], r["ks"])
+        for r in spark.sql("SELECT * FROM ks_stream").collect()
+    }
+    exp = {
+        (r["window_start"], r["window_end"]): (r["n"], r["ks"])
+        for r in ks_drift_stream(
+            ev.where(F.col("event_id") % 2 == 1), base, "value",
+            n_edges=16, window="6 hours", watermark="1 hour",
+        ).collect()
+    }
+    assert len(got) > 1
+    # append mode withholds windows the final watermark hasn't closed;
+    # every emitted window must match the batch computation exactly
+    for k, v in got.items():
+        assert exp[k] == v
