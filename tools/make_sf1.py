@@ -89,6 +89,21 @@ def main() -> None:
             for r in range(REPLICAS)
         ),
       )
+    if want("events_scaled"):
+        # join-preserving event scale-up: ids shift per replica, users/
+        # timestamps stay — sessions densify and drift windows carry
+        # REPLICAS x the rows (drift/temporal family scaling set)
+        (max_ev,) = con.execute(
+            f"SELECT max(event_id) + 1 FROM {src('events')}"
+        ).fetchone()
+        write(
+            "events",
+            " UNION ALL ".join(
+                f"SELECT event_id + {r * max_ev} AS event_id, ts, user_id,"
+                f" event_type, value, props FROM {src('events')}"
+                for r in range(REPLICAS)
+            ),
+        )
     for t in ("region", "nation", "customer", "supplier", "part", "events", "embeddings"):
         if want(t):
             write(t, f"SELECT * FROM {src(t)}")
