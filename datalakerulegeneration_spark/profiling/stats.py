@@ -94,17 +94,48 @@ def _count_if(cond_sql: str) -> str:
     return f"CAST(count_if({cond_sql}) AS DOUBLE)"
 
 
+# P4's four character classes are all over finite ASCII sets, so the
+# Spark side counts them with translate() — a per-char map lookup —
+# instead of regexp_replace: one regex pass per class per string cell
+# was ~35 s of the 94 s one-scan profile of 60M rows at sf10, and the
+# values are bit-identical (the DuckDB oracle keeps the regex form, so
+# the equivalence is oracle-checked on every profile query).
+# Java regex \\s is exactly [ \\t\\n\\x0B\\f\\r].
+_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_DIGITS = "0123456789"
+_JAVA_WS = " \t\n\x0b\f\r"
+_WS_SQL = "concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13))"
+
+
 def _char_class_spark(c: str, char_re: str) -> Column:
     # total characters of a class = sum(len - len(strip(class)))
     s = F.coalesce(F.col(c).cast("string"), F.lit(""))
-    return F.sum(F.length(s) - F.length(F.regexp_replace(s, char_re, ""))).cast("double")
+    if char_re == "[A-Za-z]":
+        kept = F.length(s) - F.length(F.translate(s, _ALPHA, ""))
+    elif char_re == "[0-9]":
+        kept = F.length(s) - F.length(F.translate(s, _DIGITS, ""))
+    elif char_re == r"[^A-Za-z0-9\s]":
+        kept = F.length(F.translate(s, _ALPHA + _DIGITS + _JAVA_WS, ""))
+    elif char_re == "[^A-Za-z0-9]":
+        kept = F.length(F.translate(s, _ALPHA + _DIGITS, ""))
+    else:  # non-ASCII class: regex fallback
+        kept = F.length(s) - F.length(F.regexp_replace(s, char_re, ""))
+    return F.sum(kept).cast("double")
 
 
 def _char_class_ssql(c: str, char_re: str) -> str:
     s = f"COALESCE(CAST({c} AS STRING), '')"
-    return (
-        f"CAST(sum(length({s}) - length(regexp_replace({s}, {_lit(char_re)}, ''))) AS DOUBLE)"
-    )
+    if char_re == "[A-Za-z]":
+        kept = f"length({s}) - length(translate({s}, '{_ALPHA}', ''))"
+    elif char_re == "[0-9]":
+        kept = f"length({s}) - length(translate({s}, '{_DIGITS}', ''))"
+    elif char_re == r"[^A-Za-z0-9\s]":
+        kept = f"length(translate({s}, concat('{_ALPHA}{_DIGITS}', {_WS_SQL}), ''))"
+    elif char_re == "[^A-Za-z0-9]":
+        kept = f"length(translate({s}, '{_ALPHA}{_DIGITS}', ''))"
+    else:
+        kept = f"length({s}) - length(regexp_replace({s}, {_lit(char_re)}, ''))"
+    return f"CAST(sum({kept}) AS DOUBLE)"
 
 
 def _char_class_sql(c: str, char_re: str) -> str:
