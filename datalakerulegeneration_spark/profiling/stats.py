@@ -166,12 +166,33 @@ def _ratio_rlike_sql(c: str, pat: str) -> str:
 
 
 def _cells_rlike_spark(c: str, pat: str) -> Column:
+    # the two pure-class cell patterns avoid the regex engine the same
+    # way the char-class stats do (translate is a per-char map); the
+    # structural patterns (numeric etc.) stay regex. NULL cells fall to
+    # the otherwise(0) branch in every variant, matching rlike(NULL).
     s = F.col(c).cast("string")
-    return F.sum(F.when(s.rlike(pat), 1).otherwise(0)).cast("double")
+    if pat == RE_ALPHA_CELL:
+        cond = (s != "") & (F.translate(s, _ALPHA, "") == "")
+    elif pat == RE_PUNCT_CELL:
+        cond = (s != "") & (
+            F.length(F.translate(s, _ALPHA + _DIGITS, "")) == F.length(s)
+        )
+    else:
+        cond = s.rlike(pat)
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("double")
 
 
 def _cells_rlike_ssql(c: str, pat: str) -> str:
-    return f"CAST(count_if(CAST({c} AS STRING) RLIKE {_lit(pat)}) AS DOUBLE)"
+    s = f"CAST({c} AS STRING)"
+    if pat == RE_ALPHA_CELL:
+        cond = f"{s} <> '' AND translate({s}, '{_ALPHA}', '') == ''"
+    elif pat == RE_PUNCT_CELL:
+        cond = (
+            f"{s} <> '' AND length(translate({s}, '{_ALPHA}{_DIGITS}', '')) == length({s})"
+        )
+    else:
+        cond = f"{s} RLIKE {_lit(pat)}"
+    return f"CAST(count_if({cond}) AS DOUBLE)"
 
 
 def _cells_rlike_sql(c: str, pat: str) -> str:
