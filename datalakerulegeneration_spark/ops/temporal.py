@@ -184,6 +184,69 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    right_vals: list[str],
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Interval (range) join: every left row pairs with every right row
+    of the same key whose half-open interval ``[right_start, right_end)``
+    contains ``left_ts`` (epoch-second granularity).
+
+    Scale shape — bucketed blocking, NOT a range-predicate join (which
+    Spark plans as a per-key cartesian) and NOT a theta join: each
+    right interval explodes to the fixed-width time buckets it covers
+    (``sequence`` — fan-out = interval/bucket + 1, pick ``bucket`` near
+    the typical interval length so fan-out is O(1)), each left point
+    maps to its single bucket, and the join is a plain equi-join on
+    (key, bucket) followed by the exact containment filter. A
+    qualifying pair meets in exactly one bucket (the point's), so no
+    dedup pass is needed. The join carries an explicit merge hint:
+    the exploded side's size estimate is the pre-explode file size,
+    which Catalyst would happily (and fatally) broadcast at scale —
+    see SCALE.md "Join-shape policy".
+    """
+    reserved = {"_k", "_t", "_s", "_e", "_b"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"range_join: input columns collide with internal names {sorted(clash)}"
+        )
+    w = _duration_seconds(bucket)
+    lt = left.select(
+        F.col(left_key).alias("_k"),
+        F.unix_timestamp(F.col(left_ts).cast("timestamp")).alias("_t"),
+        *[F.col(c) for c in left.columns],
+    ).withColumn("_b", F.floor(F.col("_t") / w))
+    rt = right.select(
+        F.col(right_key).alias("_k"),
+        F.unix_timestamp(F.col(right_start).cast("timestamp")).alias("_s"),
+        F.unix_timestamp(F.col(right_end).cast("timestamp")).alias("_e"),
+        *[F.col(c) for c in right_vals],
+    )
+    # half-open: the bucket of (_e - 1s) is the last one a member point
+    # can land in; _e <= _s yields an empty sequence -> row drops out
+    rt = rt.where(F.col("_s").isNotNull() & F.col("_e").isNotNull() & (F.col("_e") > F.col("_s")))
+    rt = rt.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(F.floor(F.col("_s") / w), F.floor((F.col("_e") - 1) / w))
+        ),
+    )
+    out = (
+        lt.hint("merge")
+        .join(rt, on=["_k", "_b"], how="inner")
+        .where((F.col("_t") >= F.col("_s")) & (F.col("_t") < F.col("_e")))
+    )
+    return out.select(*[F.col(c) for c in left.columns], *[F.col(c) for c in right_vals])
+
+
 def _duration_seconds(s: str) -> int:
     n, unit = s.split()
     mult = {

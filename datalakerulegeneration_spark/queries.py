@@ -1313,6 +1313,60 @@ FROM events e
 """
 
 
+# Deterministic interval fixture for the range join: orders carry TPC-H
+# 1992-98 dates while events live in Jan 2024, so a raw date join is
+# empty. Each order is assigned a 2-day attribution window inside the
+# events' month, a pure function of its key — epoch-second arithmetic
+# only, so both engines see identical BIGINT bounds (no timezone or
+# interval-type semantics in play).
+_RJ_BASE = 1704067200  # epoch of 2024-01-01T00:00:00Z
+_RJ_LEN = 2 * 86400
+
+
+def q_range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale extension: interval (range) join — every event pairs with
+    each same-user order whose 2-day window contains the event time.
+    Bucketed blocking (ops.temporal.range_join): intervals explode to
+    O(1) fixed-width buckets, points map to one bucket, and the match
+    is an equi-join on (key, bucket) + exact containment filter — never
+    a range-predicate (per-key cartesian) join, and merge-hinted so the
+    exploded side can't be estimate-blind broadcast."""
+    from datalakerulegeneration_spark.ops.temporal import range_join
+
+    t = load_sf_tables(spark, sf_dir, ("events", "orders"))
+    ev = t["events"].select("event_id", "user_id", "ts")
+    win = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        (F.lit(_RJ_BASE) + (F.col("o_orderkey") % 28) * 86400).alias("win_start"),
+        (F.lit(_RJ_BASE) + (F.col("o_orderkey") % 28) * 86400 + _RJ_LEN).alias("win_end"),
+    )
+    res = range_join(
+        ev, win, "user_id", "o_custkey", "ts", "win_start", "win_end",
+        ["o_orderkey", "win_start"], bucket="2 days",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("event_ts"),
+        "o_orderkey",
+        "win_start",
+    )
+
+
+Q_RANGE_JOIN_ORACLE = f"""
+SELECT e.event_id, e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS event_ts,
+       o.o_orderkey,
+       {_RJ_BASE} + (o.o_orderkey % 28) * 86400 AS win_start
+FROM events e
+JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND floor(epoch(e.ts)) >= {_RJ_BASE} + (o.o_orderkey % 28) * 86400
+ AND floor(epoch(e.ts)) <  {_RJ_BASE} + (o.o_orderkey % 28) * 86400 + {_RJ_LEN}
+"""
+
+
 def q_value_stats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full value pass (P10/P11/P13/P14/P15/P17) on customer —
     scalar outputs only (map columns don't hash portably across
@@ -2898,6 +2952,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "windowed_event_counts": (q_windowed_event_counts, Q_WINDOWED_EVENTS_ORACLE),
     "sessionize_events": (q_sessionize_events, _sessionize_oracle()),
     "asof_join_events_orders": (q_asof_join_events_orders, Q_ASOF_ORACLE),
+    "range_join_events_orders": (q_range_join_events_orders, Q_RANGE_JOIN_ORACLE),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),

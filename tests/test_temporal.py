@@ -54,3 +54,66 @@ def test_asof_join_backward(spark):
     # the MATCHED row's value is NULL: must return NULL, not resurrect
     # the older t=0 value
     assert out[103] is None
+
+
+def test_range_join_matches_naive_cross(spark):
+    """Bucketed range join ≡ the naive cross-filter on a fixture that
+    exercises bucket boundaries: intervals shorter/longer than the
+    bucket, half-open end, empty/inverted intervals, key misses."""
+    from datalakerulegeneration_spark.ops.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3, dt.datetime(2024, 1, 1 + i % 9, (7 * i) % 24, 0, 0)) for i in range(40)],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            # (id, key, start_day, start_hour, length_hours)
+            (0, 0, 1, 0, 12),    # shorter than the 1-day bucket
+            (1, 0, 2, 6, 60),    # spans 3 buckets
+            (2, 1, 1, 0, 24),    # exactly one bucket
+            (3, 2, 4, 23, 2),    # straddles a bucket boundary
+            (4, 1, 5, 0, 0),     # empty interval -> no matches
+            (5, 9, 1, 0, 240),   # key with no left rows
+        ],
+        "win_id int, k int, d int, h int, len_h int",
+    )
+    right = right.select(
+        "win_id",
+        "k",
+        F.expr("make_timestamp(2024, 1, d, h, 0, 0)").alias("ws"),
+        F.expr("make_timestamp(2024, 1, d, h, 0, 0) + make_interval(0,0,0,0,len_h,0,0)").alias("we"),
+    )
+    got = sorted(
+        (r.event_id, r.win_id)
+        for r in range_join(
+            left, right, "user_id", "k", "ts", "ws", "we", ["win_id"], bucket="1 day"
+        ).collect()
+    )
+    exp = sorted(
+        (r.event_id, r.win_id)
+        for r in left.join(right, (left.user_id == right.k))
+        .where((F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")))
+        .collect()
+    )
+    assert got == exp and len(got) > 0
+    # half-open: an event exactly at an interval end must NOT match
+    ends = {(r.event_id, r.win_id) for r in left.join(right, (left.user_id == right.k)).where(F.col("ts") == F.col("we")).collect()}
+    assert ends.isdisjoint(set(got))
+
+
+def test_range_join_plan_no_broadcast_no_cartesian(spark):
+    """The exploded-interval side must never ride a static size
+    estimate into a broadcast, and the plan must be an equi-join
+    (SortMergeJoin), not BroadcastNestedLoop/Cartesian."""
+    from datalakerulegeneration_spark.ops.temporal import range_join
+
+    left = spark.createDataFrame([(1, 1, _ts(5))], "event_id int, user_id int, ts timestamp")
+    right = spark.createDataFrame([(1, 1, _ts(0), _ts(30))], "win_id int, k int, ws timestamp, we timestamp")
+    plan = (
+        range_join(left, right, "user_id", "k", "ts", "ws", "we", ["win_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan and "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
