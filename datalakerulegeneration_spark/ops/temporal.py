@@ -247,6 +247,87 @@ def range_join(
     return out.select(*[F.col(c) for c in left.columns], *[F.col(c) for c in right_vals])
 
 
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour grain, day grain
+    and grand total of (count, exact sum, min, max) in ONE pass over
+    the raw data.
+
+    Scale shape — hierarchical re-aggregation, not GROUP BY ROLLUP:
+    Spark plans ``rollup()`` as an Expand that multiplies every input
+    row by the number of grouping sets (3× the corpus through the
+    shuffle). Here the raw table is aggregated once at the finest
+    grain (hour — O(#hours) rows), and the coarser grains re-aggregate
+    THAT frame: counts add, DECIMAL sums add exactly, extrema fold, so
+    the coarse results are bit-identical to direct aggregation (this
+    exactness is what makes continuous-aggregate rollups valid). Day
+    and hour indices are pure epoch-second arithmetic (timezone-free,
+    identical in any engine).
+
+    Output: ``level`` (0 = hour, 1 = day, 3 = total — GROUPING_ID
+    convention), ``day_num``/``hr`` (-1 when rolled up), ``n_events``,
+    ``value_sum`` (exact decimal → double), ``value_min``/``value_max``.
+    """
+    e = events.select(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    e = e.select(
+        F.floor(F.col("_t") / 86400).cast("bigint").alias("day_num"),
+        F.floor((F.col("_t") % 86400) / 3600).cast("int").alias("hr"),
+        F.expr("cast(_v as decimal(18,6))").alias("_vd"),
+        F.col("_v"),
+    )
+    hour = e.groupBy("day_num", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_vd").alias("_s"),
+        F.min("_v").alias("value_min"),
+        F.max("_v").alias("value_max"),
+    )
+    # A union of three aggregates over the `hour` subtree would re-plan
+    # (and re-SCAN) it per branch; instead each hour row fans out to its
+    # three grain labels — a Generate over the O(#hours) frame, never
+    # the corpus — and one tiny re-aggregation produces every grain.
+    g = hour.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("int").alias("level"),
+                    F.col("day_num").alias("day_num"),
+                    F.col("hr").alias("hr"),
+                ),
+                F.struct(
+                    F.lit(1).cast("int").alias("level"),
+                    F.col("day_num").alias("day_num"),
+                    F.lit(-1).cast("int").alias("hr"),
+                ),
+                F.struct(
+                    F.lit(3).cast("int").alias("level"),
+                    F.lit(-1).cast("bigint").alias("day_num"),
+                    F.lit(-1).cast("int").alias("hr"),
+                ),
+            )
+        ).alias("_g"),
+        "n_events",
+        "_s",
+        "value_min",
+        "value_max",
+    )
+    return (
+        g.groupBy("_g.level", "_g.day_num", "_g.hr")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("_s").cast("double").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+        .select("level", "day_num", "hr", "n_events", "value_sum", "value_min", "value_max")
+    )
+
+
 def _duration_seconds(s: str) -> int:
     n, unit = s.split()
     mult = {

@@ -1367,6 +1367,42 @@ JOIN orders o
 """
 
 
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale extension: hypertable-style multi-resolution rollup of the
+    event stream (hour grain, day grain, grand total) in ONE raw-data
+    pass. The coarse grains re-aggregate the hour-grain frame (counts
+    add, DECIMAL sums add exactly, extrema fold) instead of Spark's
+    GROUP BY ROLLUP Expand, which would push 3× the corpus through the
+    shuffle. The oracle IS DuckDB's ROLLUP — proving re-aggregation ≡
+    direct multi-grain aggregation."""
+    from datalakerulegeneration_spark.ops.temporal import time_rollup
+
+    t = load_sf_tables(spark, sf_dir, ("events",))
+    return time_rollup(t["events"], "ts", "value")
+
+
+Q_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_num,
+         CAST(floor((floor(epoch(ts)) % 86400) / 3600) AS INT) AS hr,
+         CAST(value AS DECIMAL(18,6)) AS vd,
+         value
+  FROM events
+)
+SELECT CAST(CASE WHEN day_num IS NULL THEN 3
+                 WHEN hr IS NULL THEN 1
+                 ELSE 0 END AS INT) AS level,
+       COALESCE(day_num, -1) AS day_num,
+       CAST(COALESCE(hr, -1) AS INT) AS hr,
+       count(*) AS n_events,
+       CAST(sum(vd) AS DOUBLE) AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM base
+GROUP BY ROLLUP(day_num, hr)
+"""
+
+
 def q_value_stats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full value pass (P10/P11/P13/P14/P15/P17) on customer —
     scalar outputs only (map columns don't hash portably across
@@ -2953,6 +2989,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sessionize_events": (q_sessionize_events, _sessionize_oracle()),
     "asof_join_events_orders": (q_asof_join_events_orders, Q_ASOF_ORACLE),
     "range_join_events_orders": (q_range_join_events_orders, Q_RANGE_JOIN_ORACLE),
+    "rollup_events": (q_rollup_events, Q_ROLLUP_ORACLE),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),

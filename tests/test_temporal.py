@@ -117,3 +117,61 @@ def test_range_join_plan_no_broadcast_no_cartesian(spark):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan and "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_time_rollup_matches_spark_rollup(spark):
+    """Hierarchical re-aggregation ≡ Spark's own GROUP BY ROLLUP
+    (Expand-based) on a value set with exact decimal sums."""
+    from datalakerulegeneration_spark.ops.temporal import time_rollup
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + i % 3, (5 * i) % 24, i % 60, 0), 0.1 * i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = sorted(tuple(r) for r in time_rollup(df, "ts", "value").collect())
+
+    e = df.select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day_num"),
+        F.floor((F.unix_timestamp("ts") % 86400) / 3600).cast("int").alias("hr"),
+        F.expr("cast(value as decimal(18,6))").alias("vd"),
+        "value",
+    )
+    ref = (
+        e.rollup("day_num", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vd").cast("double").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .select(
+            F.when(F.col("day_num").isNull(), 3)
+            .when(F.col("hr").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("level"),
+            F.coalesce("day_num", F.lit(-1)).cast("bigint").alias("day_num"),
+            F.coalesce("hr", F.lit(-1)).cast("int").alias("hr"),
+            F.col("n").cast("bigint"),
+            "s",
+            "mn",
+            "mx",
+        )
+    )
+    exp = sorted(tuple(r) for r in ref.collect())
+    assert got == exp and len(got) > 3
+
+
+def test_time_rollup_plan_single_scan_no_expand(spark, sf_tables):
+    """One pass over the raw events; the coarse grains must re-aggregate
+    the hour frame, never Expand the corpus by #grouping-sets."""
+    from datalakerulegeneration_spark.ops.temporal import time_rollup
+
+    ev = sf_tables["events"]
+    plan = (
+        time_rollup(ev, "ts", "value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" not in plan
