@@ -120,6 +120,48 @@ def deterministic_shuffle(
     )
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str = "wsample"
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-Res): row i gets key ``u_i^(1/w_i)`` with ``u_i`` a
+    uniform derived from ``md5(salt:id)``; the k largest keys are the
+    sample, and inclusion probabilities are proportional to weight —
+    the standard way to sample training docs by token count or quality
+    score. Hash-derived (not RNG) uniforms make the sample identical on
+    any cluster/engine and auditable after the fact.
+
+    Ordering uses the monotone-equivalent ``ln(u)/w`` (avoids pow
+    underflow for large weights) rounded to 12 dp — cross-engine ln()
+    agrees to ~1 ulp, so the rounded key is engine-stable — with ties
+    broken by id. Scale shape: map-only key computation + global top-k
+    = TakeOrderedAndProject (per-partition partial top-k, no full
+    sort). Rows with NULL or non-positive weight are excluded (their
+    inclusion probability is 0).
+    """
+    u = (_hash_bucket(id_col, salt) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    key = F.round(F.log(u) / F.col(weight_col), 12)
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table: str, id_col: str, weight_col: str, k: int, salt: str = "wsample"
+) -> str:
+    u = f"(({_hash_bucket_sql(id_col, salt)}) + 0.5) / {float(_BUCKETS)}"
+    return f"""
+SELECT *, round(ln({u}) / {weight_col}, 12) AS sample_key
+FROM {table}
+WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+ORDER BY sample_key DESC, {id_col} ASC
+LIMIT {k}
+"""
+
+
 def group_mix(df: DataFrame, group_col: str, weight_col: str | None = None) -> DataFrame:
     """Data-mixture report: per-group row count, optional weight sum
     (e.g. token counts), and exact share of the total — the standard

@@ -1681,6 +1681,19 @@ def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(docs, "doc_id", 0.2)
 
 
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis–Spirakis A-Res) of 400
+    docs with inclusion probability ∝ n_chars — the token-weighted
+    corpus subsample. Map-only hash keys + global top-k
+    (TakeOrderedAndProject); ops.sampling.weighted_sample."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.weighted_sample(docs, "doc_id", "n_chars", 400).select(
+        "doc_id", "lang", "source", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
 def q_train_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split audit: per (split, lang) counts of the
     deterministic hash split (ops.sampling.train_test_split)."""
@@ -1727,6 +1740,11 @@ def _sampling_oracles() -> dict[str, str]:
     shuffle_hash = sampling._hash_bucket_sql("doc_id", "shuffle")
     return {
         "hash_sample_documents": sampling.hash_sample_sql("documents", "doc_id", 0.2),
+        "weighted_sample_documents": (
+            "SELECT doc_id, lang, source, n_chars, round(sample_key, 6) AS sample_key FROM ("
+            + sampling.weighted_sample_sql("documents", "doc_id", "n_chars", 400)
+            + ")"
+        ),
         "train_test_split_documents": (
             "SELECT CASE WHEN "
             + sampling._hash_bucket_sql("doc_id", "split")
@@ -3046,6 +3064,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_png_decode_documents": (q_multimodal_png_decode, Q_MULTIMODAL_PNG_ORACLE),
     "multimodal_wav_decode_documents": (q_multimodal_wav_decode, Q_MULTIMODAL_WAV_ORACLE),
     "hash_sample_documents": (q_hash_sample_documents, _S_ORACLES["hash_sample_documents"]),
+    "weighted_sample_documents": (q_weighted_sample_documents, _S_ORACLES["weighted_sample_documents"]),
     "train_test_split_documents": (q_train_test_split_documents, _S_ORACLES["train_test_split_documents"]),
     "stratified_sample_documents": (q_stratified_sample_documents, _S_ORACLES["stratified_sample_documents"]),
     "shuffle_documents": (q_shuffle_documents, _S_ORACLES["shuffle_documents"]),

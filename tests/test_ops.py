@@ -383,6 +383,29 @@ def test_hash_sampling_determinism_and_rates(spark, sf_tables):
     assert p1 == p2 and sorted(p1) == sorted({r.doc_id for r in docs.collect()})
 
 
+def test_weighted_sample_bias_and_plan(spark):
+    """A-Res weighted sampling: heavy rows must be over-represented
+    relative to their population share, the sample is deterministic,
+    zero/NULL weights are excluded, and the plan is a partial top-k
+    (TakeOrderedAndProject), never a global sort exchange."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    rows = [(i, 100 if i < 500 else 1) for i in range(5000)]
+    rows += [(9000, 0), (9001, None)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    samp = sampling.weighted_sample(df, "id", "w", 500)
+    ids1 = {r.id for r in samp.collect()}
+    ids2 = {r.id for r in sampling.weighted_sample(df, "id", "w", 500).collect()}
+    assert ids1 == ids2 and len(ids1) == 500
+    assert 9000 not in ids1 and 9001 not in ids1
+    heavy = sum(1 for i in ids1 if i < 500)
+    # heavy rows are 10% of the population but carry ~69% of the total
+    # weight; a uniform sample would pick ~50 of them
+    assert heavy > 150
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_schema_drift_statuses(spark, sf_tables):
     from datalakerulegeneration_spark.ops.drift import schema_drift
 
