@@ -1403,6 +1403,28 @@ GROUP BY ROLLUP(day_num, hr)
 """
 
 
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers: |value - median| > 3·MAD (50% breakdown point —
+    the robust complement of three_sigma_events). Exact distributed
+    quantiles: value-grain counts + range-partitioned two-level
+    cumulative rank, never percentile()'s in-memory value buffer or a
+    single-task rank window (ops.robust)."""
+    from datalakerulegeneration_spark.ops.robust import mad_outliers
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return mad_outliers(ev, "value", 3.0, keep=["event_id", "value"])
+
+
+Q_MAD_ORACLE = """
+WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+     d AS (SELECT quantile_cont(abs(value - m.med), 0.5) AS mad FROM events, m)
+SELECT e.event_id, e.value,
+       round(m.med, 6) AS med, round(d.mad, 6) AS mad
+FROM events e, m, d
+WHERE abs(e.value - m.med) > 3 * d.mad
+"""
+
+
 def q_value_stats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full value pass (P10/P11/P13/P14/P15/P17) on customer —
     scalar outputs only (map columns don't hash portably across
@@ -3008,6 +3030,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_join_events_orders": (q_asof_join_events_orders, Q_ASOF_ORACLE),
     "range_join_events_orders": (q_range_join_events_orders, Q_RANGE_JOIN_ORACLE),
     "rollup_events": (q_rollup_events, Q_ROLLUP_ORACLE),
+    "mad_outliers_events": (q_mad_outliers_events, Q_MAD_ORACLE),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),

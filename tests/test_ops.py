@@ -1221,3 +1221,46 @@ def test_winnow_fingerprints_semantics_and_oracle(spark, sf_tables, duck):
     assert h1 & h2
     ov = dedup.winnow_overlap(fps, min_shared=2).collect()
     assert [(r["id_a"], r["id_b"]) for r in ov] == [(1, 2)]
+
+
+def test_exact_quantiles_match_percentile(spark):
+    """Distributed two-level quantile rank ≡ Spark's own percentile()
+    buffer on data with duplicates, negatives, odd/even counts."""
+    import random
+
+    from datalakerulegeneration_spark.ops.robust import exact_quantiles
+
+    rng = random.Random(7)
+    for n in (101, 4000):
+        vals = [round(rng.gauss(0, 10), 1) for _ in range(n)]  # many dups
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        qs = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+        got = {r.q: r.value for r in exact_quantiles(df, "x", qs).collect()}
+        ref = df.agg(
+            F.expr(f"percentile(x, array({','.join(str(q) + 'D' for q in qs)}))")
+        ).collect()[0][0]
+        for q, r in zip(qs, ref):
+            assert got[q] == r, (n, q, got[q], r)
+
+
+def test_mad_outliers_robust_to_masking(spark):
+    """The case that motivates MAD: one gross outlier inflates std
+    enough that 3-sigma misses a second, smaller outlier — MAD flags
+    both. Also: NULLs excluded, plan free of percentile buffers."""
+    from datalakerulegeneration_spark.ops.robust import mad_outliers
+
+    base = [(i, 10.0 + (i % 7) * 0.1) for i in range(200)]
+    data = base + [(900, 1e6), (901, 50.0), (902, None)]
+    df = spark.createDataFrame(data, "id long, x double")
+    flagged = {r.id for r in mad_outliers(df, "x", 3.0, keep=["id"]).collect()}
+    assert 900 in flagged and 901 in flagged
+    assert 902 not in flagged
+    assert all(i not in flagged for i in range(200))
+    # mean/std (3-sigma) would mask id=901: std ~ 7e4 with the 1e6 row in
+    stats = df.agg(F.avg("x").alias("m"), F.stddev("x").alias("s")).collect()[0]
+    assert abs(50.0 - stats.m) < 3 * stats.s
+    plan = (
+        mad_outliers(df, "x", 3.0, keep=["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "percentile" not in plan.lower()
