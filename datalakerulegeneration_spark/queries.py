@@ -1425,6 +1425,73 @@ WHERE abs(e.value - m.med) > 3 * d.mad
 """
 
 
+def q_profile_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-profile correctness (D10 batch API, oracle-checked):
+    documents split into 4 disjoint shards, each profiled independently
+    (streaming.profiler_stream.partial_stats), states merged
+    (merge_partials) and finalized — and the result must EXACTLY equal
+    a direct single-pass profile of the whole table (the DuckDB
+    oracle). Counts/decimal sums/extrema merge exactly in any order or
+    tree shape; this is the invariant that lets 100 TB of history stay
+    profiled by folding in one day's partial at a time. The
+    HLL-estimated distinct count is excluded (sketch, not exact — its
+    tolerance is documented in the streaming profiler)."""
+    from datalakerulegeneration_spark.streaming.profiler_stream import (
+        finalize_state,
+        merge_partials,
+        partial_stats,
+    )
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    shards = [docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == i) for i in range(4)]
+    fin = finalize_state(merge_partials(*[partial_stats(s) for s in shards]))
+    return fin.select(
+        "column",
+        F.col("row_num").cast("double").alias("row_num"),
+        F.round("null_ratio", 6).alias("null_ratio"),
+        "numeric_min",
+        "numeric_max",
+        F.round("numeric_mean", 6).alias("numeric_mean"),
+        # finalize's greatest(0.0, NULL) yields 0.0 in Spark for
+        # all-text columns (n_num = 0); null it out the portable way
+        F.when(F.col("numeric_mean").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round("numeric_std", 6))
+        .alias("numeric_std"),
+    )
+
+
+def _profile_merge_oracle() -> str:
+    cols = {
+        "doc_id": "numeric",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "numeric",
+    }
+    parts = []
+    for c, kind in cols.items():
+        q = c if kind == "numeric" else f"CAST({c} AS VARCHAR)"
+        nd = f"TRY_CAST({q} AS DOUBLE)"
+        s = f"CAST(sum(TRY_CAST({q} AS DECIMAL(18,6))) AS DOUBLE)"
+        sq = f"CAST(sum(CAST({nd} * {nd} AS DECIMAL(38,12))) AS DOUBLE)"
+        nn = f"count({nd})"
+        parts.append(
+            f"""
+SELECT '{c}' AS "column", CAST(count(*) AS DOUBLE) AS row_num,
+       round(CAST(count(*) FILTER (WHERE {c} IS NULL OR CAST({c} AS VARCHAR) = '') AS DOUBLE)
+             / count(*), 6) AS null_ratio,
+       min({nd}) AS numeric_min,
+       max({nd}) AS numeric_max,
+       round({s} / nullif({nn}, 0), 6) AS numeric_mean,
+       CASE WHEN {nn} = 0 THEN NULL ELSE
+         round(sqrt(greatest(0.0,
+           ({sq} - {s} * {s} / {nn}) / nullif({nn} - 1, 0))), 6)
+       END AS numeric_std
+FROM documents"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_value_stats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full value pass (P10/P11/P13/P14/P15/P17) on customer —
     scalar outputs only (map columns don't hash portably across
@@ -3031,6 +3098,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "range_join_events_orders": (q_range_join_events_orders, Q_RANGE_JOIN_ORACLE),
     "rollup_events": (q_rollup_events, Q_ROLLUP_ORACLE),
     "mad_outliers_events": (q_mad_outliers_events, Q_MAD_ORACLE),
+    "profile_merge_documents": (q_profile_merge_documents, _profile_merge_oracle()),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),
