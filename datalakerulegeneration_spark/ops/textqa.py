@@ -875,3 +875,110 @@ SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
        round(sum(lp) / sum(tf), 6) AS mean_logprob
 FROM scored GROUP BY id
 """
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document for a fixed query-term
+    set — the keyword leg of hybrid (keyword + embedding) retrieval.
+
+    Scale shape: NO explode and no per-term shuffle — per-term
+    frequencies come from JVM higher-order array functions
+    (``size(filter(tokens, x -> x = t))``) inside whole-stage codegen,
+    corpus statistics (N, avgdl, per-term document frequency) are ONE
+    1-row aggregate broadcast back, and scoring is a map-only pass.
+    Two scans of the text total, both column-pruned. Documents with no
+    query term are dropped by an integer tf-sum test (no float
+    threshold), and scores round to 6 dp for engine portability.
+    """
+    if not query_terms or any("'" in t or '"' in t for t in query_terms):
+        raise ValueError(f"bm25_scores: invalid query terms {query_terms}")
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    d = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).withColumn(
+        "_dl", F.size("_toks").cast("bigint")
+    )
+    stat_aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    ]
+    for i, t in enumerate(query_terms):
+        stat_aggs.append(
+            F.sum(F.when(F.array_contains("_toks", t), 1).otherwise(0)).alias(f"_df{i}")
+        )
+    stats = d.agg(*stat_aggs)
+    scored = d.crossJoin(F.broadcast(stats))
+    tf_sum = None
+    score = None
+    for i, t in enumerate(query_terms):
+        # NB: a two-arg lambda would be called as (element, index) by
+        # F.filter — bind the term via a closure factory instead
+        def _eq(term):
+            return lambda x: x == F.lit(term)
+
+        tf = F.size(F.filter("_toks", _eq(t))).cast("bigint")
+        scored = scored.withColumn(f"_tf{i}", tf)
+        idf = F.log(
+            (F.col("_n").cast("double") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+            + 1.0
+        )
+        part = idf * (
+            F.col(f"_tf{i}") * (k1 + 1.0)
+            / (
+                F.col(f"_tf{i}")
+                + k1 * (1.0 - b + b * F.col("_dl").cast("double") / F.col("_avgdl"))
+            )
+        )
+        tf_sum = F.col(f"_tf{i}") if tf_sum is None else tf_sum + F.col(f"_tf{i}")
+        score = part if score is None else score + part
+    return (
+        scored.where(tf_sum > 0)
+        .select("id", F.round(score, 6).alias("bm25"))
+    )
+
+
+def bm25_scores_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle for :func:`bm25_scores` (same expression shapes so
+    doubles match bit-for-bit before the 6 dp round)."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    dfs = ", ".join(
+        f"count(*) FILTER (WHERE list_contains(toks, '{t}')) AS df{i}"
+        for i, t in enumerate(query_terms)
+    )
+    tfs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(query_terms)
+    )
+    parts = " + ".join(
+        f"ln((CAST(n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * ({k1} + 1.0)"
+        f" / (tf{i} + {k1} * (1.0 - {b} + {b} * CAST(dl AS BIGINT) / avgdl)))"
+        for i in range(len(query_terms))
+    )
+    tf_sum = " + ".join(f"tf{i}" for i in range(len(query_terms)))
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}
+),
+dd AS (SELECT id, toks, len(toks) AS dl FROM d),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {dfs}
+  FROM dd
+),
+tf AS (SELECT id, dl, {tfs} FROM dd)
+SELECT id, round({parts}, 6) AS bm25
+FROM tf, stats
+WHERE {tf_sum} > 0
+"""

@@ -1425,6 +1425,20 @@ WHERE abs(e.value - m.med) > 3 * d.mad
 """
 
 
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every doc for a fixed keyword query —
+    the keyword leg of hybrid retrieval. No explode: per-term tf via
+    JVM higher-order array functions, corpus stats one broadcast 1-row
+    agg, scoring map-only (ops.textqa.bm25_scores)."""
+    from datalakerulegeneration_spark.ops.textqa import bm25_scores
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+
+
 def q_profile_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-profile correctness (D10 batch API, oracle-checked):
     documents split into 4 disjoint shards, each profiled independently
@@ -3099,6 +3113,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_events": (q_rollup_events, Q_ROLLUP_ORACLE),
     "mad_outliers_events": (q_mad_outliers_events, Q_MAD_ORACLE),
     "profile_merge_documents": (q_profile_merge_documents, _profile_merge_oracle()),
+    "bm25_documents": (
+        q_bm25_documents,
+        textqa.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS),
+    ),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),

@@ -1264,3 +1264,27 @@ def test_mad_outliers_robust_to_masking(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "percentile" not in plan.lower()
+
+
+def test_bm25_matches_and_no_explode(sf_tables, duck, spark):
+    """BM25 parity vs DuckDB, monotonicity sanity, and the plan claim:
+    per-term tf via array higher-order functions — two pruned scans,
+    no Generate (explode) of the corpus."""
+    docs = sf_tables["documents"]
+    terms = ["spark", "merge", "window"]
+    df = textqa.bm25_scores(docs, "doc_id", "text", terms)
+    _cmp(df, duck, textqa.bm25_scores_sql("documents", "doc_id", "text", terms))
+    # a doc stuffed with a rare term must outscore one with a single hit
+    toy = spark.createDataFrame(
+        [(1, "qzx qzx qzx filler words here"), (2, "qzx other filler words here"),
+         (3, "no match at all"), (4, "plain filler text")],
+        "doc_id long, text string",
+    )
+    scores = {r.id: r.bm25 for r in textqa.bm25_scores(toy, "doc_id", "text", ["qzx"]).collect()}
+    assert set(scores) == {1, 2} and scores[1] > scores[2] > 0
+    plan = (
+        textqa.bm25_scores(docs, "doc_id", "text", terms)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 2
+    assert "Generate" not in plan
