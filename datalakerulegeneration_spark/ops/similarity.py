@@ -477,3 +477,41 @@ JOIN {vectors_table} va ON c.id_a = va.{id_col}
 JOIN {vectors_table} vb ON c.id_b = vb.{id_col}
 WHERE round({cos}, 6) >= {threshold}
 """
+
+
+def rrf_fuse(
+    legs: list[DataFrame], depth: int = 100, k: int = 60, n: int = 20
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval legs (hybrid search: e.g. a
+    BM25 keyword leg + an embedding-cosine leg). Each leg is an
+    ``(id, score)`` frame; a doc's fused score is
+    ``Σ_legs 1/(k + rank_leg)`` over the legs that ranked it in their
+    top ``depth``.
+
+    Scale shape: each leg reduces to its top-``depth`` rows FIRST via
+    ``orderBy().limit()`` (TakeOrderedAndProject — parallel partial
+    top-k, no global sort), and only the depth-row frames see a rank
+    window (single-partition over ``depth`` rows — bounded by
+    construction, same class as the profiler's #columns frames). Legs
+    then union + one tiny groupBy. Scores should already be rounded by
+    the caller so leg order is engine-stable; ranks break ties by id.
+    """
+    ranked = []
+    for leg in legs:
+        top = leg.select("id", "score").orderBy(F.desc("score"), F.asc("id")).limit(depth)
+        # depth-row frame; the unpartitioned window scans only those rows
+        w = Window.orderBy(F.desc("score"), F.asc("id"))
+        ranked.append(
+            top.withColumn("rank", F.row_number().over(w)).select(
+                "id", (F.lit(1.0) / (F.lit(k) + F.col("rank"))).alias("contrib")
+            )
+        )
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy("id")
+        .agg(F.round(F.sum("contrib"), 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(n)
+    )

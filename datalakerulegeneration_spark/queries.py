@@ -1439,6 +1439,68 @@ def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
 
 
+def q_hybrid_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a BM25 keyword leg over documents fused with
+    an embedding-cosine leg (probe = vec 0) by reciprocal-rank fusion —
+    the standard two-tower retrieval join, runnable because doc_id and
+    vec_id share the id space in the fixture. Each leg shrinks to its
+    top-100 via TakeOrderedAndProject before any rank window
+    (ops.similarity.rrf_fuse)."""
+    from datalakerulegeneration_spark.ops.similarity import cosine_expr, rrf_fuse
+    from datalakerulegeneration_spark.ops.textqa import bm25_scores
+
+    t = load_sf_tables(spark, sf_dir, ("documents", "embeddings"))
+    kw = bm25_scores(t["documents"], "doc_id", "text", _BM25_TERMS).select(
+        "id", F.col("bm25").alias("score")
+    )
+    probe = t["embeddings"].where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    vec = (
+        t["embeddings"]
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(F.expr(cosine_expr("qv", "embedding")), 6).alias("score"),
+        )
+    )
+    return rrf_fuse([kw, vec], depth=100, k=60, n=20)
+
+
+def _hybrid_oracle() -> str:
+    bm = textqa.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS)
+    dot = "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.qv AS DOUBLE[]))"
+    nrm = (
+        "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(p.qv AS DOUBLE[]), CAST(p.qv AS DOUBLE[])))"
+    )
+    return f"""
+WITH bm AS ({bm}),
+bmr AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+  FROM (SELECT id, bm25 AS score FROM bm ORDER BY score DESC, id LIMIT 100)
+),
+p AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS id, round({dot} / ({nrm}), 6) AS score
+  FROM embeddings e, p
+),
+cosr AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+  FROM (SELECT * FROM cos ORDER BY score DESC, id LIMIT 100)
+),
+u AS (
+  SELECT id, CAST(1.0 AS DOUBLE) / (60 + r) AS contrib FROM bmr
+  UNION ALL
+  SELECT id, CAST(1.0 AS DOUBLE) / (60 + r) AS contrib FROM cosr
+)
+SELECT id, round(sum(contrib), 6) AS rrf
+FROM u GROUP BY id
+ORDER BY rrf DESC, id
+LIMIT 20
+"""
+
+
 def q_profile_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-profile correctness (D10 batch API, oracle-checked):
     documents split into 4 disjoint shards, each profiled independently
@@ -3117,6 +3179,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_bm25_documents,
         textqa.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS),
     ),
+    "hybrid_search_documents": (q_hybrid_search_documents, _hybrid_oracle()),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),

@@ -1288,3 +1288,26 @@ def test_bm25_matches_and_no_explode(sf_tables, duck, spark):
     )
     assert plan.count("FileScan parquet") == 2
     assert "Generate" not in plan
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: a doc ranked well in BOTH legs must outrank docs strong in
+    only one; depth cutoff excludes deep tails; plan uses partial
+    top-k (TakeOrderedAndProject) before any window."""
+    from datalakerulegeneration_spark.ops.similarity import rrf_fuse
+
+    leg1 = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7), (4, 0.6)], "id long, score double"
+    )
+    leg2 = spark.createDataFrame(
+        [(2, 0.95), (5, 0.95), (1, 0.2), (6, 0.1)], "id long, score double"
+    )
+    out = rrf_fuse([leg1, leg2], depth=3, k=60, n=10)
+    rows = {r.id: r.rrf for r in out.collect()}
+    # doc 2: rank 2 + rank 1 -> 1/62 + 1/61; doc 5: only rank 2 of leg2
+    assert rows[2] == round(1 / 62 + 1 / 61, 6)
+    assert rows[2] > rows[1] > rows[5]
+    # depth=3: leg2's rank-4 (id 6) and leg1's rank-4 (id 4) excluded
+    assert 6 not in rows and 4 not in rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
