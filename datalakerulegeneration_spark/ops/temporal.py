@@ -287,6 +287,14 @@ def time_rollup(
         F.min("_v").alias("value_min"),
         F.max("_v").alias("value_max"),
     )
+    return rollup_from_hour(hour)
+
+
+def rollup_from_hour(hour: DataFrame) -> DataFrame:
+    """Derive every grain (hour/day/total) from a mergeable hour-grain
+    state frame ``(day_num, hr, n_events, _s, value_min, value_max)``.
+    Shared by the batch rollup and the streaming continuous aggregate —
+    the state is the contract, the finalize is identical."""
     # A union of three aggregates over the `hour` subtree would re-plan
     # (and re-SCAN) it per branch; instead each hour row fans out to its
     # three grain labels — a Generate over the O(#hours) frame, never

@@ -555,3 +555,62 @@ def test_ks_drift_stream_streaming_mode(spark, sf_tables, tmp_path):
     # every emitted window must match the batch computation exactly
     for k, v in got.items():
         assert exp[k] == v
+
+
+def test_rollup_stream_batch_parity_and_merge(spark, sf_tables):
+    """Continuous-aggregate invariant: hour-grain states computed over
+    DISJOINT chunks, merged in arbitrary order and finalized, must be
+    row-identical to the from-scratch batch rollup."""
+    from datalakerulegeneration_spark.ops.temporal import time_rollup
+    from datalakerulegeneration_spark.streaming.rollup_stream import (
+        finalize_rollup,
+        hour_grain_stream,
+        merge_hour_grain,
+    )
+
+    ev = sf_tables["events"]
+    direct = sorted(tuple(r) for r in time_rollup(ev, "ts", "value").collect())
+    chunks = [ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+    parts = [hour_grain_stream(c) for c in chunks]
+    merged = merge_hour_grain(parts[2], parts[0], parts[1])
+    got = sorted(tuple(r) for r in finalize_rollup(merged).collect())
+    assert got == direct and len(got) > 3
+
+
+def test_rollup_stream_streaming_mode(spark, sf_tables, tmp_path):
+    """The hour-grain aggregation must run as a real watermarked
+    stream (file source, availableNow), and the foreachBatch-merged
+    state must finalize to the exact batch rollup."""
+    from datalakerulegeneration_spark.ops.temporal import time_rollup
+    from datalakerulegeneration_spark.streaming.rollup_stream import (
+        finalize_rollup,
+        hour_grain_stream,
+        merge_hour_grain,
+    )
+
+    ev = sf_tables["events"]
+    src_dir = str(tmp_path / "rollin")
+    os.makedirs(src_dir)
+    ev.write.parquet(os.path.join(src_dir, "p1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src_dir)
+    )
+    state_dir = str(tmp_path / "rollstate")
+    q = (
+        hour_grain_stream(stream, watermark="2 hours")
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda bdf, _id: bdf.write.mode("overwrite").parquet(state_dir)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "rollckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.parquet(state_dir)
+    state = merge_hour_grain(state)  # idempotent on a complete snapshot
+    got = sorted(tuple(r) for r in finalize_rollup(state).collect())
+    direct = sorted(tuple(r) for r in time_rollup(ev, "ts", "value").collect())
+    assert got == direct
