@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "vocab_coverage_documents",
     "ks_table_events",
     "wasserstein_table_events",
+    "range_join_events_orders",
+    "rollup_events",
+    "mad_outliers_events",
+    "weighted_sample_documents",
+    "bm25_documents",
+    "hybrid_search_documents",
 ]
 
 
