@@ -139,3 +139,26 @@ def mad_outliers(
         F.round("_med", 6).alias("med"),
         F.round("_mad", 6).alias("mad"),
     )
+
+
+def quantile_drift(
+    base: DataFrame, cur: DataFrame, col: str, qs: list[float]
+) -> DataFrame:
+    """Quantile-grain drift between two loads: exact R-7 quantiles of
+    each side at the probabilities in ``qs`` plus their gap — the
+    scale-located complement of PSI (which sees bin mass move but not
+    where in the tail) and of KS (one number, no location). Each side
+    is one distributed exact-quantile pass; the join is |qs| rows.
+    Values round to 6 dp for cross-engine hashing."""
+    b = exact_quantiles(base, col, qs).select(
+        "q", F.col("value").alias("_b")
+    )
+    c = exact_quantiles(cur, col, qs).select(
+        "q", F.col("value").alias("_c")
+    )
+    return b.join(c, "q").select(
+        "q",
+        F.round("_b", 6).alias("base_value"),
+        F.round("_c", 6).alias("cur_value"),
+        F.round(F.abs(F.col("_c") - F.col("_b")), 6).alias("abs_gap"),
+    )

@@ -1415,6 +1415,42 @@ def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(ev, "value", 3.0, keep=["event_id", "value"])
 
 
+_QDRIFT_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_quantile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-grain drift of events.value between the two
+    deterministic loads (even vs odd event_id): WHERE the distribution
+    moved, not just how much — the location complement of PSI/KS.
+    Both sides ride the distributed exact-quantile engine
+    (ops.robust.quantile_drift)."""
+    from datalakerulegeneration_spark.ops.robust import quantile_drift
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.where(F.col("event_id") % 2 == 0)
+    cur = ev.where(F.col("event_id") % 2 == 1)
+    return quantile_drift(base, cur, "value", _QDRIFT_QS)
+
+
+def _qdrift_oracle() -> str:
+    qs = ", ".join(str(q) for q in _QDRIFT_QS)
+    return f"""
+WITH b AS (
+  SELECT unnest([{qs}]) AS q,
+         unnest(quantile_cont(value, [{qs}])) AS bv
+  FROM events WHERE event_id % 2 = 0
+),
+c AS (
+  SELECT unnest([{qs}]) AS q,
+         unnest(quantile_cont(value, [{qs}])) AS cv
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT b.q, round(bv, 6) AS base_value, round(cv, 6) AS cur_value,
+       round(abs(cv - bv), 6) AS abs_gap
+FROM b JOIN c ON b.q = c.q
+"""
+
+
 Q_MAD_ORACLE = """
 WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
      d AS (SELECT quantile_cont(abs(value - m.med), 0.5) AS mad FROM events, m)
@@ -3175,6 +3211,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_events": (q_rollup_events, Q_ROLLUP_ORACLE),
     "mad_outliers_events": (q_mad_outliers_events, Q_MAD_ORACLE),
     "profile_merge_documents": (q_profile_merge_documents, _profile_merge_oracle()),
+    "quantile_drift_events": (q_quantile_drift_events, _qdrift_oracle()),
     "bm25_documents": (
         q_bm25_documents,
         textqa.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS),

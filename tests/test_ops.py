@@ -1311,3 +1311,18 @@ def test_rrf_fuse_semantics(spark):
     assert 6 not in rows and 4 not in rows
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_drift_locates_tail_shift(spark):
+    """A tail-only contamination moves q90/q99 but leaves the median
+    still — the location signal PSI/KS can't give."""
+    from datalakerulegeneration_spark.ops.robust import quantile_drift
+
+    base = spark.createDataFrame([(float(i % 100),) for i in range(2000)], "v double")
+    cur = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1900)] + [(500.0 + i,) for i in range(100)],
+        "v double",
+    )
+    out = {r.q: r for r in quantile_drift(base, cur, "v", [0.5, 0.99]).collect()}
+    assert out[0.5].abs_gap < 5
+    assert out[0.99].abs_gap > 100

@@ -506,3 +506,73 @@ def test_textqa_ops_match_oracle_on_random_corpora(spark, texts):
         got = sorted(map(tuple, spark_df.collect()))
         exp = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == exp
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-50, max_value=50).map(float),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32).map(float),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_exact_quantiles_match_numpy_r7(spark, vals, qs):
+    """The distributed two-level quantile rank reproduces the R-7
+    definition (numpy linear interpolation ≡ Spark percentile()) on
+    arbitrary multisets — duplicates, negatives, single element."""
+    from datalakerulegeneration_spark.ops.robust import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.q: r.value for r in exact_quantiles(df, "x", qs).collect()}
+    s = sorted(vals)
+    n = len(s)
+    for q in qs:
+        h = (n - 1) * q
+        lo = int(h)
+        hi = min(lo + 1, n - 1)
+        exp = s[lo] + (h - lo) * (s[hi] - s[lo])
+        assert abs(got[q] - exp) < 1e-9, (q, got[q], exp)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * 86400 - 1),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32).map(float),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_rollup_merge_invariant_on_random_streams(spark, events, n_chunks):
+    """Continuous-aggregate invariant on arbitrary event sets: chunked
+    hour-grain states merged in any order finalize to the exact
+    from-scratch rollup (counts/decimal sums/extrema are mergeable)."""
+    from datalakerulegeneration_spark.ops.temporal import time_rollup
+    from datalakerulegeneration_spark.streaming.rollup_stream import (
+        finalize_rollup,
+        hour_grain_stream,
+        merge_hour_grain,
+    )
+
+    rows = [(i, _dt(s), v) for i, (s, v) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id int, ts timestamp, value double")
+    direct = sorted(tuple(r) for r in time_rollup(df, "ts", "value").collect())
+    chunks = [
+        df.where((df.event_id % n_chunks) == i) for i in range(n_chunks)
+    ]
+    parts = [hour_grain_stream(c) for c in chunks if c.count() > 0]
+    merged = merge_hour_grain(*reversed(parts))
+    got = sorted(tuple(r) for r in finalize_rollup(merged).collect())
+    assert got == direct
