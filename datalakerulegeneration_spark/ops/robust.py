@@ -162,3 +162,74 @@ def quantile_drift(
         F.round("_c", 6).alias("cur_value"),
         F.round(F.abs(F.col("_c") - F.col("_b")), 6).alias("abs_gap"),
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame, key_col: str, col: str, qs: list[float]
+) -> DataFrame:
+    """Exact R-7 quantiles of ``col`` at each probability in ``qs``,
+    PER KEY — per-language length medians, per-event-type value
+    percentiles. Returns ``(key, q, value)``.
+
+    Scale shape: one (key, value)-grain shuffle (state = distinct
+    values per key), a key-PARTITIONED cumulative-count window (the
+    per-key melt the profiler uses — no unpartitioned window
+    anywhere), per-key totals from the same grain, and the rank
+    arithmetic rides a (#keys × |qs|)-row frame equi-joined back on
+    the key. Never buffers a key's raw values the way Spark's
+    ``percentile`` over groupBy does.
+    """
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"grouped_exact_quantiles: probabilities must be in [0,1], got {qs}")
+    vals = df.select(
+        F.col(key_col).alias("_k"), F.col(col).cast("double").alias("_v")
+    ).where(F.col("_v").isNotNull())
+    g = vals.groupBy("_k", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = g.withColumn("_cum", F.sum("_c").over(w))
+    totals = g.groupBy("_k").agg(F.sum("_c").alias("_nt"))
+    ranks = (
+        totals.select(
+            "_k",
+            "_nt",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .withColumn("_h", (F.col("_nt") - 1) * F.col("q"))
+        .withColumn("_rlo", F.floor("_h").cast("bigint") + 1)
+        .withColumn("_rhi", F.least(F.col("_rlo") + 1, F.col("_nt")))
+        .withColumn("_frac", F.col("_h") - F.floor("_h"))
+        .select("_k", "q", "_rlo", "_rhi", "_frac")
+    )
+    j = d.join(ranks, "_k").where(
+        ((F.col("_rlo") > F.col("_cum") - F.col("_c")) & (F.col("_rlo") <= F.col("_cum")))
+        | ((F.col("_rhi") > F.col("_cum") - F.col("_c")) & (F.col("_rhi") <= F.col("_cum")))
+    )
+    per = j.groupBy("_k", "q").agg(
+        F.max(
+            F.when(
+                (F.col("_rlo") > F.col("_cum") - F.col("_c"))
+                & (F.col("_rlo") <= F.col("_cum")),
+                F.col("_v"),
+            )
+        ).alias("_vlo"),
+        F.max(
+            F.when(
+                (F.col("_rhi") > F.col("_cum") - F.col("_c"))
+                & (F.col("_rhi") <= F.col("_cum")),
+                F.col("_v"),
+            )
+        ).alias("_vhi"),
+        F.max("_frac").alias("_frac"),
+    )
+    return per.select(
+        F.col("_k").alias(key_col),
+        "q",
+        (
+            F.col("_vlo")
+            + F.col("_frac") * (F.coalesce(F.col("_vhi"), F.col("_vlo")) - F.col("_vlo"))
+        ).alias("value"),
+    )

@@ -1451,6 +1451,26 @@ FROM b JOIN c ON b.q = c.q
 """
 
 
+def q_grouped_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact value quantiles (q25/median/q90) — the
+    grouped form of the distributed quantile engine: key-partitioned
+    cumulative counts over the (key, value) grain, never a per-group
+    value buffer (ops.robust.grouped_exact_quantiles)."""
+    from datalakerulegeneration_spark.ops.robust import grouped_exact_quantiles
+
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    out = grouped_exact_quantiles(ev, "event_type", "value", [0.25, 0.5, 0.9])
+    return out.select("event_type", "q", F.round("value", 6).alias("value"))
+
+
+Q_GROUPED_QUANTILES_ORACLE = """
+SELECT event_type, unnest([0.25, 0.5, 0.9]) AS q,
+       round(unnest(quantile_cont(value, [0.25, 0.5, 0.9])), 6) AS value
+FROM events
+GROUP BY event_type
+"""
+
+
 Q_MAD_ORACLE = """
 WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
      d AS (SELECT quantile_cont(abs(value - m.med), 0.5) AS mad FROM events, m)
@@ -3212,6 +3232,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mad_outliers_events": (q_mad_outliers_events, Q_MAD_ORACLE),
     "profile_merge_documents": (q_profile_merge_documents, _profile_merge_oracle()),
     "quantile_drift_events": (q_quantile_drift_events, _qdrift_oracle()),
+    "grouped_quantiles_events": (q_grouped_quantiles_events, Q_GROUPED_QUANTILES_ORACLE),
     "bm25_documents": (
         q_bm25_documents,
         textqa.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS),

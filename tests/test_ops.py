@@ -1240,7 +1240,9 @@ def test_exact_quantiles_match_percentile(spark):
             F.expr(f"percentile(x, array({','.join(str(q) + 'D' for q in qs)}))")
         ).collect()[0][0]
         for q, r in zip(qs, ref):
-            assert got[q] == r, (n, q, got[q], r)
+            # 1-ulp tolerance for Spark's (1-frac)*lo + frac*hi vs the
+            # engine's lo + frac*(hi-lo) (the DuckDB oracle form)
+            assert abs(got[q] - r) < 1e-9, (n, q, got[q], r)
 
 
 def test_mad_outliers_robust_to_masking(spark):
@@ -1326,3 +1328,28 @@ def test_quantile_drift_locates_tail_shift(spark):
     out = {r.q: r for r in quantile_drift(base, cur, "v", [0.5, 0.99]).collect()}
     assert out[0.5].abs_gap < 5
     assert out[0.99].abs_gap > 100
+
+
+def test_grouped_exact_quantiles_match_percentile(spark):
+    """Per-key distributed quantiles ≡ Spark's own grouped percentile()
+    on random data with uneven group sizes (incl. a 1-row group)."""
+    import random
+
+    from datalakerulegeneration_spark.ops.robust import grouped_exact_quantiles
+
+    rng = random.Random(11)
+    rows = [("g" + str(i % 3), round(rng.gauss(0, 5), 1)) for i in range(500)]
+    rows.append(("solo", 42.0))
+    df = spark.createDataFrame(rows, "k string, x double")
+    qs = [0.1, 0.5, 0.9]
+    got = {(r.k, r.q): r.value for r in grouped_exact_quantiles(df, "k", "x", qs).collect()}
+    ref = df.groupBy("k").agg(
+        F.expr("percentile(x, array(0.1D, 0.5D, 0.9D))").alias("p")
+    ).collect()
+    for r in ref:
+        for q, v in zip(qs, r.p):
+            # 1-ulp tolerance: Spark's percentile interpolates as
+            # (1-frac)*lo + frac*hi while this engine (and DuckDB's
+            # quantile_cont, the oracle standard) uses lo+frac*(hi-lo)
+            assert abs(got[(r.k, q)] - v) < 1e-9, (r.k, q, got[(r.k, q)], v)
+    assert got[("solo", 0.5)] == 42.0
