@@ -982,3 +982,86 @@ SELECT id, round({parts}, 6) AS bm25
 FROM tf, stats
 WHERE {tf_sum} > 0
 """
+
+
+def token_kl_by_group(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group token-distribution divergence from the whole corpus:
+    ``KL(group ‖ corpus)`` over lowercase whitespace tokens, the
+    data-mixture diagnostic ("how far is this source from the average
+    training stream"). Output one row per group: ``(<group_col>,
+    n_tokens, n_terms, kl_divergence)``.
+
+    Shape (100 TB): ONE text scan — explode + (group, term)-grain hash
+    aggregation; corpus term counts come from a TERM-partitioned window
+    over that vocabulary-sized frame (each term's frame holds at most
+    #groups rows, never a global sort); per-group reduction is a hash
+    agg; the corpus total is a #groups-row window over the final
+    per-group frame. Nothing re-scans the text and no frame is ever
+    gathered to one task. The identity used so a single linear flow
+    suffices:  KL = (Σ_t n·ln(n/cn))/G + ln(C/G)  with n = group term
+    count, cn = corpus term count, G = group tokens, C = corpus tokens
+    (every group term also appears in the corpus, so no log(0)).
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    gt = (
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("term")
+    per = (
+        gt.withColumn("cn", F.sum("n").over(wt))
+        .groupBy("grp")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(
+                F.col("n")
+                * F.log(F.col("n").cast("double") / F.col("cn").cast("double"))
+            ).alias("nlog"),
+        )
+    )
+    # corpus total = sum over the per-GROUP frame (#groups rows) — the
+    # documented tiny-frame global window, same as group_mix's shares
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.withColumn("c_total", F.sum("n_tokens").over(wall)).select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_terms",
+        F.round(
+            F.col("nlog") / F.col("n_tokens").cast("double")
+            + F.log(F.col("c_total").cast("double") / F.col("n_tokens").cast("double")),
+            6,
+        ).alias("kl_divergence"),
+    )
+
+
+def token_kl_by_group_sql(table: str, group_col: str, text_col: str) -> str:
+    """DuckDB oracle for :func:`token_kl_by_group` — the same
+    single-flow identity, so both engines sum the identical doubles."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    )
+    return f"""
+WITH gt AS (
+  SELECT grp, term, count(*) AS n FROM (
+    SELECT {group_col} AS grp, unnest({toks}) AS term FROM {table}
+  ) GROUP BY grp, term
+),
+t1 AS (
+  SELECT grp, n, sum(n) OVER (PARTITION BY term) AS cn FROM gt
+),
+per AS (
+  SELECT grp, CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         sum(n * ln(CAST(n AS DOUBLE) / CAST(cn AS DOUBLE))) AS nlog
+  FROM t1 GROUP BY grp
+)
+SELECT grp AS {group_col}, n_tokens, n_terms,
+       round(nlog / CAST(n_tokens AS DOUBLE)
+             + ln(CAST(sum(n_tokens) OVER () AS DOUBLE) / CAST(n_tokens AS DOUBLE)),
+             6) AS kl_divergence
+FROM per
+"""

@@ -1107,6 +1107,22 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_components(pairs)
 
 
+def q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate groups: the sign-LSH cosine near-dup
+    pairs (ops.similarity.embedding_near_dups — scored only inside
+    shared buckets) collapsed into canonical components by the same
+    min-label propagation the MinHash pipeline uses. This is the
+    SemDeDup-style "keep one per semantic cluster" grouping with an
+    EXACT oracle: the md5-derived plane literals make the edge set
+    reproducible SQL, and the propagation fixpoint is unique, so the
+    recursive CTE matches bit-for-bit."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.45, n_planes=4, n_tables=8
+    )
+    return dedup.dup_components(pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.simhash(docs, "doc_id", "text")
@@ -1880,6 +1896,16 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.group_mix(docs, "source", "n_chars")
+
+
+def q_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture divergence report (ops.textqa.token_kl_by_group):
+    KL(source ‖ corpus) over the token distribution, one text scan —
+    (source, term) hash agg, term-partitioned window for corpus counts,
+    per-source hash reduction. The window never sees more rows per
+    partition than there are sources."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.token_kl_by_group(docs, "source", "text")
 
 
 def q_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3246,6 +3272,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dup_components_documents": (q_dup_components, dedup.dup_components_sql(
         dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)
     )),
+    "embedding_dup_components": (q_embedding_dup_components, dedup.dup_components_sql(
+        similarity.embedding_near_dups_sql("embeddings", 0.45, dim=64, n_planes=4, n_tables=8)
+    )),
     "ann_topk_embeddings": (q_ann_topk, similarity.brute_force_topk_sql(
         "embeddings",
         "SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10",
@@ -3275,6 +3304,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_coverage_documents": (q_vocab_coverage, textqa.vocab_coverage_sql("documents", "text", k=50)),
     "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
     "source_mix_documents": (q_source_mix, sampling.group_mix_sql("documents", "source", "n_chars")),
+    "token_kl_by_source_documents": (q_token_kl_by_source, textqa.token_kl_by_group_sql("documents", "source", "text")),
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),
     "curate_corpus_documents": (q_curate_corpus, curate.curate_corpus_sql("documents")),
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),

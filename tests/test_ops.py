@@ -1353,3 +1353,45 @@ def test_grouped_exact_quantiles_match_percentile(spark):
             # quantile_cont, the oracle standard) uses lo+frac*(hi-lo)
             assert abs(got[(r.k, q)] - v) < 1e-9, (r.k, q, got[(r.k, q)], v)
     assert got[("solo", 0.5)] == 42.0
+
+
+def test_token_kl_by_group_matches(sf_tables, duck):
+    df = textqa.token_kl_by_group(sf_tables["documents"], "source", "text")
+    _cmp(df, duck, textqa.token_kl_by_group_sql("documents", "source", "text"))
+
+
+def test_token_kl_semantics(spark):
+    """KL(group ‖ corpus) = 0 when every group shares the corpus token
+    distribution; a divergent group scores strictly positive and the
+    uniform groups stay at zero (their mixture IS the corpus)."""
+    rows = [
+        (1, "a", "x x y"),
+        (2, "a", "x x y"),
+        (3, "b", "x x y"),
+        (4, "c", "z z z z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in textqa.token_kl_by_group(df, "source", "text").collect()}
+    assert out["c"]["kl_divergence"] > 0.5
+    # a and b are identical 2:1 x/y mixes but the corpus includes c's z
+    # mass, so their KL is positive yet equal, and far below c's
+    assert out["a"]["kl_divergence"] == out["b"]["kl_divergence"]
+    assert 0 < out["a"]["kl_divergence"] < out["c"]["kl_divergence"]
+    assert out["a"]["n_tokens"] == 6 and out["a"]["n_terms"] == 2
+    assert out["c"]["n_terms"] == 1
+
+
+def test_embedding_dup_components_planted_copies(spark):
+    """Scaled copies of a vector (cosine = 1) must collapse into one
+    component; an orthogonal vector must stay out of it."""
+    rows = [
+        (1, [1.0, 0.0, 0.5, 0.25] * 16),
+        (2, [2.0, 0.0, 1.0, 0.5] * 16),   # same direction as 1
+        (3, [4.0, 0.0, 2.0, 1.0] * 16),   # same direction again
+        (4, [0.0, 1.0, 0.0, -1.0] * 16),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_dups(df, threshold=0.99, n_planes=4, n_tables=8)
+    comp = {r["id"]: r["component"] for r in dedup.dup_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert 4 not in comp  # no edges → not a member of any dup component

@@ -233,3 +233,21 @@ def test_lsh_signature_single_scan(spark):
     assert p.count("FileScan parquet") <= 2
     p = _plan(_impl("ann_topk_lsh_embeddings")(spark, SF_DIR))
     assert p.count("FileScan parquet") <= 2
+
+
+def test_token_kl_windows_are_scale_safe(spark):
+    """token_kl_by_source: corpus term counts must come from a
+    TERM-partitioned window (≤ #groups rows per frame); the only
+    unpartitioned window sits above the per-group HashAggregate, i.e.
+    over a #groups-sized frame — never the vocabulary-sized one."""
+    p = _plan(_impl("token_kl_by_source_documents")(spark, SF_DIR))
+    lines = p.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window [" in ln]
+    assert len(win_idx) >= 2
+    part_by_term = [i for i in win_idx if re.search(r"\], \[term#\d+", lines[i])]
+    assert part_by_term, "corpus-count window must be partitioned by term"
+    for i in set(win_idx) - set(part_by_term):
+        below = "\n".join(lines[i:])
+        # the per-group agg (keys [grp#..]) runs below the global window
+        assert re.search(r"HashAggregate \(.*\n.*", below) or "HashAggregate" in below
+        assert below.index("HashAggregate") < below.index("FileScan")
