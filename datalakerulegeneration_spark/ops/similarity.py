@@ -515,3 +515,257 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc("id"))
         .limit(n)
     )
+
+
+# ---------------------------------------------------------------------------
+# compressed-domain retrieval: SQ8 scalar quantization + JL projection
+# ---------------------------------------------------------------------------
+
+def sq8_stats(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Single-row frame of per-dimension corpus (min, max) arrays —
+    the codebook for scalar quantization.
+
+    Shape: posexplode to (dim, value) then a dim-grain min/max hash agg
+    (partial aggregation collapses each task to #dims rows, so the
+    shuffle is #dims × #tasks regardless of corpus size), assembled
+    back into dim-ordered arrays. One corpus scan."""
+    d = vectors.select(F.posexplode(F.col(vec_col)).alias("d", "v"))
+    st = d.groupBy("d").agg(
+        F.min("v").cast("double").alias("mn"), F.max("v").cast("double").alias("mx")
+    )
+    return st.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+
+
+def quantize_embeddings(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """SQ8 scalar quantization: each dimension affinely mapped to
+    0..255 by the corpus per-dim (min, max) — ``(id, qvec:
+    array<int>)``. The 4× (fp32) storage cut is what makes a 100 TB
+    ANN corpus scannable; ranking then runs in exact integer
+    arithmetic (see :func:`quantized_topk`), so the oracle is
+    bit-exact, not approximately equal.
+
+    The quantizer is ``floor(x*255 + 0.5)`` (half-up via floor —
+    identical in every engine, unlike round()'s half-even/half-away
+    divergence); constant dimensions map to 0. Two corpus scans total:
+    the stats pass and the quantize pass (the 1-row codebook rides a
+    broadcast)."""
+    st = sq8_stats(vectors, vec_col)
+    centered = F.zip_with(F.col(vec_col), F.col("mns"), lambda x, m: x.cast("double") - m)
+    ranges = F.zip_with(F.col("mxs"), F.col("mns"), lambda a, b: a - b)
+    q = F.zip_with(
+        centered,
+        ranges,
+        lambda c, r: F.when(r == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.floor(c / r * 255.0 + 0.5).cast("int")),
+            )
+        ),
+    )
+    return vectors.crossJoin(F.broadcast(st)).select(
+        F.col(id_col).alias("id"), q.alias("qvec")
+    )
+
+
+def _sq8_sql(table: str, id_col: str, vec_col: str) -> str:
+    """DuckDB CTE body producing (id, qvec) — the same stats + affine
+    map arithmetic in the same operation order, so every int matches."""
+    return f"""
+dx AS (
+  SELECT unnest({vec_col}) AS v,
+         unnest(generate_series(1, len({vec_col}))) AS dd
+  FROM {table}
+),
+st AS (SELECT dd, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx FROM dx GROUP BY dd),
+cb AS (SELECT list(mn ORDER BY dd) AS mns, list(mx ORDER BY dd) AS mxs FROM st),
+qv AS (
+  SELECT {id_col} AS id,
+         list_transform(generate_series(1, len({vec_col})),
+           i -> CASE WHEN mxs[i] - mns[i] = 0.0 THEN 0
+                     ELSE least(255, greatest(0,
+                       CAST(floor((CAST({vec_col}[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5) AS INT)))
+                END) AS qvec
+  FROM {table}, cb
+)"""
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    probe_ids_under: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compressed-domain brute-force top-k over SQ8 codes —
+    ``(query_id, neighbor_id, cos_sim, rank)``. Codes are the STORAGE
+    form (the 4x IO cut that makes a 100 TB ANN corpus scannable);
+    scoring de-quantizes on the fly (``x^ = mn + q*range/255``) and
+    ranks by reconstructed cosine — the standard asymmetric-distance
+    trick, so ranking quality tracks the true cosine to within
+    1/255-per-dim reconstruction error instead of being distorted by
+    the affine offsets a raw code dot-product ignores. Probe set =
+    corpus rows with id < ``probe_ids_under`` (same codebook,
+    broadcast); every arithmetic step is mirrored in the oracle, so
+    the match is exact. Ties break by neighbor id."""
+    st = sq8_stats(vectors, vec_col)
+    base = vectors.crossJoin(F.broadcast(st))
+    centered = F.zip_with(F.col(vec_col), F.col("mns"), lambda x, m: x.cast("double") - m)
+    ranges = F.zip_with(F.col("mxs"), F.col("mns"), lambda a, b: a - b)
+    qvec = F.zip_with(
+        centered,
+        ranges,
+        lambda c, r: F.when(r == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.floor(c / r * 255.0 + 0.5).cast("int")),
+            )
+        ),
+    )
+    scaled = F.zip_with(qvec, ranges, lambda q, r: q * r / 255.0)
+    rvec = F.zip_with(scaled, F.col("mns"), lambda t, m: t + m)
+    qz = base.select(F.col(id_col).alias("id"), rvec.alias("rvec"))
+    probes = qz.where(F.col("id") < probe_ids_under).select(
+        F.col("id").alias("query_id"), F.col("rvec").alias("qr")
+    )
+    scored = qz.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(F.expr(cosine_expr("qr", "rvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def quantized_topk_sql(
+    table: str,
+    probe_ids_under: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`quantized_topk` — quantize, then
+    de-quantize with the identical multiply/divide/add order, then the
+    same left-fold cosine, so the doubles agree bit-for-bit."""
+    return f"""
+WITH {_sq8_sql(table, id_col, vec_col)},
+rv AS (
+  SELECT q.id,
+         list_transform(generate_series(1, len(q.qvec)),
+           i -> (q.qvec[i] * (cb.mxs[i] - cb.mns[i]) / 255.0) + cb.mns[i]) AS rvec
+  FROM qv q, cb
+),
+probes AS (SELECT id AS query_id, rvec AS qr FROM rv WHERE id < {probe_ids_under}),
+scored AS (
+  SELECT p.query_id, v.id AS neighbor_id,
+         round(
+           list_dot_product(p.qr, v.rvec)
+           / (sqrt(list_dot_product(p.qr, p.qr)) * sqrt(list_dot_product(v.rvec, v.rvec))),
+           6) AS cos_sim
+  FROM rv v, probes p
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+def project_embeddings(
+    vectors: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection: ``out_dim`` components,
+    each the dot product with an md5-derived ±1 row (the same
+    deterministic plane generator the LSH family uses, WITHOUT taking
+    the sign) — ``(id, pvec: array<double>)``. A 64→16 projection cuts
+    the ANN scan 4× while approximately preserving cosine geometry;
+    being literal arithmetic, the DuckDB oracle reproduces every
+    component bit-for-bit. Map-only — no shuffle, no stats pass."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, out_dim, seed)
+    comps = [
+        F.expr(
+            f"aggregate(zip_with({vec_col}, array({', '.join(f'{x:.1f}D' for x in row)}),"
+            " (x, p) -> cast(x as double) * p), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        for row in planes
+    ]
+    return vectors.select(F.col(id_col).alias("id"), F.array(*comps).alias("pvec"))
+
+
+def projected_topk(
+    vectors: DataFrame,
+    probe_ids_under: int,
+    out_dim: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Top-k by cosine in the JL-projected space — the cheap pre-rank
+    a full-precision re-rank refines. Same broadcast-probe shape as
+    :func:`brute_force_topk`; cosine rounded to 6 dp, ties by id."""
+    pv = project_embeddings(vectors, out_dim, id_col, vec_col, seed)
+    probes = pv.where(F.col("id") < probe_ids_under).select(
+        F.col("id").alias("query_id"), F.col("pvec").alias("qp")
+    )
+    scored = pv.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(F.expr(cosine_expr("qp", "pvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def projected_topk_sql(
+    table: str,
+    dim: int,
+    probe_ids_under: int,
+    out_dim: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> str:
+    """DuckDB oracle for :func:`projected_topk` — the ±1 rows are
+    literals, and both engines left-fold the projection dot product in
+    array order, so the projected doubles are identical."""
+    planes = random_hyperplanes(dim, out_dim, seed)
+    comps = ", ".join(
+        f"list_dot_product(CAST({vec_col} AS DOUBLE[]),"
+        f" [{', '.join(f'{x:.1f}' for x in row)}])"
+        for row in planes
+    )
+    cos = (
+        "list_dot_product(p.qp, v.pvec)"
+        " / (sqrt(list_dot_product(p.qp, p.qp)) * sqrt(list_dot_product(v.pvec, v.pvec)))"
+    )
+    return f"""
+WITH pv AS (
+  SELECT {id_col} AS id, [{comps}] AS pvec FROM {table}
+),
+probes AS (SELECT id AS query_id, pvec AS qp FROM pv WHERE id < {probe_ids_under}),
+scored AS (
+  SELECT p.query_id, v.id AS neighbor_id, round({cos}, 6) AS cos_sim
+  FROM pv v, probes p
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""

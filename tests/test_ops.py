@@ -1395,3 +1395,46 @@ def test_embedding_dup_components_planted_copies(spark):
     comp = {r["id"]: r["component"] for r in dedup.dup_components(pairs).collect()}
     assert comp[1] == comp[2] == comp[3] == 1
     assert 4 not in comp  # no edges → not a member of any dup component
+
+
+def test_quantized_topk_matches_and_recalls(sf_tables, duck):
+    """SQ8 asymmetric-cosine top-k: exact oracle parity AND high recall
+    vs the fp32 brute force (the de-quantized ranking must track the
+    true one — a raw code dot-product scores ~0.13 here; the
+    reconstruction scores ≥0.9)."""
+    emb = sf_tables["embeddings"]
+    qt = similarity.quantized_topk(emb, 10, k=10)
+    _cmp(qt, duck, similarity.quantized_topk_sql("embeddings", 10, k=10))
+    exact = similarity.brute_force_topk(
+        emb,
+        emb.where("vec_id < 10").selectExpr("vec_id as query_id", "embedding as query_vec"),
+        k=10,
+    )
+    es = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    qs = {(r["query_id"], r["neighbor_id"]) for r in qt.collect()}
+    assert len(es & qs) / len(es) >= 0.9
+
+
+def test_projected_topk_matches_oracle(sf_tables, duck):
+    pt = similarity.projected_topk(sf_tables["embeddings"], 10, out_dim=16, k=10)
+    _cmp(pt, duck, similarity.projected_topk_sql("embeddings", 64, 10, out_dim=16, k=10))
+
+
+def test_projected_topk_finds_planted_clusters(spark):
+    """On data with real cluster structure (unlike the near-random
+    fixture, where top-10 cosine margins are ~ties and ANY lossy
+    method scrambles them), the 4× JL projection must retrieve the
+    planted same-cluster neighbors."""
+    import math
+
+    rows = []
+    for c in range(4):  # 4 well-separated cluster directions in R^64
+        base = [1.0 if (d % 4) == c else 0.1 * math.sin(c + d) for d in range(64)]
+        for j in range(20):
+            rows.append((c * 20 + j, [x * (1.0 + 0.01 * j) + (0.02 if d == j else 0.0)
+                                      for d, x in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pt = similarity.projected_topk(df, 4 * 20, out_dim=16, k=5)
+    got = [(r["query_id"], r["neighbor_id"]) for r in pt.collect()]
+    same_cluster = sum(1 for q, n in got if q // 20 == n // 20)
+    assert same_cluster / len(got) >= 0.95
