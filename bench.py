@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "weighted_sample_documents",
     "bm25_documents",
     "hybrid_search_documents",
+    "token_kl_by_source_documents",
+    "quantized_topk_embeddings",
+    "projected_topk_embeddings",
+    "embedding_dup_components",
 ]
 
 

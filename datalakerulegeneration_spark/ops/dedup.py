@@ -687,3 +687,178 @@ FROM d a JOIN d b ON a.fp_hash = b.fp_hash AND a.id < b.id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup-collapse policies and append-only (incremental) dedup
+# ---------------------------------------------------------------------------
+
+def keep_best_exemplar(components: DataFrame, scores: DataFrame) -> DataFrame:
+    """Collapse duplicate components keeping the HIGHEST-SCORED member
+    (production dedup keeps the best exemplar, not an arbitrary id):
+    ``(component, keeper_id, keeper_score, n_members)``.
+
+    ``components`` is ``(id, component)`` (e.g. :func:`dup_components`
+    output), ``scores`` is ``(id, quality)``. One id-keyed join + one
+    component-partitioned window; near-dup components are small
+    (dozens of members), so no window frame ever grows with the
+    corpus. Ties break by id ascending — fully deterministic, so the
+    SQL oracle matches exactly."""
+    j = components.join(scores, "id")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("id"))
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("id").alias("keeper_id"),
+            F.col("quality").alias("keeper_score"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+def keep_best_exemplar_sql(components_sql: str, scores_sql: str) -> str:
+    """DuckDB oracle for :func:`keep_best_exemplar`. ``components_sql``
+    yields (id, component); ``scores_sql`` yields (id, quality)."""
+    return f"""
+WITH comp AS ({components_sql}),
+sc AS ({scores_sql}),
+j AS (
+  SELECT comp.component, comp.id, sc.quality,
+         count(*) OVER (PARTITION BY comp.component) AS n_members,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY sc.quality DESC, comp.id ASC) AS rn
+  FROM comp JOIN sc ON comp.id = sc.id
+)
+SELECT component, id AS keeper_id, quality AS keeper_score,
+       CAST(n_members AS BIGINT) AS n_members
+FROM j WHERE rn = 1
+"""
+
+
+def incremental_exact_dedup(
+    batch: DataFrame, corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Append-only corpus maintenance: which BATCH rows survive exact
+    dedup against the existing corpus? A row survives iff its
+    ``md5(text)`` digest (1) does not already exist in the corpus and
+    (2) is the first occurrence (min id) within the batch —
+    ``(id, text_digest)``.
+
+    Scale shape: the corpus side reduces to its DISTINCT digest index
+    (at 100 TB this is the persisted dedup index a daily append job
+    maintains — 32 chars/doc, not the corpus), the batch carries only
+    (digest, id) through a digest-keyed LEFT ANTI join, and the
+    within-batch cut is a digest-grain min. Document bodies never
+    shuffle."""
+    dig = F.md5(F.col(text_col).cast("binary"))
+    # NULL text → NULL digest: LEFT ANTI never matches a NULL key (the
+    # row would survive) while SQL NOT IN filters it — exclude NULL
+    # texts on both sides so the contract is engine-portable
+    bd = batch.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), dig.alias("text_digest")
+    )
+    idx = corpus.where(F.col(text_col).isNotNull()).select(
+        dig.alias("text_digest")
+    ).distinct()
+    return (
+        bd.join(idx, "text_digest", "left_anti")
+        .groupBy("text_digest")
+        .agg(F.min("id").alias("id"))
+        .select("id", "text_digest")
+    )
+
+
+def incremental_exact_dedup_sql(
+    batch_sql: str, corpus_sql: str, id_col: str, text_col: str
+) -> str:
+    """DuckDB oracle for :func:`incremental_exact_dedup`; the two
+    arguments are subqueries for the batch and the existing corpus."""
+    return f"""
+WITH b AS (
+  SELECT {id_col} AS id, md5({text_col}) AS text_digest
+  FROM ({batch_sql}) WHERE {text_col} IS NOT NULL
+),
+idx AS (
+  SELECT DISTINCT md5({text_col}) AS text_digest
+  FROM ({corpus_sql}) WHERE {text_col} IS NOT NULL
+)
+SELECT min(id) AS id, text_digest
+FROM b
+WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.text_digest = b.text_digest)
+GROUP BY text_digest
+"""
+
+
+def source_overlap_matrix(
+    df: DataFrame, group_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Cross-source contamination matrix: Jaccard similarity of the
+    DISTINCT word-shingle sets of every source pair —
+    ``(group_a, group_b, n_a, n_b, n_shared, jaccard)`` for group_a <
+    group_b. The dataset-level audit ("how much does source X repeat
+    source Y") that decides whether two crawls can be mixed without
+    re-deduplication.
+
+    Scale shape: one explode → distinct (group, shingle) — a hash agg
+    at that grain — then a SHINGLE-keyed self-join (inverted index:
+    only co-occurring shingles pair up) aggregated to group pairs, and
+    a broadcast of the #groups-row per-group set sizes. The corpus
+    never moves; the shuffle carries (group, shingle) once."""
+    gs = (
+        shingles(df.select(F.col(group_col).alias("grp"), F.col(text_col)), "grp", text_col, n=n)
+        .select(F.col("id").alias("grp"), "shingle")
+        .distinct()
+    )
+    sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("n_set"))
+    a, b = gs.alias("a"), gs.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("grp").alias("group_a"), F.col("n_set").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("group_b"), F.col("n_set").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_matrix_sql(
+    table: str, group_col: str, text_col: str, n: int = 3
+) -> str:
+    """DuckDB oracle for :func:`source_overlap_matrix`."""
+    inner = shingles_sql(table, group_col, text_col, n=n)
+    return f"""
+WITH gs AS (SELECT DISTINCT id AS grp, shingle FROM ({inner})),
+sizes AS (SELECT grp, count(*) AS n_set FROM gs GROUP BY grp),
+shared AS (
+  SELECT a.grp AS group_a, b.grp AS group_b, count(*) AS n_shared
+  FROM gs a JOIN gs b ON a.shingle = b.shingle AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b,
+       CAST(sa.n_set AS BIGINT) AS n_a,
+       CAST(sb.n_set AS BIGINT) AS n_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       round(CAST(n_shared AS DOUBLE) / CAST(sa.n_set + sb.n_set - n_shared AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON shared.group_a = sa.grp
+JOIN sizes sb ON shared.group_b = sb.grp
+"""

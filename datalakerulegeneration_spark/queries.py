@@ -1107,6 +1107,39 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_components(pairs)
 
 
+def q_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup collapse policy (ops.dedup.keep_best_exemplar): MinHash
+    dup components keep their HIGHEST-QUALITY member, not an arbitrary
+    id — the production "best exemplar" rule. One join + one
+    component-partitioned window (components are small by nature)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.2, k=16, bands=8)
+    comps = dedup.dup_components(pairs)
+    scores = textqa.quality_score(docs, "doc_id", "text")
+    return dedup.keep_best_exemplar(comps, scores)
+
+
+def q_incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only dedup (ops.dedup.incremental_exact_dedup): docs with
+    id ≥ 250 arrive as the new batch, id < 250 is the standing corpus
+    whose digest index the batch is checked against — the daily-append
+    flow. Digest-keyed anti join; bodies never shuffle."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    batch = docs.where(F.col("doc_id") >= 250)
+    corpus = docs.where(F.col("doc_id") < 250)
+    return dedup.incremental_exact_dedup(batch, corpus, "doc_id", "text")
+
+
+def q_source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (ops.dedup
+    .source_overlap_matrix): Jaccard of distinct 3-word shingle sets
+    per source pair — the "can these two crawls be mixed without
+    re-dedup" audit. Shingle-keyed inverted-index self-join; only
+    co-occurring shingles pair up."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.source_overlap_matrix(docs, "source", "text", n=3)
+
+
 def q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space duplicate groups: the sign-LSH cosine near-dup
     pairs (ops.similarity.embedding_near_dups — scored only inside
@@ -3296,6 +3329,21 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     )),
     "embedding_dup_components": (q_embedding_dup_components, dedup.dup_components_sql(
         similarity.embedding_near_dups_sql("embeddings", 0.45, dim=64, n_planes=4, n_tables=8)
+    )),
+    "keep_best_documents": (q_keep_best_documents, dedup.keep_best_exemplar_sql(
+        dedup.dup_components_sql(
+            dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)
+        ),
+        textqa.quality_score_sql("documents", "doc_id", "text"),
+    )),
+    "incremental_dedup_documents": (q_incremental_dedup_documents, dedup.incremental_exact_dedup_sql(
+        "SELECT * FROM documents WHERE doc_id >= 250",
+        "SELECT * FROM documents WHERE doc_id < 250",
+        "doc_id",
+        "text",
+    )),
+    "source_overlap_documents": (q_source_overlap_documents, dedup.source_overlap_matrix_sql(
+        "documents", "source", "text", n=3
     )),
     "ann_topk_embeddings": (q_ann_topk, similarity.brute_force_topk_sql(
         "embeddings",

@@ -1438,3 +1438,69 @@ def test_projected_topk_finds_planted_clusters(spark):
     got = [(r["query_id"], r["neighbor_id"]) for r in pt.collect()]
     same_cluster = sum(1 for q, n in got if q // 20 == n // 20)
     assert same_cluster / len(got) >= 0.95
+
+
+def test_keep_best_exemplar_picks_highest_quality(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], "id long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (9, 0.4)], "id long, quality double"
+    )
+    out = {r["component"]: r for r in dedup.keep_best_exemplar(comps, scores).collect()}
+    # quality tie between 2 and 3 → lower id wins
+    assert out[1]["keeper_id"] == 2 and out[1]["n_members"] == 3
+    assert out[7]["keeper_id"] == 7 and out[7]["keeper_score"] == 0.5
+
+
+def test_incremental_dedup_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # exists in corpus → dropped
+            (11, "brand new"),     # survives
+            (12, "brand new"),     # in-batch dup of 11 → dropped (11 is min id)
+            (13, None),            # NULL text → excluded by contract
+            (14, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_exact_dedup(batch, corpus, "doc_id", "text")
+    assert {r["id"] for r in out.collect()} == {11, 14}
+
+
+def test_incremental_dedup_matches_oracle(sf_tables, duck):
+    docs = sf_tables["documents"]
+    out = dedup.incremental_exact_dedup(
+        docs.where("doc_id >= 250"), docs.where("doc_id < 250"), "doc_id", "text"
+    )
+    _cmp(out, duck, dedup.incremental_exact_dedup_sql(
+        "SELECT * FROM documents WHERE doc_id >= 250",
+        "SELECT * FROM documents WHERE doc_id < 250",
+        "doc_id", "text",
+    ))
+
+
+def test_source_overlap_matrix_matches_and_bounds(sf_tables, duck):
+    out = dedup.source_overlap_matrix(sf_tables["documents"], "source", "text", n=3)
+    _cmp(out, duck, dedup.source_overlap_matrix_sql("documents", "source", "text", n=3))
+    rows = out.collect()
+    assert rows and all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+    assert all(r["group_a"] < r["group_b"] for r in rows)
+
+
+def test_source_overlap_detects_planted_copy(spark):
+    """A source that is a verbatim copy of another must score jaccard
+    1.0 against it and near-zero against an unrelated source."""
+    rows = [
+        (1, "a", "alpha beta gamma delta epsilon zeta"),
+        (2, "b", "alpha beta gamma delta epsilon zeta"),
+        (3, "c", "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["group_a"], r["group_b"]): r["jaccard"]
+           for r in dedup.source_overlap_matrix(df, "source", "text").collect()}
+    assert out[("a", "b")] == 1.0
+    assert ("a", "c") not in out  # zero shared shingles → no row (inverted index)
