@@ -1065,3 +1065,93 @@ SELECT grp AS {group_col}, n_tokens, n_terms,
              6) AS kl_divergence
 FROM per
 """
+
+
+def ngram_overlap_multi(
+    df: DataFrame,
+    eval_sets: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Contamination audit against N eval sets in ONE corpus pass —
+    ``(id, eval_set, n_grams, n_overlap, overlap_frac, contaminated)``,
+    one row per (document, eval set) with ≥1 shared gram. Monitoring M
+    benchmarks as M separate :func:`ngram_overlap` runs costs M corpus
+    explodes; here every eval set's distinct grams are TAGGED and
+    unioned (benchmark suites are tiny → the tagged union broadcasts),
+    so the corpus grams are exploded for the overlap join once plus
+    once for the per-doc totals — a constant 2 regardless of M. The
+    gram join fans out at most M× on matched grams only; zero-overlap
+    (doc, set) pairs are implied rather than materialized (emitting
+    them would cross-join the corpus by M at 100 TB).
+    Recomputing the map-only shingle explode for the totals branch
+    beats persisting a bigger-than-input frame (the minhash lesson).
+    """
+    from datalakerulegeneration_spark.ops.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n)
+    tagged = None
+    for name, edf in eval_sets.items():
+        t = (
+            shingles(edf, id_col, text_col, n)
+            .select(F.col("shingle"))
+            .distinct()
+            .select(F.lit(name).alias("eval_set"), "shingle")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    ov = (
+        sh.join(F.broadcast(tagged), "shingle")
+        .groupBy("id", "eval_set")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    frac = F.round(
+        F.col("n_overlap").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return ov.join(totals, "id").select(
+        "id",
+        "eval_set",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
+def ngram_overlap_multi_sql(
+    table: str,
+    eval_preds: dict[str, str],
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB oracle for :func:`ngram_overlap_multi`; ``eval_preds``
+    maps eval-set name → SQL predicate over ``{table}``."""
+    from datalakerulegeneration_spark.ops.dedup import shingles_sql
+
+    sh = shingles_sql(table, id_col, text_col, n).strip()
+    tagged = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS eval_set, shingle FROM ("
+        f"SELECT DISTINCT shingle FROM sh WHERE id IN"
+        f" (SELECT {id_col} FROM {table} WHERE {pred}))"
+        for name, pred in eval_preds.items()
+    )
+    return f"""
+WITH sh AS ({sh}),
+tagged AS ({tagged}),
+ov AS (
+  SELECT sh.id, tagged.eval_set, count(*) AS n_overlap
+  FROM sh JOIN tagged ON sh.shingle = tagged.shingle
+  GROUP BY 1, 2
+),
+tot AS (SELECT id, count(*) AS n_grams FROM sh GROUP BY id)
+SELECT ov.id, ov.eval_set,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(ov.n_overlap AS BIGINT) AS n_overlap,
+       round(CAST(ov.n_overlap AS DOUBLE) / CAST(tot.n_grams AS DOUBLE), 6) AS overlap_frac,
+       round(CAST(ov.n_overlap AS DOUBLE) / CAST(tot.n_grams AS DOUBLE), 6) >= {threshold!r} AS contaminated
+FROM ov JOIN tot ON ov.id = tot.id
+"""

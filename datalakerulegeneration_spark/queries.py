@@ -2221,6 +2221,34 @@ Q_NGRAM_OVERLAP_ORACLE = textqa.ngram_overlap_sql(
 )
 
 
+def q_ngram_overlap_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark contamination audit (ops.textqa
+    .ngram_overlap_multi): three held-out slices checked in ONE corpus
+    pass — M benchmarks cost a constant 2 corpus explodes, not 2M
+    (the tagged eval-gram union broadcasts)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    evals = {
+        "holdout_37": docs.where(F.col("doc_id") % 37 == 0),
+        "holdout_41": docs.where(F.col("doc_id") % 41 == 0),
+        "holdout_43": docs.where(F.col("doc_id") % 43 == 0),
+    }
+    return textqa.ngram_overlap_multi(docs, evals, "doc_id", "text", n=3, threshold=0.2)
+
+
+Q_NGRAM_OVERLAP_MULTI_ORACLE = textqa.ngram_overlap_multi_sql(
+    "documents",
+    {
+        "holdout_37": "doc_id % 37 = 0",
+        "holdout_41": "doc_id % 41 = 0",
+        "holdout_43": "doc_id % 43 = 0",
+    },
+    "doc_id",
+    "text",
+    n=3,
+    threshold=0.2,
+)
+
+
 # Line-grain synthesis for the line-dedup query: the documents fixture
 # is single-line, so both engines deterministically re-wrap each text
 # into 3-token lines first — short lines over a ~30-word vocabulary
@@ -3404,6 +3432,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate_documents": (q_decontaminate_documents, _decontaminate_oracle()),
     "decontaminate_fuzzy_documents": (q_decontaminate_fuzzy, _decontaminate_fuzzy_oracle()),
     "ngram_overlap_documents": (q_ngram_overlap, Q_NGRAM_OVERLAP_ORACLE),
+    "ngram_overlap_multi_documents": (q_ngram_overlap_multi, Q_NGRAM_OVERLAP_MULTI_ORACLE),
     "line_dedup_documents": (q_line_dedup, Q_LINE_DEDUP_ORACLE),
     "quality_classifier_documents": (q_quality_classifier, None),
     "semdedup_embeddings": (q_semdedup, None),

@@ -1504,3 +1504,26 @@ def test_source_overlap_detects_planted_copy(spark):
            for r in dedup.source_overlap_matrix(df, "source", "text").collect()}
     assert out[("a", "b")] == 1.0
     assert ("a", "c") not in out  # zero shared shingles → no row (inverted index)
+
+
+def test_ngram_overlap_multi_matches_and_equals_single(sf_tables, duck):
+    """Oracle parity AND per-set agreement: the multi-set audit's rows
+    for one eval set must equal the single-set operator's rows with
+    n_overlap ≥ 1 (zero-overlap pairs are implied, not emitted)."""
+    docs = sf_tables["documents"]
+    evals = {"a": docs.where("doc_id % 37 = 0"), "b": docs.where("doc_id % 41 = 0")}
+    multi = textqa.ngram_overlap_multi(docs, evals, "doc_id", "text", n=3, threshold=0.2)
+    _cmp(multi, duck, textqa.ngram_overlap_multi_sql(
+        "documents", {"a": "doc_id % 37 = 0", "b": "doc_id % 41 = 0"},
+        "doc_id", "text", n=3, threshold=0.2,
+    ))
+    single = textqa.ngram_overlap(
+        docs, docs.where("doc_id % 37 = 0"), "doc_id", "text", n=3, threshold=0.2
+    )
+    exp = {tuple(r) for r in single.where("n_overlap >= 1").collect()}
+    got = {
+        (r["id"], r["n_grams"], r["n_overlap"], r["overlap_frac"], r["contaminated"])
+        for r in multi.where("eval_set = 'a'").drop("eval_set").collect()
+    }
+    exp = {(r[0], r[1], r[2], r[3], r[4]) for r in exp}
+    assert got == exp and len(got) > 0
