@@ -1527,3 +1527,13 @@ def test_ngram_overlap_multi_matches_and_equals_single(sf_tables, duck):
     }
     exp = {(r[0], r[1], r[2], r[3], r[4]) for r in exp}
     assert got == exp and len(got) > 0
+
+
+def test_dup_components_chain_converges_logarithmically(spark):
+    """A 64-vertex path graph has diameter 63: plain min-propagation
+    needs ~63 rounds, pointer jumping must finish well inside 12."""
+    edges = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dedup.dup_components(pairs, max_iter=12).collect()
+    assert len(out) == 64
+    assert all(r["component"] == 0 for r in out)
