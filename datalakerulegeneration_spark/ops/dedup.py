@@ -767,15 +767,27 @@ def incremental_exact_dedup(
     within-batch cut is a digest-grain min. Document bodies never
     shuffle."""
     dig = F.md5(F.col(text_col).cast("binary"))
+    idx = corpus.where(F.col(text_col).isNotNull()).select(
+        dig.alias("text_digest")
+    )
+    return incremental_dedup_against_index(batch, idx, id_col, text_col)
+
+
+def incremental_dedup_against_index(
+    batch: DataFrame, index: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """:func:`incremental_exact_dedup` against an already-materialized
+    digest index (a frame with a ``text_digest`` column) — the form a
+    persisted dedup index uses, where the standing corpus exists only
+    as its 32-char digests, never as text."""
+    dig = F.md5(F.col(text_col).cast("binary"))
     # NULL text → NULL digest: LEFT ANTI never matches a NULL key (the
     # row would survive) while SQL NOT IN filters it — exclude NULL
-    # texts on both sides so the contract is engine-portable
+    # texts so the contract is engine-portable
     bd = batch.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), dig.alias("text_digest")
     )
-    idx = corpus.where(F.col(text_col).isNotNull()).select(
-        dig.alias("text_digest")
-    ).distinct()
+    idx = index.select("text_digest").distinct()
     return (
         bd.join(idx, "text_digest", "left_anti")
         .groupBy("text_digest")

@@ -21,3 +21,12 @@ from datalakerulegeneration_spark.streaming.windows import (  # noqa: F401
     windowed_event_counts,
     streaming_gaussian_monitor,
 )
+from datalakerulegeneration_spark.streaming.rollup_stream import (  # noqa: F401
+    finalize_rollup,
+    hour_grain_stream,
+    merge_hour_grain,
+)
+from datalakerulegeneration_spark.streaming.dedup_stream import (  # noqa: F401
+    IncrementalDeduper,
+    incremental_dedup_stream,
+)

@@ -614,3 +614,65 @@ def test_rollup_stream_streaming_mode(spark, sf_tables, tmp_path):
     got = sorted(tuple(r) for r in finalize_rollup(state).collect())
     direct = sorted(tuple(r) for r in time_rollup(ev, "ts", "value").collect())
     assert got == direct
+
+
+def test_incremental_deduper_batches_and_restart(spark, tmp_path):
+    """Persisted-index dedup: batch 2 drops what batch 1 admitted; a
+    NEW deduper instance on the same state dir (restart) still knows
+    every previously-admitted digest; in-batch dups keep min id."""
+    from datalakerulegeneration_spark.streaming import IncrementalDeduper
+
+    state = str(tmp_path / "dedup_state")
+    dd = IncrementalDeduper(spark, state)
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    dd.update(b1, 0)
+    assert {r["id"] for r in dd.survivors().collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id long, text string"
+    )
+    dd.update(b2, 1)
+    assert {r["id"] for r in dd.survivors().collect()} == {1, 2, 11}
+
+    dd2 = IncrementalDeduper(spark, state)  # restart
+    b3 = spark.createDataFrame(
+        [(20, "beta"), (21, "gamma"), (22, "delta")], "doc_id long, text string"
+    )
+    dd2.update(b3, 0)
+    assert {r["id"] for r in dd2.survivors().collect()} == {1, 2, 11, 22}
+    assert dd2.index().count() == 4  # alpha beta gamma delta
+
+
+def test_incremental_dedup_stream_real_stream(spark, sf_tables, tmp_path):
+    """availableNow file stream over document chunks: survivors must
+    equal batch-mode exact dedup keepers (digest-grain min id)."""
+    from datalakerulegeneration_spark.streaming import incremental_dedup_stream
+
+    docs = sf_tables["documents"].select("doc_id", "text").limit(200)
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q, dd = incremental_dedup_stream(
+        spark, stream, str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r["text_digest"] for r in dd.survivors().collect()}
+    exp = {
+        r["text_digest"]
+        for r in docs.where("text IS NOT NULL")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_digest"))
+        .agg(F.min("doc_id"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+    # one survivor row per distinct digest — the ordered micro-batches
+    # admitted each digest exactly once
+    assert dd.survivors().count() == len(exp)

@@ -104,6 +104,23 @@ def main() -> None:
                 for r in range(REPLICAS)
             ),
         )
+    if want("embeddings_scaled"):
+        # retrieval-family scale-up: vec_id shifts per replica; a small
+        # deterministic per-replica affine tweak keeps replicas from
+        # being exact duplicates (timing sets only — no oracle runs here)
+        (max_vec,) = con.execute(
+            f"SELECT max(vec_id) + 1 FROM {src('embeddings')}"
+        ).fetchone()
+        write(
+            "embeddings",
+            " UNION ALL ".join(
+                f"SELECT vec_id + {r * max_vec} AS vec_id,"
+                f" list_transform(embedding, x -> CAST(x * (1.0 + {r} * 0.0001)"
+                f" + {r % 11} * 0.001 AS FLOAT)) AS embedding, label"
+                f" FROM {src('embeddings')}"
+                for r in range(REPLICAS)
+            ),
+        )
     for t in ("region", "nation", "customer", "supplier", "part", "events", "embeddings"):
         if want(t):
             write(t, f"SELECT * FROM {src(t)}")
