@@ -576,3 +576,111 @@ def test_rollup_merge_invariant_on_random_streams(spark, events, n_chunks):
     merged = merge_hour_grain(*reversed(parts))
     got = sorted(tuple(r) for r in finalize_rollup(merged).collect())
     assert got == direct
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.text(alphabet="ab c", min_size=1, max_size=24),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_token_kl_matches_python_model(spark, rows):
+    """KL(group ‖ corpus) vs a direct Python computation on random
+    corpora: same tokenization, same formula, 6 dp."""
+    import math
+    from collections import Counter
+
+    from datalakerulegeneration_spark.ops.textqa import token_kl_by_group
+
+    df = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(rows)],
+        "doc_id int, source string, text string",
+    )
+    got = {r["source"]: r for r in token_kl_by_group(df, "source", "text").collect()}
+
+    by_g: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for g, t in rows:
+        toks = [x for x in t.lower().split() if x]
+        by_g.setdefault(g, Counter()).update(toks)
+        corpus.update(toks)
+    C = sum(corpus.values())
+    for g, cnt in by_g.items():
+        G = sum(cnt.values())
+        if G == 0:
+            assert g not in got  # no tokens → no (grp, term) rows at all
+            continue
+        kl = sum((n / G) * math.log((n / G) / (corpus[t] / C)) for t, n in cnt.items())
+        assert got[g]["n_tokens"] == G
+        assert got[g]["n_terms"] == len(cnt)
+        assert abs(got[g]["kl_divergence"] - kl) < 1e-5
+    assert set(got) == {g for g, c in by_g.items() if sum(c.values()) > 0}
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=10,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_sq8_quantization_reconstruction_bound(spark, vecs):
+    """Quantize→de-quantize must stay within half a quantization step
+    (range/255/2 per dim, plus float slack) of the original — the
+    invariant that makes asymmetric-distance ranking track the truth."""
+    from datalakerulegeneration_spark.ops.similarity import quantized_topk
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    # quantized_topk with probe set = everything: cos_sim of (i, i)
+    # must be ~1 (self-similarity survives quantization) unless the
+    # vector reconstructs to all-zeros (possible when a dim's range
+    # collapses); check the self-pair when defined
+    out = quantized_topk(df, probe_ids_under=len(vecs), k=len(vecs))
+    rows = [(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in out.collect()]
+    self_sims = {q: c for q, n, c in rows if q == n and c is not None}
+    for q, c in self_sims.items():
+        assert c > 0.99 or c == 0.0  # exact self-match in reconstructed space
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["t0", "t1", "t2", "t3", "t4"])),
+        min_size=0,
+        max_size=16,
+    ),
+    st.lists(st.sampled_from(["t0", "t1", "t2", "t3", "t4"]), min_size=0, max_size=6),
+)
+def test_incremental_dedup_matches_python_model(spark, batch_rows, corpus_texts):
+    """Survivors on random batch/corpus splits ≡ a direct set model:
+    digest not in corpus, min id within batch."""
+    from datalakerulegeneration_spark.ops.dedup import incremental_exact_dedup
+
+    batch = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(batch_rows)] or [(None, None)],
+        "doc_id long, text string",
+    ).where("doc_id IS NOT NULL")
+    corpus = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(corpus_texts)] or [(None, None)],
+        "doc_id long, text string",
+    ).where("doc_id IS NOT NULL")
+    got = {(r["id"]) for r in incremental_exact_dedup(batch, corpus, "doc_id", "text").collect()}
+    seen = set(corpus_texts)
+    exp = {}
+    for i, (_, t) in enumerate(batch_rows):
+        if t not in seen and t not in exp:
+            exp[t] = i
+    assert got == set(exp.values())
