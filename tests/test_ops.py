@@ -1537,3 +1537,21 @@ def test_dup_components_chain_converges_logarithmically(spark):
     out = dedup.dup_components(pairs, max_iter=12).collect()
     assert len(out) == 64
     assert all(r["component"] == 0 for r in out)
+
+
+def test_write_corpus_readback_partition_prunes(spark, sf_tables, tmp_path):
+    """A lang-filtered readback of the partitioned corpus must prune at
+    the PARTITION level (PartitionFilters in the scan, partition count
+    < total) — the property that makes per-source reprocessing at
+    100 TB touch one directory, not the corpus."""
+    from datalakerulegeneration_spark.catalog import write_corpus
+
+    docs = sf_tables["documents"]
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, partition_by=("lang",))
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:", 1)
+    assert len(pf) == 2 and "lang" in pf[1][:200]
+    n_en = docs.where("lang = 'en'").count()
+    assert back.count() == n_en
