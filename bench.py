@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "quantized_topk_embeddings",
     "projected_topk_embeddings",
     "embedding_dup_components",
+    "incremental_dedup_documents",
+    "source_overlap_documents",
+    "ngram_overlap_multi_documents",
+    "keep_best_documents",
 ]
 
 

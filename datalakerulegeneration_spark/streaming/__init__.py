@@ -26,7 +26,7 @@ from datalakerulegeneration_spark.streaming.rollup_stream import (  # noqa: F401
     hour_grain_stream,
     merge_hour_grain,
 )
-from datalakerulegeneration_spark.streaming.dedup_stream import (  # noqa: F401
+from datalakerulegeneration_spark.streaming.dedup_index_stream import (  # noqa: F401
     IncrementalDeduper,
     incremental_dedup_stream,
 )
