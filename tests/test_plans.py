@@ -251,3 +251,25 @@ def test_token_kl_windows_are_scale_safe(spark):
         # the per-group agg (keys [grp#..]) runs below the global window
         assert re.search(r"HashAggregate \(.*\n.*", below) or "HashAggregate" in below
         assert below.index("HashAggregate") < below.index("FileScan")
+
+
+def test_incremental_dedup_digest_keyed_joins(spark):
+    """Incremental dedup: the anti join and the keeper groupBy are both
+    keyed on the 32-char digest — document bodies never enter an
+    exchange, and the corpus side reduces to its digest index."""
+    p = _plan(_impl("incremental_dedup_documents")(spark, SF_DIR))
+    assert "md5(cast(text" in p
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text_digest" in ln or "_groupingexpression" in ln
+            assert not re.search(r"hashpartitioning\(text#", ln)
+    assert "LeftAnti" in p
+
+
+def test_source_overlap_inverted_index_join(spark):
+    """Cross-source overlap pairs up only co-occurring shingles via a
+    shingle-keyed join: no cartesian, per-source sizes broadcast."""
+    p = _plan(_impl("source_overlap_documents")(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # the #sources-row size frames
