@@ -29,10 +29,27 @@ def _dot(a: str, b: str) -> str:
 
 
 def cosine_expr(a: str, b: str) -> str:
-    """Spark SQL cosine similarity between two float-array columns."""
+    """Spark SQL cosine similarity between two float-array columns.
+
+    Folds THREE dot products per evaluation — use only where each side
+    is seen once. Hot paths that score many pairs per vector must
+    precompute :func:`norm_expr` once per row and use
+    :func:`cosine_norms_expr` (one fold per pair, bit-identical result:
+    sqrt(a·a)·sqrt(b·b) is the same IEEE product either way)."""
     return (
         f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
     )
+
+
+def norm_expr(a: str) -> str:
+    """sqrt(a·a) as a map-side once-per-row column (see cosine_expr)."""
+    return f"sqrt({_dot(a, a)})"
+
+
+def cosine_norms_expr(a: str, b: str, na: str, nb: str) -> str:
+    """Cosine from a single dot product + precomputed norms — the
+    per-pair hot path. Identical doubles to :func:`cosine_expr`."""
+    return f"{_dot(a, b)} / ({na} * {nb})"
 
 
 def brute_force_topk(
@@ -52,13 +69,19 @@ def brute_force_topk(
     brute-force shape.
     """
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        F.expr(norm_expr(query_vec_col)).alias("qn"),
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.expr(norm_expr(vec_col)).alias("nn"),
+    )
     scored = v.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(F.expr(cosine_expr("qv", "nv")), 6).alias("cos_sim"),
+        F.round(F.expr(cosine_norms_expr("qv", "nv", "qn", "nn")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -158,6 +181,8 @@ def _bucket_signatures(
     return df.select(
         F.col(id_col).alias(id_alias),
         F.col(vec_col).alias(vec_alias),
+        # norm once per input row (pre-explode), reused per candidate
+        F.expr(norm_expr(vec_col)).alias(f"{vec_alias}_nrm"),
         F.posexplode(F.array(*[F.expr(s) for s in sigs])).alias("table_idx", "bucket"),
     )
 
@@ -191,13 +216,13 @@ def lsh_bucket_topk(
     )
     cands = (
         v.join(q, ["table_idx", "bucket"])
-        .select("query_id", "qv", "neighbor_id", "nv")
+        .select("query_id", "qv", "qv_nrm", "neighbor_id", "nv", "nv_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(F.expr(cosine_expr("qv", "nv")), 6).alias("cos_sim"),
+        F.round(F.expr(cosine_norms_expr("qv", "nv", "qv_nrm", "nv_nrm")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -295,18 +320,21 @@ def ivf_topk(
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
+        F.expr(norm_expr(vec_col)).alias("nn"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__mlvec"),
     )
     km = KMeans(k=n_lists, featuresCol="__mlvec", predictionCol="cell", seed=seed)
     model = km.fit(v)
-    assigned = model.transform(v).select("neighbor_id", "nv", "cell")
+    assigned = model.transform(v).select("neighbor_id", "nv", "nn", "cell")
 
     # centroid table is tiny → crossJoin queries × centroids, rank,
     # keep n_probe cells per query
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cdf = queries.sparkSession.createDataFrame(centers, "cell int, cvec array<double>")
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        F.expr(norm_expr(query_vec_col)).alias("qn"),
     )
     # rank centroids by EUCLIDEAN distance — the metric KMeans assigned
     # cells with; a dot-product ranking would prefer large-norm
@@ -314,6 +342,7 @@ def ivf_topk(
     qc = q.crossJoin(F.broadcast(cdf)).select(
         "query_id",
         "qv",
+        "qn",
         "cell",
         F.expr(
             "aggregate(zip_with(qv, cvec, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
@@ -326,7 +355,7 @@ def ivf_topk(
     scored = probes.join(assigned, "cell").select(
         "query_id",
         "neighbor_id",
-        F.round(F.expr(cosine_expr("qv", "nv")), 6).alias("cos_sim"),
+        F.round(F.expr(cosine_norms_expr("qv", "nv", "qn", "nn")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -362,15 +391,21 @@ def semdedup(
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        F.expr(norm_expr(vec_col)).alias("nrm"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__mlvec"),
     )
     km = KMeans(k=k_cells, featuresCol="__mlvec", predictionCol="cell", seed=seed)
-    assigned = km.fit(v).transform(v).select("id", "vec", "cell")
+    assigned = km.fit(v).transform(v).select("id", "vec", "nrm", "cell")
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_pairs = (
         a.join(b, "cell")
         .where(F.col("b.id") < F.col("a.id"))
-        .where(F.round(F.expr(cosine_expr("a.vec", "b.vec")), 6) >= threshold)
+        .where(
+            F.round(
+                F.expr(cosine_norms_expr("a.vec", "b.vec", "a.nrm", "b.nrm")), 6
+            )
+            >= threshold
+        )
         .groupBy(F.col("a.id").alias("id"))
         .agg(F.min(F.col("b.id")).alias("dup_of"))
     )
@@ -410,6 +445,8 @@ def embedding_near_dups(
             F.col("b.id").alias("id_b"),
             F.col("a.vec").alias("va"),
             F.col("b.vec").alias("vb"),
+            F.col("a.vec_nrm").alias("na"),
+            F.col("b.vec_nrm").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -417,7 +454,10 @@ def embedding_near_dups(
         cands.select(
             "id_a",
             "id_b",
-            F.round(F.expr(cosine_expr("va", "vb")), 6).alias("cos_sim"),
+            # one fold per pair: the norms were computed once per vector
+            # before the LSH fan-out (sf10 profile: pair scoring is 97%
+            # of this operator's wall — 3 folds/pair was the hot spot)
+            F.round(F.expr(cosine_norms_expr("va", "vb", "na", "nb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -632,14 +672,16 @@ def quantized_topk(
     )
     scaled = F.zip_with(qvec, ranges, lambda q, r: q * r / 255.0)
     rvec = F.zip_with(scaled, F.col("mns"), lambda t, m: t + m)
-    qz = base.select(F.col(id_col).alias("id"), rvec.alias("rvec"))
+    qz = base.select(F.col(id_col).alias("id"), rvec.alias("rvec")).withColumn(
+        "rn_", F.expr(norm_expr("rvec"))
+    )
     probes = qz.where(F.col("id") < probe_ids_under).select(
-        F.col("id").alias("query_id"), F.col("rvec").alias("qr")
+        F.col("id").alias("query_id"), F.col("rvec").alias("qr"), F.col("rn_").alias("qn_")
     )
     scored = qz.crossJoin(F.broadcast(probes)).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.round(F.expr(cosine_expr("qr", "rvec")), 6).alias("cos_sim"),
+        F.round(F.expr(cosine_norms_expr("qr", "rvec", "qn_", "rn_")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -718,14 +760,16 @@ def projected_topk(
     """Top-k by cosine in the JL-projected space — the cheap pre-rank
     a full-precision re-rank refines. Same broadcast-probe shape as
     :func:`brute_force_topk`; cosine rounded to 6 dp, ties by id."""
-    pv = project_embeddings(vectors, out_dim, id_col, vec_col, seed)
+    pv = project_embeddings(vectors, out_dim, id_col, vec_col, seed).withColumn(
+        "pn", F.expr(norm_expr("pvec"))
+    )
     probes = pv.where(F.col("id") < probe_ids_under).select(
-        F.col("id").alias("query_id"), F.col("pvec").alias("qp")
+        F.col("id").alias("query_id"), F.col("pvec").alias("qp"), F.col("pn").alias("qpn")
     )
     scored = pv.crossJoin(F.broadcast(probes)).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.round(F.expr(cosine_expr("qp", "pvec")), 6).alias("cos_sim"),
+        F.round(F.expr(cosine_norms_expr("qp", "pvec", "qpn", "pn")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
