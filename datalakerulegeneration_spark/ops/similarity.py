@@ -434,30 +434,51 @@ def embedding_near_dups(
     (high thresholds collide with near-certainty under sign-LSH)."""
     dim = len(vectors.select(vec_col).first()[0])
     v = _bucket_signatures(vectors, "id", "vec", id_col, vec_col, dim, n_planes, n_tables)
-    a, b = v.alias("a"), v.alias("b")
-    # dedup candidate pairs BEFORE scoring: a pair colliding in several
-    # hash tables would otherwise be cosine-scored once per collision
-    cands = (
+    # candidate generation and dedup run NARROW (ids only): the
+    # multi-table bucket self-join fans a pair out once per shared
+    # bucket, and deduping those collisions while the rows still carry
+    # both 64-float vectors shuffles the candidate fan-out times the
+    # vector payload (sf10 profile: ~80M candidate rows × ~0.5 KB =
+    # a ~40 GB exchange that was 90% of the operator's wall). Dedup the
+    # 16-byte id pairs instead, then re-attach vectors by id.
+    sig = v.select("id", "table_idx", "bucket")
+    a, b = sig.alias("a"), sig.alias("b")
+    cand_ids = (
         a.join(b, ["table_idx", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-            F.col("a.vec_nrm").alias("na"),
-            F.col("b.vec_nrm").alias("nb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cands.select(
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vv"),
+        F.expr(norm_expr(vec_col)).alias("vn"),
+    )
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    # merge hints: the pair side can be arbitrarily large (dup-dense
+    # corpora reach 10M+ candidates — a hash build over it OOMs a
+    # task) and the vector side scales with the corpus (an
+    # estimate-blind broadcast OOMs the driver at 100 TB, the failure
+    # the sf10 runs keep finding) — keyed sort-merge is the one shape
+    # correct at every scale, same rationale as lsh_candidate_pairs
+    paired = (
+        cand_ids.join(va.hint("merge"), F.col("id_a") == F.col("va.vid"))
+        .join(vb.hint("merge"), F.col("id_b") == F.col("vb.vid"))
+        .select(
             "id_a",
             "id_b",
-            # one fold per pair: the norms were computed once per vector
-            # before the LSH fan-out (sf10 profile: pair scoring is 97%
-            # of this operator's wall — 3 folds/pair was the hot spot)
-            F.round(F.expr(cosine_norms_expr("va", "vb", "na", "nb")), 6).alias("cos_sim"),
+            F.col("va.vv").alias("xa"),
+            F.col("vb.vv").alias("xb"),
+            F.col("va.vn").alias("na"),
+            F.col("vb.vn").alias("nb"),
+        )
+    )
+    return (
+        paired.select(
+            "id_a",
+            "id_b",
+            # one fold per pair; norms precomputed once per vector
+            F.round(F.expr(cosine_norms_expr("xa", "xb", "na", "nb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
