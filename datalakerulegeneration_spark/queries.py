@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.catalog import load_sf_tables
-from datalakerulegeneration_spark.ops import curate, dedup, packing, sampling, similarity, textqa
+from datalakerulegeneration_spark.ops import curate, dedup, packing, sampling, similarity, sketch, textqa
 from datalakerulegeneration_spark.profiling import scalar_stats_long
 from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
 from datalakerulegeneration_spark.profiling.profiler import STOPWORDS, column_kind
@@ -2419,6 +2419,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_BOUNDS = (0.0, 500.0)  # pinned edges for the events.value monitor
 
 
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit (ops.sketch.cm_heavy_hitters): every
+    distinct event_type's sketch estimate next to its exact count —
+    proves est ≥ exact with bounded overcount on real data. The sketch
+    is O(depth×width) mergeable state (the 100 TB monitoring shape);
+    md5-derived hash rows make the whole thing oracle-exact."""
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return sketch.cm_heavy_hitters(ev, "event_type", depth=4, width=64)
+
+
 def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift monitor (ops.drift.psi_bins): PSI of
     events.value between two deterministic 'loads' (even vs odd
@@ -3439,6 +3449,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "clean_text_documents": (q_clean_text, Q_CLEAN_TEXT_ORACLE),
     "json_props_events": (q_json_props_events, Q_JSON_PROPS_ORACLE),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
+    "cm_heavy_hitters_events": (q_cm_heavy_hitters, sketch.cm_heavy_hitters_sql("events", "event_type", depth=4, width=64)),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),
     "wasserstein_events_value": (q_wasserstein_events_value, _wasserstein_oracle()),

@@ -1555,3 +1555,24 @@ def test_write_corpus_readback_partition_prunes(spark, sf_tables, tmp_path):
     assert len(pf) == 2 and "lang" in pf[1][:200]
     n_en = docs.where("lang = 'en'").count()
     assert back.count() == n_en
+
+
+def test_cm_sketch_estimate_contract_and_merge(spark, sf_tables, duck):
+    """CM sketch: oracle parity of the audit query; est ≥ exact for
+    every value; shard-built sketches merged in any order equal the
+    whole-table sketch (the mergeable-state contract)."""
+    from datalakerulegeneration_spark.ops import sketch
+
+    ev = sf_tables["events"]
+    hh = sketch.cm_heavy_hitters(ev, "event_type", depth=4, width=64)
+    _cmp(hh, duck, sketch.cm_heavy_hitters_sql("events", "event_type", depth=4, width=64))
+    rows = hh.collect()
+    assert rows and all(r["overcount"] >= 0 for r in rows)
+
+    whole = {(r["row"], r["bucket"]): r["n"]
+             for r in sketch.cm_sketch(ev, "event_type", 4, 64).collect()}
+    shards = [sketch.cm_sketch(ev.where(F.col("event_id") % 3 == i), "event_type", 4, 64)
+              for i in range(3)]
+    merged = {(r["row"], r["bucket"]): r["n"]
+              for r in sketch.cm_merge(shards[2], shards[0], shards[1]).collect()}
+    assert merged == whole
