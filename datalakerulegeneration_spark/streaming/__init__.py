@@ -30,3 +30,7 @@ from datalakerulegeneration_spark.streaming.dedup_index_stream import (  # noqa:
     IncrementalDeduper,
     incremental_dedup_stream,
 )
+from datalakerulegeneration_spark.streaming.sketch_stream import (  # noqa: F401
+    CMSketchMonitor,
+    sketch_stream,
+)

@@ -676,3 +676,35 @@ def test_incremental_dedup_stream_real_stream(spark, sf_tables, tmp_path):
     # one survivor row per distinct digest — the ordered micro-batches
     # admitted each digest exactly once
     assert dd.survivors().count() == len(exp)
+
+
+def test_cm_sketch_monitor_stream_equals_batch(spark, sf_tables, tmp_path):
+    """Sketch state folded in per micro-batch must equal the
+    whole-table batch sketch (mergeable-state contract on a REAL
+    availableNow stream), and estimates must dominate exact counts."""
+    from datalakerulegeneration_spark.ops.sketch import cm_sketch
+    from datalakerulegeneration_spark.streaming import sketch_stream
+
+    ev = sf_tables["events"].select("event_id", "event_type")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q, mon = sketch_stream(
+        spark, stream, str(tmp_path / "state"), "event_type",
+        depth=4, width=64, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {(r["row"], r["bucket"]): r["n"] for r in mon.sketch().collect()}
+    exp = {(r["row"], r["bucket"]): r["n"]
+           for r in cm_sketch(ev, "event_type", 4, 64).collect()}
+    assert got == exp
+    est = {r["value"]: r["est"] for r in mon.estimate(ev).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert est.keys() == exact.keys()
+    assert all(est[v] >= exact[v] for v in exact)
