@@ -1155,3 +1155,101 @@ SELECT ov.id, ov.eval_set,
        round(CAST(ov.n_overlap AS DOUBLE) / CAST(tot.n_grams AS DOUBLE), 6) >= {threshold!r} AS contaminated
 FROM ov JOIN tot ON ov.id = tot.id
 """
+
+
+def corpus_report(df: DataFrame, id_col: str, text_col: str, group_col: str) -> DataFrame:
+    """Dataset report card: the corpus-level numbers a data sheet leads
+    with, as ``(metric, value)`` rows — n_docs, n_null_text,
+    total_tokens, total_chars, n_sources, mean_quality, mean_doc_tokens,
+    dup_doc_ratio (fraction of docs whose text also appears under
+    another id), distinct_text_ratio.
+
+    TWO scans: one wide aggregation folds every per-document statistic
+    (token counts and quality ride the same pass as expressions), and
+    one digest-grain aggregation computes the duplication numbers
+    (md5-keyed, bodies never shuffle — same contract as exact_dedup).
+    All ratios are exact integer arithmetic rounded to 6 dp.
+    """
+    t = F.col(text_col)
+    toks = ntokens_col(text_col)
+    wide = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(t.isNull().cast("bigint")).alias("n_null_text"),
+        F.sum(F.coalesce(toks, F.lit(0))).alias("total_tokens"),
+        F.sum(F.coalesce(F.length(t).cast("bigint"), F.lit(0))).alias("total_chars"),
+        F.countDistinct(F.col(group_col)).alias("n_sources"),
+        F.avg(quality_col(text_col)).alias("mean_quality"),
+    )
+    digests = (
+        df.where(t.isNotNull())
+        .groupBy(F.md5(t.cast("binary")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_texts"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("n_dup_docs"),
+            F.sum("c").alias("n_text_docs"),
+        )
+    )
+    j = wide.crossJoin(F.broadcast(digests))
+    metrics = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_null_text", F.col("n_null_text").cast("double")),
+        ("total_tokens", F.col("total_tokens").cast("double")),
+        ("total_chars", F.col("total_chars").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("mean_quality", F.round(F.col("mean_quality"), 6)),
+        (
+            "mean_doc_tokens",
+            F.round(F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"), 6),
+        ),
+        (
+            "dup_doc_ratio",
+            F.round(F.col("n_dup_docs").cast("double") / F.col("n_text_docs").cast("double"), 6),
+        ),
+        (
+            "distinct_text_ratio",
+            F.round(
+                F.col("n_distinct_texts").cast("double") / F.col("n_text_docs").cast("double"), 6
+            ),
+        ),
+    ]
+    stacked = ", ".join(f"'{name}', {name}" for name, _ in metrics)
+    out = j.select(*[expr.alias(name) for name, expr in metrics])
+    return out.selectExpr(f"stack({len(metrics)}, {stacked}) as (metric, value)")
+
+
+def corpus_report_sql(table: str, id_col: str, text_col: str, group_col: str) -> str:
+    """DuckDB oracle for :func:`corpus_report`."""
+    t = text_col
+    ntok = ntokens_sql_expr(text_col)
+    q = quality_sql_expr(text_col)
+    return f"""
+WITH wide AS (
+  SELECT count(*) AS n_docs,
+         sum(CASE WHEN {t} IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+         sum(COALESCE({ntok}, 0)) AS total_tokens,
+         sum(COALESCE(CAST(length({t}) AS BIGINT), 0)) AS total_chars,
+         count(DISTINCT {group_col}) AS n_sources,
+         avg({q}) AS mean_quality
+  FROM {table}
+),
+dg AS (
+  SELECT count(*) AS n_distinct_texts,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs,
+         sum(c) AS n_text_docs
+  FROM (SELECT md5({t}) AS d, count(*) AS c FROM {table}
+        WHERE {t} IS NOT NULL GROUP BY md5({t}))
+)
+SELECT metric, value FROM (
+  SELECT unnest(['n_docs', 'n_null_text', 'total_tokens', 'total_chars',
+                 'n_sources', 'mean_quality', 'mean_doc_tokens',
+                 'dup_doc_ratio', 'distinct_text_ratio']) AS metric,
+         unnest([CAST(n_docs AS DOUBLE), CAST(n_null_text AS DOUBLE),
+                 CAST(total_tokens AS DOUBLE), CAST(total_chars AS DOUBLE),
+                 CAST(n_sources AS DOUBLE), round(mean_quality, 6),
+                 round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6),
+                 round(CAST(n_dup_docs AS DOUBLE) / CAST(n_text_docs AS DOUBLE), 6),
+                 round(CAST(n_distinct_texts AS DOUBLE) / CAST(n_text_docs AS DOUBLE), 6)]) AS value
+  FROM wide, dg
+)
+"""

@@ -1953,6 +1953,15 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.group_mix(docs, "source", "n_chars")
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset report card (ops.textqa.corpus_report): the data-sheet
+    headline numbers — docs, tokens, chars, sources, mean quality,
+    duplication ratios — in TWO scans (one wide agg + one digest-grain
+    agg; bodies never shuffle)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.corpus_report(docs, "doc_id", "text", "source")
+
+
 def q_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture divergence report (ops.textqa.token_kl_by_group):
     KL(source ‖ corpus) over the token distribution, one text scan —
@@ -3415,6 +3424,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
     "source_mix_documents": (q_source_mix, sampling.group_mix_sql("documents", "source", "n_chars")),
     "token_kl_by_source_documents": (q_token_kl_by_source, textqa.token_kl_by_group_sql("documents", "source", "text")),
+    "corpus_report_documents": (q_corpus_report, textqa.corpus_report_sql("documents", "doc_id", "text", "source")),
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),
     "curate_corpus_documents": (q_curate_corpus, curate.curate_corpus_sql("documents")),
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),

@@ -1576,3 +1576,17 @@ def test_cm_sketch_estimate_contract_and_merge(spark, sf_tables, duck):
     merged = {(r["row"], r["bucket"]): r["n"]
               for r in sketch.cm_merge(shards[2], shards[0], shards[1]).collect()}
     assert merged == whole
+
+
+def test_corpus_report_matches_and_semantics(sf_tables, duck, spark):
+    rep = textqa.corpus_report(sf_tables["documents"], "doc_id", "text", "source")
+    _cmp(rep, duck, textqa.corpus_report_sql("documents", "doc_id", "text", "source"))
+    # semantics on a constructed corpus: 4 docs, one dup pair, one null
+    rows = [(1, "a", "x y z"), (2, "a", "x y z"), (3, "b", "p q"), (4, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    m = {r["metric"]: r["value"] for r in
+         textqa.corpus_report(df, "doc_id", "text", "source").collect()}
+    assert m["n_docs"] == 4.0 and m["n_null_text"] == 1.0
+    assert m["total_tokens"] == 8.0 and m["n_sources"] == 2.0
+    assert m["dup_doc_ratio"] == round(2 / 3, 6)       # 2 of 3 texted docs are dups
+    assert m["distinct_text_ratio"] == round(2 / 3, 6)  # 2 distinct texts over 3
