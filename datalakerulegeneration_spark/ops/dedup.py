@@ -831,7 +831,13 @@ def source_overlap_matrix(
     at that grain — then a SHINGLE-keyed self-join (inverted index:
     only co-occurring shingles pair up) aggregated to group pairs, and
     a broadcast of the #groups-row per-group set sizes. The corpus
-    never moves; the shuffle carries (group, shingle) once."""
+    never moves; the shuffle carries (group, shingle) once. The
+    self-join emits up to S² rows per shingle shared by S groups, so
+    the operator targets dataset-level audits (tens to hundreds of
+    sources); at thousands of groups sharing boilerplate shingles,
+    estimate the same matrix from MinHash signatures per group
+    instead (minhash_signatures over group-concatenated shingle
+    sets)."""
     gs = (
         shingles(df.select(F.col(group_col).alias("grp"), F.col(text_col)), "grp", text_col, n=n)
         .select(F.col("id").alias("grp"), "shingle")

@@ -56,17 +56,22 @@ class IncrementalDeduper:
         surv = incremental_dedup_against_index(
             batch, self._index(), self.id_col, self.text_col
         )
-        # survivors land first: if the job dies between the two writes,
-        # the next batch re-admits at most the unindexed survivors
-        # (duplicate rows in `survivors`, recoverable by re-running
-        # exact dedup over it) rather than silently DROPPING documents
-        # whose digests were indexed but whose rows were never written.
-        surv.write.mode("append").parquet(self.out_path)
-        # re-read what was actually persisted so the index append is
-        # derived from the surviving rows on disk, not a recomputation
-        self.spark.read.parquet(self.out_path).select("text_digest").distinct().join(
-            self._index(), "text_digest", "left_anti"
-        ).write.mode("append").parquet(self.index_path)
+        # stage THIS batch's survivors once, then derive both appends
+        # from the staged parquet: (1) the two destinations stay
+        # consistent with what was actually persisted rather than two
+        # recomputations of a lazy plan, and (2) per-batch work stays
+        # O(batch) — deriving digests from the full survivors dir would
+        # re-scan the entire admitted history every micro-batch.
+        staging = os.path.join(os.path.dirname(self.out_path), f".staging_{batch_id}")
+        surv.write.mode("overwrite").parquet(staging)
+        staged = self.spark.read.parquet(staging)
+        # survivors land before digests: if the job dies between the
+        # writes, the next run re-admits at most this batch's unindexed
+        # survivors (duplicate rows, recoverable by re-deduping the
+        # output) rather than silently DROPPING documents whose digests
+        # were indexed but whose rows were never written.
+        staged.write.mode("append").parquet(self.out_path)
+        staged.select("text_digest").write.mode("append").parquet(self.index_path)
 
     # -- views -------------------------------------------------------------
 
