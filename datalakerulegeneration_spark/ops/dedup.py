@@ -893,3 +893,139 @@ FROM shared
 JOIN sizes sa ON shared.group_a = sa.grp
 JOIN sizes sb ON shared.group_b = sb.grp
 """
+
+
+def dedup_agreement(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    minhash_threshold: float = 0.2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Agreement matrix between the three dedup families — for every
+    method pair, the Jaccard overlap of their detected duplicate-pair
+    sets: ``(method_a, method_b, n_a, n_b, n_shared, jaccard)``. This
+    is the calibration audit run before choosing a family for a new
+    corpus ("does simhash at hamming ≤3 find what minhash at 0.2
+    finds?").
+
+    Each family's pair set is computed with its own scale shape
+    (digest equi-join / banded LSH / bit-banding); the matrix itself
+    is arithmetic over pair-set frames keyed by (id_a, id_b) — the
+    method-pair intersection join is keyed on the pair, the 3-row size
+    frame broadcasts.
+    """
+    dig = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col).cast("binary")).alias("d")
+    )
+    da, db = dig.alias("da"), dig.alias("db")
+    exact = (
+        da.join(db, "d")
+        .where(F.col("da.id") < F.col("db.id"))
+        .select(F.col("da.id").alias("id_a"), F.col("db.id").alias("id_b"))
+    )
+    mh = minhash_dedup(df, id_col, text_col, threshold=minhash_threshold).select(
+        "id_a", "id_b"
+    )
+    sh = simhash_near_dups(simhash(df, id_col, text_col), max_hamming).select(
+        "id_a", "id_b"
+    )
+    tagged = (
+        exact.select(F.lit("exact").alias("method"), "id_a", "id_b")
+        .unionByName(mh.select(F.lit("minhash").alias("method"), "id_a", "id_b"))
+        .unionByName(sh.select(F.lit("simhash").alias("method"), "id_a", "id_b"))
+    )
+    # static method list so a family that found ZERO pairs still shows
+    # up with n=0 — the audit's most decisive row
+    methods = df.sparkSession.createDataFrame(
+        [("exact",), ("minhash",), ("simhash",)], "method string"
+    )
+    sizes = methods.join(
+        tagged.groupBy("method").agg(F.count(F.lit(1)).alias("n")), "method", "left"
+    ).select("method", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    ta, tb = tagged.alias("ta"), tagged.alias("tb")
+    inter = (
+        ta.join(tb, ["id_a", "id_b"])
+        .where(F.col("ta.method") < F.col("tb.method"))
+        .groupBy(
+            F.col("ta.method").alias("method_a"), F.col("tb.method").alias("method_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("method").alias("method_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("method").alias("method_b"), F.col("n").alias("n_b"))
+    pairs = (
+        sa.crossJoin(sb)
+        .where(F.col("method_a") < F.col("method_b"))
+        .join(inter, ["method_a", "method_b"], "left")
+    )
+    ns = F.coalesce(F.col("n_shared"), F.lit(0))
+    return pairs.select(
+        "method_a",
+        "method_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        ns.cast("bigint").alias("n_shared"),
+        F.round(
+            ns.cast("double")
+            / F.nullif((F.col("n_a") + F.col("n_b") - ns).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def dedup_agreement_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    minhash_threshold: float = 0.2,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`dedup_agreement` (bands: 4×8-bit, the
+    simhash_near_dups default)."""
+    mh = minhash_dedup_sql(table, id_col, text_col, threshold=minhash_threshold).strip()
+    sh = simhash_sql(table, id_col, text_col).strip()
+    return f"""
+WITH exact_pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM {table} a JOIN {table} b
+    ON md5(a.{text_col}) = md5(b.{text_col}) AND a.{id_col} < b.{id_col}
+  WHERE a.{text_col} IS NOT NULL AND b.{text_col} IS NOT NULL
+),
+mh_pairs AS (SELECT id_a, id_b FROM ({mh})),
+sh_fp AS ({sh}),
+sh_long AS (
+  SELECT id, simhash, g.b AS band, (simhash >> (8 * g.b)) & 255 AS bv
+  FROM sh_fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) g
+),
+sh_pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh_long a JOIN sh_long b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+),
+tagged AS (
+  SELECT 'exact' AS method, id_a, id_b FROM exact_pairs
+  UNION ALL SELECT 'minhash', id_a, id_b FROM mh_pairs
+  UNION ALL SELECT 'simhash', id_a, id_b FROM sh_pairs
+),
+sizes AS (
+  SELECT m.method, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM (SELECT unnest(['exact', 'minhash', 'simhash']) AS method) m
+  LEFT JOIN (SELECT method, count(*) AS n FROM tagged GROUP BY method) c
+    ON m.method = c.method
+),
+inter AS (
+  SELECT ta.method AS method_a, tb.method AS method_b, count(*) AS n_shared
+  FROM tagged ta JOIN tagged tb
+    ON ta.id_a = tb.id_a AND ta.id_b = tb.id_b AND ta.method < tb.method
+  GROUP BY 1, 2
+)
+SELECT sa.method AS method_a, sb.method AS method_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+       round(CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+             / nullif(CAST(sa.n + sb.n - COALESCE(i.n_shared, 0) AS DOUBLE), 0.0), 6) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.method < sb.method
+LEFT JOIN inter i ON i.method_a = sa.method AND i.method_b = sb.method
+"""

@@ -1107,6 +1107,15 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_components(pairs)
 
 
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family calibration audit (ops.dedup.dedup_agreement):
+    Jaccard overlap of the exact / MinHash / SimHash duplicate-pair
+    sets — run before picking a family for a new corpus. Each family
+    keeps its own scale shape; the matrix is pair-keyed arithmetic."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.dedup_agreement(docs, "doc_id", "text", minhash_threshold=0.2, max_hamming=3)
+
+
 def q_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup collapse policy (ops.dedup.keep_best_exemplar): MinHash
     dup components keep their HIGHEST-QUALITY member, not an arbitrary
@@ -3377,6 +3386,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_dup_components": (q_embedding_dup_components, dedup.dup_components_sql(
         similarity.embedding_near_dups_sql("embeddings", 0.45, dim=64, n_planes=4, n_tables=8)
     )),
+    "dedup_agreement_documents": (q_dedup_agreement, dedup.dedup_agreement_sql("documents", "doc_id", "text", minhash_threshold=0.2, max_hamming=3)),
     "keep_best_documents": (q_keep_best_documents, dedup.keep_best_exemplar_sql(
         dedup.dup_components_sql(
             dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)

@@ -1590,3 +1590,22 @@ def test_corpus_report_matches_and_semantics(sf_tables, duck, spark):
     assert m["total_tokens"] == 8.0 and m["n_sources"] == 2.0
     assert m["dup_doc_ratio"] == round(2 / 3, 6)       # 2 of 3 texted docs are dups
     assert m["distinct_text_ratio"] == round(2 / 3, 6)  # 2 distinct texts over 3
+
+
+def test_dedup_agreement_matches_and_semantics(sf_tables, duck, spark):
+    out = dedup.dedup_agreement(sf_tables["documents"], "doc_id", "text")
+    _cmp(out, duck, dedup.dedup_agreement_sql("documents", "doc_id", "text"))
+    rows = {(r["method_a"], r["method_b"]): r for r in out.collect()}
+    assert set(rows) == {("exact", "minhash"), ("exact", "simhash"), ("minhash", "simhash")}
+    # constructed corpus: 2 exact copies + 1 unrelated → every family
+    # must at least agree on the exact pair, so all jaccards defined
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    m = {(r["method_a"], r["method_b"]): r for r in
+         dedup.dedup_agreement(df, "doc_id", "text").collect()}
+    em = m[("exact", "minhash")]
+    assert em["n_a"] == 1 and em["n_shared"] == 1 and em["jaccard"] == 1.0
