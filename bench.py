@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "source_overlap_documents",
     "ngram_overlap_multi_documents",
     "keep_best_documents",
+    "corpus_report_documents",
+    "cm_heavy_hitters_events",
 ]
 
 

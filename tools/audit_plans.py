@@ -97,6 +97,8 @@ ALLOW: dict[str, dict[str, str]] = {
     "eval_correction_orders": {"bnlj": "1-row detection/correction scalar scores broadcast"},
     "q11_important_parts": {"bnlj": "1-row value-total scalar (the HAVING fraction) broadcast — TPC-H spec"},
     "q22_idle_customers": {"bnlj": "1-row avg(acctbal) scalar broadcast — TPC-H spec"},
+    "dedup_agreement_documents": {"cartesian": "3-row method-size frames crossed (3x3 matrix grain)"},
+    "corpus_report_documents": {"bnlj": "1-row digest-aggregate frame broadcast onto the 1-row wide agg"},
 }
 
 
