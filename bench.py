@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "keep_best_documents",
     "corpus_report_documents",
     "cm_heavy_hitters_events",
+    "span_dedup_documents",
 ]
 
 

@@ -1029,3 +1029,128 @@ FROM sizes sa
 JOIN sizes sb ON sa.method < sb.method
 LEFT JOIN inter i ON i.method_a = sa.method AND i.method_b = sb.method
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span removal (ExactSubstr at n-gram resolution)
+# ---------------------------------------------------------------------------
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN removal — the ExactSubstr idea
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22) at word-``w``-gram resolution: any ``w``-token
+    span whose text occurs at least ``min_count`` times ANYWHERE in
+    the corpus (other documents or repeats within the same document)
+    is excised from every document; surviving tokens are rejoined in
+    original order. Unlike whole-doc dedup (exact/minhash) this
+    removes the duplicated PASSAGE while keeping the unique remainder
+    of each document. Returns ``(id, n_tokens, n_kept,
+    cleaned_text)`` — tokens lowercased (the dedup families share the
+    lowercase tokenizer). Documents shorter than ``w`` tokens have no
+    spans and survive whole; documents with no tokens drop (no rows
+    to rebuild from), matching the oracle.
+
+    100 TB shape: gram instances shuffle as 60-bit md5 hashes only
+    (never gram text); the duplicated-gram set is the inverted-index
+    side of a MERGE join (estimate-blind broadcast of an
+    under-estimated explode subtree is the failure mode the sf10
+    audit caught on line_dedup — same hint here); coverage expansion
+    fans out only duplicated spans (×w); the keep/drop tag is a
+    corpus-scale (id, pos) merge join; reassembly is one per-doc
+    aggregation. No window functions, no all-pairs anything.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    )
+    grams = (
+        base.where(F.size("toks") >= w)
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {w - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {w})))"
+                )
+            ).alias("gpos", "gram"),
+        )
+        .select("id", "gpos", F.expr(_hash64("gram")).alias("h"))
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup_h.hint("merge"), "h")
+        .select("id", F.explode(F.expr(f"sequence(gpos, gpos + {w - 1})")).alias("tpos"))
+        .distinct()
+    )
+    tokens = base.select("id", F.posexplode("toks").alias("tpos", "tok"))
+    tagged = tokens.join(
+        covered.withColumn("cov", F.lit(1)).hint("merge"), ["id", "tpos"], "left"
+    )
+    kept_struct = F.when(
+        F.col("cov").isNull(), F.struct(F.col("tpos"), F.col("tok"))
+    )
+    return tagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count(kept_struct).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+def span_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    w: int = 5,
+    min_count: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`span_dedup` (same tokenizer, same
+    md5-derived gram hash, same coverage semantics)."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+tok AS (
+  SELECT id, i - 1 AS tpos, toks[i] AS tok
+  FROM (SELECT id, toks, unnest(generate_series(1, len(toks))) AS i FROM base)
+),
+grams AS (
+  SELECT id, i - 1 AS gpos,
+         ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {w - 1}), ' ')), 1, 15))::BIGINT AS h
+  FROM (SELECT id, toks, unnest(generate_series(1, len(toks) - {w - 1})) AS i
+        FROM base WHERE len(toks) >= {w})
+),
+dup_h AS (
+  SELECT h FROM (SELECT h, count(*) AS n_occ FROM grams GROUP BY h)
+  WHERE n_occ >= {min_count}
+),
+cov AS (
+  SELECT DISTINCT id, gpos + d AS tpos
+  FROM (SELECT g.id, g.gpos FROM grams g JOIN dup_h USING (h)),
+       LATERAL (SELECT unnest(generate_series(0, {w - 1})) AS d)
+)
+SELECT t.id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN c.tpos IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN c.tpos IS NULL THEN t.tok END,
+                           ' ' ORDER BY t.tpos), '') AS cleaned_text
+FROM tok t LEFT JOIN cov c ON t.id = c.id AND t.tpos = c.tpos
+GROUP BY t.id
+"""

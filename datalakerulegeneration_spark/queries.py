@@ -1087,6 +1087,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, "doc_id", "text")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span removal (ops.dedup.span_dedup): any 5-token span
+    occurring ≥2 times in the corpus is excised from every document;
+    unique remainders survive (ExactSubstr at n-gram grain)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.span_dedup(docs, "doc_id", "text", w=5, min_count=2)
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.ngram_jaccard_dedup(docs, "doc_id", "text", threshold=0.2)
@@ -3377,6 +3385,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hybrid_search_documents": (q_hybrid_search_documents, _hybrid_oracle()),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
+    "span_dedup_documents": (q_span_dedup, dedup.span_dedup_sql("documents", "doc_id", "text", w=5, min_count=2)),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),
     "dedup_minhash_documents": (q_dedup_minhash, dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)),
     "simhash_documents": (q_simhash, dedup.simhash_sql("documents", "doc_id", "text")),

@@ -18,6 +18,33 @@ def test_exact_dedup_matches(sf_tables, duck):
     _cmp(df, duck, dedup.exact_dedup_sql("documents", "doc_id", "text"))
 
 
+def test_span_dedup_matches(sf_tables, duck):
+    df = dedup.span_dedup(sf_tables["documents"], "doc_id", "text", w=5, min_count=2)
+    _cmp(df, duck, dedup.span_dedup_sql("documents", "doc_id", "text", w=5, min_count=2))
+
+
+def test_span_dedup_semantics(spark):
+    """Planted shared passage is excised from BOTH docs; unique
+    remainders survive; a short doc (< w tokens) survives whole."""
+    boiler = "all rights reserved by the original publisher here"  # 8 tokens
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon"),
+        (2, f"{boiler} zeta eta theta iota kappa"),
+        (3, "unique words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.span_dedup(df, "doc_id", "text", w=5).collect()}
+    # every token of the 8-token boiler sits in a duplicated 5-gram
+    for tok in boiler.split():
+        assert tok not in out[1]["cleaned_text"].split()
+        assert tok not in out[2]["cleaned_text"].split()
+    assert out[1]["cleaned_text"] == "alpha beta gamma delta epsilon"
+    assert out[2]["cleaned_text"] == "zeta eta theta iota kappa"
+    assert out[3]["cleaned_text"] == "unique words only"
+    assert out[1]["n_tokens"] == 13 and out[1]["n_kept"] == 5
+    assert out[3]["n_tokens"] == out[3]["n_kept"] == 3
+
+
 def test_shingles_match(sf_tables, duck):
     sh = dedup.shingles(sf_tables["documents"].limit(50), "doc_id", "text")
     sql = dedup.shingles_sql("(SELECT * FROM documents WHERE doc_id < 50)", "doc_id", "text")
