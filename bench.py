@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "corpus_report_documents",
     "cm_heavy_hitters_events",
     "span_dedup_documents",
+    "bloom_decontaminate_documents",
 ]
 
 

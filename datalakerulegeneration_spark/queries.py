@@ -2455,6 +2455,43 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cm_heavy_hitters(ev, "event_type", depth=4, width=64)
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit (ops.bloom.bloom_decontaminate):
+    membership of every corpus fingerprint against an m-bit Bloom
+    filter built over the eval set's fingerprints (stand-in: every
+    37th doc), paired with the exact anti-join verdict — the rows
+    where they disagree ARE the filter's false positives. The filter
+    is O(m) mergeable state however large the eval set grows, and the
+    corpus side never shuffles (map-side probe against a broadcast
+    ≤ m/32-row table); md5-derived probes make the packed bit words —
+    and therefore every verdict — oracle-exact."""
+    from datalakerulegeneration_spark.ops import bloom
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = textqa.fingerprint(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "fingerprint"
+    )
+    ref = fp.where(F.col("doc_id") % 37 == 0)
+    return bloom.bloom_decontaminate(fp, ref, "doc_id", "fingerprint", m=4096, k=5)
+
+
+def _bloom_decontaminate_oracle() -> str:
+    from datalakerulegeneration_spark.ops import bloom
+
+    fpsql = (
+        f"SELECT doc_id, {textqa.fingerprint_sql_expr('text')} AS fingerprint"
+        " FROM documents"
+    )
+    return bloom.bloom_decontaminate_sql(
+        fpsql,
+        f"SELECT * FROM ({fpsql}) WHERE doc_id % 37 = 0",
+        "doc_id",
+        "fingerprint",
+        m=4096,
+        k=5,
+    )
+
+
 def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift monitor (ops.drift.psi_bins): PSI of
     events.value between two deterministic 'loads' (even vs odd
@@ -3479,6 +3516,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "json_props_events": (q_json_props_events, Q_JSON_PROPS_ORACLE),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
     "cm_heavy_hitters_events": (q_cm_heavy_hitters, sketch.cm_heavy_hitters_sql("events", "event_type", depth=4, width=64)),
+    "bloom_decontaminate_documents": (q_bloom_decontaminate, _bloom_decontaminate_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),
     "wasserstein_events_value": (q_wasserstein_events_value, _wasserstein_oracle()),

@@ -1605,6 +1605,45 @@ def test_cm_sketch_estimate_contract_and_merge(spark, sf_tables, duck):
     assert merged == whole
 
 
+def test_bloom_decontaminate_matches_and_contract(spark, sf_tables, duck):
+    """Bloom filter: oracle parity of the registered audit query; NO
+    false negatives ever (exact_hit ⇒ bloom_hit); a deliberately tiny
+    filter (m=64) over a larger reference set DOES false-positive, and
+    shard-built filters merged in any order equal the whole-set filter
+    (the mergeable-state contract)."""
+    from datalakerulegeneration_spark.ops import bloom
+    from datalakerulegeneration_spark.queries import (
+        _bloom_decontaminate_oracle,
+        q_bloom_decontaminate,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q_bloom_decontaminate(spark, SF_DIR)
+    _cmp(out, duck, _bloom_decontaminate_oracle())
+    rows = out.collect()
+    assert rows and not any(r["exact_hit"] and not r["bloom_hit"] for r in rows)
+
+    # undersized filter: 64 bits, ~40 distinct 2-char keys inserted →
+    # saturated words, so non-members MUST collide somewhere
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(40)], "id long, key string"
+    )
+    probes = spark.createDataFrame(
+        [(1000 + i, f"miss{i}") for i in range(60)], "id long, key string"
+    )
+    v = bloom.bloom_decontaminate(probes, df, "id", "key", m=64, k=2).collect()
+    assert all(not r["exact_hit"] for r in v)
+    assert any(r["bloom_hit"] for r in v)  # false positives demonstrated
+
+    whole = {r["word"]: r["bits"]
+             for r in bloom.bloom_build(df, "key", m=512, k=3).collect()}
+    shards = [bloom.bloom_build(df.where(F.col("id") % 3 == i), "key", m=512, k=3)
+              for i in range(3)]
+    merged = {r["word"]: r["bits"]
+              for r in bloom.bloom_merge(shards[2], shards[0], shards[1]).collect()}
+    assert merged == whole
+
+
 def test_corpus_report_matches_and_semantics(sf_tables, duck, spark):
     rep = textqa.corpus_report(sf_tables["documents"], "doc_id", "text", "source")
     _cmp(rep, duck, textqa.corpus_report_sql("documents", "doc_id", "text", "source"))
