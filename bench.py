@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "cm_heavy_hitters_events",
     "span_dedup_documents",
     "bloom_decontaminate_documents",
+    "hll_distinct_users_events",
 ]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.catalog import load_sf_tables
-from datalakerulegeneration_spark.ops import curate, dedup, packing, sampling, similarity, sketch, textqa
+from datalakerulegeneration_spark.ops import curate, dedup, hll, packing, sampling, similarity, sketch, textqa
 from datalakerulegeneration_spark.profiling import scalar_stats_long
 from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
 from datalakerulegeneration_spark.profiling.profiler import STOPWORDS, column_kind
@@ -2492,6 +2492,19 @@ def _bloom_decontaminate_oracle() -> str:
     )
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog audit (ops.hll.hll_distinct_audit): per event_type,
+    the HLL estimate of distinct user_ids next to the exact distinct
+    count — proves the ~1.04/√m error contract on real data. The
+    sketch is m=256 registers of mergeable state (register-wise MAX
+    folds per-load partials in any order — the 100 TB distinct-count
+    monitoring shape Spark's own approx_count_distinct can't persist);
+    md5-derived routing + an exact-integer rho chain make the register
+    table — and so the estimate — oracle-exact."""
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return hll.hll_distinct_audit(ev, "user_id", "event_type", m=256)
+
+
 def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift monitor (ops.drift.psi_bins): PSI of
     events.value between two deterministic 'loads' (even vs odd
@@ -3517,6 +3530,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
     "cm_heavy_hitters_events": (q_cm_heavy_hitters, sketch.cm_heavy_hitters_sql("events", "event_type", depth=4, width=64)),
     "bloom_decontaminate_documents": (q_bloom_decontaminate, _bloom_decontaminate_oracle()),
+    "hll_distinct_users_events": (q_hll_distinct_users, hll.hll_distinct_audit_sql("events", "user_id", "event_type", m=256)),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),
     "wasserstein_events_value": (q_wasserstein_events_value, _wasserstein_oracle()),

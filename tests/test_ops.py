@@ -1644,6 +1644,28 @@ def test_bloom_decontaminate_matches_and_contract(spark, sf_tables, duck):
     assert merged == whole
 
 
+def test_hll_audit_matches_and_merge(spark, sf_tables, duck):
+    """HLL: oracle parity of the registered audit; estimate within a
+    generous multiple of the theoretical 1.04/√m error on every group;
+    shard-built sketches merged in any order equal the whole-table
+    sketch (the mergeable-state contract)."""
+    from datalakerulegeneration_spark.ops import hll
+
+    ev = sf_tables["events"]
+    audit = hll.hll_distinct_audit(ev, "user_id", "event_type", m=256)
+    _cmp(audit, duck, hll.hll_distinct_audit_sql("events", "user_id", "event_type", m=256))
+    rows = audit.collect()
+    assert rows and all(abs(r["rel_err"]) < 5 * 1.04 / 16 for r in rows)
+
+    whole = {(r["register"],): r["rho"]
+             for r in hll.hll_sketch(ev, "user_id", 64).collect()}
+    shards = [hll.hll_sketch(ev.where(F.col("event_id") % 3 == i), "user_id", 64)
+              for i in range(3)]
+    merged = {(r["register"],): r["rho"]
+              for r in hll.hll_merge(shards[2], shards[0], shards[1]).collect()}
+    assert merged == whole
+
+
 def test_corpus_report_matches_and_semantics(sf_tables, duck, spark):
     rep = textqa.corpus_report(sf_tables["documents"], "doc_id", "text", "source")
     _cmp(rep, duck, textqa.corpus_report_sql("documents", "doc_id", "text", "source"))
