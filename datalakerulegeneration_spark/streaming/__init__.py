@@ -32,5 +32,7 @@ from datalakerulegeneration_spark.streaming.dedup_index_stream import (  # noqa:
 )
 from datalakerulegeneration_spark.streaming.sketch_stream import (  # noqa: F401
     CMSketchMonitor,
+    HLLMonitor,
+    hll_stream,
     sketch_stream,
 )

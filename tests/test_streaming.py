@@ -678,6 +678,39 @@ def test_incremental_dedup_stream_real_stream(spark, sf_tables, tmp_path):
     assert dd.survivors().count() == len(exp)
 
 
+def test_hll_monitor_stream_equals_batch(spark, sf_tables, tmp_path):
+    """HLL state folded in per micro-batch must equal the whole-table
+    batch sketch (register-wise-MAX mergeable contract on a REAL
+    availableNow stream), so the streaming estimate IS the batch
+    estimate."""
+    from datalakerulegeneration_spark.ops.hll import hll_estimate, hll_sketch
+    from datalakerulegeneration_spark.streaming import hll_stream
+
+    ev = sf_tables["events"].select("event_id", "event_type", "user_id")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q, mon = hll_stream(
+        spark, stream, str(tmp_path / "state"), "user_id",
+        m=256, group_cols=["event_type"], checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {(r["event_type"], r["register"]): r["rho"] for r in mon.sketch().collect()}
+    exp = {(r["event_type"], r["register"]): r["rho"]
+           for r in hll_sketch(ev, "user_id", 256, ["event_type"]).collect()}
+    assert got == exp and len(got) > 0
+    est_stream = {r["event_type"]: r["est"] for r in mon.estimate().collect()}
+    est_batch = {r["event_type"]: r["est"]
+                 for r in hll_estimate(hll_sketch(ev, "user_id", 256, ["event_type"]),
+                                       256, ["event_type"]).collect()}
+    assert est_stream == est_batch
+
+
 def test_cm_sketch_monitor_stream_equals_batch(spark, sf_tables, tmp_path):
     """Sketch state folded in per micro-batch must equal the
     whole-table batch sketch (mergeable-state contract on a REAL
