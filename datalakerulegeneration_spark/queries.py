@@ -3561,8 +3561,12 @@ _GATE_HEAD = [
     "profile_customer",
     "profile_events",
     "profile_documents",
-    "profile_part",
-    "profile_supplier",
+    # profile_part / profile_supplier / simhash ceded their head slots
+    # to the three newest r4 ops (span dedup, Bloom, HLL) so those get
+    # driver-side rows this round; each family keeps representatives
+    # in the head and the replica gate still runs all of them.
+    "span_dedup_documents",
+    "bloom_decontaminate_documents",
     "violations_events",
     "violations_stats_orders",
     "violations_spell_documents",
@@ -3592,7 +3596,7 @@ _GATE_HEAD = [
     "windowed_event_counts",
     "dedup_exact_documents",
     "dedup_ngram_documents",
-    "simhash_documents",
+    "hll_distinct_users_events",
     "ann_topk_lsh_embeddings",
     "ann_topk_ivf_embeddings",
     "near_dup_embeddings",
