@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "span_dedup_documents",
     "bloom_decontaminate_documents",
     "hll_distinct_users_events",
+    "bloom_ngram_decon_documents",
 ]
 
 

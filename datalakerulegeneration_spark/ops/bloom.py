@@ -146,6 +146,125 @@ def bloom_decontaminate(
     )
 
 
+def bloom_ngram_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    m: int = 65536,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Gram-grain Bloom contamination audit — the actual GPT-3
+    appendix-C construction: the Bloom filter is built over the eval
+    set's distinct word ``n``-grams (the grain where the reference
+    side genuinely gets large — millions of grams across benchmark
+    suites — and m bits of state beats materializing the gram set),
+    and every corpus document reports what fraction of its distinct
+    grams the filter flags: ``(id, n_grams, n_flagged, flag_frac,
+    flagged)``. Flags can only over-count (Bloom never
+    false-negatives), so ``flagged`` is a conservative superset of
+    `textqa.ngram_overlap`'s exact verdict at the same threshold.
+
+    Shape: the corpus is ONE distinct-(doc, gram) explode and then a
+    strictly map-side probe — the k hash lookups are k broadcast hash
+    joins against the ≤ m/32-row word table (no gram-grain shuffle,
+    no per-gram aggregation); the only exchange is the final id-grain
+    count. Documents with fewer than ``n`` tokens have no grams and
+    drop out, mirroring the exact audit and its oracle.
+    """
+    from datalakerulegeneration_spark.ops.dedup import shingles
+
+    filt = bloom_build(
+        shingles(eval_df, id_col, text_col, n).select("shingle").distinct(),
+        "shingle",
+        m,
+        k,
+    )
+    g = shingles(corpus, id_col, text_col, n)
+    tests = []
+    for i in range(k):
+        g = g.withColumn(f"_p{i}", F.expr(_bucket_expr("shingle", i, m)))
+        side = filt.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        g = g.join(
+            F.broadcast(side), F.expr(f"_p{i} div 32") == F.col(f"_w{i}"), "left"
+        )
+        tests.append(
+            F.expr(
+                f"shiftright(coalesce(_b{i}, cast(0 as bigint)),"
+                f" cast(_p{i} % 32 as int)) % 2 = 1"
+            )
+        )
+    member = tests[0]
+    for t in tests[1:]:
+        member = member & t
+    agg = g.groupBy(F.col("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.count(F.when(member, 1)).cast("bigint").alias("n_flagged"),
+    )
+    frac = F.round(
+        F.col("n_flagged").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return agg.select(
+        "id", "n_grams", "n_flagged", frac.alias("flag_frac"),
+        (frac >= threshold).alias("flagged"),
+    )
+
+
+def bloom_ngram_decontaminate_sql(
+    table: str,
+    eval_pred: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    m: int = 65536,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB oracle for :func:`bloom_ngram_decontaminate`;
+    ``eval_pred`` is a SQL predicate over ``{table}`` selecting the
+    eval-set rows (same convention as `textqa.ngram_overlap_sql`)."""
+    from datalakerulegeneration_spark.ops.dedup import shingles_sql
+
+    sh = shingles_sql(table, id_col, text_col, n).strip()
+    bloom = bloom_build_sql(
+        f"(SELECT DISTINCT shingle FROM sh WHERE id IN"
+        f" (SELECT {id_col} FROM {table} WHERE {eval_pred}))",
+        "shingle",
+        m,
+        k,
+    ).strip()
+    cells = "\nUNION ALL\n".join(
+        f"SELECT id, shingle, {_bucket_sql('shingle', i, m)} AS p FROM sh"
+        for i in range(k)
+    )
+    return f"""
+WITH sh AS ({sh}),
+bloom AS ({bloom}),
+cells AS (
+  SELECT id, shingle, p // 32 AS word, (p % 32)::INT AS bit FROM ({cells})
+),
+hits AS (
+  SELECT c.id, c.shingle,
+         count(*) = count(CASE WHEN (COALESCE(b.bits, 0) >> c.bit) % 2 = 1 THEN 1 END) AS member
+  FROM cells c LEFT JOIN bloom b ON c.word = b.word
+  GROUP BY c.id, c.shingle
+),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(CASE WHEN member THEN 1 END) AS BIGINT) AS n_flagged
+  FROM hits GROUP BY id
+)
+SELECT id, n_grams, n_flagged,
+       round(CAST(n_flagged AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS flag_frac,
+       round(CAST(n_flagged AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) >= {threshold!r} AS flagged
+FROM agg
+"""
+
+
 def bloom_decontaminate_sql(
     corpus_sql: str,
     reference_sql: str,

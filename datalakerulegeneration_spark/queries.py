@@ -2492,6 +2492,33 @@ def _bloom_decontaminate_oracle() -> str:
     )
 
 
+def q_bloom_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-grain Bloom contamination audit (ops.bloom.
+    bloom_ngram_decontaminate) — the GPT-3 appendix-C construction:
+    an m-bit Bloom filter over the eval set's distinct 3-grams
+    (stand-in eval set: every 37th doc), probed by every corpus
+    document's distinct grams in a strictly map-side pass (k broadcast
+    word-table joins, no gram-grain shuffle). Flags are a conservative
+    superset of the exact `ngram_overlap` audit — Bloom never
+    false-negatives; md5-derived probes make every flag oracle-exact."""
+    from datalakerulegeneration_spark.ops import bloom
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    return bloom.bloom_ngram_decontaminate(
+        docs, ev, "doc_id", "text", n=3, m=65536, k=3, threshold=0.2
+    )
+
+
+def _bloom_ngram_oracle() -> str:
+    from datalakerulegeneration_spark.ops import bloom
+
+    return bloom.bloom_ngram_decontaminate_sql(
+        "documents", "doc_id % 37 = 0", "doc_id", "text",
+        n=3, m=65536, k=3, threshold=0.2,
+    )
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog audit (ops.hll.hll_distinct_audit): per event_type,
     the HLL estimate of distinct user_ids next to the exact distinct
@@ -3531,6 +3558,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cm_heavy_hitters_events": (q_cm_heavy_hitters, sketch.cm_heavy_hitters_sql("events", "event_type", depth=4, width=64)),
     "bloom_decontaminate_documents": (q_bloom_decontaminate, _bloom_decontaminate_oracle()),
     "hll_distinct_users_events": (q_hll_distinct_users, hll.hll_distinct_audit_sql("events", "user_id", "event_type", m=256)),
+    "bloom_ngram_decon_documents": (q_bloom_ngram_decontaminate, _bloom_ngram_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),
     "wasserstein_events_value": (q_wasserstein_events_value, _wasserstein_oracle()),

@@ -1644,6 +1644,27 @@ def test_bloom_decontaminate_matches_and_contract(spark, sf_tables, duck):
     assert merged == whole
 
 
+def test_bloom_ngram_decon_matches_and_superset(spark, sf_tables, duck):
+    """Gram-grain Bloom audit: oracle parity; flags are a conservative
+    SUPERSET of the exact ngram_overlap audit for every document (Bloom
+    cannot false-negative)."""
+    from datalakerulegeneration_spark.ops import bloom
+
+    docs = sf_tables["documents"]
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    out = bloom.bloom_ngram_decontaminate(
+        docs, ev, "doc_id", "text", n=3, m=65536, k=3, threshold=0.2
+    )
+    _cmp(out, duck, bloom.bloom_ngram_decontaminate_sql(
+        "documents", "doc_id % 37 = 0", "doc_id", "text",
+        n=3, m=65536, k=3, threshold=0.2))
+    exact = {r["id"]: r["n_overlap"]
+             for r in textqa.ngram_overlap(docs, ev, "doc_id", "text", n=3).collect()}
+    got = {r["id"]: r["n_flagged"] for r in out.collect()}
+    assert got.keys() == exact.keys()
+    assert all(got[i] >= exact[i] for i in exact)
+
+
 def test_hll_audit_matches_and_merge(spark, sf_tables, duck):
     """HLL: oracle parity of the registered audit; estimate within a
     generous multiple of the theoretical 1.04/√m error on every group;
