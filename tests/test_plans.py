@@ -282,3 +282,33 @@ def test_source_overlap_inverted_index_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p  # the #sources-row size frames
+
+
+def test_window_detector_flags_global_and_passes_partitioned(spark):
+    """Self-test for the plan-audit window gate (r4 ADVICE: the regex
+    detector was dead — Spark never renders an empty partition list,
+    so `], []` cannot match). The fixed detector must flag a known
+    global-window plan and pass partitioned / partition-only ones."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from audit_plans import ALLOW, _ALLOW_ITEMS, window_is_global
+
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    global_w = df.withColumn("rk", F.row_number().over(Window.orderBy("id")))
+    part_w = df.withColumn("rk", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    part_only_w = df.withColumn("s", F.sum("id").over(Window.partitionBy("g")))
+
+    def win_lines(frame):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.splitlines() if "Window " in ln]
+
+    assert any(window_is_global(ln) for ln in win_lines(global_w))
+    assert not any(window_is_global(ln) for ln in win_lines(part_w))
+    assert not any(window_is_global(ln) for ln in win_lines(part_only_w))
+
+    # the r4 ADVICE dup-key finding: every (query, kind) exemption must
+    # survive into the built dict — no literal-dict key shadowing
+    assert len(_ALLOW_ITEMS) == sum(len(v) for v in ALLOW.values())
