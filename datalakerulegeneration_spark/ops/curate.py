@@ -81,7 +81,9 @@ def curate_corpus(
     if near_dup_threshold is not None:
         from datalakerulegeneration_spark.ops import dedup
 
-        pairs = dedup.minhash_dedup(docs, id_col, text_col, threshold=near_dup_threshold)
+        pairs = dedup.minhash_dedup(
+            docs, id_col, text_col, threshold=near_dup_threshold, expand="star"
+        )
         comps = dedup.dup_components(pairs)
         nd_drop = comps.where(F.col("id") != F.col("component")).select(
             F.col("id").alias("_nd_id")

@@ -273,9 +273,40 @@ def minhash_dedup(
     n: int = 3,
     k: int = N_HASHES,
     bands: int = N_BANDS,
+    expand: str = "pairs",
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidate join → exact-Jaccard verify ≥ threshold.
+    """Full MinHash-LSH near-dup pipeline: collapse to distinct-text
+    grain → shingle → sign → band → candidate join → exact-Jaccard
+    verify ≥ threshold → expand back to document ids.
+
+    **Digest-grain collapse (stage 0.5).** Everything downstream of the
+    first groupBy runs at ``md5(text)`` grain, ONE row per distinct
+    text. Without it, N byte-identical documents (boilerplate, mirrored
+    pages — every real crawl has them) share every band, so the band
+    self-join emits O(N²·bands) candidate rows and the verify join
+    re-scores each of them — the one plan in this module that provably
+    detonates at crawl scale. At digest grain an identical-text cluster
+    contributes exactly one signature; duplicate-pair facts are
+    reconstructed afterwards from the (digest → id) index, never through
+    the band join. Byte-identical pairs need no verification at all —
+    their Jaccard is 1.0 by construction.
+
+    ``expand`` picks the output contract:
+
+    * ``"pairs"`` (default) — every near-dup pair ``(id_a, id_b,
+      jaccard)`` with id_a < id_b, the historical contract the DuckDB
+      oracle mirrors. Within an identical-text cluster this is all
+      C(N,2) pairs (output-sized work: a digest-keyed self-join of the
+      narrow id index — nothing quadratic enters the band or verify
+      joins).
+    * ``"star"`` — a connectivity-equivalent edge set that is O(N) per
+      identical-text cluster: (min-id representative → member) star
+      edges within each cluster plus one (rep_a, rep_b) edge per
+      verified cross-digest pair. Connected components (and therefore
+      ``dup_components`` / ``keep_best_exemplar`` / curation keep-sets)
+      are identical to the pairs contract, without materializing
+      quadratic within-cluster pair lists. Use this for anything that
+      only consumes connectivity.
 
     The shingle set feeds three downstream plans (signatures + both
     sides of the intersection join) and is deliberately NOT persisted:
@@ -284,10 +315,82 @@ def minhash_dedup(
     lineage three times beats materializing the exploded set through
     the block manager (measured 3.1s → 1.4s at sf0.1; the same
     bigger-than-input argument holds at any scale).
+
+    Scale shape of the collapse itself: the groupBy(digest) shuffle
+    carries each DISTINCT body once (map-side partial agg collapses
+    same-partition copies), strictly smaller than the per-document
+    shingle shuffle it replaces; the (digest, id) index is 32+8 bytes a
+    row. Documents with NULL text or fewer than ``n`` tokens produce no
+    shingles and therefore no pairs — identical in both contracts and
+    in the oracle.
     """
-    sh = shingles(df, id_col, text_col, n)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
-    return jaccard_pairs(sh, cands).where(F.col("jaccard") >= threshold)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.md5(F.col(text_col).cast("binary")).alias("dg"),
+    )
+    index = base.select("dg", "id")
+    distinct_docs = base.groupBy("dg").agg(F.min("txt").alias("txt"))
+    sh = shingles(distinct_docs, "dg", "txt", n)
+    sigs = minhash_signatures(sh, k)
+    dcands = lsh_candidate_pairs(sigs, k, bands)
+    # verified digest-grain near-dup pairs (id_a/id_b are digests here)
+    dpairs = jaccard_pairs(sh, dcands).where(F.col("jaccard") >= threshold)
+    # digests that actually produced a signature (≥ n tokens): only
+    # their identical-text clusters count as near-dup pairs — matching
+    # the historical id-grain behavior where shingle-less docs never
+    # entered the pipeline
+    sig_dgs = sigs.select(F.col("id").alias("dg"))
+    if expand == "star":
+        reps = index.groupBy("dg").agg(F.min("id").alias("rep"))
+        ra = reps.select(F.col("dg").alias("id_a"), F.col("rep").alias("rep_a"))
+        rb = reps.select(F.col("dg").alias("id_b"), F.col("rep").alias("rep_b"))
+        cross = (
+            dpairs.join(ra.hint("merge"), "id_a")
+            .join(rb.hint("merge"), "id_b")
+            .select(
+                F.least("rep_a", "rep_b").alias("id_a"),
+                F.greatest("rep_a", "rep_b").alias("id_b"),
+                "jaccard",
+            )
+        )
+        # rep = min id per digest, so rep < member always holds
+        within = (
+            index.join(sig_dgs.hint("merge"), "dg")
+            .join(reps.hint("merge"), "dg")
+            .where(F.col("id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+    else:
+        ia = index.select(F.col("dg").alias("id_a"), F.col("id").alias("ia"))
+        ib = index.select(F.col("dg").alias("id_b"), F.col("id").alias("ib"))
+        # each cross-digest id pair arises from exactly one digest pair
+        # (an id has one digest), so no post-expansion dedup is needed
+        cross = (
+            dpairs.join(ia.hint("merge"), "id_a")
+            .join(ib.hint("merge"), "id_b")
+            .select(
+                F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"),
+                "jaccard",
+            )
+        )
+        members = index.join(sig_dgs.hint("merge"), "dg")
+        wa, wb = members.alias("wa"), members.alias("wb")
+        within = (
+            wa.join(wb.hint("merge"), "dg")
+            .where(F.col("wa.id") < F.col("wb.id"))
+            .select(
+                F.col("wa.id").alias("id_a"),
+                F.col("wb.id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_dedup(

@@ -427,32 +427,63 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 4,
+    expand: str = "pairs",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH:
     ``(id_a, id_b, cos_sim)`` with cos_sim ≥ threshold. Pairs are only
     compared inside a shared bucket — the scale-safe near-dup join
-    (high thresholds collide with near-certainty under sign-LSH)."""
+    (high thresholds collide with near-certainty under sign-LSH).
+
+    **Identical-vector collapse (stage 0.5).** The whole pipeline runs
+    at ``md5(vector)`` grain — one row per DISTINCT vector. N copies of
+    the same embedding (re-crawled pages, default/zero-content
+    embeddings) share every bucket in every table, so an id-grain
+    self-join would emit O(N²·tables) candidate rows; at digest grain
+    the cluster contributes one signature, and identical-vector pairs
+    are reconstructed from the (digest → id) index scored as
+    round(cos(v, v), 6) — 1.0 for every non-zero vector (sqrt(d)·sqrt(d)
+    is within 1 ulp of d) and NaN for zero-norm vectors, which BOTH
+    engines order above any threshold (Spark and DuckDB treat NaN as
+    larger than every number), so NaN self-pairs stay in the output
+    exactly as the id-grain contract had them.
+
+    ``expand="pairs"`` (default) keeps the historical all-pairs
+    contract the DuckDB oracle mirrors (within-cluster expansion is
+    output-sized index work, never band-join fan-out);
+    ``expand="star"`` emits the connectivity-equivalent O(N)-per-
+    cluster edge set (min-id rep → member within clusters, rep–rep
+    across) for consumers like ``dup_components`` that only need
+    components."""
     dim = len(vectors.select(vec_col).first()[0])
-    v = _bucket_signatures(vectors, "id", "vec", id_col, vec_col, dim, n_planes, n_tables)
-    # candidate generation and dedup run NARROW (ids only): the
+    base = vectors.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        # float→string is shortest-round-trip (injective), so equal
+        # digests ⇔ equal vectors
+        F.md5(F.col(vec_col).cast("string").cast("binary")).alias("dg"),
+    )
+    index = base.select("dg", "id")
+    dvecs = base.groupBy("dg").agg(F.min("vec").alias("dvec"))
+    v = _bucket_signatures(dvecs, "dg", "dvec", "dg", "dvec", dim, n_planes, n_tables)
+    # candidate generation and dedup run NARROW (digests only): the
     # multi-table bucket self-join fans a pair out once per shared
     # bucket, and deduping those collisions while the rows still carry
     # both 64-float vectors shuffles the candidate fan-out times the
     # vector payload (sf10 profile: ~80M candidate rows × ~0.5 KB =
     # a ~40 GB exchange that was 90% of the operator's wall). Dedup the
-    # 16-byte id pairs instead, then re-attach vectors by id.
-    sig = v.select("id", "table_idx", "bucket")
+    # 32-byte digest pairs instead, then re-attach vectors by digest.
+    sig = v.select("dg", "table_idx", "bucket")
     a, b = sig.alias("a"), sig.alias("b")
-    cand_ids = (
+    cand_dgs = (
         a.join(b, ["table_idx", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("a.dg") < F.col("b.dg"))
+        .select(F.col("a.dg").alias("dg_a"), F.col("b.dg").alias("dg_b"))
+        .dropDuplicates(["dg_a", "dg_b"])
     )
-    vecs = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vv"),
-        F.expr(norm_expr(vec_col)).alias("vn"),
+    vecs = dvecs.select(
+        F.col("dg").alias("vdg"),
+        F.col("dvec").alias("vv"),
+        F.expr(norm_expr("dvec")).alias("vn"),
     )
     va, vb = vecs.alias("va"), vecs.alias("vb")
     # merge hints: the pair side can be arbitrarily large (dup-dense
@@ -461,27 +492,75 @@ def embedding_near_dups(
     # estimate-blind broadcast OOMs the driver at 100 TB, the failure
     # the sf10 runs keep finding) — keyed sort-merge is the one shape
     # correct at every scale, same rationale as lsh_candidate_pairs
-    paired = (
-        cand_ids.join(va.hint("merge"), F.col("id_a") == F.col("va.vid"))
-        .join(vb.hint("merge"), F.col("id_b") == F.col("vb.vid"))
+    dpairs = (
+        cand_dgs.join(va.hint("merge"), F.col("dg_a") == F.col("va.vdg"))
+        .join(vb.hint("merge"), F.col("dg_b") == F.col("vb.vdg"))
         .select(
-            "id_a",
-            "id_b",
-            F.col("va.vv").alias("xa"),
-            F.col("vb.vv").alias("xb"),
-            F.col("va.vn").alias("na"),
-            F.col("vb.vn").alias("nb"),
-        )
-    )
-    return (
-        paired.select(
-            "id_a",
-            "id_b",
+            "dg_a",
+            "dg_b",
             # one fold per pair; norms precomputed once per vector
-            F.round(F.expr(cosine_norms_expr("xa", "xb", "na", "nb")), 6).alias("cos_sim"),
+            F.round(
+                F.expr(cosine_norms_expr("va.vv", "vb.vv", "va.vn", "vb.vn")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
+    # within-cluster score: the digest's self-cosine (1.0, or NaN for
+    # zero vectors — NaN ≥ threshold holds in Spark's and DuckDB's
+    # NaN-is-largest ordering, matching the id-grain contract)
+    self_cos = vecs.select(
+        F.col("vdg").alias("dg"),
+        F.round(F.expr(cosine_norms_expr("vv", "vv", "vn", "vn")), 6).alias("self_cos"),
+    )
+    if expand == "star":
+        reps = index.groupBy("dg").agg(F.min("id").alias("rep"))
+        ra = reps.select(F.col("dg").alias("dg_a"), F.col("rep").alias("rep_a"))
+        rb = reps.select(F.col("dg").alias("dg_b"), F.col("rep").alias("rep_b"))
+        cross = (
+            dpairs.join(ra.hint("merge"), "dg_a")
+            .join(rb.hint("merge"), "dg_b")
+            .select(
+                F.least("rep_a", "rep_b").alias("id_a"),
+                F.greatest("rep_a", "rep_b").alias("id_b"),
+                "cos_sim",
+            )
+        )
+        within = (
+            index.join(self_cos.where(F.col("self_cos") >= threshold).hint("merge"), "dg")
+            .join(reps.hint("merge"), "dg")
+            .where(F.col("id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("self_cos").alias("cos_sim"),
+            )
+        )
+    else:
+        ia = index.select(F.col("dg").alias("dg_a"), F.col("id").alias("ia"))
+        ib = index.select(F.col("dg").alias("dg_b"), F.col("id").alias("ib"))
+        cross = (
+            dpairs.join(ia.hint("merge"), "dg_a")
+            .join(ib.hint("merge"), "dg_b")
+            .select(
+                F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"),
+                "cos_sim",
+            )
+        )
+        members = index.join(
+            self_cos.where(F.col("self_cos") >= threshold).hint("merge"), "dg"
+        )
+        wa, wb = members.alias("wa"), members.alias("wb")
+        within = (
+            wa.join(wb.hint("merge"), "dg")
+            .where(F.col("wa.id") < F.col("wb.id"))
+            .select(
+                F.col("wa.id").alias("id_a"),
+                F.col("wb.id").alias("id_b"),
+                F.col("wa.self_cos").alias("cos_sim"),
+            )
+        )
+    return cross.unionByName(within)
 
 
 def _bucket_sql(vec_expr: str, table: int, dim: int, n_planes: int) -> str:

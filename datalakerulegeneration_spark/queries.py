@@ -1109,9 +1109,14 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical duplicate groups: MinHash-LSH pairs collapsed by
     min-label propagation (ops.dedup.dup_components) — the last step
     of a dedup pipeline, one join+groupBy per round, O(diameter)
-    rounds. Unique fixpoint ⇒ exact oracle (recursive CTE)."""
+    rounds. Unique fixpoint ⇒ exact oracle (recursive CTE). Edges come
+    from the star expansion (O(N) per identical-text cluster) — same
+    connectivity as the all-pairs contract the oracle integrates, so
+    the component fixpoint is identical."""
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
-    pairs = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.2, k=16, bands=8)
+    pairs = dedup.minhash_dedup(
+        docs, "doc_id", "text", threshold=0.2, k=16, bands=8, expand="star"
+    )
     return dedup.dup_components(pairs)
 
 
@@ -1130,7 +1135,9 @@ def q_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     id — the production "best exemplar" rule. One join + one
     component-partitioned window (components are small by nature)."""
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
-    pairs = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.2, k=16, bands=8)
+    pairs = dedup.minhash_dedup(
+        docs, "doc_id", "text", threshold=0.2, k=16, bands=8, expand="star"
+    )
     comps = dedup.dup_components(pairs)
     scores = textqa.quality_score(docs, "doc_id", "text")
     return dedup.keep_best_exemplar(comps, scores)
@@ -1168,7 +1175,7 @@ def q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE matches bit-for-bit."""
     emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     pairs = similarity.embedding_near_dups(
-        emb, threshold=0.45, n_planes=4, n_tables=8
+        emb, threshold=0.45, n_planes=4, n_tables=8, expand="star"
     )
     return dedup.dup_components(pairs)
 

@@ -73,6 +73,69 @@ def test_minhash_candidates_superset_check(spark):
     assert (1, 2) in pairs and len(pairs) == 1
 
 
+def test_minhash_identical_flood_candidates_bounded(spark):
+    """10k byte-identical docs must NOT detonate the band join: the
+    digest-grain collapse leaves ONE signature for the whole flood, so
+    the LSH candidate-pair frame is O(distinct texts); duplicate facts
+    come back from the (digest → id) index — star: N−1 edges, never
+    through the verify join."""
+    n = 10_000
+    flood = "the same boilerplate footer text repeated on every mirrored page"
+    rows = [(i, flood) for i in range(n)]
+    rows += [(n, "some totally unrelated document body written here"),
+             (n + 1, "another quite different unique text entirely words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # replicate stage 0.5 to measure what actually enters the band join
+    base = df.select(F.md5(F.col("text").cast("binary")).alias("dg"),
+                     F.col("text").alias("txt"))
+    dgrain = base.groupBy("dg").agg(F.min("txt").alias("txt"))
+    cands = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(dedup.shingles(dgrain, "dg", "txt"))
+    )
+    assert cands.count() <= 3  # C(3,2) — bounded by distinct texts, not N^2
+    star = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.5, expand="star")
+    edges = star.collect()
+    assert len(edges) == n - 1
+    assert all(r["id_a"] == 0 and r["jaccard"] == 1.0 for r in edges)
+    comp = dedup.dup_components(star)
+    assert comp.where(F.col("component") == 0).count() == n
+
+
+def test_minhash_pairs_contract_planted_dups_oracle(spark, duck):
+    """The all-pairs contract survives the digest collapse bit-for-bit
+    on a corpus WITH byte-identical clusters (sf testdata has none, so
+    this pins the within-cluster expansion + cross-pair fan-out paths
+    against the unchanged DuckDB oracle): a 5-copy cluster, a 2-copy
+    cluster, a near-dup of the first cluster (its cross pair must
+    expand to all 5 members), and short identical docs (< n tokens)
+    that must produce NO pairs."""
+    import pandas as pd
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = (
+        [(i, big) for i in range(5)]
+        + [(10, "mu nu xi omicron pi rho sigma"), (11, "mu nu xi omicron pi rho sigma")]
+        + [(20, near)]
+        + [(30, "tiny doc"), (31, "tiny doc")]  # 2 tokens < n=3: no shingles
+        + [(40, "completely unrelated content with many other words")]
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    duck.register("planted_dup_docs", pdf)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.2)
+    _cmp(got, duck, dedup.minhash_dedup_sql("planted_dup_docs", "doc_id", "text", threshold=0.2))
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert {(i, j) for i in range(5) for j in range(i + 1, 5)} <= pairs  # within
+    assert {(i, 20) for i in range(5)} <= pairs  # cross pair fans to all members
+    assert (30, 31) not in pairs  # shingle-less identicals stay out
+    # star expansion reaches the same components as the full pair set
+    star = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.2, expand="star")
+    comp_star = {(r["id"], r["component"]) for r in dedup.dup_components(star).collect()}
+    comp_pairs = {(r["id"], r["component"]) for r in dedup.dup_components(got).collect()}
+    assert comp_star == comp_pairs
+
+
 def test_simhash_matches(sf_tables, duck):
     df = dedup.simhash(sf_tables["documents"].limit(100), "doc_id", "text")
     sql = dedup.simhash_sql("(SELECT * FROM documents WHERE doc_id < 100)", "doc_id", "text")
@@ -1422,6 +1485,58 @@ def test_embedding_dup_components_planted_copies(spark):
     comp = {r["id"]: r["component"] for r in dedup.dup_components(pairs).collect()}
     assert comp[1] == comp[2] == comp[3] == 1
     assert 4 not in comp  # no edges → not a member of any dup component
+
+
+def test_embedding_identical_vector_flood_star_edges(spark):
+    """A planted clique of N byte-identical vectors yields N−1 star
+    edges (not C(N,2)) under expand='star', and the bucket self-join
+    runs at digest grain: one signature for the whole clique."""
+    n = 2_000
+    base_vec = [float(((i * 7) % 9) - 4) / 2.0 for i in range(16)]
+    other = [float(((i * 5) % 11) - 5) / 2.0 for i in range(16)]
+    rows = [(i, base_vec) for i in range(n)] + [(n, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    star = similarity.embedding_near_dups(
+        df, threshold=0.95, n_planes=4, n_tables=2, expand="star"
+    ).collect()
+    clique = [r for r in star if r["cos_sim"] == 1.0 and r["id_b"] < n]
+    assert len(clique) == n - 1
+    assert all(r["id_a"] == 0 for r in clique)
+    comp = dedup.dup_components(
+        similarity.embedding_near_dups(
+            df, threshold=0.95, n_planes=4, n_tables=2, expand="star"
+        )
+    )
+    assert comp.where(F.col("component") == 0).count() == n
+
+
+def test_embedding_near_dups_planted_identicals_oracle(spark, duck):
+    """Pairs contract vs the unchanged DuckDB oracle on a corpus WITH
+    identical-vector clusters (sf embeddings have none): a 4-copy
+    cluster, a scaled copy (cosine 1 but different bytes — must arrive
+    via the verify path, expanded to every cluster member), and a
+    far-away vector."""
+    import pandas as pd
+
+    v = [1.0, -0.5, 2.0, 0.25, -1.5, 0.5, 3.0, -2.0]
+    scaled = [2.0 * x for x in v]
+    far = [-1.0, 2.5, -0.5, 1.0, 0.5, -3.0, 0.25, 1.5]
+    rows = [(i, v) for i in range(4)] + [(10, scaled), (20, far)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    duck.register("planted_dup_vecs", pdf)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.embedding_near_dups(df, threshold=0.99, n_planes=3, n_tables=4)
+    _cmp(
+        got,
+        duck,
+        similarity.embedding_near_dups_sql(
+            "planted_dup_vecs", 0.99, dim=8, n_planes=3, n_tables=4
+        ),
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert {(i, j) for i in range(4) for j in range(i + 1, 4)} <= pairs
+    assert {(i, 10) for i in range(4)} <= pairs  # cross pair fans to all members
+    assert not any(20 in p for p in pairs)
 
 
 def test_quantized_topk_matches_and_recalls(sf_tables, duck):
