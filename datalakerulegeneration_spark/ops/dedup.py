@@ -1144,6 +1144,7 @@ def span_dedup(
     text_col: str,
     w: int = 5,
     min_count: int = 2,
+    full_digest: bool = False,
 ) -> DataFrame:
     """Cross-document duplicate-SPAN removal — the ExactSubstr idea
     (Lee et al., "Deduplicating Training Data Makes Language Models
@@ -1167,6 +1168,20 @@ def span_dedup(
     fans out only duplicated spans (×w); the keep/drop tag is a
     corpus-scale (id, pos) merge join; reassembly is one per-doc
     aggregation. No window functions, no all-pairs anything.
+
+    **Hash-grain false positives.** Duplication is decided on the
+    default 60-bit md5 prefix, and a birthday collision marks two
+    genuinely DIFFERENT spans as duplicates — both get excised. The
+    expected collision count for T distinct grams is ≈ T²/2^61:
+    negligible through ~10^8 grams (sf-scale corpora), ~5·10⁵
+    colliding gram pairs at T = 10^12 — i.e. roughly 4 excised tokens
+    per million at trillion-gram scale, biased toward no particular
+    text. Where that loss rate is unacceptable, pass
+    ``full_digest=True`` to compare the full 128-bit md5 (collision
+    expectation < 10⁻¹² at the same T) at the cost of a 4× wider gram
+    shuffle (32-char digests instead of 8-byte ints). The DuckDB
+    oracle mirrors whichever grain is chosen, so the oracle cannot
+    surface the FP either — this note, not the gate, is the contract.
     """
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     base = df.where(F.col(text_col).isNotNull()).select(
@@ -1183,7 +1198,11 @@ def span_dedup(
                 )
             ).alias("gpos", "gram"),
         )
-        .select("id", "gpos", F.expr(_hash64("gram")).alias("h"))
+        .select(
+            "id",
+            "gpos",
+            (F.md5(F.col("gram").cast("binary")) if full_digest else F.expr(_hash64("gram"))).alias("h"),
+        )
     )
     dup_h = (
         grams.groupBy("h")
@@ -1221,10 +1240,18 @@ def span_dedup_sql(
     text_col: str,
     w: int = 5,
     min_count: int = 2,
+    full_digest: bool = False,
 ) -> str:
     """DuckDB oracle for :func:`span_dedup` (same tokenizer, same
-    md5-derived gram hash, same coverage semantics)."""
+    md5-derived gram hash — 60-bit prefix or full 128-bit digest,
+    matching the Spark side — same coverage semantics)."""
     toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    gram_text = f"array_to_string(list_slice(toks, i, i + {w - 1}), ' ')"
+    gram_hash = (
+        f"md5({gram_text})"
+        if full_digest
+        else f"('0x' || substr(md5({gram_text}), 1, 15))::BIGINT"
+    )
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {toks} AS toks FROM {table}
@@ -1236,7 +1263,7 @@ tok AS (
 ),
 grams AS (
   SELECT id, i - 1 AS gpos,
-         ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {w - 1}), ' ')), 1, 15))::BIGINT AS h
+         {gram_hash} AS h
   FROM (SELECT id, toks, unnest(generate_series(1, len(toks) - {w - 1})) AS i
         FROM base WHERE len(toks) >= {w})
 ),

@@ -21,6 +21,7 @@ code path, like the incremental profiler.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -72,6 +73,11 @@ class IncrementalDeduper:
         # were indexed but whose rows were never written.
         staged.write.mode("append").parquet(self.out_path)
         staged.select("text_digest").write.mode("append").parquet(self.index_path)
+        # both appends committed → the staging copy is dead weight; a
+        # long-running stream must not hoard a full extra copy of every
+        # admitted batch. A crash before this point leaves one stale
+        # dir, which the replayed batch overwrites and then removes.
+        shutil.rmtree(staging, ignore_errors=True)
 
     # -- views -------------------------------------------------------------
 

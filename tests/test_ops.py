@@ -45,6 +45,22 @@ def test_span_dedup_semantics(spark):
     assert out[3]["n_tokens"] == out[3]["n_kept"] == 3
 
 
+def test_span_dedup_full_digest_matches(sf_tables, duck):
+    """The 128-bit-digest grain (the trillion-gram FP escape hatch)
+    keeps oracle parity and, on collision-free data, the 60-bit
+    result."""
+    df = dedup.span_dedup(
+        sf_tables["documents"], "doc_id", "text", w=5, min_count=2, full_digest=True
+    )
+    _cmp(df, duck, dedup.span_dedup_sql(
+        "documents", "doc_id", "text", w=5, min_count=2, full_digest=True))
+    narrow = sorted(
+        tuple(r) for r in dedup.span_dedup(
+            sf_tables["documents"], "doc_id", "text", w=5, min_count=2).collect()
+    )
+    assert sorted(tuple(r) for r in df.collect()) == narrow
+
+
 def test_shingles_match(sf_tables, duck):
     sh = dedup.shingles(sf_tables["documents"].limit(50), "doc_id", "text")
     sql = dedup.shingles_sql("(SELECT * FROM documents WHERE doc_id < 50)", "doc_id", "text")

@@ -309,6 +309,27 @@ def test_window_detector_flags_global_and_passes_partitioned(spark):
     assert not any(window_is_global(ln) for ln in win_lines(part_w))
     assert not any(window_is_global(ln) for ln in win_lines(part_only_w))
 
+    # a partition expression whose rendering CONTAINS " ASC" must not be
+    # misread as an order spec (r5 ADVICE: bare-substring misfire)
+    lit_part = df.withColumn(
+        "s",
+        F.sum("id").over(
+            Window.partitionBy(F.concat(F.col("g").cast("string"), F.lit(" ASC x")))
+        ),
+    )
+    assert not any(window_is_global(ln) for ln in win_lines(lit_part))
+
+    # WindowGroupLimit nodes (top-k pushdown) are not Window specs
+    assert not window_is_global(
+        "+- WindowGroupLimit [g#1], [id#0 ASC NULLS FIRST], row_number(), 10"
+    )
+
     # the r4 ADVICE dup-key finding: every (query, kind) exemption must
     # survive into the built dict — no literal-dict key shadowing
     assert len(_ALLOW_ITEMS) == sum(len(v) for v in ALLOW.values())
+
+    # every exemption must name a REGISTERED query (r5 ADVICE: a ghost
+    # entry for a future query silently skips its plan review on ship)
+    from datalakerulegeneration_spark import queries as Q
+
+    assert set(ALLOW) <= set(Q.REGISTRY), sorted(set(ALLOW) - set(Q.REGISTRY))

@@ -643,6 +643,11 @@ def test_incremental_deduper_batches_and_restart(spark, tmp_path):
     dd2.update(b3, 0)
     assert {r["id"] for r in dd2.survivors().collect()} == {1, 2, 11, 22}
     assert dd2.index().count() == 4  # alpha beta gamma delta
+    # staging copies are torn down once both appends commit — a
+    # long-running stream must not hoard one parquet copy per batch
+    import os
+
+    assert not [p for p in os.listdir(state) if p.startswith(".staging_")]
 
 
 def test_incremental_dedup_stream_real_stream(spark, sf_tables, tmp_path):
@@ -741,3 +746,36 @@ def test_cm_sketch_monitor_stream_equals_batch(spark, sf_tables, tmp_path):
              for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert est.keys() == exact.keys()
     assert all(est[v] >= exact[v] for v in exact)
+
+
+def test_sketch_monitors_replay_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers the last uncommitted batch after a
+    crash; the ADDITIVE Count-Min fold must not double-count it. A
+    replayed (same batch_id) update is a no-op; a NEW batch id still
+    folds. Same contract on the HLL monitor."""
+    from datalakerulegeneration_spark.streaming.sketch_stream import (
+        CMSketchMonitor,
+        HLLMonitor,
+    )
+
+    b0 = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    b1 = spark.createDataFrame([("a",), ("c",)], "v string")
+
+    cm = CMSketchMonitor(spark, str(tmp_path / "cm"), "v", depth=2, width=16)
+    cm.update(b0, 0)
+    once = {(r["row"], r["bucket"]): r["n"] for r in cm.sketch().collect()}
+    cm.update(b0, 0)  # replay of a committed batch
+    assert {(r["row"], r["bucket"]): r["n"] for r in cm.sketch().collect()} == once
+    cm.update(b1, 1)
+    est = {r["value"]: r["est"] for r in cm.estimate(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string")).collect()}
+    # exact (no collisions at this tiny cardinality): a=3 NOT 5, b=1, c=1
+    assert est == {"a": 3, "b": 1, "c": 1}
+
+    hll = HLLMonitor(spark, str(tmp_path / "hll"), "v", m=16)
+    hll.update(b0, 0)
+    snap = {r["register"]: r["rho"] for r in hll.sketch().collect()}
+    hll.update(b0, 0)
+    assert {r["register"]: r["rho"] for r in hll.sketch().collect()} == snap
+    hll.update(b1, 1)
+    assert hll.applied_batch_id() == 1

@@ -53,7 +53,6 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("wasserstein_events_value", "global_window", "n_parts-row two-level cumulative offsets"),
     ("ks_table_events", "global_window", "n_parts-row offsets per stacked column"),
     ("wasserstein_table_events", "global_window", "n_parts-row offsets per stacked column"),
-    ("quantiles_events", "global_window", "n_parts-row range-partition offsets"),
     ("grouped_quantiles_events", "global_window", "(#keys x |qs|)-row rank-literal frame"),
     ("quantile_drift_events", "global_window", "|qs|-row quantile frames both sides"),
     ("mad_outliers_events", "global_window", "n_parts-row offsets inside exact quantiles"),
@@ -87,7 +86,6 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("ann_topk_embeddings", "bnlj", "constant-size probe set broadcast (brute-force contract)"),
     ("ann_recall_embeddings", "bnlj", "constant-size probe set broadcast in both legs"),
     ("ann_topk_ivf_embeddings", "bnlj", "n_lists-row centroid table broadcast"),
-    ("ann_topk_ivf_sq8_embeddings", "bnlj", "n_lists-row centroid table + 1-row codebook broadcast"),
     ("quantized_topk_embeddings", "bnlj", "probe codes + 1-row codebook broadcast"),
     ("projected_topk_embeddings", "bnlj", "constant-size projected probe set broadcast"),
     # non-equi self-joins over frames reduced to distinct values first
@@ -110,7 +108,10 @@ def _build_allow(items: list[tuple[str, str, str]]) -> dict[str, dict[str, str]]
     allow: dict[str, dict[str, str]] = {}
     for query, kind, reason in items:
         entry = allow.setdefault(query, {})
-        assert kind not in entry, f"duplicate exemption ({query}, {kind})"
+        if kind in entry:
+            # a real raise, not `assert` — `python -O` strips asserts,
+            # which would silently restore the key-shadowing bug
+            raise ValueError(f"duplicate exemption ({query}, {kind})")
         entry[kind] = reason
     return allow
 
@@ -136,6 +137,24 @@ def _top_level_bracket_groups(s: str) -> list[str]:
     return groups
 
 
+def _top_level_elements(group: str) -> list[str]:
+    """Split one bracket group's contents on commas that sit at bracket/
+    paren depth 0 — the spec's element boundaries."""
+    depth = 0
+    out: list[str] = []
+    start = 0
+    for i, ch in enumerate(group):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        elif ch == "," and depth == 0:
+            out.append(group[start:i])
+            start = i + 1
+    out.append(group[start:])
+    return out
+
+
 def window_is_global(line: str) -> bool:
     """True iff a physical-plan ``Window`` line has NO partition spec.
 
@@ -148,18 +167,27 @@ def window_is_global(line: str) -> bool:
     Naive regexes on ``], []`` can never fire — the empty list is never
     rendered (the r4 ADVICE dead-detector finding).
     """
+    import re
+
     stripped = line.strip()
-    # strip the tree-drawing prefix (+- :- etc.) up to the node name
-    idx = stripped.find("Window ")
-    if idx < 0 or stripped[idx:].startswith("WindowGroupLimit"):
+    # strip the tree-drawing prefix (+- :- etc.) up to the node name;
+    # matching "Window [" (not "Window ") also excludes WindowGroupLimit
+    # by construction — no separate guard needed
+    idx = stripped.find("Window [")
+    if idx < 0:
         return False
     groups = _top_level_bracket_groups(stripped[idx + len("Window ") :])
     if len(groups) >= 3:
         return False
     if len(groups) == 2:
         # second group is an ORDER spec (→ global) iff its top-level
-        # elements carry sort directions; a partition spec never does
-        return " ASC" in groups[1] or " DESC" in groups[1]
+        # elements END with a sort-direction rendering
+        # "<expr> ASC|DESC NULLS FIRST|LAST" — anchored at element end
+        # so a string literal inside a partition expression can only
+        # misfire if it is the element's final token sequence, not
+        # anywhere a bare " ASC" substring appears
+        marker = re.compile(r"\s(ASC|DESC)\s+NULLS\s+(FIRST|LAST)\s*$")
+        return any(marker.search(el) for el in _top_level_elements(groups[1]))
     return True
 
 
@@ -186,6 +214,12 @@ def main() -> int:
 
     spark = get_spark("plan_audit", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = entrymod.queries()
+    # an exemption for a nonexistent query is latent rot: when the name
+    # later ships (or a typo hides a real one), its plan skips review
+    # silently — fail the audit itself instead
+    unknown = set(ALLOW) - set(qs)
+    if unknown:
+        raise ValueError(f"allowlist entries for unregistered queries: {sorted(unknown)}")
     names = sys.argv[1:] or list(qs)
     findings: list[tuple[str, str, str]] = []
     for name in names:
