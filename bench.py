@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "hybrid_search_documents",
     "token_kl_by_source_documents",
     "quantized_topk_embeddings",
+    "ann_topk_ivf_sq8_embeddings",
     "projected_topk_embeddings",
     "embedding_dup_components",
     "incremental_dedup_documents",
@@ -92,9 +93,30 @@ BENCH_QUERIES = [
 ]
 
 
+def _env_markers(spark) -> dict:
+    """Ambient-load markers recorded WITH the timings: two rounds of
+    near-uniform cross-round drift on untouched queries (r4→r5 ~1.1×)
+    could not be told apart from a real regression because the bench
+    JSON carried no environment evidence. loadavg captures competing
+    work on the box; JVM uptime distinguishes a fresh JVM (cold JIT)
+    from a long-lived one."""
+    try:
+        l1, l5, l15 = os.getloadavg()
+        load = {"load1": round(l1, 2), "load5": round(l5, 2), "load15": round(l15, 2)}
+    except OSError:  # not available on some platforms
+        load = {}
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        load["jvm_uptime_s"] = round(mf.getRuntimeMXBean().getUptime() / 1000.0, 1)
+    except Exception:  # noqa: BLE001 — markers are best-effort
+        pass
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    env_start = _env_markers(spark)
 
     # JIT warmup at the MEASURED sf: AQE picks different physical plans
     # per data size (broadcast vs shuffle, coalesced partitions), so
@@ -148,6 +170,9 @@ def main() -> None:
                 "queries_cold": cold,
                 "total_cold": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # ambient-load evidence (see _env_markers)
+                "env_start": env_start,
+                "env_end": _env_markers(spark),
             }
         )
     )

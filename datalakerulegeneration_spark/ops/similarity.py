@@ -822,6 +822,94 @@ WHERE rank <= {k}
 """
 
 
+def ivf_sq8_topk(
+    vectors: DataFrame,
+    probe_ids_under: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-SQ8: the standard big-corpus ANN layout — SQ8 codes stored
+    per KMeans cell; a query probes its ``n_probe`` nearest centroids
+    and re-ranks ONLY those cells' codes by reconstructed
+    (de-quantized) cosine. Composes :func:`ivf_topk`'s routing with
+    :func:`quantized_topk`'s compressed-domain scoring:
+    the inverted file cuts compute to ~(n_probe/n_lists)·n per query,
+    the codes cut storage/IO 4× vs fp32 — at 100 TB both cuts are what
+    makes the index scannable at all.
+
+    The quantize → de-quantize arithmetic (half-up ``floor(x·255+0.5)``,
+    then ``mn + q·range/255``) is IDENTICAL, operation for operation,
+    to :func:`quantized_topk`, and a vector lands in exactly one cell —
+    so at FULL probe (n_probe ≥ n_lists) the output equals
+    compressed-domain brute force regardless of how the seeded KMeans
+    split the corpus, making the whole composition checkable against
+    ``quantized_topk_sql``. KMeans fits on the RECONSTRUCTED vectors
+    (the form the index actually stores), keeping centroids and codes
+    in the same space; probes are corpus rows with id <
+    ``probe_ids_under``, reconstructed through the same codebook.
+    Centroid routing ranks by squared euclidean distance (the metric
+    KMeans assigned cells with); similarity rounds to 6 dp, ties break
+    by neighbor id."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    st = sq8_stats(vectors, vec_col)
+    base = vectors.crossJoin(F.broadcast(st))
+    centered = F.zip_with(F.col(vec_col), F.col("mns"), lambda x, m: x.cast("double") - m)
+    ranges = F.zip_with(F.col("mxs"), F.col("mns"), lambda a, b: a - b)
+    qvec = F.zip_with(
+        centered,
+        ranges,
+        lambda c, r: F.when(r == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.floor(c / r * 255.0 + 0.5).cast("int")),
+            )
+        ),
+    )
+    scaled = F.zip_with(qvec, ranges, lambda q, r: q * r / 255.0)
+    rvec = F.zip_with(scaled, F.col("mns"), lambda t, m: t + m)
+    coded = base.select(
+        F.col(id_col).alias("id"), qvec.alias("qvec"), rvec.alias("rvec")
+    ).withColumn("rn_", F.expr(norm_expr("rvec"))).withColumn(
+        "__mlvec", array_to_vector(F.col("rvec"))
+    )
+    km = KMeans(k=n_lists, featuresCol="__mlvec", predictionCol="cell", seed=seed)
+    model = km.fit(coded)
+    # the inverted file: codes (+ their reconstruction) keyed by cell
+    assigned = model.transform(coded).select("cell", "id", "rvec", "rn_")
+
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = vectors.sparkSession.createDataFrame(centers, "cell int, cvec array<double>")
+    probes = assigned.where(F.col("id") < probe_ids_under).select(
+        F.col("id").alias("query_id"), F.col("rvec").alias("qr"), F.col("rn_").alias("qn_")
+    )
+    qc = probes.crossJoin(F.broadcast(cdf)).select(
+        "query_id",
+        "qr",
+        "qn_",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(qr, cvec, (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 as double), (acc, p) -> acc + p)"
+        ).alias("cdist2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist2"), F.asc("cell"))
+    routed = qc.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= n_probe)
+
+    scored = routed.join(assigned, "cell").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(F.expr(cosine_norms_expr("qr", "rvec", "qn_", "rn_")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def project_embeddings(
     vectors: DataFrame,
     out_dim: int,

@@ -1230,6 +1230,21 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(emb, 10, k=10)
 
 
+def q_ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed index (ops.similarity.ivf_sq8_topk): SQ8 codes
+    stored per KMeans cell, centroid-routed probes, reconstructed-
+    cosine re-rank — the standard big-corpus ANN layout (4× IO cut ×
+    n_probe/n_lists compute cut). Registered at FULL probe so the
+    output must equal compressed-domain brute force no matter how the
+    seeded KMeans split the corpus — which makes the entire
+    composition (codebook, cell assignment, routing, per-cell re-rank)
+    checkable against the quantized_topk SQL oracle. The production
+    approx path (n_probe < n_lists) is the same code with a smaller
+    probe budget; pytest covers its recall separately."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.ivf_sq8_topk(emb, 10, k=10, n_lists=8, n_probe=8)
+
+
 def q_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL sign-projection retrieval (ops.similarity.projected_topk):
     64→16 dims via md5-derived ±1 literal rows, cosine ranked in the
@@ -3510,6 +3525,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         "embeddings", _ANN_QUERIES_SQL, k=10)),
     "ann_recall_embeddings": (q_ann_recall, Q_ANN_RECALL_ORACLE),
     "quantized_topk_embeddings": (q_quantized_topk, similarity.quantized_topk_sql("embeddings", 10, k=10)),
+    # full-probe IVF-SQ8 ≡ quantized brute force (see q_ann_topk_ivf_sq8)
+    "ann_topk_ivf_sq8_embeddings": (q_ann_topk_ivf_sq8, similarity.quantized_topk_sql("embeddings", 10, k=10)),
     "projected_topk_embeddings": (q_projected_topk, similarity.projected_topk_sql("embeddings", 64, 10, out_dim=16, k=10)),
     "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
     "embedding_stats_by_label": (q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
@@ -3581,71 +3598,70 @@ from datalakerulegeneration_spark.tpch_ext import EXT_REGISTRY
 REGISTRY.update(EXT_REGISTRY)
 
 # The driver's correctness gate samples the FIRST 50 queries() entries.
-# Round-4 rotation: rounds 1-3 gated one head; this head is 44 entries
-# that have NEVER received a driver-side CORRECTNESS row (all six
-# remaining per-table profiles, the ungated rule/violation and dBoost
-# analyzers, all 16 not-yet-gated TPC-H plans, the sampling family,
-# fuzzy decontamination, text-QA scores) plus the six entries whose
-# plan or oracle CHANGED this round (exact dedup digest keying, LSH
-# near-dup registration, two-phase vocab top-k, full-probe IVF, the
-# promoted column-match / dataset-similarity oracles, typed-JSON
-# extraction). Everything from the r1-r3 head stays in the registry and
-# in the replica gate (tools/check_correctness.py runs all 113).
+# Round-6 rotation: this head is the 38 entries that have NEVER
+# received a driver-side CORRECTNESS row across r1–r5 (drift/quantile
+# table grain, packing, mixture, winnow, sketch monitors' batch twins,
+# the embedding-compression family, the brand-new IVF-SQ8) plus the
+# three whose PLAN changed this round (the digest-grain collapse:
+# minhash pairs, text dup components, embedding near-dup pairs) and
+# nine family flagships for regression coverage. With this head every
+# registered query has appeared in at least one driver CORRECTNESS
+# artifact. The replica gate (tools/check_correctness.py) runs all 142
+# every round regardless.
 _GATE_HEAD = [
-    "profile_orders",
-    "profile_customer",
-    "profile_events",
-    "profile_documents",
-    # profile_part / profile_supplier / simhash ceded their head slots
-    # to the three newest r4 ops (span dedup, Bloom, HLL) so those get
-    # driver-side rows this round; each family keeps representatives
-    # in the head and the replica gate still runs all of them.
-    "span_dedup_documents",
-    "bloom_decontaminate_documents",
-    "violations_events",
-    "violations_stats_orders",
-    "violations_spell_documents",
-    "violations_suppressor_orders",
-    "eval_correction_orders",
-    "dboost_partitioned_hist_events",
-    "dboost_pearson_lineitem",
-    "dboost_discrete_stats_lineitem",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q20_promotion_suppliers",
-    "q3_top_orders",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "top_keywords_documents",
-    "levenshtein_conflicts_part",
-    "windowed_event_counts",
-    "dedup_exact_documents",
-    "dedup_ngram_documents",
-    "hll_distinct_users_events",
-    "ann_topk_lsh_embeddings",
-    "ann_topk_ivf_embeddings",
+    # never driver-gated before this round (38)
+    "range_join_events_orders",
+    "rollup_events",
+    "mad_outliers_events",
+    "profile_merge_documents",
+    "quantile_drift_events",
+    "grouped_quantiles_events",
+    "bm25_documents",
+    "hybrid_search_documents",
+    "embedding_dup_components",
+    "dedup_agreement_documents",
+    "keep_best_documents",
+    "incremental_dedup_documents",
+    "source_overlap_documents",
+    "quantized_topk_embeddings",
+    "ann_topk_ivf_sq8_embeddings",
+    "projected_topk_embeddings",
+    "embedding_stats_by_label",
+    "embedding_centroids_by_label",
+    "cluster_columns_kmeans_profiles",
+    "token_kl_by_source_documents",
+    "corpus_report_documents",
+    "pack_sequences_documents",
+    "curate_corpus_neardup_documents",
+    "pack_stats_documents",
+    "target_mixture_documents",
+    "fingerprint_documents",
+    "chunk_documents",
+    "multimodal_features_documents",
+    "weighted_sample_documents",
+    "ngram_overlap_multi_documents",
+    "quality_classifier_documents",
+    "semdedup_embeddings",
+    "cm_heavy_hitters_events",
+    "bloom_ngram_decon_documents",
+    "ks_table_events",
+    "wasserstein_table_events",
+    "winnow_fingerprints_documents",
+    "winnow_overlap_documents",
+    # plan changed this round: digest-grain collapse expansion paths
+    "dedup_minhash_documents",
+    "dup_components_documents",
     "near_dup_embeddings",
-    "token_count_documents",
-    "quality_score_documents",
-    "unigram_logprob_documents",
-    "vocab_coverage_documents",
-    "hash_sample_documents",
-    "train_test_split_documents",
-    "shuffle_documents",
-    "decontaminate_fuzzy_documents",
-    "json_props_events",
-    "column_match_customer_supplier",
-    "dataset_similarity_tables",
+    # family flagships for regression coverage (9)
+    "curate_corpus_documents",
+    "q1_pricing_summary",
+    "profile_lineitem",
+    "latest_events_per_user",
+    "sessionize_events",
+    "asof_join_events_orders",
+    "eval_metrics_orders",
+    "fd_conflicts_orders",
+    "line_dedup_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

@@ -1573,6 +1573,27 @@ def test_quantized_topk_matches_and_recalls(sf_tables, duck):
     assert len(es & qs) / len(es) >= 0.9
 
 
+def test_ivf_sq8_full_probe_matches_oracle_and_partial_recalls(sf_tables, duck):
+    """IVF-SQ8 composition: at full probe the output must be EXACTLY
+    compressed-domain brute force (cell routing cannot change a
+    full-probe result), so the quantized_topk oracle checks the whole
+    index; at partial probe recall@10 vs the fp32 exact ranking stays
+    ≥ 0.9 (codes ~1/255-per-dim error + 4-of-8 cell routing)."""
+    emb = sf_tables["embeddings"]
+    full = similarity.ivf_sq8_topk(emb, 10, k=10, n_lists=8, n_probe=8)
+    _cmp(full, duck, similarity.quantized_topk_sql("embeddings", 10, k=10))
+    exact = similarity.brute_force_topk(
+        emb,
+        emb.where("vec_id < 10").selectExpr("vec_id as query_id", "embedding as query_vec"),
+        k=10,
+    )
+    approx = similarity.ivf_sq8_topk(emb, 10, k=10, n_lists=8, n_probe=4)
+    es = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    qs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(qs) <= len(es)  # partial probe can only shrink the pool
+    assert len(es & qs) / len(es) >= 0.9
+
+
 def test_projected_topk_matches_oracle(sf_tables, duck):
     pt = similarity.projected_topk(sf_tables["embeddings"], 10, out_dim=16, k=10)
     _cmp(pt, duck, similarity.projected_topk_sql("embeddings", 64, 10, out_dim=16, k=10))
