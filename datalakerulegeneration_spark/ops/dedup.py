@@ -158,17 +158,22 @@ def minhash_signatures(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     sigs: DataFrame, k: int = N_HASHES, bands: int = N_BANDS
 ) -> DataFrame:
-    """Candidate pairs: docs sharing any band signature → (id_a, id_b)."""
+    """Long-form banded signatures ``(id, band, bh)`` — one row per
+    (doc, band) with bh = md5 of the band's minhash slice. This is the
+    join key LSH candidates collide on AND the row format a persisted
+    near-dup signature index stores (``streaming.neardup_index_stream``):
+    probing a new document against the index is an equi-join on
+    ``(band, bh)``."""
     rows = k // bands
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows + j}").cast("string") for j in range(rows)]
         band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"b{b}"))
     banded = sigs.select("id", *band_cols)
-    long = banded.select(
+    return banded.select(
         "id",
         F.explode(
             F.array(*[
@@ -177,6 +182,13 @@ def lsh_candidate_pairs(
             ])
         ).alias("e"),
     ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = N_HASHES, bands: int = N_BANDS
+) -> DataFrame:
+    """Candidate pairs: docs sharing any band signature → (id_a, id_b)."""
+    long = band_signatures(sigs, k, bands)
     a = long.alias("a")
     b = long.alias("b")
     # merge hint: the band self-join is corpus × corpus on (band, bh);
@@ -802,6 +814,205 @@ SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
 FROM d a JOIN d b ON a.fp_hash = b.fp_hash AND a.id < b.id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
+"""
+
+
+# ---------------------------------------------------------------------------
+# greedy (leader) keep-set — the order-deterministic dedup policy a
+# streaming near-dup index maintains incrementally
+# ---------------------------------------------------------------------------
+
+def greedy_over_edges(vertices: DataFrame, edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Greedy "leader" selection in ascending vertex order —
+    ``(v, kept)`` where ``kept(v) ⇔ no KEPT u < v has an edge to v``
+    (the lexicographically-first maximal independent set). This is the
+    classic online-dedup admission rule: process items in order, admit
+    unless a previously-ADMITTED item is a near-dup. Unlike
+    component-collapse (:func:`dup_components` + keep-min), the greedy
+    rule never drops an item because of a chain through already-dropped
+    intermediaries — and it is exactly what an append-only index
+    computes, so a streaming near-dup deduper replays it batch by
+    batch.
+
+    ``vertices`` is one column ``v`` (any orderable type); ``edges`` is
+    ``(src, dst)`` — orientation is normalized internally. The fixpoint
+    is evaluated iteratively: each round resolves every vertex whose
+    smaller neighbors are all resolved (kept if none of them is kept),
+    one edge join + vertex-grain agg per round with localCheckpoint
+    lineage truncation. Round count is bounded by the longest
+    ascending dependency chain (near-dup graphs are shallow); raises
+    after ``max_iter`` rather than returning a partial answer.
+    """
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("src"),
+            F.greatest(F.col("src"), F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # status: null = unresolved, true = kept, false = dropped
+    st = vertices.select(F.col("v")).distinct().withColumn(
+        "kept", F.lit(None).cast("boolean")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        if st.where(F.col("kept").isNull()).limit(1).count() == 0:
+            return st
+        src_st = st.select(F.col("v").alias("src"), F.col("kept").alias("src_kept"))
+        incoming = (
+            e.join(src_st, "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(
+                F.max(F.coalesce(F.col("src_kept"), F.lit(False))).alias("any_kept_src"),
+                F.max(F.col("src_kept").isNull()).alias("any_unresolved_src"),
+            )
+        )
+        st = (
+            st.join(incoming, "v", "left")
+            .select(
+                "v",
+                F.when(F.col("kept").isNotNull(), F.col("kept"))
+                .when(F.coalesce(F.col("any_kept_src"), F.lit(False)), F.lit(False))
+                .when(
+                    ~F.coalesce(F.col("any_unresolved_src"), F.lit(False)), F.lit(True)
+                )
+                .otherwise(F.lit(None).cast("boolean"))
+                .alias("kept"),
+            )
+        ).localCheckpoint()
+    raise RuntimeError(
+        f"greedy_over_edges did not converge within max_iter={max_iter} rounds; "
+        "an ascending dependency chain exceeds the bound — raise max_iter"
+    )
+
+
+def minhash_greedy_keepset(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Greedy min-id-order near-dup keep-set over the MinHash-LSH pair
+    graph: ``(id, kept)`` — a document is kept iff NO kept smaller-id
+    document near-dups it (jaccard ≥ threshold). The batch twin of the
+    streaming persisted-signature deduper
+    (``streaming.neardup_index_stream``): running that stream over the
+    same corpus in ascending-id batches admits exactly the ids this
+    returns kept.
+
+    Runs at digest grain end to end: greedy over digest-rep vertices
+    ordered by their min member id (the digest-grain greedy provably
+    equals id-grain greedy over the full pair expansion — a non-min
+    member always near-dups its own rep at jaccard 1.0, so it is kept
+    iff never; a rep inherits exactly its digest's adjacencies), then
+    expanded through the (digest → id) index: rep of a kept digest →
+    kept, every other member → dropped, and members of shingle-less
+    digests (< ``n`` tokens — no signature, no pairs, like the
+    all-pairs contract) plus NULL-text docs → kept."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.md5(F.col(text_col).cast("binary")).alias("dg"),
+    )
+    index = base.where(F.col("txt").isNotNull()).select("dg", "id")
+    distinct_docs = base.where(F.col("txt").isNotNull()).groupBy("dg").agg(
+        F.min("txt").alias("txt")
+    )
+    sh = shingles(distinct_docs, "dg", "txt", n)
+    sigs = minhash_signatures(sh, k)
+    dcands = lsh_candidate_pairs(sigs, k, bands)
+    dpairs = jaccard_pairs(sh, dcands).where(F.col("jaccard") >= threshold)
+    reps = index.groupBy("dg").agg(F.min("id").alias("rep"))
+    ra = reps.select(F.col("dg").alias("id_a"), F.col("rep").alias("rep_a"))
+    rb = reps.select(F.col("dg").alias("id_b"), F.col("rep").alias("rep_b"))
+    edges = (
+        dpairs.join(ra.hint("merge"), "id_a")
+        .join(rb.hint("merge"), "id_b")
+        .select(F.col("rep_a").alias("src"), F.col("rep_b").alias("dst"))
+    )
+    sig_dgs = sigs.select(F.col("id").alias("dg"))
+    sig_reps = reps.join(sig_dgs, "dg").select(F.col("rep").alias("v"))
+    rep_kept = greedy_over_edges(sig_reps, edges, max_iter)
+    # expand to ids: member of a SHINGLED digest → kept iff it IS the
+    # digest's rep and the rep survived greedy; shingle-less / NULL-text
+    # docs have no pairs → kept
+    shingled = index.join(sig_dgs, "dg").join(reps, "dg").join(
+        rep_kept.select(F.col("v").alias("rep"), F.col("kept").alias("rep_kept")), "rep"
+    ).select(
+        "id", ((F.col("id") == F.col("rep")) & F.col("rep_kept")).alias("kept")
+    )
+    rest = df.select(F.col(id_col).alias("id")).join(
+        shingled.select("id"), "id", "left_anti"
+    ).withColumn("kept", F.lit(True))
+    return shingled.unionByName(rest)
+
+
+def minhash_greedy_keepset_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+) -> str:
+    """DuckDB oracle for :func:`minhash_greedy_keepset`. The greedy
+    fixpoint is inherently sequential in id order, so the oracle walks
+    the (rep-grain, edge-bearing) vertices one per recursion step,
+    carrying the kept set as a LIST — O(#edge-bearing distinct texts)
+    steps, exact because the digest-grain pair graph reuses the same
+    md5 minhash SQL as :func:`minhash_dedup_sql`. Isolated vertices and
+    signature-less documents short-circuit to kept outside the
+    recursion."""
+    toks = f"list_filter(string_split_regex(lower(txt), '\\s+'), t -> t <> '')"
+    mh = minhash_dedup_sql("ddocs", "did", "txt", threshold, n, k, bands).strip()
+    return f"""
+WITH RECURSIVE
+base AS (
+  SELECT {id_col} AS id, {text_col} AS txt, md5({text_col}) AS dg
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+reps AS (SELECT dg, min(id) AS rep FROM base GROUP BY dg),
+ddocs AS (SELECT dg AS did, min(txt) AS txt FROM base GROUP BY dg),
+sh_dgs AS (SELECT did AS dg FROM ddocs WHERE len({toks}) >= {n}),
+mh AS (SELECT * FROM ({mh})),
+edges AS (
+  SELECT DISTINCT least(ra.rep, rb.rep) AS src, greatest(ra.rep, rb.rep) AS dst
+  FROM mh JOIN reps ra ON mh.id_a = ra.dg JOIN reps rb ON mh.id_b = rb.dg
+),
+everts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+seq AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM everts),
+g AS (
+  SELECT 0 AS rn, CAST([] AS BIGINT[]) AS kept
+  UNION ALL
+  SELECT g.rn + 1,
+         CASE WHEN EXISTS (
+             SELECT 1 FROM edges e JOIN seq s ON s.rn = g.rn + 1 AND e.dst = s.v
+             WHERE list_contains(g.kept, e.src))
+           THEN g.kept
+           ELSE list_append(g.kept, (SELECT v FROM seq WHERE rn = g.rn + 1))
+         END
+  FROM g WHERE g.rn < (SELECT max(rn) FROM seq)
+),
+kept_reps AS (
+  SELECT s.v FROM seq s
+  WHERE list_contains((SELECT kept FROM g ORDER BY rn DESC LIMIT 1), s.v)
+  UNION
+  SELECT r.rep FROM reps r JOIN sh_dgs USING (dg)
+  WHERE r.rep NOT IN (SELECT v FROM everts)
+),
+sh_members AS (
+  SELECT b.id, r.rep FROM base b JOIN reps r ON b.dg = r.dg JOIN sh_dgs s ON b.dg = s.dg
+)
+SELECT id, (id = rep AND rep IN (SELECT v FROM kept_reps)) AS kept FROM sh_members
+UNION ALL
+SELECT {id_col} AS id, TRUE AS kept FROM {table}
+WHERE {id_col} NOT IN (SELECT id FROM sh_members)
 """
 
 

@@ -1120,6 +1120,20 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_components(pairs)
 
 
+def q_dedup_greedy_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy leader keep-set (ops.dedup.minhash_greedy_keepset): a doc
+    is kept iff no KEPT smaller-id doc near-dups it — the admission
+    rule the persisted-signature streaming deduper replays batch by
+    batch, and the policy that (unlike component-collapse) never drops
+    a doc reachable only through already-dropped intermediaries.
+    Digest-grain LSH + an iterative fixpoint; the oracle walks the
+    same rule sequentially with a recursive kept-list CTE — exact."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.minhash_greedy_keepset(
+        docs, "doc_id", "text", threshold=0.2, k=16, bands=8
+    )
+
+
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-family calibration audit (ops.dedup.dedup_agreement):
     Jaccard overlap of the exact / MinHash / SimHash duplicate-pair
@@ -3495,6 +3509,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         similarity.embedding_near_dups_sql("embeddings", 0.45, dim=64, n_planes=4, n_tables=8)
     )),
     "dedup_agreement_documents": (q_dedup_agreement, dedup.dedup_agreement_sql("documents", "doc_id", "text", minhash_threshold=0.2, max_hamming=3)),
+    "dedup_greedy_keepset_documents": (q_dedup_greedy_keepset, dedup.minhash_greedy_keepset_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)),
     "keep_best_documents": (q_keep_best_documents, dedup.keep_best_exemplar_sql(
         dedup.dup_components_sql(
             dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)

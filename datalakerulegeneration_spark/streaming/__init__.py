@@ -36,3 +36,7 @@ from datalakerulegeneration_spark.streaming.sketch_stream import (  # noqa: F401
     hll_stream,
     sketch_stream,
 )
+from datalakerulegeneration_spark.streaming.neardup_index_stream import (  # noqa: F401
+    NearDupDeduper,
+    neardup_dedup_stream,
+)

@@ -152,6 +152,34 @@ def test_minhash_pairs_contract_planted_dups_oracle(spark, duck):
     assert comp_star == comp_pairs
 
 
+def test_minhash_greedy_keepset_matches(sf_tables, duck):
+    df = dedup.minhash_greedy_keepset(sf_tables["documents"], "doc_id", "text", threshold=0.2)
+    _cmp(df, duck, dedup.minhash_greedy_keepset_sql("documents", "doc_id", "text", threshold=0.2))
+
+
+def test_minhash_greedy_keepset_planted_oracle(spark, duck):
+    """Greedy keep-set oracle parity on a corpus WITH identical
+    clusters, a chain, and short/NULL docs (the recursion, the
+    digest-grain expansion, and both short-circuits)."""
+    import pandas as pd
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota kappa nu xi"
+    c = "omicron pi rho sigma tau zeta eta theta iota kappa nu xi"
+    rows = [(1, a), (2, a), (3, b), (4, c), (10, "tiny doc"), (11, "tiny doc"),
+            (12, None), (13, "some other standalone piece of writing here")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    duck.register("planted_greedy_docs", pdf)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.minhash_greedy_keepset(df, "doc_id", "text", threshold=0.3, bands=16)
+    _cmp(got, duck, dedup.minhash_greedy_keepset_sql(
+        "planted_greedy_docs", "doc_id", "text", threshold=0.3, bands=16))
+    ks = {r["id"]: r["kept"] for r in got.collect()}
+    # chain 1~3~4 (no 1~4 edge): greedy keeps both endpoints
+    assert ks == {1: True, 2: False, 3: False, 4: True,
+                  10: True, 11: True, 12: True, 13: True}
+
+
 def test_simhash_matches(sf_tables, duck):
     df = dedup.simhash(sf_tables["documents"].limit(100), "doc_id", "text")
     sql = dedup.simhash_sql("(SELECT * FROM documents WHERE doc_id < 100)", "doc_id", "text")

@@ -748,6 +748,135 @@ def test_cm_sketch_monitor_stream_equals_batch(spark, sf_tables, tmp_path):
     assert all(est[v] >= exact[v] for v in exact)
 
 
+def _neardup_corpus():
+    """Corpus with every near-dup shape: an exact cluster straddling
+    batches, a greedy-visible CHAIN (A~B, B~C, A≁C — greedy keeps A
+    AND C, component-collapse would not), short identical docs, and
+    unique fillers. High pairwise Jaccard so the deterministic LSH
+    banding finds every true pair."""
+    # 3-gram jaccards: (A,B) = 8/12 ≈ 0.67, (B,C) = 5/15 ≈ 0.33,
+    # (A,C) = 3/17 ≈ 0.18 — at threshold 0.3 the chain is A~B~C with
+    # no A~C edge. Tests use bands=16 (1 minhash row per band) so the
+    # 0.33-jaccard pair is a guaranteed-in-practice LSH candidate.
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota kappa nu xi"  # ~A
+    c = "omicron pi rho sigma tau zeta eta theta iota kappa nu xi"  # ~B, not ~A
+    return [
+        (1, a),
+        (2, "one entirely unrelated document about completely other things"),
+        (3, a),  # exact dup of 1 (same batch)
+        (4, b),  # near-dup of 1 → dropped
+        (10, c),  # near-dup of 4 (dropped) but NOT of 1 → greedy keeps it
+        (11, "tiny doc"),
+        (12, "tiny doc"),  # < 3 tokens: no signature, both admitted
+        (13, a),  # exact dup of 1 across batches → dropped
+        (20, c),  # exact dup of 10 across batches → dropped
+        (21, "yet another fully distinct piece of text with its own words"),
+        (22, None),  # NULL text: always admitted
+    ]
+
+
+def test_greedy_keepset_chain_vs_components(spark):
+    """The greedy leader rule (the streaming admission semantics) on a
+    chain A~B~C keeps BOTH endpoints; component-collapse keeps only the
+    min. Pins the semantic difference the near-dup stream implements."""
+    from datalakerulegeneration_spark.ops.dedup import (
+        dup_components,
+        greedy_over_edges,
+        minhash_greedy_keepset,
+    )
+
+    verts = spark.createDataFrame([(1,), (2,), (3,), (9,)], "v long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["v"]: r["kept"] for r in greedy_over_edges(verts, edges).collect()}
+    assert got == {1: True, 2: False, 3: True, 9: True}
+
+    docs = spark.createDataFrame(
+        [r for r in _neardup_corpus() if r[1] is not None], "doc_id long, text string"
+    )
+    ks = {r["id"]: r["kept"] for r in
+          minhash_greedy_keepset(docs, "doc_id", "text", threshold=0.3, bands=16).collect()}
+    # chain: 1 kept, 4 dropped (near-dups 1), 10 kept (only neighbor 4
+    # is dropped); exact dups 3/13/20 dropped; short identicals kept
+    assert ks[1] and not ks[4] and ks[10]
+    assert not ks[3] and not ks[13] and not ks[20]
+    assert ks[11] and ks[12] and ks[2] and ks[21]
+    comp = dup_components(
+        spark.createDataFrame([(1, 4), (4, 10)], "id_a long, id_b long")
+    )
+    cm = {r["id"]: r["component"] for r in comp.collect()}
+    assert cm[10] == 1  # component-collapse would keep only doc 1
+
+
+def test_neardup_index_stream_parity_and_restart(spark, tmp_path):
+    """3 ascending-id batches + a restart through the persisted
+    signature index admit EXACTLY the batch twin's keep-set
+    (minhash_greedy_keepset over the concatenated corpus), and no
+    staging dirs survive."""
+    import os
+
+    from datalakerulegeneration_spark.ops.dedup import minhash_greedy_keepset
+    from datalakerulegeneration_spark.streaming import NearDupDeduper
+
+    rows = _neardup_corpus()
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "nd_state")
+    dd = NearDupDeduper(spark, state, threshold=0.3, bands=16)
+    batches = [
+        [r for r in rows if r[0] < 10],
+        [r for r in rows if 10 <= r[0] < 20],
+    ]
+    for i, b in enumerate(batches):
+        dd.update(spark.createDataFrame(b, "doc_id long, text string"), i)
+
+    dd2 = NearDupDeduper(spark, state, threshold=0.3, bands=16)  # restart
+    dd2.update(
+        spark.createDataFrame([r for r in rows if r[0] >= 20], "doc_id long, text string"),
+        0,
+    )
+    got = {r["doc_id"] for r in dd2.survivors().collect()}
+    exp = {r["id"] for r in
+           minhash_greedy_keepset(all_docs, "doc_id", "text", threshold=0.3, bands=16).collect()
+           if r["kept"]}
+    assert got == exp
+    assert 10 in got and 4 not in got  # the chain shape survived streaming
+    assert not [p for p in os.listdir(state) if p.startswith(".staging_")]
+    # index holds bands only for signature-bearing admitted docs
+    idx_ids = {r["doc_id"] for r in dd2.index().select("doc_id").distinct().collect()}
+    assert idx_ids == {str(i) for i in got if i not in (11, 12, 22)}
+
+
+def test_neardup_index_real_stream(spark, sf_tables, tmp_path):
+    """availableNow file stream over real documents: survivors equal
+    the batch greedy keep-set (batch boundaries are id-ordered)."""
+    from datalakerulegeneration_spark.ops.dedup import minhash_greedy_keepset
+    from datalakerulegeneration_spark.streaming import neardup_dedup_stream
+
+    docs = sf_tables["documents"].select("doc_id", "text").limit(120)
+    src = str(tmp_path / "src")
+    # id-ordered batch boundaries (one file per id range, read in order)
+    for lo, hi in ((0, 40), (40, 80), (80, 1 << 40)):
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q, dd = neardup_dedup_stream(
+        spark, stream, str(tmp_path / "state"), threshold=0.2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in dd.survivors().collect()}
+    exp = {r["id"] for r in
+           minhash_greedy_keepset(docs, "doc_id", "text", threshold=0.2).collect()
+           if r["kept"]}
+    assert got == exp and len(got) > 0
+
+
 def test_sketch_monitors_replay_idempotent(spark, tmp_path):
     """foreachBatch re-delivers the last uncommitted batch after a
     crash; the ADDITIVE Count-Min fold must not double-count it. A
