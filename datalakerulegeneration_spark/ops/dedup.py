@@ -184,11 +184,61 @@ def band_signatures(
     ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, k: int = N_HASHES, bands: int = N_BANDS
+def band_bucket_stats(
+    sigs: DataFrame, k: int = N_HASHES, bands: int = N_BANDS, top: int = 20
 ) -> DataFrame:
-    """Candidate pairs: docs sharing any band signature → (id_a, id_b)."""
+    """Band-bucket density audit: the ``top`` largest LSH buckets as
+    ``(band, bh, n_docs)`` plus a summary row (band = −1) carrying the
+    bucket COUNT in ``n_docs``. Candidate-pair work is
+    Σ C(bucket_size, 2) per band, so this histogram is the pre-flight
+    check for a near-dup-dense corpus: a 5k-member near-dup family
+    shows up as a 5k-deep bucket (≈12.5M pairs) BEFORE the join runs.
+    Digest-grain signatures (``minhash_dedup`` stage 0.5) already keep
+    byte-identical floods out; genuinely-near-but-distinct floods are
+    what this surfaces — handle them with AQE skew-join splitting
+    (on by default in ``session.get_spark``) and, above that, the
+    ``max_bucket`` cap on :func:`lsh_candidate_pairs`."""
+    counts = (
+        band_signatures(sigs, k, bands)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    top_rows = counts.orderBy(F.desc("n_docs"), F.asc("band"), F.asc("bh")).limit(top)
+    summary = counts.agg(
+        F.lit(-1).alias("band"),
+        F.lit("TOTAL_BUCKETS").alias("bh"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return top_rows.unionByName(summary)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs: docs sharing any band signature → (id_a, id_b).
+
+    ``max_bucket`` is the dense-corpus escape hatch: buckets holding
+    more than that many signatures are EXCLUDED from pair generation
+    (each contributes C(n, 2) pairs — one 100k-deep bucket is 5·10⁹
+    candidates no executor should build). Members of a skipped bucket
+    almost always still pair through their other, sparser bands (a
+    true near-dup pair collides in every band with prob jaccard^rows);
+    production flows that cap buckets should ALSO read
+    :func:`band_bucket_stats` and route the capped buckets' members
+    through exemplar-based handling. Default None = exact historical
+    behavior (the oracle-mirrored contract)."""
     long = band_signatures(sigs, k, bands)
+    if max_bucket is not None:
+        ok = (
+            long.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("band", "bh")
+        )
+        long = long.join(ok, ["band", "bh"], "left_semi")
     a = long.alias("a")
     b = long.alias("b")
     # merge hint: the band self-join is corpus × corpus on (band, bh);

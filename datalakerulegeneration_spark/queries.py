@@ -3676,7 +3676,8 @@ _GATE_HEAD = [
     "asof_join_events_orders",
     "eval_metrics_orders",
     "fd_conflicts_orders",
-    "line_dedup_documents",
+    # new this round — must appear in its first driver artifact
+    "dedup_greedy_keepset_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

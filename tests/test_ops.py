@@ -152,6 +152,30 @@ def test_minhash_pairs_contract_planted_dups_oracle(spark, duck):
     assert comp_star == comp_pairs
 
 
+def test_band_join_neardup_flood_audit_and_cap(spark):
+    """Adversarial skew: a 2k-member NEAR-dup family (distinct texts,
+    jaccard ≈ 0.93 — the digest collapse can NOT absorb it) densifies
+    one bucket per band. The bucket audit must surface the flood
+    before the join; the uncapped band join must still complete (AQE
+    skew-join splits the hot partition) with exactly C(2000,2)
+    candidates; max_bucket must excise the dense buckets."""
+    n = 2_000
+    common = " ".join(f"tok{j}" for j in range(30))
+    rows = [(i, f"{common} unique{i}") for i in range(n)]
+    rows += [(n + i, f"totally different text number {i} with its own words here") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(dedup.shingles(df, "doc_id", "text"))
+    stats = dedup.band_bucket_stats(sigs).collect()
+    top = max(r["n_docs"] for r in stats if r["band"] >= 0)
+    # ~97% of the family lands in one bucket (the unique token can
+    # perturb a minhash for a few docs) — the flood is unmistakable
+    assert top >= int(n * 0.9)
+    uncapped = dedup.lsh_candidate_pairs(sigs).count()
+    assert uncapped >= 0.95 * (n * (n - 1) // 2)  # completes; ~all true pairs
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket=100).count()
+    assert capped <= n  # dense buckets excised: quadratic work gone
+
+
 def test_minhash_greedy_keepset_matches(sf_tables, duck):
     df = dedup.minhash_greedy_keepset(sf_tables["documents"], "doc_id", "text", threshold=0.2)
     _cmp(df, duck, dedup.minhash_greedy_keepset_sql("documents", "doc_id", "text", threshold=0.2))
