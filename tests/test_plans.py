@@ -228,18 +228,27 @@ def test_corpus_joins_never_static_broadcast(spark):
 def test_lsh_signature_single_scan(spark):
     """Multi-table LSH signatures are one projection + posexplode, not
     a union of per-table re-scans (8 tables used to cost 16 scans).
-    near_dup additionally re-reads the vector source twice to re-attach
-    vectors AFTER the narrow id-pair dedup — the deliberate trade that
-    keeps the candidate dedup exchange at 16 bytes/pair instead of
-    shuffling both vector payloads per collision (a ~40 GB exchange at
-    the sf10 stress point); linear columnar re-scans are the cheap
-    side of that trade at every scale."""
-    p = _plan(_impl("near_dup_embeddings")(spark, SF_DIR))
-    # 4 static scans: the signature self-join reads the source twice
-    # (AQE ReusedExchange collapses them at runtime) + the two
-    # re-attach sides; all column-pruned
-    assert p.count("FileScan parquet") <= 4
+    near_dup additionally re-reads the vector source to re-attach
+    vectors AFTER the narrow digest-pair dedup — the deliberate trade
+    that keeps the candidate dedup exchange at 32 bytes/pair instead
+    of shuffling both vector payloads per collision (a ~40 GB exchange
+    at the sf10 stress point); linear columnar re-scans are the cheap
+    side of that trade at every scale. The r6 digest-grain collapse
+    adds the (digest → id) index and within-cluster expansion paths —
+    more STATIC scan nodes, but the heavy subtrees (the distinct-vector
+    groupBy feeding signatures, scoring, and self-cosine) end in one
+    canonical exchange that ReusedExchange collapses at runtime, so
+    payload-width parquet reads stay ~constant while the band join
+    stops being quadratic in identical-vector clusters."""
+    df = _impl("near_dup_embeddings")(spark, SF_DIR)
+    p = _plan(df)
+    assert p.count("FileScan parquet") <= 10
     assert "SortMergeJoin" in p  # the vector re-attach joins, estimate-proof
+    # the collapsed-grain subtree must actually be REUSED at runtime,
+    # not re-executed per consumer
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 3
     p = _plan(_impl("ann_topk_lsh_embeddings")(spark, SF_DIR))
     assert p.count("FileScan parquet") <= 2
 
