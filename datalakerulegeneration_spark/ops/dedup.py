@@ -212,6 +212,58 @@ def band_bucket_stats(
     return top_rows.unionByName(summary)
 
 
+def band_bucket_stats_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    top: int = 20,
+) -> str:
+    """DuckDB oracle for :func:`band_bucket_stats` over doc-grain
+    signatures of ``table`` — same md5 minhash family and banding as
+    :func:`minhash_dedup_sql`, so bucket ids and depths are exact.
+    (band, bh) is unique per counts row, so the depth-desc/band/bh
+    ordering is total and the top-``top`` SET is deterministic in both
+    engines."""
+    rows = k // bands
+    hash_cols = ",\n    ".join(
+        f"min(({a} * hb + {b}) % {_MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_params(k))
+    )
+    band_rows = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        band_rows.append(f"SELECT id, {b} AS band, md5({parts}) AS bh FROM sigs")
+    bands_sql = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH sh AS ({shingles_sql(table, id_col, text_col, n)}),
+shb AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hb FROM sh
+),
+sigs AS (
+  SELECT id,
+    {hash_cols}
+  FROM shb GROUP BY id
+),
+bandrows AS (
+{bands_sql}
+),
+counts AS (
+  SELECT band, bh, CAST(count(*) AS BIGINT) AS n_docs
+  FROM bandrows GROUP BY band, bh
+)
+SELECT band, bh, n_docs FROM (
+  SELECT * FROM counts ORDER BY n_docs DESC, band ASC, bh ASC LIMIT {top}
+)
+UNION ALL
+SELECT -1 AS band, 'TOTAL_BUCKETS' AS bh, CAST(count(*) AS BIGINT) AS n_docs FROM counts
+"""
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     k: int = N_HASHES,
@@ -549,13 +601,23 @@ WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {thre
 SIMHASH_BITS = 32
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash per document: ``(id, simhash)``.
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """``bits``-bit SimHash per document: ``(id, simhash)``.
 
     Token hash = md5-derived 60-bit int; bit j of the fingerprint is 1
     iff the (weighted) sum of ±1 votes over tokens is positive. One
-    explode + one groupBy(id) with 32 sum aggregates.
-    """
+    explode + one groupBy(id) with ``bits`` sum aggregates.
+
+    ``bits`` defaults to the historical 32 and may go up to 60 (the
+    token hash width; also keeps ``1 << j`` inside signed BIGINT).
+    Width is the corpus-scale lever: banding a 32-bit fingerprint into
+    4 bands gives only 2^8 bucket values per band, so bucket occupancy
+    — and the band self-join's candidate volume — grows linearly with
+    corpus size (the dedup_agreement sf10 row measured exactly that).
+    At 56 bits the same 4 bands have 2^14 values: 64× the bucket
+    space, same hamming-recall pigeonhole."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     t = (
         df.select(F.col(id_col).alias("id"), toks.alias("toks"))
@@ -567,24 +629,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.sum(
                 F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
             ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
+            for j in range(bits)
         ]
     )
     bit_terms = " + ".join(
         f"(case when v{j} > 0 then cast({1 << j} as bigint) else 0 end)"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
     return votes.select("id", F.expr(bit_terms).alias("simhash"))
 
 
-def simhash_sql(table: str, id_col: str, text_col: str) -> str:
+def simhash_sql(table: str, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> str:
     vote_cols = ",\n    ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
     bit_terms = " + ".join(
         f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
     return f"""
 WITH t AS (
@@ -606,18 +668,20 @@ SELECT id, {bit_terms} AS simhash FROM votes
 
 
 def simhash_near_dups(
-    fp: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    fp: DataFrame, max_hamming: int = 3, n_bands: int = 4, bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """Near-dup pairs from fingerprints via bit-banding.
 
-    The 32 bits split into ``n_bands`` equal bands; pairs equal on ≥1
-    band are candidates (pigeonhole guarantee: every pair with hamming
-    ≤ n_bands−1 is generated), then verified with
+    The ``bits`` bits split into ``n_bands`` equal bands; pairs equal
+    on ≥1 band are candidates (pigeonhole guarantee: every pair with
+    hamming ≤ n_bands−1 is generated), then verified with
     ``bit_count(xor) <= max_hamming``. More bands → higher guaranteed
     recall but narrower band values → bigger candidate fan-out at
-    scale; 4×8-bit bands is the classic ≤3-hamming setting.
+    scale; 4×8-bit bands is the classic ≤3-hamming setting. At corpus
+    scale pass ``bits=56`` fingerprints (see :func:`simhash`) so each
+    band carries 14 bits — 64× the bucket space, same recall bound.
     """
-    width = SIMHASH_BITS // n_bands
+    width = bits // n_bands
     mask = (1 << width) - 1
     band_exprs = [
         F.expr(f"(simhash >> {width * b}) & {mask}").alias(f"band{b}")

@@ -1120,6 +1120,18 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_components(pairs)
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket density audit (ops.dedup.band_bucket_stats):
+    the top bucket depths + total bucket count — the pre-flight check
+    that predicts the band join's candidate volume (Σ C(depth, 2))
+    before running it on a possibly dup-dense corpus. One explode +
+    one (band, bh) hash agg + a top-k; exact oracle via the shared md5
+    minhash/banding arithmetic."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    sigs = dedup.minhash_signatures(dedup.shingles(docs, "doc_id", "text", 3), 16)
+    return dedup.band_bucket_stats(sigs, 16, 8, top=20)
+
+
 def q_dedup_greedy_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy leader keep-set (ops.dedup.minhash_greedy_keepset): a doc
     is kept iff no KEPT smaller-id doc near-dups it — the admission
@@ -3510,6 +3522,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     )),
     "dedup_agreement_documents": (q_dedup_agreement, dedup.dedup_agreement_sql("documents", "doc_id", "text", minhash_threshold=0.2, max_hamming=3)),
     "dedup_greedy_keepset_documents": (q_dedup_greedy_keepset, dedup.minhash_greedy_keepset_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)),
+    "lsh_bucket_stats_documents": (q_lsh_bucket_stats, dedup.band_bucket_stats_sql("documents", "doc_id", "text", 3, 16, 8, 20)),
     "keep_best_documents": (q_keep_best_documents, dedup.keep_best_exemplar_sql(
         dedup.dup_components_sql(
             dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)

@@ -226,6 +226,32 @@ def test_simhash_near_dups(spark):
     assert (1, 3) in nd8 and (1, 4) not in nd8
 
 
+def test_simhash_wide_matches_and_spreads(sf_tables, duck, spark):
+    """56-bit SimHash (the corpus-scale width: 4 bands × 14 bits = 64×
+    the bucket space of 32-bit): oracle parity, and near-dup banding
+    still finds planted dups while spreading distinct docs across more
+    buckets than the 32-bit fingerprint does."""
+    df = dedup.simhash(sf_tables["documents"].limit(100), "doc_id", "text", bits=56)
+    sql = dedup.simhash_sql("(SELECT * FROM documents WHERE doc_id < 100)", "doc_id", "text", bits=56)
+    _cmp(df, duck, sql)
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely unrelated content here")]
+    fp = dedup.simhash(spark.createDataFrame(rows, "doc_id long, text string"),
+                       "doc_id", "text", bits=56)
+    nd = {(r["id_a"], r["id_b"]) for r in
+          dedup.simhash_near_dups(fp, max_hamming=3, n_bands=4, bits=56).collect()}
+    assert (1, 2) in nd and not any(3 in p for p in nd)
+    # distinct band-value spread: 56-bit bands distinguish at least as
+    # many docs as 32-bit bands on the same corpus
+    docs = sf_tables["documents"].limit(200)
+    def band0_distinct(bits):
+        f = dedup.simhash(docs, "doc_id", "text", bits=bits)
+        w = bits // 4
+        return f.selectExpr(f"simhash & {(1 << w) - 1} as b0").distinct().count()
+    assert band0_distinct(56) >= band0_distinct(32)
+
+
 def test_brute_force_topk_matches(sf_tables, duck):
     emb = sf_tables["embeddings"]
     queries = emb.where(F.col("vec_id") < 5).select(
