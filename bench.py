@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "token_kl_by_source_documents",
     "quantized_topk_embeddings",
     "ann_topk_ivf_sq8_embeddings",
+    "ann_topk_pq_embeddings",
     "projected_topk_embeddings",
     "embedding_dup_components",
     "incremental_dedup_documents",

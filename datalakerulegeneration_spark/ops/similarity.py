@@ -910,6 +910,178 @@ def ivf_sq8_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+# ---------------------------------------------------------------------------
+# product quantization (PQ) with deterministic anchor codebooks
+# ---------------------------------------------------------------------------
+
+def pq_anchors(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks ``(j, code, cvec)`` — the vector space
+    splits into ``m`` contiguous subspaces; subspace ``j``'s codebook
+    is the ``ksub`` CORPUS subvectors whose ``md5(id:j)`` ranks
+    smallest (codes numbered in that rank order).
+
+    Deterministic anchor sampling instead of per-subspace KMeans is
+    the same trade the sign-LSH family makes (md5-derived planes):
+    codebooks become pure arithmetic over the data, so encoding,
+    reconstruction, and ADC ranking all have EXACT DuckDB oracles —
+    KMeans codebooks would squeeze more recall per bit but turn the
+    whole operator rows-only. Anchors are real data points, so they
+    track the corpus distribution the way sampled k-medoid seeds do.
+
+    Shape: one explode to (id, j, subvec) and a per-``j`` top-ksub by
+    rank hash — row_number over partitionBy(j) ≤ ksub, which Spark
+    executes as WindowGroupLimit (map-side partial top-k), so no task
+    ever holds more than ksub rows per subspace."""
+    dim = len(vectors.select(vec_col).first()[0])
+    dsub = dim // m
+    ex = vectors.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j"),
+        F.col(vec_col).alias("v"),
+    ).select(
+        "id",
+        "j",
+        F.expr(f"transform(slice(v, j * {dsub} + 1, {dsub}), x -> cast(x as double))").alias("subvec"),
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(":"), F.col("j").cast("string"))).alias("rh"),
+    )
+    w = Window.partitionBy("j").orderBy(F.asc("rh"), F.asc("id"))
+    return (
+        ex.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ksub)
+        .select("j", (F.col("rn") - 1).alias("code"), F.col("subvec").alias("cvec"))
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    probe_ids_under: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization top-k — ``(query_id, neighbor_id, cos_sim,
+    rank)``. Each corpus vector is stored as ``m`` small codes (m·log2
+    (ksub) bits ≈ 5 bytes here vs 256 for fp32 — the compression that
+    makes exhaustive scans of a 100 TB ANN corpus possible); ranking
+    reconstructs x̂ by concatenating the coded anchors and scores
+    cos(q̂, x̂) over reconstructions. A left fold over the concatenated
+    reconstruction adds the per-subspace partial dots in subspace
+    order, so this is numerically IDENTICAL to the classic ADC
+    table-lookup sum — and, with the deterministic anchors of
+    :func:`pq_anchors`, exactly reproducible in SQL. Probes are corpus
+    rows with id < ``probe_ids_under``, reconstructed through the same
+    codebooks (symmetric distance, the quantized_topk convention).
+    Ties rank by neighbor id."""
+    dim = len(vectors.select(vec_col).first()[0])
+    dsub = dim // m
+    anchors = pq_anchors(vectors, m, ksub, id_col, vec_col)
+    ex = vectors.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j"),
+        F.col(vec_col).alias("v"),
+    ).select(
+        "id",
+        "j",
+        F.expr(f"transform(slice(v, j * {dsub} + 1, {dsub}), x -> cast(x as double))").alias("subvec"),
+    )
+    # encode: nearest anchor per (vector, subspace); ties by code asc.
+    # anchors are m*ksub rows — broadcast; squared-euclidean fold in
+    # array order keeps the distance doubles engine-identical
+    dist = F.expr(
+        "aggregate(zip_with(subvec, cvec, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, p) -> acc + p)"
+    )
+    coded = (
+        ex.join(F.broadcast(anchors), "j")
+        .withColumn("d2", dist)
+        .groupBy("id", "j")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"), F.col("cvec"))).alias("best"))
+    )
+    # reconstruction: subspace anchors concatenated in j order (the
+    # array_sort on (j, …) structs makes assembly order deterministic)
+    recon = coded.groupBy("id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("best.cvec").alias("cvec")))),
+                lambda s: s["cvec"],
+            )
+        ).alias("rvec")
+    ).withColumn("rn_", F.expr(norm_expr("rvec")))
+    probes = recon.where(F.col("id") < probe_ids_under).select(
+        F.col("id").alias("query_id"), F.col("rvec").alias("qr"), F.col("rn_").alias("qn_")
+    )
+    scored = recon.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(F.expr(cosine_norms_expr("qr", "rvec", "qn_", "rn_")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_topk_sql(
+    table: str,
+    probe_ids_under: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`pq_topk` — same md5 anchor ranking,
+    same nearest-anchor encode (ties by code), same j-ordered
+    reconstruction and left-fold cosine."""
+    dsub = dim // m
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS id, j.j,
+         list_transform(list_slice(CAST({vec_col} AS DOUBLE[]), j.j * {dsub} + 1, (j.j + 1) * {dsub}), x -> x) AS subvec,
+         md5(CAST({id_col} AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)) AS rh
+  FROM {table}, (SELECT unnest(generate_series(0, {m - 1})) AS j) j
+),
+anchors AS (
+  SELECT j, rn - 1 AS code, subvec AS cvec FROM (
+    SELECT j, subvec, row_number() OVER (PARTITION BY j ORDER BY rh, id) AS rn
+    FROM ex
+  ) WHERE rn <= {ksub}
+),
+coded AS (
+  SELECT id, j, min({{'d2': d2, 'code': code, 'cvec': cvec}}) AS best FROM (
+    SELECT ex.id, ex.j, a.code, a.cvec,
+           list_sum(list_transform(generate_series(1, {dsub}),
+             i -> (ex.subvec[i] - a.cvec[i]) * (ex.subvec[i] - a.cvec[i]))) AS d2
+    FROM ex JOIN anchors a ON ex.j = a.j
+  ) GROUP BY id, j
+),
+recon AS (
+  SELECT id, flatten(list((best).cvec ORDER BY j)) AS rvec FROM coded GROUP BY id
+),
+probes AS (SELECT id AS query_id, rvec AS qr FROM recon WHERE id < {probe_ids_under}),
+scored AS (
+  SELECT p.query_id, v.id AS neighbor_id,
+         round(
+           list_dot_product(p.qr, v.rvec)
+           / (sqrt(list_dot_product(p.qr, p.qr)) * sqrt(list_dot_product(v.rvec, v.rvec))),
+           6) AS cos_sim
+  FROM recon v, probes p
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
 def project_embeddings(
     vectors: DataFrame,
     out_dim: int,

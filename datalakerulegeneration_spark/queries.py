@@ -1271,6 +1271,18 @@ def q_ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_sq8_topk(emb, 10, k=10, n_lists=8, n_probe=8)
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k (ops.similarity.pq_topk): vectors
+    stored as m=8 codes over 32-anchor per-subspace codebooks (~5
+    bytes/vector vs 256 fp32 — the deepest compression tier in the ANN
+    family), ranked by reconstructed cosine. Codebooks are
+    deterministic md5-ranked corpus anchors instead of per-subspace
+    KMeans, which makes encode/reconstruct/rank EXACT SQL — the PQ
+    analogue of the md5-plane trick that makes sign-LSH oracle-able."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.pq_topk(emb, 10, k=10, m=8, ksub=32)
+
+
 def q_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL sign-projection retrieval (ops.similarity.projected_topk):
     64→16 dims via md5-derived ±1 literal rows, cosine ranked in the
@@ -3556,6 +3568,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # full-probe IVF-SQ8 ≡ quantized brute force (see q_ann_topk_ivf_sq8)
     "ann_topk_ivf_sq8_embeddings": (q_ann_topk_ivf_sq8, similarity.quantized_topk_sql("embeddings", 10, k=10)),
     "projected_topk_embeddings": (q_projected_topk, similarity.projected_topk_sql("embeddings", 64, 10, out_dim=16, k=10)),
+    "ann_topk_pq_embeddings": (q_ann_topk_pq, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),
     "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
     "embedding_stats_by_label": (q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
     "embedding_centroids_by_label": (q_embedding_centroids, Q_EMBEDDING_CENTROIDS_ORACLE),
@@ -3680,17 +3693,17 @@ _GATE_HEAD = [
     "dedup_minhash_documents",
     "dup_components_documents",
     "near_dup_embeddings",
-    # family flagships for regression coverage (9)
+    # family flagships for regression coverage
     "curate_corpus_documents",
     "q1_pricing_summary",
     "profile_lineitem",
-    "latest_events_per_user",
-    "sessionize_events",
     "asof_join_events_orders",
     "eval_metrics_orders",
     "fd_conflicts_orders",
-    # new this round — must appear in its first driver artifact
+    # new this round — must appear in their first driver artifact
     "dedup_greedy_keepset_documents",
+    "lsh_bucket_stats_documents",
+    "ann_topk_pq_embeddings",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

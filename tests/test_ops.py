@@ -1672,6 +1672,35 @@ def test_ivf_sq8_full_probe_matches_oracle_and_partial_recalls(sf_tables, duck):
     assert len(es & qs) / len(es) >= 0.9
 
 
+def test_pq_topk_matches_oracle(sf_tables, duck):
+    pt = similarity.pq_topk(sf_tables["embeddings"], 10, k=10, m=8, ksub=32)
+    _cmp(pt, duck, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64))
+
+
+def test_pq_topk_finds_planted_clusters(spark):
+    """PQ is a coarse pre-rank; on clustered data (near-random vectors
+    don't quantize meaningfully at 5 bytes) the coded ranking must
+    recover co-cluster membership: every query's top-k should be
+    dominated by its own cluster."""
+    import math
+
+    rows = []
+    for c in range(4):
+        base = [math.sin(0.7 * c * (d + 1)) * 2.0 for d in range(16)]
+        for i in range(25):
+            # id ≡ cluster (mod 4), so probes 0..3 span all 4 clusters
+            rows.append(
+                (i * 4 + c, [round(x + 0.05 * math.cos(1.3 * i * (d + 1)), 4)
+                             for d, x in enumerate(base)])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.pq_topk(df, 4, k=10, m=4, ksub=16).collect()
+    for q in range(4):
+        mine = [r["neighbor_id"] for r in out if r["query_id"] == q]
+        same = sum(1 for n in mine if n % 4 == q % 4)
+        assert same >= 8, (q, mine)
+
+
 def test_projected_topk_matches_oracle(sf_tables, duck):
     pt = similarity.projected_topk(sf_tables["embeddings"], 10, out_dim=16, k=10)
     _cmp(pt, duck, similarity.projected_topk_sql("embeddings", 64, 10, out_dim=16, k=10))
