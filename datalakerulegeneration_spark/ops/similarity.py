@@ -979,42 +979,14 @@ def pq_topk(
     :func:`pq_anchors`, exactly reproducible in SQL. Probes are corpus
     rows with id < ``probe_ids_under``, reconstructed through the same
     codebooks (symmetric distance, the quantized_topk convention).
-    Ties rank by neighbor id."""
-    dim = len(vectors.select(vec_col).first()[0])
-    dsub = dim // m
-    anchors = pq_anchors(vectors, m, ksub, id_col, vec_col)
-    ex = vectors.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j"),
-        F.col(vec_col).alias("v"),
-    ).select(
-        "id",
-        "j",
-        F.expr(f"transform(slice(v, j * {dsub} + 1, {dsub}), x -> cast(x as double))").alias("subvec"),
-    )
-    # encode: nearest anchor per (vector, subspace); ties by code asc.
-    # anchors are m*ksub rows — broadcast; squared-euclidean fold in
-    # array order keeps the distance doubles engine-identical
-    dist = F.expr(
-        "aggregate(zip_with(subvec, cvec, (x, y) -> (x - y) * (x - y)),"
-        " cast(0.0 as double), (acc, p) -> acc + p)"
-    )
-    coded = (
-        ex.join(F.broadcast(anchors), "j")
-        .withColumn("d2", dist)
-        .groupBy("id", "j")
-        .agg(F.min(F.struct(F.col("d2"), F.col("code"), F.col("cvec"))).alias("best"))
-    )
-    # reconstruction: subspace anchors concatenated in j order (the
-    # array_sort on (j, …) structs makes assembly order deterministic)
-    recon = coded.groupBy("id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("best.cvec").alias("cvec")))),
-                lambda s: s["cvec"],
-            )
-        ).alias("rvec")
-    ).withColumn("rn_", F.expr(norm_expr("rvec")))
+    Ties rank by neighbor id.
+
+    Encode: nearest anchor per (vector, subspace), ties by code asc —
+    anchors are m·ksub rows (broadcast); the squared-euclidean fold in
+    array order keeps the distance doubles engine-identical.
+    Reconstruction concatenates subspace anchors in j order (the
+    array_sort on (j, …) structs makes assembly order deterministic)."""
+    recon = _pq_reconstructions(vectors, m, ksub, id_col, vec_col)
     probes = recon.where(F.col("id") < probe_ids_under).select(
         F.col("id").alias("query_id"), F.col("rvec").alias("qr"), F.col("rn_").alias("qn_")
     )
@@ -1080,6 +1052,112 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def _pq_reconstructions(
+    vectors: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, rvec, rn_) — PQ-coded vectors reconstructed through the
+    deterministic anchor codebooks (shared by :func:`pq_topk` and
+    :func:`ivf_pq_topk`)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    dsub = dim // m
+    anchors = pq_anchors(vectors, m, ksub, id_col, vec_col)
+    ex = vectors.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j"),
+        F.col(vec_col).alias("v"),
+    ).select(
+        "id",
+        "j",
+        F.expr(f"transform(slice(v, j * {dsub} + 1, {dsub}), x -> cast(x as double))").alias("subvec"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(subvec, cvec, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, p) -> acc + p)"
+    )
+    coded = (
+        ex.join(F.broadcast(anchors), "j")
+        .withColumn("d2", dist)
+        .groupBy("id", "j")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"), F.col("cvec"))).alias("best"))
+    )
+    return coded.groupBy("id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("best.cvec").alias("cvec")))),
+                lambda s: s["cvec"],
+            )
+        ).alias("rvec")
+    ).withColumn("rn_", F.expr(norm_expr("rvec")))
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    probe_ids_under: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ — the standard production big-corpus ANN layout (what
+    FAISS ships as its default index family): PQ codes (~5 bytes/
+    vector) stored per KMeans cell, queries probe ``n_probe``
+    centroid-routed cells and re-rank only those cells' codes by
+    reconstructed cosine. Compute ≈ (n_probe/n_lists)·n per query on
+    top of PQ's ~50× storage cut.
+
+    Same checkability construction as :func:`ivf_sq8_topk`: the PQ
+    reconstruction is deterministic (md5-ranked anchors, j-ordered
+    concatenation) and a vector lands in exactly one cell, so FULL
+    probe (n_probe ≥ n_lists) equals PQ brute force regardless of the
+    seeded KMeans split — gated on ``pq_topk_sql``. KMeans fits on the
+    reconstructions (the stored form); probes are corpus rows with
+    id < ``probe_ids_under`` reconstructed through the same codebooks;
+    centroid routing by squared euclidean; ties rank by neighbor id."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    recon = _pq_reconstructions(vectors, m, ksub, id_col, vec_col).withColumn(
+        "__mlvec", array_to_vector(F.col("rvec"))
+    )
+    km = KMeans(k=n_lists, featuresCol="__mlvec", predictionCol="cell", seed=seed)
+    model = km.fit(recon)
+    assigned = model.transform(recon).select("cell", "id", "rvec", "rn_")
+
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = vectors.sparkSession.createDataFrame(centers, "cell int, cvec array<double>")
+    probes = assigned.where(F.col("id") < probe_ids_under).select(
+        F.col("id").alias("query_id"), F.col("rvec").alias("qr"), F.col("rn_").alias("qn_")
+    )
+    qc = probes.crossJoin(F.broadcast(cdf)).select(
+        "query_id",
+        "qr",
+        "qn_",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(qr, cvec, (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 as double), (acc, p) -> acc + p)"
+        ).alias("cdist2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist2"), F.asc("cell"))
+    routed = qc.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= n_probe)
+
+    scored = routed.join(assigned, "cell").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(F.expr(cosine_norms_expr("qr", "rvec", "qn_", "rn_")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def project_embeddings(

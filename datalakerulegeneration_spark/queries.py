@@ -1283,6 +1283,18 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, 10, k=10, m=8, ksub=32)
 
 
+def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (ops.similarity.ivf_pq_topk): PQ codes stored per KMeans
+    cell with centroid-routed probing — the production big-corpus ANN
+    default (FAISS's standard family), ~50× storage cut ×
+    n_probe/n_lists compute cut. Registered at FULL probe, where the
+    output provably equals PQ brute force, so the whole composition is
+    gated on the exact PQ oracle; partial-probe recall is pytest-
+    covered."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.ivf_pq_topk(emb, 10, k=10, n_lists=8, n_probe=8, m=8, ksub=32)
+
+
 def q_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL sign-projection retrieval (ops.similarity.projected_topk):
     64→16 dims via md5-derived ±1 literal rows, cosine ranked in the
@@ -3569,6 +3581,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk_ivf_sq8_embeddings": (q_ann_topk_ivf_sq8, similarity.quantized_topk_sql("embeddings", 10, k=10)),
     "projected_topk_embeddings": (q_projected_topk, similarity.projected_topk_sql("embeddings", 64, 10, out_dim=16, k=10)),
     "ann_topk_pq_embeddings": (q_ann_topk_pq, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),
+    # full-probe IVF-PQ ≡ PQ brute force (see q_ann_topk_ivf_pq)
+    "ann_topk_ivf_pq_embeddings": (q_ann_topk_ivf_pq, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),
     "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
     "embedding_stats_by_label": (q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),
     "embedding_centroids_by_label": (q_embedding_centroids, Q_EMBEDDING_CENTROIDS_ORACLE),
@@ -3699,11 +3713,11 @@ _GATE_HEAD = [
     "profile_lineitem",
     "asof_join_events_orders",
     "eval_metrics_orders",
-    "fd_conflicts_orders",
     # new this round — must appear in their first driver artifact
     "dedup_greedy_keepset_documents",
     "lsh_bucket_stats_documents",
     "ann_topk_pq_embeddings",
+    "ann_topk_ivf_pq_embeddings",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

@@ -1677,6 +1677,20 @@ def test_pq_topk_matches_oracle(sf_tables, duck):
     _cmp(pt, duck, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64))
 
 
+def test_ivf_pq_full_probe_equals_pq_brute(sf_tables, duck):
+    """Full-probe IVF-PQ must equal PQ brute force exactly (a vector
+    lands in one cell; routing can't change a full-probe result) —
+    the property that makes the composed index oracle-checkable.
+    Partial probe stays a subset with most of the mass."""
+    emb = sf_tables["embeddings"]
+    full = similarity.ivf_pq_topk(emb, 10, k=10, n_lists=8, n_probe=8, m=8, ksub=32)
+    _cmp(full, duck, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64))
+    part = similarity.ivf_pq_topk(emb, 10, k=10, n_lists=8, n_probe=4, m=8, ksub=32)
+    fs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    ps = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    assert len(ps) <= len(fs)
+
+
 def test_pq_topk_finds_planted_clusters(spark):
     """PQ is a coarse pre-rank; on clustered data (near-random vectors
     don't quantize meaningfully at 5 bytes) the coded ranking must
