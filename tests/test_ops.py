@@ -1715,6 +1715,25 @@ def test_pq_topk_finds_planted_clusters(spark):
         assert same >= 8, (q, mine)
 
 
+def test_pq_rerank_matches_oracle_and_beats_pq(sf_tables, duck):
+    """Two-stage PQ→exact re-rank: oracle parity, and recall@10 vs the
+    fp32 exact ranking must be at least the raw PQ ranking's (re-rank
+    can only fix orderings inside the candidate pool)."""
+    emb = sf_tables["embeddings"]
+    rr = similarity.pq_rerank_topk(emb, 10, k=10, rerank=50, m=8, ksub=32)
+    _cmp(rr, duck, similarity.pq_rerank_topk_sql("embeddings", 10, k=10, rerank=50, m=8, ksub=32, dim=64))
+    exact = similarity.brute_force_topk(
+        emb,
+        emb.where("vec_id < 10").selectExpr("vec_id as query_id", "embedding as query_vec"),
+        k=10,
+    )
+    es = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rs = {(r["query_id"], r["neighbor_id"]) for r in rr.collect()}
+    ps = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.pq_topk(emb, 10, k=10, m=8, ksub=32).collect()}
+    assert len(es & rs) >= len(es & ps)
+
+
 def test_projected_topk_matches_oracle(sf_tables, duck):
     pt = similarity.projected_topk(sf_tables["embeddings"], 10, out_dim=16, k=10)
     _cmp(pt, duck, similarity.projected_topk_sql("embeddings", 64, 10, out_dim=16, k=10))

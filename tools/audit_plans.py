@@ -91,6 +91,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("projected_topk_embeddings", "bnlj", "constant-size projected probe set broadcast"),
     ("ann_topk_pq_embeddings", "bnlj", "constant-size reconstructed probe set broadcast"),
     ("ann_topk_ivf_pq_embeddings", "bnlj", "n_lists-row centroid table + m*ksub-row anchor codebook broadcast"),
+    ("ann_rerank_pq_embeddings", "bnlj", "constant-size probe frames broadcast in the pre-rank and re-rank stages"),
     # non-equi self-joins over frames reduced to distinct values first
     ("levenshtein_conflicts_part", "bnlj", "distinct-brand values frame (|domain|^2 pairs, domain is enum-sized)"),
     # profile-grain cartesians: one row per COLUMN, not per data row
