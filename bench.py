@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "bloom_decontaminate_documents",
     "hll_distinct_users_events",
     "bloom_ngram_decon_documents",
+    "dedup_prefix_jaccard_documents",
+    "temperature_mixture_documents",
+    "pmi_collocations_documents",
+    "decontaminate_embeddings",
 ]
 
 

@@ -352,3 +352,104 @@ SELECT t.* FROM {table} t JOIN counts c ON t.{group_col} IS NOT DISTINCT FROM c.
 WHERE c.grp_n <= c.cap_n
    OR {_hash_bucket_sql(f"t.{id_col}", salt)} * c.grp_n < c.cap_n * {_BUCKETS}
 """
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    salt: str = "temperature",
+) -> DataFrame:
+    """Temperature-based mixture flattening (the multilingual-sampling
+    shape: sample group g with probability ∝ (n_g)^alpha, alpha = 1/T —
+    alpha < 1 flattens head groups toward the tail; alpha = 1 is the
+    natural distribution, i.e. keep everything). Because this engine
+    only ever SUBSAMPLES (never replicates), the targets are
+    water-filled so the smallest group keeps all its rows and every
+    larger group downsamples to match the flattened proportions:
+
+        target_n(g) = floor( n_g^alpha · n_min^(1-alpha) )
+
+    — algebraically the same water-fill as :func:`target_mixture` with
+    shares ∝ n_g^alpha (the shared normalizer cancels inside
+    ``share·N``), but deliberately REFORMULATED without the share sum:
+    a Σ over float weights is accumulation-order-dependent and Spark
+    and DuckDB would disagree in the last ulp, while min(n_g) is an
+    exact BIGINT and the remaining product is two correctly-rounded
+    primitives. alpha = 0.5 uses sqrt on both engines (IEEE-exact);
+    other alphas go through pow (documented ≤1-ulp cross-engine risk
+    on the target boundary).
+
+    Cost: one group-count aggregate, a #groups-row window min, one
+    broadcast join + map-side hash-threshold filter — the corpus
+    itself is never shuffled. Membership hash arithmetic is identical
+    to :func:`rebalance_groups` (append-stable, engine-portable).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1] — subsample-only flattening")
+
+    def _pow(col, exp: float):
+        d = col.cast("double")
+        if exp == 1.0:
+            return d
+        if exp == 0.5:
+            return F.sqrt(d)
+        return F.pow(d, F.lit(exp))
+
+    counts = df.groupBy(F.col(group_col).alias("_grp_key")).agg(
+        F.count(F.lit(1)).alias("_grp_n")
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_min = F.min("_grp_n").over(wall)
+    caps = counts.select(
+        "_grp_key",
+        "_grp_n",
+        F.floor(_pow(F.col("_grp_n"), alpha) * _pow(n_min, 1.0 - alpha))
+        .cast("bigint")
+        .alias("_target_n"),
+    )
+    keep = _hash_bucket(id_col, salt) * F.col("_grp_n") < F.col("_target_n") * F.lit(_BUCKETS)
+    return (
+        df.join(
+            F.broadcast(caps),
+            F.col(group_col).eqNullSafe(F.col("_grp_key")),
+        )
+        .where(keep)
+        .select(*df.columns)
+    )
+
+
+def temperature_mixture_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    salt: str = "temperature",
+) -> str:
+    """DuckDB oracle for :func:`temperature_mixture`."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1] — subsample-only flattening")
+
+    def _pow(expr: str, exp: float) -> str:
+        if exp == 1.0:
+            return f"CAST({expr} AS DOUBLE)"
+        if exp == 0.5:
+            return f"sqrt(CAST({expr} AS DOUBLE))"
+        return f"pow(CAST({expr} AS DOUBLE), {exp!r})"
+
+    return f"""
+WITH counts AS (
+  SELECT {group_col} AS grp, count(*) AS grp_n
+  FROM {table} GROUP BY {group_col}
+),
+caps AS (
+  SELECT grp, grp_n,
+         CAST(floor({_pow('grp_n', alpha)} * {_pow('min(grp_n) OVER ()', 1.0 - alpha)}) AS BIGINT) AS target_n
+  FROM counts
+)
+SELECT t.* FROM {table} t JOIN caps c ON t.{group_col} IS NOT DISTINCT FROM c.grp
+WHERE {_hash_bucket_sql(f"t.{id_col}", salt)} * c.grp_n < c.target_n * {_BUCKETS}
+"""

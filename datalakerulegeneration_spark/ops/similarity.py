@@ -619,6 +619,74 @@ WHERE round({cos}, 6) >= {threshold}
 """
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination audit: for
+    every corpus vector, its max cosine against ANY held-out eval
+    vector, plus a ``contaminated`` flag at ``threshold`` — the
+    embedding companion to the fingerprint/shingle/Bloom scrubs
+    (exact-match decontamination misses paraphrased leaks; cosine
+    against the eval set's embeddings catches them).
+
+    Scale shape: eval suites are small by design (same contract as
+    ``ngram_overlap``'s broadcast eval grams), so the eval side is
+    BROADCAST with precomputed norms and the corpus is scanned ONCE
+    map-side — score, then a partial-agg max per corpus id. No corpus
+    shuffle beyond the per-id max combine; 100 TB of corpus streams
+    through at scan speed. Cosine = one fold per pair via
+    :func:`cosine_norms_expr` (bit-identical to :func:`cosine_expr`);
+    rounded to 6 dp for engine parity.
+    """
+    ev = eval_vectors.select(
+        F.col(vec_col).alias("ev"), F.expr(norm_expr(vec_col)).alias("en")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cv"),
+        F.expr(norm_expr(vec_col)).alias("cn"),
+    )
+    scored = c.join(F.broadcast(ev)).select(
+        "id",
+        F.round(F.expr(cosine_norms_expr("cv", "ev", "cn", "en")), 6).alias("cos"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.max("cos").alias("max_eval_cos"))
+        .withColumn("contaminated", F.col("max_eval_cos") >= F.lit(threshold))
+    )
+
+
+def embedding_decontaminate_sql(
+    vectors_table: str,
+    eval_sql: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> str:
+    """DuckDB oracle for :func:`embedding_decontaminate`. ``eval_sql``
+    yields one ``ev`` (eval vector) column."""
+    cos = (
+        f"list_dot_product(CAST(c.{vec_col} AS DOUBLE[]), CAST(e.ev AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST(c.{vec_col} AS DOUBLE[]), CAST(c.{vec_col} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST(e.ev AS DOUBLE[]), CAST(e.ev AS DOUBLE[]))))"
+    )
+    return f"""
+WITH ev AS ({eval_sql}),
+scored AS (
+  SELECT c.{id_col} AS id, round({cos}, 6) AS cos
+  FROM {vectors_table} c CROSS JOIN ev e
+)
+SELECT id, max(cos) AS max_eval_cos,
+       max(cos) >= {threshold} AS contaminated
+FROM scored GROUP BY id
+"""
+
+
 def rrf_fuse(
     legs: list[DataFrame], depth: int = 100, k: int = 60, n: int = 20
 ) -> DataFrame:

@@ -1253,3 +1253,109 @@ SELECT metric, value FROM (
   FROM wide, dg
 )
 """
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information — the classic collocation detector (Church & Hanks
+    1990): PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) estimated
+    over adjacent token pairs and p(x) over all tokens. High-PMI pairs
+    are multiword units ("new york", "machine learning"); corpus
+    curation uses them for tokenizer/vocab audits and boilerplate
+    discovery. ``min_count`` suppresses the classic PMI low-frequency
+    blow-up (a pair seen once between two hapaxes maxes the score).
+
+    Scale shape: two column-pruned text scans (one exploding unigrams,
+    one adjacent pairs — both map-side), vocabulary-grain and
+    pair-grain groupBys, then joins ONLY on the ≥min_count pair frame
+    (hinted shuffle-hash: the pair frame post-explode defeats static
+    estimates, the same sf10 class every dedup join guards against).
+    The two scalar totals broadcast as 1-row frames. Top-k is
+    orderBy+limit (TakeOrderedAndProject — parallel partial top-k, no
+    global window). PMI rounded to 6 dp; ties broken by (w1, w2).
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    base = df.select(toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").cast("double").alias("n_total"))
+    bg_all = (
+        base.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bgc = bg_all.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    b_total = bgc.agg(F.sum("n_pair").cast("double").alias("b_total"))
+    ux = uni.select(F.col("term").alias("_t1"), F.col("c").alias("c1"))
+    uy = uni.select(F.col("term").alias("_t2"), F.col("c").alias("c2"))
+    scored = (
+        bgc.where(F.col("n_pair") >= min_count)
+        .hint("shuffle_hash")
+        .join(ux, F.col("w1") == F.col("_t1"))
+        .hint("shuffle_hash")
+        .join(uy, F.col("w2") == F.col("_t2"))
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("b_total"))
+                    / ((F.col("c1") / F.col("n_total")) * (F.col("c2") / F.col("n_total")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+
+
+def pmi_collocations_sql(
+    table: str, text_col: str, min_count: int = 5, k: int = 20
+) -> str:
+    """DuckDB oracle for :func:`pmi_collocations`."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    return f"""
+WITH base AS (SELECT {toks} AS toks FROM {table}),
+unic AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(toks) AS term FROM base) GROUP BY term
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM unic),
+bgc AS (
+  SELECT pair[1] AS w1, pair[2] AS w2, count(*) AS n_pair
+  FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> [toks[i], toks[i + 1]])) AS pair
+    FROM base WHERE len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+btot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS b_total FROM bgc),
+scored AS (
+  SELECT w1, w2, n_pair,
+         round(ln((CAST(n_pair AS DOUBLE) / b_total)
+                  / ((ux.c / n_total) * (uy.c / n_total))), 6) AS pmi
+  FROM bgc
+  JOIN unic ux ON bgc.w1 = ux.term
+  JOIN unic uy ON bgc.w2 = uy.term
+  CROSS JOIN tot CROSS JOIN btot
+  WHERE n_pair >= {min_count}
+)
+SELECT w1, w2, n_pair, pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT {k}
+"""

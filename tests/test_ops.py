@@ -2010,3 +2010,128 @@ def test_dedup_agreement_matches_and_semantics(sf_tables, duck, spark):
          dedup.dedup_agreement(df, "doc_id", "text").collect()}
     em = m[("exact", "minhash")]
     assert em["n_a"] == 1 and em["n_shared"] == 1 and em["jaccard"] == 1.0
+
+
+def test_prefix_jaccard_equals_ngram_and_prunes(spark, sf_tables, duck):
+    """PPJoin prefix filtering is lossless: output identical to the
+    full inverted-index join at the same threshold (both vs the shared
+    oracle), while generating strictly fewer candidate pairs."""
+    docs = sf_tables["documents"]
+    for t in (0.2, 0.5):
+        pp = dedup.prefix_jaccard_dedup(docs, "doc_id", "text", threshold=t)
+        _cmp(pp, duck, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=t))
+    sh = dedup.shingles(docs, "doc_id", "text", 3)
+    full_pairs = dedup.jaccard_pairs(sh).count()
+    cand = dedup.prefix_filter_pairs(sh, 0.5).count()
+    assert cand < full_pairs
+
+
+def test_prefix_filter_superset_of_true_pairs(spark):
+    """Adversarial ordering: docs sharing ONLY their rarest shingle
+    and docs sharing only stopword shingles — prefix candidates must
+    cover every pair the full join admits at the threshold."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "the the the the the the common only filler words"),
+        (4, "the the the the the the common only filler terms"),
+        (5, "completely unrelated text about distributed query engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.8):
+        truth = sorted(
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_dedup(df, "doc_id", "text", threshold=t).collect()
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in dedup.prefix_jaccard_dedup(df, "doc_id", "text", threshold=t).collect()
+        )
+        assert got == truth, (t, got, truth)
+
+
+def test_temperature_mixture_matches_and_flattens(spark, sf_tables, duck):
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = sf_tables["documents"]
+    df = sampling.temperature_mixture(docs, "doc_id", "lang", alpha=0.5)
+    _cmp(df, duck, sampling.temperature_mixture_sql("documents", "doc_id", "lang", alpha=0.5))
+    # alpha=1 is the natural distribution: keep everything
+    assert sampling.temperature_mixture(docs, "doc_id", "lang", alpha=1.0).count() == docs.count()
+
+
+def test_temperature_mixture_semantics_planted_skew(spark):
+    """900/90/10 skew at alpha=0.5: the smallest group keeps all rows,
+    targets follow floor(sqrt(n_g)*sqrt(n_min)), realized counts are
+    within binomial noise of the target (exact: hash membership is
+    deterministic, so just check direction and bounds)."""
+    import math
+
+    from datalakerulegeneration_spark.ops import sampling
+
+    rows = [(i, "a" if i < 900 else ("b" if i < 990 else "c")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.temperature_mixture(df, "doc_id", "grp", alpha=0.5)
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    targets = {g: math.floor(math.sqrt(n) * math.sqrt(10)) for g, n in (("a", 900), ("b", 90), ("c", 10))}
+    assert got["c"] == 10  # smallest group keeps everything
+    for g in ("a", "b"):
+        # hash threshold realizes the target in expectation; tolerate
+        # binomial noise but demand real flattening
+        assert got[g] <= targets[g] * 1.25 + 5
+        assert got[g] >= targets[g] * 0.75 - 5
+    assert got["a"] < 900 * 0.2  # head group flattened hard
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture(df, "doc_id", "grp", alpha=0.0)
+
+
+def test_pmi_collocations_matches_and_ranks_planted(spark, sf_tables, duck):
+    df = textqa.pmi_collocations(sf_tables["documents"], "text", min_count=3, k=20)
+    _cmp(df, duck, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20))
+    # planted collocation: "san francisco" always adjacent, both words
+    # appear ONLY in that pair; filler words everywhere -> low PMI
+    rows = [(i, "san francisco is " + " ".join(["filler"] * 5)) for i in range(5)]
+    rows += [(100 + i, "other filler words about nothing in particular") for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    top = textqa.pmi_collocations(d, "text", min_count=3, k=20).collect()
+    by_pair = {(r["w1"], r["w2"]): r["pmi"] for r in top}
+    best = max(by_pair.values())
+    # (san, francisco) is a perfect collocation: ties other perfect
+    # pairs at the max PMI, beats every filler-adjacent pair
+    assert by_pair[("san", "francisco")] == best
+    assert by_pair[("other", "filler")] < best
+    # short docs (0/1 tokens) must not break the bigram transform
+    short = spark.createDataFrame([(1, "one"), (2, ""), (3, None)], "doc_id long, text string")
+    assert textqa.pmi_collocations(short, "text", min_count=1, k=5).count() == 0
+
+
+def test_embedding_decontaminate_matches_and_flags(spark, sf_tables, duck):
+    emb = sf_tables["embeddings"]
+    ev = emb.where((F.col("vec_id") % 41) == 0)
+    df = similarity.embedding_decontaminate(emb, ev, threshold=0.8)
+    _cmp(df, duck, similarity.embedding_decontaminate_sql(
+        "embeddings", "SELECT embedding AS ev FROM embeddings WHERE vec_id % 41 = 0", threshold=0.8))
+    got = {r["id"]: r for r in df.collect()}
+    # every eval member sees itself: max cosine 1.0, flagged
+    for vid in [r["vec_id"] for r in ev.select("vec_id").collect()]:
+        assert got[vid]["max_eval_cos"] == pytest.approx(1.0, abs=1e-6)
+        assert got[vid]["contaminated"]
+
+
+def test_embedding_decontaminate_semantics_planted(spark):
+    """A corpus vector equal to an eval vector (and a scaled copy) is
+    contaminated; an orthogonal one is not."""
+    ev = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),       # exact leak
+            (11, [7.0, 0.0, 0.0]),       # scaled leak (cosine ignores norm)
+            (12, [0.0, 1.0, 0.0]),       # orthogonal
+            (13, [0.9, 0.5, 0.0]),       # similar direction, cos ≈ 0.874
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["id"]: r for r in similarity.embedding_decontaminate(corpus, ev, threshold=0.95).collect()}
+    assert out[10]["contaminated"] and out[11]["contaminated"]
+    assert not out[12]["contaminated"]
+    assert out[13]["max_eval_cos"] > 0.8 and not out[13]["contaminated"]

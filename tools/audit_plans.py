@@ -38,6 +38,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("token_kl_by_source_documents", "global_window", "#groups-row per-source frame above the grp agg"),
     ("rebalance_sources_documents", "global_window", "#groups-row cap computation"),
     ("target_mixture_documents", "global_window", "#groups-row water-fill frame"),
+    ("temperature_mixture_documents", "global_window", "#groups-row water-fill frame (min over group counts)"),
     ("hybrid_search_documents", "global_window", "depth-row RRF leg frames (limit before window)"),
     ("curation_funnel_documents", "global_window", "5-row funnel stage frame"),
     ("pack_sequences_documents", "global_window", "n_parts-row bucket-offset frame (two-level prefix sum)"),
@@ -73,6 +74,8 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("bm25_documents", "bnlj", "1-row corpus stats (N, avgdl, df_t) broadcast"),
     ("hybrid_search_documents", "bnlj", "1-row corpus stats + 1-row probe vector broadcast"),
     ("unigram_logprob_documents", "bnlj", "1-row corpus token total broadcast"),
+    ("pmi_collocations_documents", "bnlj", "1-row token-total and bigram-total scalar aggs broadcast"),
+    ("decontaminate_embeddings", "bnlj", "constant-size eval-vector frame broadcast (held-out eval suites are small by contract)"),
     ("vocab_coverage_documents", "bnlj", "1-row corpus total broadcast onto the k-row top-k"),
     ("tfidf_top_terms_documents", "bnlj", "1-row doc-count scalar broadcast"),
     ("curate_corpus_documents", "bnlj", "1-row survivor-count/scalar stage constants broadcast"),
