@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "temperature_mixture_documents",
     "pmi_collocations_documents",
     "decontaminate_embeddings",
+    "dsir_weights_documents",
 ]
 
 

@@ -1359,3 +1359,112 @@ scored AS (
 SELECT w1, w2, n_pair, pmi FROM scored
 ORDER BY pmi DESC, w1, w2 LIMIT {k}
 """
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    method): score every document by how target-like its hashed
+    unigram distribution is,
+
+        logw(d) = Σ_b tf_d(b) · [ ln p_target(b) − ln p_corpus(b) ]
+
+    over ``n_buckets`` md5-hashed token buckets with add-1 smoothing.
+    ``target_col`` is a boolean column marking the (small) target-
+    domain exemplars; the rest of the frame is the raw corpus. High
+    logw ⇒ resample into the training mix (selection = top-k by
+    weight or sampling ∝ softmax(logw) downstream).
+
+    Scale shape: ONE text scan → (doc, bucket) tf aggregation; the two
+    bucket LMs are ``n_buckets``-row aggregates of that frame (map-side
+    combine), joined back by bucket — the per-bucket log-ratio frame is
+    bounded by construction (≤ n_buckets rows) and broadcast. Rounded
+    to 6 dp (the per-doc Σ is a float reduction; rounding absorbs
+    accumulation-order ulps, same contract as unigram_logprob).
+
+    Returns ``(id, is_target, n_tokens, log_importance)``.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    bucket = F.expr(
+        "cast(conv(substr(md5(term), 1, 7), 16, 10) as bigint)"
+    ) % F.lit(n_buckets)
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("boolean").alias("is_target"),
+        F.explode(toks).alias("term"),
+    ).select("id", "is_target", bucket.alias("b"))
+    tf = terms.groupBy("id", "is_target", "b").agg(F.count(F.lit(1)).alias("tf"))
+    lm = (
+        tf.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(F.lit(0))).alias("ct"),
+            F.sum(F.when(~F.col("is_target"), F.col("tf")).otherwise(F.lit(0))).alias("cc"),
+        )
+    )
+    totals = lm.agg(
+        F.sum("ct").cast("double").alias("nt"), F.sum("cc").cast("double").alias("nc")
+    )
+    # add-1 smoothing over the FULL bucket space (n_buckets, not just
+    # observed buckets — unobserved buckets carry no doc mass anyway)
+    lam = lm.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.lit(float(n_buckets))))
+            - F.log((F.col("cc") + F.lit(1.0)) / (F.col("nc") + F.lit(float(n_buckets))))
+        ).alias("lam"),
+    )
+    scored = tf.join(F.broadcast(lam), "b").withColumn(
+        "contrib", F.col("tf") * F.col("lam")
+    )
+    return scored.groupBy("id", "is_target").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("contrib"), 6).alias("log_importance"),
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    target_expr: str,
+    n_buckets: int = 1024,
+) -> str:
+    """DuckDB oracle for :func:`dsir_weights`. ``target_expr`` is a
+    boolean SQL expression over the table's columns."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    return f"""
+WITH terms AS (
+  SELECT id, is_target,
+         CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) % {n_buckets} AS b
+  FROM (
+    SELECT {id_col} AS id, CAST({target_expr} AS BOOLEAN) AS is_target,
+           unnest({toks}) AS term
+    FROM {table}
+  )
+),
+tf AS (SELECT id, is_target, b, count(*) AS tf FROM terms GROUP BY 1, 2, 3),
+lm AS (
+  SELECT b,
+         sum(CASE WHEN is_target THEN tf ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT is_target THEN tf ELSE 0 END) AS cc
+  FROM tf GROUP BY b
+),
+tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cc) AS DOUBLE) AS nc FROM lm),
+lam AS (
+  SELECT b,
+         ln((ct + 1.0) / (nt + {float(n_buckets)!r}))
+         - ln((cc + 1.0) / (nc + {float(n_buckets)!r})) AS lam
+  FROM lm CROSS JOIN tot
+)
+SELECT tf.id AS id, tf.is_target AS is_target,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(sum(tf.tf * lam.lam), 6) AS log_importance
+FROM tf JOIN lam ON tf.b = lam.b
+GROUP BY tf.id, tf.is_target
+"""

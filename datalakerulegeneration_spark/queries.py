@@ -2088,6 +2088,20 @@ def q_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_decontaminate(emb, ev, threshold=0.8)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ops.textqa.dsir_weights): hashed-unigram
+    target-vs-corpus log-likelihood-ratio score per document, target
+    exemplars = source 'src0'. One text scan; the per-bucket log-ratio
+    LM is an n_buckets-row broadcast."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.dsir_weights(
+        docs.withColumn("_is_target", F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        "_is_target",
+    )
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report: per-source rows, char weight, exact share."""
     from datalakerulegeneration_spark.ops import sampling
@@ -3672,6 +3686,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "target_mixture_documents": (q_target_mixture, sampling.target_mixture_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "temperature_mixture_documents": (q_temperature_mixture, sampling.temperature_mixture_sql("documents", "doc_id", "lang", alpha=0.5)),
     "pmi_collocations_documents": (q_pmi_collocations, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20)),
+    "dsir_weights_documents": (q_dsir_weights, textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'")),
     "decontaminate_embeddings": (q_decontaminate_embeddings, similarity.embedding_decontaminate_sql(
         "embeddings", "SELECT embedding AS ev FROM embeddings WHERE vec_id % 41 = 0", threshold=0.8
     )),

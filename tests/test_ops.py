@@ -2135,3 +2135,27 @@ def test_embedding_decontaminate_semantics_planted(spark):
     assert out[10]["contaminated"] and out[11]["contaminated"]
     assert not out[12]["contaminated"]
     assert out[13]["max_eval_cos"] > 0.8 and not out[13]["contaminated"]
+
+
+def test_dsir_weights_matches_oracle(spark, sf_tables, duck):
+    docs = sf_tables["documents"].withColumn("is_t", F.col("source") == "src0")
+    df = textqa.dsir_weights(docs, "doc_id", "text", "is_t")
+    _cmp(df, duck, textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'"))
+
+
+def test_dsir_weights_ranks_target_domain(spark):
+    """Planted domains: medical target vocabulary vs web-ish corpus.
+    Held-out medical docs (NOT marked target) must outscore web docs —
+    the whole point of importance resampling."""
+    med = "patient clinical dosage trial symptom diagnosis therapy oncology"
+    web = "click here subscribe newsletter cookie banner advertisement offer"
+    rows = (
+        [(i, med + f" case {i}", True) for i in range(10)]          # target exemplars
+        + [(100 + i, med + f" report {i}", False) for i in range(5)]  # held-out medical
+        + [(200 + i, web + f" page {i}", False) for i in range(5)]    # off-domain
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {r["id"]: r["log_importance"] for r in textqa.dsir_weights(df, "doc_id", "text", "is_t").collect()}
+    held_out_med = [out[100 + i] for i in range(5)]
+    off_domain = [out[200 + i] for i in range(5)]
+    assert min(held_out_med) > max(off_domain)
