@@ -306,12 +306,24 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+def jaccard_pairs(
+    sh: DataFrame,
+    candidates: DataFrame | None = None,
+    candidate_hint: str = "shuffle_hash",
+) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (or all co-shingled
     pairs when ``candidates`` is None — the pure n-gram-Jaccard path).
 
     ``(id_a, id_b, jaccard)`` with jaccard = |∩| / (|A| + |B| − |∩|),
     an exact integer expression → bit-identical across engines.
+
+    ``candidate_hint`` picks the join strategy for the candidate
+    expansion/size joins: ``shuffle_hash`` (default — right for LSH
+    candidate sets, which are tiny relative to the corpus) builds a
+    per-partition hash map of the pair-grain side; ``merge`` sorts and
+    SPILLS, the safe choice when the candidate frame is itself
+    corpus-scale (prefix filtering on template-heavy corpora — an sf1
+    run OOMed the hash build at 3.1M candidate pairs before this knob).
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
@@ -337,9 +349,9 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
         # both sides and builds only the per-partition candidate slice;
         # nothing ever depends on the unknowable post-explode estimate.
         inter = (
-            candidates.hint("shuffle_hash")
+            candidates.hint(candidate_hint)
             .join(a, F.col("id_a") == F.col("a.id"))
-            .hint("shuffle_hash")
+            .hint(candidate_hint)
             .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("inter"))
@@ -362,11 +374,12 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     # same estimate-blindness fix: sizes is doc-grain (corpus-sized) —
     # a static broadcast of it is the same OOM in miniature; build on
-    # the pair-grain inter side instead
+    # the pair-grain inter side instead (or sort-merge when the caller
+    # declared the pair grain itself corpus-scale)
     return (
-        inter.hint("shuffle_hash")
+        inter.hint(candidate_hint)
         .join(sa, "id_a")
-        .hint("shuffle_hash")
+        .hint(candidate_hint)
         .join(sb, "id_b")
         .select(
             "id_a",
@@ -551,7 +564,14 @@ def prefix_filter_pairs(sh: DataFrame, threshold: float) -> DataFrame:
       two sets with Jaccard ≥ t share ≥ ⌈t·max(|A|,|B|)⌉ elements, so
       their prefixes must intersect (pigeonhole on the shared order);
     * join prefixes instead of full inverted lists, with the length
-      filter ``t·|B| ≤ |A| ≤ |B|/t`` (necessary for J ≥ t).
+      filter ``t·|B| ≤ |A| ≤ |B|/t`` (necessary for J ≥ t);
+    * PPJoin position filter: a shared prefix token at positions
+      ``(px, py)`` bounds the overlap of the FIRST shared token by
+      ``1 + min(|A|−px, |B|−py)``; a true pair's first shared token
+      always passes ``≥ ⌈t/(1+t)·(|A|+|B|)⌉``, so keeping pairs where
+      ANY match passes is lossless while template-heavy corpora (many
+      docs sharing mid-frequency shingles DEEP in their prefixes) shed
+      most of their candidate volume.
 
     vs the full inverted-index join (:func:`jaccard_pairs` with no
     candidates): at t = 0.8 only ~20% of each posting list is indexed
@@ -571,14 +591,22 @@ def prefix_filter_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         .withColumn("sz", F.count(F.lit(1)).over(w_id))
         .withColumn("pos", F.row_number().over(w_rank))
         .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "shingle", "sz")
+        .select("id", "shingle", "sz", "pos")
     )
     a, b = pref.alias("a"), pref.alias("b")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+    )
     return (
         a.join(b.hint("merge"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .where(
             (F.col("a.sz").cast("double") >= F.lit(threshold) * F.col("b.sz"))
             & (F.col("b.sz").cast("double") >= F.lit(threshold) * F.col("a.sz"))
+            & (
+                F.lit(1)
+                + F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
+                >= alpha
+            )
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -597,7 +625,12 @@ def prefix_jaccard_dedup(
     """
     sh = shingles(df, id_col, text_col, n)
     cands = prefix_filter_pairs(sh, threshold)
-    return jaccard_pairs(sh, cands).where(F.col("jaccard") >= threshold)
+    # merge, not shuffle_hash: prefix candidates on template-heavy
+    # corpora are pair-grain LARGE (sf1 measured 3.1M pre-position-
+    # filter) — sort-merge spills where a hash build OOMs
+    return jaccard_pairs(sh, cands, candidate_hint="merge").where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_dedup_sql(
