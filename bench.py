@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "pmi_collocations_documents",
     "decontaminate_embeddings",
     "dsir_weights_documents",
+    "shingle_novelty_documents",
 ]
 
 

@@ -633,6 +633,51 @@ def prefix_jaccard_dedup(
     )
 
 
+def shingle_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    n-word shingles that occur in NO other document (corpus document
+    frequency 1) — the cheap diversity/memorization audit: boilerplate
+    and templated docs score near 0, genuinely novel text near 1
+    (complements the dedup family: near-dup pairs say who copies WHOM,
+    novelty says how much of each doc is copied from ANYWHERE).
+
+    One shingle pass; corpus DF rides a window partitioned by shingle
+    over that frame (never wider than a shingle's posting list), then a
+    per-doc hash reduction. Docs shorter than ``n`` tokens have no
+    shingles and are absent from the result (the :func:`shingles`
+    contract). Returns ``(id, n_shingles, n_novel, novelty)``,
+    novelty rounded to 6 dp.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sdf = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    scored = sh.withColumn("sdf", sdf)
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("sdf") == 1, 1).otherwise(0)).cast("bigint").alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("sdf") == 1, 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty"),
+    )
+
+
+def shingle_novelty_sql(table: str, id_col: str, text_col: str, n: int = 3) -> str:
+    """DuckDB oracle for :func:`shingle_novelty`."""
+    return f"""
+WITH sh AS ({shingles_sql(table, id_col, text_col, n)}),
+scored AS (
+  SELECT id, count(*) OVER (PARTITION BY shingle) AS sdf FROM sh
+)
+SELECT id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN sdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN sdf = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS novelty
+FROM scored GROUP BY id
+"""
+
+
 def minhash_dedup_sql(
     table: str,
     id_col: str,

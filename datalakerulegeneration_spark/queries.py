@@ -2088,6 +2088,14 @@ def q_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_decontaminate(emb, ev, threshold=0.8)
 
 
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (ops.dedup.shingle_novelty): share of
+    each doc's distinct 3-shingles with corpus DF 1 — the diversity/
+    boilerplate audit. One shingle pass + posting-list window."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.shingle_novelty(docs, "doc_id", "text", 3)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (ops.textqa.dsir_weights): hashed-unigram
     target-vs-corpus log-likelihood-ratio score per document, target
@@ -3687,6 +3695,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "temperature_mixture_documents": (q_temperature_mixture, sampling.temperature_mixture_sql("documents", "doc_id", "lang", alpha=0.5)),
     "pmi_collocations_documents": (q_pmi_collocations, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20)),
     "dsir_weights_documents": (q_dsir_weights, textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'")),
+    "shingle_novelty_documents": (q_shingle_novelty, dedup.shingle_novelty_sql("documents", "doc_id", "text", 3)),
     "decontaminate_embeddings": (q_decontaminate_embeddings, similarity.embedding_decontaminate_sql(
         "embeddings", "SELECT embedding AS ev FROM embeddings WHERE vec_id % 41 = 0", threshold=0.8
     )),

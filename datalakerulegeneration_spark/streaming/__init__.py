@@ -40,3 +40,6 @@ from datalakerulegeneration_spark.streaming.neardup_index_stream import (  # noq
     NearDupDeduper,
     neardup_dedup_stream,
 )
+from datalakerulegeneration_spark.streaming.decon_stream import (  # noqa: F401
+    embedding_decontaminate_stream,
+)

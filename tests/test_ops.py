@@ -2159,3 +2159,24 @@ def test_dsir_weights_ranks_target_domain(spark):
     held_out_med = [out[100 + i] for i in range(5)]
     off_domain = [out[200 + i] for i in range(5)]
     assert min(held_out_med) > max(off_domain)
+
+
+def test_shingle_novelty_matches_and_semantics(spark, sf_tables, duck):
+    df = dedup.shingle_novelty(sf_tables["documents"], "doc_id", "text", 3)
+    _cmp(df, duck, dedup.shingle_novelty_sql("documents", "doc_id", "text", 3))
+    # planted: two byte-identical docs -> novelty 0; a unique doc -> 1;
+    # a doc sharing half its shingles with the copies -> in between;
+    # a 2-token doc has no 3-shingles -> absent
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "totally fresh words nobody else wrote"),
+        (4, "alpha beta gamma delta unique tail here"),
+        (5, "too short"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.shingle_novelty(d, "doc_id", "text", 3).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert 0.0 < out[4]["novelty"] < 1.0
+    assert 5 not in out

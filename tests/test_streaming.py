@@ -908,3 +908,55 @@ def test_sketch_monitors_replay_idempotent(spark, tmp_path):
     assert {r["register"]: r["rho"] for r in hll.sketch().collect()} == snap
     hll.update(b1, 1)
     assert hll.applied_batch_id() == 1
+
+
+def test_embedding_decontaminate_stream_matches_batch(spark, sf_tables, tmp_path):
+    """Real availableNow file stream: the stateless scrub's audit
+    columns equal the batch audit per id; drop mode keeps exactly the
+    clean ids with the original schema; streaming eval side rejected."""
+    import pytest as _pytest
+
+    from datalakerulegeneration_spark.ops import similarity
+    from datalakerulegeneration_spark.streaming import embedding_decontaminate_stream
+
+    emb = sf_tables["embeddings"]
+    ev = emb.where((F.col("vec_id") % 41) == 0).select("vec_id", "embedding")
+    src = str(tmp_path / "vecs")
+    os.makedirs(src)
+    emb.select("vec_id", "embedding").write.parquet(os.path.join(src, "p1"))
+    out_dir = str(tmp_path / "out")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q = (
+        embedding_decontaminate_stream(stream, ev, threshold=0.8)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: (r["max_eval_cos"], r["contaminated"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        r["id"]: (r["max_eval_cos"], r["contaminated"])
+        for r in similarity.embedding_decontaminate(emb, ev, threshold=0.8).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    # drop mode (batch twin of the same function): clean ids only
+    dropped = embedding_decontaminate_stream(
+        emb.select("vec_id", "embedding"), ev, threshold=0.8, mode="drop"
+    )
+    assert set(dropped.columns) == {"vec_id", "embedding"}
+    kept = {r["vec_id"] for r in dropped.collect()}
+    assert kept == {i for i, (_, c) in exp.items() if not c}
+
+    with _pytest.raises(ValueError, match="static"):
+        embedding_decontaminate_stream(stream, stream)
