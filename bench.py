@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "decontaminate_embeddings",
     "dsir_weights_documents",
     "shingle_novelty_documents",
+    "intra_line_dedup_documents",
 ]
 
 

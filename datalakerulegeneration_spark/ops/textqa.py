@@ -1468,3 +1468,66 @@ SELECT tf.id AS id, tf.is_target AS is_target,
 FROM tf JOIN lam ON tf.b = lam.b
 GROUP BY tf.id, tf.is_target
 """
+
+
+def intra_line_dedup(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Intra-document repeated-line scrub: later repeats of a line
+    WITHIN the same document are dropped, the first occurrence survives
+    in place — the within-doc grain of CCNet line dedup
+    (:func:`common_line_dedup` is the cross-corpus grain; crawled pages
+    repeat their own nav/footer blocks too). Returns
+    ``(id, n_lines, n_kept, cleaned_text)``; repeated EMPTY lines
+    collapse to their first occurrence like any other line.
+
+    Scale shape: strictly per-document — one line explode, a
+    (doc, line)-partitioned window min, one per-doc reassembly agg; a
+    single shuffle keyed by doc id, no corpus-grain state at all (the
+    cross-corpus variant's distinct-line table does not exist here).
+    """
+    lines = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    first = F.min("pos").over(Window.partitionBy("id", "line"))
+    tagged = lines.withColumn("keep", F.col("pos") == first)
+    kept_struct = F.when(F.col("keep"), F.struct(F.col("pos"), F.col("line")))
+    return tagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count(F.when(F.col("keep"), F.lit(1))).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+
+
+def intra_line_dedup_sql(
+    table: str, id_col: str, text_col: str, sep: str = "\\n"
+) -> str:
+    """DuckDB oracle for :func:`intra_line_dedup`."""
+    return f"""
+WITH l AS (
+  SELECT id, u.pos AS pos, u.line AS line FROM (
+    SELECT {id_col} AS id, string_split_regex({text_col}, '{sep}') AS lines
+    FROM {table} WHERE {text_col} IS NOT NULL
+  ), LATERAL (
+    SELECT unnest(list_transform(lines, (x, i) -> {{'pos': i, 'line': x}}),
+                  recursive := true)
+  ) u
+),
+tagged AS (
+  SELECT id, pos, line,
+         pos = min(pos) OVER (PARTITION BY id, line) AS keep
+  FROM l
+)
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN line END,
+                           chr(10) ORDER BY pos), '') AS cleaned_text
+FROM tagged GROUP BY id
+"""

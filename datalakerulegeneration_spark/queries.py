@@ -2477,6 +2477,20 @@ Q_LINE_DEDUP_ORACLE = textqa.common_line_dedup_sql(
 )
 
 
+def q_intra_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line scrub (ops.textqa.intra_line_dedup)
+    on the same wrapped-lines fixture as line_dedup_documents: later
+    repeats of a line inside one doc drop, first stays in place. One
+    doc-keyed shuffle; no corpus-grain state."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.intra_line_dedup(_wrapped_docs(docs), "doc_id", "text", sep="\n")
+
+
+Q_INTRA_LINE_DEDUP_ORACLE = textqa.intra_line_dedup_sql(
+    _WRAPPED_DOCS_SQL, "doc_id", "text", sep="\\n"
+)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality filter (ops.quality_model): weak labels from the
     heuristic score's extremes, a hashed-bag-of-words logistic
@@ -3716,6 +3730,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_overlap_documents": (q_ngram_overlap, Q_NGRAM_OVERLAP_ORACLE),
     "ngram_overlap_multi_documents": (q_ngram_overlap_multi, Q_NGRAM_OVERLAP_MULTI_ORACLE),
     "line_dedup_documents": (q_line_dedup, Q_LINE_DEDUP_ORACLE),
+    "intra_line_dedup_documents": (q_intra_line_dedup, Q_INTRA_LINE_DEDUP_ORACLE),
     "quality_classifier_documents": (q_quality_classifier, None),
     "semdedup_embeddings": (q_semdedup, None),
     "clean_text_documents": (q_clean_text, Q_CLEAN_TEXT_ORACLE),

@@ -2180,3 +2180,31 @@ def test_shingle_novelty_matches_and_semantics(spark, sf_tables, duck):
     assert out[3]["novelty"] == 1.0
     assert 0.0 < out[4]["novelty"] < 1.0
     assert 5 not in out
+
+
+def test_intra_line_dedup_matches_and_semantics(spark, duck):
+    """Oracle parity on a wrapped-lines frame + planted semantics:
+    within-doc repeats drop keeping FIRST in place; the same line in
+    another doc is untouched (intra grain only)."""
+    rows = [
+        (1, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
+        (2, "nav bar\nother doc text"),
+        (3, "a\n\nb\n\na"),
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in textqa.intra_line_dedup(d, "doc_id", "text").collect()}
+    assert out[1]["cleaned_text"] == "nav bar\nreal content one\nreal content two"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 3)
+    assert out[2]["cleaned_text"] == "nav bar\nother doc text"  # cross-doc untouched
+    assert out[3]["cleaned_text"] == "a\n\nb"  # repeated empty + 'a' collapse
+    assert 4 not in out  # null text absent
+    # parity on the registered fixture
+    from datalakerulegeneration_spark.queries import (
+        Q_INTRA_LINE_DEDUP_ORACLE,
+        q_intra_line_dedup,
+    )
+
+    got = sorted(tuple(r) for r in q_intra_line_dedup(spark, "/root/testdata/sf0.001").collect())
+    exp = sorted(tuple(r) for r in duck.execute(Q_INTRA_LINE_DEDUP_ORACLE).fetchall())
+    assert got == exp and len(got) > 0
