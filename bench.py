@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "dsir_weights_documents",
     "shingle_novelty_documents",
     "intra_line_dedup_documents",
+    "target_mixture_exact_documents",
 ]
 
 

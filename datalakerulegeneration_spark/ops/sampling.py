@@ -453,3 +453,127 @@ caps AS (
 SELECT t.* FROM {table} t JOIN caps c ON t.{group_col} IS NOT DISTINCT FROM c.grp
 WHERE {_hash_bucket_sql(f"t.{id_col}", salt)} * c.grp_n < c.target_n * {_BUCKETS}
 """
+
+
+def target_mixture_exact(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, float],
+    salt: str = "mixture",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Exactly-k mixture targeting: the same water-filled per-group
+    targets as :func:`target_mixture`, but each group keeps EXACTLY
+    ``target_n`` rows — the hash-threshold variant realizes targets
+    only in expectation (±O(1/√n) binomial noise), which is the right
+    trade for incremental corpora but not for a fixed training-budget
+    manifest ("exactly 50/30/20 of exactly N docs").
+
+    Selection: the ``target_n`` LOWEST ``md5(salt:id)`` hashes per
+    group (ties by id) — deterministic and engine-portable, but
+    append-UNSTABLE (a new row can displace an old one's rank), so
+    incremental pipelines should keep using the threshold variant.
+
+    The per-group rank is TWO-LEVEL, like :func:`deterministic_shuffle`:
+    the hash's high bits give ``n_parts`` balanced range buckets, each
+    (group, bucket) ranks locally in parallel, and bucket offsets come
+    from a (#groups × n_parts)-row count aggregate whose cumulative
+    window is PARTITIONED BY GROUP — no task ever sorts a whole group
+    (a naive per-group window serializes the head group into one task
+    at corpus scale). Positions are identical to a single per-group
+    sort, so the exact oracle uses the plain window.
+    """
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise ValueError("targets must be a non-empty dict of positive weights")
+    total_w = sum(targets.values())
+    shares = {g: w / total_w for g, w in targets.items()}
+    share_expr = F.lit(None).cast("double")
+    for g, s in shares.items():
+        share_expr = F.when(F.col("_grp_key") == g, F.lit(s)).otherwise(share_expr)
+
+    targeted = df.where(F.col(group_col).isin(list(targets)))
+    counts = (
+        targeted.groupBy(F.col(group_col).alias("_grp_key"))
+        .agg(F.count(F.lit(1)).alias("_grp_n"))
+        .withColumn("_share", share_expr)
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    present = F.count(F.lit(1)).over(wall)
+    n_total = F.when(
+        present < F.lit(len(shares)), F.lit(0.0)
+    ).otherwise(F.min(F.col("_grp_n").cast("double") / F.col("_share")).over(wall))
+    caps = counts.select(
+        "_grp_key",
+        F.floor(F.col("_share") * n_total).cast("bigint").alias("_target_n"),
+    )
+
+    width = _BUCKETS // n_parts
+    d = targeted.withColumn("_h", _hash_bucket(id_col, salt)).withColumn(
+        "_pid", F.floor(F.col("_h") / width).cast("int")
+    )
+    # (#groups x n_parts)-row frame; cumulative window partitioned by group
+    wg = Window.partitionBy("_gk").orderBy("_opid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        d.groupBy(F.col(group_col).alias("_gk"), F.col("_pid").alias("_opid"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(wg), F.lit(0)))
+        .select("_gk", F.col("_opid"), "_off")
+    )
+    wl = Window.partitionBy(group_col, "_pid").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        d.join(
+            F.broadcast(off),
+            (F.col(group_col) == F.col("_gk")) & (F.col("_pid") == F.col("_opid")),
+        )
+        .join(F.broadcast(caps), F.col(group_col) == F.col("_grp_key"))
+        .withColumn("_rank", F.row_number().over(wl) + F.col("_off"))
+        .where(F.col("_rank") <= F.col("_target_n"))
+        .select(*df.columns)
+    )
+
+
+def target_mixture_exact_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, float],
+    salt: str = "mixture",
+) -> str:
+    """DuckDB oracle for :func:`target_mixture_exact` (single-level
+    per-group window — oracles don't need the skew-safe shape)."""
+    total_w = sum(targets.values())
+    shares = {g: w / total_w for g, w in targets.items()}
+    in_list = ", ".join(f"'{g}'" for g in shares)
+    share_case = " ".join(
+        f"WHEN '{g}' THEN CAST({s!r} AS DOUBLE)" for g, s in shares.items()
+    )
+    return f"""
+WITH counts AS (
+  SELECT {group_col} AS grp, count(*) AS grp_n,
+         CASE {group_col} {share_case} END AS share
+  FROM {table} WHERE {group_col} IN ({in_list}) GROUP BY {group_col}
+),
+caps AS (
+  SELECT grp,
+         CAST(floor(share * (CASE WHEN count(*) OVER () < {len(shares)}
+              THEN 0.0
+              ELSE min(CAST(grp_n AS DOUBLE) / share) OVER () END)) AS BIGINT) AS target_n
+  FROM counts
+),
+ranked AS (
+  SELECT t.*, c.target_n,
+         row_number() OVER (
+           PARTITION BY t.{group_col}
+           ORDER BY {_hash_bucket_sql(f"t.{id_col}", salt)}, t.{id_col}
+         ) AS rn
+  FROM {table} t JOIN caps c ON t.{group_col} = c.grp
+)
+SELECT * EXCLUDE (target_n, rn) FROM ranked WHERE rn <= target_n
+"""

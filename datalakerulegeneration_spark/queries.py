@@ -2055,6 +2055,17 @@ def q_target_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.target_mixture(docs, "doc_id", "source", _MIX_TARGETS)
 
 
+def q_target_mixture_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k mixture targeting (ops.sampling.target_mixture_exact):
+    the same 50/30/20 water-fill as target_mixture_documents but each
+    source keeps EXACTLY its target count — two-level per-group rank
+    (no task sorts a whole group)."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.target_mixture_exact(docs, "doc_id", "source", _MIX_TARGETS)
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature flattening (ops.sampling.temperature_mixture): the
     multilingual-sampling move — sample languages ∝ n^0.5 (T = 2),
@@ -3707,6 +3718,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
     "target_mixture_documents": (q_target_mixture, sampling.target_mixture_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "temperature_mixture_documents": (q_temperature_mixture, sampling.temperature_mixture_sql("documents", "doc_id", "lang", alpha=0.5)),
+    "target_mixture_exact_documents": (q_target_mixture_exact, sampling.target_mixture_exact_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "pmi_collocations_documents": (q_pmi_collocations, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20)),
     "dsir_weights_documents": (q_dsir_weights, textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'")),
     "shingle_novelty_documents": (q_shingle_novelty, dedup.shingle_novelty_sql("documents", "doc_id", "text", 3)),

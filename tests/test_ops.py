@@ -2208,3 +2208,29 @@ def test_intra_line_dedup_matches_and_semantics(spark, duck):
     got = sorted(tuple(r) for r in q_intra_line_dedup(spark, "/root/testdata/sf0.001").collect())
     exp = sorted(tuple(r) for r in duck.execute(Q_INTRA_LINE_DEDUP_ORACLE).fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_target_mixture_exact_matches_and_counts(spark, sf_tables, duck):
+    """Oracle parity + EXACT per-group counts (the expectation variant's
+    binomial noise is the thing this op removes); two-level rank must
+    pick the same rows regardless of n_parts."""
+    from collections import Counter
+
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = sf_tables["documents"]
+    T = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    df = sampling.target_mixture_exact(docs, "doc_id", "source", T)
+    _cmp(df, duck, sampling.target_mixture_exact_sql("documents", "doc_id", "source", T))
+    rows = df.collect()
+    got = Counter(r["source"] for r in rows)
+    n = len(rows)
+    assert got["src0"] * 2 == n and got["src1"] * 10 == 3 * n and got["src2"] * 5 == n
+    # bucket count must not change the selected set (two-level == global)
+    alt = sampling.target_mixture_exact(docs, "doc_id", "source", T, n_parts=7)
+    assert sorted(r["doc_id"] for r in alt.collect()) == sorted(r["doc_id"] for r in rows)
+    # a missing targeted group water-fills to zero
+    none_left = sampling.target_mixture_exact(docs, "doc_id", "source", {"src0": 1.0, "nope": 1.0})
+    assert none_left.count() == 0
+    with pytest.raises(ValueError):
+        sampling.target_mixture_exact(docs, "doc_id", "source", {})
