@@ -1267,9 +1267,11 @@ def pmi_collocations(
     discovery. ``min_count`` suppresses the classic PMI low-frequency
     blow-up (a pair seen once between two hapaxes maxes the score).
 
-    Scale shape: two column-pruned text scans (one exploding unigrams,
-    one adjacent pairs — both map-side), vocabulary-grain and
-    pair-grain groupBys, then joins ONLY on the ≥min_count pair frame
+    Scale shape: three column-pruned text passes (unigram explode,
+    adjacent-pair explode, and a size-only scalar-totals pass — all
+    map-side; AQE additionally reuses the unigram exchange for the two
+    w1/w2 joins), vocabulary-grain and pair-grain groupBys, then joins
+    ONLY on the ≥min_count pair frame
     (hinted shuffle-hash: the pair frame post-explode defeats static
     estimates, the same sf10 class every dedup join guards against).
     The two scalar totals broadcast as 1-row frames. Top-k is
@@ -1277,13 +1279,12 @@ def pmi_collocations(
     global window). PMI rounded to 6 dp; ties broken by (w1, w2).
     """
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
-    base = df.select(toks.alias("toks"))
+    base = df.where(F.col(text_col).isNotNull()).select(toks.alias("toks"))
     uni = (
         base.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_total = uni.agg(F.sum("c").cast("double").alias("n_total"))
     bg_all = (
         base.where(F.size("toks") >= 2)
         .select(
@@ -1297,7 +1298,13 @@ def pmi_collocations(
         .select("bg.w1", "bg.w2")
     )
     bgc = bg_all.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    b_total = bgc.agg(F.sum("n_pair").cast("double").alias("b_total"))
+    # BOTH scalar totals from one size-only pass (no explode, column-
+    # pruned) instead of replaying the uni/bgc explode lineages —
+    # Σ tokens and Σ (len−1 over len≥2 docs) are exact BIGINT sums
+    totals = base.agg(
+        F.sum(F.greatest(F.size("toks"), F.lit(0))).cast("double").alias("n_total"),
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).cast("double").alias("b_total"),
+    )
     ux = uni.select(F.col("term").alias("_t1"), F.col("c").alias("c1"))
     uy = uni.select(F.col("term").alias("_t2"), F.col("c").alias("c2"))
     scored = (
@@ -1306,8 +1313,7 @@ def pmi_collocations(
         .join(ux, F.col("w1") == F.col("_t1"))
         .hint("shuffle_hash")
         .join(uy, F.col("w2") == F.col("_t2"))
-        .crossJoin(F.broadcast(n_total))
-        .crossJoin(F.broadcast(b_total))
+        .crossJoin(F.broadcast(totals))
         .select(
             "w1",
             "w2",
@@ -1330,12 +1336,11 @@ def pmi_collocations_sql(
     """DuckDB oracle for :func:`pmi_collocations`."""
     toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
     return f"""
-WITH base AS (SELECT {toks} AS toks FROM {table}),
+WITH base AS (SELECT {toks} AS toks FROM {table} WHERE {text_col} IS NOT NULL),
 unic AS (
   SELECT term, count(*) AS c
   FROM (SELECT unnest(toks) AS term FROM base) GROUP BY term
 ),
-tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM unic),
 bgc AS (
   SELECT pair[1] AS w1, pair[2] AS w2, count(*) AS n_pair
   FROM (
@@ -1345,7 +1350,11 @@ bgc AS (
     FROM base WHERE len(toks) >= 2
   ) GROUP BY 1, 2
 ),
-btot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS b_total FROM bgc),
+tots AS (
+  SELECT CAST(sum(greatest(len(toks), 0)) AS DOUBLE) AS n_total,
+         CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS b_total
+  FROM base
+),
 scored AS (
   SELECT w1, w2, n_pair,
          round(ln((CAST(n_pair AS DOUBLE) / b_total)
@@ -1353,7 +1362,7 @@ scored AS (
   FROM bgc
   JOIN unic ux ON bgc.w1 = ux.term
   JOIN unic uy ON bgc.w2 = uy.term
-  CROSS JOIN tot CROSS JOIN btot
+  CROSS JOIN tots
   WHERE n_pair >= {min_count}
 )
 SELECT w1, w2, n_pair, pmi FROM scored
@@ -1381,12 +1390,14 @@ def dsir_weights(
     logw ⇒ resample into the training mix (selection = top-k by
     weight or sampling ∝ softmax(logw) downstream).
 
-    Scale shape: ONE text scan → (doc, bucket) tf aggregation; the two
-    bucket LMs are ``n_buckets``-row aggregates of that frame (map-side
-    combine), joined back by bucket — the per-bucket log-ratio frame is
-    bounded by construction (≤ n_buckets rows) and broadcast. Rounded
-    to 6 dp (the per-doc Σ is a float reduction; rounding absorbs
-    accumulation-order ulps, same contract as unigram_logprob).
+    Scale shape: TWO text scans share the (doc, bucket) tf aggregation
+    lineage — one reduces it to the ≤``n_buckets``-row bucket LM (whose
+    corpus totals ride an unpartitioned window over THAT bounded frame:
+    the window sums are BIGINT, so they are exact regardless of
+    accumulation order — no float-sum parity risk), one joins the
+    broadcast log-ratio frame back per doc. Rounded to 6 dp (the
+    per-doc Σ is a float reduction; rounding absorbs accumulation-order
+    ulps, same contract as unigram_logprob).
 
     Returns ``(id, is_target, n_tokens, log_importance)``.
     """
@@ -1407,16 +1418,20 @@ def dsir_weights(
             F.sum(F.when(~F.col("is_target"), F.col("tf")).otherwise(F.lit(0))).alias("cc"),
         )
     )
-    totals = lm.agg(
-        F.sum("ct").cast("double").alias("nt"), F.sum("cc").cast("double").alias("nc")
+    # corpus totals as a window over the bounded bucket frame (exact
+    # BIGINT sums — order-free); add-1 smoothing over the FULL bucket
+    # space (n_buckets, not just observed buckets — unobserved buckets
+    # carry no doc mass anyway)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # add-1 smoothing over the FULL bucket space (n_buckets, not just
-    # observed buckets — unobserved buckets carry no doc mass anyway)
-    lam = lm.crossJoin(F.broadcast(totals)).select(
+    nt = F.sum("ct").over(wall).cast("double")
+    nc = F.sum("cc").over(wall).cast("double")
+    lam = lm.select(
         "b",
         (
-            F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.lit(float(n_buckets))))
-            - F.log((F.col("cc") + F.lit(1.0)) / (F.col("nc") + F.lit(float(n_buckets))))
+            F.log((F.col("ct") + F.lit(1.0)) / (nt + F.lit(float(n_buckets))))
+            - F.log((F.col("cc") + F.lit(1.0)) / (nc + F.lit(float(n_buckets))))
         ).alias("lam"),
     )
     scored = tf.join(F.broadcast(lam), "b").withColumn(
@@ -1455,12 +1470,11 @@ lm AS (
          sum(CASE WHEN NOT is_target THEN tf ELSE 0 END) AS cc
   FROM tf GROUP BY b
 ),
-tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cc) AS DOUBLE) AS nc FROM lm),
 lam AS (
   SELECT b,
-         ln((ct + 1.0) / (nt + {float(n_buckets)!r}))
-         - ln((cc + 1.0) / (nc + {float(n_buckets)!r})) AS lam
-  FROM lm CROSS JOIN tot
+         ln((ct + 1.0) / (CAST(sum(ct) OVER () AS DOUBLE) + {float(n_buckets)!r}))
+         - ln((cc + 1.0) / (CAST(sum(cc) OVER () AS DOUBLE) + {float(n_buckets)!r})) AS lam
+  FROM lm
 )
 SELECT tf.id AS id, tf.is_target AS is_target,
        CAST(sum(tf.tf) AS BIGINT) AS n_tokens,

@@ -342,3 +342,78 @@ def test_window_detector_flags_global_and_passes_partitioned(spark):
     from datalakerulegeneration_spark import queries as Q
 
     assert set(ALLOW) <= set(Q.REGISTRY), sorted(set(ALLOW) - set(Q.REGISTRY))
+
+
+def test_temperature_and_exact_mixture_scan_budget(spark):
+    """Mixture variants: counts pass + data pass (the exact variant
+    adds one more pruned pass for the (group, bucket) offsets),
+    caps/offsets broadcast, corpus never sort-merge-joined."""
+    for name, scans in (
+        ("temperature_mixture_documents", 2),
+        ("target_mixture_exact_documents", 3),
+    ):
+        p = _plan(_impl(name)(spark, SF_DIR))
+        assert p.count("FileScan parquet") == scans, name
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_decontaminate_embeddings_broadcast_eval(spark):
+    """Corpus scanned twice (eval subset + corpus), eval side broadcast
+    (BNLJ — the documented brute-force contract), no shuffle wider than
+    the per-id max combine."""
+    p = _plan(_impl("decontaminate_embeddings")(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_dsir_two_text_scans_broadcast_lm(spark):
+    """DSIR: the tf lineage is replayed once for the bucket LM and once
+    for the per-doc scoring (two pruned scans — the totals ride a
+    window over the bounded LM frame instead of a third lineage); the
+    log-ratio frame comes back as a broadcast hash join."""
+    p = _plan(_impl("dsir_weights_documents")(spark, SF_DIR))
+    assert p.count("FileScan parquet") == 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pmi_scan_budget_no_global_window(spark):
+    """Four logical text lineages (uni ×2 for the w1/w2 joins, pairs,
+    size-only totals); AQE reuses the uni exchange at runtime so the
+    heavy explode runs once per grain. Top-k is TakeOrderedAndProject,
+    never a global sort/window."""
+    df = _impl("pmi_collocations_documents")(spark, SF_DIR)
+    p = _plan(df)
+    assert p.count("FileScan parquet") == 4
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    df.collect()
+    final = _plan(df)
+    assert "ReusedExchange" in final  # uni computed once, joined twice
+
+
+def test_prefix_jaccard_spillable_verify(spark):
+    """The prefix path must not hash-build pair-grain frames: every
+    candidate-expansion/size join is sort-merge (the sf1 OOM fix); the
+    only ShuffledHashJoins allowed are none at all."""
+    p = _plan(_impl("dedup_prefix_jaccard_documents")(spark, SF_DIR))
+    assert "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    # prefix ranking windows are (id)-partitioned, never global
+    assert "Window" in p
+
+
+def test_shingle_novelty_single_scan(spark):
+    p = _plan(_impl("shingle_novelty_documents")(spark, SF_DIR))
+    assert p.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_intra_line_dedup_single_scan_single_doc_shuffle(spark):
+    """Strictly per-document: one scan; exchanges only on the doc key
+    (window + reassembly share the doc-id partitioning)."""
+    p = _plan(_impl("intra_line_dedup_documents")(spark, SF_DIR))
+    assert p.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p

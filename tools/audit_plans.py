@@ -76,7 +76,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("hybrid_search_documents", "bnlj", "1-row corpus stats + 1-row probe vector broadcast"),
     ("unigram_logprob_documents", "bnlj", "1-row corpus token total broadcast"),
     ("pmi_collocations_documents", "bnlj", "1-row token-total and bigram-total scalar aggs broadcast"),
-    ("dsir_weights_documents", "bnlj", "1-row target/corpus token-total frame broadcast onto the n_buckets-row LM agg"),
+    ("dsir_weights_documents", "global_window", "n_buckets-row bucket-LM frame (exact BIGINT total sums)"),
     ("decontaminate_embeddings", "bnlj", "constant-size eval-vector frame broadcast (held-out eval suites are small by contract)"),
     ("vocab_coverage_documents", "bnlj", "1-row corpus total broadcast onto the k-row top-k"),
     ("tfidf_top_terms_documents", "bnlj", "1-row doc-count scalar broadcast"),
