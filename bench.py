@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "shingle_novelty_documents",
     "intra_line_dedup_documents",
     "target_mixture_exact_documents",
+    "image_dhash_documents",
+    "image_near_dups_documents",
 ]
 
 

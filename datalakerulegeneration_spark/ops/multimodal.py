@@ -545,3 +545,305 @@ def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.sample_rate").alias("sample_rate"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) + near-dup
+# ---------------------------------------------------------------------------
+
+# 7 column comparisons x 8 rows = 56 bits: the same width the SimHash
+# family settled on (fits signed BIGINT, 4 banding bands of 14 bits).
+DHASH_GX = 7
+DHASH_GY = 8
+
+
+def encode_png_gradient(width: int, height: int, a: int, b: int, c: int) -> bytes:
+    """Minimal REAL PNG encoder for a grayscale GRADIENT image:
+    pixel(x, y) = (a·x + b·y + c) mod 256 — unlike the solid-gray
+    fixture, every pixel is position-dependent, so downstream
+    perceptual hashes have nontrivial closed-form bits."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((a * x + b * y + c) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gradient_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Gradient-PNG asset table with PLANTED near-dup families: the
+    gradient parameters and width derive from ``doc_id % 50`` (the
+    family key), the height from ``doc_id % 3`` — so every family
+    holds exact-duplicate images (same id mod 150) and near-duplicate
+    images (same gradient, height off by 1-2 rows → a few dHash sample
+    rows shift). The DuckDB oracle recomputes both the hash bits and
+    the near-dup pairs from the same closed-form arithmetic."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import struct
+        import zlib
+
+        magic = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        def png(w: int, h: int, a: int, b: int, c: int) -> bytes:
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(
+                b"\x00" + bytes((a * x + b * y + c) % 256 for x in range(w))
+                for y in range(h)
+            )
+            return (
+                magic
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                fid = i % 50
+                # steep, family-varying slopes: a low-slope gradient
+                # wraps mod 256 almost never at ~1px sample steps, so
+                # every image's dHash is near-all-ones and EVERYTHING
+                # cross-collides (the first fixture produced 96k
+                # near-dup pairs from 500 images); slopes spread over
+                # the byte range make bits ~Bernoulli(1/2) so only
+                # same-family images land within hamming range
+                payloads.append(
+                    png(
+                        8 + fid % 9,
+                        8 + i % 3,
+                        17 + 23 * (fid % 11),
+                        29 + 31 * (fid % 7),
+                        (fid * 37) % 256,
+                    )
+                )
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, schema="asset_id long, payload binary")
+
+
+def image_dhash(assets: DataFrame, gx: int = DHASH_GX, gy: int = DHASH_GY) -> DataFrame:
+    """Perceptual difference hash (dHash) per image — the standard
+    cheap near-dup fingerprint for image corpora (resampling survives
+    re-encoding and small edits that break byte/sha dedup).
+
+    Definition (POINT sampling, so the oracle is closed-form for
+    generated fixtures): luma grid L; sample columns
+    ``x_i = (i·W) // (gx+1)`` for i = 0..gx and rows
+    ``y_j = (j·H) // gy`` for j = 0..gy−1; bit ``j·gx + i`` is 1 iff
+    ``L[x_{i+1}, y_j] > L[x_i, y_j]``; hash = Σ bit·2^k (gx·gy ≤ 60
+    bits → signed BIGINT, band-joinable by ``dedup.simhash_near_dups``).
+
+    Arrow-batched ``mapInPandas``; PNG payloads really decode (PIL or
+    the pure-stdlib path — identical grids), anything else falls back
+    to a deterministic digest pseudo-hash like the feature extractor.
+    Returns ``(asset_id, width, height, dhash)``.
+    """
+    if not 1 <= gx * gy <= 60:
+        raise ValueError("gx*gy must be in [1, 60] (signed BIGINT hash)")
+
+    def _luma_grid(px):
+        import numpy as np
+
+        arr = np.asarray(px, dtype=np.float64)
+        if arr.ndim == 2:
+            return arr
+        if arr.shape[2] in (1, 2):  # gray / gray+alpha
+            return arr[..., 0]
+        return 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+
+    def _pixels_pure(payload: bytes):
+        # gray 8-bit filter-0/2 fast path (covers the gradient fixture);
+        # anything else is PIL's job
+        import struct
+        import zlib
+
+        import numpy as np
+
+        pos, ihdr, idat = 8, None, b""
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None:
+            return None
+        w, h, depth, color, _comp, _filt, interlace = ihdr
+        if depth != 8 or color != 0 or interlace != 0:
+            return None
+        raw = zlib.decompress(idat)
+        if len(raw) != h * (w + 1):
+            return None
+        out = np.zeros((h, w), dtype=np.uint8)
+        prev = np.zeros(w, dtype=np.uint8)
+        for y in range(h):
+            f = raw[y * (w + 1)]
+            line = np.frombuffer(
+                raw[y * (w + 1) + 1 : (y + 1) * (w + 1)], dtype=np.uint8
+            ).copy()
+            if f == 0:
+                cur = line
+            elif f == 2:
+                cur = line + prev
+            else:
+                return None
+            out[y] = cur
+            prev = cur
+        return out
+
+    def _pixels_pil(payload: bytes):
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            return None
+        with Image.open(io.BytesIO(payload)) as img:
+            if img.mode == "P":
+                img = img.convert("RGB")
+            if img.mode not in ("L", "LA", "RGB", "RGBA"):
+                return None
+            return img
+
+    def _dhash_one(payload: bytes) -> dict:
+        import numpy as np
+
+        if payload is None:
+            raise NotImplementedError("dhash requires payload bytes")
+        grid = None
+        if payload.startswith(PNG_MAGIC):
+            try:
+                px = _pixels_pil(payload)
+                grid = _luma_grid(px) if px is not None else None
+                if grid is None:
+                    px = _pixels_pure(payload)
+                    grid = _luma_grid(px) if px is not None else None
+            except Exception:
+                grid = None
+        if grid is None:
+            # non-decodable: deterministic digest pseudo-hash (bounded
+            # to the same bit width so banding still applies)
+            d = hashlib.sha256(payload).digest()
+            val = int.from_bytes(d[:8], "big") & ((1 << (gx * gy)) - 1)
+            return {"width": 0, "height": 0, "dhash": val}
+        h_, w_ = grid.shape
+        xs = [(i * w_) // (gx + 1) for i in range(gx + 1)]
+        ys = [(j * h_) // gy for j in range(gy)]
+        val = 0
+        for j, yj in enumerate(ys):
+            for i in range(gx):
+                if grid[yj, xs[i + 1]] > grid[yj, xs[i]]:
+                    val |= 1 << (j * gx + i)
+        return {"width": int(w_), "height": int(h_), "dhash": int(val)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_dhash_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [o["width"] for o in out],
+                    "height": [o["height"] for o in out],
+                    "dhash": [o["dhash"] for o in out],
+                }
+            )
+
+    return assets.mapInPandas(run, schema="asset_id long, width long, height long, dhash long")
+
+
+def _dhash_closed_form_sql(id_expr: str, gx: int = DHASH_GX, gy: int = DHASH_GY) -> str:
+    """Closed-form dHash of the gradient fixture as one SQL expression
+    over the document id (mirrors make_gradient_assets_from_documents
+    + image_dhash exactly: same params, same point sampling)."""
+    w = f"(8 + ({id_expr}) % 50 % 9)"
+    h = f"(8 + ({id_expr}) % 3)"
+    a = f"(17 + 23 * (({id_expr}) % 50 % 11))"
+    b = f"(29 + 31 * (({id_expr}) % 50 % 7))"
+    c = f"((({id_expr}) % 50) * 37 % 256)"
+    terms = []
+    for j in range(gy):
+        yj = f"(({j} * {h}) // {gy})"
+        for i in range(gx):
+            x1 = f"(({i} * {w}) // {gx + 1})"
+            x2 = f"((({i + 1}) * {w}) // {gx + 1})"
+            p1 = f"(({a} * {x1} + {b} * {yj} + {c}) % 256)"
+            p2 = f"(({a} * {x2} + {b} * {yj} + {c}) % 256)"
+            terms.append(
+                f"(CASE WHEN {p2} > {p1} THEN CAST({1 << (j * gx + i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def image_dhash_sql(table: str, id_col: str, gx: int = DHASH_GX, gy: int = DHASH_GY) -> str:
+    """DuckDB oracle for image_dhash over the gradient fixture."""
+    return f"""
+SELECT {id_col} AS asset_id,
+       CAST(8 + {id_col} % 50 % 9 AS BIGINT) AS width,
+       CAST(8 + {id_col} % 3 AS BIGINT) AS height,
+       {_dhash_closed_form_sql(id_col, gx, gy)} AS dhash
+FROM {table}
+"""
+
+
+def image_near_dups_sql(
+    table: str,
+    id_col: str,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    gx: int = DHASH_GX,
+    gy: int = DHASH_GY,
+) -> str:
+    """DuckDB oracle for banded dHash near-dup pairs (the image twin of
+    dedup.simhash_near_dups' banding: equal on ≥1 of n_bands bands →
+    candidate, verified by bit_count(xor) ≤ max_hamming)."""
+    bits = gx * gy
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT id, dhash, {bnum} AS band, (dhash >> {width * bnum}) & {mask} AS bv FROM h"
+        for bnum in range(n_bands)
+    )
+    return f"""
+WITH h AS (
+  SELECT {id_col} AS id, {_dhash_closed_form_sql(id_col, gx, gy)} AS dhash
+  FROM {table}
+),
+long AS ({bands})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.dhash, b.dhash)) AS hamming
+FROM long a JOIN long b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+"""

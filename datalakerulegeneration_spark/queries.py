@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.catalog import load_sf_tables
-from datalakerulegeneration_spark.ops import curate, dedup, hll, packing, sampling, similarity, sketch, textqa
+from datalakerulegeneration_spark.ops import curate, dedup, hll, multimodal, packing, sampling, similarity, sketch, textqa
 from datalakerulegeneration_spark.profiling import scalar_stats_long
 from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
 from datalakerulegeneration_spark.profiling.profiler import STOPWORDS, column_kind
@@ -2949,6 +2949,30 @@ FROM documents
 """
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (ops.multimodal.image_dhash) under a REAL
+    decode: gradient PNGs (pixel = closed-form f(id, x, y)) are
+    actually encoded, decoded, point-sampled and compared — so every
+    56-bit hash must equal the DuckDB oracle's closed-form bits."""
+    from datalakerulegeneration_spark.ops import multimodal
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return multimodal.image_dhash(multimodal.make_gradient_assets_from_documents(docs))
+
+
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: dHash frame fed through the SAME bit-band
+    join the text SimHash family uses (dedup.simhash_near_dups — the
+    multimodal twin of simhash banding). The planted gradient families
+    produce exact dups (hamming 0) and height-shifted near dups."""
+    from datalakerulegeneration_spark.ops import multimodal
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    dh = multimodal.image_dhash(multimodal.make_gradient_assets_from_documents(docs))
+    fp = dh.select(F.col("asset_id").alias("id"), F.col("dhash").alias("simhash"))
+    return dedup.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56)
+
+
 def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the oracle: each doc_id becomes an actual
     PCM16 WAV payload (rate/channels/frames/amplitude arithmetic
@@ -3731,6 +3755,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_features_documents": (q_multimodal_features, Q_MULTIMODAL_ORACLE),
     "multimodal_png_decode_documents": (q_multimodal_png_decode, Q_MULTIMODAL_PNG_ORACLE),
     "multimodal_wav_decode_documents": (q_multimodal_wav_decode, Q_MULTIMODAL_WAV_ORACLE),
+    "image_dhash_documents": (q_image_dhash, multimodal.image_dhash_sql("documents", "doc_id")),
+    "image_near_dups_documents": (q_image_near_dups, multimodal.image_near_dups_sql("documents", "doc_id", max_hamming=8)),
     "hash_sample_documents": (q_hash_sample_documents, _S_ORACLES["hash_sample_documents"]),
     "weighted_sample_documents": (q_weighted_sample_documents, _S_ORACLES["weighted_sample_documents"]),
     "train_test_split_documents": (q_train_test_split_documents, _S_ORACLES["train_test_split_documents"]),

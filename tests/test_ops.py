@@ -2234,3 +2234,41 @@ def test_target_mixture_exact_matches_and_counts(spark, sf_tables, duck):
     assert none_left.count() == 0
     with pytest.raises(ValueError):
         sampling.target_mixture_exact(docs, "doc_id", "source", {})
+
+
+def test_image_dhash_matches_oracle_and_invariants(spark, sf_tables, duck):
+    """Closed-form oracle parity for the REAL-decode dHash, plus the
+    perceptual invariants the hash exists for: identical images hash
+    identically; a 1px-shifted crop is NEAR (small hamming); an
+    unrelated gradient is FAR."""
+    docs = sf_tables["documents"]
+    dh = multimodal.image_dhash(multimodal.make_gradient_assets_from_documents(docs))
+    _cmp(dh, duck, multimodal.image_dhash_sql("documents", "doc_id"))
+
+    from datalakerulegeneration_spark.ops.multimodal import encode_png_gradient
+
+    rows = [
+        (1, encode_png_gradient(16, 16, 40, 70, 5)),
+        (2, encode_png_gradient(16, 16, 40, 70, 5)),     # identical bytes
+        (3, encode_png_gradient(16, 16, 40, 70, 13)),    # brightness +8
+        (4, encode_png_gradient(16, 16, 201, 131, 99)),  # unrelated
+    ]
+    a = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r["asset_id"]: r["dhash"] for r in multimodal.image_dhash(a).collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert out[1] == out[2]
+    # brightness shift flips only wrap-boundary comparisons — the
+    # classic dHash invariance (computed: hamming 4 here)
+    assert 0 < ham(out[1], out[3]) <= 8
+    assert ham(out[1], out[4]) > 8
+
+
+def test_image_near_dups_matches_oracle(spark, sf_tables, duck):
+    from pyspark.sql import functions as _F
+
+    docs = sf_tables["documents"]
+    dh = multimodal.image_dhash(multimodal.make_gradient_assets_from_documents(docs))
+    fp = dh.select(_F.col("asset_id").alias("id"), _F.col("dhash").alias("simhash"))
+    nd = dedup.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56)
+    _cmp(nd, duck, multimodal.image_near_dups_sql("documents", "doc_id", max_hamming=8))
+    assert nd.count() > 0
