@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "target_mixture_exact_documents",
     "image_dhash_documents",
     "image_near_dups_documents",
+    "audio_fingerprint_documents",
+    "audio_near_dups_documents",
 ]
 
 

@@ -847,3 +847,196 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b,
 FROM long a JOIN long b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (RMS-envelope difference hash) + near-dup
+# ---------------------------------------------------------------------------
+
+# 56 bits = 57 RMS windows, mirroring the dHash/SimHash width so the
+# same 4x14-bit band join applies.
+AUDIO_FP_BITS = 56
+AUDIO_FP_WINDOW = 32  # frames per RMS window
+
+
+def make_envelope_wav_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """WAV asset table with PLANTED near-dup families for audio
+    fingerprinting: each payload is a REAL PCM16 stream of 57 windows
+    whose per-window amplitude follows a closed-form envelope of the
+    family key ``doc_id % 50``; ``doc_id % 3`` boosts ONE window's
+    amplitude, so same-family ids share all but ≤4 fingerprint bits
+    (and ids equal mod 150 are byte-identical). The oracle recomputes
+    both the bits and the near-dup pairs arithmetically."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io
+        import struct
+        import wave
+
+        n_windows = AUDIO_FP_BITS + 1
+        L = AUDIO_FP_WINDOW
+
+        def amp(fid: int, boost_k: int, k: int) -> int:
+            # steep, wrapping envelope: small coefficients make A(k)
+            # monotone between rare wraps -> near-all-ones bits and
+            # cross-family collisions (first fixture: 80k pairs from
+            # 500 clips); coefficients >> 9000/step make every window
+            # diff wrap, so bits are ~Bernoulli(1/2) per family
+            a, b, c = 911 + 137 * (fid % 13), 701 + 157 * (fid % 17), (fid * 37) % 9000
+            base = 1 + (a * (k + 1) * (k + 3) + b * k + c) % 9000
+            return base + (3000 if k == boost_k else 0)
+
+        def enc(i: int) -> bytes:
+            fid, boost_k = i % 50, i % 3
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            samples = [
+                (amp(fid, boost_k, k) if f % 2 == 0 else -amp(fid, boost_k, k))
+                for k in range(n_windows)
+                for f in range(L)
+            ]
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            w.close()
+            return buf.getvalue()
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"asset_id": ids, "payload": [enc(int(i)) for i in ids]}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema="asset_id long, payload binary")
+
+
+def audio_fingerprint(
+    assets: DataFrame, window: int = AUDIO_FP_WINDOW, bits: int = AUDIO_FP_BITS
+) -> DataFrame:
+    """RMS-envelope difference hash per audio payload — the audio twin
+    of :func:`image_dhash` (a chromaprint-lite: loudness-envelope
+    SHAPE survives gain changes and re-encoding, which is why bit k
+    compares consecutive windows instead of thresholding absolute
+    levels; a uniform gain shifts every window equally and flips
+    NOTHING).
+
+    Definition: the first ``bits+1`` windows of ``window`` frames
+    (all channels interleaved); ``rms_k`` over window k's samples
+    (missing windows count 0); bit k = 1 iff ``rms_{k+1} > rms_k``;
+    fingerprint = Σ bit·2^k — band-joinable by
+    ``dedup.simhash_near_dups`` exactly like dHash and SimHash.
+    Arrow-batched ``mapInPandas``; non-WAV payloads fall back to the
+    digest pseudo-hash. Returns ``(asset_id, n_frames, fingerprint)``.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (signed BIGINT hash)")
+
+    def _fp_wav(payload: bytes):
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload), "rb") as r:
+            if r.getsampwidth() != 2:
+                return None
+            n_frames = r.getnframes()
+            nch = r.getnchannels()
+            x = np.frombuffer(r.readframes(n_frames), dtype="<i2").astype(np.float64)
+        step = window * nch
+        rms = []
+        for k in range(bits + 1):
+            seg = x[k * step : (k + 1) * step]
+            rms.append(float(np.sqrt((seg**2).mean())) if seg.size else 0.0)
+        val = 0
+        for k in range(bits):
+            if rms[k + 1] > rms[k]:
+                val |= 1 << k
+        return {"n_frames": int(n_frames), "fingerprint": int(val)}
+
+    def _fp_one(payload: bytes) -> dict:
+        if payload is None:
+            raise NotImplementedError("fingerprint requires payload bytes")
+        out = None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            try:
+                out = _fp_wav(payload)
+            except Exception:
+                out = None
+        if out is None:
+            d = hashlib.sha256(payload).digest()
+            out = {
+                "n_frames": 0,
+                "fingerprint": int.from_bytes(d[:8], "big") & ((1 << bits) - 1),
+            }
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_fp_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_frames": [o["n_frames"] for o in out],
+                    "fingerprint": [o["fingerprint"] for o in out],
+                }
+            )
+
+    return assets.mapInPandas(run, schema="asset_id long, n_frames long, fingerprint long")
+
+
+def _audio_fp_closed_form_sql(id_expr: str, bits: int = AUDIO_FP_BITS) -> str:
+    """Closed-form fingerprint of the envelope fixture (same arithmetic
+    as make_envelope_wav_assets_from_documents + audio_fingerprint:
+    per-window RMS of a ±A square alternation is exactly A)."""
+    a = f"(911 + 137 * (({id_expr}) % 50 % 13))"
+    b = f"(701 + 157 * (({id_expr}) % 50 % 17))"
+    c = f"((({id_expr}) % 50) * 37 % 9000)"
+
+    def amp(k: int) -> str:
+        base = f"(1 + ({a} * {(k + 1) * (k + 3)} + {b} * {k} + {c}) % 9000)"
+        return f"({base} + CASE WHEN ({id_expr}) % 3 = {k} THEN 3000 ELSE 0 END)"
+
+    terms = [
+        f"(CASE WHEN {amp(k + 1)} > {amp(k)} THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for k in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def audio_fingerprint_sql(table: str, id_col: str, bits: int = AUDIO_FP_BITS) -> str:
+    """DuckDB oracle for audio_fingerprint over the envelope fixture."""
+    return f"""
+SELECT {id_col} AS asset_id,
+       CAST({AUDIO_FP_BITS + 1} * {AUDIO_FP_WINDOW} AS BIGINT) AS n_frames,
+       {_audio_fp_closed_form_sql(id_col, bits)} AS fingerprint
+FROM {table}
+"""
+
+
+def audio_near_dups_sql(
+    table: str,
+    id_col: str,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    bits: int = AUDIO_FP_BITS,
+) -> str:
+    """DuckDB oracle for banded audio-fingerprint near-dup pairs."""
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT id, fp, {bnum} AS band, (fp >> {width * bnum}) & {mask} AS bv FROM h"
+        for bnum in range(n_bands)
+    )
+    return f"""
+WITH h AS (
+  SELECT {id_col} AS id, {_audio_fp_closed_form_sql(id_col, bits)} AS fp
+  FROM {table}
+),
+long AS ({bands})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.fp, b.fp)) AS hamming
+FROM long a JOIN long b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""

@@ -2973,6 +2973,28 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56)
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RMS-envelope fingerprint (ops.multimodal.audio_fingerprint)
+    under a REAL decode: envelope-modulated PCM16 WAVs are actually
+    encoded and wave-read; per-window RMS of the ±A alternation is
+    exactly A, so the 56 bits have a closed-form oracle."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return multimodal.audio_fingerprint(
+        multimodal.make_envelope_wav_assets_from_documents(docs)
+    )
+
+
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: fingerprint frame through the shared
+    SimHash bit-band join (the audio twin of image_near_dups)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    fpdf = multimodal.audio_fingerprint(
+        multimodal.make_envelope_wav_assets_from_documents(docs)
+    )
+    fp = fpdf.select(F.col("asset_id").alias("id"), F.col("fingerprint").alias("simhash"))
+    return dedup.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56)
+
+
 def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the oracle: each doc_id becomes an actual
     PCM16 WAV payload (rate/channels/frames/amplitude arithmetic
@@ -3757,6 +3779,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_wav_decode_documents": (q_multimodal_wav_decode, Q_MULTIMODAL_WAV_ORACLE),
     "image_dhash_documents": (q_image_dhash, multimodal.image_dhash_sql("documents", "doc_id")),
     "image_near_dups_documents": (q_image_near_dups, multimodal.image_near_dups_sql("documents", "doc_id", max_hamming=8)),
+    "audio_fingerprint_documents": (q_audio_fingerprint, multimodal.audio_fingerprint_sql("documents", "doc_id")),
+    "audio_near_dups_documents": (q_audio_near_dups, multimodal.audio_near_dups_sql("documents", "doc_id", max_hamming=8)),
     "hash_sample_documents": (q_hash_sample_documents, _S_ORACLES["hash_sample_documents"]),
     "weighted_sample_documents": (q_weighted_sample_documents, _S_ORACLES["weighted_sample_documents"]),
     "train_test_split_documents": (q_train_test_split_documents, _S_ORACLES["train_test_split_documents"]),

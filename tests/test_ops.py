@@ -2272,3 +2272,54 @@ def test_image_near_dups_matches_oracle(spark, sf_tables, duck):
     nd = dedup.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56)
     _cmp(nd, duck, multimodal.image_near_dups_sql("documents", "doc_id", max_hamming=8))
     assert nd.count() > 0
+
+
+def test_audio_fingerprint_matches_oracle_and_invariants(spark, sf_tables, duck):
+    """Closed-form oracle parity + the fingerprint's defining
+    invariance: a uniform GAIN change shifts every window's RMS equally
+    and flips NOTHING; a different envelope is far."""
+    docs = sf_tables["documents"]
+    fpdf = multimodal.audio_fingerprint(
+        multimodal.make_envelope_wav_assets_from_documents(docs)
+    )
+    _cmp(fpdf, duck, multimodal.audio_fingerprint_sql("documents", "doc_id"))
+
+    import io
+    import struct
+    import wave
+
+    def clip(amps, gain=1):
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        samples = [
+            (a * gain if f % 2 == 0 else -a * gain)
+            for a in amps
+            for f in range(multimodal.AUDIO_FP_WINDOW)
+        ]
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.close()
+        return buf.getvalue()
+
+    amps = [((k * 911 + 37) % 5000) + 1 for k in range(57)]
+    other = [((k * k * 733 + 11) % 5000) + 1 for k in range(57)]
+    rows = [(1, clip(amps)), (2, clip(amps, gain=3)), (3, clip(other))]
+    a = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r["asset_id"]: r["fingerprint"] for r in multimodal.audio_fingerprint(a).collect()}
+    assert out[1] == out[2]  # gain-invariant
+    assert bin(out[1] ^ out[3]).count("1") > 8
+
+
+def test_audio_near_dups_matches_oracle(spark, sf_tables, duck):
+    from pyspark.sql import functions as _F
+
+    docs = sf_tables["documents"]
+    fpdf = multimodal.audio_fingerprint(
+        multimodal.make_envelope_wav_assets_from_documents(docs)
+    )
+    fp = fpdf.select(_F.col("asset_id").alias("id"), _F.col("fingerprint").alias("simhash"))
+    nd = dedup.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56)
+    _cmp(nd, duck, multimodal.audio_near_dups_sql("documents", "doc_id", max_hamming=8))
+    assert nd.count() > 0
