@@ -870,7 +870,6 @@ def make_envelope_wav_assets_from_documents(docs: DataFrame) -> DataFrame:
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import io
-        import struct
         import wave
 
         n_windows = AUDIO_FP_BITS + 1
@@ -886,19 +885,24 @@ def make_envelope_wav_assets_from_documents(docs: DataFrame) -> DataFrame:
             base = 1 + (a * (k + 1) * (k + 3) + b * k + c) % 9000
             return base + (3000 if k == boost_k else 0)
 
+        import numpy as np
+
+        signs = np.tile(np.array([1, -1], dtype=np.int16), n_windows * L // 2)
+
         def enc(i: int) -> bytes:
             fid, boost_k = i % 50, i % 3
+            amps = np.array(
+                [amp(fid, boost_k, k) for k in range(n_windows)], dtype=np.int16
+            )
+            # vectorized ±A alternation (a per-sample Python loop here
+            # dominated the sf10 run at 500k clips)
+            samples = np.repeat(amps, L) * signs
             buf = io.BytesIO()
             w = wave.open(buf, "wb")
             w.setnchannels(1)
             w.setsampwidth(2)
             w.setframerate(16000)
-            samples = [
-                (amp(fid, boost_k, k) if f % 2 == 0 else -amp(fid, boost_k, k))
-                for k in range(n_windows)
-                for f in range(L)
-            ]
-            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            w.writeframes(samples.astype("<i2").tobytes())
             w.close()
             return buf.getvalue()
 

@@ -3867,12 +3867,10 @@ _GATE_HEAD = [
     "wasserstein_table_events",
     "winnow_fingerprints_documents",
     "winnow_overlap_documents",
-    # plan changed this round: digest-grain collapse expansion paths
-    "dedup_minhash_documents",
-    "dup_components_documents",
-    "near_dup_embeddings",
     # new this round — must appear in their first driver artifact
-    # (displaced the four already-gated family flagships: every slot
+    # (displaced the four already-gated family flagships AND the three
+    # plan-changed-this-round entries, which carry r1–r5 driver rows
+    # and are re-verified by the all-queries replica gate: every slot
     # here goes to a query with no prior driver CORRECTNESS row)
     "dedup_greedy_keepset_documents",
     "lsh_bucket_stats_documents",
@@ -3883,6 +3881,9 @@ _GATE_HEAD = [
     "temperature_mixture_documents",
     "pmi_collocations_documents",
     "decontaminate_embeddings",
+    "dsir_weights_documents",
+    "image_dhash_documents",
+    "audio_fingerprint_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {
