@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "image_near_dups_documents",
     "audio_fingerprint_documents",
     "audio_near_dups_documents",
+    "video_frame_dhash_documents",
+    "video_near_dups_documents",
 ]
 
 

@@ -1044,3 +1044,281 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b,
 FROM long a JOIN long b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
 WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# video: frame container, frame sampling, per-frame perceptual hash
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"VID0"
+
+
+def encode_video_container(frames: "list[bytes]") -> bytes:
+    """Minimal length-prefixed frame container: ``VID0`` + u32 frame
+    count + (u32 length, payload)* — the honest stand-in for a real
+    codec (pyav is not in this container; a production swap changes
+    ONLY the frame iterator, the Spark plumbing stays identical).
+    Frames are PNG payloads, so per-frame decode is REAL."""
+    import struct
+
+    out = [VIDEO_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def make_video_assets_from_documents(docs: DataFrame, n_frames: int = 12) -> DataFrame:
+    """Video asset table with PLANTED near-dup families: each doc_id
+    becomes an ``n_frames``-frame container of gradient-PNG frames; the
+    per-frame gradient params derive from (doc_id % 50, frame), and
+    ``doc_id % 3`` REPLACES one frame with an unrelated one — so
+    same-family videos share all but ≤1 frame (clip-level near-dups),
+    with everything closed-form for the oracle."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import struct
+        import zlib
+
+        magic = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        def png(w: int, h: int, a: int, b: int, c: int) -> bytes:
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(
+                b"\x00" + bytes((a * x + b * y + c) % 256 for x in range(w))
+                for y in range(h)
+            )
+            return (
+                magic
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def frame(fid: int, k: int) -> bytes:
+            return png(
+                8 + fid % 9,
+                8 + k % 3,
+                17 + 23 * ((fid * 7 + k) % 11),
+                29 + 31 * ((fid * 5 + k) % 7),
+                (fid * 37 + k * 101) % 256,
+            )
+
+        def container(i: int) -> bytes:
+            fid, swap_k = i % 50, i % 3
+            frames = [
+                # the swapped frame comes from a far-away family so it
+                # shares nothing with the rest of the clip
+                frame(fid + 1000 + swap_k, swap_k) if k == swap_k else frame(fid, k)
+                for k in range(n_frames)
+            ]
+            out = [VIDEO_MAGIC, struct.pack(">I", len(frames))]
+            for f in frames:
+                out.append(struct.pack(">I", len(f)))
+                out.append(f)
+            return b"".join(out)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"asset_id": ids, "payload": [container(int(i)) for i in ids]}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema="asset_id long, payload binary")
+
+
+def video_frame_dhash(
+    assets: DataFrame,
+    frames_per_video: int = 4,
+    gx: int = DHASH_GX,
+    gy: int = DHASH_GY,
+) -> DataFrame:
+    """Evenly-sampled per-frame perceptual hashes for video payloads —
+    the standard clip-dedup fingerprint (two re-encodes of the same
+    footage share most sampled-frame hashes; byte/sha dedup shares
+    none). Sample positions ``s_r = (r·n_frames) // frames_per_video``
+    (r = 0..frames_per_video−1, duplicates collapsed for short clips);
+    each sampled frame REALLY decodes through the same dHash as
+    :func:`image_dhash`. Returns one row PER SAMPLED FRAME
+    ``(asset_id, frame_idx, dhash)`` — join on dhash for clip-level
+    near-dup (shared-frame evidence).
+
+    Non-container payloads yield a single digest pseudo-hash row at
+    frame_idx −1 (the codec fallback contract).
+    """
+
+    def _frames(payload: bytes):
+        import struct
+
+        if payload[:4] != VIDEO_MAGIC:
+            return None
+        (n,) = struct.unpack(">I", payload[4:8])
+        pos, out = 8, []
+        for _ in range(n):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            out.append(payload[pos + 4 : pos + 4 + ln])
+            pos += 4 + ln
+        return out
+
+    def _luma_grid(px):
+        import numpy as np
+
+        arr = np.asarray(px, dtype=np.float64)
+        if arr.ndim == 2:
+            return arr
+        if arr.shape[2] in (1, 2):
+            return arr[..., 0]
+        return 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+
+    def _pixels(payload: bytes):
+        # PIL, else the gray filter-0/2 pure path (same pair as
+        # image_dhash; nested per mapInPandas pickling contract)
+        try:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as img:
+                if img.mode == "P":
+                    img = img.convert("RGB")
+                if img.mode in ("L", "LA", "RGB", "RGBA"):
+                    return _luma_grid(img)
+        except Exception:
+            pass
+        import struct
+        import zlib
+
+        import numpy as np
+
+        pos, ihdr, idat = 8, None, b""
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None:
+            return None
+        w, h, depth, color, _comp, _filt, interlace = ihdr
+        if depth != 8 or color != 0 or interlace != 0:
+            return None
+        raw = zlib.decompress(idat)
+        if len(raw) != h * (w + 1):
+            return None
+        out = np.zeros((h, w), dtype=np.uint8)
+        prev = np.zeros(w, dtype=np.uint8)
+        for y in range(h):
+            f = raw[y * (w + 1)]
+            line = np.frombuffer(
+                raw[y * (w + 1) + 1 : (y + 1) * (w + 1)], dtype=np.uint8
+            ).copy()
+            if f == 0:
+                cur = line
+            elif f == 2:
+                cur = line + prev
+            else:
+                return None
+            out[y] = cur
+            prev = cur
+        return out.astype(float)
+
+    def _dhash_grid(grid) -> int:
+        h_, w_ = grid.shape
+        xs = [(i * w_) // (gx + 1) for i in range(gx + 1)]
+        ys = [(j * h_) // gy for j in range(gy)]
+        val = 0
+        for j, yj in enumerate(ys):
+            for i in range(gx):
+                if grid[yj, xs[i + 1]] > grid[yj, xs[i]]:
+                    val |= 1 << (j * gx + i)
+        return val
+
+    def _rows(asset_id: int, payload: bytes):
+        if payload is None:
+            raise NotImplementedError("frame sampling requires payload bytes")
+        frames = None
+        try:
+            frames = _frames(payload)
+        except Exception:
+            frames = None
+        if not frames:
+            d = hashlib.sha256(payload).digest()
+            return [(asset_id, -1, int.from_bytes(d[:8], "big") & ((1 << (gx * gy)) - 1))]
+        n = len(frames)
+        idxs = sorted({(r * n) // frames_per_video for r in range(frames_per_video)})
+        out = []
+        for k in idxs:
+            grid = _pixels(frames[k])
+            if grid is None:
+                d = hashlib.sha256(frames[k]).digest()
+                out.append((asset_id, k, int.from_bytes(d[:8], "big") & ((1 << (gx * gy)) - 1)))
+            else:
+                out.append((asset_id, k, _dhash_grid(grid)))
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                r
+                for aid, p in zip(pdf["asset_id"], pdf["payload"])
+                for r in _rows(int(aid), p)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "dhash"]
+            ).astype({"asset_id": "int64", "frame_idx": "int64", "dhash": "int64"})
+
+    return assets.mapInPandas(run, schema="asset_id long, frame_idx long, dhash long")
+
+
+def video_frame_dhash_sql(
+    table: str,
+    id_col: str,
+    n_frames: int = 12,
+    frames_per_video: int = 4,
+    gx: int = DHASH_GX,
+    gy: int = DHASH_GY,
+) -> str:
+    """DuckDB oracle for video_frame_dhash over the container fixture:
+    closed-form per (id, sampled frame)."""
+    idxs = sorted({(r * n_frames) // frames_per_video for r in range(frames_per_video)})
+
+    def dhash_expr(fid: str, k: int) -> str:
+        w = f"(8 + ({fid}) % 9)"
+        h = f"(8 + {k % 3})"
+        a = f"(17 + 23 * ((({fid}) * 7 + {k}) % 11))"
+        b = f"(29 + 31 * ((({fid}) * 5 + {k}) % 7))"
+        c = f"((({fid}) * 37 + {k} * 101) % 256)"
+        terms = []
+        for j in range(gy):
+            yj = f"(({j} * {h}) // {gy})"
+            for i in range(gx):
+                x1 = f"(({i} * {w}) // {gx + 1})"
+                x2 = f"((({i + 1}) * {w}) // {gx + 1})"
+                p1 = f"(({a} * {x1} + {b} * {yj} + {c}) % 256)"
+                p2 = f"(({a} * {x2} + {b} * {yj} + {c}) % 256)"
+                terms.append(
+                    f"(CASE WHEN {p2} > {p1} THEN CAST({1 << (j * gx + i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+                )
+        return "(" + " + ".join(terms) + ")"
+
+    legs = []
+    for k in idxs:
+        fid = f"(CASE WHEN {id_col} % 3 = {k} THEN {id_col} % 50 + 1000 + {k} ELSE {id_col} % 50 END)"
+        legs.append(
+            f"SELECT {id_col} AS asset_id, CAST({k} AS BIGINT) AS frame_idx,"
+            f" {dhash_expr(fid, k)} AS dhash FROM {table}"
+        )
+    return "\nUNION ALL\n".join(legs)

@@ -2995,6 +2995,49 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56)
 
 
+def q_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sampled-frame perceptual hashes for video containers
+    (ops.multimodal.video_frame_dhash): 4 evenly-sampled frames per
+    12-frame clip, each REALLY decoded and dHashed; closed-form oracle
+    over the gradient-frame fixture."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return multimodal.video_frame_dhash(
+        multimodal.make_video_assets_from_documents(docs)
+    )
+
+
+def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level near-dup: videos sharing ≥2 distinct sampled-frame
+    hashes (shared-frame evidence — re-encodes share most frames, byte
+    dedup shares none). (id, dhash) dedupes FIRST so the self-join is
+    hash-keyed and never explodes on within-clip repeats."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    vdf = multimodal.video_frame_dhash(
+        multimodal.make_video_assets_from_documents(docs)
+    )
+    hs = vdf.select("asset_id", "dhash").distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(b, (F.col("a.dhash") == F.col("b.dhash")) & (F.col("a.asset_id") < F.col("b.asset_id")))
+        .groupBy(
+            F.col("a.asset_id").alias("id_a"), F.col("b.asset_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+Q_VIDEO_NEAR_DUPS_ORACLE_TEMPLATE = """
+WITH h AS (
+  SELECT DISTINCT asset_id, dhash FROM ({frames})
+)
+SELECT a.asset_id AS id_a, b.asset_id AS id_b, count(*) AS n_shared
+FROM h a JOIN h b ON a.dhash = b.dhash AND a.asset_id < b.asset_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the oracle: each doc_id becomes an actual
     PCM16 WAV payload (rate/channels/frames/amplitude arithmetic
@@ -3781,6 +3824,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "image_near_dups_documents": (q_image_near_dups, multimodal.image_near_dups_sql("documents", "doc_id", max_hamming=8)),
     "audio_fingerprint_documents": (q_audio_fingerprint, multimodal.audio_fingerprint_sql("documents", "doc_id")),
     "audio_near_dups_documents": (q_audio_near_dups, multimodal.audio_near_dups_sql("documents", "doc_id", max_hamming=8)),
+    "video_frame_dhash_documents": (q_video_frame_dhash, multimodal.video_frame_dhash_sql("documents", "doc_id")),
+    "video_near_dups_documents": (q_video_near_dups, Q_VIDEO_NEAR_DUPS_ORACLE_TEMPLATE.format(
+        frames=multimodal.video_frame_dhash_sql("documents", "doc_id")
+    )),
     "hash_sample_documents": (q_hash_sample_documents, _S_ORACLES["hash_sample_documents"]),
     "weighted_sample_documents": (q_weighted_sample_documents, _S_ORACLES["weighted_sample_documents"]),
     "train_test_split_documents": (q_train_test_split_documents, _S_ORACLES["train_test_split_documents"]),

@@ -2323,3 +2323,49 @@ def test_audio_near_dups_matches_oracle(spark, sf_tables, duck):
     nd = dedup.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56)
     _cmp(nd, duck, multimodal.audio_near_dups_sql("documents", "doc_id", max_hamming=8))
     assert nd.count() > 0
+
+
+def test_video_frame_dhash_matches_oracle_and_semantics(spark, sf_tables, duck):
+    """Closed-form oracle parity + container semantics: re-encoded
+    clip (same frames) shares all hashes; one-frame-swapped clip shares
+    all but one; non-container payload falls back to frame_idx -1."""
+    docs = sf_tables["documents"]
+    vdf = multimodal.video_frame_dhash(multimodal.make_video_assets_from_documents(docs))
+    _cmp(vdf, duck, multimodal.video_frame_dhash_sql("documents", "doc_id"))
+
+    from datalakerulegeneration_spark.ops.multimodal import (
+        encode_png_gradient,
+        encode_video_container,
+    )
+
+    frames = [encode_png_gradient(12, 12, 40 + 9 * k, 70 + 5 * k, k * 31) for k in range(8)]
+    swapped = list(frames)
+    swapped[0] = encode_png_gradient(12, 12, 211, 97, 5)
+    rows = [
+        (1, encode_video_container(frames)),
+        (2, encode_video_container(frames)),   # identical clip
+        (3, encode_video_container(swapped)),  # first sampled frame differs
+        (4, b"not a container"),
+    ]
+    d = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {}
+    for r in multimodal.video_frame_dhash(d, frames_per_video=4).collect():
+        out.setdefault(r["asset_id"], {})[r["frame_idx"]] = r["dhash"]
+    assert out[1] == out[2]
+    shared = sum(1 for k, v in out[1].items() if out[3].get(k) == v)
+    assert shared == len(out[1]) - 1  # only the swapped frame differs
+    assert list(out[4].keys()) == [-1]
+
+
+def test_video_near_dups_matches_oracle(spark, sf_tables, duck):
+    from datalakerulegeneration_spark.queries import (
+        Q_VIDEO_NEAR_DUPS_ORACLE_TEMPLATE,
+        q_video_near_dups,
+    )
+
+    sql = Q_VIDEO_NEAR_DUPS_ORACLE_TEMPLATE.format(
+        frames=multimodal.video_frame_dhash_sql("documents", "doc_id")
+    )
+    nd = q_video_near_dups(spark, "/root/testdata/sf0.001")
+    _cmp(nd, duck, sql)
+    assert nd.count() > 0
