@@ -404,11 +404,19 @@ def temperature_mixture(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     n_min = F.min("_grp_n").over(wall)
+    # the min group IS the water level: pin its target to n_g exactly
+    # rather than trusting floor(n^α·n^(1−α)) — sqrt(n)·sqrt(n) can
+    # round a hair BELOW n and floor away one row, breaking the
+    # "smallest group keeps everything" contract (hypothesis found it)
     caps = counts.select(
         "_grp_key",
         "_grp_n",
-        F.floor(_pow(F.col("_grp_n"), alpha) * _pow(n_min, 1.0 - alpha))
-        .cast("bigint")
+        F.when(F.col("_grp_n") == n_min, F.col("_grp_n"))
+        .otherwise(
+            F.floor(_pow(F.col("_grp_n"), alpha) * _pow(n_min, 1.0 - alpha)).cast(
+                "bigint"
+            )
+        )
         .alias("_target_n"),
     )
     keep = _hash_bucket(id_col, salt) * F.col("_grp_n") < F.col("_target_n") * F.lit(_BUCKETS)
@@ -447,7 +455,9 @@ WITH counts AS (
 ),
 caps AS (
   SELECT grp, grp_n,
-         CAST(floor({_pow('grp_n', alpha)} * {_pow('min(grp_n) OVER ()', 1.0 - alpha)}) AS BIGINT) AS target_n
+         CASE WHEN grp_n = min(grp_n) OVER () THEN grp_n
+              ELSE CAST(floor({_pow('grp_n', alpha)} * {_pow('min(grp_n) OVER ()', 1.0 - alpha)}) AS BIGINT)
+         END AS target_n
   FROM counts
 )
 SELECT t.* FROM {table} t JOIN caps c ON t.{group_col} IS NOT DISTINCT FROM c.grp

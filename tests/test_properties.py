@@ -684,3 +684,95 @@ def test_incremental_dedup_matches_python_model(spark, batch_rows, corpus_texts)
         if t not in seen and t not in exp:
             exp[t] = i
     assert got == set(exp.values())
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=40), min_size=2, max_size=10
+    ),
+    st.sampled_from([0.2, 0.4, 0.6, 0.8]),
+)
+def test_prefix_filter_lossless_vs_plain_join(spark, texts, threshold):
+    """PPJoin prefix filtering must emit EXACTLY the plain inverted-
+    index join's pair set at every threshold on arbitrary corpora —
+    losslessness is the operator's whole contract (length + position
+    filters included)."""
+    from datalakerulegeneration_spark.ops import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    plain = sorted(
+        map(tuple, dedup.ngram_jaccard_dedup(df, "doc_id", "text", threshold, n=2).collect())
+    )
+    pp = sorted(
+        map(tuple, dedup.prefix_jaccard_dedup(df, "doc_id", "text", threshold, n=2).collect())
+    )
+    assert pp == plain
+
+
+@SET
+@given(
+    st.lists(st.integers(1, 80), min_size=1, max_size=5),
+    st.sampled_from([0.5, 1.0]),
+)
+def test_temperature_mixture_targets_vs_model(spark, group_sizes, alpha):
+    """Threshold-variant EXACT guarantees (kept counts are binomial
+    around the target, so only these hold deterministically): the
+    smallest group keeps everything at any α (the water level — a
+    float-ulp in floor(sqrt(n)·sqrt(n)) used to break this, found by
+    this test); α=1 keeps all rows everywhere; membership is
+    deterministic (re-run identical)."""
+    from pyspark.sql import functions as F
+
+    from datalakerulegeneration_spark.ops import sampling
+
+    rows = [
+        (gi * 1000 + j, f"g{gi}")
+        for gi, n in enumerate(group_sizes)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.temperature_mixture(df, "doc_id", "grp", alpha=alpha)
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    n_min = min(group_sizes)
+    for gi, n in enumerate(group_sizes):
+        assert got.get(f"g{gi}", 0) <= n
+        if n == n_min or alpha == 1.0:
+            assert got.get(f"g{gi}", 0) == n  # water level: keep all
+    again = sorted(r["doc_id"] for r in sampling.temperature_mixture(df, "doc_id", "grp", alpha=alpha).collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())
+
+
+@SET
+@given(
+    st.lists(st.integers(1, 60), min_size=1, max_size=4),
+    st.lists(st.floats(0.1, 5.0), min_size=4, max_size=4),
+)
+def test_target_mixture_exact_counts_vs_model(spark, group_sizes, weights):
+    """Exactly-k: kept counts EQUAL floor(share·N) with
+    N = min(n_g/share_g) — the water-fill algebra, verified against a
+    pure-Python model on arbitrary group shapes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datalakerulegeneration_spark.ops import sampling
+
+    targets = {f"g{i}": w for i, w in enumerate(weights[: max(1, len(group_sizes))])}
+    targets = {g: w for g, w in list(targets.items())[: len(group_sizes)]}
+    rows = [
+        (gi * 1000 + j, f"g{gi}")
+        for gi, n in enumerate(group_sizes)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.target_mixture_exact(df, "doc_id", "grp", targets)
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    total_w = sum(targets.values())
+    shares = {g: w / total_w for g, w in targets.items()}
+    n_total = min(group_sizes[i] / shares[f"g{i}"] for i in range(len(group_sizes)))
+    for gi, n in enumerate(group_sizes):
+        expect = math.floor(shares[f"g{gi}"] * n_total)
+        assert got.get(f"g{gi}", 0) == expect
