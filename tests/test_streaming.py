@@ -960,3 +960,38 @@ def test_embedding_decontaminate_stream_matches_batch(spark, sf_tables, tmp_path
 
     with _pytest.raises(ValueError, match="static"):
         embedding_decontaminate_stream(stream, stream)
+
+
+def test_fingerprint_keyed_incremental_dedup(spark, sf_tables, tmp_path):
+    """The persisted dedup index is KEY-AGNOSTIC: fed the perceptual
+    dHash (stringified) as its 'text', the same code path deduplicates
+    exact image duplicates across batches and restarts — the
+    multimodal use of the streaming dedup index, zero new code."""
+    from datalakerulegeneration_spark.ops import multimodal
+    from datalakerulegeneration_spark.streaming import IncrementalDeduper
+
+    docs = sf_tables["documents"]
+    dh = multimodal.image_dhash(
+        multimodal.make_gradient_assets_from_documents(docs)
+    ).withColumn("fp", F.col("dhash").cast("string"))
+    b1 = dh.where(F.col("asset_id") < 250)
+    b2 = dh.where(F.col("asset_id") >= 250)
+
+    ded = IncrementalDeduper(spark, str(tmp_path / "st"), id_col="asset_id", text_col="fp")
+    ded.update(b1, 0)
+    # restart: a NEW deduper over the same state dir keeps the index
+    ded2 = IncrementalDeduper(spark, str(tmp_path / "st"), id_col="asset_id", text_col="fp")
+    ded2.update(b2, 1)
+
+    surv = spark.read.parquet(str(tmp_path / "st" / "survivors"))
+    got = sorted(r["id"] for r in surv.collect())
+
+    # python model: min id per fingerprint, batch 1 before batch 2
+    rows = sorted((r["asset_id"], r["dhash"]) for r in dh.collect())
+    seen, expect = set(), []
+    for aid, h in [t for t in rows if t[0] < 250] + [t for t in rows if t[0] >= 250]:
+        if h not in seen:
+            seen.add(h)
+            expect.append(aid)
+    assert got == sorted(expect)
+    assert len(got) < dh.count()  # planted families actually dedupe
