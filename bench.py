@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "audio_near_dups_documents",
     "video_frame_dhash_documents",
     "video_near_dups_documents",
+    "pca_topk_embeddings",
 ]
 
 

@@ -1401,3 +1401,59 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def pca_embeddings(
+    vectors: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Principal-component projection — the DATA-DEPENDENT counterpart
+    of :func:`project_embeddings` (JL is oblivious; PCA spends a
+    covariance pass to align components with the corpus's actual
+    variance directions, so at equal ``out_dim`` it preserves more
+    neighborhood structure on anisotropic embeddings). Spark ML's PCA
+    does the heavy step right: the d×d Gramian accumulates DISTRIBUTED
+    (one pass, map-side combine), only the d² eigenproblem runs on the
+    driver — d is the embedding width, never the corpus. Deterministic
+    for a given corpus (LAPACK eigenvectors; sign convention fixed by
+    the build), but not SQL-expressible → registered rows-only, with
+    pytest pinning determinism + recall.
+
+    Returns ``(id, pvec: array<double>)``.
+    """
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"),
+    )
+    model = MLPCA(k=out_dim, inputCol="_fv", outputCol="_pc").fit(v)
+    return model.transform(v).select("id", vector_to_array(F.col("_pc")).alias("pvec"))
+
+
+def pca_topk(
+    vectors: DataFrame,
+    probe_ids_under: int,
+    out_dim: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine in PCA space — same broadcast-probe shape as
+    :func:`projected_topk`, with the data-dependent projection."""
+    pv = pca_embeddings(vectors, out_dim, id_col, vec_col).withColumn(
+        "pn", F.expr(norm_expr("pvec"))
+    )
+    probes = pv.where(F.col("id") < probe_ids_under).select(
+        F.col("id").alias("query_id"), F.col("pvec").alias("qp"), F.col("pn").alias("qpn")
+    )
+    scored = pv.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(F.expr(cosine_norms_expr("qp", "pvec", "qpn", "pn")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1316,6 +1316,17 @@ def q_ann_rerank_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_rerank_topk(emb, 10, k=10, rerank=50, m=8, ksub=32)
 
 
+def q_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine in PCA space (ops.similarity.pca_topk): the
+    data-dependent projection rung of the compression ladder — the d×d
+    Gramian accumulates distributed, only the d² eigenproblem touches
+    the driver. Eigenvectors aren't SQL-expressible → rows-only gate;
+    pytest pins determinism and recall ≥ the JL projection's at equal
+    out_dim."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.pca_topk(emb, 10, out_dim=16, k=10)
+
+
 def q_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL sign-projection retrieval (ops.similarity.projected_topk):
     64→16 dims via md5-derived ±1 literal rows, cosine ranked in the
@@ -3773,6 +3784,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # full-probe IVF-SQ8 ≡ quantized brute force (see q_ann_topk_ivf_sq8)
     "ann_topk_ivf_sq8_embeddings": (q_ann_topk_ivf_sq8, similarity.quantized_topk_sql("embeddings", 10, k=10)),
     "projected_topk_embeddings": (q_projected_topk, similarity.projected_topk_sql("embeddings", 64, 10, out_dim=16, k=10)),
+    "pca_topk_embeddings": (q_pca_topk, None),
     "ann_topk_pq_embeddings": (q_ann_topk_pq, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),
     # full-probe IVF-PQ ≡ PQ brute force (see q_ann_topk_ivf_pq)
     "ann_topk_ivf_pq_embeddings": (q_ann_topk_ivf_pq, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),
