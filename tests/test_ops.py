@@ -2389,3 +2389,23 @@ def test_pca_topk_deterministic_and_beats_jl(spark, sf_tables):
     jl = {(r["query_id"], r["neighbor_id"]) for r in similarity.projected_topk(emb, 10, out_dim=16).collect()}
     assert len(ex & pca) >= len(ex & jl)
     assert len(ex & pca) / len(ex) > 0.15
+
+
+def test_prefix_filter_excludes_stopword_shingle_floods(spark):
+    """The DF-ascending prefix order is the skew guarantee: a shingle
+    shared by EVERY doc sorts last per doc, so at t=0.6 it falls
+    outside every (long-enough) prefix and the flood contributes ZERO
+    candidate pairs — where the plain inverted-index join would score
+    C(n,2) pairs off that single posting list."""
+    n = 400
+    filler = "click here now to subscribe today"  # 6 tokens -> shared shingles
+    rows = [(i, f"{filler} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(df, "doc_id", "text", 3)
+    cands = dedup.prefix_filter_pairs(sh, 0.6)
+    n_cands = cands.count()
+    full = dedup.jaccard_pairs(sh).count()
+    assert full == n * (n - 1) // 2  # every pair co-shingles on the filler
+    assert n_cands == 0  # ...but no filler shingle is in any prefix
+    # and the result is still exact (no true pairs exist at 0.6)
+    assert dedup.prefix_jaccard_dedup(df, "doc_id", "text", 0.6).count() == 0
