@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "video_frame_dhash_documents",
     "video_near_dups_documents",
     "pca_topk_embeddings",
+    "curate_corpus_dsir_documents",
 ]
 
 

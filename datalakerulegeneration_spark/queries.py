@@ -2031,6 +2031,47 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate_corpus(docs)
 
 
+_DSIR_MIN = -30.0  # keeps ~60% of the fixture corpus at both gate SFs
+
+
+def q_curate_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline behind a DSIR admission gate: documents
+    below log-importance −30 against the src0 target LM never enter
+    curation (importance-resampling data selection composed as stage
+    0 — the r6 selection op feeding the r2 flagship). The keep list is
+    doc-grain and corpus-sized, so the semi join is hinted
+    shuffle-hash per the estimate-blindness policy. Exact end-to-end
+    oracle: DSIR weights are themselves oracle-exact, so the composed
+    SQL just wraps the corpus in the selection subquery."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    w = textqa.dsir_weights(
+        docs.withColumn("_is_target", F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        "_is_target",
+    )
+    keep = w.where(F.col("log_importance") >= _DSIR_MIN).select(
+        F.col("id").alias("_sel_id")
+    )
+    selected = docs.join(
+        keep.hint("shuffle_hash"), docs["doc_id"] == keep["_sel_id"], "left_semi"
+    )
+    return curate.curate_corpus(selected)
+
+
+def _curate_dsir_oracle() -> str:
+    from datalakerulegeneration_spark.ops import curate
+
+    dsir = textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'").strip()
+    selected = (
+        f"(SELECT d.* FROM documents d JOIN ({dsir}) s ON d.doc_id = s.id"
+        f" WHERE s.log_importance >= {_DSIR_MIN})"
+    )
+    return curate.curate_corpus_sql(selected)
+
+
 def q_curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline with MinHash near-dedup as stage 0.5:
     banded-LSH components over the raw corpus, min-id representative
@@ -3809,6 +3850,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),
     "curate_corpus_documents": (q_curate_corpus, curate.curate_corpus_sql("documents")),
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),
+    "curate_corpus_dsir_documents": (q_curate_corpus_dsir, _curate_dsir_oracle()),
     "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
     "pack_manifest_documents": (q_pack_manifest, packing.pack_manifest_sql(
         packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048), seq_len=2048

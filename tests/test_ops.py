@@ -2409,3 +2409,25 @@ def test_prefix_filter_excludes_stopword_shingle_floods(spark):
     assert n_cands == 0  # ...but no filler shingle is in any prefix
     # and the result is still exact (no true pairs exist at 0.6)
     assert dedup.prefix_jaccard_dedup(df, "doc_id", "text", 0.6).count() == 0
+
+
+def test_curate_corpus_dsir_composition(spark, sf_tables, duck):
+    """The DSIR admission gate composes with the flagship: oracle-exact
+    end-to-end, strictly fewer (or equal) manifest rows than the plain
+    pipeline, and every admitted id clears the weight threshold."""
+    from datalakerulegeneration_spark.queries import (
+        _DSIR_MIN,
+        _curate_dsir_oracle,
+        q_curate_corpus,
+        q_curate_corpus_dsir,
+    )
+
+    out = q_curate_corpus_dsir(spark, "/root/testdata/sf0.001")
+    _cmp(out, duck, _curate_dsir_oracle())
+    plain = q_curate_corpus(spark, "/root/testdata/sf0.001")
+    n_dsir, n_plain = out.count(), plain.count()
+    assert 0 < n_dsir <= n_plain
+    docs = sf_tables["documents"].withColumn("_t", F.col("source") == "src0")
+    w = {r["id"]: r["log_importance"] for r in textqa.dsir_weights(docs, "doc_id", "text", "_t").collect()}
+    for r in out.select("id").collect():
+        assert w[r["id"]] >= _DSIR_MIN

@@ -48,6 +48,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("shuffle_documents", "global_window", "n_parts-row bucket-offset frame (two-level rank)"),
     ("curate_corpus_documents", "global_window", "n_parts-row packing offsets inside the pipeline"),
     ("curate_corpus_neardup_documents", "global_window", "n_parts-row packing offsets"),
+    ("curate_corpus_dsir_documents", "global_window", "n_parts-row packing offsets + n_buckets-row DSIR LM frame"),
     ("weighted_sample_documents", "global_window", "k-row top-k result (limit before rank)"),
     ("drift_events_value", "global_window", "O(bins) bin-edge frame"),
     ("drift_table_events", "global_window", "O(columns x bins) stacked bin frame"),
@@ -82,6 +83,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("tfidf_top_terms_documents", "bnlj", "1-row doc-count scalar broadcast"),
     ("curate_corpus_documents", "bnlj", "1-row survivor-count/scalar stage constants broadcast"),
     ("curate_corpus_neardup_documents", "bnlj", "1-row stage constants broadcast"),
+    ("curate_corpus_dsir_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
     ("curation_funnel_documents", "bnlj", "1-row stage-count constants broadcast"),
     ("drift_events_value", "bnlj", "1-row bin-edge scalar aggs broadcast"),
     ("drift_table_events", "bnlj", "1-row per-column edge scalars broadcast"),
