@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "video_near_dups_documents",
     "pca_topk_embeddings",
     "curate_corpus_dsir_documents",
+    "bigram_logprob_documents",
 ]
 
 

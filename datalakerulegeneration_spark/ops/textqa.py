@@ -1545,3 +1545,108 @@ SELECT id,
                            chr(10) ORDER BY pos), '') AS cleaned_text
 FROM tagged GROUP BY id
 """
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own LM — the step above :func:`unigram_logprob` on the
+    cheap-perplexity ladder (CCNet's KenLM filtering, one order down):
+
+        score(d) = mean over adjacent pairs of
+                   ln( λ·p(w₂|w₁) + (1−λ)·p(w₂) )
+
+    with MLE estimates at bigram grain (p(w₂|w₁) = c(w₁,w₂)/c_left(w₁),
+    p(w₂) = c_right(w₂)/B). The corpus scores ITSELF, so every scored
+    bigram is by construction seen ≥1 time — interpolation alone keeps
+    the log finite, no smoothing constants to tune. Repetitive/
+    templated text scores high, incoherent token soup low; the gap vs
+    the unigram score isolates WORD-ORDER quality.
+
+    Scale shape: ONE bigram explode → (doc, w₁, w₂) hash agg; all
+    three corpus counts ride windows over that frame (partitioned by
+    (w₁,w₂), w₁, w₂ — never wider than a bigram/token posting); the
+    bigram total comes from a size-only pruned pass (same trick as
+    pmi_collocations) and broadcasts. Rounded to 6 dp (float-reduction
+    contract of unigram_logprob). Docs with < 2 tokens have no bigrams
+    and are absent.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    )
+    bg = (
+        base.where(F.size("toks") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("id", "b.w1", "b.w2")
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c12 = F.sum("tf").over(Window.partitionBy("w1", "w2"))
+    cl = F.sum("tf").over(Window.partitionBy("w1"))
+    c2 = F.sum("tf").over(Window.partitionBy("w2"))
+    b_total = base.agg(
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).cast("double").alias("b_total")
+    )
+    scored = (
+        bg.withColumn("c12", c12)
+        .withColumn("cl", cl)
+        .withColumn("c2", c2)
+        .crossJoin(F.broadcast(b_total))
+        .withColumn(
+            "lp",
+            F.col("tf")
+            * F.log(
+                F.lit(lam) * (F.col("c12").cast("double") / F.col("cl"))
+                + F.lit(1.0 - lam) * (F.col("c2").cast("double") / F.col("b_total"))
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("lp") / F.sum("tf"), 6).alias("mean_logprob"),
+    )
+
+
+def bigram_logprob_sql(
+    table: str, id_col: str, text_col: str, lam: float = 0.7
+) -> str:
+    """DuckDB oracle for :func:`bigram_logprob`."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table} WHERE {text_col} IS NOT NULL
+),
+bg AS (
+  SELECT id, pair[1] AS w1, pair[2] AS w2, count(*) AS tf
+  FROM (
+    SELECT id, unnest(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> [toks[i], toks[i + 1]])) AS pair
+    FROM base WHERE len(toks) >= 2
+  ) GROUP BY 1, 2, 3
+),
+btot AS (
+  SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS b_total FROM base
+),
+scored AS (
+  SELECT id, tf,
+         tf * ln({lam!r} * (CAST(sum(tf) OVER (PARTITION BY w1, w2) AS DOUBLE)
+                            / sum(tf) OVER (PARTITION BY w1))
+                 + {1.0 - lam!r} * (CAST(sum(tf) OVER (PARTITION BY w2) AS DOUBLE)
+                                    / b_total)) AS lp
+  FROM bg CROSS JOIN btot
+)
+SELECT id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(sum(lp) / sum(tf), 6) AS mean_logprob
+FROM scored GROUP BY id
+"""

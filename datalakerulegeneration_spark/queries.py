@@ -2159,6 +2159,15 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shingle_novelty(docs, "doc_id", "text", 3)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram log-probability (ops.textqa.bigram_logprob):
+    the order-sensitive perplexity proxy one rung above
+    unigram_logprob_documents. One bigram explode, three posting-width
+    windows, a size-only totals broadcast."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.bigram_logprob(docs, "doc_id", "text")
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (ops.textqa.dsir_weights): hashed-unigram
     target-vs-corpus log-likelihood-ratio score per document, target
@@ -3864,6 +3873,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "target_mixture_exact_documents": (q_target_mixture_exact, sampling.target_mixture_exact_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "pmi_collocations_documents": (q_pmi_collocations, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20)),
     "dsir_weights_documents": (q_dsir_weights, textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'")),
+    "bigram_logprob_documents": (q_bigram_logprob, textqa.bigram_logprob_sql("documents", "doc_id", "text")),
     "shingle_novelty_documents": (q_shingle_novelty, dedup.shingle_novelty_sql("documents", "doc_id", "text", 3)),
     "decontaminate_embeddings": (q_decontaminate_embeddings, similarity.embedding_decontaminate_sql(
         "embeddings", "SELECT embedding AS ev FROM embeddings WHERE vec_id % 41 = 0", threshold=0.8

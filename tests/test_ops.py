@@ -2431,3 +2431,24 @@ def test_curate_corpus_dsir_composition(spark, sf_tables, duck):
     w = {r["id"]: r["log_importance"] for r in textqa.dsir_weights(docs, "doc_id", "text", "_t").collect()}
     for r in out.select("id").collect():
         assert w[r["id"]] >= _DSIR_MIN
+
+
+def test_bigram_logprob_matches_and_order_sensitive(spark, sf_tables, duck):
+    """Oracle parity + the property unigram scoring can't have: a doc
+    whose bigrams follow the corpus pattern outscores a doc with the
+    SAME unigram bag scrambled into unseen-order bigrams."""
+    df = textqa.bigram_logprob(sf_tables["documents"], "doc_id", "text")
+    _cmp(df, duck, textqa.bigram_logprob_sql("documents", "doc_id", "text"))
+
+    pattern = "the quick brown fox jumps over the lazy dog"
+    scrambled = "fox the over dog quick lazy the jumps brown"  # same bag
+    rows = [(i, pattern) for i in range(10)] + [(100, pattern), (101, scrambled)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r["mean_logprob"] for r in textqa.bigram_logprob(d, "doc_id", "text").collect()}
+    assert out[100] > out[101]
+    # unigram scoring is blind to the difference (same token bag)
+    uni = {r["id"]: r["mean_logprob"] for r in textqa.unigram_logprob(d, "doc_id", "text").collect()}
+    assert uni[100] == uni[101]
+    # <2-token docs absent
+    short = spark.createDataFrame([(1, "one"), (2, None)], "doc_id long, text string")
+    assert textqa.bigram_logprob(short, "doc_id", "text").count() == 0

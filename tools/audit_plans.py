@@ -76,6 +76,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("bm25_documents", "bnlj", "1-row corpus stats (N, avgdl, df_t) broadcast"),
     ("hybrid_search_documents", "bnlj", "1-row corpus stats + 1-row probe vector broadcast"),
     ("unigram_logprob_documents", "bnlj", "1-row corpus token total broadcast"),
+    ("bigram_logprob_documents", "bnlj", "1-row bigram-total scalar broadcast"),
     ("pmi_collocations_documents", "bnlj", "1-row token-total and bigram-total scalar aggs broadcast"),
     ("dsir_weights_documents", "global_window", "n_buckets-row bucket-LM frame (exact BIGINT total sums)"),
     ("decontaminate_embeddings", "bnlj", "constant-size eval-vector frame broadcast (held-out eval suites are small by contract)"),
