@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "pca_topk_embeddings",
     "curate_corpus_dsir_documents",
     "bigram_logprob_documents",
+    "centroid_outliers_embeddings",
 ]
 
 

@@ -1457,3 +1457,94 @@ def pca_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def centroid_outliers(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Mislabel/noise audit: every vector's cosine to its OWN label's
+    centroid, flagged below ``threshold`` — the standard embedding-
+    space label-quality check (points far from their class prototype
+    are mislabeled, ambiguous, or garbage; SemDeDup's cluster-confined
+    compare is the dedup cousin of the same idea).
+
+    Scale shape: centroids come from ONE posexplode + (label, dim)
+    groupBy with exact decimal sums (the engine-portable mean — see
+    embedding_centroids_by_label), reassembled into #labels rows and
+    BROADCAST; the corpus then scores map-side in a single pass. All
+    JVM-side; cosine rounded 6 dp.
+
+    Returns ``(id, label, centroid_cos, is_outlier)``.
+    """
+    ex = vectors.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.expr("cast(cast(v as double) as decimal(18,6))")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("c")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    ).withColumn("cn", F.expr(norm_expr("cvec")))
+    scored = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("long").alias("label"),
+            F.col(vec_col).alias("ev"),
+            F.expr(norm_expr(vec_col)).alias("en"),
+        )
+        .join(F.broadcast(cvec), "label")
+        .select(
+            "id",
+            "label",
+            F.round(F.expr(cosine_norms_expr("ev", "cvec", "en", "cn")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+    )
+    return scored.withColumn("is_outlier", F.col("centroid_cos") < F.lit(threshold))
+
+
+def centroid_outliers_sql(
+    table: str,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle for :func:`centroid_outliers`."""
+    cos = (
+        f"list_dot_product(CAST(t.{vec_col} AS DOUBLE[]), cv.cvec)"
+        f" / (sqrt(list_dot_product(CAST(t.{vec_col} AS DOUBLE[]), CAST(t.{vec_col} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(cv.cvec, cv.cvec)))"
+    )
+    return f"""
+WITH ex AS (
+  SELECT CAST({label_col} AS BIGINT) AS label,
+         unnest({vec_col}) AS v,
+         unnest(generate_series(1, len({vec_col}))) AS i
+  FROM {table}
+),
+cent AS (
+  SELECT label, i,
+         CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS c
+  FROM ex GROUP BY label, i
+),
+cv AS (
+  SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label
+)
+SELECT t.{id_col} AS id, CAST(t.{label_col} AS BIGINT) AS label,
+       round({cos}, 6) AS centroid_cos,
+       round({cos}, 6) < {threshold} AS is_outlier
+FROM {table} t JOIN cv ON CAST(t.{label_col} AS BIGINT) = cv.label
+"""

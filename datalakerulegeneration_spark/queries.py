@@ -1316,6 +1316,15 @@ def q_ann_rerank_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_rerank_topk(emb, 10, k=10, rerank=50, m=8, ksub=32)
 
 
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding label-quality audit (ops.similarity.centroid_outliers):
+    cosine of every vector to its OWN label centroid, flagged below 0
+    (~15% of the fixture) — mislabel/noise detection. Centroids are
+    exact decimal-sum means, broadcast; one map-side corpus pass."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.centroid_outliers(emb, threshold=0.0)
+
+
 def q_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k cosine in PCA space (ops.similarity.pca_topk): the
     data-dependent projection rung of the compression ladder — the d×d
@@ -3835,6 +3844,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk_ivf_sq8_embeddings": (q_ann_topk_ivf_sq8, similarity.quantized_topk_sql("embeddings", 10, k=10)),
     "projected_topk_embeddings": (q_projected_topk, similarity.projected_topk_sql("embeddings", 64, 10, out_dim=16, k=10)),
     "pca_topk_embeddings": (q_pca_topk, None),
+    "centroid_outliers_embeddings": (q_centroid_outliers, similarity.centroid_outliers_sql("embeddings", threshold=0.0)),
     "ann_topk_pq_embeddings": (q_ann_topk_pq, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),
     # full-probe IVF-PQ ≡ PQ brute force (see q_ann_topk_ivf_pq)
     "ann_topk_ivf_pq_embeddings": (q_ann_topk_ivf_pq, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),

@@ -2452,3 +2452,15 @@ def test_bigram_logprob_matches_and_order_sensitive(spark, sf_tables, duck):
     # <2-token docs absent
     short = spark.createDataFrame([(1, "one"), (2, None)], "doc_id long, text string")
     assert textqa.bigram_logprob(short, "doc_id", "text").count() == 0
+
+
+def test_centroid_outliers_matches_and_flags_planted(spark, sf_tables, duck):
+    df = similarity.centroid_outliers(sf_tables["embeddings"], threshold=0.0)
+    _cmp(df, duck, similarity.centroid_outliers_sql("embeddings", threshold=0.0))
+    # planted: a tight cluster + one anti-aligned vector in the same label
+    rows = [(i, [1.0, 0.1 * (i % 3), 0.0], 7) for i in range(10)]
+    rows.append((99, [-1.0, 0.0, 0.0], 7))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["id"]: r for r in similarity.centroid_outliers(d, threshold=0.5).collect()}
+    assert out[99]["is_outlier"] and out[99]["centroid_cos"] < 0
+    assert all(not out[i]["is_outlier"] for i in range(10))
