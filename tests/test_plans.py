@@ -305,6 +305,11 @@ def test_window_detector_flags_global_and_passes_partitioned(spark):
 
     from pyspark.sql import Window, functions as F
 
+    # hermetic: an earlier test's persisted frame can CacheManager-
+    # plan-dedup a matching subtree here into an InMemoryRelation,
+    # erasing the "Window " plan line this test greps for (observed
+    # once in a full-suite run; never in isolation)
+    spark.catalog.clearCache()
     df = spark.range(100).withColumn("g", F.col("id") % 5)
     global_w = df.withColumn("rk", F.row_number().over(Window.orderBy("id")))
     part_w = df.withColumn("rk", F.row_number().over(Window.partitionBy("g").orderBy("id")))
