@@ -100,11 +100,12 @@ BENCH_QUERIES = [
     "intra_line_dedup_documents",
     "target_mixture_exact_documents",
     "image_dhash_documents",
-    "image_near_dups_documents",
     "audio_fingerprint_documents",
-    "audio_near_dups_documents",
     "video_frame_dhash_documents",
-    "video_near_dups_documents",
+    # the three multimodal *_near_dups queries are correctness-gated but
+    # NOT benched: their runtime is fixture-family-density (pairs grow
+    # quadratically in the planted family size — COVERAGE.md), so the
+    # number would grade the fixture, not the engine
     "pca_topk_embeddings",
     "curate_corpus_dsir_documents",
     "bigram_logprob_documents",
