@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="Run clustering and evaluation over dirty/clean dataset pairs.",
     )
     p.add_argument(
-        "--mode", choices=["single", "multi", "curate", "monitor"], default="single"
+        "--mode", choices=["single", "multi", "curate", "monitor", "dedup"], default="single"
     )
     # curate mode (beyond-reference): run the corpus curation pipeline
     # on a parquet documents table and write the training manifest
@@ -130,6 +130,43 @@ def main(argv: list[str] | None = None) -> dict:
             "schema_changes": schema_changes,
             "flagged_columns": flagged,
             "ok": not schema_changes and not flagged,
+        }
+        print(json.dumps(out, sort_keys=True))
+        return out
+    if args.mode == "dedup":
+        # dedup report: the audit a pipeline runs BEFORE committing to a
+        # dedup strategy — exact-dup mass, near-dup pair count at the
+        # chosen threshold, and the novelty distribution, one JSON line
+        from pyspark.sql import functions as F
+
+        from datalakerulegeneration_spark.ops import dedup as dd
+
+        if not args.input:
+            raise SystemExit("--mode dedup requires --input")
+        if args.input_format == "jsonl":
+            from datalakerulegeneration_spark.catalog import read_jsonl
+
+            docs = read_jsonl(spark, args.input)
+        else:
+            docs = spark.read.parquet(args.input)
+        n_docs = docs.count()
+        keepers = dd.exact_dedup(docs, args.id_column, args.text_column).count()
+        pairs = dd.minhash_dedup(
+            docs, args.id_column, args.text_column, threshold=args.share_threshold
+        ).count()
+        nov = dd.shingle_novelty(docs, args.id_column, args.text_column).agg(
+            F.round(F.avg("novelty"), 6).alias("mean"),
+            F.round(F.min("novelty"), 6).alias("min"),
+        ).collect()[0]
+        out = {
+            "mode": "dedup",
+            "docs": n_docs,
+            "exact_distinct": keepers,
+            "exact_dup_rows": n_docs - keepers,
+            "near_dup_pairs": pairs,
+            "near_dup_threshold": args.share_threshold,
+            "novelty_mean": nov["mean"],
+            "novelty_min": nov["min"],
         }
         print(json.dumps(out, sort_keys=True))
         return out

@@ -250,3 +250,22 @@ def test_cli_curate_mode(spark, tmp_path, capsys):
     back = spark.read.parquet(out_dir)
     assert back.count() == res["kept_docs"]
     assert any(d.startswith("grp=") for d in os.listdir(out_dir))
+
+
+def test_cli_dedup_mode(spark, sf_tables, tmp_path, capsys):
+    """--mode dedup prints the dedup report card: exact-dup mass,
+    near-dup pairs at the threshold, novelty distribution."""
+    import json
+
+    from datalakerulegeneration_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    sf_tables["documents"].write.parquet(src)
+    out = main(["--mode", "dedup", "--input", src, "--share-threshold", "0.2"])
+    assert out["docs"] == 500
+    assert out["exact_distinct"] <= out["docs"]
+    assert out["exact_dup_rows"] == out["docs"] - out["exact_distinct"]
+    assert out["near_dup_pairs"] > 0
+    assert 0.0 <= out["novelty_min"] <= out["novelty_mean"] <= 1.0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed == out
