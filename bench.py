@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "curate_corpus_dsir_documents",
     "bigram_logprob_documents",
     "centroid_outliers_embeddings",
+    "hll_overlap_events",
 ]
 
 

@@ -203,3 +203,110 @@ SELECT est.{group_col}, est.est, exact.exact_n,
        round((est.est - exact.exact_n) / exact.exact_n, 6) AS rel_err
 FROM est JOIN exact ON est.{group_col} = exact.{group_col}
 """
+
+
+def hll_overlap(df: DataFrame, col: str, group_col: str, m: int = 64) -> DataFrame:
+    """Pairwise distinct-value OVERLAP estimates between groups by
+    sketch inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    where the union sketch is register-wise MAX — the question
+    ``source_overlap_matrix`` answers exactly with an inverted-index
+    join, answered here from O(#groups·m) sketch state with NO
+    value-keyed corpus join (the 100 TB shape: sketches persist per
+    load, overlaps come free afterwards). Audit form: each pair also
+    carries its exact intersection count, so the error contract is
+    visible on real data (same pattern as hll_distinct_audit).
+
+    Returns ``(group_a, group_b, est_overlap, exact_overlap)`` for
+    group_a < group_b; ``est_overlap`` is inclusion–exclusion over the
+    6-dp-rounded estimates, floored at 0 (the estimator can go
+    negative on disjoint sets).
+    """
+    sk = hll_sketch(df, col, m, [group_col])
+    est = hll_estimate(sk, m, [group_col])
+    groups = sk.select(F.col(group_col).alias("group_a")).distinct()
+    pairs = groups.crossJoin(
+        groups.select(F.col("group_a").alias("group_b"))
+    ).where(F.col("group_a") < F.col("group_b"))
+    # pair-expand both sides' registers; #groups^2 x m rows max
+    left = pairs.join(
+        F.broadcast(sk), pairs["group_a"] == sk[group_col]
+    ).select("group_a", "group_b", "register", "rho")
+    right = pairs.join(
+        F.broadcast(sk), pairs["group_b"] == sk[group_col]
+    ).select("group_a", "group_b", "register", "rho")
+    union_sk = (
+        left.unionByName(right)
+        .groupBy("group_a", "group_b", "register")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+    est_u = hll_estimate(union_sk, m, ["group_a", "group_b"]).withColumnRenamed(
+        "est", "est_union"
+    )
+    ea = est.select(F.col(group_col).alias("group_a"), F.col("est").alias("est_a"))
+    eb = est.select(F.col(group_col).alias("group_b"), F.col("est").alias("est_b"))
+    est_pairs = est_u.join(F.broadcast(ea), "group_a").join(F.broadcast(eb), "group_b")
+    # exact side of the audit: values present in BOTH groups
+    gv = df.where(F.col(col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(col).alias("v")
+    ).distinct()
+    a, b = gv.alias("a"), gv.alias("b")
+    exact = (
+        a.join(b.hint("merge"), (F.col("a.v") == F.col("b.v")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    return (
+        est_pairs.join(exact, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.round(
+                F.greatest(
+                    F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+                ),
+                6,
+            ).alias("est_overlap"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0)).cast("bigint").alias("exact_overlap"),
+        )
+    )
+
+
+def hll_overlap_sql(table: str, col: str, group_col: str, m: int = 64) -> str:
+    """DuckDB oracle for :func:`hll_overlap`."""
+    sk = hll_sketch_sql(table, col, m, [group_col]).strip()
+    est = hll_estimate_sql(sk, m, [group_col]).strip()
+    union_sk = f"""
+SELECT group_a, group_b, register, CAST(max(rho) AS INT) AS rho
+FROM (
+  SELECT p.group_a, p.group_b, s.register, s.rho
+  FROM pairs p JOIN sk s ON p.group_a = s.{group_col}
+  UNION ALL
+  SELECT p.group_a, p.group_b, s.register, s.rho
+  FROM pairs p JOIN sk s ON p.group_b = s.{group_col}
+)
+GROUP BY 1, 2, 3
+"""
+    est_u = hll_estimate_sql("SELECT * FROM union_sk", m, ["group_a", "group_b"]).strip()
+    return f"""
+WITH sk AS ({sk}),
+est AS ({est}),
+groups AS (SELECT DISTINCT {group_col} AS g FROM sk),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b FROM groups a JOIN groups b ON a.g < b.g
+),
+union_sk AS ({union_sk}),
+est_u AS ({est_u}),
+gv AS (SELECT DISTINCT {group_col} AS g, {col} AS v FROM {table} WHERE {col} IS NOT NULL),
+exact AS (
+  SELECT a.g AS group_a, b.g AS group_b, CAST(count(*) AS BIGINT) AS exact_overlap
+  FROM gv a JOIN gv b ON a.v = b.v AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT eu.group_a, eu.group_b,
+       round(greatest(0.0, ea.est + eb.est - eu.est), 6) AS est_overlap,
+       CAST(COALESCE(exact.exact_overlap, 0) AS BIGINT) AS exact_overlap
+FROM est_u eu
+JOIN est ea ON ea.{group_col} = eu.group_a
+JOIN est eb ON eb.{group_col} = eu.group_b
+LEFT JOIN exact ON exact.group_a = eu.group_a AND exact.group_b = eu.group_b
+"""

@@ -2762,6 +2762,15 @@ def _bloom_ngram_oracle() -> str:
     )
 
 
+def q_hll_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types by HLL
+    inclusion-exclusion (ops.hll.hll_overlap): |A∩B| from O(#groups·m)
+    persisted sketch state, no value-keyed corpus join — audited
+    against the exact intersection per pair."""
+    ev = load_sf_tables(spark, sf_dir, ("events",))["events"]
+    return hll.hll_overlap(ev, "user_id", "event_type", m=256)
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog audit (ops.hll.hll_distinct_audit): per event_type,
     the HLL estimate of distinct user_ids next to the exact distinct
@@ -3922,6 +3931,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cm_heavy_hitters_events": (q_cm_heavy_hitters, sketch.cm_heavy_hitters_sql("events", "event_type", depth=4, width=64)),
     "bloom_decontaminate_documents": (q_bloom_decontaminate, _bloom_decontaminate_oracle()),
     "hll_distinct_users_events": (q_hll_distinct_users, hll.hll_distinct_audit_sql("events", "user_id", "event_type", m=256)),
+    "hll_overlap_events": (q_hll_overlap_events, hll.hll_overlap_sql("events", "user_id", "event_type", m=256)),
     "bloom_ngram_decon_documents": (q_bloom_ngram_decontaminate, _bloom_ngram_oracle()),
     "ks_events_value": (q_ks_events_value, _ks_oracle()),
     "drift_table_events": (q_drift_table_events, _drift_table_oracle()),

@@ -2464,3 +2464,26 @@ def test_centroid_outliers_matches_and_flags_planted(spark, sf_tables, duck):
     out = {r["id"]: r for r in similarity.centroid_outliers(d, threshold=0.5).collect()}
     assert out[99]["is_outlier"] and out[99]["centroid_cos"] < 0
     assert all(not out[i]["is_outlier"] for i in range(10))
+
+
+def test_hll_overlap_matches_and_bounds(spark, sf_tables, duck):
+    """Oracle parity + the sketch contract: inclusion-exclusion overlap
+    within ~3/sqrt(m) of exact on real pairs; disjoint planted groups
+    floor at 0."""
+    from datalakerulegeneration_spark.ops import hll
+
+    ev = sf_tables["events"]
+    df = hll.hll_overlap(ev, "user_id", "event_type", m=256)
+    _cmp(df, duck, hll.hll_overlap_sql("events", "user_id", "event_type", m=256))
+    for r in df.collect():
+        if r["exact_overlap"] > 20:
+            assert abs(r["est_overlap"] - r["exact_overlap"]) / r["exact_overlap"] < 0.4
+    # planted disjoint + identical groups
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(100)]
+    rows += [(i, "c") for i in range(100)]  # c == a's value set
+    d = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {(r["group_a"], r["group_b"]): r for r in hll.hll_overlap(d, "user_id", "event_type", m=256).collect()}
+    assert out[("a", "b")]["exact_overlap"] == 0
+    assert out[("a", "b")]["est_overlap"] < 15  # near zero, floored at 0
+    assert out[("a", "c")]["exact_overlap"] == 100
+    assert abs(out[("a", "c")]["est_overlap"] - 100) < 25

@@ -101,6 +101,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("ann_topk_pq_embeddings", "bnlj", "constant-size reconstructed probe set broadcast"),
     ("ann_topk_ivf_pq_embeddings", "bnlj", "n_lists-row centroid table + m*ksub-row anchor codebook broadcast"),
     ("ann_rerank_pq_embeddings", "bnlj", "constant-size probe frames broadcast in the pre-rank and re-rank stages"),
+    ("hll_overlap_events", "bnlj", "#groups-row distinct-group frame crossed into pairs (group_a < group_b)"),
     # non-equi self-joins over frames reduced to distinct values first
     ("levenshtein_conflicts_part", "bnlj", "distinct-brand values frame (|domain|^2 pairs, domain is enum-sized)"),
     # profile-grain cartesians: one row per COLUMN, not per data row
