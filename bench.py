@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "bigram_logprob_documents",
     "centroid_outliers_embeddings",
     "hll_overlap_events",
+    "ngram_diversity_documents",
 ]
 
 

@@ -1650,3 +1650,74 @@ SELECT id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        round(sum(lp) / sum(tf), 6) AS mean_logprob
 FROM scored GROUP BY id
 """
+
+
+def ngram_diversity(
+    df: DataFrame, group_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-group distinct-n diversity: total n-gram INSTANCES, distinct
+    n-grams, and their ratio — the corpus-grain compression/diversity
+    proxy (distinct-n from the generation-eval literature, applied to
+    sources: templated or near-duplicated sources score low;
+    :func:`~datalakerulegeneration_spark.ops.dedup.shingle_novelty` is
+    the per-document complement). No countDistinct Expand: the distinct
+    side is a (group, gram) pre-aggregation, so both counts are plain
+    hash aggs over one exploded lineage.
+
+    Returns ``(group, total_ngrams, distinct_ngrams, distinct_ratio)``
+    (ratio 6 dp); groups whose every doc is shorter than ``n`` tokens
+    are absent.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            "grp",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                )
+            ).alias("gram"),
+        )
+    )
+    total = grams.groupBy("grp").agg(F.count(F.lit(1)).alias("total_ngrams"))
+    distinct = (
+        grams.distinct().groupBy("grp").agg(F.count(F.lit(1)).alias("distinct_ngrams"))
+    )
+    return (
+        total.join(distinct, "grp")
+        .select(
+            F.col("grp").alias("group"),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams").cast("double") / F.col("total_ngrams"), 6
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+def ngram_diversity_sql(
+    table: str, group_col: str, text_col: str, n: int = 3
+) -> str:
+    """DuckDB oracle for :func:`ngram_diversity`."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    return f"""
+WITH g AS (
+  SELECT grp, unnest(list_transform(
+           generate_series(1, len(toks) - {n - 1}),
+           i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))) AS gram
+  FROM (
+    SELECT {group_col} AS grp, {toks} AS toks
+    FROM {table} WHERE {text_col} IS NOT NULL
+  ) WHERE len(toks) >= {n}
+)
+SELECT grp AS "group",
+       count(*) AS total_ngrams,
+       count(DISTINCT gram) AS distinct_ngrams,
+       round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS distinct_ratio
+FROM g GROUP BY grp
+"""

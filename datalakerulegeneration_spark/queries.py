@@ -2168,6 +2168,15 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shingle_novelty(docs, "doc_id", "text", 3)
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-3-gram diversity (ops.textqa.ngram_diversity):
+    total vs distinct gram counts + ratio — the group-grain diversity/
+    compression proxy complementing per-doc shingle novelty. Two hash
+    aggs over one exploded lineage, no countDistinct Expand."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.ngram_diversity(docs, "source", "text", 3)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram log-probability (ops.textqa.bigram_logprob):
     the order-sensitive perplexity proxy one rung above
@@ -3893,6 +3902,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pmi_collocations_documents": (q_pmi_collocations, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20)),
     "dsir_weights_documents": (q_dsir_weights, textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'")),
     "bigram_logprob_documents": (q_bigram_logprob, textqa.bigram_logprob_sql("documents", "doc_id", "text")),
+    "ngram_diversity_documents": (q_ngram_diversity, textqa.ngram_diversity_sql("documents", "source", "text", 3)),
     "shingle_novelty_documents": (q_shingle_novelty, dedup.shingle_novelty_sql("documents", "doc_id", "text", 3)),
     "decontaminate_embeddings": (q_decontaminate_embeddings, similarity.embedding_decontaminate_sql(
         "embeddings", "SELECT embedding AS ev FROM embeddings WHERE vec_id % 41 = 0", threshold=0.8

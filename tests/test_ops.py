@@ -2487,3 +2487,16 @@ def test_hll_overlap_matches_and_bounds(spark, sf_tables, duck):
     assert out[("a", "b")]["est_overlap"] < 15  # near zero, floored at 0
     assert out[("a", "c")]["exact_overlap"] == 100
     assert abs(out[("a", "c")]["est_overlap"] - 100) < 25
+
+
+def test_ngram_diversity_matches_and_semantics(spark, sf_tables, duck):
+    df = textqa.ngram_diversity(sf_tables["documents"], "source", "text", 3)
+    _cmp(df, duck, textqa.ngram_diversity_sql("documents", "source", "text", 3))
+    # planted: a templated group (one gram repeated) scores near 0,
+    # an all-unique group scores 1.0
+    rows = [(i, "copy copy copy copy copy", "tpl") for i in range(5)]
+    rows += [(100 + i, f"u{i}a u{i}b u{i}c u{i}d", "uniq") for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["group"]: r for r in textqa.ngram_diversity(d, "source", "text", 3).collect()}
+    assert out["tpl"]["distinct_ngrams"] == 1 and out["tpl"]["distinct_ratio"] < 0.1
+    assert out["uniq"]["distinct_ratio"] == 1.0
