@@ -1721,3 +1721,45 @@ SELECT grp AS "group",
        round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS distinct_ratio
 FROM g GROUP BY grp
 """
+
+
+def dsir_lm(
+    df: DataFrame, text_col: str, target_col: str, n_buckets: int = 1024
+) -> DataFrame:
+    """The DSIR bucket LM as a standalone DENSE artifact: one row per
+    bucket 0..n_buckets−1 with the add-1-smoothed target-vs-corpus
+    log-ratio — the train-once side of importance resampling (persist
+    this ≤n_buckets-row frame; scoring any future corpus or stream is
+    then map-only against it, see streaming.dsir_stream). Buckets never
+    observed in training carry the all-smoothing ratio
+    ln((nc+B)/(nt+B)), so lookups are total."""
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    bucket = F.expr(
+        "cast(conv(substr(md5(term), 1, 7), 16, 10) as bigint)"
+    ) % F.lit(n_buckets)
+    terms = df.select(
+        F.col(target_col).cast("boolean").alias("is_target"),
+        F.explode(toks).alias("term"),
+    ).select("is_target", bucket.alias("b"))
+    lm = terms.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cc"),
+    )
+    spark = df.sparkSession
+    dense = spark.range(n_buckets).select(F.col("id").alias("b"))
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nt = F.sum("ct").over(wall).cast("double")
+    nc = F.sum("cc").over(wall).cast("double")
+    return (
+        dense.join(lm, "b", "left")
+        .select("b", F.coalesce("ct", F.lit(0)).alias("ct"), F.coalesce("cc", F.lit(0)).alias("cc"))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + F.lit(1.0)) / (nt + F.lit(float(n_buckets))))
+                - F.log((F.col("cc") + F.lit(1.0)) / (nc + F.lit(float(n_buckets))))
+            ).alias("lam"),
+        )
+    )

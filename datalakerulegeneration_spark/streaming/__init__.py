@@ -43,3 +43,6 @@ from datalakerulegeneration_spark.streaming.neardup_index_stream import (  # noq
 from datalakerulegeneration_spark.streaming.decon_stream import (  # noqa: F401
     embedding_decontaminate_stream,
 )
+from datalakerulegeneration_spark.streaming.dsir_stream import (  # noqa: F401
+    dsir_score_stream,
+)

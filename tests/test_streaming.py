@@ -995,3 +995,56 @@ def test_fingerprint_keyed_incremental_dedup(spark, sf_tables, tmp_path):
             expect.append(aid)
     assert got == sorted(expect)
     assert len(got) < dh.count()  # planted families actually dedupe
+
+
+def test_dsir_score_stream_matches_batch_weights(spark, sf_tables, tmp_path):
+    """Real availableNow stream scored against the persisted dense LM
+    equals the batch dsir_weights per id (two float accumulation
+    orders, both 6-dp rounded — tolerance 2e-6); threshold mode drops
+    exactly the below-threshold ids; non-dense LM rejected."""
+    import pytest as _pytest
+
+    from datalakerulegeneration_spark.ops import textqa
+    from datalakerulegeneration_spark.streaming import dsir_score_stream
+
+    docs = sf_tables["documents"].withColumn("_t", F.col("source") == "src0")
+    lm = textqa.dsir_lm(docs, "text", "_t")
+    exp = {
+        r["id"]: r["log_importance"]
+        for r in textqa.dsir_weights(docs, "doc_id", "text", "_t").collect()
+    }
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    docs.drop("_t").write.parquet(os.path.join(src, "p1"))
+    stream = (
+        spark.readStream.schema(docs.drop("_t").schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        dsir_score_stream(stream, lm)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["log_importance"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for i, v in exp.items():
+        assert abs(got[i] - v) <= 2e-6, (i, got[i], v)
+
+    # batch twin with an admission threshold
+    kept = dsir_score_stream(docs.drop("_t"), lm, min_log_importance=-30.0)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {i for i, v in exp.items() if v >= -30.0}
+    assert set(kept.columns) == set(docs.drop("_t").columns)
+
+    with _pytest.raises(ValueError, match="dense"):
+        dsir_score_stream(docs.drop("_t"), lm.limit(10))
