@@ -233,6 +233,86 @@ WHERE o_orderstatus IS NOT NULL AND CAST(o_orderstatus AS VARCHAR) <> ''
 """
 
 
+def q_violations_phone_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 phone-name override (pipeline._phone_override, reference
+    rules/evaluation.py:172-177) driven END-TO-END under an oracle: a
+    phone-NAMED column synthesized from c_custkey (NANP format, every
+    7th malformed with a trailing letter, every 11th missing a digit
+    group) makes the override swap a generic pattern rule for the NANP
+    regex, and a boolean-ish 'active' column exercises the R12 enum
+    domain ('maybe' planted every 13th row). Both rules run in the
+    engine's ONE fused pass."""
+    from datalakerulegeneration_spark.pipeline import _phone_override
+    from datalakerulegeneration_spark.rules import Rule, RuleEngine
+    from datalakerulegeneration_spark.rules.engine import Binding
+
+    cust = load_sf_tables(spark, sf_dir, ("customer",))["customer"]
+    k = F.col("c_custkey")
+    phone = F.concat(
+        F.lpad((k % 800 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k % 9000 + 1000).cast("string"), 4, "0"),
+    )
+    phone = F.when(k % 7 == 0, F.concat(phone, F.lit("x"))).otherwise(phone)
+    phone = F.when(k % 11 == 0, F.lit("555-12")).otherwise(phone)
+    active = F.when(k % 13 == 0, F.lit("maybe")).otherwise(
+        F.when(k % 2 == 0, F.lit("yes")).otherwise(F.lit("no"))
+    )
+    d = cust.select("c_custkey", phone.alias("phone"), active.alias("active"))
+    generic = Rule("pattern_rule", validate={"type": "pattern"})
+    phone_rule = _phone_override(generic, "phone")
+    assert phone_rule is not None  # the override MUST fire on the name
+    bool_rule = Rule(
+        "top_key_words_boolean",
+        validate={"type": "enum", "values": [
+            "true", "false", "yes", "no", "t", "f", "y", "n", "0", "1",
+            "True", "False", "Yes", "No", "TRUE", "FALSE", "YES", "NO",
+        ]},
+    )
+    eng = RuleEngine(spark)
+    v = eng.detect(
+        d,
+        "customer",
+        [Binding("phone", phone_rule), Binding("active", bool_rule)],
+        row_id_col="c_custkey",
+        suppress_full_column=False,
+    )
+    return v.select("column", "row_id", "rule", "value")
+
+
+Q_VIOLATIONS_PHONE_ORACLE = r"""
+WITH d AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN '555-12'
+              WHEN c_custkey % 7 = 0 THEN
+                lpad(CAST(c_custkey % 800 + 100 AS VARCHAR), 3, '0') || '-' ||
+                lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+                lpad(CAST(c_custkey % 9000 + 1000 AS VARCHAR), 4, '0') || 'x'
+              ELSE
+                lpad(CAST(c_custkey % 800 + 100 AS VARCHAR), 3, '0') || '-' ||
+                lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+                lpad(CAST(c_custkey % 9000 + 1000 AS VARCHAR), 4, '0')
+         END AS phone,
+         CASE WHEN c_custkey % 13 = 0 THEN 'maybe'
+              WHEN c_custkey % 2 = 0 THEN 'yes' ELSE 'no' END AS active
+  FROM customer
+)
+SELECT 'phone' AS "column", CAST(c_custkey AS VARCHAR) AS row_id,
+       'pattern_rule' AS rule, phone AS value
+FROM d
+WHERE phone IS NOT NULL AND phone <> ''
+  AND NOT regexp_matches(phone, '^\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}$')
+UNION ALL
+SELECT 'active', CAST(c_custkey AS VARCHAR), 'top_key_words_boolean', active
+FROM d
+WHERE active IS NOT NULL AND active <> ''
+  AND active NOT IN ('true','false','yes','no','t','f','y','n','0','1',
+                     'True','False','Yes','No','TRUE','FALSE','YES','NO')
+"""
+
+
 def q_violations_legacy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy rule-description dispatcher (R19, reference
     detect_error_cells.py:16-32): free-text rule strings parse to
@@ -3765,6 +3845,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "violations_rules_orders": (q_violations_rules_orders, Q_VIOLATIONS_RULES_ORDERS_ORACLE),
     "violations_stats_orders": (q_violations_stats_orders, Q_VIOLATIONS_STATS_ORDERS_ORACLE),
     "violations_legacy_orders": (q_violations_legacy_orders, Q_VIOLATIONS_LEGACY_ORDERS_ORACLE),
+    "violations_phone_customer": (q_violations_phone_customer, Q_VIOLATIONS_PHONE_ORACLE),
     "violations_dictionary_documents": (q_violations_dictionary_documents, Q_VIOLATIONS_DICT_ORACLE),
     "violations_spell_documents": (q_violations_spell_documents, _spell_oracle()),
     "violations_dates_events": (q_violations_dates_events, Q_VIOLATIONS_DATES_ORACLE),

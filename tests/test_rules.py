@@ -272,3 +272,27 @@ def test_suggest_rules_dispatch(spark, sf_tables):
     assert any(s.kind == "type" for s in by_col["value"])
     # every suggestion carries a compiler-ready rule_type and a message
     assert all(s.rule_type and s.message.startswith(s.column) for s in out)
+
+
+def test_phone_override_violations_oracle_and_counts(spark, sf_tables, duck):
+    """R6's override swaps in the NANP regex and catches exactly the
+    planted malformations (trailing letter, missing digit group); the
+    R12 boolean enum catches exactly the planted 'maybe' rows."""
+    from datalakerulegeneration_spark.queries import (
+        Q_VIOLATIONS_PHONE_ORACLE,
+        q_violations_phone_customer,
+    )
+
+    v = q_violations_phone_customer(spark, "/root/testdata/sf0.001")
+    got = sorted(tuple(r) for r in v.collect())
+    exp = sorted(tuple(r) for r in duck.execute(Q_VIOLATIONS_PHONE_ORACLE).fetchall())
+    assert got == exp and len(got) > 0
+    n = sf_tables["customer"].count()
+    keys = [r["c_custkey"] for r in sf_tables["customer"].select("c_custkey").collect()]
+    planted_phone = {k for k in keys if k % 7 == 0 or k % 11 == 0}
+    planted_bool = {k for k in keys if k % 13 == 0}
+    by_col = {}
+    for r in v.collect():
+        by_col.setdefault(r["column"], set()).add(int(r["row_id"]))
+    assert by_col["phone"] == planted_phone
+    assert by_col["active"] == planted_bool
