@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "centroid_outliers_embeddings",
     "hll_overlap_events",
     "ngram_diversity_documents",
+    "drift_embeddings_projected",
 ]
 
 

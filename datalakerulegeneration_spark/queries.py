@@ -2888,6 +2888,57 @@ def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_bins(base, cur, "value", n_bins=10, lo=lo, hi=hi)
 
 
+_EMB_DRIFT_BOUNDS = (-4.0, 4.0)  # pinned edges for the ±1-plane projection
+
+
+def _emb_proj_exprs() -> tuple[str, str]:
+    """Spark + DuckDB expressions for the md5-plane scalar projection
+    (identical left-fold arithmetic — the project_embeddings pattern)."""
+    plane = similarity.random_hyperplanes(64, 1, seed=11)[0]
+    spark_e = (
+        f"aggregate(zip_with(embedding, array({', '.join(f'{x:.1f}D' for x in plane)}),"
+        " (x, p) -> cast(x as double) * p), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    duck_e = (
+        f"list_dot_product(CAST(embedding AS DOUBLE[]),"
+        f" [{', '.join(f'{x:.1f}' for x in plane)}])"
+    )
+    return spark_e, duck_e
+
+
+def q_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIVARIATE (embedding) drift via the standard projection
+    reduction: a fixed md5-derived hyperplane maps each vector to one
+    scalar, and the 1-D PSI machinery monitors that scalar between two
+    populations (even vs odd labels — the stand-in for baseline vs new
+    ingest). Map-only projection; the drift family's bin-grain
+    aggregation does the rest — no new shuffle shapes."""
+    from datalakerulegeneration_spark.ops.drift import psi_bins
+
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    spark_e, _ = _emb_proj_exprs()
+    d = emb.withColumn("proj", F.expr(spark_e))
+    base = d.where(F.col("label") % 2 == 0)
+    cur = d.where(F.col("label") % 2 == 1)
+    lo, hi = _EMB_DRIFT_BOUNDS
+    return psi_bins(base, cur, "proj", n_bins=10, lo=lo, hi=hi)
+
+
+def _emb_drift_oracle() -> str:
+    from datalakerulegeneration_spark.ops.drift import psi_bins_sql
+
+    _, duck_e = _emb_proj_exprs()
+    lo, hi = _EMB_DRIFT_BOUNDS
+    return psi_bins_sql(
+        f"SELECT *, {duck_e} AS proj FROM embeddings WHERE label % 2 = 0",
+        f"SELECT *, {duck_e} AS proj FROM embeddings WHERE label % 2 = 1",
+        "proj",
+        10,
+        lo,
+        hi,
+    )
+
+
 def _drift_oracle() -> str:
     from datalakerulegeneration_spark.ops.drift import psi_bins_sql
 
@@ -4019,6 +4070,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "clean_text_documents": (q_clean_text, Q_CLEAN_TEXT_ORACLE),
     "json_props_events": (q_json_props_events, Q_JSON_PROPS_ORACLE),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
+    "drift_embeddings_projected": (q_drift_embeddings, _emb_drift_oracle()),
     "cm_heavy_hitters_events": (q_cm_heavy_hitters, sketch.cm_heavy_hitters_sql("events", "event_type", depth=4, width=64)),
     "bloom_decontaminate_documents": (q_bloom_decontaminate, _bloom_decontaminate_oracle()),
     "hll_distinct_users_events": (q_hll_distinct_users, hll.hll_distinct_audit_sql("events", "user_id", "event_type", m=256)),

@@ -2500,3 +2500,27 @@ def test_ngram_diversity_matches_and_semantics(spark, sf_tables, duck):
     out = {r["group"]: r for r in textqa.ngram_diversity(d, "source", "text", 3).collect()}
     assert out["tpl"]["distinct_ngrams"] == 1 and out["tpl"]["distinct_ratio"] < 0.1
     assert out["uniq"]["distinct_ratio"] == 1.0
+
+
+def test_drift_embeddings_projected_matches_and_detects(spark, sf_tables, duck):
+    """Projection-PSI oracle parity + sensitivity: a planted mean shift
+    along the projection plane produces a LARGER PSI than the
+    same-distribution split."""
+    from datalakerulegeneration_spark.ops.drift import psi_bins
+    from datalakerulegeneration_spark.queries import (
+        _emb_drift_oracle,
+        _emb_proj_exprs,
+        q_drift_embeddings,
+    )
+
+    df = q_drift_embeddings(spark, "/root/testdata/sf0.001")
+    _cmp(df, duck, _emb_drift_oracle())
+    null_psi = sum(r["psi_term"] for r in df.collect())
+
+    spark_e, _ = _emb_proj_exprs()
+    emb = sf_tables["embeddings"].withColumn("proj", F.expr(spark_e))
+    base = emb.where(F.col("label") % 2 == 0)
+    shifted = emb.where(F.col("label") % 2 == 1).withColumn("proj", F.col("proj") + F.lit(1.5))
+    drifted = psi_bins(base, shifted, "proj", n_bins=10, lo=-4.0, hi=4.0)
+    drift_psi = sum(r["psi_term"] for r in drifted.collect())
+    assert drift_psi > null_psi * 3

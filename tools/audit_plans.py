@@ -51,6 +51,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("curate_corpus_dsir_documents", "global_window", "n_parts-row packing offsets + n_buckets-row DSIR LM frame"),
     ("weighted_sample_documents", "global_window", "k-row top-k result (limit before rank)"),
     ("drift_events_value", "global_window", "O(bins) bin-edge frame"),
+    ("drift_embeddings_projected", "global_window", "O(bins) bin-edge frame (shared drift machinery)"),
     ("drift_table_events", "global_window", "O(columns x bins) stacked bin frame"),
     ("ks_events_value", "global_window", "n_parts-row two-level cumulative offsets"),
     ("wasserstein_events_value", "global_window", "n_parts-row two-level cumulative offsets"),
@@ -87,6 +88,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("curate_corpus_dsir_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
     ("curation_funnel_documents", "bnlj", "1-row stage-count constants broadcast"),
     ("drift_events_value", "bnlj", "1-row bin-edge scalar aggs broadcast"),
+    ("drift_embeddings_projected", "bnlj", "1-row bin-edge scalar aggs broadcast (projection PSI shares the drift plan)"),
     ("drift_table_events", "bnlj", "1-row per-column edge scalars broadcast"),
     # BroadcastNestedLoopJoin from broadcasting a constant-size probe /
     # candidate frame into a corpus scan (the documented brute-force
