@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="Run clustering and evaluation over dirty/clean dataset pairs.",
     )
     p.add_argument(
-        "--mode", choices=["single", "multi", "curate", "monitor", "dedup"], default="single"
+        "--mode", choices=["single", "multi", "curate", "monitor", "dedup", "score"], default="single"
     )
     # curate mode (beyond-reference): run the corpus curation pipeline
     # on a parquet documents table and write the training manifest
@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps", type=float, default=0.5)
     p.add_argument("--min-samples", "--min_samples", dest="min_samples", type=int, default=1)
     p.add_argument("--share-threshold", dest="share_threshold", type=float, default=0.7)
+    p.add_argument("--target-expr", dest="target_expr", default=None,
+                   help="score: boolean SQL expression marking target-domain exemplars")
+    p.add_argument("--min-log-importance", dest="min_log_importance", type=float, default=None,
+                   help="score: drop documents below this DSIR weight")
     p.add_argument(
         "--param-source", dest="param_source", choices=["member", "cluster_sample"],
         default="member",
@@ -131,6 +135,45 @@ def main(argv: list[str] | None = None) -> dict:
             "flagged_columns": flagged,
             "ok": not schema_changes and not flagged,
         }
+        print(json.dumps(out, sort_keys=True))
+        return out
+    if args.mode == "score":
+        # DSIR scoring: train the bucket LM on --target-expr exemplars,
+        # score every document, optionally write the kept subset
+        from pyspark.sql import functions as F
+
+        from datalakerulegeneration_spark.ops import textqa
+        from datalakerulegeneration_spark.streaming import dsir_score_stream
+
+        if not args.input or not args.target_expr:
+            raise SystemExit("--mode score requires --input and --target-expr")
+        if args.input_format == "jsonl":
+            from datalakerulegeneration_spark.catalog import read_jsonl
+
+            docs = read_jsonl(spark, args.input)
+        else:
+            docs = spark.read.parquet(args.input)
+        marked = docs.withColumn("_t", F.expr(args.target_expr))
+        lm = textqa.dsir_lm(marked, args.text_column, "_t")
+        scored = dsir_score_stream(docs, lm, args.id_column, args.text_column)
+        stats = scored.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("log_importance"), 6).alias("mean_log_importance"),
+        ).collect()[0]
+        out = {
+            "mode": "score",
+            "docs": stats["docs"],
+            "mean_log_importance": stats["mean_log_importance"],
+        }
+        if args.min_log_importance is not None:
+            kept = dsir_score_stream(
+                docs, lm, args.id_column, args.text_column,
+                min_log_importance=args.min_log_importance,
+            )
+            out["kept_docs"] = kept.count()
+            out["min_log_importance"] = args.min_log_importance
+            if args.output:
+                kept.write.mode("overwrite").parquet(args.output)
         print(json.dumps(out, sort_keys=True))
         return out
     if args.mode == "dedup":

@@ -269,3 +269,22 @@ def test_cli_dedup_mode(spark, sf_tables, tmp_path, capsys):
     assert 0.0 <= out["novelty_min"] <= out["novelty_mean"] <= 1.0
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed == out
+
+
+def test_cli_score_mode(spark, sf_tables, tmp_path):
+    """--mode score trains the DSIR LM on --target-expr exemplars,
+    scores the corpus, and (with a threshold) writes the kept subset."""
+    from datalakerulegeneration_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    sf_tables["documents"].write.parquet(src)
+    outdir = str(tmp_path / "kept")
+    out = main([
+        "--mode", "score", "--input", src,
+        "--target-expr", "source = 'src0'",
+        "--min-log-importance", "-30.0",
+        "--output", outdir,
+    ])
+    assert out["docs"] == 500
+    assert 0 < out["kept_docs"] < 500
+    assert spark.read.parquet(outdir).count() == out["kept_docs"]
