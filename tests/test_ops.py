@@ -2375,9 +2375,22 @@ def test_pca_topk_deterministic_and_beats_jl(spark, sf_tables):
     """PCA is the data-dependent projection: deterministic across
     fits, and recall@10 vs exact ≥ the oblivious JL projection's at
     the same out_dim on the fixture corpus (measured 0.29 vs 0.19)."""
+    from py4j.protocol import Py4JError
+
     emb = sf_tables["embeddings"]
-    a = sorted(map(tuple, similarity.pca_embeddings(emb, 8).collect()))
-    b = sorted(map(tuple, similarity.pca_embeddings(emb, 8).collect()))
+
+    def _fit():
+        return sorted(map(tuple, similarity.pca_embeddings(emb, 8).collect()))
+
+    try:
+        a = _fit()
+    except Py4JError:
+        # one retry: Spark ML's fit has flaked ONCE on a py4j protocol
+        # error deep into a full-suite run (GC-pressure transient, not
+        # reproducible standalone or in file-level reruns); the retry
+        # guards the gate without masking determinism failures below
+        a = _fit()
+    b = _fit()
     assert a == b
 
     exact = similarity.brute_force_topk(
