@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "hll_overlap_events",
     "ngram_diversity_documents",
     "drift_embeddings_projected",
+    "group_split_documents",
 ]
 
 

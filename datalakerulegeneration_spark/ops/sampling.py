@@ -587,3 +587,36 @@ ranked AS (
 )
 SELECT * EXCLUDE (target_n, rn) FROM ranked WHERE rn <= target_n
 """
+
+
+def group_split(
+    df: DataFrame, group_col: str, test_rate: float = 0.1, salt: str = "gsplit"
+) -> DataFrame:
+    """Adds a deterministic ``split`` column assigning WHOLE GROUPS to
+    'test'/'train' — the split-by-domain pattern: a row-grain split
+    (:func:`train_test_split`) leaks when documents within a group are
+    correlated (near-duplicates of a page, shards of a site, chunks of
+    a book), because siblings land on both sides. Hashing the GROUP
+    key keeps every group intact on one side; membership depends only
+    on the group value, so appends never move a group. Map-only (the
+    hash is computed per row from the group column — no group-grain
+    aggregation or join). The realized test share is group-weighted
+    (±skew if group sizes vary wildly — that is the price of zero
+    leakage, and the reason both splits exist)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            _hash_bucket(group_col, salt) < int(test_rate * _BUCKETS), "test"
+        ).otherwise("train"),
+    )
+
+
+def group_split_sql(
+    table: str, group_col: str, test_rate: float = 0.1, salt: str = "gsplit"
+) -> str:
+    """DuckDB oracle for :func:`group_split` (full-row passthrough)."""
+    return f"""
+SELECT t.*, CASE WHEN {_hash_bucket_sql(group_col, salt)} < {int(test_rate * _BUCKETS)}
+            THEN 'test' ELSE 'train' END AS split
+FROM {table} t
+"""

@@ -2207,6 +2207,30 @@ def q_target_mixture_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.target_mixture_exact(docs, "doc_id", "source", _MIX_TARGETS)
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-disjoint train/test split (ops.sampling.group_split):
+    whole SOURCES assigned to one side (the split-by-domain pattern —
+    row-grain splits leak when a group's docs are correlated). Rolled
+    up to (split, source, n) so the oracle compare is stable."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        sampling.group_split(docs, "source", test_rate=0.2)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q_GROUP_SPLIT_ORACLE = (
+    "SELECT split, source, count(*) AS n FROM ("
+    + "SELECT t.*, CASE WHEN "
+    + "CAST(('0x' || substr(md5('gsplit' || ':' || CAST(source AS VARCHAR)), 1, 7)) AS BIGINT)"
+    + f" < {int(0.2 * (1 << 28))} THEN 'test' ELSE 'train' END AS split FROM documents t"
+    + ") GROUP BY 1, 2"
+)
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature flattening (ops.sampling.temperature_mixture): the
     multilingual-sampling move — sample languages ∝ n^0.5 (T = 2),
@@ -4030,6 +4054,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
     "target_mixture_documents": (q_target_mixture, sampling.target_mixture_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "temperature_mixture_documents": (q_temperature_mixture, sampling.temperature_mixture_sql("documents", "doc_id", "lang", alpha=0.5)),
+    "group_split_documents": (q_group_split, Q_GROUP_SPLIT_ORACLE),
     "target_mixture_exact_documents": (q_target_mixture_exact, sampling.target_mixture_exact_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "pmi_collocations_documents": (q_pmi_collocations, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20)),
     "dsir_weights_documents": (q_dsir_weights, textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'")),

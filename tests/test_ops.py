@@ -2537,3 +2537,25 @@ def test_drift_embeddings_projected_matches_and_detects(spark, sf_tables, duck):
     drifted = psi_bins(base, shifted, "proj", n_bins=10, lo=-4.0, hi=4.0)
     drift_psi = sum(r["psi_term"] for r in drifted.collect())
     assert drift_psi > null_psi * 3
+
+
+def test_group_split_disjoint_and_matches(spark, sf_tables, duck):
+    """Group-disjoint split: oracle parity; NO group spans both sides
+    (the leakage a row-grain split permits by construction); append
+    stability (membership is a pure function of the group value)."""
+    from datalakerulegeneration_spark.ops import sampling
+    from datalakerulegeneration_spark.queries import Q_GROUP_SPLIT_ORACLE, q_group_split
+
+    got = sorted(tuple(r) for r in q_group_split(spark, "/root/testdata/sf0.001").collect())
+    exp = sorted(tuple(r) for r in duck.execute(Q_GROUP_SPLIT_ORACLE).fetchall())
+    assert got == exp
+
+    docs = sf_tables["documents"]
+    s = sampling.group_split(docs, "source", test_rate=0.2)
+    sides = s.groupBy("source").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in sides)  # zero leakage
+    assert {r["split"] for r in s.select("split").distinct().collect()} <= {"train", "test"}
+    # the row-grain split DOES scatter a group across sides (the contrast)
+    row_split = sampling.train_test_split(docs, "doc_id", test_rate=0.2)
+    scattered = row_split.groupBy("source").agg(F.countDistinct("split").alias("k")).collect()
+    assert any(r["k"] == 2 for r in scattered)
