@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "ngram_diversity_documents",
     "drift_embeddings_projected",
     "group_split_documents",
+    "token_budget_select_documents",
 ]
 
 

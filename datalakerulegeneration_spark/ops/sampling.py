@@ -620,3 +620,71 @@ SELECT t.*, CASE WHEN {_hash_bucket_sql(group_col, salt)} < {int(test_rate * _BU
             THEN 'test' ELSE 'train' END AS split
 FROM {table} t
 """
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    quality_col: str,
+    budget: int,
+    n_bands: int = 64,
+) -> DataFrame:
+    """Fill a token budget with the BEST documents: rank by
+    (quality desc, id asc), keep the greedy prefix whose cumulative
+    ``weight_col`` stays under ``budget`` (the first overflowing doc is
+    excluded; "give me the best 10B tokens" — the budgeted form of
+    quality filtering, which thresholds by score instead and lands on
+    an uncontrolled token count).
+
+    The global quality order is TWO-LEVEL so no task sorts the corpus
+    (quality lives in [0, 1], so ``floor(quality·n_bands)`` gives
+    deterministic range bands — the value-domain analogue of
+    :func:`deterministic_shuffle`'s hash-range buckets): each band
+    computes its within-band cumulative weight in parallel (window
+    partitioned by band), band totals form an ``n_bands``-row frame
+    whose cumulative window runs highest-band-first, and a row keeps
+    iff rows strictly better than it sum below the budget. Cumulative
+    sums are BIGINT — exact, order-free, engine-portable.
+    """
+    q = F.col(quality_col)
+    band = F.least(
+        F.lit(n_bands - 1), F.floor(q * n_bands).cast("int")
+    )
+    d = df.withColumn("_band", band)
+    w_band = Window.partitionBy("_band").orderBy(
+        q.desc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    d = d.withColumn("_within", F.coalesce(F.sum(weight_col).over(w_band), F.lit(0)))
+    # n_bands-row frame; cumulative over HIGHER bands only
+    wp = Window.orderBy(F.col("_oband").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        d.groupBy(F.col("_band").alias("_oband"))
+        .agg(F.sum(weight_col).alias("_bw"))
+        .withColumn("_off", F.coalesce(F.sum("_bw").over(wp), F.lit(0)))
+        .select("_oband", "_off")
+    )
+    return (
+        d.join(F.broadcast(off), F.col("_band") == F.col("_oband"))
+        .where(F.col("_off") + F.col("_within") + F.col(weight_col) <= F.lit(budget))
+        .select(*df.columns)
+    )
+
+
+def token_budget_select_sql(
+    table: str, id_col: str, weight_col: str, quality_col: str, budget: int
+) -> str:
+    """DuckDB oracle for :func:`token_budget_select` (single global
+    window — oracles don't need the two-level shape)."""
+    return f"""
+SELECT * EXCLUDE (_cum) FROM (
+  SELECT t.*,
+         COALESCE(sum({weight_col}) OVER (
+           ORDER BY {quality_col} DESC, {id_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _cum
+  FROM {table} t
+)
+WHERE _cum + {weight_col} <= {budget}
+"""

@@ -2207,6 +2207,33 @@ def q_target_mixture_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.target_mixture_exact(docs, "doc_id", "source", _MIX_TARGETS)
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection (ops.sampling.token_budget_select): the
+    best documents by quality until the 5k-token budget is spent —
+    two-level quality-band cumulative sums, no global sort. Note the
+    cutoff semantics: an oversized doc is skipped but still advances
+    the running position (deterministic, not re-packed)."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = docs.select(
+        "doc_id",
+        textqa.quality_col("text").alias("q"),
+        textqa.ntokens_col("text").alias("w"),
+    )
+    return sampling.token_budget_select(scored, "doc_id", "w", "q", budget=5000)
+
+
+def _token_budget_oracle() -> str:
+    from datalakerulegeneration_spark.ops import sampling
+
+    sub = (
+        f"(SELECT doc_id, {textqa.quality_sql_expr('text')} AS q,"
+        f" {textqa.ntokens_sql_expr('text')} AS w FROM documents)"
+    )
+    return sampling.token_budget_select_sql(sub, "doc_id", "w", "q", 5000)
+
+
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-disjoint train/test split (ops.sampling.group_split):
     whole SOURCES assigned to one side (the split-by-domain pattern —
@@ -4055,6 +4082,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "target_mixture_documents": (q_target_mixture, sampling.target_mixture_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "temperature_mixture_documents": (q_temperature_mixture, sampling.temperature_mixture_sql("documents", "doc_id", "lang", alpha=0.5)),
     "group_split_documents": (q_group_split, Q_GROUP_SPLIT_ORACLE),
+    "token_budget_select_documents": (q_token_budget_select, _token_budget_oracle()),
     "target_mixture_exact_documents": (q_target_mixture_exact, sampling.target_mixture_exact_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "pmi_collocations_documents": (q_pmi_collocations, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20)),
     "dsir_weights_documents": (q_dsir_weights, textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'")),

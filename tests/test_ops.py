@@ -2559,3 +2559,32 @@ def test_group_split_disjoint_and_matches(spark, sf_tables, duck):
     row_split = sampling.train_test_split(docs, "doc_id", test_rate=0.2)
     scattered = row_split.groupBy("source").agg(F.countDistinct("split").alias("k")).collect()
     assert any(r["k"] == 2 for r in scattered)
+
+
+def test_token_budget_select_matches_and_semantics(spark, sf_tables, duck):
+    """Oracle parity + the budget contract: kept tokens ≤ budget,
+    selection is the quality-greedy cutoff prefix, band count never
+    changes the selected set (two-level ≡ global order)."""
+    from datalakerulegeneration_spark.ops import sampling
+    from datalakerulegeneration_spark.queries import (
+        _token_budget_oracle,
+        q_token_budget_select,
+    )
+
+    sel = q_token_budget_select(spark, "/root/testdata/sf0.001")
+    _cmp(sel, duck, _token_budget_oracle())
+    rows = sel.collect()
+    assert 0 < sum(r["w"] for r in rows) <= 5000
+
+    # planted: quality-greedy, deterministic cutoff (skipped oversized
+    # doc still advances the running position)
+    d = spark.createDataFrame(
+        [(1, 0.9, 40), (2, 0.8, 80), (3, 0.7, 30), (4, 0.6, 10)],
+        "doc_id long, q double, w long",
+    )
+    kept = {r["doc_id"] for r in sampling.token_budget_select(d, "doc_id", "w", "q", budget=100).collect()}
+    # 40 (id1) kept; id2 would reach 120 > 100 -> skipped but position
+    # advances to 120, so id3/id4 cannot fit either
+    assert kept == {1}
+    alt = {r["doc_id"] for r in sampling.token_budget_select(d, "doc_id", "w", "q", budget=100, n_bands=3).collect()}
+    assert alt == kept  # band count irrelevant to the selected set

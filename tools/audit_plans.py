@@ -40,6 +40,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("target_mixture_documents", "global_window", "#groups-row water-fill frame"),
     ("temperature_mixture_documents", "global_window", "#groups-row water-fill frame (min over group counts)"),
     ("target_mixture_exact_documents", "global_window", "#groups-row water-fill frame (the selection windows are group/bucket-partitioned)"),
+    ("token_budget_select_documents", "global_window", "n_bands-row band-offset frame (two-level quality-band prefix sum)"),
     ("hybrid_search_documents", "global_window", "depth-row RRF leg frames (limit before window)"),
     ("curation_funnel_documents", "global_window", "5-row funnel stage frame"),
     ("pack_sequences_documents", "global_window", "n_parts-row bucket-offset frame (two-level prefix sum)"),
