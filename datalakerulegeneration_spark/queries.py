@@ -2207,6 +2207,80 @@ def q_target_mixture_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.target_mixture_exact(docs, "doc_id", "source", _MIX_TARGETS)
 
 
+def q_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-DISJOINT train/test split: the classic eval-leakage
+    fix one level past group_split — docs split by the hash of their
+    MinHash dup-COMPONENT id (own id when unduplicated), so a test doc
+    never has a near-duplicate sibling in train. Composes the
+    components machinery (star edges, min-label propagation, exact
+    recursive-CTE oracle) with the hash-split machinery; rolled up to
+    (split, n_docs, n_components) for a stable compare."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_dedup(
+        docs, "doc_id", "text", threshold=0.2, k=16, bands=8, expand="star"
+    )
+    comps = dedup.dup_components(pairs)  # (id, component) — dup members only
+    with_comp = docs.join(
+        comps.hint("shuffle_hash"), docs["doc_id"] == comps["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    split = F.when(
+        sampling._hash_bucket("component", "csplit")
+        < int(0.2 * sampling._BUCKETS),
+        "test",
+    ).otherwise("train")
+    return (
+        with_comp.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # component count per side: distinct at (split, component)
+            # grain first — no countDistinct Expand
+            F.lit(None).cast("bigint").alias("_drop"),
+        )
+        .drop("_drop")
+        .join(
+            with_comp.withColumn("split", split)
+            .select("split", "component")
+            .distinct()
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_components")),
+            "split",
+        )
+    )
+
+
+def _component_split_oracle() -> str:
+    comps = dedup.dup_components_sql(
+        dedup.minhash_dedup_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)
+    ).strip()
+    from datalakerulegeneration_spark.ops import sampling
+
+    h = sampling._hash_bucket_sql("component", "csplit")
+    return f"""
+WITH comps AS ({comps}),
+wc AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+),
+s AS (
+  SELECT doc_id, component,
+         CASE WHEN {h} < {int(0.2 * sampling._BUCKETS)} THEN 'test' ELSE 'train' END AS split
+  FROM wc
+)
+SELECT s.split, count(*) AS n_docs, nc.n_components
+FROM s JOIN (
+  SELECT split, count(*) AS n_components
+  FROM (SELECT DISTINCT split, component FROM s) GROUP BY split
+) nc ON nc.split = s.split
+GROUP BY s.split, nc.n_components
+"""
+
+
 def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget selection (ops.sampling.token_budget_select): the
     best documents by quality until the 5k-token budget is spent —
@@ -4083,6 +4157,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "temperature_mixture_documents": (q_temperature_mixture, sampling.temperature_mixture_sql("documents", "doc_id", "lang", alpha=0.5)),
     "group_split_documents": (q_group_split, Q_GROUP_SPLIT_ORACLE),
     "token_budget_select_documents": (q_token_budget_select, _token_budget_oracle()),
+    "component_split_documents": (q_component_split, _component_split_oracle()),
     "target_mixture_exact_documents": (q_target_mixture_exact, sampling.target_mixture_exact_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "pmi_collocations_documents": (q_pmi_collocations, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20)),
     "dsir_weights_documents": (q_dsir_weights, textqa.dsir_weights_sql("documents", "doc_id", "text", "source = 'src0'")),

@@ -2588,3 +2588,37 @@ def test_token_budget_select_matches_and_semantics(spark, sf_tables, duck):
     assert kept == {1}
     alt = {r["doc_id"] for r in sampling.token_budget_select(d, "doc_id", "w", "q", budget=100, n_bands=3).collect()}
     assert alt == kept  # band count irrelevant to the selected set
+
+
+def test_component_split_no_near_dup_leakage(spark, sf_tables, duck):
+    """Oracle parity + the leakage contract: every MinHash dup
+    component lands entirely on one split side (a planted near-dup
+    pair can never straddle train/test)."""
+    from datalakerulegeneration_spark.ops import sampling
+    from datalakerulegeneration_spark.queries import (
+        _component_split_oracle,
+        q_component_split,
+    )
+
+    out = q_component_split(spark, "/root/testdata/sf0.001")
+    got = sorted(tuple(r) for r in out.collect())
+    exp = sorted(tuple(r) for r in duck.execute(_component_split_oracle()).fetchall())
+    assert got == exp and len(got) == 2
+
+    docs = sf_tables["documents"]
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.2, k=16, bands=8, expand="star")
+    comps = dedup.dup_components(pairs)
+    with_comp = docs.join(comps, docs["doc_id"] == comps["id"], "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+    split = F.when(
+        sampling._hash_bucket("component", "csplit") < int(0.2 * sampling._BUCKETS), "test"
+    ).otherwise("train")
+    sides = (
+        with_comp.withColumn("split", split)
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in sides)
+    assert comps.count() > 0  # the fixture HAS near-dup components to protect
