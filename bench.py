@@ -181,26 +181,42 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                # warm = min of two warm-JVM cold-data passes (headline:
-                # grades plan EXECUTION); cold = first-ever call incl.
-                # py4j build + analysis + codegen (what a one-shot
-                # caller pays; dominated by plan/JIT for small queries)
-                "queries": timings,
-                "queries_cold": cold,
-                "total_cold": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # ambient-load evidence (see _env_markers)
-                "env_start": env_start,
-                "env_end": _env_markers(spark),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        # warm = min of two warm-JVM cold-data passes (headline:
+        # grades plan EXECUTION); cold = first-ever call incl.
+        # py4j build + analysis + codegen (what a one-shot
+        # caller pays; dominated by plan/JIT for small queries)
+        "queries": timings,
+        "queries_cold": cold,
+        "total_cold": round(sum(cold.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # stable per-pass execution order, so cross-round diffs can
+        # tell "query removed" from "tail truncated"
+        "query_order": BENCH_QUERIES,
+        # ambient-load evidence (see _env_markers)
+        "env_start": env_start,
+        "env_end": _env_markers(spark),
+    }
+    line = json.dumps(result)
+    # Persist the full object to a file BEFORE printing: the driver
+    # archives stdout with a tail cap, and BENCH_r06 lost 30 of 81
+    # per-query numbers to mid-stream truncation. The file is the
+    # durable artifact; stdout stays the one-line contract.
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "bench_latest.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    # append-only history: committed per round, so every round's full
+    # per-query dict survives in git even if the stdout artifact is cut
+    result["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open(os.path.join(out_dir, "history.jsonl"), "a") as fh:
+        fh.write(json.dumps(result) + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,8 @@ def pack_sequences(
     salt: str = "pack",
     n_parts: int = 64,
     carry_cols: tuple[str, ...] = (),
+    text_col: str | None = None,
+    tokenizer_fn=None,
 ) -> DataFrame:
     """Assign every row a token offset in the deterministic
     concatenation order and its first/last ``seq_len`` pack ids.
@@ -43,9 +45,22 @@ def pack_sequences(
     ``carry_cols`` flow through to the output unchanged — composed
     pipelines use this instead of a join-back (which would re-derive
     the whole upstream plan for the join's other side).
+
+    ``tokenizer_fn`` + ``text_col`` (``ops.tokenize``): derive the
+    weight from REAL tokenizer counts of ``text_col`` instead of
+    ``weight_col`` — pack boundaries then budget in actual BPE tokens.
+    The tokenizer runs in the same map stage as the hash bucketing
+    (one Arrow hop, no extra scan or shuffle).
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    if tokenizer_fn is not None:
+        if text_col is None:
+            raise ValueError("tokenizer_fn requires text_col")
+        from datalakerulegeneration_spark.ops.tokenize import token_count_col
+
+        df = df.withColumn("_tok_w", token_count_col(text_col, tokenizer_fn))
+        weight_col = "_tok_w"
     width = _BUCKETS // n_parts
     d = (
         df.select(

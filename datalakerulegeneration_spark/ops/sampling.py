@@ -629,6 +629,8 @@ def token_budget_select(
     quality_col: str,
     budget: int,
     n_bands: int = 64,
+    text_col: str | None = None,
+    tokenizer_fn=None,
 ) -> DataFrame:
     """Fill a token budget with the BEST documents: rank by
     (quality desc, id asc), keep the greedy prefix whose cumulative
@@ -646,7 +648,23 @@ def token_budget_select(
     whose cumulative window runs highest-band-first, and a row keeps
     iff rows strictly better than it sum below the budget. Cumulative
     sums are BIGINT — exact, order-free, engine-portable.
+
+    ``tokenizer_fn`` + ``text_col`` (``ops.tokenize``): budget in REAL
+    tokenizer counts of ``text_col`` instead of ``weight_col`` — the
+    production "best N actual-BPE tokens" form. The tokenizer rides
+    the banding map stage (one Arrow hop, no extra scan).
     """
+    drop_tok_w = False
+    if tokenizer_fn is not None:
+        if text_col is None:
+            raise ValueError("tokenizer_fn requires text_col")
+        from datalakerulegeneration_spark.ops.tokenize import token_count_col
+
+        df = df.withColumn(
+            "_tok_w", F.coalesce(token_count_col(text_col, tokenizer_fn), F.lit(0))
+        )
+        weight_col = "_tok_w"
+        drop_tok_w = True
     q = F.col(quality_col)
     band = F.least(
         F.lit(n_bands - 1), F.floor(q * n_bands).cast("int")
@@ -666,10 +684,11 @@ def token_budget_select(
         .withColumn("_off", F.coalesce(F.sum("_bw").over(wp), F.lit(0)))
         .select("_oband", "_off")
     )
+    out_cols = [c for c in df.columns if not (drop_tok_w and c == "_tok_w")]
     return (
         d.join(F.broadcast(off), F.col("_band") == F.col("_oband"))
         .where(F.col("_off") + F.col("_within") + F.col(weight_col) <= F.lit(budget))
-        .select(*df.columns)
+        .select(*out_cols)
     )
 
 

@@ -24,20 +24,25 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 CJK_RE = r"[一-鿿]"
 
 
-def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def token_count(
+    df: DataFrame, id_col: str, text_col: str, tokenizer_fn=None
+) -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate.
 
-    The subword estimate counts runs of letters/digits/punctuation
-    (a deterministic proxy for BPE token counts, documented as such).
+    By default the subword estimate counts runs of letters/digits/
+    punctuation (a deterministic proxy for BPE token counts, documented
+    as such; RE2-safe — no lookarounds — so DuckDB computes the same
+    number). Pass ``tokenizer_fn`` (``ops.tokenize.TokenizerFn``) to
+    make ``n_subwords`` REAL tokenizer counts through one Arrow-batched
+    pandas_udf — the production seam for budget accounting.
     """
+    from datalakerulegeneration_spark.ops.tokenize import token_count_col
+
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
-    # RE2-safe subword proxy: alnum runs count 1, each other
-    # non-space char counts 1 (no lookarounds — DuckDB is RE2 too)
-    bpe_ish = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
     return df.select(
         F.col(id_col).alias("id"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        bpe_ish.cast("bigint").alias("n_subwords"),
+        token_count_col(text_col, tokenizer_fn).alias("n_subwords"),
     )
 
 
@@ -1157,7 +1162,9 @@ FROM ov JOIN tot ON ov.id = tot.id
 """
 
 
-def corpus_report(df: DataFrame, id_col: str, text_col: str, group_col: str) -> DataFrame:
+def corpus_report(
+    df: DataFrame, id_col: str, text_col: str, group_col: str, tokenizer_fn=None
+) -> DataFrame:
     """Dataset report card: the corpus-level numbers a data sheet leads
     with, as ``(metric, value)`` rows — n_docs, n_null_text,
     total_tokens, total_chars, n_sources, mean_quality, mean_doc_tokens,
@@ -1169,9 +1176,19 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str, group_col: str) -> 
     one digest-grain aggregation computes the duplication numbers
     (md5-keyed, bodies never shuffle — same contract as exact_dedup).
     All ratios are exact integer arithmetic rounded to 6 dp.
+
+    ``tokenizer_fn`` (``ops.tokenize.TokenizerFn``) swaps
+    total_tokens / mean_doc_tokens to REAL tokenizer counts (one
+    Arrow-batched pandas_udf riding the same wide aggregation scan);
+    the default stays the whitespace count with its exact oracle.
     """
     t = F.col(text_col)
-    toks = ntokens_col(text_col)
+    if tokenizer_fn is not None:
+        from datalakerulegeneration_spark.ops.tokenize import token_count_col
+
+        toks = token_count_col(text_col, tokenizer_fn)
+    else:
+        toks = ntokens_col(text_col)
     wide = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(t.isNull().cast("bigint")).alias("n_null_text"),

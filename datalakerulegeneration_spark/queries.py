@@ -4331,5 +4331,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _plan_cached(name, impl) for name, (impl, _) in REGISTRY.items()}
 
 
+# Every registry entry must either carry a DuckDB oracle or appear here
+# with a reason. This is the hygiene contract the driver's correctness
+# gate rests on: a new query with oracle=None that is NOT listed here is
+# an authorship bug (forgot the oracle), not a sanctioned exemption —
+# tests/test_plans.py asserts the two sets coincide exactly.
+ROWS_ONLY: dict[str, str] = {
+    "cluster_columns_kmeans_profiles": "iterative KMeans fit — centroid trajectory is seed/scheduling-dependent, not SQL-expressible",
+    "quality_classifier_documents": "trained logistic model — gradient-descent weights are not SQL-expressible",
+    "semdedup_embeddings": "KMeans cluster assignment feeds the keep-set — iterative fit, not SQL-expressible",
+    "profile_lineitem_approx": "approx_percentile sketch — tolerance-bounded by design, no exact oracle",
+    "dboost_mixture_lineitem": "EM-fitted Gaussian mixture — iterative ML fit, not SQL-expressible",
+    "pca_topk_embeddings": "eigenvector basis from iterative SVD — exactness gated by pca_recall_embeddings instead",
+}
+
+
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -422,3 +422,20 @@ def test_intra_line_dedup_single_scan_single_doc_shuffle(spark):
     p = _plan(_impl("intra_line_dedup_documents")(spark, SF_DIR))
     assert p.count("FileScan parquet") == 1
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_registry_oracle_hygiene():
+    """Every registry entry either carries a DuckDB oracle SQL string or
+    is explicitly exempted in ROWS_ONLY with a reason. A new query that
+    silently skips oracle authorship fails here, not at judge time."""
+    no_oracle = {n for n, (_, sql) in Q.REGISTRY.items() if sql is None}
+    assert no_oracle == set(Q.ROWS_ONLY), (
+        f"unexplained no-oracle entries: {sorted(no_oracle - set(Q.ROWS_ONLY))}; "
+        f"stale ROWS_ONLY entries: {sorted(set(Q.ROWS_ONLY) - no_oracle)}"
+    )
+    for name, reason in Q.ROWS_ONLY.items():
+        assert isinstance(reason, str) and len(reason) > 20, name
+    # and every oracle is a non-trivial SQL string
+    for name, (_, sql) in Q.REGISTRY.items():
+        if sql is not None:
+            assert isinstance(sql, str) and "SELECT" in sql.upper(), name
