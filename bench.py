@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     # number would grade the fixture, not the engine
     "pca_topk_embeddings",
     "curate_corpus_dsir_documents",
+    "curate_corpus_budget_documents",
     "bigram_logprob_documents",
     "centroid_outliers_embeddings",
     "hll_overlap_events",

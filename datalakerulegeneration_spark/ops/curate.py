@@ -45,6 +45,7 @@ def curate_corpus(
     materialize_manifest: bool = False,
     near_dup_threshold: float | None = None,
     quality_fn=None,
+    token_budget: int | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the training manifest
     (id, source group, token weight, stream offset, first/last pack).
@@ -77,6 +78,14 @@ def curate_corpus(
     propagation) and only each component's minimum-id representative
     enters the pipeline. Exact dedup (stage 3) still runs — it catches
     byte-identical texts the shingle threshold might ignore.
+
+    ``token_budget`` adds stage 5.5 — "curate, then keep the best N
+    tokens": after rebalancing, :func:`ops.sampling.token_budget_select`
+    keeps the greedy best-quality prefix whose cumulative token count
+    stays under the budget, and only those documents are packed. The
+    selection reuses the quality score stage 1 already computed (no
+    re-scan) and the two-level banded cumulative sums (no global sort);
+    the exact oracle gains one windowed CTE.
     """
     if near_dup_threshold is not None:
         from datalakerulegeneration_spark.ops import dedup
@@ -121,9 +130,14 @@ def curate_corpus(
         .select(textqa.fingerprint_col(text_col).alias("eval_fp"))
         .distinct()
     )
+    # the budget stage ranks by the stage-1 quality score — carry it
+    # through instead of re-deriving (which would re-scan text)
+    thin_cols = ["id", "grp", "n_tokens"] + (
+        ["quality"] if token_budget is not None else []
+    )
     d3 = (
         d2.join(F.broadcast(eval_fps), d2["fp"] == eval_fps["eval_fp"], "left_anti")
-        .select("id", "grp", "n_tokens")
+        .select(*thin_cols)
     )
     total = docs.agg(F.count(F.lit(1)).alias("_total"))
     # floor ≥ 1: a tiny corpus must not collapse to cap 0 and emit an
@@ -139,14 +153,19 @@ def curate_corpus(
         d3.withColumn("_grp_n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
         .crossJoin(F.broadcast(total))
         .where(keep)
-        .select("id", "grp", "n_tokens")
+        .select(*thin_cols)
     )
+    if token_budget is not None:
+        d4 = sampling.token_budget_select(
+            d4, "id", "n_tokens", "quality", token_budget
+        ).select("id", "grp", "n_tokens")
     if materialize_manifest:
         d4 = d4.persist()
     return packing.pack_sequences(d4, "id", "n_tokens", seq_len, carry_cols=("grp",))
 
 
 FUNNEL_STAGES = ("raw", "quality", "exact_dedup", "decontaminate", "rebalance")
+BUDGET_STAGE = "token_budget"
 
 
 def curation_funnel(
@@ -157,6 +176,8 @@ def curation_funnel(
     eval_mod: int = 37,
     quality_min: float = 0.5,
     cap_share: float = 0.03,
+    token_budget: int | None = None,
+    n_bands: int = 64,
 ) -> DataFrame:
     """Pipeline observability: how many documents/tokens survive each
     curation stage — ``(stage_idx, stage, n_docs, n_tokens)``, one row
@@ -172,6 +193,13 @@ def curation_funnel(
     stage rows — ONE text scan at any corpus size. Flag semantics are
     the exact stage predicates of curate_corpus, so stage 4's counts
     equal the manifest the pipeline emits.
+
+    ``token_budget`` appends the stage-5.5 row (see
+    :func:`curate_corpus`): survival = the greedy best-quality prefix
+    of rebalance survivors whose cumulative tokens fit the budget. The
+    flag rides the same frame via the two-level banded cumulative sums
+    of ``token_budget_select`` (band windows + an ``n_bands``-row
+    offset frame) — still one text scan, still no global sort.
     """
     d0 = docs.select(
         F.col(id_col).alias("id"),
@@ -207,8 +235,49 @@ def curation_funnel(
         .crossJoin(F.broadcast(total))
         .withColumn("s4", F.col("s3") & keep)
     )
-    aggs = []
+    stages = list(FUNNEL_STAGES)
     conds = [F.lit(True), s1, F.col("s2"), F.col("s3"), F.col("s4")]
+    if token_budget is not None:
+        # stage-5.5 flag via the two-level banded prefix sums (same
+        # construction as token_budget_select, inlined so non-survivor
+        # rows consume no budget): cumulative weight of s4 rows
+        # STRICTLY better than this row, within-band + higher-band.
+        w_eff = F.when(F.col("s4"), F.col("n_tokens")).otherwise(F.lit(0))
+        band = F.least(
+            F.lit(n_bands - 1), F.floor(F.col("quality") * n_bands).cast("int")
+        )
+        flagged = flagged.withColumn("_band", band).withColumn("_weff", w_eff)
+        wb = (
+            Window.partitionBy("_band")
+            .orderBy(F.col("quality").desc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        flagged = flagged.withColumn(
+            "_within", F.coalesce(F.sum("_weff").over(wb), F.lit(0))
+        )
+        # n_bands-row frame; cumulative over HIGHER bands only
+        woff = Window.orderBy(F.col("_oband").desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        boff = (
+            flagged.groupBy(F.col("_band").alias("_oband"))
+            .agg(F.sum("_weff").alias("_bw"))
+            .withColumn("_off", F.coalesce(F.sum("_bw").over(woff), F.lit(0)))
+            .select("_oband", "_off")
+        )
+        flagged = flagged.join(
+            F.broadcast(boff), F.col("_band") == F.col("_oband")
+        ).withColumn(
+            "s5",
+            F.col("s4")
+            & (
+                F.col("_off") + F.col("_within") + F.col("n_tokens")
+                <= F.lit(token_budget)
+            ),
+        )
+        stages.append(BUDGET_STAGE)
+        conds.append(F.col("s5"))
+    aggs = []
     for k, cond in enumerate(conds):
         aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"nd_{k}"))
         aggs.append(
@@ -216,10 +285,10 @@ def curation_funnel(
         )
     wide = flagged.agg(*aggs)
     stack = ", ".join(
-        f"{k}L, '{name}', nd_{k}, nt_{k}" for k, name in enumerate(FUNNEL_STAGES)
+        f"{k}L, '{name}', nd_{k}, nt_{k}" for k, name in enumerate(stages)
     )
     return wide.selectExpr(
-        f"stack({len(FUNNEL_STAGES)}, {stack})"
+        f"stack({len(stages)}, {stack})"
         " as (stage_idx, stage, n_docs, n_tokens)"
     )
 
@@ -232,19 +301,37 @@ def curation_funnel_sql(
     eval_mod: int = 37,
     quality_min: float = 0.5,
     cap_share: float = 0.03,
+    token_budget: int | None = None,
 ) -> str:
     """DuckDB oracle for :func:`curation_funnel` (same survival-flag
-    construction; stages as a UNION ALL of conditional aggregates)."""
+    construction; stages as a UNION ALL of conditional aggregates;
+    the budget flag as one global window — oracles don't need the
+    two-level shape)."""
     buckets = sampling._BUCKETS
     reb_hash = sampling._hash_bucket_sql("f.id", "rebalance")
-    selects = []
+    stages = list(FUNNEL_STAGES)
     conds = ["TRUE", "s1", "s2", "s3", "s4"]
-    for k, (name, cond) in enumerate(zip(FUNNEL_STAGES, conds)):
+    src = "f"
+    budget_cte = ""
+    if token_budget is not None:
+        stages.append(BUDGET_STAGE)
+        conds.append("s5")
+        src = "fb"
+        budget_cte = f""",
+fb AS (
+  SELECT f.*, s4 AND COALESCE(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END)
+      OVER (ORDER BY quality DESC, id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + n_tokens <= {token_budget} AS s5
+  FROM f
+)"""
+    selects = []
+    for k, (name, cond) in enumerate(zip(stages, conds)):
         selects.append(
             f"SELECT CAST({k} AS BIGINT) AS stage_idx, '{name}' AS stage,"
             f" CAST(count(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_docs,"
             f" CAST(COALESCE(sum(CASE WHEN {cond} THEN n_tokens END), 0) AS BIGINT) AS n_tokens"
-            f" FROM f"
+            f" FROM {src}"
         )
     return f"""
 WITH d0 AS (
@@ -284,7 +371,7 @@ f AS (
     SELECT flags3.*, count(CASE WHEN s3 THEN 1 END) OVER (PARTITION BY grp) AS grp_n
     FROM flags3
   ) f CROSS JOIN tot
-)
+){budget_cte}
 {" UNION ALL ".join(selects)}
 """
 
@@ -299,12 +386,16 @@ def curate_corpus_sql(
     cap_share: float = 0.03,
     seq_len: int = 2048,
     near_dup_threshold: float | None = None,
+    token_budget: int | None = None,
 ) -> str:
     """Exact DuckDB oracle for :func:`curate_corpus` — the same six
     stages as CTEs (the oracle may run sequentially; only the Spark
     side must scale). With ``near_dup_threshold`` the base corpus is
     first reduced to MinHash-component representatives via a recursive
-    CTE over the same banded-LSH pair query the Spark side runs."""
+    CTE over the same banded-LSH pair query the Spark side runs.
+    With ``token_budget`` a greedy budget-selection CTE (single global
+    window — oracles don't need the two-level shape) sits between
+    rebalance and packing, mirroring stage 5.5."""
     buckets = sampling._BUCKETS
     reb_hash = sampling._hash_bucket_sql("d3.id", "rebalance")
     pack_hash = sampling._hash_bucket_sql("id", "pack")
@@ -332,6 +423,19 @@ base AS (
 ),
 """
         table = "base"
+    if token_budget is not None:
+        budget_cte = f"""d5 AS (
+  SELECT id, grp, n_tokens FROM (
+    SELECT d4.*, COALESCE(sum(n_tokens) OVER (ORDER BY quality DESC, id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _cum
+    FROM d4
+  ) WHERE _cum + n_tokens <= {token_budget}
+),
+"""
+        pack_src = "d5"
+    else:
+        budget_cte = ""
+        pack_src = "d4"
     return f"""
 WITH {nd_prefix}d0 AS (
   SELECT {id_col} AS id, {group_col} AS grp,
@@ -351,7 +455,7 @@ eval_fps AS (
   FROM {table} WHERE {id_col} % {eval_mod} = 0
 ),
 d3 AS (
-  SELECT d2.id, d2.grp, d2.n_tokens,
+  SELECT d2.id, d2.grp, d2.n_tokens, d2.quality,
          count(*) OVER (PARTITION BY d2.grp) AS grp_n
   FROM d2 ANTI JOIN eval_fps ON d2.fp = eval_fps.eval_fp
 ),
@@ -362,10 +466,10 @@ tot AS (
   SELECT greatest(1, CAST(floor(CAST({cap_share} AS DOUBLE) * count(*)) AS BIGINT)) AS cap_n FROM {table}
 ),
 d4 AS (
-  SELECT d3.id, d3.grp, d3.n_tokens FROM d3 CROSS JOIN tot
+  SELECT d3.id, d3.grp, d3.n_tokens, d3.quality FROM d3 CROSS JOIN tot
   WHERE d3.grp_n <= tot.cap_n OR {reb_hash} * d3.grp_n < tot.cap_n * {buckets}
 ),
-w AS (SELECT id, grp, n_tokens AS weight, {pack_hash} AS h FROM d4),
+{budget_cte}w AS (SELECT id, grp, n_tokens AS weight, {pack_hash} AS h FROM {pack_src}),
 o AS (
   SELECT id, grp, weight,
          CAST(COALESCE(sum(weight) OVER (ORDER BY h, id

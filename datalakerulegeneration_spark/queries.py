@@ -2172,6 +2172,37 @@ def q_curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate_corpus(docs, near_dup_threshold=0.2)
 
 
+_CURATE_BUDGET = 10000  # tokens ≈ 60% of the fixture's post-rebalance
+# stream at the gate SFs (~16.5k) — the budget BINDS, so the gate
+# actually exercises the cutoff
+
+
+def q_curate_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with token-budget selection as stage 5.5
+    (ops.curate.curate_corpus token_budget): after quality → dedup →
+    decon → rebalance, keep the greedy best-quality prefix whose
+    cumulative tokens fit the 20k budget, then pack only those —
+    "curate, then keep the best N tokens", the production composition
+    of the r6 selection op with the r2 flagship. Quality rides the
+    stage-1 scan (no re-scan); selection is the two-level banded
+    cumulative sums (no global sort). Exact end-to-end DuckDB oracle."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return curate.curate_corpus(docs, token_budget=_CURATE_BUDGET)
+
+
+def q_curation_funnel_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel with the stage-5.5 token-budget row
+    (ops.curate.curation_funnel token_budget): documents/tokens
+    surviving each stage INCLUDING the budget cut — the budget flag
+    rides the same single text scan via banded prefix sums."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return curate.curation_funnel(docs, token_budget=_CURATE_BUDGET)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline observability (ops.curate.curation_funnel): documents
     and tokens surviving each curation stage, computed as per-doc
@@ -4146,6 +4177,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),
     "curate_corpus_dsir_documents": (q_curate_corpus_dsir, _curate_dsir_oracle()),
     "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
+    "curate_corpus_budget_documents": (q_curate_corpus_budget, curate.curate_corpus_sql("documents", token_budget=_CURATE_BUDGET)),
+    "curation_funnel_budget_documents": (q_curation_funnel_budget, curate.curation_funnel_sql("documents", token_budget=_CURATE_BUDGET)),
     "pack_manifest_documents": (q_pack_manifest, packing.pack_manifest_sql(
         packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048), seq_len=2048
     )),

@@ -2622,3 +2622,26 @@ def test_component_split_no_near_dup_leakage(spark, sf_tables, duck):
     )
     assert all(r["k"] == 1 for r in sides)
     assert comps.count() > 0  # the fixture HAS near-dup components to protect
+
+
+def test_curate_budget_stage_binds_and_agrees_with_funnel(sf_tables, duck):
+    """Stage 5.5: the budgeted flagship keeps a strict best-quality
+    subset within the token budget, and the funnel's token_budget row
+    equals the budgeted manifest's population exactly."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = sf_tables["documents"]
+    budget = 10000
+    manifest = curate.curate_corpus(docs, token_budget=budget)
+    _cmp(manifest, duck, curate.curate_corpus_sql("documents", token_budget=budget))
+    rows = manifest.collect()
+    full = curate.curate_corpus(docs).collect()
+    assert 0 < len(rows) < len(full)  # the budget BINDS
+    assert sum(r["weight"] for r in rows) <= budget
+    assert {r["id"] for r in rows} <= {r["id"] for r in full}
+
+    funnel = curate.curation_funnel(docs, token_budget=budget)
+    _cmp(funnel, duck, curate.curation_funnel_sql("documents", token_budget=budget))
+    frow = {r["stage"]: r.asDict() for r in funnel.collect()}[curate.BUDGET_STAGE]
+    assert frow["n_docs"] == len(rows)
+    assert frow["n_tokens"] == sum(r["weight"] for r in rows)

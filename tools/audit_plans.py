@@ -50,6 +50,8 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("curate_corpus_documents", "global_window", "n_parts-row packing offsets inside the pipeline"),
     ("curate_corpus_neardup_documents", "global_window", "n_parts-row packing offsets"),
     ("curate_corpus_dsir_documents", "global_window", "n_parts-row packing offsets + n_buckets-row DSIR LM frame"),
+    ("curate_corpus_budget_documents", "global_window", "n_parts-row packing offsets + n_bands-row band-offset frame (budget stage)"),
+    ("curation_funnel_budget_documents", "global_window", "6-row funnel stage frame + n_bands-row band-offset frame"),
     ("weighted_sample_documents", "global_window", "k-row top-k result (limit before rank)"),
     ("drift_events_value", "global_window", "O(bins) bin-edge frame"),
     ("drift_embeddings_projected", "global_window", "O(bins) bin-edge frame (shared drift machinery)"),
@@ -88,6 +90,8 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("curate_corpus_neardup_documents", "bnlj", "1-row stage constants broadcast"),
     ("curate_corpus_dsir_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
     ("curation_funnel_documents", "bnlj", "1-row stage-count constants broadcast"),
+    ("curate_corpus_budget_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
+    ("curation_funnel_budget_documents", "bnlj", "1-row stage-count constants broadcast"),
     ("drift_events_value", "bnlj", "1-row bin-edge scalar aggs broadcast"),
     ("drift_embeddings_projected", "bnlj", "1-row bin-edge scalar aggs broadcast (projection PSI shares the drift plan)"),
     ("drift_table_events", "bnlj", "1-row per-column edge scalars broadcast"),
