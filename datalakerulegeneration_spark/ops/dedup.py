@@ -807,8 +807,66 @@ SELECT id, {bit_terms} AS simhash FROM votes
 """
 
 
+# Recommended ``max_bucket`` for FINGERPRINT-grain band joins
+# (simhash_near_dups and the multimodal image/audio/video twins that
+# feed it). Fingerprints are 14-bit bands at bits=56, so an organic
+# bucket is shallow; a bucket deeper than this means a LOW-SLOPE asset
+# flood (near-constant-bit fingerprints — flat images, silence, black
+# frames) whose candidate volume is C(depth, 2). 10k deep = 5·10⁷
+# pairs from ONE bucket — excise and route those members through
+# exemplar handling (they are one perceptual equivalence class).
+FP_MAX_BUCKET = 10_000
+
+
+def fingerprint_band_stats(
+    fp: DataFrame,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+    top: int = 20,
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Band-bucket density audit for FINGERPRINT frames — the
+    fingerprint-grain twin of :func:`band_bucket_stats` (which audits
+    MinHash signatures): the ``top`` deepest ``(band, bv)`` buckets of
+    the bit-band join :func:`simhash_near_dups` would run, plus a
+    summary row (band = −1, bv = −1) carrying the total bucket count.
+    Candidate-pair work is Σ C(depth, 2) per band, so this is the
+    pre-flight detector for low-slope asset floods (near-constant
+    fingerprints from flat images / silent audio / black frames) —
+    run it before an uncapped join on an untrusted corpus, and pass
+    ``max_bucket=FP_MAX_BUCKET`` to the join when it fires."""
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    long = fp.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(f"({fp_col} >> {width * b}) & {mask}").alias("bv"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("e"),
+    ).select(F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    counts = long.groupBy("band", "bv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets")
+    )
+    top_rows = counts.orderBy(F.desc("n_assets"), F.asc("band"), F.asc("bv")).limit(top)
+    summary = counts.agg(
+        F.lit(-1).alias("band"),
+        F.lit(-1).cast("bigint").alias("bv"),
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+    )
+    return top_rows.unionByName(summary)
+
+
 def simhash_near_dups(
-    fp: DataFrame, max_hamming: int = 3, n_bands: int = 4, bits: int = SIMHASH_BITS
+    fp: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from fingerprints via bit-banding.
 
@@ -820,6 +878,16 @@ def simhash_near_dups(
     scale; 4×8-bit bands is the classic ≤3-hamming setting. At corpus
     scale pass ``bits=56`` fingerprints (see :func:`simhash`) so each
     band carries 14 bits — 64× the bucket space, same recall bound.
+
+    ``max_bucket`` is the fingerprint-grain flood cap (same escape
+    hatch as :func:`lsh_candidate_pairs`): band buckets deeper than it
+    are EXCISED from pair generation — a low-slope asset flood (flat
+    images, silence, black frames: near-constant bits, every member in
+    ONE bucket per band) otherwise contributes C(depth, 2) candidates.
+    Members of an excised bucket still pair through their other,
+    sparser bands; audit with :func:`fingerprint_band_stats` and use
+    ``FP_MAX_BUCKET`` as the recommended production default. Default
+    None = exact historical behavior (the oracle-mirrored contract).
     """
     width = bits // n_bands
     mask = (1 << width) - 1
@@ -838,6 +906,14 @@ def simhash_near_dups(
             ])
         ).alias("e"),
     ).select("id", "simhash", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    if max_bucket is not None:
+        ok = (
+            long.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("band", "bv")
+        )
+        long = long.join(ok, ["band", "bv"], "left_semi")
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))

@@ -1416,6 +1416,45 @@ def q_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_topk(emb, 10, out_dim=16, k=10)
 
 
+def q_pca_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of FULL-RANK PCA retrieval vs exact brute force — the
+    first-class gate for the PCA rung (same trick as the IVF/PQ
+    full-probe gates): at out_dim = d (64, the embedding width) the
+    principal basis is a complete orthonormal rotation, and cosine in
+    PCA space uses only projected dot products — invariant to eigen
+    sign AND basis rotation — so the PCA ranking provably equals the
+    exact ranking and recall is exactly 1.0 per query. The Spark side
+    genuinely runs the ML fit → transform → rank → recall join; the
+    oracle computes exact-vs-exact recall in DuckDB. Any defect in the
+    PCA machinery (fit, projection, norm, ranking, join) breaks the
+    hash match. Partial-dim (16) retrieval QUALITY stays pytest-pinned
+    (recall ≥ JL at equal out_dim) — quality is corpus-dependent, the
+    machinery gate is not."""
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    exact = similarity.brute_force_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        k=10,
+    ).select("query_id", "neighbor_id")
+    approx = (
+        similarity.pca_topk(emb, 10, out_dim=64, k=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_k"),
+        )
+    )
+
+
 def q_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL sign-projection retrieval (ops.similarity.projected_topk):
     64→16 dims via md5-derived ±1 literal rows, cosine ranked in the
@@ -1460,6 +1499,19 @@ _ANN_QUERIES_SQL = "SELECT vec_id AS query_id, embedding AS qv FROM embeddings W
 Q_ANN_RECALL_ORACLE = f"""
 WITH exact AS ({similarity.brute_force_topk_sql("embeddings", _ANN_QUERIES_SQL, k=10)}),
 approx AS ({similarity.lsh_bucket_topk_sql("embeddings", _ANN_QUERIES_SQL, 10, 4, 8, 64)})
+SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(a.neighbor_id) / 10.0, 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+# Full-rank PCA ≡ exact (complete orthonormal rotation preserves the
+# projected dot products the cosine uses), so the oracle's "approx" leg
+# IS the exact ranking — DuckDB still computes the whole recall join.
+Q_PCA_RECALL_ORACLE = f"""
+WITH exact AS ({similarity.brute_force_topk_sql("embeddings", _ANN_QUERIES_SQL, k=10)}),
+approx AS ({similarity.brute_force_topk_sql("embeddings", _ANN_QUERIES_SQL, k=10)})
 SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
        round(count(a.neighbor_id) / 10.0, 6) AS recall_at_k
 FROM exact e
@@ -4145,6 +4197,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk_ivf_embeddings": (q_ann_topk_ivf, similarity.brute_force_topk_sql(
         "embeddings", _ANN_QUERIES_SQL, k=10)),
     "ann_recall_embeddings": (q_ann_recall, Q_ANN_RECALL_ORACLE),
+    "pca_recall_embeddings": (q_pca_recall, Q_PCA_RECALL_ORACLE),
     "quantized_topk_embeddings": (q_quantized_topk, similarity.quantized_topk_sql("embeddings", 10, k=10)),
     # full-probe IVF-SQ8 ≡ quantized brute force (see q_ann_topk_ivf_sq8)
     "ann_topk_ivf_sq8_embeddings": (q_ann_topk_ivf_sq8, similarity.quantized_topk_sql("embeddings", 10, k=10)),

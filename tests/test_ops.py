@@ -2645,3 +2645,39 @@ def test_curate_budget_stage_binds_and_agrees_with_funnel(sf_tables, duck):
     frow = {r["stage"]: r.asDict() for r in funnel.collect()}[curate.BUDGET_STAGE]
     assert frow["n_docs"] == len(rows)
     assert frow["n_tokens"] == sum(r["weight"] for r in rows)
+
+
+def test_fingerprint_band_flood_audit_and_cap(spark):
+    """Adversarial LOW-SLOPE asset batch (the multimodal analogue of
+    the text near-dup flood): 2000 fingerprints whose bits are
+    near-constant — bands 0/2/3 all land on ONE bucket value each, the
+    shape flat images / silent audio / black frames produce. The
+    fingerprint-grain audit must surface the flood before the join
+    (candidate volume there is 3·C(2000,2) ≈ 6M pairs), and
+    max_bucket must excise the dense buckets while a planted true
+    near-dup pair still pairs through its sparse bands."""
+    from datalakerulegeneration_spark.ops import dedup as dd
+
+    n = 2_000
+    # flood: fp = i << 14 — band1 distinct, bands 0/2/3 constant 0
+    rows = [(i, i << 14) for i in range(1, n + 1)]
+    # planted near-dup pair: distinct values in bands 0 and 2 (depth-2
+    # buckets survive any cap), 1-bit flip inside band1
+    x = (5 << 42) | (0b101010101010101 << 28) | (12345 << 14) | 7
+    rows += [(9001, x), (9002, x ^ (1 << 20))]
+    fp = spark.createDataFrame(rows, "id long, simhash long")
+
+    stats = dd.fingerprint_band_stats(fp, n_bands=4, bits=56).collect()
+    depths = [r["n_assets"] for r in stats if r["band"] >= 0]
+    assert max(depths) >= n  # flood unmistakable pre-join
+    # candidate volume the UNCAPPED join would face, from the audit
+    # arithmetic alone (no 6M-pair join in the test suite)
+    flood_candidates = sum(d * (d - 1) // 2 for d in depths if d > 100)
+    assert flood_candidates >= 3 * (n * (n - 1) // 2)
+
+    # FP_MAX_BUCKET is the production default; the fixture uses a
+    # tight cap so excision semantics are actually exercised
+    assert dd.FP_MAX_BUCKET > 0
+    capped = dd.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56, max_bucket=100)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(9001, 9002)}  # flood gone, true pair survives

@@ -105,6 +105,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("quantized_topk_embeddings", "bnlj", "probe codes + 1-row codebook broadcast"),
     ("projected_topk_embeddings", "bnlj", "constant-size projected probe set broadcast"),
     ("pca_topk_embeddings", "bnlj", "constant-size PCA-projected probe set broadcast"),
+    ("pca_recall_embeddings", "bnlj", "constant-size probe set broadcast in both legs (exact + full-rank PCA)"),
     ("ann_topk_pq_embeddings", "bnlj", "constant-size reconstructed probe set broadcast"),
     ("ann_topk_ivf_pq_embeddings", "bnlj", "n_lists-row centroid table + m*ksub-row anchor codebook broadcast"),
     ("ann_rerank_pq_embeddings", "bnlj", "constant-size probe frames broadcast in the pre-rank and re-rank stages"),
