@@ -4305,73 +4305,70 @@ from datalakerulegeneration_spark.tpch_ext import EXT_REGISTRY
 REGISTRY.update(EXT_REGISTRY)
 
 # The driver's correctness gate samples the FIRST 50 queries() entries.
-# Round-6 rotation: this head is the 38 entries that have NEVER
-# received a driver-side CORRECTNESS row across r1–r5 (drift/quantile
-# table grain, packing, mixture, winnow, sketch monitors' batch twins,
-# the embedding-compression family, the brand-new IVF-SQ8) plus the
-# three whose PLAN changed this round (the digest-grain collapse:
-# minhash pairs, text dup components, embedding near-dup pairs) and
-# nine family flagships for regression coverage. With this head every
-# registered query has appeared in at least one driver CORRECTNESS
-# artifact. The replica gate (tools/check_correctness.py) runs all 142
-# every round regardless.
+# Round-7 rotation: the 18 entries that have NEVER received a
+# driver-side CORRECTNESS row across r1–r6 (the r6 fourth wave:
+# selection/split family, bigram/PMI-era text stats, the multimodal
+# near-dup trio, embedding drift/decon additions) lead, followed by
+# the 3 queries NEW this round (budgeted flagship + its funnel, the
+# PCA recall gate), then 29 family flagships for cross-round
+# regression coverage. With this head every oracle-able registry entry
+# has appeared in at least one driver CORRECTNESS artifact. The
+# replica gate (tools/check_correctness.py) runs all entries every
+# round regardless.
 _GATE_HEAD = [
-    # never driver-gated before this round (38)
-    "range_join_events_orders",
-    "rollup_events",
-    "mad_outliers_events",
-    "profile_merge_documents",
-    "quantile_drift_events",
-    "grouped_quantiles_events",
-    "bm25_documents",
-    "hybrid_search_documents",
-    "embedding_dup_components",
-    "dedup_agreement_documents",
-    "keep_best_documents",
-    "incremental_dedup_documents",
-    "source_overlap_documents",
-    "quantized_topk_embeddings",
-    "ann_topk_ivf_sq8_embeddings",
-    "projected_topk_embeddings",
-    "embedding_stats_by_label",
-    "embedding_centroids_by_label",
-    "cluster_columns_kmeans_profiles",
+    # never driver-gated r1–r6 (18)
+    "violations_phone_customer",
+    "pca_topk_embeddings",
+    "centroid_outliers_embeddings",
+    "curate_corpus_dsir_documents",
+    "group_split_documents",
+    "token_budget_select_documents",
+    "component_split_documents",
+    "target_mixture_exact_documents",
+    "bigram_logprob_documents",
+    "ngram_diversity_documents",
+    "shingle_novelty_documents",
+    "image_near_dups_documents",
+    "audio_near_dups_documents",
+    "video_frame_dhash_documents",
+    "video_near_dups_documents",
+    "intra_line_dedup_documents",
+    "drift_embeddings_projected",
+    "hll_overlap_events",
+    # new this round (3)
+    "curate_corpus_budget_documents",
+    "curation_funnel_budget_documents",
+    "pca_recall_embeddings",
+    # family flagships — regression coverage (29)
+    "curate_corpus_documents",
+    "curate_corpus_neardup_documents",
+    "curation_funnel_documents",
+    "dedup_minhash_documents",
+    "dedup_exact_documents",
+    "simhash_documents",
+    "near_dup_embeddings",
+    "ann_topk_embeddings",
+    "ann_recall_embeddings",
+    "profile_lineitem",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "three_sigma_events",
+    "violations_events",
+    "eval_metrics_orders",
+    "fd_conflicts_orders",
+    "token_count_documents",
+    "pack_sequences_documents",
     "token_kl_by_source_documents",
     "corpus_report_documents",
-    "pack_sequences_documents",
-    "curate_corpus_neardup_documents",
-    "pack_stats_documents",
-    "target_mixture_documents",
-    "fingerprint_documents",
-    "chunk_documents",
-    "multimodal_features_documents",
-    "weighted_sample_documents",
-    "ngram_overlap_multi_documents",
-    "quality_classifier_documents",
-    "semdedup_embeddings",
-    "cm_heavy_hitters_events",
-    "bloom_ngram_decon_documents",
-    "ks_table_events",
-    "wasserstein_table_events",
-    "winnow_fingerprints_documents",
-    "winnow_overlap_documents",
-    # new this round — must appear in their first driver artifact
-    # (displaced the four already-gated family flagships AND the three
-    # plan-changed-this-round entries, which carry r1–r5 driver rows
-    # and are re-verified by the all-queries replica gate: every slot
-    # here goes to a query with no prior driver CORRECTNESS row)
-    "dedup_greedy_keepset_documents",
-    "lsh_bucket_stats_documents",
-    "ann_topk_pq_embeddings",
-    "ann_topk_ivf_pq_embeddings",
-    "ann_rerank_pq_embeddings",
-    "dedup_prefix_jaccard_documents",
-    "temperature_mixture_documents",
-    "pmi_collocations_documents",
-    "decontaminate_embeddings",
     "dsir_weights_documents",
+    "sessionize_events",
+    "asof_join_events_orders",
+    "ks_events_value",
     "image_dhash_documents",
-    "audio_fingerprint_documents",
+    "span_dedup_documents",
+    "bloom_decontaminate_documents",
+    "hll_distinct_users_events",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

@@ -439,3 +439,23 @@ def test_registry_oracle_hygiene():
     for name, (_, sql) in Q.REGISTRY.items():
         if sql is not None:
             assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_parallel_runner_groups_cover_all_modules():
+    """tools/run_tests.py's module split must cover every test file
+    exactly once — a new test module that isn't in a group would
+    silently never run under the parallel runner."""
+    import glob
+    import os
+    import runpy
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mod = runpy.run_path(os.path.join(repo, "tools", "run_tests.py"), run_name="imported")
+    listed = [os.path.basename(f) for fs in mod["GROUPS"].values() for f in fs]
+    ondisk = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(repo, "tests", "test_*.py"))
+    )
+    assert sorted(listed) == ondisk, (
+        f"missing from GROUPS: {set(ondisk) - set(listed)}; "
+        f"stale in GROUPS: {set(listed) - set(ondisk)}"
+    )

@@ -1,0 +1,90 @@
+"""Parallel test runner: the full pytest suite in ~max(group) wall
+time instead of the ~800 s single-process sum.
+
+pytest-xdist is not available in this environment, so this runs the
+suite as THREE concurrent pytest processes over a fixed module split
+(each module runs in exactly ONE process — no intra-module
+parallelism, no test semantics changed). Each process owns its own
+JVM/SparkSession and its own warehouse dir; cross-process state was
+audited: Derby uses pytest tmp_path, bucketed-table writes happen only
+in the test_ops group, streaming checkpoints use tmp_path.
+
+Usage: python tools/run_tests.py [extra pytest args...]
+Exit code: 0 iff every group passed.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Balanced by measured r7 wall times (ops 337 s; properties+streaming
+# are the heavy tail of the rest's 464 s). Update when a group's time
+# drifts past the max — the runner prints per-group walls.
+GROUPS: dict[str, list[str]] = {
+    "ops": ["tests/test_ops.py"],
+    "props": [
+        "tests/test_properties.py",
+        "tests/test_clustering.py",
+        "tests/test_matching.py",
+        "tests/test_temporal.py",
+        "tests/test_tokenize.py",
+    ],
+    "rest": [
+        "tests/test_streaming.py",
+        "tests/test_pipeline.py",
+        "tests/test_rules.py",
+        "tests/test_profiler.py",
+        "tests/test_dboost.py",
+        "tests/test_functions.py",
+        "tests/test_tpch_ext.py",
+        "tests/test_plans.py",
+    ],
+}
+
+
+def main() -> int:
+    extra = sys.argv[1:]
+    procs: dict[str, tuple[subprocess.Popen, str, float]] = {}
+    for name, files in GROUPS.items():
+        log = os.path.join(REPO, f".pytest_{name}.log")
+        env = dict(os.environ)
+        # per-process warehouse: bucketed tables must not collide
+        env["SPARK_GRAFT_WAREHOUSE"] = f"/tmp/spark_graft_warehouse_{name}"
+        cmd = [
+            sys.executable,
+            "-m",
+            "pytest",
+            *files,
+            "-q",
+            "-p",
+            "no:cacheprovider",
+            *extra,
+        ]
+        fh = open(log, "w")
+        procs[name] = (
+            subprocess.Popen(cmd, cwd=REPO, stdout=fh, stderr=subprocess.STDOUT, env=env),
+            log,
+            time.time(),
+        )
+    rc = 0
+    for name, (p, log, t0) in procs.items():
+        code = p.wait()
+        wall = time.time() - t0
+        tail = ""
+        with open(log) as fh:
+            lines = [ln.rstrip() for ln in fh if ln.strip()]
+            tail = lines[-1] if lines else ""
+        status = "OK " if code == 0 else "FAIL"
+        print(f"{status} {name:6s} {wall:7.1f}s  {tail}   [{log}]")
+        if code != 0:
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
