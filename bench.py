@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "drift_embeddings_projected",
     "group_split_documents",
     "token_budget_select_documents",
+    "token_budget_by_group_documents",
 ]
 
 

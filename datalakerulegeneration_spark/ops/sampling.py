@@ -692,6 +692,94 @@ def token_budget_select(
     )
 
 
+def token_budget_select_by_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    quality_col: str,
+    group_col: str,
+    budgets: dict[str, int],
+    n_bands: int = 64,
+) -> DataFrame:
+    """Per-GROUP token budgets: within each group, keep the greedy
+    best-quality prefix whose cumulative ``weight_col`` fits that
+    group's budget — the production mixture contract ("2B tokens of
+    code, 500M of forums"), where :func:`token_budget_select` is the
+    corpus-total form and :func:`target_mixture` counts documents
+    instead of tokens. Groups absent from ``budgets`` are DROPPED
+    (explicit mixture, same contract as target_mixture).
+
+    Same two-level banded construction as the global form, one level
+    down: within-(group, band) cumulative windows run in parallel,
+    band offsets ride a (#groups × n_bands)-row frame whose cumulative
+    window is PARTITIONED BY GROUP (no unpartitioned window anywhere —
+    strictly better than the global form's n_bands-row frame), and the
+    per-group budget joins from a broadcast literal map. Exact BIGINT
+    sums; deterministic (quality desc, id asc) order both engines.
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one group")
+    q = F.col(quality_col)
+    band = F.least(F.lit(n_bands - 1), F.floor(q * n_bands).cast("int"))
+    d = df.withColumn("_band", band)
+    w_band = (
+        Window.partitionBy(group_col, "_band")
+        .orderBy(q.desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_within", F.coalesce(F.sum(weight_col).over(w_band), F.lit(0)))
+    wp = (
+        Window.partitionBy("_ogrp")
+        .orderBy(F.col("_oband").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        d.groupBy(F.col(group_col).alias("_ogrp"), F.col("_band").alias("_oband"))
+        .agg(F.sum(weight_col).alias("_bw"))
+        .withColumn("_off", F.coalesce(F.sum("_bw").over(wp), F.lit(0)))
+        .select("_ogrp", "_oband", "_off")
+    )
+    bspark = df.sparkSession.createDataFrame(
+        sorted(budgets.items()), f"_bgrp string, _budget bigint"
+    )
+    return (
+        d.join(
+            F.broadcast(off),
+            (F.col(group_col) == F.col("_ogrp")) & (F.col("_band") == F.col("_oband")),
+        )
+        .join(F.broadcast(bspark), F.col(group_col) == F.col("_bgrp"))
+        .where(
+            F.col("_off") + F.col("_within") + F.col(weight_col) <= F.col("_budget")
+        )
+        .select(*df.columns)
+    )
+
+
+def token_budget_select_by_group_sql(
+    table: str,
+    id_col: str,
+    weight_col: str,
+    quality_col: str,
+    group_col: str,
+    budgets: dict[str, int],
+) -> str:
+    """DuckDB oracle for :func:`token_budget_select_by_group` (one
+    group-partitioned window + a VALUES budget map)."""
+    values = ", ".join(f"('{g}', {b})" for g, b in sorted(budgets.items()))
+    return f"""
+WITH b(_bgrp, _budget) AS (VALUES {values})
+SELECT * EXCLUDE (_cum, _bgrp, _budget) FROM (
+  SELECT t.*, b._budget,  b._bgrp,
+         COALESCE(sum({weight_col}) OVER (
+           PARTITION BY {group_col}
+           ORDER BY {quality_col} DESC, {id_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _cum
+  FROM {table} t JOIN b ON t.{group_col} = b._bgrp
+)
+WHERE _cum + {weight_col} <= _budget
+"""
+
+
 def token_budget_select_sql(
     table: str, id_col: str, weight_col: str, quality_col: str, budget: int
 ) -> str:

@@ -2381,6 +2381,44 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_select(scored, "doc_id", "w", "q", budget=5000)
 
 
+_GROUP_BUDGETS = {"src0": 800, "src1": 1000, "src2": 400}  # tokens — each
+# binds (~55-70% of the source's ~1.4k fixture tokens); other sources drop
+
+
+def q_token_budget_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets (ops.sampling.token_budget_select_by_group):
+    the production mixture contract — each named source keeps its
+    greedy best-quality prefix under ITS budget ("2B tokens of code,
+    500M of forums"), unnamed sources drop. Two-level banded cumulative
+    sums one level down from the global form: every window is
+    (group, band)- or group-partitioned — no unpartitioned window at
+    all."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = docs.select(
+        "doc_id",
+        "source",
+        textqa.quality_col("text").alias("q"),
+        textqa.ntokens_col("text").alias("w"),
+    )
+    return sampling.token_budget_select_by_group(
+        scored, "doc_id", "w", "q", "source", _GROUP_BUDGETS
+    )
+
+
+def _token_budget_by_group_oracle() -> str:
+    from datalakerulegeneration_spark.ops import sampling
+
+    sub = (
+        f"(SELECT doc_id, source, {textqa.quality_sql_expr('text')} AS q,"
+        f" {textqa.ntokens_sql_expr('text')} AS w FROM documents)"
+    )
+    return sampling.token_budget_select_by_group_sql(
+        sub, "doc_id", "w", "q", "source", _GROUP_BUDGETS
+    )
+
+
 def _token_budget_oracle() -> str:
     from datalakerulegeneration_spark.ops import sampling
 
@@ -4243,6 +4281,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "temperature_mixture_documents": (q_temperature_mixture, sampling.temperature_mixture_sql("documents", "doc_id", "lang", alpha=0.5)),
     "group_split_documents": (q_group_split, Q_GROUP_SPLIT_ORACLE),
     "token_budget_select_documents": (q_token_budget_select, _token_budget_oracle()),
+    "token_budget_by_group_documents": (q_token_budget_by_group, _token_budget_by_group_oracle()),
     "component_split_documents": (q_component_split, _component_split_oracle()),
     "target_mixture_exact_documents": (q_target_mixture_exact, sampling.target_mixture_exact_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "pmi_collocations_documents": (q_pmi_collocations, textqa.pmi_collocations_sql("documents", "text", min_count=3, k=20)),
@@ -4335,11 +4374,12 @@ _GATE_HEAD = [
     "intra_line_dedup_documents",
     "drift_embeddings_projected",
     "hll_overlap_events",
-    # new this round (3)
+    # new this round (4)
     "curate_corpus_budget_documents",
     "curation_funnel_budget_documents",
     "pca_recall_embeddings",
-    # family flagships — regression coverage (29)
+    "token_budget_by_group_documents",
+    # family flagships — regression coverage (28)
     "curate_corpus_documents",
     "curate_corpus_neardup_documents",
     "curation_funnel_documents",
@@ -4368,7 +4408,6 @@ _GATE_HEAD = [
     "image_dhash_documents",
     "span_dedup_documents",
     "bloom_decontaminate_documents",
-    "hll_distinct_users_events",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

@@ -2681,3 +2681,38 @@ def test_fingerprint_band_flood_audit_and_cap(spark):
     capped = dd.simhash_near_dups(fp, max_hamming=8, n_bands=4, bits=56, max_bucket=100)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(9001, 9002)}  # flood gone, true pair survives
+
+
+def test_token_budget_by_group_semantics_and_oracle(spark, duck, sf_tables):
+    """Per-group budgets: each named group keeps its own greedy
+    best-quality prefix under ITS budget, unnamed groups drop, and the
+    per-group cutoff matches a python model exactly."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    rows = []
+    for g, qbase in (("a", 0.9), ("b", 0.5)):
+        for i in range(10):
+            rows.append((len(rows), g, round(qbase - i * 0.01, 6), 10))
+    rows.append((99, "dropme", 0.99, 1))
+    df = spark.createDataFrame(rows, "id long, grp string, q double, w long")
+    budgets = {"a": 35, "b": 100}
+    got = sampling.token_budget_select_by_group(df, "id", "w", "q", "grp", budgets)
+    kept = sorted(r["id"] for r in got.collect())
+    # group a: 10-token docs, budget 35 -> best 3 by quality; group b:
+    # budget 100 covers all 10; 'dropme' absent
+    assert kept == [0, 1, 2] + list(range(10, 20))
+    assert got.columns == df.columns
+
+    # oracle parity on the real fixture via the registered query's SQL
+    import pandas as pd
+
+    duck.register("planted_grp_budget", pd.DataFrame(rows, columns=["id", "grp", "q", "w"]))
+    _cmp(
+        got,
+        duck,
+        sampling.token_budget_select_by_group_sql(
+            "planted_grp_budget", "id", "w", "q", "grp", budgets
+        ),
+    )
+    with pytest.raises(ValueError, match="budgets"):
+        sampling.token_budget_select_by_group(df, "id", "w", "q", "grp", {})
