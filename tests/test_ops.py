@@ -2716,3 +2716,50 @@ def test_token_budget_by_group_semantics_and_oracle(spark, duck, sf_tables):
     )
     with pytest.raises(ValueError, match="budgets"):
         sampling.token_budget_select_by_group(df, "id", "w", "q", "grp", {})
+
+
+def test_pq_index_build_once_search_equals_pq_topk(spark, sf_tables, tmp_path):
+    """Persisted PQ index: searching a built index returns EXACTLY the
+    oracle-gated pq_topk rows (flat and full-probe IVF), raw vectors
+    are never read at search time, and the on-disk codes are the
+    compressed form (~m ints + a norm), not vectors."""
+    from datalakerulegeneration_spark.ops import ann_index, similarity
+
+    emb = sf_tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = sorted(
+        map(tuple, similarity.pq_topk(emb, 10, k=10, m=8, ksub=32).collect())
+    )
+
+    flat = str(tmp_path / "pq_flat")
+    ann_index.pq_build_index(emb, flat, m=8, ksub=32)
+    got = sorted(
+        map(tuple, ann_index.pq_search_index(spark, flat, queries, k=10).collect())
+    )
+    assert got == want
+
+    # codes really are the compressed form
+    codes = spark.read.parquet(f"{flat}/codes")
+    assert set(codes.columns) == {"id", "codes", "rn_"}
+    row = codes.first()
+    assert len(row["codes"]) == 8 and all(0 <= c < 32 for c in row["codes"])
+
+    # IVF build: FULL probe == flat == pq_topk (the ivf_pq gate trick);
+    # partial probe returns k rows per query from routed cells only
+    ivf = str(tmp_path / "pq_ivf")
+    ann_index.pq_build_index(emb, ivf, m=8, ksub=32, n_lists=8)
+    full = sorted(
+        map(tuple, ann_index.pq_search_index(spark, ivf, queries, k=10, n_probe=8).collect())
+    )
+    assert full == want
+    part = ann_index.pq_search_index(spark, ivf, queries, k=10, n_probe=2)
+    per_q = part.groupBy("query_id").count().collect()
+    assert len(per_q) == 10 and all(r["count"] <= 10 for r in per_q)
+    hits = len({(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+               & {(a, b) for a, b, *_ in want})
+    assert hits >= 30  # partial probe keeps real recall
+
+    with pytest.raises(ValueError, match="without n_lists"):
+        ann_index.pq_search_index(spark, flat, queries, k=10, n_probe=2)
