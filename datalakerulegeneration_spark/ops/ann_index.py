@@ -207,3 +207,57 @@ def pq_search_index(
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_index_append(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """FAISS-`add` semantics: append new vectors to an existing index
+    with the codebooks (and IVF centroids) FROZEN at build time — only
+    the delta is encoded, nothing already stored is touched or re-read
+    beyond an id anti-join. Ids already present are skipped (the same
+    admission contract as the persisted dedup index), so a replayed
+    batch is a no-op and the append is idempotent.
+
+    Quantization drift caveat (the honest FAISS one): anchors chosen
+    from the build corpus quantize a drifted delta worse; monitor with
+    the drift suite and REBUILD when the corpus distribution moves —
+    append never silently retrains.
+    """
+    spark = vectors.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m, dsub = meta["m"], meta["dim"] // meta["m"]
+    anchors = spark.read.parquet(f"{path}/anchors")
+    existing = spark.read.parquet(f"{path}/codes")
+    fresh = vectors.join(
+        existing.select(F.col("id").alias("_seen")).hint("shuffle_hash"),
+        vectors[id_col] == F.col("_seen"),
+        "left_anti",
+    )
+    codes = _encode(fresh, anchors, m, dsub, id_col, vec_col)
+    recon = _reconstruct(codes, anchors, carry=("codes",)).withColumn(
+        "rn_", F.expr(norm_expr("rvec"))
+    )
+    if "cell" in existing.columns:
+        # route through the FROZEN centroids (nearest by squared
+        # euclidean, ties by cell asc — no KMeans refit on append)
+        cdf = spark.read.parquet(f"{path}/centroids")
+        routed = (
+            recon.crossJoin(F.broadcast(cdf))
+            .withColumn(
+                "cdist2",
+                F.expr(
+                    "aggregate(zip_with(rvec, cvec, (x, y) -> (x - y) * (x - y)),"
+                    " cast(0.0 as double), (acc, p) -> acc + p)"
+                ),
+            )
+            .groupBy("id", "codes", "rn_")
+            .agg(F.min(F.struct(F.col("cdist2"), F.col("cell"))).alias("best"))
+            .select("id", "codes", "rn_", F.col("best.cell").alias("cell"))
+        )
+        routed.write.mode("append").parquet(f"{path}/codes")
+    else:
+        recon.select("id", "codes", "rn_").write.mode("append").parquet(f"{path}/codes")

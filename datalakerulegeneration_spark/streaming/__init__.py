@@ -46,3 +46,7 @@ from datalakerulegeneration_spark.streaming.decon_stream import (  # noqa: F401
 from datalakerulegeneration_spark.streaming.dsir_stream import (  # noqa: F401
     dsir_score_stream,
 )
+from datalakerulegeneration_spark.streaming.ann_index_stream import (  # noqa: F401
+    AnnIndexIngester,
+    ann_ingest_stream,
+)

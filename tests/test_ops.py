@@ -2763,3 +2763,37 @@ def test_pq_index_build_once_search_equals_pq_topk(spark, sf_tables, tmp_path):
 
     with pytest.raises(ValueError, match="without n_lists"):
         ann_index.pq_search_index(spark, flat, queries, k=10, n_probe=2)
+
+
+def test_pq_index_append_frozen_codebooks_idempotent(spark, sf_tables, tmp_path):
+    """FAISS-add semantics: append encodes the delta against the
+    FROZEN build-time codebooks and routes through the frozen
+    centroids; replaying the same batch is a no-op; appended vectors
+    are searchable (self in top-k) with raw vectors never read."""
+    from datalakerulegeneration_spark.ops import ann_index
+
+    emb = sf_tables["embeddings"]
+    first = emb.where(F.col("vec_id") < 250)
+    rest = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "pq_ivf_appendable")
+    ann_index.pq_build_index(first, path, m=8, ksub=32, n_lists=8)
+    anchors_before = sorted(map(tuple, spark.read.parquet(f"{path}/anchors").collect()))
+
+    ann_index.pq_index_append(rest, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    n_all = emb.count()
+    assert codes.count() == n_all
+    assert codes.select("id").distinct().count() == n_all
+    assert codes.where(F.col("cell").isNull()).count() == 0  # routed
+
+    ann_index.pq_index_append(rest, path)  # replay → no-op
+    assert spark.read.parquet(f"{path}/codes").count() == n_all
+    # codebooks untouched by append
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/anchors").collect())) == anchors_before
+
+    probe_id = rest.agg(F.max("vec_id")).first()[0]
+    q = emb.where(F.col("vec_id") == probe_id).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = ann_index.pq_search_index(spark, path, q, k=10, n_probe=8).collect()
+    assert probe_id in {r["neighbor_id"] for r in hits}  # self retrievable

@@ -1048,3 +1048,51 @@ def test_dsir_score_stream_matches_batch_weights(spark, sf_tables, tmp_path):
 
     with _pytest.raises(ValueError, match="dense"):
         dsir_score_stream(docs.drop("_t"), lm.limit(10))
+
+
+def test_ann_ingest_real_stream_extends_searchable_index(spark, sf_tables, tmp_path):
+    """availableNow file stream of embeddings appends to a persisted
+    PQ index built from an initial corpus slice; after the stream
+    drains, the index holds every vector exactly once and is
+    searchable — and a REPLAYED ingestion run (fresh checkpoint, same
+    files) is a no-op thanks to the append's id anti-join."""
+    from datalakerulegeneration_spark.ops import ann_index
+    from datalakerulegeneration_spark.streaming import ann_ingest_stream
+
+    emb = sf_tables["embeddings"]
+    path = str(tmp_path / "annidx")
+    ann_index.pq_build_index(emb.where(F.col("vec_id") < 200), path, m=8, ksub=32, n_lists=8)
+
+    src = str(tmp_path / "src")
+    for lo, hi in ((200, 350), (350, 1 << 40)):
+        emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q, _ = ann_ingest_stream(spark, stream, path, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    n_all = emb.count()
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n_all
+    assert codes.select("id").distinct().count() == n_all
+
+    # replay the whole stream with a FRESH checkpoint: at-least-once
+    # redelivery of already-admitted batches must not duplicate codes
+    stream2 = spark.readStream.schema(emb.schema).parquet(src)
+    q2, _ = ann_ingest_stream(spark, stream2, path, checkpoint_dir=str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    assert spark.read.parquet(f"{path}/codes").count() == n_all
+
+    probes = emb.where(F.col("vec_id") >= 498).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann_index.pq_search_index(spark, path, probes, k=5, n_probe=8)
+    by_q = {r["query_id"]: set() for r in got.collect()}
+    for r in got.collect():
+        by_q[r["query_id"]].add(r["neighbor_id"])
+    assert by_q and all(qid in ns for qid, ns in by_q.items())  # streamed rows searchable
