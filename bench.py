@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "group_split_documents",
     "token_budget_select_documents",
     "token_budget_by_group_documents",
+    "quality_sweep_documents",
+    "ccnet_buckets_documents",
 ]
 
 

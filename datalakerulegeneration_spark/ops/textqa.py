@@ -1780,3 +1780,147 @@ def dsir_lm(
             ).alias("lam"),
         )
     )
+
+
+def quality_threshold_sweep(
+    df: DataFrame, id_col: str, text_col: str, thresholds: tuple[float, ...] = tuple(i / 10 for i in range(10))
+) -> DataFrame:
+    """Threshold-selection helper: for each candidate quality cutoff,
+    how many documents and tokens would survive — the curve a pipeline
+    owner reads before fixing ``quality_min``. ONE text scan (each
+    threshold is a conditional aggregate over the same scored frame,
+    the curation-funnel trick applied across thresholds instead of
+    stages); shares the exact stage-1 predicate of ``curate_corpus``,
+    so a chosen row's counts equal the quality stage of the funnel at
+    that cutoff. ``(threshold, n_docs, n_tokens, doc_share,
+    token_share)``, shares of the full corpus rounded 6 dp."""
+    q = quality_col(text_col)
+    scored = df.select(q.alias("_q"), ntokens_col(text_col).alias("_w"))
+    aggs = [
+        F.count(F.lit(1)).alias("nd_all"),
+        F.coalesce(F.sum("_w"), F.lit(0)).alias("nt_all"),
+    ]
+    for i, t in enumerate(thresholds):
+        cond = F.col("_q") >= float(t)
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"nd_{i}"))
+        aggs.append(F.coalesce(F.sum(F.when(cond, F.col("_w"))), F.lit(0)).alias(f"nt_{i}"))
+    wide = scored.agg(*aggs)
+    stack = ", ".join(
+        f"cast({float(t)} as double), nd_{i}, nt_{i}" for i, t in enumerate(thresholds)
+    )
+    out = wide.selectExpr(
+        "nd_all",
+        "nt_all",
+        f"stack({len(thresholds)}, {stack}) as (threshold, n_docs, n_tokens)",
+    )
+    return out.select(
+        "threshold",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("nd_all"), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.col("nt_all"), 6).alias("token_share"),
+    )
+
+
+def quality_threshold_sweep_sql(
+    table: str, id_col: str, text_col: str, thresholds: tuple[float, ...] = tuple(i / 10 for i in range(10))
+) -> str:
+    """DuckDB oracle for :func:`quality_threshold_sweep`."""
+    q = quality_sql_expr(text_col)
+    ntok = ntokens_sql_expr(text_col)
+    selects = []
+    for t in thresholds:
+        selects.append(
+            f"SELECT CAST({float(t)} AS DOUBLE) AS threshold,"
+            f" CAST(count(CASE WHEN _q >= {float(t)} THEN 1 END) AS BIGINT) AS n_docs,"
+            f" CAST(COALESCE(sum(CASE WHEN _q >= {float(t)} THEN _w END), 0) AS BIGINT) AS n_tokens,"
+            f" round(count(CASE WHEN _q >= {float(t)} THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS doc_share,"
+            f" round(COALESCE(sum(CASE WHEN _q >= {float(t)} THEN _w END), 0) / CAST(COALESCE(sum(_w), 0) AS DOUBLE), 6) AS token_share"
+            f" FROM s"
+        )
+    return f"""
+WITH s AS (SELECT {q} AS _q, {ntok} AS _w FROM {table})
+{" UNION ALL ".join(selects)}
+"""
+
+
+CCNET_LABELS = ("tail", "middle", "head")
+
+
+def ccnet_buckets(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 3
+) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): score
+    every document with the corpus-LM log-probability proxy
+    (:func:`unigram_logprob`), then split the corpus into
+    ``n_buckets`` equal-probability bands by EXACT score quantiles —
+    head (most fluent) / middle / tail for the standard 3. Pipelines
+    train on head+middle, or mix buckets with :func:`target_mixture`.
+
+    Scale shape: one text scan for the LM scores; the bucket
+    boundaries are ``n_buckets − 1`` exact R-7 quantiles from the
+    distributed quantile engine (``ops.robust.exact_quantiles`` —
+    distinct-value grain, two-level cumulative counts, no task ever
+    holds the corpus); assignment is a broadcast of that tiny
+    threshold frame + one conditional sum. A doc exactly AT a
+    boundary goes to the lower bucket (deterministic both engines:
+    scores round 6 dp before the quantile, and the R-7 interpolation
+    is the identical double expression).
+
+    ``(id, n_tokens, mean_logprob, bucket, bucket_label)`` with bucket
+    0 = lowest scores (tail).
+    """
+    from datalakerulegeneration_spark.ops.robust import exact_quantiles
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    lp = unigram_logprob(df, id_col, text_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    th = exact_quantiles(lp, "mean_logprob", qs).select(
+        F.round(F.col("value"), 6).alias("_t")
+    )
+    labels = (
+        list(CCNET_LABELS)
+        if n_buckets == 3
+        else [f"b{i}" for i in range(n_buckets)]
+    )
+    lab = F.array(*[F.lit(s) for s in labels])
+    return (
+        lp.crossJoin(F.broadcast(th))
+        .groupBy("id", "n_tokens", "mean_logprob")
+        .agg(
+            F.sum((F.col("mean_logprob") > F.col("_t")).cast("int")).cast("int").alias("bucket")
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "mean_logprob",
+            "bucket",
+            F.element_at(lab, F.col("bucket") + 1).alias("bucket_label"),
+        )
+    )
+
+
+def ccnet_buckets_sql(table: str, id_col: str, text_col: str, n_buckets: int = 3) -> str:
+    """DuckDB oracle for :func:`ccnet_buckets` (quantile_cont ≡ the
+    R-7 engine on identical 6-dp-rounded inputs)."""
+    inner = unigram_logprob_sql(table, id_col, text_col).strip()
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    labels = (
+        list(CCNET_LABELS) if n_buckets == 3 else [f"b{i}" for i in range(n_buckets)]
+    )
+    lab = ", ".join(f"'{s}'" for s in labels)
+    return f"""
+WITH lp AS ({inner}),
+th AS (
+  SELECT round(unnest(quantile_cont(mean_logprob, [{qs}])), 6) AS _t FROM lp
+)
+SELECT id, n_tokens, mean_logprob,
+       CAST(b AS INTEGER) AS bucket, ([{lab}])[CAST(b + 1 AS BIGINT)] AS bucket_label
+FROM (
+  SELECT lp.id, lp.n_tokens, lp.mean_logprob,
+         sum(CASE WHEN lp.mean_logprob > th._t THEN 1 ELSE 0 END) AS b
+  FROM lp CROSS JOIN th
+  GROUP BY 1, 2, 3
+)
+"""

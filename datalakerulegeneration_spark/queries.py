@@ -2152,6 +2152,24 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.vocab_coverage(docs, "text", k=50)
 
 
+def q_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff selection curve (ops.textqa.quality_threshold_sweep):
+    surviving docs/tokens + shares at each candidate quality_min, all
+    thresholds as conditional aggregates over ONE text scan — the
+    funnel trick across thresholds instead of stages."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.quality_threshold_sweep(docs, "doc_id", "text")
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning (ops.textqa.ccnet_buckets):
+    head/middle/tail thirds by corpus-LM score — boundaries from the
+    EXACT distributed quantile engine (distinct-value grain, two-level
+    cumulative counts), assignment a broadcast threshold compare."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.ccnet_buckets(docs, "doc_id", "text")
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality signal: per-doc mean unigram
     log-probability under the corpus's own token distribution (one
@@ -4258,6 +4276,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition_stats_documents": (q_repetition_stats, textqa.repetition_stats_sql("documents", "doc_id", "text")),
     "pii_scrub_documents": (q_pii_scrub, textqa.pii_scrub_sql("documents", "doc_id", "text")),
     "unigram_logprob_documents": (q_unigram_logprob, textqa.unigram_logprob_sql("documents", "doc_id", "text")),
+    "quality_sweep_documents": (q_quality_sweep, textqa.quality_threshold_sweep_sql("documents", "doc_id", "text")),
+    "ccnet_buckets_documents": (q_ccnet_buckets, textqa.ccnet_buckets_sql("documents", "doc_id", "text")),
     "vocab_coverage_documents": (q_vocab_coverage, textqa.vocab_coverage_sql("documents", "text", k=50)),
     "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
     "source_mix_documents": (q_source_mix, sampling.group_mix_sql("documents", "source", "n_chars")),
@@ -4374,12 +4394,14 @@ _GATE_HEAD = [
     "intra_line_dedup_documents",
     "drift_embeddings_projected",
     "hll_overlap_events",
-    # new this round (4)
+    # new this round (6)
     "curate_corpus_budget_documents",
     "curation_funnel_budget_documents",
     "pca_recall_embeddings",
     "token_budget_by_group_documents",
-    # family flagships — regression coverage (28)
+    "quality_sweep_documents",
+    "ccnet_buckets_documents",
+    # family flagships — regression coverage (26)
     "curate_corpus_documents",
     "curate_corpus_neardup_documents",
     "curation_funnel_documents",
@@ -4405,9 +4427,7 @@ _GATE_HEAD = [
     "sessionize_events",
     "asof_join_events_orders",
     "ks_events_value",
-    "image_dhash_documents",
     "span_dedup_documents",
-    "bloom_decontaminate_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

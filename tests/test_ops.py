@@ -2797,3 +2797,47 @@ def test_pq_index_append_frozen_codebooks_idempotent(spark, sf_tables, tmp_path)
     )
     hits = ann_index.pq_search_index(spark, path, q, k=10, n_probe=8).collect()
     assert probe_id in {r["neighbor_id"] for r in hits}  # self retrievable
+
+
+def test_quality_sweep_monotone_and_agrees_with_funnel(sf_tables, duck):
+    """The sweep is monotone non-increasing in the threshold, shares
+    are exact, and its row at the flagship's default cutoff equals the
+    funnel's quality stage."""
+    from datalakerulegeneration_spark.ops import curate, textqa
+
+    docs = sf_tables["documents"]
+    sweep = textqa.quality_threshold_sweep(docs, "doc_id", "text")
+    _cmp(sweep, duck, textqa.quality_threshold_sweep_sql("documents", "doc_id", "text"))
+    rows = sorted((r["threshold"], r["n_docs"], r["n_tokens"]) for r in sweep.collect())
+    for (t1, d1, w1), (t2, d2, w2) in zip(rows, rows[1:]):
+        assert d2 <= d1 and w2 <= w1
+    at_default = {r["threshold"]: r for r in sweep.collect()}[0.5]
+    funnel = {r["stage"]: r for r in curate.curation_funnel(docs).collect()}
+    assert at_default["n_docs"] == funnel["quality"]["n_docs"]
+    assert at_default["n_tokens"] == funnel["quality"]["n_tokens"]
+
+
+def test_ccnet_buckets_equal_bands_and_order(spark, sf_tables, duck):
+    """Terciles are equal-probability (±1 doc at boundaries), bucket
+    order follows the score order, and labels map 0/1/2 to
+    tail/middle/head."""
+    from datalakerulegeneration_spark.ops import textqa
+
+    docs = sf_tables["documents"]
+    b = textqa.ccnet_buckets(docs, "doc_id", "text")
+    _cmp(b, duck, textqa.ccnet_buckets_sql("documents", "doc_id", "text"))
+    rows = b.collect()
+    n = len(rows)
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in rows)
+    assert set(sizes) == {0, 1, 2}
+    assert max(sizes.values()) - min(sizes.values()) <= max(2, n // 50)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["mean_logprob"])
+    assert max(by_bucket[0]) <= min(by_bucket[2])  # tail below head
+    labels = {r["bucket"]: r["bucket_label"] for r in rows}
+    assert labels == {0: "tail", 1: "middle", 2: "head"}
+    with pytest.raises(ValueError, match="n_buckets"):
+        textqa.ccnet_buckets(docs, "doc_id", "text", n_buckets=1)

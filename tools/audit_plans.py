@@ -63,6 +63,8 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("grouped_quantiles_events", "global_window", "(#keys x |qs|)-row rank-literal frame"),
     ("quantile_drift_events", "global_window", "|qs|-row quantile frames both sides"),
     ("mad_outliers_events", "global_window", "n_parts-row offsets inside exact quantiles"),
+    ("ccnet_buckets_documents", "global_window", "n_parts-row offsets inside the exact score-quantile engine"),
+    ("ccnet_buckets_documents", "bnlj", "(n_buckets-1)-row threshold frame + 1-row totals broadcast"),
     ("rollup_events", "global_window", "O(#hours) grain fan-out frame"),
     ("profile_merge_documents", "global_window", "#columns-row merged-state frame"),
     ("eval_correction_orders", "global_window", "#columns-row score vector"),
