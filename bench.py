@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "token_budget_by_group_documents",
     "quality_sweep_documents",
     "ccnet_buckets_documents",
+    "dup_weights_documents",
 ]
 
 

@@ -1825,3 +1825,36 @@ SELECT t.id,
 FROM tok t LEFT JOIN cov c ON t.id = c.id AND t.tpos = c.tpos
 GROUP BY t.id
 """
+
+
+def dup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Soft dedup: every document kept, repeats DOWNWEIGHTED —
+    ``(id, dup_count, weight)`` with weight = 1/n for a text occurring
+    n times, so a duplicated document contributes one document's worth
+    of loss in total (the data-constrained-LM recipe: repeat data
+    rather than drop it, but don't let a 10k-copy boilerplate page
+    train like 10k documents). The drop-based alternative is
+    :func:`exact_dedup`; both share its digest convention (the shuffle
+    carries (id, md5) — bodies never move; NULL texts form one digest
+    group, as in exact_dedup's oracle).
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col).cast("binary")).alias("_d"),
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("_d"))
+    return d.select(
+        "id",
+        n.cast("bigint").alias("dup_count"),
+        F.round(F.lit(1.0) / n, 6).alias("weight"),
+    )
+
+
+def dup_weights_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle for :func:`dup_weights`."""
+    return f"""
+SELECT {id_col} AS id,
+       CAST(count(*) OVER (PARTITION BY md5({text_col})) AS BIGINT) AS dup_count,
+       round(1.0 / count(*) OVER (PARTITION BY md5({text_col})), 6) AS weight
+FROM {table}
+"""

@@ -1167,6 +1167,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, "doc_id", "text")
 
 
+def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (ops.dedup.dup_weights): repeats downweighted to
+    1/n instead of dropped — the loss-weighting alternative to
+    exact_dedup (repeat data, don't let boilerplate train n times);
+    one digest-partitioned count, bodies never shuffle."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.dup_weights(docs, "doc_id", "text")
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span removal (ops.dedup.span_dedup): any 5-token span
     occurring ≥2 times in the corpus is excised from every document;
@@ -4208,6 +4217,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hybrid_search_documents": (q_hybrid_search_documents, _hybrid_oracle()),
     # dedup / similarity / text (scale extensions)
     "dedup_exact_documents": (q_dedup_exact, dedup.exact_dedup_sql("documents", "doc_id", "text")),
+    "dup_weights_documents": (q_dup_weights, dedup.dup_weights_sql("documents", "doc_id", "text")),
     "span_dedup_documents": (q_span_dedup, dedup.span_dedup_sql("documents", "doc_id", "text", w=5, min_count=2)),
     "dedup_ngram_documents": (q_dedup_ngram, dedup.ngram_jaccard_sql("documents", "doc_id", "text", threshold=0.2)),
     # prefix filtering is lossless, so the PPJoin path shares the plain
@@ -4394,14 +4404,15 @@ _GATE_HEAD = [
     "intra_line_dedup_documents",
     "drift_embeddings_projected",
     "hll_overlap_events",
-    # new this round (6)
+    # new this round (7)
     "curate_corpus_budget_documents",
     "curation_funnel_budget_documents",
     "pca_recall_embeddings",
     "token_budget_by_group_documents",
     "quality_sweep_documents",
     "ccnet_buckets_documents",
-    # family flagships — regression coverage (26)
+    "dup_weights_documents",
+    # family flagships — regression coverage (25)
     "curate_corpus_documents",
     "curate_corpus_neardup_documents",
     "curation_funnel_documents",
@@ -4426,7 +4437,6 @@ _GATE_HEAD = [
     "dsir_weights_documents",
     "sessionize_events",
     "asof_join_events_orders",
-    "ks_events_value",
     "span_dedup_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))

@@ -2841,3 +2841,23 @@ def test_ccnet_buckets_equal_bands_and_order(spark, sf_tables, duck):
     assert labels == {0: "tail", 1: "middle", 2: "head"}
     with pytest.raises(ValueError, match="n_buckets"):
         textqa.ccnet_buckets(docs, "doc_id", "text", n_buckets=1)
+
+
+def test_dup_weights_soft_dedup_semantics(spark, duck):
+    """Every doc kept; an n-copy text weighs 1/n per copy (total loss
+    mass = one document); singletons weigh 1.0; NULL texts form one
+    digest group (the exact_dedup convention)."""
+    import pandas as pd
+
+    rows = [(1, "same"), (2, "same"), (3, "same"), (4, "unique"), (5, None), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["dup_count"], r["weight"]) for r in dedup.dup_weights(df, "doc_id", "text").collect()}
+    assert got[1] == got[2] == got[3] == (3, round(1 / 3, 6))
+    assert got[4] == (1, 1.0)
+    assert got[5] == got[6] == (2, 0.5)
+    duck.register("planted_dupw", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    _cmp(
+        dedup.dup_weights(df, "doc_id", "text"),
+        duck,
+        dedup.dup_weights_sql("planted_dupw", "doc_id", "text"),
+    )
