@@ -50,3 +50,7 @@ from datalakerulegeneration_spark.streaming.ann_index_stream import (  # noqa: F
     AnnIndexIngester,
     ann_ingest_stream,
 )
+from datalakerulegeneration_spark.streaming.budget_stream import (  # noqa: F401
+    BudgetAdmitter,
+    budget_admission_stream,
+)

@@ -1096,3 +1096,67 @@ def test_ann_ingest_real_stream_extends_searchable_index(spark, sf_tables, tmp_p
     for r in got.collect():
         by_q[r["query_id"]].add(r["neighbor_id"])
     assert by_q and all(qid in ns for qid, ns in by_q.items())  # streamed rows searchable
+
+
+def test_budget_admission_stream_vs_python_model(spark, sf_tables, tmp_path):
+    """Arrival-order token-budget admission: survivors equal a python
+    model of the contract (deterministic hash order within batch,
+    skipped docs advance the position, only admitted tokens consume
+    budget across batches); a full replay with a fresh checkpoint is a
+    no-op; admitted totals never exceed the budget."""
+    import hashlib
+    import re
+
+    from datalakerulegeneration_spark.streaming import budget_admission_stream
+
+    docs = sf_tables["documents"].select("doc_id", "text").limit(120)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    src = str(tmp_path / "src")
+    batches = [(0, 40), (40, 80), (80, 1 << 40)]
+    for lo, hi in batches:
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    budget = 3000
+    q, adm = budget_admission_stream(
+        spark, stream, str(tmp_path / "state"), budget,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    def proxy_w(t):
+        return 0 if t is None else len(re.findall(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]", t))
+
+    def hb(i):
+        return int(hashlib.md5(f"budget:{i}".encode()).hexdigest()[:7], 16)
+
+    admitted, cum = [], 0
+    for lo, hi in batches:
+        ids = sorted((i for i in rows if lo <= i < hi), key=lambda i: (hb(i), i))
+        remaining, pos = budget - cum, 0
+        for i in ids:
+            w = proxy_w(rows[i])
+            if pos + w <= remaining:
+                admitted.append(i)
+                cum += w
+            pos += w
+    got = sorted(r["doc_id"] for r in adm.survivors().collect())
+    assert got == sorted(admitted)
+    assert adm.admitted_tokens() == cum <= budget
+
+    # fresh-checkpoint full replay: batch ids restart at 0 <= committed
+    # marker, so every batch no-ops — no duplicate survivors, same state
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2, adm2 = budget_admission_stream(
+        spark, stream2, str(tmp_path / "state"), budget,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in adm2.survivors().collect()) == sorted(admitted)
+    assert adm2.admitted_tokens() == cum
