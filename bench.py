@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "quality_sweep_documents",
     "ccnet_buckets_documents",
     "dup_weights_documents",
+    "compression_ratio_documents",
 ]
 
 

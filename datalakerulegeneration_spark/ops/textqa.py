@@ -1924,3 +1924,40 @@ FROM (
   GROUP BY 1, 2, 3
 )
 """
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    repetitiveness signal (MassiveText/RefinedWeb-style filtering):
+    boilerplate and template spam compress far better than natural
+    prose, so a HIGH ratio flags low-information documents; it catches
+    long-period repetition the n-gram ``repetition_stats`` misses.
+    ``(id, n_bytes, n_compressed, ratio)`` with ratio = raw/compressed
+    rounded 6 dp; NULL text yields NULL metrics.
+
+    Map-only: one Arrow-batched pandas_udf (zlib is stdlib — always on
+    the workers; deflate with a fixed level is deterministic for a
+    given zlib build). No SQL twin — DuckDB has no in-SQL deflate —
+    so the registered query is a sanctioned rows-only entry, with
+    semantics pytest-pinned (repetitive ≫ prose ratio).
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    lvl = int(level)
+
+    @F.pandas_udf(LongType())
+    def _clen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.fillna("").map(lambda t: len(zlib.compress(t.encode("utf-8"), lvl))).astype("int64")
+
+    t = F.col(text_col)
+    n_bytes = F.octet_length(t).cast("bigint")
+    n_comp = F.when(t.isNull(), F.lit(None).cast("bigint")).otherwise(_clen(t))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_bytes.alias("n_bytes"),
+        n_comp.alias("n_compressed"),
+        F.round(n_bytes.cast("double") / n_comp.cast("double"), 6).alias("ratio"),
+    )

@@ -2161,6 +2161,15 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.vocab_coverage(docs, "text", k=50)
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio (ops.textqa.compression_ratio):
+    the repetitiveness/low-information filter signal — map-only Arrow
+    pandas_udf, no shuffle. No SQL twin (DuckDB has no in-SQL
+    deflate) -> sanctioned rows-only; semantics pytest-pinned."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return textqa.compression_ratio(docs, "doc_id", "text")
+
+
 def q_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-cutoff selection curve (ops.textqa.quality_threshold_sweep):
     surviving docs/tokens + shares at each candidate quality_min, all
@@ -4287,6 +4296,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub_documents": (q_pii_scrub, textqa.pii_scrub_sql("documents", "doc_id", "text")),
     "unigram_logprob_documents": (q_unigram_logprob, textqa.unigram_logprob_sql("documents", "doc_id", "text")),
     "quality_sweep_documents": (q_quality_sweep, textqa.quality_threshold_sweep_sql("documents", "doc_id", "text")),
+    "compression_ratio_documents": (q_compression_ratio, None),
     "ccnet_buckets_documents": (q_ccnet_buckets, textqa.ccnet_buckets_sql("documents", "doc_id", "text")),
     "vocab_coverage_documents": (q_vocab_coverage, textqa.vocab_coverage_sql("documents", "text", k=50)),
     "tfidf_top_terms_documents": (q_tfidf_top_terms, textqa.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)),
@@ -4404,7 +4414,7 @@ _GATE_HEAD = [
     "intra_line_dedup_documents",
     "drift_embeddings_projected",
     "hll_overlap_events",
-    # new this round (7)
+    # new this round (8)
     "curate_corpus_budget_documents",
     "curation_funnel_budget_documents",
     "pca_recall_embeddings",
@@ -4412,7 +4422,8 @@ _GATE_HEAD = [
     "quality_sweep_documents",
     "ccnet_buckets_documents",
     "dup_weights_documents",
-    # family flagships — regression coverage (25)
+    "compression_ratio_documents",
+    # family flagships — regression coverage (24)
     "curate_corpus_documents",
     "curate_corpus_neardup_documents",
     "curation_funnel_documents",
@@ -4436,7 +4447,6 @@ _GATE_HEAD = [
     "corpus_report_documents",
     "dsir_weights_documents",
     "sessionize_events",
-    "asof_join_events_orders",
     "span_dedup_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
@@ -4495,6 +4505,7 @@ ROWS_ONLY: dict[str, str] = {
     "profile_lineitem_approx": "approx_percentile sketch — tolerance-bounded by design, no exact oracle",
     "dboost_mixture_lineitem": "EM-fitted Gaussian mixture — iterative ML fit, not SQL-expressible",
     "pca_topk_embeddings": "eigenvector basis from iterative SVD — exactness gated by pca_recall_embeddings instead",
+    "compression_ratio_documents": "zlib deflate has no DuckDB SQL twin — repetitiveness semantics pytest-pinned",
 }
 
 

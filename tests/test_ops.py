@@ -2861,3 +2861,28 @@ def test_dup_weights_soft_dedup_semantics(spark, duck):
         duck,
         dedup.dup_weights_sql("planted_dupw", "doc_id", "text"),
     )
+
+
+def test_compression_ratio_flags_repetitive_text(spark, sf_tables):
+    """Repetitive text compresses far better than prose; nulls yield
+    null metrics; determinism across calls; fixture runs end-to-end."""
+    from datalakerulegeneration_spark.ops import textqa
+
+    rows = [
+        (1, "the same phrase " * 200),
+        (2, "A quick brown fox jumps over the lazy dog while seventeen "
+            "zebras quietly examine quartz formations beyond the river delta."),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from datalakerulegeneration_spark.ops.textqa import compression_ratio
+
+    got = {r["id"]: r.asDict() for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert got[1]["ratio"] > 10 > got[2]["ratio"] > 0.5
+    assert got[3]["n_compressed"] is None and got[3]["ratio"] is None
+    assert got[4]["n_bytes"] == 0
+    again = {r["id"]: r.asDict() for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert got == again  # deterministic
+    out = compression_ratio(sf_tables["documents"], "doc_id", "text")
+    assert out.where(F.col("ratio").isNull() & F.col("n_bytes").isNotNull()).count() == 0
