@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "ccnet_buckets_documents",
     "dup_weights_documents",
     "compression_ratio_documents",
+    "pack_source_mix_documents",
 ]
 
 

@@ -223,25 +223,91 @@ def pack_sequences_sql(
     weight_expr: str,
     seq_len: int,
     salt: str = "pack",
+    carry_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB oracle for :func:`pack_sequences` — one global window
-    (the oracle may be sequential; only the Spark side must scale)."""
+    (the oracle may be sequential; only the Spark side must scale).
+    ``carry_cols`` mirrors the Spark side's passthrough columns."""
+    carry = "".join(f" {c}," for c in carry_cols)
     return f"""
 WITH w AS (
-  SELECT {id_col} AS id,
+  SELECT {id_col} AS id,{carry}
          COALESCE(CAST({weight_expr} AS BIGINT), 0) AS weight,
          {_hash_bucket_sql(id_col, salt)} AS h
   FROM {table}
 ),
 o AS (
-  SELECT id, weight,
+  SELECT id,{carry} weight,
          -- cast: DuckDB sums BIGINT into HUGEINT, which pandas floats
          CAST(COALESCE(sum(weight) OVER (ORDER BY h, id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
   FROM w
 )
-SELECT id, weight, "offset",
+SELECT id,{carry} weight, "offset",
        CAST(floor("offset" / {seq_len}) AS BIGINT) AS pack_first,
        CAST(floor(("offset" + greatest(weight, 1) - 1) / {seq_len}) AS BIGINT) AS pack_last
 FROM o
+"""
+
+
+def pack_source_mix(packed: DataFrame, seq_len: int, group_col: str = "grp") -> DataFrame:
+    """Per-pack PROVENANCE: which sources contribute tokens to each
+    training pack and in what shares — ``(pack_id, group, n_tokens,
+    share)``. The per-batch attribution record a training run keeps so
+    any loss anomaly can be traced back to a data source, and the
+    pack-grain audit that the corpus-level mixture (target shares)
+    actually survived packing.
+
+    Same inline explode as :func:`pack_stats` (the group column rides
+    the SAME map-only expansion — no join-back through the packed
+    chain); shares come from a pack-partitioned window over the
+    (pack, group)-grain aggregate. All counting is exact int64; share
+    rounds 6 dp.
+
+    ``packed`` must carry ``group_col`` (build it with
+    ``pack_sequences(..., carry_cols=(group_col,))``).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    pack = F.col("pack_id")
+    w = F.coalesce(F.col("weight"), F.lit(0))
+    lo = F.greatest(F.col("offset"), pack * seq_len)
+    hi = F.least(F.col("offset") + w, (pack + 1) * seq_len)
+    m = packed.select(
+        F.col(group_col).alias("grp_"),
+        "weight",
+        "offset",
+        F.explode(F.expr("sequence(pack_first, pack_last)")).alias("pack_id"),
+    ).select(
+        pack.cast("bigint").alias("pack_id"),
+        "grp_",
+        F.greatest(hi - lo, F.lit(0)).alias("t"),
+    )
+    per = m.groupBy("pack_id", "grp_").agg(F.sum("t").cast("bigint").alias("n_tokens"))
+    tot = F.sum("n_tokens").over(Window.partitionBy("pack_id"))
+    return per.select(
+        "pack_id",
+        F.col("grp_").alias(group_col),
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / tot.cast("double"), 6).alias("share"),
+    )
+
+
+def pack_source_mix_sql(pack_sql: str, seq_len: int, group_col: str = "grp") -> str:
+    """DuckDB oracle for :func:`pack_source_mix` over a pack-assignment
+    subquery that carries ``group_col``."""
+    manifest = pack_manifest_sql(pack_sql, seq_len).strip()
+    return f"""
+WITH packed3 AS ({pack_sql}),
+manifest AS ({manifest}),
+per AS (
+  SELECT m.pack_id, p.{group_col},
+         CAST(sum(m.n_tokens_in_pack) AS BIGINT) AS n_tokens
+  FROM manifest m JOIN packed3 p ON m.id = p.id
+  GROUP BY 1, 2
+)
+SELECT pack_id, {group_col}, n_tokens,
+       round(CAST(n_tokens AS DOUBLE)
+             / CAST(sum(n_tokens) OVER (PARTITION BY pack_id) AS DOUBLE), 6) AS share
+FROM per
 """

@@ -2140,6 +2140,21 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_manifest(packed, seq_len=2048)
 
 
+def q_pack_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack source provenance (ops.packing.pack_source_mix): token
+    shares by source inside every 2048-token training pack — the
+    per-batch attribution record, and the pack-grain audit that the
+    corpus mixture survived packing. Group rides the same map-only
+    explode as pack_stats; shares from a pack-partitioned window."""
+    from datalakerulegeneration_spark.ops import packing
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    d = docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
+    packed = packing.pack_sequences(d, "doc_id", "n_tokens", seq_len=2048, carry_cols=("source",))
+    return packing.pack_source_mix(packed, seq_len=2048, group_col="source")
+
+
 def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pack fill audit (ops.packing.pack_stats): docs, tokens,
     fill ratio and boundary-crossing docs for every 2048-token pack —
@@ -4310,6 +4325,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
     "curate_corpus_budget_documents": (q_curate_corpus_budget, curate.curate_corpus_sql("documents", token_budget=_CURATE_BUDGET)),
     "curation_funnel_budget_documents": (q_curation_funnel_budget, curate.curation_funnel_sql("documents", token_budget=_CURATE_BUDGET)),
+    "pack_source_mix_documents": (q_pack_source_mix, packing.pack_source_mix_sql(
+        packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, 2048, carry_cols=("source",)),
+        2048,
+        group_col="source",
+    )),
     "pack_manifest_documents": (q_pack_manifest, packing.pack_manifest_sql(
         packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048), seq_len=2048
     )),
@@ -4414,7 +4434,7 @@ _GATE_HEAD = [
     "intra_line_dedup_documents",
     "drift_embeddings_projected",
     "hll_overlap_events",
-    # new this round (8)
+    # new this round (9)
     "curate_corpus_budget_documents",
     "curation_funnel_budget_documents",
     "pca_recall_embeddings",
@@ -4423,7 +4443,8 @@ _GATE_HEAD = [
     "ccnet_buckets_documents",
     "dup_weights_documents",
     "compression_ratio_documents",
-    # family flagships — regression coverage (24)
+    "pack_source_mix_documents",
+    # family flagships — regression coverage (23)
     "curate_corpus_documents",
     "curate_corpus_neardup_documents",
     "curation_funnel_documents",
@@ -4443,7 +4464,6 @@ _GATE_HEAD = [
     "fd_conflicts_orders",
     "token_count_documents",
     "pack_sequences_documents",
-    "token_kl_by_source_documents",
     "corpus_report_documents",
     "dsir_weights_documents",
     "sessionize_events",

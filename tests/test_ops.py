@@ -2886,3 +2886,39 @@ def test_compression_ratio_flags_repetitive_text(spark, sf_tables):
     assert got == again  # deterministic
     out = compression_ratio(sf_tables["documents"], "doc_id", "text")
     assert out.where(F.col("ratio").isNull() & F.col("n_bytes").isNotNull()).count() == 0
+
+
+def test_pack_source_mix_shares_sum_to_one(sf_tables, duck):
+    """Provenance shares per pack sum to 1 (±rounding), per-pack token
+    totals equal pack_stats', and the oracle matches."""
+    from datalakerulegeneration_spark.ops import packing
+
+    docs = sf_tables["documents"]
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    d = docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
+    packed = packing.pack_sequences(d, "doc_id", "n_tokens", seq_len=2048, carry_cols=("source",))
+    mix = packing.pack_source_mix(packed, seq_len=2048, group_col="source")
+    _cmp(
+        mix,
+        duck,
+        packing.pack_source_mix_sql(
+            packing.pack_sequences_sql(
+                "documents", "doc_id",
+                "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))",
+                2048, carry_cols=("source",),
+            ),
+            2048,
+            group_col="source",
+        ),
+    )
+    rows = mix.collect()
+    from collections import defaultdict
+
+    shares = defaultdict(float)
+    tokens = defaultdict(int)
+    for r in rows:
+        shares[r["pack_id"]] += r["share"]
+        tokens[r["pack_id"]] += r["n_tokens"]
+    assert all(abs(v - 1.0) < 1e-4 for v in shares.values())
+    stats = {r["pack_id"]: r["n_tokens"] for r in packing.pack_stats(packed, 2048).collect()}
+    assert tokens == stats

@@ -46,6 +46,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("pack_sequences_documents", "global_window", "n_parts-row bucket-offset frame (two-level prefix sum)"),
     ("pack_manifest_documents", "global_window", "n_parts-row bucket-offset frame"),
     ("pack_stats_documents", "global_window", "n_parts-row bucket-offset frame"),
+    ("pack_source_mix_documents", "global_window", "n_parts-row bucket-offset frame (the share window is pack-partitioned)"),
     ("shuffle_documents", "global_window", "n_parts-row bucket-offset frame (two-level rank)"),
     ("curate_corpus_documents", "global_window", "n_parts-row packing offsets inside the pipeline"),
     ("curate_corpus_neardup_documents", "global_window", "n_parts-row packing offsets"),
