@@ -285,11 +285,15 @@ def pack_source_mix(packed: DataFrame, seq_len: int, group_col: str = "grp") -> 
     )
     per = m.groupBy("pack_id", "grp_").agg(F.sum("t").cast("bigint").alias("n_tokens"))
     tot = F.sum("n_tokens").over(Window.partitionBy("pack_id"))
+    # nullif: a pack of only zero-weight docs has 0 total tokens — its
+    # shares are NULL, not a division error (Spark 4 ANSI throws on /0)
     return per.select(
         "pack_id",
         F.col("grp_").alias(group_col),
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / tot.cast("double"), 6).alias("share"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.nullif(tot.cast("double"), F.lit(0.0)), 6
+        ).alias("share"),
     )
 
 
@@ -308,6 +312,6 @@ per AS (
 )
 SELECT pack_id, {group_col}, n_tokens,
        round(CAST(n_tokens AS DOUBLE)
-             / CAST(sum(n_tokens) OVER (PARTITION BY pack_id) AS DOUBLE), 6) AS share
+             / nullif(CAST(sum(n_tokens) OVER (PARTITION BY pack_id) AS DOUBLE), 0.0), 6) AS share
 FROM per
 """

@@ -776,3 +776,85 @@ def test_target_mixture_exact_counts_vs_model(spark, group_sizes, weights):
     for gi, n in enumerate(group_sizes):
         expect = math.floor(shares[f"g{gi}"] * n_total)
         assert got.get(f"g{gi}", 0) == expect
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 100),   # quality percent
+            st.integers(0, 30),    # weight
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.dictionaries(st.sampled_from(["a", "b", "c"]), st.integers(1, 120), min_size=1, max_size=3),
+)
+def test_token_budget_by_group_vs_model(spark, rows, budgets):
+    """Per-group budget selection vs the brute-force python model:
+    within each named group, iterate docs by (quality desc, id asc);
+    an overflowing doc is skipped but still advances the position
+    (the documented cutoff convention); unnamed groups drop."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    data = [
+        (i, g, round(q / 100.0, 6), w) for i, (g, q, w) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id long, grp string, q double, w long")
+    got = sorted(
+        r["id"]
+        for r in sampling.token_budget_select_by_group(
+            df, "id", "w", "q", "grp", budgets
+        ).collect()
+    )
+    want = []
+    for g, budget in budgets.items():
+        pos = 0
+        for i, gg, q, w in sorted(
+            (t for t in data if t[1] == g), key=lambda t: (-t[2], t[0])
+        ):
+            if pos + w <= budget:
+                want.append(i)
+            pos += w
+    assert got == sorted(want)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(4, 64),
+)
+def test_pack_source_mix_conserves_tokens(spark, rows, seq_len):
+    """Provenance conservation on random corpora: the mix's global
+    token total equals the input weight total, per-pack totals equal
+    pack_stats', and per-pack shares sum to 1 (non-empty packs)."""
+    from pyspark.sql import functions as F
+
+    from datalakerulegeneration_spark.ops import packing
+
+    data = [(i, g, w) for i, (g, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, w long")
+    packed = packing.pack_sequences(df, "doc_id", "w", seq_len=seq_len, carry_cols=("source",))
+    mix = packing.pack_source_mix(packed, seq_len=seq_len, group_col="source").collect()
+    assert sum(r["n_tokens"] for r in mix) == sum(w for _, _, w in data)
+    stats = {r["pack_id"]: r["n_tokens"] for r in packing.pack_stats(packed, seq_len).collect()}
+    from collections import defaultdict
+
+    tok, share = defaultdict(int), defaultdict(float)
+    for r in mix:
+        tok[r["pack_id"]] += r["n_tokens"]
+        # zero-token packs have NULL shares by contract (ANSI-safe);
+        # any contributing row always has a share
+        if r["share"] is None:
+            assert r["n_tokens"] == 0
+        else:
+            share[r["pack_id"]] += r["share"]
+    assert tok == stats
+    for p, s in share.items():
+        if tok[p] > 0:
+            assert abs(s - 1.0) < 1e-4
