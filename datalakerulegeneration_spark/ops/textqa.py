@@ -1813,12 +1813,14 @@ def quality_threshold_sweep(
         "nt_all",
         f"stack({len(thresholds)}, {stack}) as (threshold, n_docs, n_tokens)",
     )
+    # nullif: an empty corpus (or one with zero total tokens — all
+    # NULL/empty texts) yields NULL shares, not an ANSI /0 error
     return out.select(
         "threshold",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_docs") / F.col("nd_all"), 6).alias("doc_share"),
-        F.round(F.col("n_tokens") / F.col("nt_all"), 6).alias("token_share"),
+        F.round(F.col("n_docs") / F.nullif(F.col("nd_all").cast("double"), F.lit(0.0)), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.nullif(F.col("nt_all").cast("double"), F.lit(0.0)), 6).alias("token_share"),
     )
 
 
@@ -1834,8 +1836,8 @@ def quality_threshold_sweep_sql(
             f"SELECT CAST({float(t)} AS DOUBLE) AS threshold,"
             f" CAST(count(CASE WHEN _q >= {float(t)} THEN 1 END) AS BIGINT) AS n_docs,"
             f" CAST(COALESCE(sum(CASE WHEN _q >= {float(t)} THEN _w END), 0) AS BIGINT) AS n_tokens,"
-            f" round(count(CASE WHEN _q >= {float(t)} THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS doc_share,"
-            f" round(COALESCE(sum(CASE WHEN _q >= {float(t)} THEN _w END), 0) / CAST(COALESCE(sum(_w), 0) AS DOUBLE), 6) AS token_share"
+            f" round(count(CASE WHEN _q >= {float(t)} THEN 1 END) / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) AS doc_share,"
+            f" round(COALESCE(sum(CASE WHEN _q >= {float(t)} THEN _w END), 0) / nullif(CAST(COALESCE(sum(_w), 0) AS DOUBLE), 0.0), 6) AS token_share"
             f" FROM s"
         )
     return f"""

@@ -2922,3 +2922,23 @@ def test_pack_source_mix_shares_sum_to_one(sf_tables, duck):
     assert all(abs(v - 1.0) < 1e-4 for v in shares.values())
     stats = {r["pack_id"]: r["n_tokens"] for r in packing.pack_stats(packed, 2048).collect()}
     assert tokens == stats
+
+
+def test_quality_sweep_zero_token_corpus_null_shares(spark, duck):
+    """All-empty/NULL-text corpus: zero total tokens must yield NULL
+    token_share (not an ANSI /0 error) on both engines."""
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import textqa
+
+    rows = [(1, ""), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textqa.quality_threshold_sweep(df, "doc_id", "text").collect()
+    assert all(r["token_share"] is None for r in out)
+    assert all(r["doc_share"] is not None for r in out)
+    duck.register("planted_empty_sweep", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    _cmp(
+        textqa.quality_threshold_sweep(df, "doc_id", "text"),
+        duck,
+        textqa.quality_threshold_sweep_sql("planted_empty_sweep", "doc_id", "text"),
+    )
