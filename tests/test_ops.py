@@ -2942,3 +2942,28 @@ def test_quality_sweep_zero_token_corpus_null_shares(spark, duck):
         duck,
         textqa.quality_threshold_sweep_sql("planted_empty_sweep", "doc_id", "text"),
     )
+
+
+def test_pq_index_asymmetric_search_improves_recall(spark, sf_tables, tmp_path):
+    """ADC mode: raw query vs reconstructed corpus must match exact
+    brute-force top-10 at least as well as symmetric search (FAISS's
+    default asymmetric-distance argument), on the same index."""
+    from datalakerulegeneration_spark.ops import ann_index, similarity
+
+    emb = sf_tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "pq_adc")
+    ann_index.pq_build_index(emb, path, m=8, ksub=32)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def hits(asym):
+        got = ann_index.pq_search_index(spark, path, queries, k=10, asymmetric=asym)
+        return len({(r["query_id"], r["neighbor_id"]) for r in got.collect()} & exact)
+
+    sym, asym = hits(False), hits(True)
+    assert asym >= sym > 0
