@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "dup_weights_documents",
     "compression_ratio_documents",
     "pack_source_mix_documents",
+    "length_batches_documents",
+    "padding_waste_documents",
 ]
 
 

@@ -315,3 +315,167 @@ SELECT pack_id, {group_col}, n_tokens,
              / nullif(CAST(sum(n_tokens) OVER (PARTITION BY pack_id) AS DOUBLE), 0.0), 6) AS share
 FROM per
 """
+
+
+# power-of-two ceiling, bit-exact in both engines: length(bin(w-1)) is
+# ceil(log2(w)) for w >= 2 as pure integer/string arithmetic (no float
+# log2 near exact powers)
+_CEIL2 = "CASE WHEN {w} <= 1 THEN 1 ELSE shiftleft(1, length(bin({w} - 1))) END"
+_CEIL2_SQL = "CASE WHEN {w} <= 1 THEN CAST(1 AS BIGINT) ELSE CAST((1 << length(bin({w} - 1))) AS BIGINT) END"
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    max_tokens: int,
+    salt: str = "batch",
+    n_parts: int = 64,
+) -> DataFrame:
+    """PADDED-batch assignment — the SFT/fine-tuning counterpart of
+    concat packing: sequences are padded to a common length per batch,
+    so batching mixed lengths wastes compute as padding. Standard fix:
+    bucket documents by the power-of-two ceiling of their length, then
+    fill fixed-cost batches within each bucket (every batch pads to
+    the bucket ceiling; batch cost = ceiling × batch_size ≤
+    ``max_tokens``).
+
+    ``(id, weight, bucket, batch_idx)`` — bucket is the pad-to length;
+    batch_idx numbers batches within the bucket in the deterministic
+    hash order (two-level per-bucket rank, the target_mixture_exact
+    machinery: a bucket holding most of the corpus never sorts in one
+    task). Documents longer than ``max_tokens`` (ceiling > budget) get
+    batch_idx NULL — unbatchable at this cost cap; chunk them first.
+    All arithmetic int64 → exact DuckDB oracle.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    from datalakerulegeneration_spark.ops.sampling import _hash_bucket
+
+    w = f"coalesce(cast({weight_col} as bigint), 0)"
+    bucket = F.expr(_CEIL2.format(w=w)).cast("bigint")
+    width = _BUCKETS // n_parts
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(w).alias("weight"),
+            bucket.alias("bucket"),
+        )
+        .withColumn("_h", _hash_bucket("id", salt))
+        .withColumn("_pid", F.floor(F.col("_h") / width).cast("int"))
+    )
+    # (#buckets × n_parts)-row frame; cumulative window partitioned by bucket
+    wg = Window.partitionBy("_gk").orderBy("_opid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        d.groupBy(F.col("bucket").alias("_gk"), F.col("_pid").alias("_opid"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(wg), F.lit(0)))
+        .select("_gk", "_opid", "_off")
+    )
+    wl = Window.partitionBy("bucket", "_pid").orderBy(F.col("_h").asc(), F.col("id").asc())
+    batch_size = F.floor(F.lit(max_tokens) / F.col("bucket")).cast("bigint")
+    rank = F.row_number().over(wl) + F.col("_off")
+    return (
+        d.join(
+            F.broadcast(off),
+            (F.col("bucket") == F.col("_gk")) & (F.col("_pid") == F.col("_opid")),
+        )
+        .select(
+            "id",
+            "weight",
+            "bucket",
+            F.when(
+                batch_size >= 1, F.floor((rank - 1) / batch_size).cast("bigint")
+            ).alias("batch_idx"),
+        )
+    )
+
+
+def length_bucket_batches_sql(
+    table: str, id_col: str, weight_expr: str, max_tokens: int, salt: str = "batch"
+) -> str:
+    """DuckDB oracle for :func:`length_bucket_batches` (single
+    bucket-partitioned rank window)."""
+    from datalakerulegeneration_spark.ops.sampling import _hash_bucket_sql
+
+    w = f"COALESCE(CAST({weight_expr} AS BIGINT), 0)"
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, {w} AS weight,
+         {_CEIL2_SQL.format(w=w)} AS bucket,
+         {_hash_bucket_sql(id_col, salt)} AS h
+  FROM {table}
+),
+r AS (
+  SELECT id, weight, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, id) AS rnk,
+         CAST(floor({max_tokens} / bucket) AS BIGINT) AS bs
+  FROM d
+)
+SELECT id, weight, bucket,
+       CASE WHEN bs >= 1 THEN CAST(floor((rnk - 1) / bs) AS BIGINT) END AS batch_idx
+FROM r
+"""
+
+
+def padding_waste_stats(batched: DataFrame) -> DataFrame:
+    """Padding-efficiency audit over a :func:`length_bucket_batches`
+    assignment: per bucket — batches, docs, real tokens, padded tokens
+    (Σ bucket × batch population), waste ratio. Unbatchable docs
+    (NULL batch_idx) report as bucket −1 with NULL ratio. Two hash
+    aggregations over the slim assignment frame."""
+    per_batch = (
+        batched.withColumn(
+            "_b", F.when(F.col("batch_idx").isNotNull(), F.col("bucket")).otherwise(F.lit(-1))
+        )
+        .groupBy("_b", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("weight").alias("_t"),
+        )
+    )
+    padded = F.when(F.col("batch_idx").isNotNull(), F.col("_b") * F.col("_n")).otherwise(
+        F.lit(None).cast("bigint")
+    )
+    return (
+        per_batch.withColumn("_p", padded)
+        .groupBy(F.col("_b").alias("bucket"))
+        .agg(
+            F.count(F.when(F.col("batch_idx").isNotNull(), F.lit(1))).cast("bigint").alias("n_batches"),
+            F.sum("_n").cast("bigint").alias("n_docs"),
+            F.sum("_t").cast("bigint").alias("n_tokens"),
+            F.sum("_p").cast("bigint").alias("padded_tokens"),
+        )
+        .withColumn(
+            "waste_ratio",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_tokens").cast("double")
+                / F.nullif(F.col("padded_tokens").cast("double"), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
+def padding_waste_stats_sql(batched_sql: str) -> str:
+    """DuckDB oracle for :func:`padding_waste_stats` over a
+    :func:`length_bucket_batches_sql` subquery."""
+    return f"""
+WITH b AS ({batched_sql}),
+pb AS (
+  SELECT CASE WHEN batch_idx IS NOT NULL THEN bucket ELSE -1 END AS bkt,
+         batch_idx, count(*) AS n, sum(weight) AS t
+  FROM b GROUP BY 1, 2
+)
+SELECT bkt AS bucket,
+       CAST(count(CASE WHEN batch_idx IS NOT NULL THEN 1 END) AS BIGINT) AS n_batches,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN batch_idx IS NOT NULL THEN bkt * n END) AS BIGINT) AS padded_tokens,
+       round(1.0 - CAST(sum(t) AS DOUBLE)
+             / nullif(CAST(sum(CASE WHEN batch_idx IS NOT NULL THEN bkt * n END) AS DOUBLE), 0.0), 6) AS waste_ratio
+FROM pb GROUP BY 1
+"""

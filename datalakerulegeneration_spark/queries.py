@@ -2140,6 +2140,32 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_manifest(packed, seq_len=2048)
 
 
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-style padded batching (ops.packing.length_bucket_batches):
+    docs bucketed by power-of-two length ceiling, fixed-cost batches
+    filled within each bucket (pad-to-ceiling x batch size <= 2048);
+    two-level per-bucket rank — no task sorts a bucket."""
+    from datalakerulegeneration_spark.ops import packing
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    d = docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
+    return packing.length_bucket_batches(d, "doc_id", "n_tokens", max_tokens=2048)
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency audit (ops.packing.padding_waste_stats): per
+    length bucket — batches, docs, real vs padded tokens, waste ratio
+    — the number that justifies bucketing over naive batching."""
+    from datalakerulegeneration_spark.ops import packing
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    d = docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
+    b = packing.length_bucket_batches(d, "doc_id", "n_tokens", max_tokens=2048)
+    return packing.padding_waste_stats(b)
+
+
 def q_pack_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pack source provenance (ops.packing.pack_source_mix): token
     shares by source inside every 2048-token training pack — the
@@ -4325,6 +4351,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
     "curate_corpus_budget_documents": (q_curate_corpus_budget, curate.curate_corpus_sql("documents", token_budget=_CURATE_BUDGET)),
     "curation_funnel_budget_documents": (q_curation_funnel_budget, curate.curation_funnel_sql("documents", token_budget=_CURATE_BUDGET)),
+    "length_batches_documents": (q_length_batches, packing.length_bucket_batches_sql("documents", "doc_id", PACK_WEIGHT_SQL, 2048)),
+    "padding_waste_documents": (q_padding_waste, packing.padding_waste_stats_sql(
+        packing.length_bucket_batches_sql("documents", "doc_id", PACK_WEIGHT_SQL, 2048).strip()
+    )),
     "pack_source_mix_documents": (q_pack_source_mix, packing.pack_source_mix_sql(
         packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, 2048, carry_cols=("source",)),
         2048,
@@ -4434,7 +4464,7 @@ _GATE_HEAD = [
     "intra_line_dedup_documents",
     "drift_embeddings_projected",
     "hll_overlap_events",
-    # new this round (9)
+    # new this round (11)
     "curate_corpus_budget_documents",
     "curation_funnel_budget_documents",
     "pca_recall_embeddings",
@@ -4444,7 +4474,9 @@ _GATE_HEAD = [
     "dup_weights_documents",
     "compression_ratio_documents",
     "pack_source_mix_documents",
-    # family flagships — regression coverage (23)
+    "length_batches_documents",
+    "padding_waste_documents",
+    # family flagships — regression coverage (21)
     "curate_corpus_documents",
     "curate_corpus_neardup_documents",
     "curation_funnel_documents",
@@ -4459,14 +4491,12 @@ _GATE_HEAD = [
     "q9_product_profit",
     "q21_waiting_suppliers",
     "three_sigma_events",
-    "violations_events",
     "eval_metrics_orders",
     "fd_conflicts_orders",
     "token_count_documents",
     "pack_sequences_documents",
     "corpus_report_documents",
     "dsir_weights_documents",
-    "sessionize_events",
     "span_dedup_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))

@@ -2967,3 +2967,45 @@ def test_pq_index_asymmetric_search_improves_recall(spark, sf_tables, tmp_path):
 
     sym, asym = hits(False), hits(True)
     assert asym >= sym > 0
+
+
+def test_length_bucket_batches_cost_bound_and_waste(spark, sf_tables, duck):
+    """Every batch's padded cost (bucket x population) fits max_tokens;
+    unbatchable docs (ceiling > budget) get NULL batch_idx; waste audit
+    conserves docs/tokens; n_parts-invariant assignment; oracle parity
+    incl. planted oversized docs."""
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import packing
+
+    rows = [(i, 3 + (i * 7) % 40) for i in range(60)] + [(100, 5000), (101, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    cap = 64
+    b = packing.length_bucket_batches(df, "doc_id", "w", max_tokens=cap)
+    duck.register("planted_lenb", pd.DataFrame(rows, columns=["doc_id", "w"]))
+    _cmp(b, duck, packing.length_bucket_batches_sql("planted_lenb", "doc_id", "w", cap))
+    got = b.collect()
+    from collections import Counter
+
+    pop = Counter((r["bucket"], r["batch_idx"]) for r in got if r["batch_idx"] is not None)
+    for (bucket, _), n in pop.items():
+        assert bucket * n <= cap
+    assert {r["id"] for r in got if r["batch_idx"] is None} == {100}
+    assert {r["bucket"] for r in got if r["id"] == 101} == {1}
+    # n_parts must not change the assignment (two-level rank exactness)
+    b2 = packing.length_bucket_batches(df, "doc_id", "w", max_tokens=cap, n_parts=7)
+    assert sorted(map(tuple, b2.collect())) == sorted(map(tuple, got))
+
+    stats = packing.padding_waste_stats(b)
+    _cmp(stats, duck, packing.padding_waste_stats_sql(
+        packing.length_bucket_batches_sql("planted_lenb", "doc_id", "w", cap).strip()))
+    srows = stats.collect()
+    assert sum(r["n_docs"] for r in srows) == len(rows)
+    assert sum(r["n_tokens"] for r in srows) == sum(w for _, w in rows)
+    for r in srows:
+        if r["bucket"] == -1:
+            assert r["n_batches"] == 0 and r["waste_ratio"] is None
+        else:
+            # a batch of zero-token docs pads fully -> ratio exactly 1.0
+            assert 0.0 <= r["waste_ratio"] <= 1.0
+            assert r["padded_tokens"] <= r["n_batches"] * cap
