@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "pack_source_mix_documents",
     "length_batches_documents",
     "padding_waste_documents",
+    "curate_sft_batches_documents",
 ]
 
 

@@ -46,6 +46,7 @@ def curate_corpus(
     near_dup_threshold: float | None = None,
     quality_fn=None,
     token_budget: int | None = None,
+    sft_max_tokens: int | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the training manifest
     (id, source group, token weight, stream offset, first/last pack).
@@ -86,6 +87,13 @@ def curate_corpus(
     selection reuses the quality score stage 1 already computed (no
     re-scan) and the two-level banded cumulative sums (no global sort);
     the exact oracle gains one windowed CTE.
+
+    ``sft_max_tokens`` swaps the OUTPUT stage: instead of concat-order
+    packing (the pretraining manifest), survivors go through
+    :func:`ops.packing.length_bucket_batches` — the SFT manifest
+    ``(id, grp, weight, bucket, batch_idx)`` where each batch pads to
+    its bucket ceiling within the cost cap. Same curation stages, same
+    exactness; only the batch-assembly convention changes.
     """
     if near_dup_threshold is not None:
         from datalakerulegeneration_spark.ops import dedup
@@ -161,6 +169,11 @@ def curate_corpus(
         ).select("id", "grp", "n_tokens")
     if materialize_manifest:
         d4 = d4.persist()
+    if sft_max_tokens is not None:
+        # grp rides carry_cols — no join-back re-deriving the chain
+        return packing.length_bucket_batches(
+            d4, "id", "n_tokens", sft_max_tokens, carry_cols=("grp",)
+        )
     return packing.pack_sequences(d4, "id", "n_tokens", seq_len, carry_cols=("grp",))
 
 
@@ -387,6 +400,7 @@ def curate_corpus_sql(
     seq_len: int = 2048,
     near_dup_threshold: float | None = None,
     token_budget: int | None = None,
+    sft_max_tokens: int | None = None,
 ) -> str:
     """Exact DuckDB oracle for :func:`curate_corpus` — the same six
     stages as CTEs (the oracle may run sequentially; only the Spark
@@ -436,6 +450,37 @@ base AS (
     else:
         budget_cte = ""
         pack_src = "d4"
+    if sft_max_tokens is not None:
+        from datalakerulegeneration_spark.ops.packing import _CEIL2_SQL
+
+        wexpr = "COALESCE(CAST(n_tokens AS BIGINT), 0)"
+        tail = f"""{budget_cte}bsrc AS (
+  SELECT id, grp, {wexpr} AS weight,
+         {_CEIL2_SQL.format(w=wexpr)} AS bucket,
+         {sampling._hash_bucket_sql("id", "batch")} AS h
+  FROM {pack_src}
+),
+br AS (
+  SELECT id, grp, weight, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, id) AS rnk,
+         CAST(floor({sft_max_tokens} / bucket) AS BIGINT) AS bs
+  FROM bsrc
+)
+SELECT id, grp, weight, bucket,
+       CASE WHEN bs >= 1 THEN CAST(floor((rnk - 1) / bs) AS BIGINT) END AS batch_idx
+FROM br"""
+    else:
+        tail = f"""{budget_cte}w AS (SELECT id, grp, n_tokens AS weight, {pack_hash} AS h FROM {pack_src}),
+o AS (
+  SELECT id, grp, weight,
+         CAST(COALESCE(sum(weight) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM w
+)
+SELECT id, grp, weight, "offset",
+       CAST(floor("offset" / {seq_len}) AS BIGINT) AS pack_first,
+       CAST(floor(("offset" + greatest(weight, 1) - 1) / {seq_len}) AS BIGINT) AS pack_last
+FROM o"""
     return f"""
 WITH {nd_prefix}d0 AS (
   SELECT {id_col} AS id, {group_col} AS grp,
@@ -469,15 +514,5 @@ d4 AS (
   SELECT d3.id, d3.grp, d3.n_tokens, d3.quality FROM d3 CROSS JOIN tot
   WHERE d3.grp_n <= tot.cap_n OR {reb_hash} * d3.grp_n < tot.cap_n * {buckets}
 ),
-{budget_cte}w AS (SELECT id, grp, n_tokens AS weight, {pack_hash} AS h FROM {pack_src}),
-o AS (
-  SELECT id, grp, weight,
-         CAST(COALESCE(sum(weight) OVER (ORDER BY h, id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
-  FROM w
-)
-SELECT id, grp, weight, "offset",
-       CAST(floor("offset" / {seq_len}) AS BIGINT) AS pack_first,
-       CAST(floor(("offset" + greatest(weight, 1) - 1) / {seq_len}) AS BIGINT) AS pack_last
-FROM o
+{tail}
 """

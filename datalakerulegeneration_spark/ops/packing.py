@@ -331,6 +331,7 @@ def length_bucket_batches(
     max_tokens: int,
     salt: str = "batch",
     n_parts: int = 64,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """PADDED-batch assignment — the SFT/fine-tuning counterpart of
     concat packing: sequences are padded to a common length per batch,
@@ -358,6 +359,7 @@ def length_bucket_batches(
     d = (
         df.select(
             F.col(id_col).alias("id"),
+            *carry_cols,
             F.expr(w).alias("weight"),
             bucket.alias("bucket"),
         )
@@ -384,6 +386,7 @@ def length_bucket_batches(
         )
         .select(
             "id",
+            *carry_cols,
             "weight",
             "bucket",
             F.when(

@@ -2321,6 +2321,19 @@ def q_curate_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate_corpus(docs, token_budget=_CURATE_BUDGET)
 
 
+def q_curate_sft_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation chain with the SFT output convention
+    (ops.curate.curate_corpus sft_max_tokens): quality -> exact dedup
+    -> decon -> rebalance, then survivors go to length-bucketed PADDED
+    batches (pad-to-ceiling x size <= 2048) instead of concat packing
+    — the fine-tuning manifest. Same stages, same exact end-to-end
+    oracle; only the batch-assembly tail changes."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return curate.curate_corpus(docs, sft_max_tokens=2048)
+
+
 def q_curation_funnel_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel with the stage-5.5 token-budget row
     (ops.curate.curation_funnel token_budget): documents/tokens
@@ -4351,6 +4364,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
     "curate_corpus_budget_documents": (q_curate_corpus_budget, curate.curate_corpus_sql("documents", token_budget=_CURATE_BUDGET)),
     "curation_funnel_budget_documents": (q_curation_funnel_budget, curate.curation_funnel_sql("documents", token_budget=_CURATE_BUDGET)),
+    "curate_sft_batches_documents": (q_curate_sft_batches, curate.curate_corpus_sql("documents", sft_max_tokens=2048)),
     "length_batches_documents": (q_length_batches, packing.length_bucket_batches_sql("documents", "doc_id", PACK_WEIGHT_SQL, 2048)),
     "padding_waste_documents": (q_padding_waste, packing.padding_waste_stats_sql(
         packing.length_bucket_batches_sql("documents", "doc_id", PACK_WEIGHT_SQL, 2048).strip()
@@ -4464,7 +4478,7 @@ _GATE_HEAD = [
     "intra_line_dedup_documents",
     "drift_embeddings_projected",
     "hll_overlap_events",
-    # new this round (11)
+    # new this round (12)
     "curate_corpus_budget_documents",
     "curation_funnel_budget_documents",
     "pca_recall_embeddings",
@@ -4476,7 +4490,8 @@ _GATE_HEAD = [
     "pack_source_mix_documents",
     "length_batches_documents",
     "padding_waste_documents",
-    # family flagships — regression coverage (21)
+    "curate_sft_batches_documents",
+    # family flagships — regression coverage (20)
     "curate_corpus_documents",
     "curate_corpus_neardup_documents",
     "curation_funnel_documents",
@@ -4492,7 +4507,6 @@ _GATE_HEAD = [
     "q21_waiting_suppliers",
     "three_sigma_events",
     "eval_metrics_orders",
-    "fd_conflicts_orders",
     "token_count_documents",
     "pack_sequences_documents",
     "corpus_report_documents",

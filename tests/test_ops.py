@@ -3009,3 +3009,22 @@ def test_length_bucket_batches_cost_bound_and_waste(spark, sf_tables, duck):
             # a batch of zero-token docs pads fully -> ratio exactly 1.0
             assert 0.0 <= r["waste_ratio"] <= 1.0
             assert r["padded_tokens"] <= r["n_batches"] * cap
+
+
+def test_curate_sft_batches_population_and_costs(sf_tables, duck):
+    """The SFT tail batches EXACTLY the curation survivors (same ids
+    as the packed flagship), every batch's padded cost fits the cap,
+    and the end-to-end oracle matches."""
+    from collections import Counter
+
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = sf_tables["documents"]
+    sft = curate.curate_corpus(docs, sft_max_tokens=2048)
+    _cmp(sft, duck, curate.curate_corpus_sql("documents", sft_max_tokens=2048))
+    rows = sft.collect()
+    packed_ids = {r["id"] for r in curate.curate_corpus(docs).collect()}
+    assert {r["id"] for r in rows} == packed_ids
+    pop = Counter((r["bucket"], r["batch_idx"]) for r in rows if r["batch_idx"] is not None)
+    for (bucket, _), n in pop.items():
+        assert bucket * n <= 2048

@@ -94,6 +94,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("curate_corpus_dsir_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
     ("curation_funnel_documents", "bnlj", "1-row stage-count constants broadcast"),
     ("curate_corpus_budget_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
+    ("curate_sft_batches_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
     ("curation_funnel_budget_documents", "bnlj", "1-row stage-count constants broadcast"),
     ("drift_events_value", "bnlj", "1-row bin-edge scalar aggs broadcast"),
     ("drift_embeddings_projected", "bnlj", "1-row bin-edge scalar aggs broadcast (projection PSI shares the drift plan)"),
