@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "length_batches_documents",
     "padding_waste_documents",
     "curate_sft_batches_documents",
+    "epoch_plan_documents",
+    "epoch_expand_documents",
 ]
 
 

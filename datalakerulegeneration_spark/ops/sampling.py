@@ -795,3 +795,183 @@ SELECT * EXCLUDE (_cum) FROM (
 )
 WHERE _cum + {weight_col} <= {budget}
 """
+
+
+def epoch_mixture_plan(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    targets: dict[str, int],
+) -> DataFrame:
+    """Data-constrained mixing plan (the repeat-don't-drop recipe):
+    when a group's token TARGET exceeds its available tokens, the
+    group repeats — ``n_full_epochs = target // available`` whole
+    passes plus a ``remainder_tokens`` partial pass. One aggregation:
+    ``(group, available_tokens, target_tokens, n_full_epochs,
+    remainder_tokens, remainder_share)``; groups not in ``targets``
+    are absent (explicit mixture, the target_mixture contract). All
+    integer arithmetic → exact oracle. A group with zero available
+    tokens reports zero epochs and NULL share."""
+    if not targets or any(t < 0 for t in targets.values()):
+        raise ValueError("targets must be a non-empty dict of non-negative token counts")
+    tgt = F.lit(None).cast("bigint")
+    for g, t in targets.items():
+        tgt = F.when(F.col(group_col) == g, F.lit(int(t))).otherwise(tgt)
+    agg = (
+        df.where(F.col(group_col).isin(list(targets)))
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.coalesce(F.sum(F.coalesce(F.col(weight_col), F.lit(0))), F.lit(0))
+            .cast("bigint")
+            .alias("available_tokens"),
+        )
+    )
+    tgt2 = F.lit(None).cast("bigint")
+    for g, t in targets.items():
+        tgt2 = F.when(F.col("group") == g, F.lit(int(t))).otherwise(tgt2)
+    avail = F.col("available_tokens")
+    full = F.when(avail > 0, F.floor(tgt2 / avail)).otherwise(F.lit(0)).cast("bigint")
+    rem = (tgt2 - full * avail).cast("bigint")
+    return agg.select(
+        "group",
+        "available_tokens",
+        tgt2.alias("target_tokens"),
+        full.alias("n_full_epochs"),
+        F.when(avail > 0, rem).otherwise(F.lit(0)).cast("bigint").alias("remainder_tokens"),
+        F.round(
+            F.when(avail > 0, rem).otherwise(F.lit(0)).cast("double")
+            / F.nullif(avail.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("remainder_share"),
+    )
+
+
+def epoch_mixture_plan_sql(
+    table: str, id_col: str, weight_col: str, group_col: str, targets: dict[str, int]
+) -> str:
+    """DuckDB oracle for :func:`epoch_mixture_plan`."""
+    in_list = ", ".join(f"'{g}'" for g in targets)
+    tgt_case = " ".join(f"WHEN '{g}' THEN CAST({int(t)} AS BIGINT)" for g, t in targets.items())
+    return f"""
+WITH a AS (
+  SELECT {group_col} AS "group",
+         CAST(COALESCE(sum(COALESCE({weight_col}, 0)), 0) AS BIGINT) AS available_tokens,
+         CASE {group_col} {tgt_case} END AS target_tokens
+  FROM {table}
+  WHERE {group_col} IN ({in_list})
+  GROUP BY 1
+)
+SELECT "group", available_tokens, target_tokens,
+       CAST(CASE WHEN available_tokens > 0
+            THEN floor(target_tokens / available_tokens) ELSE 0 END AS BIGINT) AS n_full_epochs,
+       CAST(CASE WHEN available_tokens > 0
+            THEN target_tokens - floor(target_tokens / available_tokens) * available_tokens
+            ELSE 0 END AS BIGINT) AS remainder_tokens,
+       round(CAST(CASE WHEN available_tokens > 0
+            THEN target_tokens - floor(target_tokens / available_tokens) * available_tokens
+            ELSE 0 END AS DOUBLE) / nullif(CAST(available_tokens AS DOUBLE), 0.0), 6) AS remainder_share
+FROM a
+"""
+
+
+def epoch_mixture_expand(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    targets: dict[str, int],
+    salt: str = "epoch",
+) -> DataFrame:
+    """Materialize the :func:`epoch_mixture_plan`: ``(id, group,
+    weight, epoch)`` rows where every group appears ``n_full_epochs``
+    whole times (epoch 0..n−1) plus a deterministic remainder pass
+    (epoch = n_full_epochs) that fills ``remainder_tokens`` EXACTLY
+    with the greedy hash-order prefix — the token-budget machinery
+    with ``md5`` order standing in for "random", so the partial epoch
+    is an unbiased-by-construction, engine-reproducible sample.
+
+    Shape: the plan is a #groups-row broadcast; full epochs are one
+    map-side ``sequence`` explode (output grows with the repeat
+    factor, never shuffles); the remainder reuses
+    :func:`token_budget_select_by_group` (hash as the ranking key).
+    """
+    plan = epoch_mixture_plan(df, id_col, weight_col, group_col, targets)
+    base = df.where(F.col(group_col).isin(list(targets))).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        F.coalesce(F.col(weight_col), F.lit(0)).cast("bigint").alias("weight"),
+    )
+    j = base.join(F.broadcast(plan.select("group", "n_full_epochs", "remainder_tokens")), "group")
+    full = j.where(F.col("n_full_epochs") > 0).select(
+        "id",
+        "group",
+        "weight",
+        F.explode(F.expr("sequence(0, cast(n_full_epochs as int) - 1)")).alias("_e"),
+    ).select("id", "group", "weight", F.col("_e").cast("bigint").alias("epoch"))
+    # remainder: greedy hash-order prefix under the per-group leftover
+    # budget — reuse the banded by-group budget selection with the md5
+    # bucket as the "quality" (normalized to [0,1] for the banding)
+    rem_budgets = {
+        r["group"]: int(r["remainder_tokens"])
+        for r in plan.select("group", "remainder_tokens").collect()
+        if r["remainder_tokens"] and r["remainder_tokens"] > 0
+    }
+    parts = [full]
+    if rem_budgets:
+        scored = base.withColumn(
+            "_hq",
+            F.round(_hash_bucket("id", salt).cast("double") / F.lit(float(_BUCKETS)), 6),
+        )
+        rem = token_budget_select_by_group(
+            scored, "id", "weight", "_hq", "group", rem_budgets
+        )
+        parts.append(
+            rem.join(
+                F.broadcast(plan.select("group", "n_full_epochs")), "group"
+            ).select("id", "group", "weight", F.col("n_full_epochs").cast("bigint").alias("epoch"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def epoch_mixture_expand_sql(
+    table: str, id_col: str, weight_col: str, group_col: str, targets: dict[str, int], salt: str = "epoch"
+) -> str:
+    """DuckDB oracle for :func:`epoch_mixture_expand`."""
+    plan = epoch_mixture_plan_sql(table, id_col, weight_col, group_col, targets).strip()
+    in_list = ", ".join(f"'{g}'" for g in targets)
+    hq = _hash_bucket_sql("id", salt)
+    return f"""
+WITH plan AS ({plan}),
+base AS (
+  SELECT {id_col} AS id, {group_col} AS "group",
+         CAST(COALESCE({weight_col}, 0) AS BIGINT) AS weight
+  FROM {table} WHERE {group_col} IN ({in_list})
+),
+full_e AS (
+  SELECT b.id, b."group", b.weight, CAST(e.e AS BIGINT) AS epoch
+  FROM base b JOIN plan p ON b."group" = p."group",
+       LATERAL (SELECT unnest(generate_series(0, CAST(p.n_full_epochs AS INTEGER) - 1)) AS e) e
+  WHERE p.n_full_epochs > 0
+),
+scored AS (
+  SELECT b.*, round(CAST({hq} AS DOUBLE) / {float(_BUCKETS)!r}, 6) AS hq,
+         p.remainder_tokens, p.n_full_epochs
+  FROM base b JOIN plan p ON b."group" = p."group"
+  WHERE p.remainder_tokens > 0
+),
+rem AS (
+  SELECT id, "group", weight, CAST(n_full_epochs AS BIGINT) AS epoch FROM (
+    SELECT s.*,
+           COALESCE(sum(weight) OVER (PARTITION BY "group"
+             ORDER BY hq DESC, id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _cum
+    FROM scored s
+  )
+  WHERE _cum + weight <= remainder_tokens
+)
+SELECT * FROM full_e UNION ALL SELECT * FROM rem
+"""

@@ -2359,6 +2359,34 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
+_EPOCH_TARGETS = {"src0": 3000, "src1": 700, "src2": 1300}  # tokens —
+# at the gate SFs src0 needs ~2 full epochs + a remainder, src1/src2
+# a partial pass only: all three plan branches exercised
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixing plan (ops.sampling.epoch_mixture_plan):
+    per source — available vs target tokens, whole-epoch repeats, and
+    the partial-pass remainder (repeat data, don't drop the target)."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.select("doc_id", "source", textqa.ntokens_col("text").alias("w"))
+    return sampling.epoch_mixture_plan(d, "doc_id", "w", "source", _EPOCH_TARGETS)
+
+
+def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized epoch mixture (ops.sampling.epoch_mixture_expand):
+    (id, group, weight, epoch) rows — whole epochs via one map-side
+    sequence explode, the partial pass filled EXACTLY by the per-group
+    token-budget machinery with md5 order standing in for random."""
+    from datalakerulegeneration_spark.ops import sampling
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.select("doc_id", "source", textqa.ntokens_col("text").alias("w"))
+    return sampling.epoch_mixture_expand(d, "doc_id", "w", "source", _EPOCH_TARGETS)
+
+
 def q_target_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture targeting (ops.sampling.target_mixture): downsample three
     sources to exact 50/30/20 proportions, water-filled to the largest
@@ -4383,6 +4411,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rebalance_sources_documents": (q_rebalance_sources, sampling.rebalance_groups_sql("documents", "doc_id", "source", cap_share=0.03)),
     "target_mixture_documents": (q_target_mixture, sampling.target_mixture_sql("documents", "doc_id", "source", _MIX_TARGETS)),
     "temperature_mixture_documents": (q_temperature_mixture, sampling.temperature_mixture_sql("documents", "doc_id", "lang", alpha=0.5)),
+    "epoch_plan_documents": (q_epoch_plan, sampling.epoch_mixture_plan_sql(
+        f"(SELECT doc_id, source, {textqa.ntokens_sql_expr('text')} AS w FROM documents)",
+        "doc_id", "w", "source", _EPOCH_TARGETS)),
+    "epoch_expand_documents": (q_epoch_expand, sampling.epoch_mixture_expand_sql(
+        f"(SELECT doc_id, source, {textqa.ntokens_sql_expr('text')} AS w FROM documents)",
+        "doc_id", "w", "source", _EPOCH_TARGETS)),
     "group_split_documents": (q_group_split, Q_GROUP_SPLIT_ORACLE),
     "token_budget_select_documents": (q_token_budget_select, _token_budget_oracle()),
     "token_budget_by_group_documents": (q_token_budget_by_group, _token_budget_by_group_oracle()),
@@ -4478,7 +4512,7 @@ _GATE_HEAD = [
     "intra_line_dedup_documents",
     "drift_embeddings_projected",
     "hll_overlap_events",
-    # new this round (12)
+    # new this round (14)
     "curate_corpus_budget_documents",
     "curation_funnel_budget_documents",
     "pca_recall_embeddings",
@@ -4491,7 +4525,9 @@ _GATE_HEAD = [
     "length_batches_documents",
     "padding_waste_documents",
     "curate_sft_batches_documents",
-    # family flagships — regression coverage (20)
+    "epoch_plan_documents",
+    "epoch_expand_documents",
+    # family flagships — regression coverage (18)
     "curate_corpus_documents",
     "curate_corpus_neardup_documents",
     "curation_funnel_documents",
@@ -4504,9 +4540,7 @@ _GATE_HEAD = [
     "profile_lineitem",
     "q1_pricing_summary",
     "q9_product_profit",
-    "q21_waiting_suppliers",
     "three_sigma_events",
-    "eval_metrics_orders",
     "token_count_documents",
     "pack_sequences_documents",
     "corpus_report_documents",

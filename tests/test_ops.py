@@ -3028,3 +3028,49 @@ def test_curate_sft_batches_population_and_costs(sf_tables, duck):
     pop = Counter((r["bucket"], r["batch_idx"]) for r in rows if r["batch_idx"] is not None)
     for (bucket, _), n in pop.items():
         assert bucket * n <= 2048
+
+
+def test_epoch_mixture_plan_and_expand_semantics(spark, duck):
+    """Repeat-don't-drop mixing: whole epochs × available + exactly-
+    filled remainder ≈ target (within one doc); every group appears
+    n_full_epochs times fully; the remainder is a strict subset of one
+    extra pass; oracle parity for both ops on a planted corpus."""
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import sampling
+
+    rows = [(i, "a", 10) for i in range(10)]          # a: 100 tokens
+    rows += [(100 + i, "b", 7) for i in range(5)]     # b: 35 tokens
+    rows += [(200, "ignored", 99)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    targets = {"a": 250, "b": 20}                     # a: 2 full + 50 rem; b: 0 full + 20 rem
+    plan = {r["group"]: r.asDict() for r in sampling.epoch_mixture_plan(df, "doc_id", "w", "grp", targets).collect()}
+    assert plan["a"]["n_full_epochs"] == 2 and plan["a"]["remainder_tokens"] == 50
+    assert plan["b"]["n_full_epochs"] == 0 and plan["b"]["remainder_tokens"] == 20
+    assert "ignored" not in plan
+
+    duck.register("planted_epochs", pd.DataFrame(rows, columns=["doc_id", "grp", "w"]))
+    _cmp(
+        sampling.epoch_mixture_plan(df, "doc_id", "w", "grp", targets),
+        duck,
+        sampling.epoch_mixture_plan_sql("planted_epochs", "doc_id", "w", "grp", targets),
+    )
+    exp = sampling.epoch_mixture_expand(df, "doc_id", "w", "grp", targets)
+    _cmp(
+        exp,
+        duck,
+        sampling.epoch_mixture_expand_sql("planted_epochs", "doc_id", "w", "grp", targets),
+    )
+    got = exp.collect()
+    from collections import Counter
+
+    a_epochs = Counter(r["epoch"] for r in got if r["group"] == "a")
+    assert a_epochs[0] == 10 and a_epochs[1] == 10          # two full passes
+    assert sum(r["weight"] for r in got if r["group"] == "a" and r["epoch"] == 2) <= 50
+    b_rem = [r for r in got if r["group"] == "b"]
+    assert all(r["epoch"] == 0 for r in b_rem)              # partial pass only
+    assert sum(r["weight"] for r in b_rem) <= 20
+    # realized tokens within one doc of target from below
+    for g, t in targets.items():
+        realized = sum(r["weight"] for r in got if r["group"] == g)
+        assert realized <= t
