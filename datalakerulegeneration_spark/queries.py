@@ -4486,12 +4486,15 @@ REGISTRY.update(EXT_REGISTRY)
 # driver-side CORRECTNESS row across r1–r6 (the r6 fourth wave:
 # selection/split family, bigram/PMI-era text stats, the multimodal
 # near-dup trio, embedding drift/decon additions) lead, followed by
-# the 3 queries NEW this round (budgeted flagship + its funnel, the
-# PCA recall gate), then 29 family flagships for cross-round
-# regression coverage. With this head every oracle-able registry entry
-# has appeared in at least one driver CORRECTNESS artifact. The
-# replica gate (tools/check_correctness.py) runs all entries every
-# round regardless.
+# the 14 queries NEW this round (budgeted + SFT flagship variants and
+# the budget funnel, the PCA recall gate, per-group/sweep/CCNet/
+# soft-dedup/compression/provenance/padded-batching/epoch-mixture
+# family), then 18 family flagships for cross-round regression
+# coverage. With this head every registry entry — oracle-able or
+# sanctioned rows-only — has appeared (or will appear this round) in
+# at least one driver CORRECTNESS artifact. The replica gate
+# (tools/check_correctness.py) runs all entries every round
+# regardless.
 _GATE_HEAD = [
     # never driver-gated r1–r6 (18)
     "violations_phone_customer",
