@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality-min", dest="quality_min", type=float, default=0.5)
     p.add_argument("--cap-share", dest="cap_share", type=float, default=0.03)
     p.add_argument("--seq-len", dest="seq_len", type=int, default=2048)
+    p.add_argument("--token-budget", dest="token_budget", type=int, default=None,
+                   help="curate: keep only the best-quality docs whose tokens fit this budget (stage 5.5)")
+    p.add_argument("--sft-max-tokens", dest="sft_max_tokens", type=int, default=None,
+                   help="curate: emit length-bucketed PADDED batches (SFT manifest) instead of concat packing")
     p.add_argument("--dataset-name", "--dataset_name", dest="dataset_name")
     p.add_argument("--dataset-group", "--dataset_group", dest="dataset_group")
     p.add_argument("--data-root", dest="data_root", default="datasets")
@@ -235,23 +239,49 @@ def main(argv: list[str] | None = None) -> dict:
             quality_min=args.quality_min,
             cap_share=args.cap_share,
             seq_len=args.seq_len,
-            materialize_manifest=True,
+            materialize_manifest=args.sft_max_tokens is None,
+            token_budget=args.token_budget,
+            sft_max_tokens=args.sft_max_tokens,
         )
-        stats = manifest.agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("weight").alias("tokens"),
-            (F.max("pack_last") + 1).alias("packs"),
-        ).collect()[0]
-        out = {
-            "mode": "curate",
-            "input_docs": docs.count(),
-            "kept_docs": stats["docs"],
-            "tokens": stats["tokens"],
-            "packs": stats["packs"],
-            "seq_len": args.seq_len,
-        }
-        if args.output:
-            write_corpus(manifest, args.output, partition_by=("grp",), sort_by=("offset",))
+        if args.sft_max_tokens is not None:
+            stats = manifest.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("weight").alias("tokens"),
+                F.count_distinct(
+                    F.when(F.col("batch_idx").isNotNull(),
+                           F.concat_ws(":", F.col("bucket"), F.col("batch_idx")))
+                ).alias("batches"),
+                F.count(F.when(F.col("batch_idx").isNull(), F.lit(1))).alias("unbatchable"),
+            ).collect()[0]
+            out = {
+                "mode": "curate",
+                "input_docs": docs.count(),
+                "kept_docs": stats["docs"],
+                "tokens": stats["tokens"],
+                "batches": stats["batches"],
+                "unbatchable_docs": stats["unbatchable"],
+                "sft_max_tokens": args.sft_max_tokens,
+                "token_budget": args.token_budget,
+            }
+            if args.output:
+                write_corpus(manifest, args.output, partition_by=("grp",), sort_by=("bucket", "batch_idx"))
+        else:
+            stats = manifest.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("weight").alias("tokens"),
+                (F.max("pack_last") + 1).alias("packs"),
+            ).collect()[0]
+            out = {
+                "mode": "curate",
+                "input_docs": docs.count(),
+                "kept_docs": stats["docs"],
+                "tokens": stats["tokens"],
+                "packs": stats["packs"],
+                "seq_len": args.seq_len,
+                "token_budget": args.token_budget,
+            }
+            if args.output:
+                write_corpus(manifest, args.output, partition_by=("grp",), sort_by=("offset",))
         spark.catalog.clearCache()
         print(json.dumps(out, sort_keys=True))
         return out

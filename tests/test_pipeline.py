@@ -288,3 +288,27 @@ def test_cli_score_mode(spark, sf_tables, tmp_path):
     assert out["docs"] == 500
     assert 0 < out["kept_docs"] < 500
     assert spark.read.parquet(outdir).count() == out["kept_docs"]
+
+
+def test_cli_curate_budget_and_sft_modes(spark, tmp_path):
+    """--token-budget bounds the kept tokens; --sft-max-tokens switches
+    the output convention to padded batches and writes a partitioned
+    corpus; both report coherent JSON."""
+    from datalakerulegeneration_spark.__main__ import main
+    from datalakerulegeneration_spark.catalog import load_sf_tables
+
+    src = str(tmp_path / "docs")
+    load_sf_tables(spark, "/root/testdata/sf0.001", ("documents",))["documents"].write.parquet(src)
+
+    base = main(["--mode", "curate", "--input", src])
+    budget = main(["--mode", "curate", "--input", src, "--token-budget", "10000"])
+    assert budget["tokens"] <= 10000 < base["tokens"]
+    assert 0 < budget["kept_docs"] < base["kept_docs"]
+
+    out_dir = str(tmp_path / "sft")
+    sft = main(["--mode", "curate", "--input", src, "--sft-max-tokens", "2048", "--output", out_dir])
+    assert sft["kept_docs"] == base["kept_docs"]  # same curation stages
+    assert sft["batches"] > 0 and sft["unbatchable_docs"] == 0
+    import os
+
+    assert any(p.startswith("grp=") for p in os.listdir(out_dir))
