@@ -212,11 +212,10 @@ def main() -> None:
         "env_start": env_start,
         "env_end": _env_markers(spark),
     }
-    line = json.dumps(result)
     # Persist the full object to a file BEFORE printing: the driver
-    # archives stdout with a tail cap, and BENCH_r06 lost 30 of 81
-    # per-query numbers to mid-stream truncation. The file is the
-    # durable artifact; stdout stays the one-line contract.
+    # archives stdout with a tail cap, and BENCH_r06/r07 both lost the
+    # per-query dict to mid-stream truncation (parsed: null two rounds
+    # running). The files are the durable artifact.
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, "bench_latest.json")
@@ -228,7 +227,23 @@ def main() -> None:
     result["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
     with open(os.path.join(out_dir, "history.jsonl"), "a") as fh:
         fh.write(json.dumps(result) + "\n")
-    print(line)
+    # Stdout is the COMPACT contract (r7 verdict item 3): one line the
+    # driver's 2,000-char tail can never decapitate — totals, env, the
+    # slowest-10 warm timings, and the path to the full artifact.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "total_cold": result["total_cold"],
+        "sf": result["sf"],
+        "env_start": env_start,
+        "env_end": result["env_end"],
+        "full": os.path.relpath(out_path, os.path.dirname(os.path.abspath(__file__))),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

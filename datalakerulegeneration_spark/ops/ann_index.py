@@ -106,7 +106,12 @@ def pq_build_index(
     the per-call queries pay on EVERY search); with ``n_lists`` an
     additional KMeans fit over the reconstructions assigns each code
     row its IVF cell."""
-    dim = len(vectors.select(vec_col).first()[0])
+    first = vectors.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"cannot build index: corpus is empty or first {vec_col!r} is NULL"
+        )
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -236,10 +241,22 @@ def pq_index_append(
     from the build corpus quantize a drifted delta worse; monitor with
     the drift suite and REBUILD when the corpus distribution moves —
     append never silently retrains.
+
+    Incoming vectors must match the index's persisted ``dim`` —
+    ``slice()`` would silently truncate (or shorten) wrong-width
+    vectors into garbage codes, so a mismatch raises instead.
     """
     spark = vectors.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first()
     m, dsub = meta["m"], meta["dim"] // meta["m"]
+    n_bad = vectors.where(
+        F.col(vec_col).isNull() | (F.size(vec_col) != F.lit(meta["dim"]))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} incoming vector(s) are NULL or not dim={meta['dim']} — "
+            f"refusing to encode wrong-width vectors into the index"
+        )
     anchors = spark.read.parquet(f"{path}/anchors")
     existing = spark.read.parquet(f"{path}/codes")
     fresh = vectors.join(

@@ -1545,6 +1545,7 @@ def dedup_agreement(
     text_col: str,
     minhash_threshold: float = 0.2,
     max_hamming: int = 3,
+    simhash_bits: int = 56,
 ) -> DataFrame:
     """Agreement matrix between the three dedup families — for every
     method pair, the Jaccard overlap of their detected duplicate-pair
@@ -1558,6 +1559,14 @@ def dedup_agreement(
     is arithmetic over pair-set frames keyed by (id_a, id_b) — the
     method-pair intersection join is keyed on the pair, the 3-row size
     frame broadcasts.
+
+    ``simhash_bits`` defaults to 56 (4×14-bit bands), NOT the
+    module-wide 32-bit historical default: a 32-bit fingerprint makes
+    hamming≤3 on replica-dense corpora a quadratic clique generator
+    (the sf10 audit measured 23.7M candidate pairs and a 12.2×/decade
+    superlinear wall from exactly that), while 56 bits gives the same
+    4 bands 2^14 values each — 64× the bucket space, identical
+    pigeonhole recall bound. Pass 32 to reproduce the legacy matrix.
     """
     dig = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col).cast("binary")).alias("d")
@@ -1571,9 +1580,11 @@ def dedup_agreement(
     mh = minhash_dedup(df, id_col, text_col, threshold=minhash_threshold).select(
         "id_a", "id_b"
     )
-    sh = simhash_near_dups(simhash(df, id_col, text_col), max_hamming).select(
-        "id_a", "id_b"
-    )
+    sh = simhash_near_dups(
+        simhash(df, id_col, text_col, bits=simhash_bits),
+        max_hamming,
+        bits=simhash_bits,
+    ).select("id_a", "id_b")
     tagged = (
         exact.select(F.lit("exact").alias("method"), "id_a", "id_b")
         .unionByName(mh.select(F.lit("minhash").alias("method"), "id_a", "id_b"))
@@ -1624,11 +1635,14 @@ def dedup_agreement_sql(
     text_col: str,
     minhash_threshold: float = 0.2,
     max_hamming: int = 3,
+    simhash_bits: int = 56,
 ) -> str:
-    """DuckDB oracle for :func:`dedup_agreement` (bands: 4×8-bit, the
-    simhash_near_dups default)."""
+    """DuckDB oracle for :func:`dedup_agreement` (simhash bands:
+    4 × ``simhash_bits``/4-bit, mirroring simhash_near_dups)."""
     mh = minhash_dedup_sql(table, id_col, text_col, threshold=minhash_threshold).strip()
-    sh = simhash_sql(table, id_col, text_col).strip()
+    sh = simhash_sql(table, id_col, text_col, bits=simhash_bits).strip()
+    width = simhash_bits // 4
+    mask = (1 << width) - 1
     return f"""
 WITH exact_pairs AS (
   SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
@@ -1639,7 +1653,7 @@ WITH exact_pairs AS (
 mh_pairs AS (SELECT id_a, id_b FROM ({mh})),
 sh_fp AS ({sh}),
 sh_long AS (
-  SELECT id, simhash, g.b AS band, (simhash >> (8 * g.b)) & 255 AS bv
+  SELECT id, simhash, g.b AS band, (simhash >> ({width} * g.b)) & {mask} AS bv
   FROM sh_fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) g
 ),
 sh_pairs AS (

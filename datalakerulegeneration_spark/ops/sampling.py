@@ -653,6 +653,13 @@ def token_budget_select(
     tokenizer counts of ``text_col`` instead of ``weight_col`` — the
     production "best N actual-BPE tokens" form. The tokenizer rides
     the banding map stage (one Arrow hop, no extra scan).
+
+    NULL admission contract (both paths): a NULL weight — a NULL
+    ``weight_col`` value, or a NULL-text document under
+    ``tokenizer_fn`` (``ops.tokenize`` yields a NULL count for NULL
+    text) — makes the keep predicate NULL, so the row is DROPPED. A
+    document whose token cost is unknown never spends the budget and
+    never rides in for free.
     """
     drop_tok_w = False
     if tokenizer_fn is not None:
@@ -660,9 +667,7 @@ def token_budget_select(
             raise ValueError("tokenizer_fn requires text_col")
         from datalakerulegeneration_spark.ops.tokenize import token_count_col
 
-        df = df.withColumn(
-            "_tok_w", F.coalesce(token_count_col(text_col, tokenizer_fn), F.lit(0))
-        )
+        df = df.withColumn("_tok_w", token_count_col(text_col, tokenizer_fn))
         weight_col = "_tok_w"
         drop_tok_w = True
     q = F.col(quality_col)
@@ -810,9 +815,11 @@ def epoch_mixture_plan(
     passes plus a ``remainder_tokens`` partial pass. One aggregation:
     ``(group, available_tokens, target_tokens, n_full_epochs,
     remainder_tokens, remainder_share)``; groups not in ``targets``
-    are absent (explicit mixture, the target_mixture contract). All
-    integer arithmetic → exact oracle. A group with zero available
-    tokens reports zero epochs and NULL share."""
+    are absent (explicit mixture, the target_mixture contract). The
+    epoch split is true BIGINT integer division (Spark ``div`` /
+    DuckDB ``//``) — exact at any token count, not just below 2^53.
+    A group with zero available tokens reports zero epochs and NULL
+    share."""
     if not targets or any(t < 0 for t in targets.values()):
         raise ValueError("targets must be a non-empty dict of non-negative token counts")
     tgt = F.lit(None).cast("bigint")
@@ -831,8 +838,11 @@ def epoch_mixture_plan(
     for g, t in targets.items():
         tgt2 = F.when(F.col("group") == g, F.lit(int(t))).otherwise(tgt2)
     avail = F.col("available_tokens")
-    full = F.when(avail > 0, F.floor(tgt2 / avail)).otherwise(F.lit(0)).cast("bigint")
+    # BIGINT `div`, not floor(double/double): double division loses
+    # exactness above ~2^53 tokens (ADVICE r7)
+    full = F.when(avail > 0, F.expr("_tgt div available_tokens")).otherwise(F.lit(0)).cast("bigint")
     rem = (tgt2 - full * avail).cast("bigint")
+    agg = agg.withColumn("_tgt", tgt2)
     return agg.select(
         "group",
         "available_tokens",
@@ -864,12 +874,12 @@ WITH a AS (
 )
 SELECT "group", available_tokens, target_tokens,
        CAST(CASE WHEN available_tokens > 0
-            THEN floor(target_tokens / available_tokens) ELSE 0 END AS BIGINT) AS n_full_epochs,
+            THEN target_tokens // available_tokens ELSE 0 END AS BIGINT) AS n_full_epochs,
        CAST(CASE WHEN available_tokens > 0
-            THEN target_tokens - floor(target_tokens / available_tokens) * available_tokens
+            THEN target_tokens - (target_tokens // available_tokens) * available_tokens
             ELSE 0 END AS BIGINT) AS remainder_tokens,
        round(CAST(CASE WHEN available_tokens > 0
-            THEN target_tokens - floor(target_tokens / available_tokens) * available_tokens
+            THEN target_tokens - (target_tokens // available_tokens) * available_tokens
             ELSE 0 END AS DOUBLE) / nullif(CAST(available_tokens AS DOUBLE), 0.0), 6) AS remainder_share
 FROM a
 """
@@ -886,10 +896,12 @@ def epoch_mixture_expand(
     """Materialize the :func:`epoch_mixture_plan`: ``(id, group,
     weight, epoch)`` rows where every group appears ``n_full_epochs``
     whole times (epoch 0..n−1) plus a deterministic remainder pass
-    (epoch = n_full_epochs) that fills ``remainder_tokens`` EXACTLY
-    with the greedy hash-order prefix — the token-budget machinery
-    with ``md5`` order standing in for "random", so the partial epoch
-    is an unbiased-by-construction, engine-reproducible sample.
+    (epoch = n_full_epochs) filling AT MOST ``remainder_tokens`` with
+    the greedy hash-order prefix (the greedy prefix undershoots when
+    document weights don't tile the remainder) — the token-budget
+    machinery with ``md5`` order standing in for "random", so the
+    partial epoch is an unbiased-by-construction, engine-reproducible
+    sample.
 
     Shape: the plan is a #groups-row broadcast; full epochs are one
     map-side ``sequence`` explode (output grows with the repeat

@@ -1250,9 +1250,15 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-family calibration audit (ops.dedup.dedup_agreement):
     Jaccard overlap of the exact / MinHash / SimHash duplicate-pair
     sets — run before picking a family for a new corpus. Each family
-    keeps its own scale shape; the matrix is pair-keyed arithmetic."""
+    keeps its own scale shape; the matrix is pair-keyed arithmetic.
+    Registered at simhash_bits=56 (r8): the 32-bit default measured a
+    superlinear sf10 decade (quadratic hamming≤3 cliques on
+    replica-dense corpora); 56-bit bands are 64× sparser at the same
+    pigeonhole recall."""
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
-    return dedup.dedup_agreement(docs, "doc_id", "text", minhash_threshold=0.2, max_hamming=3)
+    return dedup.dedup_agreement(
+        docs, "doc_id", "text", minhash_threshold=0.2, max_hamming=3, simhash_bits=56
+    )
 
 
 def q_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2310,7 +2316,8 @@ def q_curate_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline with token-budget selection as stage 5.5
     (ops.curate.curate_corpus token_budget): after quality → dedup →
     decon → rebalance, keep the greedy best-quality prefix whose
-    cumulative tokens fit the 20k budget, then pack only those —
+    cumulative tokens fit the ``_CURATE_BUDGET`` (10k: ~60% of the
+    post-rebalance stream, so the cutoff BINDS), then pack only those —
     "curate, then keep the best N tokens", the production composition
     of the r6 selection op with the r2 flagship. Quality rides the
     stage-1 scan (no re-scan); selection is the two-level banded
@@ -4322,7 +4329,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_dup_components": (q_embedding_dup_components, dedup.dup_components_sql(
         similarity.embedding_near_dups_sql("embeddings", 0.45, dim=64, n_planes=4, n_tables=8)
     )),
-    "dedup_agreement_documents": (q_dedup_agreement, dedup.dedup_agreement_sql("documents", "doc_id", "text", minhash_threshold=0.2, max_hamming=3)),
+    "dedup_agreement_documents": (q_dedup_agreement, dedup.dedup_agreement_sql("documents", "doc_id", "text", minhash_threshold=0.2, max_hamming=3, simhash_bits=56)),
     "dedup_greedy_keepset_documents": (q_dedup_greedy_keepset, dedup.minhash_greedy_keepset_sql("documents", "doc_id", "text", threshold=0.2, k=16, bands=8)),
     "lsh_bucket_stats_documents": (q_lsh_bucket_stats, dedup.band_bucket_stats_sql("documents", "doc_id", "text", 3, 16, 8, 20)),
     "keep_best_documents": (q_keep_best_documents, dedup.keep_best_exemplar_sql(

@@ -9,8 +9,13 @@ id anti-join inside append makes a replayed batch a no-op, so the
 sink is idempotent under foreachBatch's at-least-once contract; the
 index outlives Spark's checkpoint, so a restarted or entirely new
 stream keeps extending the same searchable index, and searches
-(``pq_search_index``) can run concurrently against whatever has been
-admitted so far.
+(``pq_search_index``) can run between batches against whatever has
+been admitted so far. A search issued WHILE a micro-batch is
+mid-append may observe part of that batch: the multi-file parquet
+append is not atomic to a concurrent reader (exactly-once here means
+no duplicates across retries — the anti-join — not snapshot
+isolation; ``budget_stream``'s versioned-marker flip is the pattern
+to borrow if a reader must never see a partial batch).
 """
 
 from __future__ import annotations

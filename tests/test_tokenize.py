@@ -92,7 +92,11 @@ def test_budget_cutoff_shifts_under_stub_bpe(docs, spark):
     docs_q = docs.withColumn("quality", (F.col("doc_id") % 10) / 10.0)
     base = docs_q.withColumn("w_proxy", F.coalesce(T.token_count_col("text"), F.lit(0)))
     pdf = docs_q.toPandas()
-    pdf["w_stub"] = [0 if t is None else stub_counts([t])[0] for t in pdf["text"]]
+    # NULL-text docs carry a NULL token count and are DROPPED by the
+    # seam path (same admission contract as a NULL weight_col) — the
+    # expected frame mirrors that by excluding them up front
+    pdf = pdf[pdf["text"].notna()]
+    pdf["w_stub"] = [stub_counts([t])[0] for t in pdf["text"]]
     pre = spark.createDataFrame(pdf[["doc_id", "text", "source", "quality", "w_stub"]])
 
     budget = 25
@@ -100,6 +104,9 @@ def test_budget_cutoff_shifts_under_stub_bpe(docs, spark):
     expected = token_budget_select(pre, "doc_id", "w_stub", "quality", budget).select(*docs_q.columns)
     assert sorted(map(tuple, seam.collect())) == sorted(map(tuple, expected.collect()))
     assert seam.columns == docs_q.columns  # no _tok_w leak
+    # and the NULL-text doc is not among the survivors
+    null_ids = {r["doc_id"] for r in docs_q.where(F.col("text").isNull()).collect()}
+    assert null_ids and null_ids.isdisjoint({r["doc_id"] for r in seam.collect()})
 
     default = token_budget_select(base, "doc_id", "w_proxy", "quality", budget).select("doc_id")
     assert {r["doc_id"] for r in seam.select("doc_id").collect()} != {
