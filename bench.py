@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "quantized_topk_embeddings",
     "ann_topk_ivf_sq8_embeddings",
     "ann_topk_pq_embeddings",
+    # the amortized production path: first (cold) call builds the
+    # persisted index, warm passes measure search-only
+    "ann_index_search_embeddings",
     "projected_topk_embeddings",
     "embedding_dup_components",
     "incremental_dedup_documents",

@@ -1401,6 +1401,67 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(emb, 10, k=10, n_lists=8, n_probe=8, m=8, ksub=32)
 
 
+def _ann_index_cache_path(sf_dir: str) -> str:
+    """Content-keyed location of the persisted flat-PQ index for this
+    sf_dir's embeddings table: keyed by (abspath, mtime, size of the
+    parquet) so a regenerated fixture triggers a rebuild instead of
+    serving stale codes. Lives under the repo's git-ignored ``.bench/``
+    (override with ``SPARK_GRAFT_ANN_INDEX_DIR``)."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(src)
+    key = hashlib.md5(f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
+    base = os.environ.get("SPARK_GRAFT_ANN_INDEX_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench",
+        "ann_index_cache",
+    )
+    return os.path.join(base, key)
+
+
+def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN search (ops.ann_index.pq_build_index /
+    pq_search_index): the PRODUCTION shape of the PQ family — the
+    corpus is encoded ONCE into an on-disk flat-PQ index (~5
+    bytes/vector codes + norms; md5-ranked deterministic codebooks, no
+    KMeans), and every search afterwards reads only the codes. First
+    call at a given sf builds the index (content-keyed cache dir,
+    atomic rename so concurrent builders can't interleave); subsequent
+    calls — the bench's warm passes, a driver re-run — pay search
+    only. Because build→encode→reconstruct→rank is deterministic
+    arithmetic end-to-end, the search output is bit-identical to
+    :func:`ops.similarity.pq_topk` on the same corpus, so the exact
+    pq_topk DuckDB oracle certifies the persisted path too (r7 verdict
+    item 2: the production ANN path carries its own CORRECTNESS row)."""
+    import os
+    import shutil
+
+    from datalakerulegeneration_spark.ops import ann_index
+
+    emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    path = _ann_index_cache_path(sf_dir)
+    # meta/ is written LAST by pq_build_index → its presence marks a
+    # complete build; the tmp+rename keeps a crashed or concurrent
+    # build from being mistaken for one
+    if not os.path.exists(os.path.join(path, "meta")):
+        tmp = f"{path}.build-{os.getpid()}"
+        ann_index.pq_build_index(emb, tmp, m=8, ksub=32)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if not os.path.exists(path):
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                pass  # lost the race to a concurrent builder
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_index.pq_search_index(spark, path, probes, k=10)
+
+
 def q_ann_rerank_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval (ops.similarity.pq_rerank_topk): PQ codes
     pre-rank top-50 per query, full-precision cosine re-ranks only
@@ -4371,6 +4432,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk_pq_embeddings": (q_ann_topk_pq, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),
     # full-probe IVF-PQ ≡ PQ brute force (see q_ann_topk_ivf_pq)
     "ann_topk_ivf_pq_embeddings": (q_ann_topk_ivf_pq, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),
+    # persisted-index search ≡ pq_topk on the same corpus (deterministic
+    # codebooks) — the production build-once/search-many path, gated on
+    # the same exact oracle
+    "ann_index_search_embeddings": (q_ann_index_search, similarity.pq_topk_sql("embeddings", 10, k=10, m=8, ksub=32, dim=64)),
     "ann_rerank_pq_embeddings": (q_ann_rerank_pq, similarity.pq_rerank_topk_sql("embeddings", 10, k=10, rerank=50, m=8, ksub=32, dim=64)),
     "near_dup_embeddings": (q_near_dup_embeddings, Q_NEAR_DUP_EMB_ORACLE),
     "embedding_stats_by_label": (q_embedding_stats, Q_EMBEDDING_STATS_ORACLE),

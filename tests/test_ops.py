@@ -2765,6 +2765,36 @@ def test_pq_index_build_once_search_equals_pq_topk(spark, sf_tables, tmp_path):
         ann_index.pq_search_index(spark, flat, queries, k=10, n_probe=2)
 
 
+def test_ann_index_search_query_builds_once_and_validates(spark, sf_tables, tmp_path, monkeypatch):
+    """The REGISTERED persisted-index query: first call builds into the
+    content-keyed cache dir, the second call reuses it (no new build
+    dir appears — the bench's amortized warm passes); the r8 guards
+    raise clearly on an empty build corpus and on wrong-width appends."""
+    import os
+
+    from datalakerulegeneration_spark import queries as Q
+    from datalakerulegeneration_spark.ops import ann_index
+
+    cache = tmp_path / "annidx"
+    monkeypatch.setenv("SPARK_GRAFT_ANN_INDEX_DIR", str(cache))
+    out1 = sorted(map(tuple, Q.q_ann_index_search(spark, "/root/testdata/sf0.001").collect()))
+    built = sorted(os.listdir(cache))
+    assert len(built) == 1  # one complete index, no leftover .build-* tmp
+    out2 = sorted(map(tuple, Q.q_ann_index_search(spark, "/root/testdata/sf0.001").collect()))
+    assert out1 == out2 and sorted(os.listdir(cache)) == built
+
+    emb = sf_tables["embeddings"]
+    with pytest.raises(ValueError, match="empty or first"):
+        ann_index.pq_build_index(emb.where(F.lit(False)), str(tmp_path / "nope"))
+    idx = str(cache / built[0])
+    bad = emb.limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.expr("slice(embedding, 1, 32)").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dim=64"):
+        ann_index.pq_index_append(bad, idx)
+
+
 def test_pq_index_append_frozen_codebooks_idempotent(spark, sf_tables, tmp_path):
     """FAISS-add semantics: append encodes the delta against the
     FROZEN build-time codebooks and routes through the frozen

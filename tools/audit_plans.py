@@ -111,6 +111,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("pca_topk_embeddings", "bnlj", "constant-size PCA-projected probe set broadcast"),
     ("pca_recall_embeddings", "bnlj", "constant-size probe set broadcast in both legs (exact + full-rank PCA)"),
     ("ann_topk_pq_embeddings", "bnlj", "constant-size reconstructed probe set broadcast"),
+    ("ann_index_search_embeddings", "bnlj", "constant-size reconstructed probe set broadcast against the persisted codes scan"),
     ("ann_topk_ivf_pq_embeddings", "bnlj", "n_lists-row centroid table + m*ksub-row anchor codebook broadcast"),
     ("ann_rerank_pq_embeddings", "bnlj", "constant-size probe frames broadcast in the pre-rank and re-rank stages"),
     ("hll_overlap_events", "bnlj", "#groups-row distinct-group frame crossed into pairs (group_a < group_b)"),
