@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.catalog import load_sf_tables
-from datalakerulegeneration_spark.ops import curate, dedup, hll, multimodal, packing, sampling, similarity, sketch, textqa
+from datalakerulegeneration_spark.ops import curate, dedup, domains, hll, multimodal, packing, sampling, similarity, sketch, textqa
 from datalakerulegeneration_spark.profiling import scalar_stats_long
 from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
 from datalakerulegeneration_spark.profiling.profiler import STOPWORDS, column_kind
@@ -2446,13 +2446,98 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized epoch mixture (ops.sampling.epoch_mixture_expand):
     (id, group, weight, epoch) rows — whole epochs via one map-side
-    sequence explode, the partial pass filled EXACTLY by the per-group
-    token-budget machinery with md5 order standing in for random."""
+    sequence explode, the partial pass a greedy md5-order prefix of at
+    most remainder_tokens via the per-group token-budget machinery."""
     from datalakerulegeneration_spark.ops import sampling
 
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
     d = docs.select("doc_id", "source", textqa.ntokens_col("text").alias("w"))
     return sampling.epoch_mixture_expand(d, "doc_id", "w", "source", _EPOCH_TARGETS)
+
+
+# --- domain-grain curation -------------------------------------------------
+# The documents fixture carries no URL column, so the domain queries
+# synthesize one deterministically from doc_id — same expression both
+# engines, exercising every extraction branch: NULL urls, bare-TLD
+# hosts (no registered domain), IP-literal hosts, 4 subdomain shapes ×
+# 11 sites × 6 TLDs incl. multi-label registries (co.uk, com.au) and a
+# platform suffix (github.io).
+
+_URL_TLDS = ("com", "co.uk", "org", "github.io", "de", "com.au")
+_URL_SUBS = ("", "www.", "blog.", "api.")
+_BLOCKED_DOMAINS = ("site1.com", "site4.github.io", "site5.de", "site7.co.uk")
+
+
+def _synth_url_spark() -> str:
+    subs = ", ".join(f"'{s}'" for s in _URL_SUBS)
+    tlds = ", ".join(f"'{t}'" for t in _URL_TLDS)
+    return f"""
+case
+  when doc_id % 19 = 0 then null
+  when doc_id % 23 = 0 then 'https://com/x'
+  when doc_id % 29 = 1 then concat('https://192.168.0.', cast(doc_id % 254 as string), '/x')
+  else concat('https://',
+       element_at(array({subs}), cast(doc_id % 4 as int) + 1),
+       'site', cast(doc_id % 11 as string), '.',
+       element_at(array({tlds}), cast(doc_id % 6 as int) + 1),
+       '/d/', cast(doc_id as string))
+end""".strip()
+
+
+def _synth_url_duck() -> str:
+    subs = ", ".join(f"'{s}'" for s in _URL_SUBS)
+    tlds = ", ".join(f"'{t}'" for t in _URL_TLDS)
+    return f"""
+CASE
+  WHEN doc_id % 19 = 0 THEN NULL
+  WHEN doc_id % 23 = 0 THEN 'https://com/x'
+  WHEN doc_id % 29 = 1 THEN 'https://192.168.0.' || CAST(doc_id % 254 AS VARCHAR) || '/x'
+  ELSE 'https://' ||
+       ([{subs}])[CAST(doc_id % 4 AS BIGINT) + 1] ||
+       'site' || CAST(doc_id % 11 AS VARCHAR) || '.' ||
+       ([{tlds}])[CAST(doc_id % 6 AS BIGINT) + 1] ||
+       '/d/' || CAST(doc_id AS VARCHAR)
+END""".strip()
+
+
+_URL_DOCS_DUCK = f"(SELECT *, {_synth_url_duck()} AS url FROM documents)"
+
+
+def _docs_with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.withColumn("url", F.expr(_synth_url_spark()))
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain corpus mix (ops.domains.domain_mix): eTLD+1
+    extraction via the vendored public-suffix rules (pure map-side
+    expression arithmetic — no UDF), one groupBy for the counts, share
+    over the bounded #domains counts frame. The NULL-domain row audits
+    unattributed volume (missing URLs, IP hosts, bare public
+    suffixes)."""
+    return domains.domain_mix(_docs_with_url(spark, sf_dir), "url")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (ops.domains.domain_cap): every
+    registered domain keeps its 5 smallest-md5 members — the
+    CommonCrawl-style per-publisher flood guard, executed as a
+    WindowGroupLimit (map-side partial top-N per domain)."""
+    return domains.domain_cap(
+        _docs_with_url(spark, sf_dir), "doc_id", "url", max_per_domain=5
+    ).select("doc_id", "url")
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist (ops.domains.blocklist_filter): drop documents
+    whose registered domain is on the curated blocklist — the UT1-
+    style broadcast-dimension anti-join (the reference's US-cities
+    dictionary join, rules/evaluation.py:127-169, at domain grain);
+    blocking a registered domain blocks all its subdomains; NULL-
+    domain rows survive."""
+    return domains.blocklist_filter(
+        _docs_with_url(spark, sf_dir), "url", _BLOCKED_DOMAINS
+    ).select("doc_id", "url")
 
 
 def q_target_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4486,6 +4571,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "epoch_plan_documents": (q_epoch_plan, sampling.epoch_mixture_plan_sql(
         f"(SELECT doc_id, source, {textqa.ntokens_sql_expr('text')} AS w FROM documents)",
         "doc_id", "w", "source", _EPOCH_TARGETS)),
+    "domain_mix_documents": (q_domain_mix, domains.domain_mix_sql(_URL_DOCS_DUCK, "url")),
+    "domain_cap_documents": (q_domain_cap, domains.domain_cap_sql(
+        _URL_DOCS_DUCK, "doc_id", "url", max_per_domain=5, select_cols="doc_id, url")),
+    "domain_blocklist_documents": (q_domain_blocklist, domains.blocklist_filter_sql(
+        _URL_DOCS_DUCK, "url", _BLOCKED_DOMAINS, select_cols="doc_id, url")),
     "epoch_expand_documents": (q_epoch_expand, sampling.epoch_mixture_expand_sql(
         f"(SELECT doc_id, source, {textqa.ntokens_sql_expr('text')} AS w FROM documents)",
         "doc_id", "w", "source", _EPOCH_TARGETS)),

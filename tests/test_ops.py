@@ -3104,3 +3104,107 @@ def test_epoch_mixture_plan_and_expand_semantics(spark, duck):
     for g, t in targets.items():
         realized = sum(r["weight"] for r in got if r["group"] == g)
         assert realized <= t
+
+
+# --- domain-grain curation (ops.domains, r8) -------------------------------
+
+def test_registered_domain_extraction_branches(spark):
+    """Every extraction branch: multi-label registries, platform
+    suffixes, deep subdomains, bare public suffixes, IP literals,
+    missing/unparseable URLs, the implicit * rule, case + trailing-dot
+    normalization."""
+    from datalakerulegeneration_spark.ops import domains
+
+    rows = [
+        (1, "https://www.example.co.uk/path?q=1"),
+        (2, "http://user@blog.foo.com:8080/x"),
+        (3, "https://site4.github.io/page"),
+        (4, "https://a.b.site4.github.io"),
+        (5, "https://com/x"),
+        (6, "https://192.168.0.7/x"),
+        (7, None),
+        (8, "not a url"),
+        (9, "https://example.unknowntld"),
+        (10, "https://unknowntld"),
+        (11, "https://Example.COM./y"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    got = {r["id"]: r["domain"] for r in domains.with_registered_domain(df, "url").collect()}
+    assert got == {
+        1: "example.co.uk", 2: "foo.com", 3: "site4.github.io",
+        4: "site4.github.io", 5: None, 6: None, 7: None, 8: None,
+        9: "example.unknowntld", 10: None, 11: "example.com",
+    }
+    # custom rule list overrides the vendored subset
+    alt = {r["id"]: r["domain"] for r in domains.with_registered_domain(
+        df, "url", suffixes=["github.io"]).collect()}
+    assert alt[3] == "site4.github.io" and alt[1] == "co.uk"  # 'uk' unlisted -> implicit *
+
+
+def test_domain_mix_cap_blocklist_semantics(spark, duck):
+    """Planted corpus: mix shares sum to 1 and audit the NULL-domain
+    volume; the cap keeps exactly N per domain, deterministically, as
+    a map-side WindowGroupLimit; the blocklist drops all subdomains of
+    a blocked registered domain and keeps NULL-domain rows. Plus the
+    empty / all-NULL / 1-row ANSI probes."""
+    from datalakerulegeneration_spark.ops import domains
+
+    rows = (
+        [(i, f"https://www.flood.com/{i}") for i in range(10)]
+        + [(20 + i, f"https://sub{i}.nice.co.uk/x") for i in range(3)]
+        + [(30, None), (31, "https://10.0.0.1/x")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+
+    mix = {r["domain"]: (r["n_docs"], r["share"]) for r in domains.domain_mix(df, "url").collect()}
+    assert mix["flood.com"] == (10, round(10 / 15, 6))
+    assert mix["nice.co.uk"] == (3, 0.2)
+    assert mix[None] == (2, round(2 / 15, 6))
+    assert round(sum(s for _, s in mix.values()), 6) == 1.0
+
+    capped = domains.domain_cap(df, "doc_id", "url", max_per_domain=4)
+    by_dom = {r["domain"]: r["n"] for r in domains.with_registered_domain(
+        capped, "url").groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_dom == {"flood.com": 4, "nice.co.uk": 3, None: 2}
+    assert capped.columns == df.columns
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in domains.domain_cap(df, "doc_id", "url", 4).collect())
+    assert a == b  # deterministic survivor set
+    plan = domains.domain_cap(df, "doc_id", "url", 4)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side partial top-N per domain
+
+    kept = domains.blocklist_filter(df, "url", ["flood.com"])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [20, 21, 22, 30, 31]  # every flood.com subdomain gone, NULL-domain rows kept
+
+    # probes: empty, all-NULL url, 1-row
+    empty = spark.createDataFrame([], "doc_id bigint, url string")
+    assert domains.domain_mix(empty, "url").count() == 0
+    assert domains.domain_cap(empty, "doc_id", "url", 2).count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "doc_id bigint, url string")
+    assert {tuple(r) for r in domains.domain_mix(nulls, "url").collect()} == {(None, 2, 1.0)}
+    assert domains.blocklist_filter(nulls, "url", ["x.com"]).count() == 2
+    one = spark.createDataFrame([(1, "https://a.com/x")], "doc_id bigint, url string")
+    assert domains.domain_mix(one, "url").collect()[0]["share"] == 1.0
+
+    with pytest.raises(ValueError, match="max_per_domain"):
+        domains.domain_cap(df, "doc_id", "url", 0)
+    with pytest.raises(ValueError, match="at least one"):
+        domains.blocklist_filter(df, "url", [])
+    with pytest.raises(ValueError, match="lowercase"):
+        domains.with_registered_domain(df, "url", suffixes=["CO.UK"])
+
+
+def test_domain_queries_match_oracle(spark, duck):
+    """The three registered domain queries hash-match their DuckDB
+    oracles at the test SF (the driver's gate, replicated)."""
+    from datalakerulegeneration_spark import queries as Q
+
+    def key(rows):  # NULL-safe total order (None sorts first)
+        return sorted(tuple((v is not None, v) for v in r) for r in rows)
+
+    for name in ("domain_mix_documents", "domain_cap_documents", "domain_blocklist_documents"):
+        impl, sql = Q.REGISTRY[name]
+        got = key(map(tuple, impl(spark, "/root/testdata/sf0.001").collect()))
+        exp = key(duck.execute(sql).fetchall())
+        assert got == exp, name

@@ -35,6 +35,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     # unpartitioned windows over frames bounded by construction
     ("vocab_coverage_documents", "global_window", "window runs over the k-row TakeOrderedAndProject result"),
     ("source_mix_documents", "global_window", "#groups-row mixture frame"),
+    ("domain_mix_documents", "global_window", "share denominator over the #domains-row counts frame (bounded)"),
     ("token_kl_by_source_documents", "global_window", "#groups-row per-source frame above the grp agg"),
     ("rebalance_sources_documents", "global_window", "#groups-row cap computation"),
     ("target_mixture_documents", "global_window", "#groups-row water-fill frame"),
