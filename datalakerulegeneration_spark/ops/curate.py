@@ -47,6 +47,8 @@ def curate_corpus(
     quality_fn=None,
     token_budget: int | None = None,
     sft_max_tokens: int | None = None,
+    ccnet_lang: str | None = None,
+    ccnet_materialize: bool = True,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the training manifest
     (id, source group, token weight, stream offset, first/last pack).
@@ -94,7 +96,49 @@ def curate_corpus(
     ``(id, grp, weight, bucket, batch_idx)`` where each batch pads to
     its bucket ceiling within the cost cap. Same curation stages, same
     exactness; only the batch-assembly convention changes.
+
+    ``ccnet_lang`` (e.g. ``"en"``) prepends the CCNet recipe (Wenzek
+    et al. 2020) as stage 0.25: corpus line-level dedup
+    (:func:`ops.textqa.common_line_dedup` — boilerplate lines occurring
+    in ≥2 documents removed, fully-boilerplate docs dropped) → keep
+    documents :func:`ops.textqa.language_id` assigns the target
+    language → perplexity partition the survivors
+    (:func:`ops.textqa.ccnet_buckets`, LM-logprob proxy) and keep the
+    head+middle buckets (``bucket >= 1`` of 3 — CCNet's standard
+    training slice). The standard chain then runs on the CLEANED text
+    (fingerprints, quality, token counts — all post-line-dedup, the
+    grain CCNet publishes). Composable with the other variants; all of
+    it stays inside the exact DuckDB oracle. Scale shape: one
+    line-grain explode + the bucket quantiles (distinct-value grain);
+    ``ccnet_materialize`` (default True — CCNet pipelines materialize
+    shards between stages) persists the rebuilt corpus so the
+    downstream chain's three consuming branches (d0 / eval / total)
+    don't each re-derive the explode+LM+quantile subtree (measured 3×
+    the plan's fixed cost when lazy); pass False for a pure-lazy plan
+    holding no executor memory.
     """
+    if ccnet_lang is not None:
+        ld = textqa.common_line_dedup(docs, id_col, text_col)
+        cleaned = ld.where(F.col("n_kept") > 0).select("id", "cleaned_text")
+        langs = textqa.language_id(cleaned, "id", "cleaned_text").where(
+            F.col("lang_pred") == ccnet_lang
+        )
+        ckept = cleaned.join(langs.select("id"), "id")
+        cids = (
+            textqa.ccnet_buckets(ckept, "id", "cleaned_text")
+            .where(F.col("bucket") >= 1)
+            .select("id")
+        )
+        # rebuild the corpus: original ids/groups, CLEANED text — the
+        # downstream stages and the cap total all see the CCNet slice
+        docs = (
+            docs.select(F.col(id_col), F.col(group_col))
+            .join(ckept.withColumnRenamed("id", id_col), id_col)
+            .join(cids.withColumnRenamed("id", id_col), id_col)
+            .withColumnRenamed("cleaned_text", text_col)
+        )
+        if ccnet_materialize:
+            docs = docs.persist()
     if near_dup_threshold is not None:
         from datalakerulegeneration_spark.ops import dedup
 
@@ -306,6 +350,132 @@ def curation_funnel(
     )
 
 
+CCNET_STAGES = ("raw", "line_dedup", "language", "ccnet_ppl")
+
+
+def curation_funnel_ccnet(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    ccnet_lang: str = "en",
+    eval_mod: int = 37,
+    quality_min: float = 0.5,
+    cap_share: float = 0.03,
+) -> DataFrame:
+    """Funnel audit for the CCNet flagship variant: the three CCNet
+    stage rows (line dedup → language keep → perplexity head+middle)
+    prepended to the standard funnel over the rebuilt corpus —
+    ``(stage_idx, stage, n_docs, n_tokens)`` with token counts at the
+    grain each stage sees (raw tokens for stage 0, post-line-dedup
+    tokens from stage 1 on).
+
+    Unlike :func:`curation_funnel`'s single-scan flag construction,
+    the CCNet head rows aggregate successively filtered frames of the
+    line-dedup subtree; the cleaned frame is persisted (it feeds four
+    stage rows plus the shifted tail funnel — the same materialization
+    choice as ``curate_corpus(ccnet_materialize=True)``); the standard
+    stages still ride the one-scan flag funnel, shifted by the three
+    CCNet stages."""
+    ld = textqa.common_line_dedup(docs, id_col, text_col)
+    cleaned = ld.where(F.col("n_kept") > 0).select("id", "cleaned_text").persist()
+    langs = textqa.language_id(cleaned, "id", "cleaned_text").where(
+        F.col("lang_pred") == ccnet_lang
+    )
+    ckept = cleaned.join(langs.select("id"), "id")
+    cids = (
+        textqa.ccnet_buckets(ckept, "id", "cleaned_text")
+        .where(F.col("bucket") >= 1)
+        .select("id")
+    )
+    rebuilt = (
+        docs.select(F.col(id_col), F.col(group_col))
+        .join(ckept.withColumnRenamed("id", id_col), id_col)
+        .join(cids.withColumnRenamed("id", id_col), id_col)
+        .withColumnRenamed("cleaned_text", text_col)
+        .persist()  # feeds the ppl stage row + the tail funnel's 3 branches
+    )
+
+    def stage_row(idx: int, name: str, frame: DataFrame, tcol: str) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(textqa.ntokens_col(tcol)), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    head = (
+        stage_row(0, CCNET_STAGES[0], docs, text_col)
+        .unionByName(stage_row(1, CCNET_STAGES[1], cleaned, "cleaned_text"))
+        .unionByName(stage_row(2, CCNET_STAGES[2], ckept, "cleaned_text"))
+        .unionByName(stage_row(3, CCNET_STAGES[3], rebuilt, text_col))
+    )
+    tail = curation_funnel(
+        rebuilt, id_col, text_col, group_col, eval_mod, quality_min, cap_share
+    ).where(F.col("stage_idx") >= 1)  # its 'raw' row equals ccnet_ppl
+    return head.unionByName(
+        tail.select(
+            (F.col("stage_idx") + 3).alias("stage_idx"), "stage", "n_docs", "n_tokens"
+        )
+    )
+
+
+def curation_funnel_ccnet_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    ccnet_lang: str = "en",
+    eval_mod: int = 37,
+    quality_min: float = 0.5,
+    cap_share: float = 0.03,
+) -> str:
+    """DuckDB oracle for :func:`curation_funnel_ccnet`."""
+    ld_sql = textqa.common_line_dedup_sql(table, id_col, text_col).strip()
+    lang_sql = textqa.language_id_sql("cleaned", "id", "cleaned_text").strip()
+    cb_sql = textqa.ccnet_buckets_sql("ckept", "id", "cleaned_text").strip()
+    tail_sql = curation_funnel_sql(
+        "ccbase", id_col, text_col, group_col, eval_mod, quality_min, cap_share
+    ).strip()
+    nt_raw = textqa.ntokens_sql_expr(text_col)
+    nt_clean = textqa.ntokens_sql_expr("cleaned_text")
+    return f"""
+WITH ld AS ({ld_sql}),
+cleaned AS (SELECT id, cleaned_text FROM ld WHERE n_kept > 0),
+langs AS ({lang_sql}),
+ckept AS (
+  SELECT c.id, c.cleaned_text FROM cleaned c
+  JOIN langs ON langs.id = c.id AND langs.lang_pred = '{ccnet_lang}'
+),
+cb AS ({cb_sql}),
+cids AS (SELECT id FROM cb WHERE bucket >= 1),
+ccbase AS (
+  SELECT t.{id_col} AS {id_col}, t.{group_col} AS {group_col},
+         c.cleaned_text AS {text_col}
+  FROM {table} t
+  JOIN ckept c ON t.{id_col} = c.id
+  JOIN cids ON cids.id = c.id
+),
+tail AS ({tail_sql})
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum({nt_raw}), 0) AS BIGINT) AS n_tokens FROM {table}
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'line_dedup', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum({nt_clean}), 0) AS BIGINT) FROM cleaned
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'language', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum({nt_clean}), 0) AS BIGINT) FROM ckept
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'ccnet_ppl', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum({nt_raw}), 0) AS BIGINT) FROM ccbase
+UNION ALL
+SELECT stage_idx + 3, stage, n_docs, n_tokens FROM tail WHERE stage_idx >= 1
+"""
+
+
 def curation_funnel_sql(
     table: str,
     id_col: str = "doc_id",
@@ -401,6 +571,7 @@ def curate_corpus_sql(
     near_dup_threshold: float | None = None,
     token_budget: int | None = None,
     sft_max_tokens: int | None = None,
+    ccnet_lang: str | None = None,
 ) -> str:
     """Exact DuckDB oracle for :func:`curate_corpus` — the same six
     stages as CTEs (the oracle may run sequentially; only the Spark
@@ -409,10 +580,35 @@ def curate_corpus_sql(
     CTE over the same banded-LSH pair query the Spark side runs.
     With ``token_budget`` a greedy budget-selection CTE (single global
     window — oracles don't need the two-level shape) sits between
-    rebalance and packing, mirroring stage 5.5."""
+    rebalance and packing, mirroring stage 5.5. With ``ccnet_lang``
+    the line-dedup → language-keep → perplexity-bucket CTEs rebuild
+    the base corpus first, mirroring stage 0.25."""
     buckets = sampling._BUCKETS
     reb_hash = sampling._hash_bucket_sql("d3.id", "rebalance")
     pack_hash = sampling._hash_bucket_sql("id", "pack")
+    ccnet_prefix = ""
+    if ccnet_lang is not None:
+        ld_sql = textqa.common_line_dedup_sql(table, id_col, text_col).strip()
+        lang_sql = textqa.language_id_sql("cleaned", "id", "cleaned_text").strip()
+        cb_sql = textqa.ccnet_buckets_sql("ckept", "id", "cleaned_text").strip()
+        ccnet_prefix = f"""ld AS ({ld_sql}),
+cleaned AS (SELECT id, cleaned_text FROM ld WHERE n_kept > 0),
+langs AS ({lang_sql}),
+ckept AS (
+  SELECT c.id, c.cleaned_text FROM cleaned c
+  JOIN langs ON langs.id = c.id AND langs.lang_pred = '{ccnet_lang}'
+),
+cb AS ({cb_sql}),
+cids AS (SELECT id FROM cb WHERE bucket >= 1),
+ccbase AS (
+  SELECT t.{id_col} AS {id_col}, t.{group_col} AS {group_col},
+         c.cleaned_text AS {text_col}
+  FROM {table} t
+  JOIN ckept c ON t.{id_col} = c.id
+  JOIN cids ON cids.id = c.id
+),
+"""
+        table = "ccbase"
     nd_prefix = ""
     if near_dup_threshold is not None:
         from datalakerulegeneration_spark.ops import dedup
@@ -420,7 +616,7 @@ def curate_corpus_sql(
         pairs_sql = dedup.minhash_dedup_sql(
             table, id_col, text_col, threshold=near_dup_threshold
         ).strip()
-        nd_prefix = f"""RECURSIVE nd AS ({pairs_sql}),
+        nd_prefix = f"""nd AS ({pairs_sql}),
 sym AS (
   SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM nd
   UNION
@@ -481,8 +677,12 @@ SELECT id, grp, weight, "offset",
        CAST(floor("offset" / {seq_len}) AS BIGINT) AS pack_first,
        CAST(floor(("offset" + greatest(weight, 1) - 1) / {seq_len}) AS BIGINT) AS pack_last
 FROM o"""
+    # RECURSIVE is a property of the whole WITH list (the nd component
+    # reachability CTE), stated once up front regardless of where the
+    # nd CTEs sit after the optional ccnet prefix
+    with_kw = "WITH RECURSIVE" if near_dup_threshold is not None else "WITH"
     return f"""
-WITH {nd_prefix}d0 AS (
+{with_kw} {ccnet_prefix}{nd_prefix}d0 AS (
   SELECT {id_col} AS id, {group_col} AS grp,
          {textqa.quality_sql_expr(text_col)} AS quality,
          {textqa.fingerprint_sql_expr(text_col)} AS fp,

@@ -2368,6 +2368,31 @@ def q_curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate_corpus(docs, near_dup_threshold=0.2)
 
 
+def q_curate_corpus_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with the CCNet recipe (Wenzek et al.
+    2020) as stage 0.25 (ops.curate.curate_corpus ccnet_lang="en"):
+    corpus line-level dedup → keep language_id == 'en' → perplexity
+    partition and keep head+middle buckets — then the standard
+    quality → exact dedup → decon → rebalance → pack chain over the
+    CLEANED text. Exact end-to-end DuckDB oracle incl. the line-dedup,
+    language and bucket CTEs."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return curate.curate_corpus(docs, ccnet_lang="en")
+
+
+def q_curation_funnel_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel audit for the CCNet flagship (ops.curate.
+    curation_funnel_ccnet): line-dedup → language → perplexity rows
+    prepended to the standard one-scan flag funnel over the rebuilt
+    corpus; token counts at the grain each stage sees."""
+    from datalakerulegeneration_spark.ops import curate
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return curate.curation_funnel_ccnet(docs)
+
+
 _CURATE_BUDGET = 10000  # tokens ≈ 60% of the fixture's post-rebalance
 # stream at the gate SFs (~16.5k) — the budget BINDS, so the gate
 # actually exercises the cutoff
@@ -4545,6 +4570,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),
     "curate_corpus_documents": (q_curate_corpus, curate.curate_corpus_sql("documents")),
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),
+    "curate_corpus_ccnet_documents": (q_curate_corpus_ccnet, curate.curate_corpus_sql("documents", ccnet_lang="en")),
+    "curation_funnel_ccnet_documents": (q_curation_funnel_ccnet, curate.curation_funnel_ccnet_sql("documents")),
     "curate_corpus_dsir_documents": (q_curate_corpus_dsir, _curate_dsir_oracle()),
     "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
     "curate_corpus_budget_documents": (q_curate_corpus_budget, curate.curate_corpus_sql("documents", token_budget=_CURATE_BUDGET)),

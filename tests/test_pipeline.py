@@ -312,3 +312,46 @@ def test_cli_curate_budget_and_sft_modes(spark, tmp_path):
     import os
 
     assert any(p.startswith("grp=") for p in os.listdir(out_dir))
+
+
+def test_curate_corpus_ccnet_composition(spark):
+    """The CCNet variant (r8): boilerplate-only docs drop at line
+    dedup, non-target-language docs drop at the language stage, the
+    tail perplexity bucket drops, and the standard chain then runs on
+    the CLEANED text; the ccnet funnel's stage rows agree with the
+    manifest and are monotone non-increasing from stage 1 on."""
+    from datalakerulegeneration_spark.ops import curate
+
+    boiler = "copyright footer nav terms"
+    # 'the ' * i varies each doc's share of the corpus's most frequent
+    # token, so the unigram-LM scores (and the perplexity buckets)
+    # actually spread instead of landing in one tie
+    rows = [
+        (i, f"{'the ' * i}data value number n{i} alpha beta gamma delta\n{boiler}", "s0")
+        for i in range(1, 13)
+    ]
+    rows.append((50, f"der die und das ist ein haus mit nicht\n{boiler}", "s0"))
+    rows.append((51, boiler, "s0"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    out = curate.curate_corpus(
+        df, quality_min=0.0, cap_share=1.0, seq_len=64, eval_mod=97, ccnet_lang="en"
+    )
+    ids = {r["id"] for r in out.collect()}
+    assert 50 not in ids and 51 not in ids
+    assert 0 < len(ids) < 12  # the tail perplexity bucket really drops
+
+    fun = {
+        r["stage"]: (r["stage_idx"], r["n_docs"])
+        for r in curate.curation_funnel_ccnet(
+            df, quality_min=0.0, cap_share=1.0, eval_mod=97
+        ).collect()
+    }
+    order = list(curate.CCNET_STAGES) + list(curate.FUNNEL_STAGES[1:])
+    assert [s for s, _ in sorted(fun.items(), key=lambda kv: kv[1][0])] == order
+    assert fun["raw"][1] == 14
+    assert fun["line_dedup"][1] == 13  # boilerplate-only doc gone
+    assert fun["language"][1] == 12  # the German doc gone
+    assert fun["ccnet_ppl"][1] == len(ids)  # no further drops at these settings
+    counts = [fun[s][1] for s in order[1:]]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))

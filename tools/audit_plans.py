@@ -67,6 +67,10 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("mad_outliers_events", "global_window", "n_parts-row offsets inside exact quantiles"),
     ("ccnet_buckets_documents", "global_window", "n_parts-row offsets inside the exact score-quantile engine"),
     ("ccnet_buckets_documents", "bnlj", "(n_buckets-1)-row threshold frame + 1-row totals broadcast"),
+    ("curate_corpus_ccnet_documents", "global_window", "n_parts-row packing offsets + the quantile engine's bounded frames"),
+    ("curate_corpus_ccnet_documents", "bnlj", "1-row totals + (n_buckets-1)-row threshold frame broadcast (the ccnet_buckets shapes)"),
+    ("curation_funnel_ccnet_documents", "global_window", "8-row funnel stage frame + the quantile engine's bounded frames"),
+    ("curation_funnel_ccnet_documents", "bnlj", "1-row stage-count constants + (n_buckets-1)-row threshold frame broadcast"),
     ("rollup_events", "global_window", "O(#hours) grain fan-out frame"),
     ("profile_merge_documents", "global_window", "#columns-row merged-state frame"),
     ("eval_correction_orders", "global_window", "#columns-row score vector"),
