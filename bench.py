@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "curate_sft_batches_documents",
     "epoch_plan_documents",
     "epoch_expand_documents",
+    "bpe_learn_documents",
+    "bpe_encode_documents",
     "curate_corpus_ccnet_documents",
     "curation_funnel_ccnet_documents",
     "domain_mix_documents",

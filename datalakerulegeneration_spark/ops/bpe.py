@@ -1,0 +1,307 @@
+"""Distributed BPE vocabulary learning and encoding.
+
+``vocab_coverage`` (ops/textqa.py) sizes a tokenizer; this module
+LEARNS one (r7 verdict item 6). Byte-pair encoding (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units")
+is iterative merge-pair counting — pure pair-grain aggregation, the
+machinery ``pmi_collocations`` already exercises, run to a fixpoint:
+
+* :func:`bpe_learn` — learn the merge sequence from a corpus. All
+  heavy work is distributed: ONE corpus scan builds the distinct-WORD
+  frequency table (BPE's sufficient statistic — at 100 TB the corpus
+  has billions of rows but the word table is ~10⁸, still a DataFrame,
+  never driver-resident), then each merge step is one pair-grain
+  aggregation over that table + one map-side rewrite. Only the single
+  winning (pair, count) row ever reaches the driver per step. The
+  sequential step loop is inherent to BPE (step k+1's counts depend
+  on step k's merge), not a scale compromise.
+* :func:`bpe_encode` — apply a FROZEN merge list to a corpus:
+  distinct words encode once, documents join the word→subwords map at
+  token grain. With literal merges every step is deterministic string
+  arithmetic, so encoding carries an EXACT DuckDB oracle
+  (:func:`bpe_encode_sql`).
+* :func:`bpe_tokenizer_fn` — the same frozen merges as a pure-Python
+  batch counting fn for the ``ops.tokenize`` Arrow seam: the REAL-BPE
+  token-accounting path (pack boundaries, budget cutoffs) with counts
+  that match :func:`bpe_encode` symbol-for-symbol.
+
+Symbol-sequence representation (shared by engine and oracle): a word's
+symbols are stored as ONE string, each symbol enclosed in single
+spaces with two spaces between adjacent symbols (symbols never contain
+whitespace — words come from whitespace splitting). Applying merge
+(a, b) → ab is then plain ``replace(seq, ' a  b ', ' ab ')``: SQL
+replace is left-to-right non-overlapping in Spark, DuckDB, and Python
+alike, which IS greedy BPE merge application, and the explicit
+boundaries make a false sub-symbol match impossible. The end-of-word
+marker ``</w>`` rides the last character (the Sennrich convention), so
+learned units distinguish word-final from word-internal positions.
+
+Tie-break (documented, engine-ordered both sides): each step merges
+the pair with the highest weighted count, ties broken by (left asc,
+right asc).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MARKER = "</w>"
+
+_MERGES_SCHEMA = "step int, left string, right string, merged string, pair_count bigint"
+
+
+def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) — the distinct-word frequency table, BPE's
+    sufficient statistic. Lowercase whitespace tokens (the repo's
+    shared tokenizer convention)."""
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _init_seq_col():
+    """word → the enclosed symbol-string of its characters, last char
+    carrying the end-of-word marker: 'cat' → ' c  a  t</w> '."""
+    chars = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    marked = F.concat(
+        F.slice(chars, F.lit(1), F.size(chars) - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(MARKER))),
+    )
+    return F.concat(F.lit(" "), F.array_join(marked, "  "), F.lit(" "))
+
+
+def _seq_to_arr_expr() -> str:
+    """Spark SQL: enclosed symbol-string back to array<string>."""
+    return "split(substring(seq, 2, length(seq) - 2), '  ')"
+
+
+def bpe_learn(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 32,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn a BPE merge sequence: ``(step, left, right, merged,
+    pair_count)``, steps 1..≤``n_merges`` (stops early when no pair
+    reaches ``min_pair_count``).
+
+    Per step: adjacent symbol pairs of every distinct word (weighted
+    by word frequency) aggregate to (pair → count); the argmax row —
+    ties by (left, right) ascending — is collected (ONE row crosses to
+    the driver), and the merge applies as a map-side ``replace`` on
+    the symbol strings. ``checkpoint_every`` bounds plan lineage
+    (``localCheckpoint``): without it step k re-derives k−1 replace
+    projections per action — O(k²) recompute across the loop.
+
+    Registered rows-only: each step's argmax feeds the next step's
+    state, so the loop is not expressible as one SQL statement; the
+    merge sequence itself is fully deterministic (pytest pins it
+    against a local reference implementation), and the encoder it
+    feeds (:func:`bpe_encode`) carries the exact oracle.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+    state = (
+        _word_freq(df, text_col)
+        .select(_init_seq_col().alias("seq"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            state.select(F.expr(_seq_to_arr_expr()).alias("a"), "freq")
+            .where(F.size("a") >= 2)
+            .select(
+                F.explode(
+                    F.expr("transform(sequence(1, size(a) - 1), i -> struct(a[i-1] as l, a[i] as r))")
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((step, l, r, l + r, c))
+        state = state.withColumn(
+            "seq", F.replace(F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+        )
+        if step % checkpoint_every == 0:
+            state = state.localCheckpoint()
+    return spark.createDataFrame(merges, _MERGES_SCHEMA)
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges,
+) -> DataFrame:
+    """Encode a corpus with a FROZEN merge list: ``(id, n_subwords,
+    subword_text)`` — subwords of the whole document in token order,
+    joined by single spaces (a flat string so the row is hashable by
+    the correctness gate). ``merges`` is a sequence of (left, right)
+    pairs in learned order; each applies as one full greedy
+    left-to-right pass, exactly the trainer's semantics.
+
+    Shape: distinct words encode ONCE (the merge passes are map-side
+    ``replace`` chains on the word table, never on the corpus); the
+    corpus joins the word→subwords map at token grain and reassembles
+    per document. NULL-text documents are absent from the output (no
+    tokens — the dedup-family convention). Documents whose text has no
+    tokens (empty/whitespace) are likewise absent.
+    """
+    merges = [(l, r) for l, r in merges]
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "word")
+    )
+    seq = _init_seq_col()
+    for l, r in merges:
+        seq = F.replace(seq, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    wmap = (
+        base.select("word")
+        .distinct()
+        .select("word", seq.alias("seq"))
+        .select("word", F.expr(_seq_to_arr_expr()).alias("subs"))
+    )
+    return (
+        base.join(wmap, "word")
+        .groupBy("id")
+        .agg(
+            F.sum(F.size("subs")).cast("bigint").alias("n_subwords"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("subs")))),
+                        lambda s: s["subs"],
+                    )
+                ),
+                " ",
+            ).alias("subword_text"),
+        )
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def bpe_encode_sql(table: str, id_col: str, text_col: str, merges) -> str:
+    """DuckDB oracle for :func:`bpe_encode` (same enclosed-string
+    replace chain, literal merges)."""
+    seq = (
+        "' ' || array_to_string(list_concat("
+        "list_slice(chars, 1, len(chars) - 1),"
+        f" [chars[-1] || '{MARKER}']), '  ') || ' '"
+    )
+    expr = f"({seq})"
+    for l, r in merges:
+        ql, qr = _sql_quote(l), _sql_quote(r)
+        expr = f"replace({expr}, ' {ql}  {qr} ', ' {ql}{qr} ')"
+    return f"""
+WITH t AS (
+  SELECT id, u.pos AS pos, u.word AS word FROM (
+    SELECT {id_col} AS id,
+           list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '') AS toks
+    FROM {table} WHERE {text_col} IS NOT NULL
+  ), LATERAL (
+    SELECT unnest(list_transform(toks, (x, i) -> {{'pos': i, 'word': x}}),
+                  recursive := true)
+  ) u
+),
+w AS (
+  SELECT word,
+         string_split(substring(s.seq, 2, length(s.seq) - 2), '  ') AS subs
+  FROM (
+    SELECT word, {expr} AS seq FROM (
+      SELECT DISTINCT word,
+             list_transform(generate_series(1, length(word)),
+                            i -> substring(word, CAST(i AS INTEGER), 1)) AS chars
+      FROM t
+    )
+  ) s
+)
+SELECT t.id,
+       CAST(sum(len(w.subs)) AS BIGINT) AS n_subwords,
+       array_to_string(flatten(list(w.subs ORDER BY t.pos)), ' ') AS subword_text
+FROM t JOIN w ON t.word = w.word
+GROUP BY t.id
+"""
+
+
+def apply_merges_py(word: str, merges) -> list[str]:
+    """Reference greedy application of the merge sequence to one word
+    (marker on the last character) — the Python twin of the engine's
+    replace chain, used by :func:`bpe_tokenizer_fn` and the tests."""
+    syms = list(word)
+    if not syms:
+        return []
+    syms[-1] = syms[-1] + MARKER
+    for l, r in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_tokenizer_fn(merges):
+    """The frozen merge list as a batch counting fn for the
+    ``ops.tokenize`` seam (``pd.Series[str] -> list[int]``): REAL BPE
+    subword counts — symbol-for-symbol equal to :func:`bpe_encode` —
+    flowing through the one Arrow pandas_udf every token-budgeted
+    operator accepts. A per-word cache makes the per-batch cost
+    O(distinct words), the same sufficient statistic the engine path
+    exploits."""
+    merges = [(l, r) for l, r in merges]
+    cache: dict[str, int] = {}
+
+    def fn(s: pd.Series):
+        counts = []
+        for text in s:
+            total = 0
+            for word in str(text).lower().split():
+                n = cache.get(word)
+                if n is None:
+                    n = len(apply_merges_py(word, merges))
+                    cache[word] = n
+                total += n
+            counts.append(total)
+        return counts
+
+    return fn
+
+
+def load_merges_json(path: str) -> list[tuple[str, str]]:
+    """Load a merge list vendored as JSON (``[["l","r"], ...]`` or the
+    :func:`bpe_learn` row dicts)."""
+    import json
+
+    with open(path) as fh:
+        data = json.load(fh)
+    out = []
+    for item in data:
+        if isinstance(item, dict):
+            out.append((item["left"], item["right"]))
+        else:
+            l, r = item[0], item[1]
+            out.append((l, r))
+    return out

@@ -19,10 +19,12 @@ happens through, following the repo's established model-seam shape
   encode API (tiktoken ``encode_batch``, HF ``Tokenizer.encode_batch``)
   maps 1:1 with no per-row Python dispatch.
 
-``default_tokenizer()`` probes for tiktoken / HuggingFace tokenizers
-at call time and returns a batch counting fn when one is importable
-(neither is in this container — callers must handle ``None`` and fall
-back to the proxy, which every operator does by default).
+``default_tokenizer()`` probes, in order: tiktoken, HuggingFace
+``tokenizers`` (local tokenizer.json only), then the in-repo BPE
+(``ops.bpe`` merges trained by ``bpe_learn`` — the vendored
+fixture-corpus merge list ships in ``resources/``), so the REAL-BPE
+path runs even in containers without tokenizer libraries; callers
+must still handle ``None`` and fall back to the proxy.
 
 Scale note: the pandas_udf path is embarrassingly parallel map-only —
 no shuffle, no state — so at 1000 executors it scales with input
@@ -124,6 +126,30 @@ def default_tokenizer(encoding: str = "cl100k_base") -> TokenizerFn | None:
                 return [len(e.ids) for e in tok.encode_batch(list(s))]
 
             return _hf_count
+    except Exception:  # noqa: BLE001
+        pass
+    # In-repo BPE (ops.bpe): a merge list trained by bpe_learn — REAL
+    # byte-pair counting (not the regex proxy) with zero external
+    # dependencies. SPARK_GRAFT_BPE_MERGES_JSON points at a merges
+    # file; unset, the vendored fixture-corpus tokenizer
+    # (resources/fixture_bpe_merges.json, regenerate with
+    # tools/train_fixture_bpe.py) is used, so this probe ALWAYS
+    # returns a real tokenizer in this repo's CI.
+    try:
+        import os
+
+        from datalakerulegeneration_spark.ops.bpe import (
+            bpe_tokenizer_fn,
+            load_merges_json,
+        )
+
+        path = os.environ.get("SPARK_GRAFT_BPE_MERGES_JSON") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
+            "fixture_bpe_merges.json",
+        )
+        if os.path.exists(path):
+            return bpe_tokenizer_fn(load_merges_json(path))
     except Exception:  # noqa: BLE001
         pass
     return None

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.catalog import load_sf_tables
+from datalakerulegeneration_spark.ops import bpe as bpe_mod
 from datalakerulegeneration_spark.ops import curate, dedup, domains, hll, multimodal, packing, sampling, similarity, sketch, textqa
 from datalakerulegeneration_spark.profiling import scalar_stats_long
 from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
@@ -2368,6 +2369,48 @@ def q_curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate_corpus(docs, near_dup_threshold=0.2)
 
 
+# Frozen BPE merge sequence for the oracle-gated encode query: learned
+# once from the sf0.01 documents fixture by ops.bpe.bpe_learn
+# (n_merges=24, min_pair_count=2 — regenerate with
+# tools/train_fixture_bpe.py). Freezing makes encoding deterministic
+# string arithmetic, so bpe_encode carries an EXACT DuckDB oracle; the
+# learner itself is registered rows-only (iterative argmax loop).
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"), ("l", "u"),
+    ("a", "s"), ("i", "n"), ("e", "r"), ("o", "r"), ("a", "r"),
+    ("p", "ar"), ("i", "n</w>"), ("j", "o"), ("jo", "in</w>"),
+    ("as", "h</w>"), ("h", "ash</w>"), ("r", "ow</w>"), ("at", "c"),
+    ("atc", "h</w>"), ("b", "atch</w>"), ("a", "n</w>"), ("c", "an</w>"),
+    ("s", "can</w>"), ("c", "o"),
+)
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (ops.bpe.bpe_learn): the
+    merge sequence from iterative pair-grain aggregation over the
+    distinct-word frequency table — one corpus scan total, one
+    argmax row to the driver per step. Rows-only: each step's argmax
+    feeds the next step's state (not one SQL statement); the merge
+    sequence is deterministic and pytest-pinned against a local
+    reference implementation, and the encoder it feeds carries the
+    exact oracle (bpe_encode_documents)."""
+    from datalakerulegeneration_spark.ops import bpe
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return bpe.bpe_learn(docs, "doc_id", "text", n_merges=12)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding under a frozen merge list (ops.bpe.bpe_encode):
+    distinct words encode once through the replace chain, documents
+    join the word→subwords map at token grain — (id, n_subwords,
+    subword_text). Exact DuckDB oracle (literal merges)."""
+    from datalakerulegeneration_spark.ops import bpe
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return bpe.bpe_encode(docs, "doc_id", "text", _BPE_MERGES)
+
+
 def q_curate_corpus_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline with the CCNet recipe (Wenzek et al.
     2020) as stage 0.25 (ops.curate.curate_corpus ccnet_lang="en"):
@@ -4572,6 +4615,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),
     "curate_corpus_ccnet_documents": (q_curate_corpus_ccnet, curate.curate_corpus_sql("documents", ccnet_lang="en")),
     "curation_funnel_ccnet_documents": (q_curation_funnel_ccnet, curate.curation_funnel_ccnet_sql("documents")),
+    "bpe_learn_documents": (q_bpe_learn, None),
+    "bpe_encode_documents": (q_bpe_encode, bpe_mod.bpe_encode_sql("documents", "doc_id", "text", _BPE_MERGES)),
     "curate_corpus_dsir_documents": (q_curate_corpus_dsir, _curate_dsir_oracle()),
     "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
     "curate_corpus_budget_documents": (q_curate_corpus_budget, curate.curate_corpus_sql("documents", token_budget=_CURATE_BUDGET)),
@@ -4789,6 +4834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # an authorship bug (forgot the oracle), not a sanctioned exemption —
 # tests/test_plans.py asserts the two sets coincide exactly.
 ROWS_ONLY: dict[str, str] = {
+    "bpe_learn_documents": "iterative merge selection — each step's argmax feeds the next step's state, not one SQL statement; merge sequence deterministic, pytest-pinned, and the downstream encoder is oracle-gated (bpe_encode_documents)",
     "cluster_columns_kmeans_profiles": "iterative KMeans fit — centroid trajectory is seed/scheduling-dependent, not SQL-expressible",
     "quality_classifier_documents": "trained logistic model — gradient-descent weights are not SQL-expressible",
     "semdedup_embeddings": "KMeans cluster assignment feeds the keep-set — iterative fit, not SQL-expressible",

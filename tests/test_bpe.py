@@ -1,0 +1,171 @@
+"""ops.bpe: distributed BPE learning/encoding + the real-tokenizer CI
+path (r7 verdict items 4 and 6)."""
+
+from __future__ import annotations
+
+import collections
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.ops import bpe
+from datalakerulegeneration_spark.ops import tokenize as T
+
+
+def reference_bpe(texts, n_merges, min_pair_count=2):
+    """Local reference BPE trainer (Sennrich et al. 2016 semantics):
+    word-frequency table, per-step weighted pair counts, argmax with
+    (count desc, left asc, right asc) tie-break, greedy left-to-right
+    non-overlapping merge application."""
+    wf = collections.Counter()
+    for t in texts:
+        if t is not None:
+            wf.update(t.lower().split())
+    words = {}
+    for w, f in wf.items():
+        syms = list(w)
+        syms[-1] = syms[-1] + bpe.MARKER
+        words[w] = (syms, f)
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, f in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), c = best
+        if c < min_pair_count:
+            break
+        merges.append((l, r, c))
+        for w, (syms, f) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, f)
+    return merges
+
+
+CORPUS = [
+    (1, "the lower power tower shower", "s0"),
+    (2, "lowest lower low slower", "s0"),
+    (3, "new newer newest renew", "s1"),
+    (4, "power flower glower lower", "s1"),
+    (5, None, "s1"),
+    (6, "the the the lower low", "s0"),
+]
+
+
+def test_bpe_learn_matches_reference(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string, source string")
+    got = bpe.bpe_learn(df, "doc_id", "text", n_merges=15).collect()
+    want = reference_bpe([t for _, t, _ in CORPUS], 15)
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got] == want
+    assert [r["step"] for r in got] == list(range(1, len(want) + 1))
+    assert all(r["merged"] == r["left"] + r["right"] for r in got)
+
+
+def test_bpe_learn_early_stop_and_empty(spark):
+    # every pair unique → nothing reaches min_pair_count → early stop
+    df = spark.createDataFrame([(1, "abc xyz", "s")], "doc_id bigint, text string, source string")
+    assert bpe.bpe_learn(df, "doc_id", "text", n_merges=5, min_pair_count=2).count() == 0
+    empty = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    assert bpe.bpe_learn(empty, "doc_id", "text", n_merges=3).count() == 0
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.bpe_learn(df, "doc_id", "text", n_merges=0)
+
+
+def test_bpe_encode_matches_python_twin_and_oracle(spark, duck):
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string, source string")
+    merges = [(r["left"], r["right"]) for r in bpe.bpe_learn(df, "doc_id", "text", n_merges=10).collect()]
+    enc = {r["id"]: (r["n_subwords"], r["subword_text"]) for r in bpe.bpe_encode(df, "doc_id", "text", merges).collect()}
+    assert 5 not in enc  # NULL-text docs absent
+    for i, t, _ in CORPUS:
+        if t is None:
+            continue
+        subs = [s for w in t.lower().split() for s in bpe.apply_merges_py(w, merges)]
+        assert enc[i] == (len(subs), " ".join(subs)), i
+    # overlapping-run greedy semantics, engine vs python twin: 'aaaa'
+    # under (a,a) merges the first two pairs left-to-right -> [aa, aa</w>]?
+    # no: the last char carries the marker, so symbols are a a a a</w>
+    # -> greedy gives [aa, a, a</w>]
+    df2 = spark.createDataFrame([(1, "aaaa aaaa", "s")], "doc_id bigint, text string, source string")
+    out = bpe.bpe_encode(df2, "doc_id", "text", [("a", "a")]).first()
+    want2 = [s for w in "aaaa aaaa".split() for s in bpe.apply_merges_py(w, [("a", "a")])]
+    assert out["subword_text"] == " ".join(want2)
+    assert out["n_subwords"] == len(want2)
+    # oracle parity of the REGISTERED encode query at the test SF
+    from datalakerulegeneration_spark import queries as Q
+
+    impl, sql = Q.REGISTRY["bpe_encode_documents"]
+    got = sorted(map(tuple, impl(spark, "/root/testdata/sf0.001").collect()))
+    exp = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert got == exp
+
+
+def test_real_bpe_tokenizer_drives_pack_and_budget(spark, tmp_path, monkeypatch):
+    """The real-tokenizer CI path (r7 verdict item 4): default_tokenizer()
+    returns the in-repo BPE (not the regex proxy, not a stub), and pack
+    boundaries / budget cutoffs computed through the Arrow seam equal
+    the ones computed from independently derived true-BPE counts."""
+    from datalakerulegeneration_spark.ops.packing import pack_sequences
+    from datalakerulegeneration_spark.ops.sampling import token_budget_select
+
+    fn = T.default_tokenizer()
+    assert fn is not None  # vendored resources/fixture_bpe_merges.json
+    # it is REAL BPE: counts equal apply_merges_py under the vendored merges
+    import os
+
+    merges = bpe.load_merges_json(
+        os.path.join(
+            os.path.dirname(os.path.abspath(bpe.__file__)),
+            "..",
+            "resources",
+            "fixture_bpe_merges.json",
+        )
+    )
+    texts = ["the lower tower", "scan batch row hash join", ""]
+    want = [
+        sum(len(bpe.apply_merges_py(w, merges)) for w in t.lower().split()) for t in texts
+    ]
+    assert list(fn(pd.Series(texts))) == want
+    # and it differs from the regex proxy (a stub would not)
+    df = spark.createDataFrame(
+        [(i, t, "s", (i % 10) / 10.0) for i, t in enumerate(["the lower tower power"] * 3 + ["scan batch row hash join the lower"] * 3)],
+        "doc_id bigint, text string, source string, quality double",
+    )
+    seam_counts = {
+        r["doc_id"]: r["n"] for r in df.select("doc_id", T.token_count_col("text", fn).alias("n")).collect()
+    }
+    proxy_counts = {
+        r["doc_id"]: r["n"] for r in df.select("doc_id", T.token_count_col("text").alias("n")).collect()
+    }
+    assert seam_counts != proxy_counts
+    # pack boundaries under true BPE counts == packing the precomputed counts
+    rows = df.collect()
+    pdf = pd.DataFrame([{ "doc_id": r["doc_id"], "text": r["text"], "source": r["source"], "quality": r["quality"], "w": int(list(fn(pd.Series([r["text"]])))[0])} for r in rows])
+    pre = spark.createDataFrame(pdf)
+    seam_pack = pack_sequences(df, "doc_id", "ignored", seq_len=16, text_col="text", tokenizer_fn=fn)
+    want_pack = pack_sequences(pre, "doc_id", "w", seq_len=16)
+    key = lambda rs: sorted((r["id"], r["offset"], r["pack_first"], r["pack_last"]) for r in rs)
+    assert key(seam_pack.collect()) == key(want_pack.collect())
+    # budget cutoff under true BPE counts == selecting on precomputed counts
+    seam_sel = token_budget_select(df, "doc_id", "ignored", "quality", 40, text_col="text", tokenizer_fn=fn)
+    want_sel = token_budget_select(pre, "doc_id", "w", "quality", 40)
+    assert sorted(r["doc_id"] for r in seam_sel.collect()) == sorted(r["doc_id"] for r in want_sel.collect())
+
+
+def test_load_merges_json_formats(tmp_path):
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps([["a", "b"], ["ab", "c</w>"]]))
+    assert bpe.load_merges_json(str(p)) == [("a", "b"), ("ab", "c</w>")]
+    p.write_text(json.dumps([{"left": "x", "right": "y"}]))
+    assert bpe.load_merges_json(str(p)) == [("x", "y")]
