@@ -442,20 +442,58 @@ def test_registry_oracle_hygiene():
 
 
 def test_parallel_runner_groups_cover_all_modules():
-    """tools/run_tests.py's module split must cover every test file
-    exactly once — a new test module that isn't in a group would
-    silently never run under the parallel runner."""
+    """tools/run_tests.py's split must cover every test file — a new
+    test module that isn't in a group would silently never run under
+    the parallel runner. A file listed in MORE than one group (the
+    test_ops.py mm split) must be partitioned by complementary -k
+    expressions ("X" / "not (X)") so every test still runs exactly
+    once."""
     import glob
     import os
     import runpy
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     mod = runpy.run_path(os.path.join(repo, "tools", "run_tests.py"), run_name="imported")
-    listed = [os.path.basename(f) for fs in mod["GROUPS"].values() for f in fs]
+    files_by_group = {
+        g: [f for f in fs if f.endswith(".py")] for g, fs in mod["GROUPS"].items()
+    }
+    listed = [os.path.basename(f) for fs in files_by_group.values() for f in fs]
     ondisk = sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(repo, "tests", "test_*.py"))
     )
-    assert sorted(listed) == ondisk, (
+    assert sorted(set(listed)) == ondisk, (
         f"missing from GROUPS: {set(ondisk) - set(listed)}; "
         f"stale in GROUPS: {set(listed) - set(ondisk)}"
     )
+    dupes = {f for f in listed if listed.count(f) > 1}
+    if dupes:
+        assert dupes == {"test_ops.py"}  # only the sanctioned mm split
+        k_exprs = []
+        for g, fs in mod["GROUPS"].items():
+            if any(f.endswith("test_ops.py") for f in fs):
+                assert "-k" in fs, f"group {g} lists test_ops.py without a -k partition"
+                k_exprs.append(fs[fs.index("-k") + 1])
+        mm = mod["MM_K"]
+        assert sorted(k_exprs) == sorted([mm, f"not ({mm})"])
+
+
+def test_mm_group_partition_catches_multimodal_tests():
+    """Every test in test_ops.py whose body touches ops.multimodal
+    must be selected by the runner's MM_K expression — otherwise the
+    'mm has its own JVM' split silently leaves the slow fixture
+    synthesis in the ops group."""
+    import os
+    import re
+    import runpy
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mod = runpy.run_path(os.path.join(repo, "tools", "run_tests.py"), run_name="imported")
+    subs = [s.strip() for s in mod["MM_K"].split(" or ")]
+    src = open(os.path.join(repo, "tests", "test_ops.py")).read()
+    chunks = re.split(r"(?m)^def (test_\w+)", src)
+    # chunks: [preamble, name1, body1, name2, body2, ...]
+    for name, body in zip(chunks[1::2], chunks[2::2]):
+        if "multimodal." in body:
+            assert any(s in name for s in subs), (
+                f"{name} uses ops.multimodal but MM_K does not select it"
+            )
