@@ -4730,59 +4730,61 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # never driver-gated r1–r6 (18)
-    "violations_phone_customer",
-    "pca_topk_embeddings",
-    "centroid_outliers_embeddings",
-    "curate_corpus_dsir_documents",
-    "group_split_documents",
-    "token_budget_select_documents",
-    "component_split_documents",
-    "target_mixture_exact_documents",
-    "bigram_logprob_documents",
-    "ngram_diversity_documents",
-    "shingle_novelty_documents",
-    "image_near_dups_documents",
-    "audio_near_dups_documents",
-    "video_frame_dhash_documents",
-    "video_near_dups_documents",
-    "intra_line_dedup_documents",
-    "drift_embeddings_projected",
-    "hll_overlap_events",
-    # new this round (14)
-    "curate_corpus_budget_documents",
-    "curation_funnel_budget_documents",
-    "pca_recall_embeddings",
-    "token_budget_by_group_documents",
-    "quality_sweep_documents",
-    "ccnet_buckets_documents",
-    "dup_weights_documents",
-    "compression_ratio_documents",
-    "pack_source_mix_documents",
-    "length_batches_documents",
-    "padding_waste_documents",
-    "curate_sft_batches_documents",
+    # new this round — r8 (8)
+    "ann_index_search_embeddings",
+    "domain_mix_documents",
+    "domain_cap_documents",
+    "domain_blocklist_documents",
+    "curate_corpus_ccnet_documents",
+    "curation_funnel_ccnet_documents",
+    "bpe_learn_documents",
+    "bpe_encode_documents",
+    # re-certify: code paths changed in r8 (simhash_bits=56 default;
+    # epoch integer div; token_budget NULL contract; curate_corpus_sql
+    # WITH-RECURSIVE hoist touches the neardup/budget oracles) (6)
+    "dedup_agreement_documents",
     "epoch_plan_documents",
     "epoch_expand_documents",
-    # family flagships — regression coverage (18)
-    "curate_corpus_documents",
+    "token_budget_select_documents",
     "curate_corpus_neardup_documents",
+    "curate_corpus_budget_documents",
+    # family flagships — regression rotation (36)
+    "curate_corpus_documents",
     "curation_funnel_documents",
+    "curation_funnel_budget_documents",
+    "curate_sft_batches_documents",
+    "curate_corpus_dsir_documents",
     "dedup_minhash_documents",
     "dedup_exact_documents",
     "simhash_documents",
+    "keep_best_documents",
+    "dedup_greedy_keepset_documents",
+    "span_dedup_documents",
+    "incremental_dedup_documents",
     "near_dup_embeddings",
     "ann_topk_embeddings",
+    "ann_topk_pq_embeddings",
+    "ann_topk_ivf_pq_embeddings",
     "ann_recall_embeddings",
+    "pca_recall_embeddings",
+    "quantized_topk_embeddings",
+    "decontaminate_embeddings",
     "profile_lineitem",
     "q1_pricing_summary",
     "q9_product_profit",
     "three_sigma_events",
+    "violations_events",
+    "fd_conflicts_orders",
+    "eval_metrics_orders",
+    "ks_table_events",
     "token_count_documents",
     "pack_sequences_documents",
+    "length_batches_documents",
     "corpus_report_documents",
     "dsir_weights_documents",
-    "span_dedup_documents",
+    "ccnet_buckets_documents",
+    "token_budget_by_group_documents",
+    "dup_weights_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

@@ -22,16 +22,23 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The multimodal tests (fixture synthesis is the suite's slowest
-# setup) run as their own process, split out of test_ops with a -k
+# test_ops.py alone outweighs every other module (r8 solo: 383 s sans
+# multimodal), so its heavy tail runs as its own process via a -k
 # partition: MM_K and "not (MM_K)" are complements, so every test runs
-# in exactly one group (tests/test_plans.py asserts the partition
-# catches every multimodal-family test by name).
-MM_K = "multimodal or png_decode or wav_decode or image_ or audio_ or video_"
+# in exactly one group (tests/test_plans.py asserts the partition's
+# complementarity AND that it catches every multimodal-family test by
+# name). Members: the multimodal fixtures (slowest synthesis) plus the
+# measured top of the ops duration tail (greedy keepset 24+9 s, pq
+# index 9.6+7.4 s, ks/W1 10.2+5.2 s, classifier 8.9+7.1 s, ...).
+MM_K = (
+    "multimodal or png_decode or wav_decode or image_ or audio_ or video_"
+    " or greedy_keepset or pq_index or ivf_pq or quality_classifier"
+    " or dedup_agreement or test_ks or minhash_pairs_contract"
+    " or component_split or curate_with_trained"
+)
 
-# Balanced by measured walls (r7: ops 440 s of the 480 s target —
-# this split moves its multimodal tail out). Update when a group's
-# time drifts past the max — the runner prints per-group walls.
+# Balanced by measured walls — update when a group's time drifts past
+# the max; the runner prints per-group walls.
 GROUPS: dict[str, list[str]] = {
     "ops": ["tests/test_ops.py", "-k", f"not ({MM_K})"],
     "mm": ["tests/test_ops.py", "-k", MM_K],
