@@ -20,12 +20,14 @@ domains (UT1/Blacklists-style blocklists are curated domain files).
 Public-suffix rules: ``DEFAULT_SUFFIXES`` vendors a compact subset of
 the Public Suffix List (publicsuffix.org — Mozilla's public, widely
 vendored rule file) covering the common gTLDs, the major ccTLD
-second-level registries, and the usual shared-hosting suffixes.
-Production swaps in the full list by passing ``suffixes=`` (the
-builders take any rule list); wildcard (``*.ck``) and exception
-(``!www.ck``) rules are out of scope for the vendored subset and
-documented as such. Hosts matching NO listed rule fall back to the
-PSL's implicit ``*`` rule: the public suffix is the last label.
+second-level registries, the usual shared-hosting suffixes, and the
+PSL's wildcard registries. Production swaps in the full list by
+passing ``suffixes=`` (the builders take any rule list). The full PSL
+rule grammar is implemented: normal rules (longest label-count match
+wins), wildcard rules (``*.ck`` — one extra label belongs to the
+suffix), exception rules (``!www.ck`` — overrides any wildcard; the
+public suffix is the rule minus its leftmost label), and the implicit
+``*`` rule for hosts matching nothing (public suffix = last label).
 """
 
 from __future__ import annotations
@@ -60,20 +62,42 @@ DEFAULT_SUFFIXES: tuple[str, ...] = (
     "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
     "herokuapp.com", "netlify.app", "vercel.app", "pages.dev",
     "appspot.com", "cloudfront.net", "s3.amazonaws.com",
+    # wildcard registries + their exceptions (the PSL rule grammar)
+    "*.ck", "!www.ck", "*.bd", "*.er", "*.fk", "*.kh", "*.mm", "*.np", "*.pg",
 )
 
 # authority host of a URL: scheme required, userinfo/port/path stripped
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 
-def _check_suffixes(suffixes) -> tuple[str, ...]:
+def _check_suffixes(suffixes) -> tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]:
+    """Validate and partition the rule list into (normals, wildcard
+    bases, exceptions): ``*.ck`` contributes base ``ck``; ``!www.ck``
+    contributes exception ``www.ck``. An exception must override some
+    wildcard, so ``!x`` requires a ``*.<parent(x)>`` rule."""
     suf = tuple(suffixes) if suffixes is not None else DEFAULT_SUFFIXES
     if not suf:
         raise ValueError("suffixes must name at least one public-suffix rule")
-    bad = [s for s in suf if not s or any(c in s for c in "'\"\\ ") or s != s.lower()]
-    if bad:
-        raise ValueError(f"suffix rules must be lowercase and quote-free: {bad[:5]}")
-    return suf
+    normals, wilds, excs = [], [], []
+    for s in suf:
+        body = s[2:] if s.startswith("*.") else s[1:] if s.startswith("!") else s
+        if not body or any(c in body for c in "'\"\\ !*") or body != body.lower():
+            raise ValueError(f"suffix rules must be lowercase and quote-free: {s!r}")
+        if s.startswith("*."):
+            wilds.append(body)
+        elif s.startswith("!"):
+            excs.append(body)
+        else:
+            normals.append(body)
+    for e in excs:
+        parent = e.split(".", 1)[1] if "." in e else ""
+        if parent not in wilds:
+            raise ValueError(
+                f"exception rule !{e} has no matching wildcard rule *.{parent or '?'}"
+            )
+    if not normals:
+        raise ValueError("suffixes must include at least one normal rule")
+    return tuple(normals), tuple(wilds), tuple(excs)
 
 
 def host_expr(url: str) -> str:
@@ -93,25 +117,73 @@ def host_sql_expr(url: str) -> str:
     )
 
 
-def _nsuf_expr(host: str, suf: tuple[str, ...]) -> str:
-    """Spark SQL: label count of the longest matching public suffix of
-    ``host`` (the implicit ``*`` rule — no match — counts 1)."""
-    arr = "array(" + ", ".join(f"'{s}'" for s in suf) + ")"
-    best = (
-        f"array_max(transform(filter({arr}, s -> {host} = s OR"
-        f" endswith({host}, concat('.', s))), s -> struct(length(s) as l, s as s))).s"
+def _nsuf_expr(host: str, rules) -> str:
+    """Spark SQL: public-suffix LABEL COUNT for ``host`` under the PSL
+    algorithm — exception rules win (suffix = rule minus its leftmost
+    label), else the most-labels match among normal + wildcard rules
+    (a wildcard ``*.b`` contributes labels(b)+1), else the implicit
+    ``*`` rule (1). Two same-label-count matching rules are the same
+    rule (both are suffixes of the host), so a numeric max suffices."""
+    normals, wilds, excs = rules
+
+    def match(s):
+        return f"{host} = s OR endswith({host}, concat('.', s))"
+
+    def labels(e):
+        return f"size(split({e}, '[.]'))"
+
+    narr = "array(" + ", ".join(f"'{s}'" for s in normals) + ")"
+    nbest = (
+        f"array_max(transform(filter({narr}, s -> {match('s')}), s -> {labels('s')}))"
     )
-    return f"coalesce(size(split({best}, '[.]')), 1)"
+    parts = [f"coalesce({nbest}, 1)"]
+    if wilds:
+        warr = "array(" + ", ".join(f"'{b}'" for b in wilds) + ")"
+        wbest = (
+            f"array_max(transform(filter({warr}, s -> endswith({host},"
+            f" concat('.', s))), s -> {labels('s')} + 1))"
+        )
+        parts.append(f"coalesce({wbest}, 1)")
+    best = f"greatest({', '.join(parts)})" if len(parts) > 1 else parts[0]
+    if excs:
+        earr = "array(" + ", ".join(f"'{e}'" for e in excs) + ")"
+        ebest = (
+            f"array_max(transform(filter({earr}, s -> {match('s')}), s -> {labels('s')} - 1))"
+        )
+        return f"coalesce({ebest}, {best})"
+    return best
 
 
-def _nsuf_sql_expr(host: str, suf: tuple[str, ...]) -> str:
+def _nsuf_sql_expr(host: str, rules) -> str:
     """DuckDB twin of :func:`_nsuf_expr`."""
-    arr = "[" + ", ".join(f"'{s}'" for s in suf) + "]"
-    best = (
-        f"list_max(list_transform(list_filter({arr}, s -> {host} = s OR"
-        f" ends_with({host}, '.' || s)), s -> {{'l': length(s), 's': s}}))['s']"
+    normals, wilds, excs = rules
+
+    def match(s):
+        return f"{host} = s OR ends_with({host}, '.' || s)"
+
+    def labels(e):
+        return f"len(string_split({e}, '.'))"
+
+    narr = "[" + ", ".join(f"'{s}'" for s in normals) + "]"
+    nbest = (
+        f"list_max(list_transform(list_filter({narr}, s -> {match('s')}), s -> {labels('s')}))"
     )
-    return f"COALESCE(len(string_split({best}, '.')), 1)"
+    parts = [f"COALESCE({nbest}, 1)"]
+    if wilds:
+        warr = "[" + ", ".join(f"'{b}'" for b in wilds) + "]"
+        wbest = (
+            f"list_max(list_transform(list_filter({warr}, s -> ends_with({host},"
+            f" '.' || s)), s -> {labels('s')} + 1))"
+        )
+        parts.append(f"COALESCE({wbest}, 1)")
+    best = f"greatest({', '.join(parts)})" if len(parts) > 1 else parts[0]
+    if excs:
+        earr = "[" + ", ".join(f"'{e}'" for e in excs) + "]"
+        ebest = (
+            f"list_max(list_transform(list_filter({earr}, s -> {match('s')}), s -> {labels('s')} - 1))"
+        )
+        return f"COALESCE({ebest}, {best})"
+    return best
 
 
 def _dom_expr(host: str, nsuf: str) -> str:
@@ -154,9 +226,9 @@ def with_registered_domain(
     Pure map-side expression work: one regexp for the host, one
     literal-array longest-suffix fold, one slice — no UDF, no shuffle,
     so extraction fuses into whatever scan feeds it."""
-    suf = _check_suffixes(suffixes)
+    rules = _check_suffixes(suffixes)
     d = df.withColumn("_psl_host", F.expr(host_expr(url_col)))
-    d = d.withColumn("_psl_nsuf", F.expr(_nsuf_expr("_psl_host", suf)))
+    d = d.withColumn("_psl_nsuf", F.expr(_nsuf_expr("_psl_host", rules)))
     return d.withColumn(out_col, F.expr(_dom_expr("_psl_host", "_psl_nsuf"))).drop(
         "_psl_host", "_psl_nsuf"
     )
@@ -164,9 +236,9 @@ def with_registered_domain(
 
 def _domain_cte_sql(table: str, url_col: str, suffixes) -> str:
     """DuckDB CTE body computing (t.*, domain) from ``table``."""
-    suf = _check_suffixes(suffixes)
+    rules = _check_suffixes(suffixes)
     host = host_sql_expr(url_col)
-    nsuf = _nsuf_sql_expr("_psl_host", suf)
+    nsuf = _nsuf_sql_expr("_psl_host", rules)
     dom = _dom_sql_expr("_psl_host", "_psl_nsuf")
     return f"""
   SELECT * EXCLUDE (_psl_host, _psl_nsuf), {dom} AS domain FROM (

@@ -3140,6 +3140,25 @@ def test_registered_domain_extraction_branches(spark):
         df, "url", suffixes=["github.io"]).collect()}
     assert alt[3] == "site4.github.io" and alt[1] == "co.uk"  # 'uk' unlisted -> implicit *
 
+    # PSL wildcard + exception semantics (r8): *.ck makes any one extra
+    # label part of the suffix; !www.ck overrides the wildcard
+    wrows = [
+        (1, "https://foo.ck/x"),          # foo.ck IS a public suffix -> NULL
+        (2, "https://shop.foo.ck/x"),     # registered = shop.foo.ck
+        (3, "https://a.shop.foo.ck/x"),   # deep subdomain -> shop.foo.ck
+        (4, "https://www.ck/x"),          # exception: registered = www.ck
+        (5, "https://sub.www.ck/x"),      # under the exception -> www.ck... per PSL: suffix of sub.www.ck is 'ck' (exception matched) -> registered www.ck
+        (6, "https://site.kh/x"),         # *.kh, no exception -> NULL (site.kh is a suffix)
+    ]
+    wdf = spark.createDataFrame(wrows, "id bigint, url string")
+    wgot = {r["id"]: r["domain"] for r in domains.with_registered_domain(wdf, "url").collect()}
+    assert wgot == {
+        1: None, 2: "shop.foo.ck", 3: "shop.foo.ck",
+        4: "www.ck", 5: "www.ck", 6: None,
+    }
+    with pytest.raises(ValueError, match="no matching wildcard"):
+        domains.with_registered_domain(df, "url", suffixes=["com", "!www.ck"])
+
 
 def test_domain_mix_cap_blocklist_semantics(spark, duck):
     """Planted corpus: mix shares sum to 1 and audit the NULL-domain
