@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "domain_mix_documents",
     "domain_cap_documents",
     "domain_blocklist_documents",
+    "curate_corpus_domains_documents",
 ]
 
 

@@ -49,6 +49,9 @@ def curate_corpus(
     sft_max_tokens: int | None = None,
     ccnet_lang: str | None = None,
     ccnet_materialize: bool = True,
+    url_col: str | None = None,
+    blocked_domains=None,
+    max_per_domain: int | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the training manifest
     (id, source group, token weight, stream offset, first/last pack).
@@ -116,7 +119,22 @@ def curate_corpus(
     don't each re-derive the explode+LM+quantile subtree (measured 3×
     the plan's fixed cost when lazy); pass False for a pure-lazy plan
     holding no executor memory.
+
+    ``url_col`` + ``blocked_domains`` / ``max_per_domain`` prepend the
+    domain stage (0.1, before everything): drop documents whose
+    registered domain is blocklisted (``ops.domains.blocklist_filter``
+    — broadcast anti-join), then cap every domain at N documents
+    (``ops.domains.domain_cap`` — map-side WindowGroupLimit). The
+    CommonCrawl-curation opener, composable with every other variant;
+    extraction is map-side expression work riding the first scan.
     """
+    if url_col is not None and (blocked_domains or max_per_domain is not None):
+        from datalakerulegeneration_spark.ops import domains as _domains
+
+        if blocked_domains:
+            docs = _domains.blocklist_filter(docs, url_col, blocked_domains)
+        if max_per_domain is not None:
+            docs = _domains.domain_cap(docs, id_col, url_col, max_per_domain)
     if ccnet_lang is not None:
         ld = textqa.common_line_dedup(docs, id_col, text_col)
         cleaned = ld.where(F.col("n_kept") > 0).select("id", "cleaned_text")
@@ -572,6 +590,9 @@ def curate_corpus_sql(
     token_budget: int | None = None,
     sft_max_tokens: int | None = None,
     ccnet_lang: str | None = None,
+    url_col: str | None = None,
+    blocked_domains=None,
+    max_per_domain: int | None = None,
 ) -> str:
     """Exact DuckDB oracle for :func:`curate_corpus` — the same six
     stages as CTEs (the oracle may run sequentially; only the Spark
@@ -582,10 +603,32 @@ def curate_corpus_sql(
     window — oracles don't need the two-level shape) sits between
     rebalance and packing, mirroring stage 5.5. With ``ccnet_lang``
     the line-dedup → language-keep → perplexity-bucket CTEs rebuild
-    the base corpus first, mirroring stage 0.25."""
+    the base corpus first, mirroring stage 0.25. With ``url_col`` +
+    blocklist/cap the domain CTEs run before everything, mirroring
+    stage 0.1."""
     buckets = sampling._BUCKETS
     reb_hash = sampling._hash_bucket_sql("d3.id", "rebalance")
     pack_hash = sampling._hash_bucket_sql("id", "pack")
+    dom_prefix = ""
+    if url_col is not None and (blocked_domains or max_per_domain is not None):
+        from datalakerulegeneration_spark.ops import domains as _domains
+
+        if blocked_domains:
+            bl_sql = _domains.blocklist_filter_sql(
+                table, url_col, blocked_domains, select_cols="* EXCLUDE (domain)"
+            ).strip()
+            dom_prefix += f"dmb AS ({bl_sql}),\n"
+            table = "dmb"
+        if max_per_domain is not None:
+            cap_sql = _domains.domain_cap_sql(
+                table,
+                id_col,
+                url_col,
+                max_per_domain,
+                select_cols="* EXCLUDE (domain, _psl_rn)",
+            ).strip()
+            dom_prefix += f"dmc AS ({cap_sql}),\n"
+            table = "dmc"
     ccnet_prefix = ""
     if ccnet_lang is not None:
         ld_sql = textqa.common_line_dedup_sql(table, id_col, text_col).strip()
@@ -682,7 +725,7 @@ FROM o"""
     # nd CTEs sit after the optional ccnet prefix
     with_kw = "WITH RECURSIVE" if near_dup_threshold is not None else "WITH"
     return f"""
-{with_kw} {ccnet_prefix}{nd_prefix}d0 AS (
+{with_kw} {dom_prefix}{ccnet_prefix}{nd_prefix}d0 AS (
   SELECT {id_col} AS id, {group_col} AS grp,
          {textqa.quality_sql_expr(text_col)} AS quality,
          {textqa.fingerprint_sql_expr(text_col)} AS fp,

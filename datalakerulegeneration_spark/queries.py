@@ -2425,6 +2425,23 @@ def q_curate_corpus_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate_corpus(docs, ccnet_lang="en")
 
 
+def q_curate_corpus_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with the domain stage as stage 0.1
+    (ops.curate.curate_corpus url_col + blocked_domains +
+    max_per_domain): blocklist anti-join, then a 5-docs-per-registered-
+    domain cap (map-side WindowGroupLimit), then the standard quality →
+    dedup → decon → rebalance → pack chain — the CommonCrawl-curation
+    opener composed end-to-end under one exact DuckDB oracle."""
+    from datalakerulegeneration_spark.ops import curate
+
+    return curate.curate_corpus(
+        _docs_with_url(spark, sf_dir),
+        url_col="url",
+        blocked_domains=_BLOCKED_DOMAINS,
+        max_per_domain=5,
+    )
+
+
 def q_curation_funnel_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel audit for the CCNet flagship (ops.curate.
     curation_funnel_ccnet): line-dedup → language → perplexity rows
@@ -4615,6 +4632,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),
     "curate_corpus_ccnet_documents": (q_curate_corpus_ccnet, curate.curate_corpus_sql("documents", ccnet_lang="en")),
     "curation_funnel_ccnet_documents": (q_curation_funnel_ccnet, curate.curation_funnel_ccnet_sql("documents")),
+    "curate_corpus_domains_documents": (q_curate_corpus_domains, curate.curate_corpus_sql(
+        _URL_DOCS_DUCK, url_col="url", blocked_domains=_BLOCKED_DOMAINS, max_per_domain=5)),
     "bpe_learn_documents": (q_bpe_learn, None),
     "bpe_encode_documents": (q_bpe_encode, bpe_mod.bpe_encode_sql("documents", "doc_id", "text", _BPE_MERGES)),
     "curate_corpus_dsir_documents": (q_curate_corpus_dsir, _curate_dsir_oracle()),
@@ -4748,6 +4767,7 @@ _GATE_HEAD = [
     "token_budget_select_documents",
     "curate_corpus_neardup_documents",
     "curate_corpus_budget_documents",
+    "curate_corpus_domains_documents",
     # family flagships — regression rotation (36)
     "curate_corpus_documents",
     "curation_funnel_documents",
@@ -4767,7 +4787,6 @@ _GATE_HEAD = [
     "ann_topk_ivf_pq_embeddings",
     "ann_recall_embeddings",
     "pca_recall_embeddings",
-    "quantized_topk_embeddings",
     "decontaminate_embeddings",
     "profile_lineitem",
     "q1_pricing_summary",

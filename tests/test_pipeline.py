@@ -355,3 +355,31 @@ def test_curate_corpus_ccnet_composition(spark):
     assert fun["ccnet_ppl"][1] == len(ids)  # no further drops at these settings
     counts = [fun[s][1] for s in order[1:]]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_curate_corpus_domains_composition(spark):
+    """The domain stage-0.1 variant (r8): blocklisted-domain docs never
+    reach the manifest, and no registered domain contributes more than
+    max_per_domain documents."""
+    from datalakerulegeneration_spark.ops import curate, domains
+
+    rows = (
+        [(i, f"the data value number n{i} alpha beta", "s0", f"https://www.flood.com/{i}") for i in range(1, 13)]
+        + [(20 + i, f"the quick brown fox jumps n{i}", "s0", f"https://sub{i}.evil.org/x") for i in range(3)]
+        + [(30, "the plain doc with no url at all", "s0", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string, url string")
+    out = curate.curate_corpus(
+        df, quality_min=0.0, cap_share=1.0, seq_len=64, eval_mod=97,
+        url_col="url", blocked_domains=["evil.org"], max_per_domain=4,
+    )
+    ids = {r["id"] for r in out.collect()}
+    assert not ids & {20, 21, 22}  # blocklisted domain gone
+    assert 30 in ids  # NULL-url doc survives the blocklist and its own cap group
+    flood = {i for i in range(1, 13)} & ids
+    assert len(flood) == 4  # the per-domain cap binds
+    # survivors are exactly domain_cap(blocklist_filter(df)) fed to the chain
+    capped = domains.domain_cap(
+        domains.blocklist_filter(df, "url", ["evil.org"]), "doc_id", "url", 4
+    )
+    assert ids == {r["doc_id"] for r in capped.collect()}
