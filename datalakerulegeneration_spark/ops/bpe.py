@@ -305,3 +305,70 @@ def load_merges_json(path: str) -> list[tuple[str, str]]:
             l, r = item[0], item[1]
             out.append((l, r))
     return out
+
+
+def bpe_vocab(merges, corpus_chars=None) -> list[str]:
+    """Deterministic vocabulary implied by a merge sequence: base
+    symbols first (every merge's constituent characters, plus
+    ``corpus_chars`` and their marker forms if given, sorted), then
+    merged symbols in merge order — the id assignment convention of
+    :func:`export_hf_tokenizer_json`."""
+    merges = [(l, r) for l, r in merges]
+    base: set[str] = set()
+    for l, r in merges:
+        for sym in (l, r):
+            core = sym[: -len(MARKER)] if sym.endswith(MARKER) else sym
+            for ch in core:
+                base.add(ch)
+                base.add(ch + MARKER)
+    for ch in corpus_chars or ():
+        base.add(ch)
+        base.add(ch + MARKER)
+    vocab = sorted(base)
+    seen = set(vocab)
+    for l, r in merges:
+        m = l + r
+        if m not in seen:
+            vocab.append(m)
+            seen.add(m)
+    return vocab
+
+
+def export_hf_tokenizer_json(merges, path: str, corpus_chars=None) -> None:
+    """Write the learned merges as a HuggingFace-format
+    ``tokenizer.json`` (model.type = BPE with
+    ``end_of_word_suffix: "</w>"`` — the exact convention
+    :func:`bpe_learn` trains under — and a Whitespace pre-tokenizer,
+    mirroring the lowercase whitespace word grain). The file loads
+    with ``tokenizers.Tokenizer.from_file`` wherever that library is
+    installed (it is not in this container, so structural correctness
+    is what the test pins; `SPARK_GRAFT_TOKENIZER_JSON` then picks it
+    up through the existing HF probe)."""
+    import json
+
+    merges = [(l, r) for l, r in merges]
+    vocab = bpe_vocab(merges, corpus_chars)
+    doc = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [],
+        "normalizer": {"type": "Lowercase"},
+        "pre_tokenizer": {"type": "Whitespace"},
+        "post_processor": None,
+        "decoder": None,
+        "model": {
+            "type": "BPE",
+            "dropout": None,
+            "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": MARKER,
+            "fuse_unk": False,
+            "byte_fallback": False,
+            "vocab": {tok: i for i, tok in enumerate(vocab)},
+            "merges": [f"{l} {r}" for l, r in merges],
+        },
+    }
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.write("\n")

@@ -169,3 +169,25 @@ def test_load_merges_json_formats(tmp_path):
     assert bpe.load_merges_json(str(p)) == [("a", "b"), ("ab", "c</w>")]
     p.write_text(json.dumps([{"left": "x", "right": "y"}]))
     assert bpe.load_merges_json(str(p)) == [("x", "y")]
+
+
+def test_export_hf_tokenizer_json_structure(tmp_path):
+    """The HF export: every merge's parts and product are in the
+    vocab, ids are dense from 0, merges serialize in learned order
+    with the end-of-word suffix declared; loadable via the HF probe
+    path when the tokenizers library exists (structure pinned here —
+    the library is absent in this container)."""
+    merges = [("l", "o"), ("lo", "w</w>"), ("e", "r</w>")]
+    p = str(tmp_path / "tokenizer.json")
+    bpe.export_hf_tokenizer_json(merges, p, corpus_chars="lower")
+    doc = json.load(open(p))
+    m = doc["model"]
+    assert m["type"] == "BPE" and m["end_of_word_suffix"] == bpe.MARKER
+    assert m["merges"] == ["l o", "lo w</w>", "e r</w>"]
+    vocab = m["vocab"]
+    assert sorted(vocab.values()) == list(range(len(vocab)))  # dense ids
+    for l, r in merges:
+        assert l in vocab and r in vocab and (l + r) in vocab
+    for ch in "lower":
+        assert ch in vocab and ch + bpe.MARKER in vocab
+    assert doc["pre_tokenizer"]["type"] == "Whitespace"
