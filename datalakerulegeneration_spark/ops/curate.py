@@ -138,12 +138,23 @@ def curate_corpus(
     if ccnet_lang is not None:
         ld = textqa.common_line_dedup(docs, id_col, text_col)
         cleaned = ld.where(F.col("n_kept") > 0).select("id", "cleaned_text")
+        if ccnet_materialize:
+            # the line-grain explode subtree feeds langs, the bucket
+            # LM (which consumes it several times internally), and the
+            # rebuild join — unpersisted it re-derives per consumer
+            # even inside the one rebuilt-corpus materialization
+            # (measured 19× for the sf10 decade; ~linear persisted)
+            cleaned = cleaned.persist()
         langs = textqa.language_id(cleaned, "id", "cleaned_text").where(
             F.col("lang_pred") == ccnet_lang
         )
         ckept = cleaned.join(langs.select("id"), "id")
+        if ccnet_materialize:
+            ckept = ckept.persist()
         cids = (
-            textqa.ccnet_buckets(ckept, "id", "cleaned_text")
+            textqa.ccnet_buckets(
+                ckept, "id", "cleaned_text", materialize_scores=ccnet_materialize
+            )
             .where(F.col("bucket") >= 1)
             .select("id")
         )
@@ -400,9 +411,9 @@ def curation_funnel_ccnet(
     langs = textqa.language_id(cleaned, "id", "cleaned_text").where(
         F.col("lang_pred") == ccnet_lang
     )
-    ckept = cleaned.join(langs.select("id"), "id")
+    ckept = cleaned.join(langs.select("id"), "id").persist()
     cids = (
-        textqa.ccnet_buckets(ckept, "id", "cleaned_text")
+        textqa.ccnet_buckets(ckept, "id", "cleaned_text", materialize_scores=True)
         .where(F.col("bucket") >= 1)
         .select("id")
     )

@@ -1850,7 +1850,11 @@ CCNET_LABELS = ("tail", "middle", "head")
 
 
 def ccnet_buckets(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 3,
+    materialize_scores: bool = False,
 ) -> DataFrame:
     """CCNet-style perplexity partitioning (Wenzek et al. 2020): score
     every document with the corpus-LM log-probability proxy
@@ -1877,6 +1881,14 @@ def ccnet_buckets(
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     lp = unigram_logprob(df, id_col, text_col)
+    if materialize_scores:
+        # the thin (id, n_tokens, mean_logprob) frame feeds the
+        # quantile engine's branches AND the assignment — unpersisted,
+        # the corpus-LM subtree re-derives per branch (the measured
+        # superlinear decade in the composed ccnet flagship); the
+        # registered standalone query keeps the lazy default so its
+        # audited plan is unchanged
+        lp = lp.persist()
     qs = [i / n_buckets for i in range(1, n_buckets)]
     th = exact_quantiles(lp, "mean_logprob", qs).select(
         F.round(F.col("value"), 6).alias("_t")
