@@ -39,6 +39,14 @@ learned units distinguish word-final from word-internal positions.
 Tie-break (documented, engine-ordered both sides): each step merges
 the pair with the highest weighted count, ties broken by (left asc,
 right asc).
+
+Marker-aliasing footnote: a corpus whose words contain the LITERAL
+character sequence ``</w>`` mid-word can, through enough merges, form
+a symbol string-equal to a marker form — at which point the two are
+indistinguishable (they are the same string in every representation).
+All three implementations (engine, oracle, python twin) share the
+convention, so parity is unaffected; it only means learned units can
+conflate a pathological literal ``x</w>`` with word-final ``x``.
 """
 
 from __future__ import annotations

@@ -54,3 +54,7 @@ from datalakerulegeneration_spark.streaming.budget_stream import (  # noqa: F401
     BudgetAdmitter,
     budget_admission_stream,
 )
+from datalakerulegeneration_spark.streaming.domain_guard_stream import (  # noqa: F401
+    DomainGuard,
+    domain_guard_stream,
+)

@@ -1160,3 +1160,83 @@ def test_budget_admission_stream_vs_python_model(spark, sf_tables, tmp_path):
     q2.awaitTermination(180)
     assert sorted(r["doc_id"] for r in adm2.survivors().collect()) == sorted(admitted)
     assert adm2.admitted_tokens() == cum
+
+
+def test_domain_guard_stream_vs_python_model(spark, tmp_path):
+    """Streaming blocklist + per-domain cap: survivors equal a python
+    model of the contract (per-batch deterministic md5 order within
+    each domain, whole-stream per-domain counts, blocklisted domains
+    never admitted, NULL-domain rows capped as a group); a fresh-
+    checkpoint full replay is a no-op; no domain ever exceeds the cap."""
+    import hashlib
+
+    from datalakerulegeneration_spark.ops import domains as D
+    from datalakerulegeneration_spark.streaming import domain_guard_stream
+
+    def url(i):
+        if i % 11 == 0:
+            return None
+        if i % 7 == 0:
+            return f"https://bad.evil.org/{i}"
+        return f"https://www.site{i % 3}.com/d/{i}"
+
+    rows = [(i, url(i), f"doc {i}") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    src = str(tmp_path / "src")
+    batches = [(0, 30), (30, 60), (60, 90)]
+    for lo, hi in batches:
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    cap = 5
+    q, g = domain_guard_stream(
+        spark, stream, str(tmp_path / "state"), cap,
+        blocked_domains=["evil.org"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    # python model: batch order, md5(salt:id) order within domain
+    dom_of = {
+        r["doc_id"]: r["domain"]
+        for r in D.with_registered_domain(docs, "url").collect()
+    }
+
+    def hb(i):
+        return int(hashlib.md5(f"domain_cap:{i}".encode()).hexdigest()[:7], 16)
+
+    admitted, counts = [], {}
+    for lo, hi in batches:
+        ids = [i for i, _, _ in rows if lo <= i < hi and dom_of[i] != "evil.org"]
+        by_dom = {}
+        for i in sorted(ids, key=lambda i: (hb(i), i)):
+            by_dom.setdefault(dom_of[i], []).append(i)
+        for dom, members in by_dom.items():
+            for i in members:
+                if counts.get(dom, 0) < cap:
+                    admitted.append(i)
+                    counts[dom] = counts.get(dom, 0) + 1
+    got = sorted(r["doc_id"] for r in g.survivors().collect())
+    assert got == sorted(admitted)
+    state = {r["domain"]: r["n_admitted"] for r in g.admitted_counts().collect()}
+    assert state == counts and max(state.values()) <= cap
+    assert None in state  # NULL-domain rows were capped as a group
+    assert "evil.org" not in state
+
+    # fresh-checkpoint full replay: every batch id <= committed marker
+    # no-ops — no duplicate survivors, identical state
+    stream2 = spark.readStream.schema("doc_id long, url string, text string").parquet(src)
+    q2, g2 = domain_guard_stream(
+        spark, stream2, str(tmp_path / "state"), cap,
+        blocked_domains=["evil.org"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in g2.survivors().collect()) == got
+    assert {r["domain"]: r["n_admitted"] for r in g2.admitted_counts().collect()} == counts
