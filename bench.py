@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "domain_cap_documents",
     "domain_blocklist_documents",
     "curate_corpus_domains_documents",
+    "curation_funnel_domains_documents",
 ]
 
 

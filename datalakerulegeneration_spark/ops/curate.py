@@ -379,6 +379,108 @@ def curation_funnel(
     )
 
 
+DOMAIN_STAGES = ("raw", "blocklist", "domain_cap")
+
+
+def curation_funnel_domains(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    url_col: str = "url",
+    blocked_domains=(),
+    max_per_domain: int = 5,
+    eval_mod: int = 37,
+    quality_min: float = 0.5,
+    cap_share: float = 0.03,
+) -> DataFrame:
+    """Funnel audit for the domain flagship variant: blocklist and
+    per-domain-cap stage rows prepended to the standard one-scan flag
+    funnel over the domain-guarded corpus — ``(stage_idx, stage,
+    n_docs, n_tokens)``. The domain stages don't rewrite text, so all
+    rows count tokens at the raw grain."""
+    from datalakerulegeneration_spark.ops import domains as _domains
+
+    blocked = (
+        _domains.blocklist_filter(docs, url_col, blocked_domains)
+        if blocked_domains
+        else docs
+    )
+    capped = _domains.domain_cap(blocked, id_col, url_col, max_per_domain)
+
+    def stage_row(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(textqa.ntokens_col(text_col)), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    head = (
+        stage_row(0, DOMAIN_STAGES[0], docs)
+        .unionByName(stage_row(1, DOMAIN_STAGES[1], blocked))
+        .unionByName(stage_row(2, DOMAIN_STAGES[2], capped))
+    )
+    tail = curation_funnel(
+        capped, id_col, text_col, group_col, eval_mod, quality_min, cap_share
+    ).where(F.col("stage_idx") >= 1)  # its 'raw' row equals domain_cap
+    return head.unionByName(
+        tail.select(
+            (F.col("stage_idx") + 2).alias("stage_idx"), "stage", "n_docs", "n_tokens"
+        )
+    )
+
+
+def curation_funnel_domains_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    url_col: str = "url",
+    blocked_domains=(),
+    max_per_domain: int = 5,
+    eval_mod: int = 37,
+    quality_min: float = 0.5,
+    cap_share: float = 0.03,
+) -> str:
+    """DuckDB oracle for :func:`curation_funnel_domains`."""
+    from datalakerulegeneration_spark.ops import domains as _domains
+
+    nt = textqa.ntokens_sql_expr(text_col)
+    src = table
+    ctes = []
+    if blocked_domains:
+        bl = _domains.blocklist_filter_sql(
+            src, url_col, blocked_domains, select_cols="* EXCLUDE (domain)"
+        ).strip()
+        ctes.append(f"dmb AS ({bl})")
+        src = "dmb"
+    cap = _domains.domain_cap_sql(
+        src, id_col, url_col, max_per_domain, select_cols="* EXCLUDE (domain, _psl_rn)"
+    ).strip()
+    ctes.append(f"dmc AS ({cap})")
+    tail = curation_funnel_sql(
+        "dmc", id_col, text_col, group_col, eval_mod, quality_min, cap_share
+    ).strip()
+    ctes.append(f"tail AS ({tail})")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum({nt}), 0) AS BIGINT) AS n_tokens FROM {table}
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'blocklist', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum({nt}), 0) AS BIGINT) FROM {"dmb" if blocked_domains else table}
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'domain_cap', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum({nt}), 0) AS BIGINT) FROM dmc
+UNION ALL
+SELECT stage_idx + 2, stage, n_docs, n_tokens FROM tail WHERE stage_idx >= 1
+"""
+
+
 CCNET_STAGES = ("raw", "line_dedup", "language", "ccnet_ppl")
 
 

@@ -2442,6 +2442,21 @@ def q_curate_corpus_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_funnel_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel audit for the domain flagship (ops.curate.
+    curation_funnel_domains): blocklist + per-domain-cap stage rows
+    prepended to the standard one-scan flag funnel over the
+    domain-guarded corpus."""
+    from datalakerulegeneration_spark.ops import curate
+
+    return curate.curation_funnel_domains(
+        _docs_with_url(spark, sf_dir),
+        url_col="url",
+        blocked_domains=_BLOCKED_DOMAINS,
+        max_per_domain=5,
+    )
+
+
 def q_curation_funnel_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel audit for the CCNet flagship (ops.curate.
     curation_funnel_ccnet): line-dedup → language → perplexity rows
@@ -4634,6 +4649,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curation_funnel_ccnet_documents": (q_curation_funnel_ccnet, curate.curation_funnel_ccnet_sql("documents")),
     "curate_corpus_domains_documents": (q_curate_corpus_domains, curate.curate_corpus_sql(
         _URL_DOCS_DUCK, url_col="url", blocked_domains=_BLOCKED_DOMAINS, max_per_domain=5)),
+    "curation_funnel_domains_documents": (q_curation_funnel_domains, curate.curation_funnel_domains_sql(
+        _URL_DOCS_DUCK, url_col="url", blocked_domains=_BLOCKED_DOMAINS, max_per_domain=5)),
     "bpe_learn_documents": (q_bpe_learn, None),
     "bpe_encode_documents": (q_bpe_encode, bpe_mod.bpe_encode_sql("documents", "doc_id", "text", _BPE_MERGES)),
     "curate_corpus_dsir_documents": (q_curate_corpus_dsir, _curate_dsir_oracle()),
@@ -4768,6 +4785,7 @@ _GATE_HEAD = [
     "curate_corpus_neardup_documents",
     "curate_corpus_budget_documents",
     "curate_corpus_domains_documents",
+    "curation_funnel_domains_documents",
     # family flagships — regression rotation (36)
     "curate_corpus_documents",
     "curation_funnel_documents",
@@ -4793,7 +4811,6 @@ _GATE_HEAD = [
     "q9_product_profit",
     "three_sigma_events",
     "violations_events",
-    "fd_conflicts_orders",
     "eval_metrics_orders",
     "ks_table_events",
     "token_count_documents",

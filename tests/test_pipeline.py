@@ -383,3 +383,33 @@ def test_curate_corpus_domains_composition(spark):
         domains.blocklist_filter(df, "url", ["evil.org"]), "doc_id", "url", 4
     )
     assert ids == {r["doc_id"] for r in capped.collect()}
+
+
+def test_curation_funnel_domains_rows(spark):
+    """Domain funnel: stage order, monotone counts from stage 1, and
+    the blocklist/cap rows agree with the ops they audit."""
+    from datalakerulegeneration_spark.ops import curate, domains
+
+    rows = (
+        [(i, f"the data value number n{i} alpha beta", "s0", f"https://www.flood.com/{i}") for i in range(1, 13)]
+        + [(20 + i, f"the quick brown fox jumps n{i}", "s0", f"https://sub{i}.evil.org/x") for i in range(3)]
+        + [(30, "the plain doc with no url at all", "s0", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string, url string")
+    fun = {
+        r["stage"]: (r["stage_idx"], r["n_docs"])
+        for r in curate.curation_funnel_domains(
+            df, url_col="url", blocked_domains=["evil.org"], max_per_domain=4,
+            quality_min=0.0, cap_share=1.0, eval_mod=97,
+        ).collect()
+    }
+    order = list(curate.DOMAIN_STAGES) + list(curate.FUNNEL_STAGES[1:])
+    assert [s for s, _ in sorted(fun.items(), key=lambda kv: kv[1][0])] == order
+    assert fun["raw"][1] == 16
+    assert fun["blocklist"][1] == 13  # the 3 evil.org docs gone
+    capped = domains.domain_cap(
+        domains.blocklist_filter(df, "url", ["evil.org"]), "doc_id", "url", 4
+    ).count()
+    assert fun["domain_cap"][1] == capped == 5  # 4 flood.com + the NULL-url doc
+    counts = [fun[s][1] for s in order[1:]]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))

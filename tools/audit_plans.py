@@ -100,6 +100,8 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("curate_corpus_neardup_documents", "bnlj", "1-row stage constants broadcast"),
     ("curate_corpus_dsir_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
     ("curation_funnel_documents", "bnlj", "1-row stage-count constants broadcast"),
+    ("curation_funnel_domains_documents", "bnlj", "1-row stage-count constants broadcast"),
+    ("curation_funnel_domains_documents", "global_window", "7-row funnel stage frame"),
     ("curate_corpus_budget_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
     ("curate_sft_batches_documents", "bnlj", "1-row stage constants broadcast (pipeline total)"),
     ("curation_funnel_budget_documents", "bnlj", "1-row stage-count constants broadcast"),
