@@ -61,6 +61,11 @@ GROUPS: dict[str, list[str]] = {
         "tests/test_plans.py",
     ],
 }
+# rest measured 472 s under 4-way concurrency (r8) — nearest to the
+# 480 s wall. A 5th group regressed every wall (JVM oversubscription:
+# 5 x local[32] on 32 cpus), so the next rebalance should move a
+# MODULE between props and rest instead (mm can't absorb modules — its
+# -k filter applies to the whole invocation).
 
 
 def main() -> int:
