@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "bpe_encode_documents",
     "curate_corpus_ccnet_documents",
     "curation_funnel_ccnet_documents",
+    "url_dedup_documents",
     "domain_mix_documents",
     "domain_cap_documents",
     "domain_blocklist_documents",

@@ -394,3 +394,178 @@ WITH doms AS (
 SELECT {select_cols} FROM doms
 WHERE domain IS NULL OR domain NOT IN ({bl})
 """
+
+
+# ---------------------------------------------------------------------------
+# canonical URLs + URL-grain dedup
+# ---------------------------------------------------------------------------
+
+# tracking parameters dropped by canonicalization (the CommonCrawl /
+# link-canonicalization standard set); a param matches by name prefix
+# for utm_* and exact name otherwise
+DEFAULT_DROP_PARAMS = ("utm_", "fbclid", "gclid", "ref")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def _drop_param_re(drop_params) -> str:
+    alts = []
+    for p in drop_params:
+        if any(c in p for c in "'\"\\ ()[]|"):
+            raise ValueError(f"drop_params must be plain names/prefixes: {p!r}")
+        alts.append(f"{p}[^=]*" if p.endswith("_") else p)
+    return "^(" + "|".join(alts) + ")(=|$)"
+
+
+def _canonical_steps(url: str, strip_www: bool, drop_params, duck: bool):
+    """The shared normalization recipe as (intermediate exprs, final
+    expr) — identical regexes both engines; only the list-function
+    names differ."""
+    drop_re = _drop_param_re(drop_params)
+    filt = "list_filter" if duck else "filter"
+    sort = "list_sort" if duck else "array_sort"
+    join = "array_to_string" if duck else "array_join"
+    split = "string_split" if duck else "split"
+    match = (
+        (lambda p, r: f"regexp_matches({p}, '{r}')")
+        if duck
+        else (lambda p, r: f"{p} rlike '{r}'")
+    )
+    scheme = f"lower(nullif(regexp_extract({url}, '{_SCHEME_RE}', 1), ''))"
+    # strip "scheme://" (the full prefix; the capture-group parens in
+    # _SCHEME_RE are harmless to regexp_replace)
+    rest = f"regexp_replace({url}, '{_SCHEME_RE}', '')"
+    auth = "regexp_replace(regexp_extract(_cu_rest, '^([^/?#]*)', 1), '^[^@]*@', '')"
+    host = "regexp_replace(lower(regexp_replace(_cu_auth, ':[0-9]*$', '')), '[.]+$', '')"
+    if strip_www:
+        host = f"regexp_replace({host}, '^www[.]', '')"
+    port = "nullif(regexp_extract(_cu_auth, ':([0-9]+)$', 1), '')"
+    port_part = (
+        "CASE WHEN _cu_port IS NULL THEN ''"
+        " WHEN _cu_scheme = 'http' AND _cu_port = '80' THEN ''"
+        " WHEN _cu_scheme = 'https' AND _cu_port = '443' THEN ''"
+        " ELSE ':' || _cu_port END"
+    )
+    path = "regexp_extract(_cu_rest, '^[^/?#]*([^?#]*)', 1)"
+    path_norm = (
+        "CASE WHEN regexp_replace(_cu_path, '/+$', '') = '' THEN '/'"
+        " ELSE regexp_replace(_cu_path, '/+$', '') END"
+    )
+    # [?] not \\? — Spark's default (non-ANSI-escape) string literals
+    # eat the backslash, RE2 and java.util.regex both accept the class
+    qs = f"regexp_extract({url}, '[?]([^#]*)', 1)"
+    params = (
+        f"{filt}({split}(_cu_qs, '&'), p -> p <> '' AND NOT ({match('p', drop_re)}))"
+        if duck
+        else f"{filt}({split}(_cu_qs, '&'), p -> p != '' and not ({match('p', drop_re)}))"
+    )
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — an empty param list must canonicalize,
+    # not NULL-poison the final concat
+    qsort = f"coalesce({join}({sort}({params}), '&'), '')"
+    final = (
+        "CASE WHEN _cu_scheme IS NULL OR _cu_host IS NULL OR _cu_host = '' THEN NULL"
+        " ELSE _cu_scheme || '://' || _cu_host || (" + port_part + ") || (" + path_norm + ")"
+        " || (CASE WHEN _cu_q = '' THEN '' ELSE '?' || _cu_q END) END"
+    )
+    steps = [
+        ("_cu_scheme", scheme),
+        ("_cu_rest", rest),
+        ("_cu_auth", auth),
+        ("_cu_host", host),
+        ("_cu_port", port),
+        ("_cu_path", path),
+        ("_cu_qs", qs),
+        ("_cu_q", qsort),
+    ]
+    return steps, final
+
+
+def with_canonical_url(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "canonical_url",
+    strip_www: bool = True,
+    drop_params=DEFAULT_DROP_PARAMS,
+) -> DataFrame:
+    """``df`` plus the CANONICAL form of ``url_col`` — the URL-grain
+    dedup key crawl pipelines normalize on before any content dedup:
+    lowercase scheme+host (trailing dots stripped; leading ``www.``
+    stripped when ``strip_www``), userinfo removed, default ports
+    (http:80 / https:443) dropped, trailing path slashes collapsed
+    (empty path → ``/``), fragment dropped, tracking query parameters
+    removed (``drop_params``: prefix match for ``name_``-style
+    entries, exact otherwise), surviving parameters sorted by byte
+    order. NULL/unparseable/host-less URLs → NULL. Pure map-side
+    expression work, no UDF.
+
+    Collation note: parameter sorting is byte-order in both engines —
+    identical for ASCII query strings (the practical case); exotic
+    unicode parameter names could collate differently, in which case
+    pre-normalize upstream."""
+    steps, final = _canonical_steps(url_col, strip_www, drop_params, duck=False)
+    d = df
+    for name, expr in steps:
+        d = d.withColumn(name, F.expr(expr))
+    return d.withColumn(out_col, F.expr(final)).drop(*[n for n, _ in steps])
+
+
+def _canonical_cte_sql(table: str, url_col: str, strip_www: bool, drop_params) -> str:
+    steps, final = _canonical_steps(url_col, strip_www, drop_params, duck=True)
+    inner = table
+    for name, expr in steps:
+        inner = f"(SELECT *, {expr} AS {name} FROM {inner})"
+    cols = ", ".join(n for n, _ in steps)
+    return f"SELECT * EXCLUDE ({cols}), {final} AS canonical_url FROM {inner}"
+
+
+def url_dedup(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    strip_www: bool = True,
+    drop_params=DEFAULT_DROP_PARAMS,
+) -> DataFrame:
+    """URL-grain dedup: keep the smallest-id document per CANONICAL
+    URL (the stage crawl pipelines run before any content dedup —
+    ``http://www.x.com/a?utm_source=y#f`` and ``https://x.com/a``
+    differ, ``http://www.x.com/a/`` and ``http://x.com/a`` do not).
+    Documents with no canonical URL (missing/unparseable) ALL survive
+    — no-URL is not a duplicate key. Returns ``df``'s columns plus
+    ``canonical_url``.
+
+    Shape: canonicalization is map-side; the keeper choice is one
+    canonical-partitioned window. NULL-canonical rows bypass the
+    window entirely (filter + union) — they would otherwise pile into
+    one skewed NULL partition."""
+    d = with_canonical_url(df, url_col, "canonical_url", strip_www, drop_params)
+    nulls = d.where(F.col("canonical_url").isNull())
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
+    kept = (
+        d.where(F.col("canonical_url").isNotNull())
+        .withColumn("_cu_rn", F.row_number().over(w))
+        .where(F.col("_cu_rn") == 1)
+        .drop("_cu_rn")
+    )
+    return nulls.unionByName(kept)
+
+
+def url_dedup_sql(
+    table: str,
+    id_col: str,
+    url_col: str,
+    strip_www: bool = True,
+    drop_params=DEFAULT_DROP_PARAMS,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`url_dedup`."""
+    cte = _canonical_cte_sql(table, url_col, strip_www, drop_params)
+    return f"""
+WITH c AS ({cte})
+SELECT {select_cols} FROM c WHERE canonical_url IS NULL
+UNION ALL
+SELECT {select_cols} FROM (
+  SELECT *, row_number() OVER (PARTITION BY canonical_url ORDER BY {id_col}) AS _cu_rn
+  FROM c WHERE canonical_url IS NOT NULL
+) WHERE _cu_rn = 1
+"""

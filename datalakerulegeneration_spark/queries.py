@@ -2608,6 +2608,54 @@ def _docs_with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("url", F.expr(_synth_url_spark()))
 
 
+# URL variant for the URL-grain dedup query: paths collide mod 17 and
+# tracking params / fragments / www. / default ports decorate some
+# rows, so canonicalization has real work to do (the /d/{doc_id} synth
+# above is collision-free by design)
+def _synth_url_dedup_spark() -> str:
+    return """
+case
+  when doc_id % 19 = 0 then null
+  else concat('https://',
+       case when doc_id % 3 = 0 then 'www.' else '' end,
+       'site', cast(doc_id % 5 as string), '.com',
+       case when doc_id % 4 = 0 then ':443' else '' end,
+       '/p/', cast(doc_id % 17 as string),
+       case when doc_id % 5 = 0 then '/' else '' end,
+       case when doc_id % 7 = 1 then '?page=2&utm_source=x' else '?gclid=1' end,
+       case when doc_id % 11 = 0 then '#frag' else '' end)
+end""".strip()
+
+
+def _synth_url_dedup_duck() -> str:
+    return """
+CASE
+  WHEN doc_id % 19 = 0 THEN NULL
+  ELSE 'https://' ||
+       (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+       'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' ||
+       (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+       '/p/' || CAST(doc_id % 17 AS VARCHAR) ||
+       (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+       (CASE WHEN doc_id % 7 = 1 THEN '?page=2&utm_source=x' ELSE '?gclid=1' END) ||
+       (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)
+END""".strip()
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain dedup (ops.domains.url_dedup): keep the smallest-id
+    document per CANONICAL URL — lowercase scheme/host, www./default-
+    port/fragment/tracking-param stripping, trailing-slash and
+    query-param-order normalization — the stage crawl pipelines run
+    before any content dedup. No-URL docs all survive (and bypass the
+    keeper window: no skewed NULL partition)."""
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.withColumn("url", F.expr(_synth_url_dedup_spark()))
+    return domains.url_dedup(d, "doc_id", "url").select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered-domain corpus mix (ops.domains.domain_mix): eTLD+1
     extraction via the vendored public-suffix rules (pure map-side
@@ -4679,6 +4727,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "epoch_plan_documents": (q_epoch_plan, sampling.epoch_mixture_plan_sql(
         f"(SELECT doc_id, source, {textqa.ntokens_sql_expr('text')} AS w FROM documents)",
         "doc_id", "w", "source", _EPOCH_TARGETS)),
+    "url_dedup_documents": (q_url_dedup, domains.url_dedup_sql(
+        f"(SELECT *, {_synth_url_dedup_duck()} AS url FROM documents)",
+        "doc_id", "url", select_cols="doc_id, url, canonical_url")),
     "domain_mix_documents": (q_domain_mix, domains.domain_mix_sql(_URL_DOCS_DUCK, "url")),
     "domain_cap_documents": (q_domain_cap, domains.domain_cap_sql(
         _URL_DOCS_DUCK, "doc_id", "url", max_per_domain=5, select_cols="doc_id, url")),
@@ -4768,6 +4819,7 @@ REGISTRY.update(EXT_REGISTRY)
 _GATE_HEAD = [
     # new this round — r8 (8)
     "ann_index_search_embeddings",
+    "url_dedup_documents",
     "domain_mix_documents",
     "domain_cap_documents",
     "domain_blocklist_documents",
@@ -4810,7 +4862,6 @@ _GATE_HEAD = [
     "q1_pricing_summary",
     "q9_product_profit",
     "three_sigma_events",
-    "violations_events",
     "eval_metrics_orders",
     "ks_table_events",
     "token_count_documents",

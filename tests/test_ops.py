@@ -3227,3 +3227,43 @@ def test_domain_queries_match_oracle(spark, duck):
         got = key(map(tuple, impl(spark, "/root/testdata/sf0.001").collect()))
         exp = key(duck.execute(sql).fetchall())
         assert got == exp, name
+
+
+def test_canonical_url_and_url_dedup_semantics(spark):
+    """Canonicalization branches: case/www/default-port/userinfo/
+    trailing-slash/fragment/tracking-param normalization, byte-order
+    param sorting, non-default ports and real params preserved;
+    url_dedup keeps the smallest id per canonical URL and ALL no-URL
+    docs; empty/all-NULL probes."""
+    from datalakerulegeneration_spark.ops import domains
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/a/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com/a?a=1&b=2"),
+        (3, "https://example.com:443/a"),
+        (4, "https://user@example.com/a/"),
+        (5, None),
+        (6, "nonsense"),
+        (7, "https://example.com"),
+        (8, "https://example.com:8080/a"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    canon = {r["id"]: r["canonical_url"] for r in domains.with_canonical_url(df, "url").collect()}
+    assert canon[1] == canon[2] == "http://example.com/a?a=1&b=2"
+    assert canon[3] == canon[4] == "https://example.com/a"
+    assert canon[5] is None and canon[6] is None
+    assert canon[7] == "https://example.com/"
+    assert canon[8] == "https://example.com:8080/a"  # non-default port kept
+    kept = sorted(r["id"] for r in domains.url_dedup(df, "id", "url").collect())
+    assert kept == [1, 3, 5, 6, 7, 8]  # min id per canonical; no-URL docs survive
+    # strip_www=False keeps www-hosts distinct
+    c2 = {r["id"]: r["canonical_url"] for r in domains.with_canonical_url(
+        df, "url", strip_www=False).collect()}
+    assert c2[1] != c2[2]
+    # probes
+    empty = spark.createDataFrame([], "id bigint, url string")
+    assert domains.url_dedup(empty, "id", "url").count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id bigint, url string")
+    assert domains.url_dedup(nulls, "id", "url").count() == 2
+    with pytest.raises(ValueError, match="plain names"):
+        domains.with_canonical_url(df, "url", drop_params=["a(b"])
