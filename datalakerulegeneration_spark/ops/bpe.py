@@ -279,14 +279,22 @@ def bpe_tokenizer_fn(merges):
     operator accepts. A per-word cache makes the per-batch cost
     O(distinct words), the same sufficient statistic the engine path
     exploits."""
+    import re
+
     merges = [(l, r) for l, r in merges]
     cache: dict[str, int] = {}
+    # ASCII \s to match the engine's Java-regex split (re.ASCII makes
+    # \s = [ \t\n\r\f\v]); str.split() would also break on NBSP /
+    # U+2000-range spaces and diverge from bpe_encode's word grain
+    ws = re.compile(r"\s+", flags=re.ASCII)
 
     def fn(s: pd.Series):
         counts = []
         for text in s:
             total = 0
-            for word in str(text).lower().split():
+            for word in ws.split(str(text).lower()):
+                if not word:
+                    continue
                 n = cache.get(word)
                 if n is None:
                     n = len(apply_merges_py(word, merges))

@@ -33,6 +33,22 @@ from pyspark.sql import functions as F
 from datalakerulegeneration_spark.ops import packing, sampling, textqa
 
 
+def _check_domain_args(url_col, blocked_domains, max_per_domain) -> None:
+    """The domain stage needs BOTH a URL column and an action; a
+    partial spec silently curating nothing is the failure mode the r8
+    advice flagged (both engines shared the hole, so the oracle gate
+    could never catch it)."""
+    if url_col is None and (blocked_domains or max_per_domain is not None):
+        raise ValueError(
+            "blocked_domains/max_per_domain require url_col to name the URL column"
+        )
+    if url_col is not None and not blocked_domains and max_per_domain is None:
+        raise ValueError(
+            "url_col given but neither blocked_domains nor max_per_domain — "
+            "the domain stage would be a no-op"
+        )
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -128,7 +144,8 @@ def curate_corpus(
     CommonCrawl-curation opener, composable with every other variant;
     extraction is map-side expression work riding the first scan.
     """
-    if url_col is not None and (blocked_domains or max_per_domain is not None):
+    _check_domain_args(url_col, blocked_domains, max_per_domain)
+    if url_col is not None:
         from datalakerulegeneration_spark.ops import domains as _domains
 
         if blocked_domains:
@@ -722,8 +739,9 @@ def curate_corpus_sql(
     buckets = sampling._BUCKETS
     reb_hash = sampling._hash_bucket_sql("d3.id", "rebalance")
     pack_hash = sampling._hash_bucket_sql("id", "pack")
+    _check_domain_args(url_col, blocked_domains, max_per_domain)
     dom_prefix = ""
-    if url_col is not None and (blocked_domains or max_per_domain is not None):
+    if url_col is not None:
         from datalakerulegeneration_spark.ops import domains as _domains
 
         if blocked_domains:

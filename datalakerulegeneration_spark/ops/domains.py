@@ -100,6 +100,23 @@ def _check_suffixes(suffixes) -> tuple[tuple[str, ...], tuple[str, ...], tuple[s
     return tuple(normals), tuple(wilds), tuple(excs)
 
 
+def _check_blocked(blocked_domains) -> tuple[str, ...]:
+    """Validate the blocklist the way :func:`_check_suffixes` guards
+    suffix rules — the entries are interpolated into the DuckDB oracle
+    as string literals, so a quote (or a stray wildcard) would break
+    or alter the generated SQL while the Spark side (createDataFrame)
+    handled it fine, producing a spurious gate mismatch."""
+    blocked = tuple(sorted(set(blocked_domains)))
+    if not blocked:
+        raise ValueError("blocked_domains must name at least one domain")
+    for b in blocked:
+        if not b or any(c in b for c in "'\"\\ !*") or b != b.lower():
+            raise ValueError(
+                f"blocked domains must be lowercase and quote/wildcard-free: {b!r}"
+            )
+    return blocked
+
+
 def host_expr(url: str) -> str:
     """Spark SQL: lowercase authority host of ``url``, NULL when the
     value has no scheme://host shape; trailing dots stripped."""
@@ -335,9 +352,12 @@ def domain_cap_sql(
     max_per_domain: int,
     salt: str = "domain_cap",
     suffixes=None,
-    select_cols: str = "*",
+    select_cols: str = "* EXCLUDE (domain, _psl_rn)",
 ) -> str:
-    """DuckDB oracle for :func:`domain_cap`."""
+    """DuckDB oracle for :func:`domain_cap`. The default
+    ``select_cols`` drops the helper ``domain``/``_psl_rn`` columns so
+    the SQL default matches the Spark op's contract (exactly the
+    input table's columns)."""
     hb = _hash_bucket_sql(id_col, salt)
     return f"""
 WITH doms AS (
@@ -369,9 +389,7 @@ def blocklist_filter(
     broadcast. NULL-domain rows SURVIVE (nothing to match — blocklists
     name domains, not missing attribution). Returns ``df``'s columns.
     """
-    blocked = sorted(set(blocked_domains))
-    if not blocked:
-        raise ValueError("blocked_domains must name at least one domain")
+    blocked = _check_blocked(blocked_domains)
     d = with_registered_domain(df, url_col, "_psl_dom", suffixes)
     bl = df.sparkSession.createDataFrame([(b,) for b in blocked], "_blocked string")
     return (
@@ -382,10 +400,17 @@ def blocklist_filter(
 
 
 def blocklist_filter_sql(
-    table: str, url_col: str, blocked_domains, suffixes=None, select_cols: str = "*"
+    table: str,
+    url_col: str,
+    blocked_domains,
+    suffixes=None,
+    select_cols: str = "* EXCLUDE (domain)",
 ) -> str:
-    """DuckDB oracle for :func:`blocklist_filter`."""
-    blocked = sorted(set(blocked_domains))
+    """DuckDB oracle for :func:`blocklist_filter`. The default
+    ``select_cols`` drops the helper ``domain`` column so the SQL
+    default matches the Spark op's contract (exactly ``df``'s
+    columns)."""
+    blocked = _check_blocked(blocked_domains)
     bl = ", ".join(f"'{b}'" for b in blocked)
     return f"""
 WITH doms AS (
@@ -451,9 +476,15 @@ def _canonical_steps(url: str, strip_www: bool, drop_params, duck: bool):
         "CASE WHEN regexp_replace(_cu_path, '/+$', '') = '' THEN '/'"
         " ELSE regexp_replace(_cu_path, '/+$', '') END"
     )
-    # [?] not \\? — Spark's default (non-ANSI-escape) string literals
-    # eat the backslash, RE2 and java.util.regex both accept the class
-    qs = f"regexp_extract({url}, '[?]([^#]*)', 1)"
+    # strip the fragment BEFORE pulling the query: a '?' inside the
+    # fragment (https://x.com/p#sec?x=1) is fragment content, not a
+    # query string — extracting from the full URL leaked it into the
+    # canonical key (r8 advice; both engines shared the bug, so oracle
+    # parity hid it). [?] not \\? — Spark's default (non-ANSI-escape)
+    # string literals eat the backslash, RE2 and java.util.regex both
+    # accept the class; group 0 = whole match in both engines.
+    nofrag = f"regexp_extract({url}, '^[^#]*', 0)"
+    qs = "regexp_extract(_cu_nofrag, '[?]([^#]*)', 1)"
     params = (
         f"{filt}({split}(_cu_qs, '&'), p -> p <> '' AND NOT ({match('p', drop_re)}))"
         if duck
@@ -475,6 +506,7 @@ def _canonical_steps(url: str, strip_www: bool, drop_params, duck: bool):
         ("_cu_host", host),
         ("_cu_port", port),
         ("_cu_path", path),
+        ("_cu_nofrag", nofrag),
         ("_cu_qs", qs),
         ("_cu_q", qsort),
     ]

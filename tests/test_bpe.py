@@ -111,6 +111,20 @@ def test_bpe_encode_matches_python_twin_and_oracle(spark, duck):
     assert got == exp
 
 
+def test_bpe_tokenizer_fn_ascii_whitespace_parity():
+    """bpe_tokenizer_fn splits on ASCII \\s exactly like the engine's
+    Java-regex split (r9 fix): NBSP / U+2000-range spaces are NOT word
+    breaks, so 'a\\u00a0a' is ONE 3-symbol word (a a a</w>), not two
+    2-symbol words — str.split() would have returned 4."""
+    import pandas as pd
+
+    fn = bpe.bpe_tokenizer_fn([])
+    got = fn(pd.Series(["a\u00a0a", "a\u2003a", "a a", "a\tb\nc"]))
+    # NBSP/em-space texts are ONE 3-symbol word (a, <sp>, a</w>);
+    # ASCII space/tab/newline split into 1-symbol words
+    assert list(got) == [3, 3, 2, 3]
+
+
 def test_real_bpe_tokenizer_drives_pack_and_budget(spark, tmp_path, monkeypatch):
     """The real-tokenizer CI path (r7 verdict item 4): default_tokenizer()
     returns the in-repo BPE (not the regex proxy, not a stub), and pack

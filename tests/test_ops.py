@@ -3212,6 +3212,24 @@ def test_domain_mix_cap_blocklist_semantics(spark, duck):
         domains.blocklist_filter(df, "url", [])
     with pytest.raises(ValueError, match="lowercase"):
         domains.with_registered_domain(df, "url", suffixes=["CO.UK"])
+    # r9: blocklist entries are validated like suffix rules — a quote
+    # would break/alter the interpolated DuckDB oracle literal
+    with pytest.raises(ValueError, match="quote"):
+        domains.blocklist_filter(df, "url", ["o'reilly.com"])
+    with pytest.raises(ValueError, match="quote"):
+        domains.blocklist_filter_sql("documents", "url", ["x'); DROP--.com"])
+    # r9: SQL defaults now match the Spark ops' column contract
+    assert "EXCLUDE (domain, _psl_rn)" in domains.domain_cap_sql("t", "id", "url", 2)
+    assert "EXCLUDE (domain)" in domains.blocklist_filter_sql("t", "url", ["x.com"])
+    # r9: a partial domain-stage spec raises instead of silently no-oping
+    from datalakerulegeneration_spark.ops import curate
+
+    with pytest.raises(ValueError, match="require url_col"):
+        curate.curate_corpus(df, blocked_domains=["x.com"])
+    with pytest.raises(ValueError, match="no-op"):
+        curate.curate_corpus(df, url_col="url")
+    with pytest.raises(ValueError, match="require url_col"):
+        curate.curate_corpus_sql("documents", max_per_domain=3)
 
 
 def test_domain_queries_match_oracle(spark, duck):
@@ -3246,6 +3264,7 @@ def test_canonical_url_and_url_dedup_semantics(spark):
         (6, "nonsense"),
         (7, "https://example.com"),
         (8, "https://example.com:8080/a"),
+        (9, "https://example.com/a#sec?x=1"),
     ]
     df = spark.createDataFrame(rows, "id bigint, url string")
     canon = {r["id"]: r["canonical_url"] for r in domains.with_canonical_url(df, "url").collect()}
@@ -3254,6 +3273,9 @@ def test_canonical_url_and_url_dedup_semantics(spark):
     assert canon[5] is None and canon[6] is None
     assert canon[7] == "https://example.com/"
     assert canon[8] == "https://example.com:8080/a"  # non-default port kept
+    # a '?' INSIDE the fragment is fragment content, not a query (r8
+    # advice): fragment strips first, so 9 collapses with 3/4
+    assert canon[9] == "https://example.com/a"
     kept = sorted(r["id"] for r in domains.url_dedup(df, "id", "url").collect())
     assert kept == [1, 3, 5, 6, 7, 8]  # min id per canonical; no-URL docs survive
     # strip_www=False keeps www-hosts distinct
