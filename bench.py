@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "domain_blocklist_documents",
     "curate_corpus_domains_documents",
     "curation_funnel_domains_documents",
+    "quality_classifier_score_documents",
+    "semdedup_frozen_embeddings",
 ]
 
 

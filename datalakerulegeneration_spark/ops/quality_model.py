@@ -99,6 +99,111 @@ def score_quality(model, df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def load_frozen_weights(path: str | None = None) -> tuple[dict[str, float], float]:
+    """Load the vendored frozen quality weights (``(weights, bias)``)
+    — the pytest-pinned projection of a real
+    :func:`train_quality_classifier` fit onto a compact vocabulary
+    (``tools/gen_frozen_fixtures.py``; one occurrence of token t moves
+    the logistic margin by exactly ``coef[hash(t)]``, so the table IS
+    the model restricted to its vocabulary — the fasttext convention
+    of shipping word→weight tables)."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
+            "fixture_quality_weights.json",
+        )
+    with open(path) as fh:
+        data = json.load(fh)
+    weights = {str(t): float(w) for t, w in data["weights"].items()}
+    for t in weights:
+        if not t or any(c in t for c in "'\"\\`") or t != t.lower():
+            raise ValueError(f"frozen vocab tokens must be lowercase and quote-free: {t!r}")
+    return weights, float(data["bias"])
+
+
+def frozen_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float] | None = None,
+    bias: float | None = None,
+) -> DataFrame:
+    """Score documents under a FROZEN linear bag-of-words model —
+    the serving path of the trained classifier (the bpe_learn /
+    bpe_encode split of r8, applied to quality): TRAINING is iterative
+    ML (:func:`train_and_score`, pytest-covered), but scoring under
+    frozen weights is pure expression arithmetic, exact in both
+    engines. ``margin = bias + Σ w_t · count_t(doc)`` is a fixed-order
+    chain of literal-weight products over per-token counts, so Spark
+    and DuckDB compute BIT-IDENTICAL doubles (same literals, same IEEE
+    ops, same association order); only the sigmoid is rounded (libm
+    exp may differ in the last ulp). Returns ``(id, quality_score,
+    prob_quality, quality_pred)``; NULL-text docs are absent (the
+    :func:`score_quality` convention).
+
+    Scale shape: map-only — one split per document, one counting fold
+    per vocabulary term, no shuffle, no UDF; at 100 TB the scorer
+    rides the scan exactly like the heuristic ``quality_col``."""
+    if weights is None or bias is None:
+        w2, b2 = load_frozen_weights()
+        weights = w2 if weights is None else weights
+        bias = b2 if bias is None else bias
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    d = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("_qtoks")
+    )
+    def _count(tok: str):
+        return F.size(F.filter(F.col("_qtoks"), lambda x: x == F.lit(tok)))
+
+    score = F.lit(float(bias))
+    for t in sorted(weights):
+        score = score + F.lit(float(weights[t])) * _count(t).cast("double")
+    return d.select(
+        "id",
+        F.round(score, 6).alias("quality_score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob_quality"),
+        (score > F.lit(0.0)).cast("int").alias("quality_pred"),
+    )
+
+
+def frozen_linear_score_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float] | None = None,
+    bias: float | None = None,
+) -> str:
+    """Exact DuckDB oracle for :func:`frozen_linear_score` — the same
+    fixed-order chain over the same literals."""
+    if weights is None or bias is None:
+        w2, b2 = load_frozen_weights()
+        weights = w2 if weights is None else weights
+        bias = b2 if bias is None else bias
+    terms = [repr(float(bias))]
+    for t in sorted(weights):
+        terms.append(
+            f"({weights[t]!r}) * CAST(len(list_filter(_qtoks, x -> x = '{t}')) AS DOUBLE)"
+        )
+    score = " + ".join(terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         string_split_regex(lower({text_col}), '\\s+') AS _qtoks
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+scored AS (SELECT id, {score} AS _score FROM toks)
+SELECT id,
+       round(_score, 6) AS quality_score,
+       round(1.0 / (1.0 + exp(-_score)), 6) AS prob_quality,
+       CAST(_score > 0.0 AS INTEGER) AS quality_pred
+FROM scored
+"""
+
+
 def train_and_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """End-to-end weak-label bootstrap: label from the heuristic's
     extremes, train, score the WHOLE corpus (including the ambiguous

@@ -420,6 +420,174 @@ def semdedup(
     )
 
 
+def load_semdedup_centroids(path: str | None = None) -> list[list[float]]:
+    """Load the vendored frozen SemDeDup centroids — a real seeded
+    KMeans fit (``tools/gen_frozen_fixtures.py``) rounded to 6
+    decimals so frozen assignment can run in EXACT scaled-integer
+    arithmetic in both engines."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
+            "fixture_semdedup_centroids.json",
+        )
+    with open(path) as fh:
+        cents = json.load(fh)
+    if not cents or any(len(c) != len(cents[0]) for c in cents):
+        raise ValueError("centroids must be a non-empty rectangular list")
+    return [[float(x) for x in c] for c in cents]
+
+
+def _centroids_micro(centroids) -> list[list[int]]:
+    """Centroids as exact micro-unit integers (×10^6) — the shared
+    conversion both the Spark impl and the SQL twin must use."""
+    from decimal import Decimal
+
+    return [[int(Decimal(str(x)).scaleb(6)) for x in c] for c in centroids]
+
+
+_V6 = (
+    "transform({vec}, x -> cast(cast(cast(x as double) as decimal(18,6))"
+    " * 1000000 as bigint))"
+)
+
+
+def semdedup_frozen(
+    vectors: DataFrame,
+    centroids=None,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semdedup` under FROZEN centroids — the serving split of
+    the r8 bpe_learn/bpe_encode pattern: the KMeans FIT is iterative
+    ML (rows-only by nature), but cluster ASSIGNMENT against a frozen
+    centroid table plus the within-cell keep-set is pure expression
+    arithmetic with an exact DuckDB twin
+    (:func:`semdedup_frozen_sql`). Same output contract as semdedup:
+    ``(id, cell, is_kept, dup_of)``.
+
+    Exactness: vectors and centroids are cast to DECIMAL(18,6) and
+    scaled to BIGINT micro-units, so squared Euclidean distances are
+    EXACT integers in both engines — the argmin cell (ties by cell id)
+    is bit-deterministic, with no float-sum-order risk at round-6
+    boundaries. Only the within-cell cosine is float, rounded to 6 like
+    every other oracled cosine here.
+
+    Scale shape: the centroid table broadcasts (16×64 here; at lake
+    scale a k in the thousands still broadcasts — k rows of dim
+    doubles), assignment is a map-side fold per (row, cell), and the
+    quadratic compare stays confined to cells exactly as in
+    :func:`semdedup`."""
+    if centroids is None:
+        centroids = load_semdedup_centroids()
+    cents6 = _centroids_micro(centroids)
+    cdf = vectors.sparkSession.createDataFrame(
+        list(enumerate(cents6)), "cell int, cvec6 array<bigint>"
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(norm_expr(vec_col)).alias("nrm"),
+        F.expr(_V6.format(vec=vec_col)).alias("_v6"),
+    )
+    d = v.crossJoin(F.broadcast(cdf)).select(
+        "id",
+        "vec",
+        "nrm",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(_v6, cvec6, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (acc, p) -> acc + p)"
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("dist2"), F.asc("cell"))
+    assigned = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", "vec", "nrm", "cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_pairs = (
+        a.join(b, "cell")
+        .where(F.col("b.id") < F.col("a.id"))
+        .where(
+            F.round(
+                F.expr(cosine_norms_expr("a.vec", "b.vec", "a.nrm", "b.nrm")), 6
+            )
+            >= threshold
+        )
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.min(F.col("b.id")).alias("dup_of"))
+    )
+    # dup_of is -1 for kept items (not NULL): a nullable BIGINT column
+    # becomes float64 in pandas on one engine and not the other, which
+    # breaks the driver's hash compare — the sentinel keeps it integral
+    return assigned.join(dup_pairs, "id", "left").select(
+        "id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("dup_of").isNull().alias("is_kept"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+    )
+
+
+def semdedup_frozen_sql(
+    table: str,
+    centroids=None,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB oracle for :func:`semdedup_frozen` — identical
+    micro-unit integer distances, identical argmin tie-break, the
+    standard rounded-cosine pair rule."""
+    if centroids is None:
+        centroids = load_semdedup_centroids()
+    cents6 = _centroids_micro(centroids)
+    dim = len(cents6[0])
+    rows = ", ".join(
+        f"({i}, CAST([{', '.join(map(str, c))}] AS BIGINT[]))"
+        for i, c in enumerate(cents6)
+    )
+    return f"""
+WITH cells AS (SELECT * FROM (VALUES {rows}) t(cell, cvec6)),
+v AS (
+  SELECT {id_col} AS id, {vec_col} AS vec,
+         sqrt(list_dot_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm,
+         list_transform({vec_col},
+           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS v6
+  FROM {table}
+),
+d AS (
+  SELECT v.id, v.vec, v.nrm, c.cell,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v6[CAST(i AS BIGINT)] - cvec6[CAST(i AS BIGINT)])
+              * (v6[CAST(i AS BIGINT)] - cvec6[CAST(i AS BIGINT)]))) AS BIGINT) AS dist2
+  FROM v CROSS JOIN cells c
+),
+assigned AS (
+  SELECT id, vec, nrm, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cell) AS _rn FROM d
+  ) WHERE _rn = 1
+),
+dups AS (
+  SELECT a.id AS id, min(b.id) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND b.id < a.id
+   AND round(list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(b.vec AS DOUBLE[]))
+             / (a.nrm * b.nrm), 6) >= {threshold!r}
+  GROUP BY a.id
+)
+SELECT a.id, CAST(a.cell AS BIGINT) AS cell,
+       d.dup_of IS NULL AS is_kept,
+       CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM assigned a LEFT JOIN dups d ON a.id = d.id
+"""
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.99,

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from datalakerulegeneration_spark.catalog import load_sf_tables
 from datalakerulegeneration_spark.ops import bpe as bpe_mod
-from datalakerulegeneration_spark.ops import curate, dedup, domains, hll, multimodal, packing, sampling, similarity, sketch, textqa
+from datalakerulegeneration_spark.ops import curate, dedup, domains, hll, multimodal, packing, quality_model, sampling, similarity, sketch, textqa
 from datalakerulegeneration_spark.profiling import scalar_stats_long
 from datalakerulegeneration_spark.profiling.patterns import symbolic_pattern, symbolic_pattern_sql
 from datalakerulegeneration_spark.profiling.profiler import STOPWORDS, column_kind
@@ -3326,20 +3326,22 @@ Q_INTRA_LINE_DEDUP_ORACLE = textqa.intra_line_dedup_sql(
 )
 
 
-def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained quality filter (ops.quality_model): weak labels from the
-    heuristic score's extremes, a hashed-bag-of-words logistic
-    regression fit with Spark ML, map-only scoring of the whole corpus.
-    Rows-only: the L-BFGS fit is iterative ML (like the GMM query), so
-    probabilities are not engine-portable — the classifier's held-out
-    separation is pytest-verified instead."""
-    from datalakerulegeneration_spark.ops.quality_model import train_and_score
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier, SERVING path (ops.quality_model.
+    frozen_linear_score): the pinned fit's word→weight table (vendored
+    resources/fixture_quality_weights.json — a real weak-label
+    HashingTF+LogisticRegression fit projected onto its top-|w| vocab,
+    tools/gen_frozen_fixtures.py) scores the corpus as a fixed-order
+    chain of literal-weight products over per-token counts — map-only,
+    no shuffle, bit-identical margins in both engines. The r8
+    bpe_learn/bpe_encode split applied to quality: TRAINING stays
+    iterative ML (pytest-covered via ops.quality_model.train_and_score);
+    scoring is exact-oracled. Reference semantics: the trained-rule
+    scoring pass of rules/train_clean_rules.py:44-97."""
+    from datalakerulegeneration_spark.ops.quality_model import frozen_linear_score
 
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
-    out = train_and_score(docs, "doc_id", "text")
-    return out.select(
-        "id", F.round("prob_quality", 6).alias("prob_quality"), "quality_pred"
-    )
+    return frozen_linear_score(docs, "doc_id", "text")
 
 
 def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3428,15 +3430,19 @@ Q_CLEAN_TEXT_ORACLE = textqa.clean_text_sql(
 )
 
 
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (ops.similarity.semdedup): KMeans-cell semantic dedup
-    of the embeddings table. Rows-only (iterative ML assignment, like
-    the IVF query); the drop/keep semantics are pytest-verified on
-    planted duplicates."""
-    from datalakerulegeneration_spark.ops.similarity import semdedup
+def q_semdedup_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, SERVING path (ops.similarity.semdedup_frozen): cell
+    assignment against the FROZEN centroid table (vendored
+    resources/fixture_semdedup_centroids.json — a real seeded KMeans
+    fit, tools/gen_frozen_fixtures.py) plus the within-cell greedy
+    min-id keep-set. Distances run in exact micro-unit integers so the
+    argmin cell is bit-deterministic cross-engine; threshold 0.4
+    exercises real drops at both gate SFs. The KMeans FIT itself stays
+    iterative ML (pytest-covered via ops.similarity.semdedup)."""
+    from datalakerulegeneration_spark.ops.similarity import semdedup_frozen
 
     emb = load_sf_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return semdedup(emb, k_cells=16, threshold=0.95)
+    return semdedup_frozen(emb, threshold=0.4)
 
 
 _DRIFT_BOUNDS = (0.0, 500.0)  # pinned edges for the events.value monitor
@@ -4777,8 +4783,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_overlap_multi_documents": (q_ngram_overlap_multi, Q_NGRAM_OVERLAP_MULTI_ORACLE),
     "line_dedup_documents": (q_line_dedup, Q_LINE_DEDUP_ORACLE),
     "intra_line_dedup_documents": (q_intra_line_dedup, Q_INTRA_LINE_DEDUP_ORACLE),
-    "quality_classifier_documents": (q_quality_classifier, None),
-    "semdedup_embeddings": (q_semdedup, None),
+    "quality_classifier_score_documents": (q_quality_classifier_score, quality_model.frozen_linear_score_sql("documents", "doc_id", "text")),
+    "semdedup_frozen_embeddings": (q_semdedup_frozen, similarity.semdedup_frozen_sql("embeddings", threshold=0.4)),
     "clean_text_documents": (q_clean_text, Q_CLEAN_TEXT_ORACLE),
     "json_props_events": (q_json_props_events, Q_JSON_PROPS_ORACLE),
     "drift_events_value": (q_drift_events_value, _drift_oracle()),
@@ -4925,8 +4931,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 ROWS_ONLY: dict[str, str] = {
     "bpe_learn_documents": "iterative merge selection — each step's argmax feeds the next step's state, not one SQL statement; merge sequence deterministic, pytest-pinned, and the downstream encoder is oracle-gated (bpe_encode_documents)",
     "cluster_columns_kmeans_profiles": "iterative KMeans fit — centroid trajectory is seed/scheduling-dependent, not SQL-expressible",
-    "quality_classifier_documents": "trained logistic model — gradient-descent weights are not SQL-expressible",
-    "semdedup_embeddings": "KMeans cluster assignment feeds the keep-set — iterative fit, not SQL-expressible",
     "profile_lineitem_approx": "approx_percentile sketch — tolerance-bounded by design, no exact oracle",
     "dboost_mixture_lineitem": "EM-fitted Gaussian mixture — iterative ML fit, not SQL-expressible",
     "pca_topk_embeddings": "eigenvector basis from iterative SVD — exactness gated by pca_recall_embeddings instead",

@@ -826,6 +826,110 @@ def test_semdedup_drops_planted_near_dups(spark):
     assert out == out2
 
 
+def test_semdedup_frozen_planted(spark):
+    """Frozen-centroid SemDeDup (r9): assignment against a literal
+    centroid table (exact micro-unit integer distances, ties by cell),
+    within-cell min-id keep-set, -1 dup_of sentinel for kept items —
+    and exact parity with the DuckDB twin on the planted frame."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops.similarity import (
+        semdedup_frozen,
+        semdedup_frozen_sql,
+    )
+
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    base = [
+        (0, [0.9, 0.1, 0.0, 0.0]),   # cell 0
+        (1, [0.0, 1.0, 0.1, 0.0]),   # cell 1
+        (2, [0.1, 0.0, 1.0, 0.0]),   # cell 2
+        (3, [0.0, 0.0, 0.0, 0.7]),   # cell 3
+    ]
+    dups = [(10 + i, [x * 2.0 for x in v]) for i, v in base[:2]]  # cos = 1.0
+    rows = [(i, [float(x) for x in v]) for i, v in base + dups]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r.asDict() for r in semdedup_frozen(df, cents, threshold=0.99).collect()}
+    assert len(out) == 6
+    assert [out[i]["cell"] for i in (0, 1, 2, 3)] == [0, 1, 2, 3]
+    for orig, dup in ((0, 10), (1, 11)):
+        assert out[orig]["is_kept"] is True and out[orig]["dup_of"] == -1
+        assert out[dup]["is_kept"] is False and out[dup]["dup_of"] == orig
+    # exact parity with the DuckDB twin on the same planted frame
+    con = duckdb.connect()
+    con.register("emb", pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}))
+    exp = sorted(map(tuple, con.execute(semdedup_frozen_sql("emb", cents, threshold=0.99)).fetchall()))
+    got = sorted((r["id"], r["cell"], r["is_kept"], r["dup_of"]) for r in out.values())
+    assert got == exp
+    # tie on distance → smallest cell wins, both engines (vector
+    # equidistant from cells 0 and 1)
+    tie = spark.createDataFrame([(7, [0.5, 0.5, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    assert semdedup_frozen(tie, cents).first()["cell"] == 0
+    # probes: empty and 1-row
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semdedup_frozen(empty, cents).count() == 0
+    one = semdedup_frozen(df.limit(1), cents).first()
+    assert one["is_kept"] is True and one["dup_of"] == -1
+    with pytest.raises(ValueError, match="rectangular"):
+        from datalakerulegeneration_spark.ops.similarity import load_semdedup_centroids
+        import json as _json
+        import tempfile, os as _os
+
+        with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+            _json.dump([[1.0], [1.0, 2.0]], fh)
+        try:
+            load_semdedup_centroids(fh.name)
+        finally:
+            _os.unlink(fh.name)
+
+
+def test_frozen_linear_score_planted(spark):
+    """Frozen linear quality scorer (r9): fixed-order literal-weight
+    chain over per-token counts — bit-exact margins vs the DuckDB
+    twin, correct counts/pred on planted text, NULL-text rows absent."""
+    import duckdb
+    import math
+
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops.quality_model import (
+        frozen_linear_score,
+        frozen_linear_score_sql,
+        load_frozen_weights,
+    )
+
+    w = {"good": 2.0, "bad": -3.0, "ok": 0.25}
+    rows = [
+        (1, "good good Bad stuff"),   # 2*2 - 3*1 + 0.5 bias = 1.5 > 0
+        (2, "bad bad bad"),           # -9 + 0.5 < 0
+        (3, "nothing matches here"),  # bias only
+        (4, None),                    # absent from output
+        (5, "ok OK oK"),              # lowercased: 3 * 0.25 + 0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in frozen_linear_score(df, "doc_id", "text", w, 0.5).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["quality_score"] == 1.5 and out[1]["quality_pred"] == 1
+    assert out[2]["quality_score"] == -8.5 and out[2]["quality_pred"] == 0
+    assert out[3]["quality_score"] == 0.5
+    assert out[5]["quality_score"] == 1.25
+    assert out[1]["prob_quality"] == round(1 / (1 + math.exp(-1.5)), 6)
+    # parity with the DuckDB twin on the planted frame
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}))
+    exp = sorted(map(tuple, con.execute(frozen_linear_score_sql("docs", "doc_id", "text", w, 0.5)).fetchall()))
+    got = sorted((r["id"], r["quality_score"], r["prob_quality"], r["quality_pred"]) for r in out.values())
+    assert got == exp
+    # the vendored fixture is loadable, quote-free, and non-trivial
+    fw, fb = load_frozen_weights()
+    assert len(fw) >= 16 and isinstance(fb, float)
+
+
 def test_quality_classifier_separates_garbage(spark):
     """Weak-label bootstrap → train → score must separate fluent text
     from garbage it never saw (generalization via token features, not

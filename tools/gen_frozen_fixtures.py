@@ -1,0 +1,113 @@
+"""One-time generator for the frozen-model fixtures (r9).
+
+Trains the REAL models on /root/testdata/sf0.01 and freezes the
+pure-expression parameters the registered scoring queries run under:
+
+* ``resources/fixture_quality_weights.json`` — the trained logistic
+  quality classifier (ops.quality_model.train_quality_classifier,
+  weak labels from the heuristic's extremes) projected onto a compact
+  vocabulary: for each of the most corpus-frequent tokens, its weight
+  is the fitted coefficient at its HashingTF bucket (one occurrence of
+  token t moves the margin by exactly coef[hash(t)] — the fasttext
+  convention of shipping a word→weight table). Top ``VOCAB_SIZE``
+  tokens by |weight| are kept, plus the intercept.
+* ``resources/fixture_semdedup_centroids.json`` — KMeans cell
+  centroids (k=16, seed=42) fitted on the embeddings table, rounded
+  to 6 decimals so the frozen assignment can run in exact scaled-
+  integer arithmetic in both engines.
+
+Mirrors the bpe_learn/bpe_encode split of r8: TRAINING stays an
+iterative library path (pytest-covered); SCORING under the frozen
+parameters is expression arithmetic with an exact DuckDB oracle.
+
+Usage: python tools/gen_frozen_fixtures.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB_SIZE = 32
+K_CELLS = 16
+SEED = 42
+
+RES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "datalakerulegeneration_spark",
+    "resources",
+)
+
+
+def main(sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from datalakerulegeneration_spark import get_spark
+    from datalakerulegeneration_spark.catalog import load_sf_tables
+    from datalakerulegeneration_spark.ops.quality_model import (
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    spark = get_spark("gen-frozen-fixtures")
+    tables = load_sf_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs, emb = tables["documents"], tables["embeddings"]
+
+    # ---- quality weights -------------------------------------------------
+    labeled = weak_quality_labels(docs, "doc_id", "text")
+    model = train_quality_classifier(labeled, "text")
+    tok_stage, tf_stage, lr_model = model.stages
+    coef = lr_model.coefficients
+    intercept = float(lr_model.intercept)
+
+    # candidate vocabulary: most frequent corpus tokens under the SAME
+    # tokenization the model trained with (lower + \s+ split)
+    cand = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(2000)
+        .collect()
+    )
+    toks = [
+        r["tok"]
+        for r in cand
+        if r["tok"] and not any(c in r["tok"] for c in "'\"\\`")
+    ]
+    # weight of one occurrence of t = coefficient at t's hash bucket
+    tok_df = spark.createDataFrame([(t, [t]) for t in toks], "tok string, __toks array<string>")
+    hashed = tf_stage.transform(tok_df).collect()
+    weights = {}
+    for r in hashed:
+        idx = r["__feats"].indices
+        if len(idx) == 1:
+            w = float(coef[int(idx[0])])
+            if w != 0.0:
+                weights[r["tok"]] = w
+    top = sorted(weights.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:VOCAB_SIZE]
+    out_q = {"bias": intercept, "weights": dict(sorted(top))}
+    with open(os.path.join(RES, "fixture_quality_weights.json"), "w") as fh:
+        json.dump(out_q, fh, indent=1, sort_keys=True)
+    print(f"quality weights: {len(out_q['weights'])} tokens, bias={intercept:.6g}")
+
+    # ---- semdedup centroids ----------------------------------------------
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = emb.select(array_to_vector(F.col("embedding").cast("array<double>")).alias("__mlvec"))
+    km = KMeans(k=K_CELLS, featuresCol="__mlvec", predictionCol="cell", seed=SEED)
+    centers = km.fit(v).clusterCenters()
+    cents = [[round(float(x), 6) for x in c] for c in centers]
+    with open(os.path.join(RES, "fixture_semdedup_centroids.json"), "w") as fh:
+        json.dump(cents, fh)
+    print(f"semdedup centroids: {len(cents)} x {len(cents[0])}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
