@@ -17,6 +17,10 @@ On disk (all parquet, all engine-readable):
 * ``{path}/codes``     — (id, codes: array<int>, rn_: double
   [, cell: int]): ~m bytes + one norm per vector — the ~50× storage
   cut that makes exhaustive scans of a 100 TB corpus possible.
+  Appends land in sibling ``{path}/codes_vN`` directories; the
+  committed set is ``{path}/codes_MANIFEST`` (a JSON list flipped
+  atomically with ``os.replace``), so readers never observe a
+  half-written append — see :func:`pq_index_append`.
 * ``{path}/centroids`` — (cell, cvec), only when built with
   ``n_lists``: the IVF routing table (KMeans over reconstructions,
   fixed seed).
@@ -92,6 +96,43 @@ def _reconstruct(codes: DataFrame, anchors: DataFrame, carry: tuple[str, ...] = 
     )
 
 
+def _codes_dirs(path: str) -> list[str]:
+    """Committed code-directory names for the index at ``path``.
+
+    ``codes_MANIFEST`` (a JSON list, rewritten atomically via
+    ``os.replace`` — the budget_stream marker pattern) is the ONLY
+    source of truth a reader consults: an append writes its delta to a
+    fresh ``codes_vN`` directory FIRST and flips the manifest LAST, so
+    a concurrent reader sees either the old committed set or the new
+    one, never a half-written directory. Indexes built before the
+    manifest existed fall back to the legacy single ``codes`` dir."""
+    import json
+    import os
+
+    manifest = os.path.join(path, "codes_MANIFEST")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            return list(json.load(fh))
+    return ["codes"]
+
+
+def _write_codes_manifest(path: str, dirs: list[str]) -> None:
+    """Atomically publish ``dirs`` as the committed code set."""
+    import json
+    import os
+
+    manifest = os.path.join(path, "codes_MANIFEST")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(dirs, fh)
+    os.replace(tmp, manifest)  # atomic commit point
+
+
+def _read_codes(spark: SparkSession, path: str) -> DataFrame:
+    """The committed codes as ONE DataFrame (manifest snapshot)."""
+    return spark.read.parquet(*[f"{path}/{d}" for d in _codes_dirs(path)])
+
+
 def pq_build_index(
     vectors: DataFrame,
     path: str,
@@ -142,6 +183,7 @@ def pq_build_index(
     spark.createDataFrame(
         [(m, ksub, dim, n_lists)], "m int, ksub int, dim int, n_lists int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_codes_manifest(path, ["codes"])
 
 
 def pq_search_index(
@@ -170,7 +212,7 @@ def pq_search_index(
     meta = spark.read.parquet(f"{path}/meta").first()
     m, dsub = meta["m"], meta["dim"] // meta["m"]
     anchors = spark.read.parquet(f"{path}/anchors")
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _read_codes(spark, path)
 
     q_named = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
@@ -245,7 +287,20 @@ def pq_index_append(
     Incoming vectors must match the index's persisted ``dim`` —
     ``slice()`` would silently truncate (or shorten) wrong-width
     vectors into garbage codes, so a mismatch raises instead.
+
+    Atomicity (r9): the delta is written to a FRESH ``codes_vN``
+    directory and only then published by an atomic manifest rewrite
+    (``os.replace``), so a concurrent ``pq_search_index`` — which reads
+    exactly the manifest's committed set — can never list a
+    half-written batch: it sees the index before the append or after
+    it, nothing in between. A crash before the flip leaves an orphan
+    directory no reader ever consults; the next append picks a higher
+    version number and the replayed batch re-admits cleanly through
+    the id anti-join.
     """
+    import os
+    import re
+
     spark = vectors.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first()
     m, dsub = meta["m"], meta["dim"] // meta["m"]
@@ -258,12 +313,24 @@ def pq_index_append(
             f"refusing to encode wrong-width vectors into the index"
         )
     anchors = spark.read.parquet(f"{path}/anchors")
-    existing = spark.read.parquet(f"{path}/codes")
+    committed = _codes_dirs(path)
+    existing = spark.read.parquet(*[f"{path}/{d}" for d in committed])
     fresh = vectors.join(
         existing.select(F.col("id").alias("_seen")).hint("shuffle_hash"),
         vectors[id_col] == F.col("_seen"),
         "left_anti",
     )
+    if fresh.isEmpty():
+        return  # full replay — nothing to publish, no manifest churn
+    # next version = 1 + highest codes_v* ON DISK (not in the manifest):
+    # a crashed append leaves an orphan dir, and reusing its name would
+    # mix two half-batches
+    seen = [0]
+    for name in os.listdir(path) if os.path.isdir(path) else []:
+        mt = re.fullmatch(r"codes_v(\d+)", name)
+        if mt:
+            seen.append(int(mt.group(1)))
+    delta_dir = f"codes_v{max(seen) + 1}"
     codes = _encode(fresh, anchors, m, dsub, id_col, vec_col)
     recon = _reconstruct(codes, anchors, carry=("codes",)).withColumn(
         "rn_", F.expr(norm_expr("rvec"))
@@ -285,6 +352,11 @@ def pq_index_append(
             .agg(F.min(F.struct(F.col("cdist2"), F.col("cell"))).alias("best"))
             .select("id", "codes", "rn_", F.col("best.cell").alias("cell"))
         )
-        routed.write.mode("append").parquet(f"{path}/codes")
+        routed.write.mode("overwrite").parquet(f"{path}/{delta_dir}")
     else:
-        recon.select("id", "codes", "rn_").write.mode("append").parquet(f"{path}/codes")
+        recon.select("id", "codes", "rn_").write.mode("overwrite").parquet(
+            f"{path}/{delta_dir}"
+        )
+    # publish LAST: the atomic flip is the only moment readers' view
+    # changes, and by then the delta directory is fully written
+    _write_codes_manifest(path, committed + [delta_dir])

@@ -10,12 +10,12 @@ sink is idempotent under foreachBatch's at-least-once contract; the
 index outlives Spark's checkpoint, so a restarted or entirely new
 stream keeps extending the same searchable index, and searches
 (``pq_search_index``) can run between batches against whatever has
-been admitted so far. A search issued WHILE a micro-batch is
-mid-append may observe part of that batch: the multi-file parquet
-append is not atomic to a concurrent reader (exactly-once here means
-no duplicates across retries — the anti-join — not snapshot
-isolation; ``budget_stream``'s versioned-marker flip is the pattern
-to borrow if a reader must never see a partial batch).
+been admitted so far. Appends are ATOMIC to concurrent readers (r9):
+each micro-batch lands in a fresh versioned codes directory that is
+published by one ``os.replace`` of the codes manifest — the
+budget_stream marker pattern — so a search issued WHILE a batch is
+mid-append sees the index before the batch or after it, never a
+partially committed batch.
 """
 
 from __future__ import annotations

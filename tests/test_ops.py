@@ -2914,14 +2914,18 @@ def test_pq_index_append_frozen_codebooks_idempotent(spark, sf_tables, tmp_path)
     anchors_before = sorted(map(tuple, spark.read.parquet(f"{path}/anchors").collect()))
 
     ann_index.pq_index_append(rest, path)
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = ann_index._read_codes(spark, path)
     n_all = emb.count()
     assert codes.count() == n_all
     assert codes.select("id").distinct().count() == n_all
     assert codes.where(F.col("cell").isNull()).count() == 0  # routed
+    # r9 atomic append: the delta landed in a versioned dir published
+    # by the manifest, not an in-place multi-file append
+    assert ann_index._codes_dirs(path) == ["codes", "codes_v1"]
 
     ann_index.pq_index_append(rest, path)  # replay → no-op
-    assert spark.read.parquet(f"{path}/codes").count() == n_all
+    assert ann_index._read_codes(spark, path).count() == n_all
+    assert ann_index._codes_dirs(path) == ["codes", "codes_v1"]  # no manifest churn
     # codebooks untouched by append
     assert sorted(map(tuple, spark.read.parquet(f"{path}/anchors").collect())) == anchors_before
 
@@ -2931,6 +2935,58 @@ def test_pq_index_append_frozen_codebooks_idempotent(spark, sf_tables, tmp_path)
     )
     hits = ann_index.pq_search_index(spark, path, q, k=10, n_probe=8).collect()
     assert probe_id in {r["neighbor_id"] for r in hits}  # self retrievable
+
+
+def test_pq_index_append_atomic_to_concurrent_readers(spark, sf_tables, tmp_path):
+    """r9 atomic append: a reader consults ONLY the manifest's
+    committed set, so (a) an unpublished delta directory — the state a
+    crashed or in-flight append leaves on disk — is invisible until
+    the manifest flips, and (b) searches polling DURING a live append
+    only ever see the index at a batch boundary (n_before or n_after
+    rows), never a partial batch."""
+    import threading
+
+    from datalakerulegeneration_spark.ops import ann_index
+
+    emb = sf_tables["embeddings"]
+    path = str(tmp_path / "pq_atomic")
+    ann_index.pq_build_index(emb.where(F.col("vec_id") < 300), path, m=8, ksub=32)
+    n0 = 300
+
+    # (a) deterministic: an on-disk delta dir NOT in the manifest is
+    # exactly what a reader could list mid-append under a non-atomic
+    # scheme — the manifest must hide it
+    emb.where(F.col("vec_id") >= 450).select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(slice(embedding, 1, 8), x -> 0)").alias("codes"),
+        F.lit(1.0).alias("rn_"),
+    ).write.parquet(f"{path}/codes_v9")
+    assert ann_index._codes_dirs(path) == ["codes"]
+    assert ann_index._read_codes(spark, path).count() == n0
+    # ...and the next append must NOT reuse the orphan's name
+    ann_index.pq_index_append(emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 320)), path)
+    assert ann_index._codes_dirs(path) == ["codes", "codes_v10"]
+    assert ann_index._read_codes(spark, path).count() == n0 + 20
+
+    # (b) concurrent: poll committed counts while a real append runs
+    seen: set[int] = set()
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            seen.add(ann_index._read_codes(spark, path).count())
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        ann_index.pq_index_append(emb.where(F.col("vec_id") >= 320), path)
+    finally:
+        stop.set()
+        t.join(60)
+    seen.add(ann_index._read_codes(spark, path).count())
+    n_all = emb.count()
+    assert n_all in seen
+    assert seen <= {n0 + 20, n_all}, seen  # only batch boundaries, ever
 
 
 def test_quality_sweep_monotone_and_agrees_with_funnel(sf_tables, duck):

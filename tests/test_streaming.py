@@ -1077,7 +1077,7 @@ def test_ann_ingest_real_stream_extends_searchable_index(spark, sf_tables, tmp_p
     q, _ = ann_ingest_stream(spark, stream, path, checkpoint_dir=str(tmp_path / "ckpt"))
     q.awaitTermination(180)
     n_all = emb.count()
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = ann_index._read_codes(spark, path)
     assert codes.count() == n_all
     assert codes.select("id").distinct().count() == n_all
 
@@ -1086,7 +1086,7 @@ def test_ann_ingest_real_stream_extends_searchable_index(spark, sf_tables, tmp_p
     stream2 = spark.readStream.schema(emb.schema).parquet(src)
     q2, _ = ann_ingest_stream(spark, stream2, path, checkpoint_dir=str(tmp_path / "ckpt2"))
     q2.awaitTermination(180)
-    assert spark.read.parquet(f"{path}/codes").count() == n_all
+    assert ann_index._read_codes(spark, path).count() == n_all
 
     probes = emb.where(F.col("vec_id") >= 498).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
