@@ -22,7 +22,9 @@ the Public Suffix List (publicsuffix.org — Mozilla's public, widely
 vendored rule file) covering the common gTLDs, the major ccTLD
 second-level registries, the usual shared-hosting suffixes, and the
 PSL's wildcard registries. Production swaps in the full list by
-passing ``suffixes=`` (the builders take any rule list). The full PSL
+passing ``suffixes=load_public_suffix_list(path)`` — the loader
+parses the real publicsuffix.org file format (r9); DEFAULT_SUFFIXES
+stays the compact in-repo fallback. The full PSL
 rule grammar is implemented: normal rules (longest label-count match
 wins), wildcard rules (``*.ck`` — one extra label belongs to the
 suffix), exception rules (``!www.ck`` — overrides any wildcard; the
@@ -98,6 +100,50 @@ def _check_suffixes(suffixes) -> tuple[tuple[str, ...], tuple[str, ...], tuple[s
     if not normals:
         raise ValueError("suffixes must include at least one normal rule")
     return tuple(normals), tuple(wilds), tuple(excs)
+
+
+def load_public_suffix_list(path: str, include_private: bool = True) -> tuple[str, ...]:
+    """Parse a file in the REAL publicsuffix.org list format into the
+    rule tuple every builder here accepts via ``suffixes=`` — the
+    production path for swapping the compact vendored
+    ``DEFAULT_SUFFIXES`` subset for the full ~10k-rule list (the same
+    curated-dimension load shape as the reference's US-cities file,
+    rules/evaluation.py:102-169).
+
+    Format handled per the PSL spec: ``//`` comment lines; blank
+    lines; the ``===BEGIN/END ICANN|PRIVATE DOMAINS===`` section
+    markers (``include_private=False`` keeps only the ICANN section —
+    registry suffixes without the github.io-style platform rules);
+    each rule is the line up to the first whitespace; wildcard
+    (``*.ck``) and exception (``!www.ck``) rules flow through
+    unchanged into the existing grammar. Unicode (IDN) rules are kept
+    as written — the PSL publishes U-labels; hosts arriving in
+    punycode (``xn--``) match only if the caller pre-decodes them
+    (full IDN mapping needs an idna codec, deliberately out of scope).
+    Validation (lowercase, quote-free, exception↔wildcard pairing)
+    happens in :func:`_check_suffixes` at build time, as for any
+    caller-provided rule list."""
+    rules: list[str] = []
+    section: str | None = None
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line:
+                continue
+            if line.startswith("//"):
+                if "===BEGIN ICANN DOMAINS===" in line:
+                    section = "icann"
+                elif "===BEGIN PRIVATE DOMAINS===" in line:
+                    section = "private"
+                elif "===END" in line:
+                    section = None
+                continue
+            if section == "private" and not include_private:
+                continue
+            rules.append(line.split()[0].lower())
+    if not rules:
+        raise ValueError(f"no rules parsed from {path!r} — not a PSL-format file?")
+    return tuple(rules)
 
 
 def _check_blocked(blocked_domains) -> tuple[str, ...]:

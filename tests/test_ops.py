@@ -3407,6 +3407,60 @@ def test_domain_queries_match_oracle(spark, duck):
         assert got == exp, name
 
 
+def test_load_public_suffix_list_real_format(spark):
+    """r9: the PSL loader parses the REAL publicsuffix.org file format
+    (comments, blank lines, section markers, whitespace-terminated
+    rules, wildcard/exception/IDN lines) and the loaded rules drive
+    eTLD+1 extraction through the existing suffixes= seam — including
+    the ICANN-only view via include_private=False."""
+    import os
+
+    from datalakerulegeneration_spark.ops import domains
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(domains.__file__)),
+        "..",
+        "resources",
+        "fixture_public_suffix_list.dat",
+    )
+    rules = domains.load_public_suffix_list(path)
+    assert "com" in rules and "co.uk" in rules and "github.io" in rules
+    assert "*.ck" in rules and "!www.ck" in rules and "укр" in rules
+    assert not any(r.startswith("//") or "===" in r for r in rules)
+    icann = domains.load_public_suffix_list(path, include_private=False)
+    assert "github.io" not in icann and "co.uk" in icann
+
+    rows = [
+        (1, "https://forums.example.co.uk/x"),
+        (2, "https://www.example.ck/x"),   # *.ck wildcard
+        (3, "https://www.ck/x"),           # !www.ck exception
+        (4, "https://foo.github.io/page"),
+        (5, "https://sub.a.bd/x"),         # *.bd, no exception
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    dom = {r["id"]: r["domain"] for r in domains.with_registered_domain(
+        df, "url", suffixes=rules).collect()}
+    assert dom[1] == "example.co.uk"
+    assert dom[2] == "www.example.ck"  # example.ck is the public suffix
+    assert dom[3] == "www.ck"          # exception: suffix is just ck
+    assert dom[4] == "foo.github.io"
+    assert dom[5] == "sub.a.bd"
+    # ICANN-only view: github.io is no longer a suffix, io is
+    dom2 = {r["id"]: r["domain"] for r in domains.with_registered_domain(
+        df, "url", suffixes=icann).collect()}
+    assert dom2[4] == "github.io"
+
+    with pytest.raises(ValueError, match="no rules"):
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".dat", delete=False) as fh:
+            fh.write("// only comments\n\n")
+        try:
+            domains.load_public_suffix_list(fh.name)
+        finally:
+            os.unlink(fh.name)
+
+
 def test_canonical_url_and_url_dedup_semantics(spark):
     """Canonicalization branches: case/www/default-port/userinfo/
     trailing-slash/fragment/tracking-param normalization, byte-order
