@@ -96,12 +96,13 @@ def bpe_learn(
     n_merges: int = 32,
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    merges_per_scan: int = 1,
 ) -> DataFrame:
     """Learn a BPE merge sequence: ``(step, left, right, merged,
     pair_count)``, steps 1..≤``n_merges`` (stops early when no pair
     reaches ``min_pair_count``).
 
-    Per step: adjacent symbol pairs of every distinct word (weighted
+    Per scan: adjacent symbol pairs of every distinct word (weighted
     by word frequency) aggregate to (pair → count); the argmax row —
     ties by (left, right) ascending — is collected (ONE row crosses to
     the driver), and the merge applies as a map-side ``replace`` on
@@ -109,7 +110,22 @@ def bpe_learn(
     (``localCheckpoint``): without it step k re-derives k−1 replace
     projections per action — O(k²) recompute across the loop.
 
-    Registered rows-only: each step's argmax feeds the next step's
+    ``merges_per_scan`` (r9) is the production batching hatch: strict
+    Sennrich BPE re-counts after EVERY merge — one Spark job per merge,
+    32k sequential jobs for a 32k vocabulary. With ``merges_per_scan=K``
+    each scan admits up to K pairs from its count table, greedily in
+    (count desc, left, right) order, SKIPPING any pair that shares a
+    symbol with one already admitted this scan — symbol-disjoint
+    replaces cannot interact, so applying the batch in recorded order
+    equals applying it simultaneously, and a frozen-merge replay
+    (:func:`bpe_encode`, :func:`apply_merges_py`) reproduces the
+    trainer's segmentation exactly. Documented semantics delta vs
+    strict Sennrich (pytest-pinned): pairs after the first in a batch
+    are chosen from counts as of the SCAN, not re-counted after the
+    preceding same-batch merges — the standard batched-BPE trade
+    (e.g. fastBPE-style trainers); K=1 is bit-identical to strict.
+
+    Registered rows-only: each scan's winners feed the next scan's
     state, so the loop is not expressible as one SQL statement; the
     merge sequence itself is fully deterministic (pytest pins it
     against a local reference implementation), and the encoder it
@@ -117,6 +133,8 @@ def bpe_learn(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if merges_per_scan < 1:
+        raise ValueError(f"merges_per_scan must be >= 1, got {merges_per_scan}")
     spark = df.sparkSession
     state = (
         _word_freq(df, text_col)
@@ -124,7 +142,10 @@ def bpe_learn(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
+    scans = 0
+    while len(merges) < n_merges:
+        scans += 1
+        k = min(merges_per_scan, n_merges - len(merges))
         pairs = (
             state.select(F.expr(_seq_to_arr_expr()).alias("a"), "freq")
             .where(F.size("a") >= 2)
@@ -137,15 +158,32 @@ def bpe_learn(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").cast("bigint").alias("c"))
         )
-        top = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
-        if not top or top[0]["c"] < min_pair_count:
-            break
-        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-        merges.append((step, l, r, l + r, c))
-        state = state.withColumn(
-            "seq", F.replace(F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+        # 4k candidates bound the disjointness skips; k rows cross the
+        # driver in the common case, never more than 4k
+        top = (
+            pairs.where(F.col("c") >= min_pair_count)
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(4 * k)
+            .collect()
         )
-        if step % checkpoint_every == 0:
+        if not top:
+            break
+        used: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for row in top:
+            l, r = row["l"], row["r"]
+            if l in used or r in used:
+                continue
+            batch.append((l, r, int(row["c"])))
+            used.update((l, r))
+            if len(batch) == k:
+                break
+        for l, r, c in batch:
+            merges.append((len(merges) + 1, l, r, l + r, c))
+            state = state.withColumn(
+                "seq", F.replace(F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+            )
+        if scans % checkpoint_every == 0:
             state = state.localCheckpoint()
     return spark.createDataFrame(merges, _MERGES_SCHEMA)
 

@@ -111,6 +111,84 @@ def test_bpe_encode_matches_python_twin_and_oracle(spark, duck):
     assert got == exp
 
 
+def reference_bpe_batched(texts, n_merges, k, min_pair_count=2):
+    """Python reference of the r9 batched trainer semantics: per scan,
+    admit up to k pairs in (count desc, left, right) order skipping
+    any pair sharing a symbol with one already admitted this scan;
+    apply the batch sequentially in admitted order."""
+    wf = collections.Counter()
+    for t in texts:
+        if t is not None:
+            wf.update(t.lower().split())
+    words = {}
+    for w, f in wf.items():
+        syms = list(w)
+        syms[-1] = syms[-1] + bpe.MARKER
+        words[w] = (syms, f)
+
+    def apply(l, r):
+        for w, (syms, f) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, f)
+
+    merges = []
+    while len(merges) < n_merges:
+        pairs = collections.Counter()
+        for syms, f in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        cands = sorted(
+            ((c, p) for p, c in pairs.items() if c >= min_pair_count),
+            key=lambda cp: (-cp[0], cp[1][0], cp[1][1]),
+        )
+        if not cands:
+            break
+        used, batch = set(), []
+        for c, (l, r) in cands:
+            if l in used or r in used:
+                continue
+            batch.append((l, r, c))
+            used.update((l, r))
+            if len(batch) == min(k, n_merges - len(merges)):
+                break
+        for l, r, c in batch:
+            merges.append((l, r, c))
+            apply(l, r)
+    return merges
+
+
+def test_bpe_learn_batched_merges_per_scan(spark):
+    """r9 batching hatch: merges_per_scan=1 is bit-identical to the
+    strict trainer; K>1 matches the python reference of the batched
+    semantics; the batched merge list replays exactly through
+    bpe_encode; merges_per_scan=0 raises."""
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string, source string")
+    strict = [(r["left"], r["right"], r["pair_count"]) for r in bpe.bpe_learn(df, "doc_id", "text", n_merges=12).collect()]
+    k1 = [(r["left"], r["right"], r["pair_count"]) for r in bpe.bpe_learn(df, "doc_id", "text", n_merges=12, merges_per_scan=1).collect()]
+    assert k1 == strict
+    got4 = bpe.bpe_learn(df, "doc_id", "text", n_merges=12, merges_per_scan=4).collect()
+    want4 = reference_bpe_batched([t for _, t, _ in CORPUS], 12, k=4)
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got4] == want4
+    assert [r["step"] for r in got4] == list(range(1, len(want4) + 1))
+    # the batched list replays exactly: engine encode == python twin
+    merges4 = [(l, r) for l, r, _ in want4]
+    enc = {r["id"]: r["subword_text"] for r in bpe.bpe_encode(df, "doc_id", "text", merges4).collect()}
+    for i, t, _ in CORPUS:
+        if t is None:
+            continue
+        subs = [s for w in t.lower().split() for s in bpe.apply_merges_py(w, merges4)]
+        assert enc[i] == " ".join(subs), i
+    with pytest.raises(ValueError, match="merges_per_scan"):
+        bpe.bpe_learn(df, "doc_id", "text", n_merges=3, merges_per_scan=0)
+
+
 def test_bpe_tokenizer_fn_ascii_whitespace_parity():
     """bpe_tokenizer_fn splits on ASCII \\s exactly like the engine's
     Java-regex split (r9 fix): NBSP / U+2000-range spaces are NOT word
