@@ -58,3 +58,7 @@ from datalakerulegeneration_spark.streaming.domain_guard_stream import (  # noqa
     DomainGuard,
     domain_guard_stream,
 )
+from datalakerulegeneration_spark.streaming.url_dedup_stream import (  # noqa: F401
+    UrlDeduper,
+    url_dedup_stream,
+)

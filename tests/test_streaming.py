@@ -1162,6 +1162,97 @@ def test_budget_admission_stream_vs_python_model(spark, sf_tables, tmp_path):
     assert adm2.admitted_tokens() == cum
 
 
+def test_url_dedup_stream_vs_python_model(spark, tmp_path):
+    """Streaming URL-grain dedup (r9): survivors equal a python model
+    of the contract — within each batch the smallest id per canonical
+    URL wins, canonical URLs admitted by ANY earlier batch are dropped,
+    and every no-URL document survives; the persisted index outlives
+    the stream (a fresh-checkpoint full replay is a no-op, including
+    for the keyless no-URL rows); batch-op agreement: a single-batch
+    stream admits exactly ops.domains.url_dedup's keeper set."""
+    from datalakerulegeneration_spark.ops import domains as D
+    from datalakerulegeneration_spark.streaming import url_dedup_stream
+
+    def url(i):
+        if i % 11 == 0:
+            return None  # no-URL rows always survive
+        # paths collide mod 7 across batches; decorations vary so
+        # canonicalization has real work to do
+        www = "www." if i % 3 == 0 else ""
+        port = ":443" if i % 4 == 0 else ""
+        q = "?utm_source=x&p=1" if i % 2 == 0 else "?p=1"
+        frag = "#sec" if i % 5 == 0 else ""
+        return f"https://{www}site{i % 2}.com{port}/d/{i % 7}{q}{frag}"
+
+    rows = [(i, url(i), f"doc {i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    src = str(tmp_path / "src")
+    batches = [(0, 20), (20, 40), (40, 60)]
+    for lo, hi in batches:
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q, ud = url_dedup_stream(
+        spark, stream, str(tmp_path / "state"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    # python model over the proven canonicalization (batch op output)
+    canon = {
+        r["doc_id"]: r["canonical_url"]
+        for r in D.with_canonical_url(docs, "url").collect()
+    }
+    admitted, seen = [], set()
+    for lo, hi in batches:
+        best = {}
+        for i in range(lo, hi):
+            c = canon[i]
+            if c is None:
+                admitted.append(i)
+                continue
+            if c not in best or i < best[c]:
+                best[c] = i
+        for c, i in best.items():
+            if c not in seen:
+                admitted.append(i)
+                seen.add(c)
+    got = sorted(r["doc_id"] for r in ud.survivors().collect())
+    assert got == sorted(admitted)
+    # survivor schema = batch columns + canonical_url, values faithful
+    surv = {r["doc_id"]: r for r in ud.survivors().collect()}
+    assert set(ud.survivors().columns) == {"doc_id", "url", "text", "canonical_url"}
+    for i, r in surv.items():
+        assert r["canonical_url"] == canon[i]
+    # index covers every survivor exactly once (synthetic keys incl.)
+    assert ud.index().count() == len(admitted)
+    assert ud.index().distinct().count() == len(admitted)
+
+    # fresh-checkpoint full replay is a no-op — keyed AND no-URL rows
+    stream2 = spark.readStream.schema("doc_id long, url string, text string").parquet(src)
+    q2, ud2 = url_dedup_stream(
+        spark, stream2, str(tmp_path / "state"), checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in ud2.survivors().collect()) == got
+
+    # single-batch stream ≡ the batch op's keeper set
+    src1 = str(tmp_path / "src1")
+    docs.coalesce(1).write.parquet(src1)
+    s3 = spark.readStream.schema("doc_id long, url string, text string").parquet(src1)
+    q3, ud3 = url_dedup_stream(
+        spark, s3, str(tmp_path / "state1"), checkpoint_dir=str(tmp_path / "ckpt3")
+    )
+    q3.awaitTermination(180)
+    want = sorted(r["doc_id"] for r in D.url_dedup(docs, "doc_id", "url").collect())
+    assert sorted(r["doc_id"] for r in ud3.survivors().collect()) == want
+
+
 def test_domain_guard_stream_vs_python_model(spark, tmp_path):
     """Streaming blocklist + per-domain cap: survivors equal a python
     model of the contract (per-batch deterministic md5 order within
