@@ -360,3 +360,33 @@ def pq_index_append(
     # publish LAST: the atomic flip is the only moment readers' view
     # changes, and by then the delta directory is fully written
     _write_codes_manifest(path, committed + [delta_dir])
+
+
+def pq_index_compact(spark: SparkSession, path: str) -> None:
+    """Rewrite the committed code set as ONE directory and flip the
+    manifest to it — the maintenance pass a long-running ingest stream
+    schedules when its manifest accumulates hundreds of small
+    ``codes_vN`` deltas (each append is one directory; scan cost and
+    file-listing overhead grow with the count). Same atomicity as
+    append: the compacted directory is fully written before the flip,
+    so a concurrent reader sees the old committed set or the new one —
+    both contain exactly the same rows. Old directories are left on
+    disk (a reader may still be mid-scan on the old manifest snapshot);
+    a subsequent compact or an external janitor can remove directories
+    no manifest references."""
+    import os
+    import re
+
+    committed = _codes_dirs(path)
+    if len(committed) <= 1:
+        return
+    seen = [0]
+    for name in os.listdir(path):
+        mt = re.fullmatch(r"codes_v(\d+)", name)
+        if mt:
+            seen.append(int(mt.group(1)))
+    target = f"codes_v{max(seen) + 1}"
+    spark.read.parquet(*[f"{path}/{d}" for d in committed]).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{target}")
+    _write_codes_manifest(path, [target])

@@ -4823,33 +4823,44 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r8 (8)
-    "ann_index_search_embeddings",
+    # new this round — r9 (2): the frozen-parameter serving splits
+    "quality_classifier_score_documents",
+    "semdedup_frozen_embeddings",
+    # re-certify: code paths changed in r9 (canonical-URL fragment fix;
+    # blocklist validation + SQL default select lists; bpe ASCII-split
+    # twin; persisted-index codes manifest) (8)
     "url_dedup_documents",
     "domain_mix_documents",
     "domain_cap_documents",
     "domain_blocklist_documents",
-    "curate_corpus_ccnet_documents",
-    "curation_funnel_ccnet_documents",
-    "bpe_learn_documents",
-    "bpe_encode_documents",
-    # re-certify: code paths changed in r8 (simhash_bits=56 default;
-    # epoch integer div; token_budget NULL contract; curate_corpus_sql
-    # WITH-RECURSIVE hoist touches the neardup/budget oracles) (6)
-    "dedup_agreement_documents",
-    "epoch_plan_documents",
-    "epoch_expand_documents",
-    "token_budget_select_documents",
-    "curate_corpus_neardup_documents",
-    "curate_corpus_budget_documents",
     "curate_corpus_domains_documents",
     "curation_funnel_domains_documents",
-    # family flagships — regression rotation (36)
+    "bpe_encode_documents",
+    "ann_index_search_embeddings",
+    # freshness rotation (r8 verdict item 8): entries whose latest
+    # driver row predates r3 and whose modules have been touched since
+    # only transitively (the rules/dboost/profiling families) (12)
+    "violations_unique_orders",
+    "violations_stats_orders",
+    "violations_events",
+    "violations_rules_orders",
+    "violations_suppressor_orders",
+    "violations_dictionary_documents",
+    "violations_spell_documents",
+    "violations_dates_events",
+    "fd_conflicts_orders",
+    "inclusion_orders_customer",
+    "dboost_pearson_lineitem",
+    "top_keywords_documents",
+    # family flagships — regression rotation (28)
     "curate_corpus_documents",
     "curation_funnel_documents",
-    "curation_funnel_budget_documents",
     "curate_sft_batches_documents",
     "curate_corpus_dsir_documents",
+    "curate_corpus_neardup_documents",
+    "curate_corpus_budget_documents",
+    "curate_corpus_ccnet_documents",
+    "curation_funnel_ccnet_documents",
     "dedup_minhash_documents",
     "dedup_exact_documents",
     "simhash_documents",
@@ -4859,8 +4870,6 @@ _GATE_HEAD = [
     "incremental_dedup_documents",
     "near_dup_embeddings",
     "ann_topk_embeddings",
-    "ann_topk_pq_embeddings",
-    "ann_topk_ivf_pq_embeddings",
     "ann_recall_embeddings",
     "pca_recall_embeddings",
     "decontaminate_embeddings",
@@ -4870,14 +4879,8 @@ _GATE_HEAD = [
     "three_sigma_events",
     "eval_metrics_orders",
     "ks_table_events",
-    "token_count_documents",
     "pack_sequences_documents",
-    "length_batches_documents",
-    "corpus_report_documents",
-    "dsir_weights_documents",
     "ccnet_buckets_documents",
-    "token_budget_by_group_documents",
-    "dup_weights_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

@@ -2989,6 +2989,37 @@ def test_pq_index_append_atomic_to_concurrent_readers(spark, sf_tables, tmp_path
     assert seen <= {n0 + 20, n_all}, seen  # only batch boundaries, ever
 
 
+def test_pq_index_compact_preserves_rows_and_search(spark, sf_tables, tmp_path):
+    """r9: compaction rewrites the committed deltas as ONE directory
+    behind the same atomic manifest flip — identical rows, identical
+    search results, old directories left for in-flight readers, no-op
+    on an uncompacted index."""
+    from datalakerulegeneration_spark.ops import ann_index
+
+    emb = sf_tables["embeddings"]
+    path = str(tmp_path / "pq_compact")
+    ann_index.pq_build_index(emb.where(F.col("vec_id") < 200), path, m=8, ksub=32)
+    ann_index.pq_index_append(emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)), path)
+    ann_index.pq_index_append(emb.where(F.col("vec_id") >= 350), path)
+    assert len(ann_index._codes_dirs(path)) == 3
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    before_rows = sorted(map(tuple, ann_index._read_codes(spark, path).collect()))
+    before_hits = sorted(map(tuple, ann_index.pq_search_index(spark, path, q, k=5).collect()))
+
+    ann_index.pq_index_compact(spark, path)
+    dirs = ann_index._codes_dirs(path)
+    assert len(dirs) == 1 and dirs[0].startswith("codes_v")
+    assert sorted(map(tuple, ann_index._read_codes(spark, path).collect())) == before_rows
+    assert sorted(map(tuple, ann_index.pq_search_index(spark, path, q, k=5).collect())) == before_hits
+    import os
+
+    assert os.path.exists(f"{path}/codes")  # old dirs left for readers
+    ann_index.pq_index_compact(spark, path)  # single-dir: no-op
+    assert ann_index._codes_dirs(path) == dirs
+
+
 def test_quality_sweep_monotone_and_agrees_with_funnel(sf_tables, duck):
     """The sweep is monotone non-increasing in the threshold, shares
     are exact, and its row at the flagship's default cutoff equals the

@@ -907,6 +907,55 @@ SELECT id, domain FROM doms
 @SET
 @given(
     st.lists(
+        st.one_of(
+            st.none(),
+            # arbitrary text sans '&': multi-param byte-order sorting
+            # on exotic unicode is the one documented non-contract
+            # (both engines use binary order for ASCII, the practical
+            # case — with_canonical_url's collation note)
+            st.text(max_size=40).filter(lambda s: "&" not in s),
+            # URL-ish shapes with ASCII params, fragments that may
+            # contain '?' (the r9 fragment-first fix), userinfo,
+            # ports, trailing slashes, tracking params
+            st.from_regex(
+                r"(https?|HTTPS?)://([a-z0-9]{1,4}@)?(www\.)?[a-zA-Z0-9-]{1,8}"
+                r"(\.[a-z]{2,3})?(:[0-9]{1,4})?(/[a-zA-Z0-9._~-]{0,8}){0,2}/?"
+                r"(\?((utm_[a-z]{1,4}|[a-z]{1,4})=[a-z0-9]{0,4}&?){0,3})?"
+                r"(#[a-zA-Z0-9?=&/-]{0,10})?",
+                fullmatch=True,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_canonical_url_never_throws_and_matches_duckdb(spark, urls):
+    """Canonical-URL normalization on ARBITRARY strings and URL-ish
+    shapes (incl. fragments containing '?' — the r9 fix): never throws
+    under ANSI mode and agrees with the DuckDB step-expression twin
+    byte-for-byte."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import domains
+
+    data = [(i, u) for i, u in enumerate(urls)]
+    df = spark.createDataFrame(data, "id long, url string")
+    got = {
+        r["id"]: r["canonical_url"]
+        for r in domains.with_canonical_url(df, "url").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(data, columns=["id", "url"]))
+    cte = domains._canonical_cte_sql("t", "url", True, domains.DEFAULT_DROP_PARAMS)
+    exp = dict(con.execute(f"SELECT id, canonical_url FROM ({cte})").fetchall())
+    exp = {k: (None if v is None or isinstance(v, float) else v) for k, v in exp.items()}
+    assert got == exp
+
+
+@SET
+@given(
+    st.lists(
         st.text(alphabet="ab c", min_size=0, max_size=24),
         min_size=1,
         max_size=8,

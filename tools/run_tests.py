@@ -49,6 +49,7 @@ GROUPS: dict[str, list[str]] = {
         "tests/test_temporal.py",
         "tests/test_tokenize.py",
         "tests/test_bpe.py",
+        "tests/test_plans.py",
     ],
     "rest": [
         "tests/test_streaming.py",
@@ -58,14 +59,14 @@ GROUPS: dict[str, list[str]] = {
         "tests/test_dboost.py",
         "tests/test_functions.py",
         "tests/test_tpch_ext.py",
-        "tests/test_plans.py",
     ],
 }
-# rest measured 472 s under 4-way concurrency (r8) — nearest to the
-# 480 s wall. A 5th group regressed every wall (JVM oversubscription:
-# 5 x local[32] on 32 cpus), so the next rebalance should move a
-# MODULE between props and rest instead (mm can't absorb modules — its
-# -k filter applies to the whole invocation).
+# r9 rebalance: rest hit 478 s under 4-way concurrency (ops 366 /
+# mm 260 / props 399), so test_plans (~30-45 s) moved rest → props —
+# both groups now project ≤ ~445 s. A 5th group regressed every wall
+# (JVM oversubscription: 5 x local[32] on 32 cpus), so keep
+# rebalancing by moving MODULES between props and rest (mm can't
+# absorb modules — its -k filter applies to the whole invocation).
 
 
 def main() -> int:
