@@ -504,11 +504,18 @@ def semdedup_frozen(
             " cast(0 as bigint), (acc, p) -> acc + p)"
         ).alias("dist2"),
     )
-    w = Window.partitionBy("id").orderBy(F.asc("dist2"), F.asc("cell"))
+    # argmin as min(struct(dist2, cell)) — lexicographic struct order
+    # IS the (distance asc, cell asc) tie-break, and the aggregation
+    # combines map-side: at k cells the crossJoin emits k rows per
+    # vector, and a per-id WINDOW would shuffle-sort all N·k rows
+    # (measured at sf10: window 304 s vs agg 68 s at k=256, 22 s vs
+    # 5 s at k=16 — the residual k=256 cost is the 51M distance folds
+    # themselves). Grouping carries vec/nrm in the key (constant per
+    # id — the pq_index_append pattern).
     assigned = (
-        d.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("id", "vec", "nrm", "cell")
+        d.groupBy("id", "vec", "nrm")
+        .agg(F.min(F.struct("dist2", "cell")).alias("_best"))
+        .select("id", "vec", "nrm", F.col("_best.cell").alias("cell"))
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_pairs = (
