@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "curation_funnel_domains_documents",
     "quality_classifier_score_documents",
     "semdedup_frozen_embeddings",
+    "curate_corpus_trained_documents",
 ]
 
 

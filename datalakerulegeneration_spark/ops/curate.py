@@ -723,10 +723,15 @@ def curate_corpus_sql(
     url_col: str | None = None,
     blocked_domains=None,
     max_per_domain: int | None = None,
+    quality_sql_expr: str | None = None,
 ) -> str:
     """Exact DuckDB oracle for :func:`curate_corpus` — the same six
     stages as CTEs (the oracle may run sequentially; only the Spark
-    side must scale). With ``near_dup_threshold`` the base corpus is
+    side must scale). ``quality_sql_expr`` mirrors the Spark side's
+    ``quality_fn`` seam (r9): an inline DuckDB expression over
+    ``text_col`` replacing the heuristic stage-1 score — pass
+    ``quality_model.frozen_prob_sql_expr(text_col)`` to put a TRAINED
+    frozen classifier inside the exact end-to-end oracle. With ``near_dup_threshold`` the base corpus is
     first reduced to MinHash-component representatives via a recursive
     CTE over the same banded-LSH pair query the Spark side runs.
     With ``token_budget`` a greedy budget-selection CTE (single global
@@ -858,7 +863,7 @@ FROM o"""
     return f"""
 {with_kw} {dom_prefix}{ccnet_prefix}{nd_prefix}d0 AS (
   SELECT {id_col} AS id, {group_col} AS grp,
-         {textqa.quality_sql_expr(text_col)} AS quality,
+         {quality_sql_expr or textqa.quality_sql_expr(text_col)} AS quality,
          {textqa.fingerprint_sql_expr(text_col)} AS fp,
          {textqa.ntokens_sql_expr(text_col)} AS n_tokens
   FROM {table}

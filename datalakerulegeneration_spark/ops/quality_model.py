@@ -204,6 +204,48 @@ FROM scored
 """
 
 
+def frozen_prob_col(text_col: str, weights: dict[str, float] | None = None, bias: float | None = None):
+    """The frozen classifier's quality probability as ONE Column over
+    ``text_col`` — the plug for ``curate_corpus(quality_fn=...)``:
+    the same fixed-order literal chain as :func:`frozen_linear_score`
+    (bit-identical margins), sigmoid rounded to 6. The split
+    subexpression repeats per vocabulary term in the expression tree;
+    whole-stage codegen's subexpression elimination computes it once
+    per row, so the scorer still rides the scan map-side. NULL text →
+    NULL probability (fails any >= threshold — the curate stage-1
+    contract for unscorable rows)."""
+    if weights is None or bias is None:
+        w2, b2 = load_frozen_weights()
+        weights = w2 if weights is None else weights
+        bias = b2 if bias is None else bias
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    def _count(tok: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(tok)))
+
+    score = F.lit(float(bias))
+    for t in sorted(weights):
+        score = score + F.lit(float(weights[t])) * _count(t).cast("double")
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6)
+
+
+def frozen_prob_sql_expr(text_col: str, weights: dict[str, float] | None = None, bias: float | None = None) -> str:
+    """DuckDB twin of :func:`frozen_prob_col` as an inline expression
+    (for composing into larger oracles, e.g. curate_corpus_sql's d0)."""
+    if weights is None or bias is None:
+        w2, b2 = load_frozen_weights()
+        weights = w2 if weights is None else weights
+        bias = b2 if bias is None else bias
+    toks = f"string_split_regex(lower({text_col}), '\\s+')"
+    terms = [repr(float(bias))]
+    for t in sorted(weights):
+        terms.append(
+            f"({weights[t]!r}) * CAST(len(list_filter({toks}, x -> x = '{t}')) AS DOUBLE)"
+        )
+    chain = " + ".join(terms)
+    return f"round(1.0 / (1.0 + exp(-({chain}))), 6)"
+
+
 def train_and_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """End-to-end weak-label bootstrap: label from the heuristic's
     extremes, train, score the WHOLE corpus (including the ambiguous

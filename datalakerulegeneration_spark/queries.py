@@ -2317,6 +2317,22 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate_corpus(docs)
 
 
+def q_curate_corpus_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with a TRAINED quality filter inside the
+    exact oracle (r9): stage 1 scores with the frozen classifier's
+    probability (quality_model.frozen_prob_col — the pinned fit's
+    word→weight table as one map-side expression; prob ≥ 0.5 ≡ margin
+    ≥ 0, 'the classifier calls it quality') through the quality_fn
+    seam; every downstream stage unchanged. This is the learned-filter
+    curation r4 could only pytest — the frozen split makes the WHOLE
+    trained pipeline engine-portable."""
+    from datalakerulegeneration_spark.ops import curate
+    from datalakerulegeneration_spark.ops.quality_model import frozen_prob_col
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return curate.curate_corpus(docs, quality_fn=frozen_prob_col, quality_min=0.5)
+
+
 _DSIR_MIN = -30.0  # keeps ~60% of the fixture corpus at both gate SFs
 
 
@@ -4698,6 +4714,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_report_documents": (q_corpus_report, textqa.corpus_report_sql("documents", "doc_id", "text", "source")),
     "pack_sequences_documents": (q_pack_sequences, packing.pack_sequences_sql("documents", "doc_id", PACK_WEIGHT_SQL, seq_len=2048)),
     "curate_corpus_documents": (q_curate_corpus, curate.curate_corpus_sql("documents")),
+    "curate_corpus_trained_documents": (q_curate_corpus_trained, curate.curate_corpus_sql(
+        "documents", quality_sql_expr=quality_model.frozen_prob_sql_expr("text"))),
     "curate_corpus_neardup_documents": (q_curate_corpus_neardup, curate.curate_corpus_sql("documents", near_dup_threshold=0.2)),
     "curate_corpus_ccnet_documents": (q_curate_corpus_ccnet, curate.curate_corpus_sql("documents", ccnet_lang="en")),
     "curation_funnel_ccnet_documents": (q_curation_funnel_ccnet, curate.curation_funnel_ccnet_sql("documents")),
@@ -4823,9 +4841,11 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r9 (2): the frozen-parameter serving splits
+    # new this round — r9 (3): the frozen-parameter serving splits +
+    # the trained-filter flagship they unlock
     "quality_classifier_score_documents",
     "semdedup_frozen_embeddings",
+    "curate_corpus_trained_documents",
     # re-certify: code paths changed in r9 (canonical-URL fragment fix;
     # blocklist validation + SQL default select lists; bpe ASCII-split
     # twin; persisted-index codes manifest) (8)
@@ -4852,7 +4872,7 @@ _GATE_HEAD = [
     "inclusion_orders_customer",
     "dboost_pearson_lineitem",
     "top_keywords_documents",
-    # family flagships — regression rotation (28)
+    # family flagships — regression rotation (27)
     "curate_corpus_documents",
     "curation_funnel_documents",
     "curate_sft_batches_documents",
@@ -4879,7 +4899,6 @@ _GATE_HEAD = [
     "three_sigma_events",
     "eval_metrics_orders",
     "ks_table_events",
-    "pack_sequences_documents",
     "ccnet_buckets_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))

@@ -1172,6 +1172,27 @@ def test_curate_quality_fn_seam(spark, sf_tables):
     assert kept != default_kept
 
 
+def test_curate_corpus_trained_filter(spark, sf_tables):
+    """r9: the frozen classifier through the quality_fn seam — every
+    survivor has frozen prob >= 0.5, the kept set differs from the
+    heuristic flagship's, and the registered oracle pair agrees at
+    sf0.001 (also driver-gated)."""
+    from datalakerulegeneration_spark.ops import curate
+    from datalakerulegeneration_spark.ops.quality_model import frozen_prob_col
+
+    docs = sf_tables["documents"]
+    out = curate.curate_corpus(docs, quality_fn=frozen_prob_col, quality_min=0.5)
+    kept = {r["id"] for r in out.collect()}
+    probs = {
+        r["id"]: r["p"]
+        for r in docs.select(
+            F.col("doc_id").alias("id"), frozen_prob_col("text").alias("p")
+        ).collect()
+    }
+    assert kept and all(probs[i] is not None and probs[i] >= 0.5 for i in kept)
+    assert kept != {r["id"] for r in curate.curate_corpus(docs).collect()}
+
+
 def test_curation_funnel_null_text_in_eval_slice(spark):
     """A NULL-text doc in the eval slice must not poison the oracle's
     decontamination stage (NOT EXISTS, not NOT IN) — Spark and oracle

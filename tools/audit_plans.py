@@ -50,6 +50,8 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("pack_source_mix_documents", "global_window", "n_parts-row bucket-offset frame (the share window is pack-partitioned)"),
     ("shuffle_documents", "global_window", "n_parts-row bucket-offset frame (two-level rank)"),
     ("curate_corpus_documents", "global_window", "n_parts-row packing offsets inside the pipeline"),
+    ("curate_corpus_trained_documents", "global_window", "n_parts-row packing offsets inside the pipeline"),
+    ("curate_corpus_trained_documents", "bnlj", "1-row survivor-count/scalar stage constants broadcast"),
     ("curate_corpus_domains_documents", "global_window", "n_parts-row packing offsets inside the pipeline"),
     ("curate_corpus_domains_documents", "bnlj", "1-row survivor-count/scalar stage constants broadcast"),
     ("curate_corpus_neardup_documents", "global_window", "n_parts-row packing offsets"),
