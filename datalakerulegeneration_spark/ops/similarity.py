@@ -485,6 +485,19 @@ def semdedup_frozen(
     if centroids is None:
         centroids = load_semdedup_centroids()
     cents6 = _centroids_micro(centroids)
+    # NULL / wrong-width vectors would hit engine-divergent NULL
+    # ordering in the argmin (Spark sorts NULL dist2 first, DuckDB
+    # last) — and the gate fixtures carry none, so parity could never
+    # catch it. Refuse instead (the pq_index_append stance).
+    dim = len(cents6[0])
+    n_bad = vectors.where(
+        F.col(vec_col).isNull() | (F.size(vec_col) != F.lit(dim))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} vector(s) are NULL or not dim={dim} — semdedup_frozen "
+            f"requires every vector to match the centroid width"
+        )
     cdf = vectors.sparkSession.createDataFrame(
         list(enumerate(cents6)), "cell int, cvec6 array<bigint>"
     )

@@ -875,6 +875,13 @@ def test_semdedup_frozen_planted(spark):
     assert semdedup_frozen(empty, cents).count() == 0
     one = semdedup_frozen(df.limit(1), cents).first()
     assert one["is_kept"] is True and one["dup_of"] == -1
+    # NULL / wrong-dim vectors refuse (engine-divergent NULL ordering
+    # in the argmin otherwise — the pq_index_append stance)
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="NULL or not dim"):
+        semdedup_frozen(bad, cents)
     with pytest.raises(ValueError, match="rectangular"):
         from datalakerulegeneration_spark.ops.similarity import load_semdedup_centroids
         import json as _json
