@@ -297,6 +297,12 @@ def pq_index_append(
     directory no reader ever consults; the next append picks a higher
     version number and the replayed batch re-admits cleanly through
     the id anti-join.
+
+    Single-WRITER contract (readers unlimited): two appends running
+    concurrently could pick the same version number and one would
+    overwrite the other's unpublished delta. Streaming ingestion
+    satisfies this by construction (foreachBatch serializes batches);
+    batch jobs appending to one index must do the same.
     """
     import os
     import re

@@ -956,6 +956,46 @@ def test_canonical_url_never_throws_and_matches_duckdb(spark, urls):
 @SET
 @given(
     st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=60),
+            # texts salted with real vocabulary tokens in mixed case
+            # so the counting chain has non-zero terms to disagree on
+            st.from_regex(
+                r"((customer|CUSTOMER|Filter|key|a|agg|batch)[ \t\n ]){1,6}",
+                fullmatch=True,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_frozen_quality_score_matches_duckdb_on_unicode(spark, texts):
+    """r9 frozen scorer fuzz: margins/probs/preds on ARBITRARY unicode
+    text (case folds, exotic whitespace, NULLs) match the DuckDB twin
+    exactly — the fixed-order literal chain leaves no float-order room,
+    so any mismatch would be a tokenization-parity bug."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops import quality_model as QM
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = sorted(
+        map(tuple, QM.frozen_linear_score(df, "doc_id", "text").collect())
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(data, columns=["doc_id", "text"]))
+    exp = sorted(
+        map(tuple, con.execute(QM.frozen_linear_score_sql("docs", "doc_id", "text")).fetchall())
+    )
+    assert got == exp
+
+
+@SET
+@given(
+    st.lists(
         st.text(alphabet="ab c", min_size=0, max_size=24),
         min_size=1,
         max_size=8,
