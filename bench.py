@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "quality_classifier_score_documents",
     "semdedup_frozen_embeddings",
     "curate_corpus_trained_documents",
+    "bpe_fertility_by_lang_documents",
 ]
 
 

@@ -287,6 +287,79 @@ GROUP BY t.id
 """
 
 
+def bpe_fertility(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    merges,
+) -> DataFrame:
+    """Per-group tokenizer FERTILITY under a frozen merge list:
+    ``(group, n_docs, n_words, n_subwords, fertility)`` where
+    fertility = subwords per whitespace word — THE standard
+    tokenizer-evaluation metric (a tokenizer trained on English
+    typically shows fertility ≈1.2 on English and ≫2 on unseen
+    scripts; corpora are compared per language before choosing a
+    vocabulary). Grouping by the documents table's ``lang`` column
+    gives exactly that audit.
+
+    Shape: rides :func:`bpe_encode` (distinct words encode once), one
+    extra map-side word count per document, one groupBy. Documents
+    with NULL/whitespace-only text carry zero words and zero subwords
+    — they count toward ``n_docs`` only, never skew the ratio.
+    Fertility is NULL for a group with no words (nullif — ANSI-safe).
+    """
+    enc = bpe_encode(df, id_col, text_col, merges).select("id", "n_subwords")
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.coalesce(
+            F.when(F.col(text_col).isNotNull(), F.size(toks).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        ).alias("n_words"),
+    )
+    return (
+        base.join(enc, "id", "left")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.coalesce(F.sum("n_subwords"), F.lit(0)).cast("bigint").alias("n_subwords"),
+            F.round(
+                F.coalesce(F.sum("n_subwords"), F.lit(0)).cast("double")
+                / F.nullif(F.sum("n_words").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+def bpe_fertility_sql(
+    table: str, id_col: str, text_col: str, group_col: str, merges
+) -> str:
+    """DuckDB oracle for :func:`bpe_fertility`."""
+    enc = bpe_encode_sql(table, id_col, text_col, merges).strip()
+    return f"""
+WITH e AS ({enc}),
+b AS (
+  SELECT {id_col} AS id, {group_col} AS grp,
+         CASE WHEN {text_col} IS NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                        x -> x <> '')) AS BIGINT) END AS n_words
+  FROM {table}
+)
+SELECT b.grp AS {group_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_words) AS BIGINT) AS n_words,
+       CAST(COALESCE(sum(e.n_subwords), 0) AS BIGINT) AS n_subwords,
+       round(CAST(COALESCE(sum(e.n_subwords), 0) AS DOUBLE)
+             / nullif(CAST(sum(b.n_words) AS DOUBLE), 0.0), 6) AS fertility
+FROM b LEFT JOIN e ON b.id = e.id
+GROUP BY b.grp
+"""
+
+
 def apply_merges_py(word: str, merges) -> list[str]:
     """Reference greedy application of the merge sequence to one word
     (marker on the last character) — the Python twin of the engine's

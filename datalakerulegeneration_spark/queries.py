@@ -2427,6 +2427,18 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(docs, "doc_id", "text", _BPE_MERGES)
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (ops.bpe.bpe_fertility):
+    subwords per word under the frozen merge list, grouped by the
+    documents table's lang column — the standard tokenizer-evaluation
+    audit a vocabulary decision runs per language. Rides the exact
+    bpe_encode machinery + one groupBy; exact DuckDB oracle."""
+    from datalakerulegeneration_spark.ops import bpe
+
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    return bpe.bpe_fertility(docs, "doc_id", "text", "lang", _BPE_MERGES)
+
+
 def q_curate_corpus_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline with the CCNet recipe (Wenzek et al.
     2020) as stage 0.25 (ops.curate.curate_corpus ccnet_lang="en"):
@@ -4725,6 +4737,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _URL_DOCS_DUCK, url_col="url", blocked_domains=_BLOCKED_DOMAINS, max_per_domain=5)),
     "bpe_learn_documents": (q_bpe_learn, None),
     "bpe_encode_documents": (q_bpe_encode, bpe_mod.bpe_encode_sql("documents", "doc_id", "text", _BPE_MERGES)),
+    "bpe_fertility_by_lang_documents": (q_bpe_fertility, bpe_mod.bpe_fertility_sql("documents", "doc_id", "text", "lang", _BPE_MERGES)),
     "curate_corpus_dsir_documents": (q_curate_corpus_dsir, _curate_dsir_oracle()),
     "curation_funnel_documents": (q_curation_funnel, curate.curation_funnel_sql("documents")),
     "curate_corpus_budget_documents": (q_curate_corpus_budget, curate.curate_corpus_sql("documents", token_budget=_CURATE_BUDGET)),
@@ -4841,11 +4854,12 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r9 (3): the frozen-parameter serving splits +
-    # the trained-filter flagship they unlock
+    # new this round — r9 (4): the frozen-parameter serving splits,
+    # the trained-filter flagship they unlock, tokenizer fertility
     "quality_classifier_score_documents",
     "semdedup_frozen_embeddings",
     "curate_corpus_trained_documents",
+    "bpe_fertility_by_lang_documents",
     # re-certify: code paths changed in r9 (canonical-URL fragment fix;
     # blocklist validation + SQL default select lists; bpe ASCII-split
     # twin; persisted-index codes manifest) (8)
@@ -4872,7 +4886,7 @@ _GATE_HEAD = [
     "inclusion_orders_customer",
     "dboost_pearson_lineitem",
     "top_keywords_documents",
-    # family flagships — regression rotation (27)
+    # family flagships — regression rotation (26)
     "curate_corpus_documents",
     "curation_funnel_documents",
     "curate_sft_batches_documents",
@@ -4882,7 +4896,6 @@ _GATE_HEAD = [
     "curate_corpus_ccnet_documents",
     "curation_funnel_ccnet_documents",
     "dedup_minhash_documents",
-    "dedup_exact_documents",
     "simhash_documents",
     "keep_best_documents",
     "dedup_greedy_keepset_documents",

@@ -255,6 +255,45 @@ def test_real_bpe_tokenizer_drives_pack_and_budget(spark, tmp_path, monkeypatch)
     assert sorted(r["doc_id"] for r in seam_sel.collect()) == sorted(r["doc_id"] for r in want_sel.collect())
 
 
+def test_bpe_fertility_by_group(spark, duck):
+    """r9 fertility audit: per-group subwords/word equals the python
+    twin's counts; NULL/empty-text docs count toward n_docs only; a
+    group with no words gets NULL fertility; oracle parity of the
+    REGISTERED query at the test SF."""
+    merges = [("l", "o"), ("lo", "w</w>")]
+    rows = [
+        (1, "low low lower", "en"),   # words with merges applied
+        (2, "xyz", "en"),
+        (3, None, "de"),              # NULL text: n_docs only
+        (4, "   ", "de"),             # whitespace-only: zero words
+        (5, "low", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r["lang"]: r.asDict() for r in bpe.bpe_fertility(df, "doc_id", "text", "lang", merges).collect()}
+
+    def subs(t):
+        return sum(len(bpe.apply_merges_py(w, merges)) for w in t.lower().split())
+
+    en_words, en_subs = 4, subs("low low lower") + subs("xyz")
+    assert out["en"] == {
+        "lang": "en", "n_docs": 2, "n_words": en_words,
+        "n_subwords": en_subs, "fertility": round(en_subs / en_words, 6),
+    }
+    de = out["de"]
+    assert de["n_docs"] == 3 and de["n_words"] == 1 and de["n_subwords"] == subs("low")
+    # all-empty group → NULL fertility, zero counts
+    empty = spark.createDataFrame([(9, None, "xx")], "doc_id bigint, text string, lang string")
+    r = bpe.bpe_fertility(empty, "doc_id", "text", "lang", merges).first()
+    assert r["n_words"] == 0 and r["n_subwords"] == 0 and r["fertility"] is None
+    # registered oracle parity at the test SF
+    from datalakerulegeneration_spark import queries as Q
+
+    impl, sql = Q.REGISTRY["bpe_fertility_by_lang_documents"]
+    got = sorted(map(tuple, impl(spark, "/root/testdata/sf0.001").collect()))
+    exp = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert got == exp
+
+
 def test_load_merges_json_formats(tmp_path):
     p = tmp_path / "m.json"
     p.write_text(json.dumps([["a", "b"], ["ab", "c</w>"]]))
