@@ -40,7 +40,7 @@ MM_K = (
 # Balanced by measured walls — update when a group's time drifts past
 # the max; the runner prints per-group walls.
 GROUPS: dict[str, list[str]] = {
-    "ops": ["tests/test_ops.py", "-k", f"not ({MM_K})"],
+    "ops": ["tests/test_ops.py", "tests/test_dboost.py", "-k", f"not ({MM_K})"],
     "mm": ["tests/test_ops.py", "-k", MM_K],
     "props": [
         "tests/test_properties.py",
@@ -56,17 +56,24 @@ GROUPS: dict[str, list[str]] = {
         "tests/test_pipeline.py",
         "tests/test_rules.py",
         "tests/test_profiler.py",
-        "tests/test_dboost.py",
         "tests/test_functions.py",
         "tests/test_tpch_ext.py",
     ],
 }
-# r9 rebalance: rest hit 478 s under 4-way concurrency (ops 366 /
-# mm 260 / props 399), so test_plans (~30-45 s) moved rest → props —
-# both groups now project ≤ ~445 s. A 5th group regressed every wall
-# (JVM oversubscription: 5 x local[32] on 32 cpus), so keep
-# rebalancing by moving MODULES between props and rest (mm can't
-# absorb modules — its -k filter applies to the whole invocation).
+# r9 rebalance (two steps): rest hit 478 s under 4-way concurrency →
+# test_plans moved rest → props; the round's new streaming test put
+# rest back at 468 (ops 368 / mm 274 / props 425) → test_dboost
+# (42 s standalone) moved rest → ops. Back-to-back full runs swing
+# every wall ±10% on ambient load alone (rest measured 468 then 490
+# across consecutive runs with LESS work in the second), so judge
+# rebalances on the spread of several runs, not one number. NOTE
+# test_dboost rides inside ops' "not (MM_K)" invocation — its test
+# names must never collide with MM_K terms (none do; the partition
+# test enforces file coverage and the sanctioned-dupe rule). A 5th
+# group regressed every wall (JVM oversubscription: 5 x local[32] on
+# 32 cpus), so keep rebalancing by moving MODULES between groups (mm
+# can't absorb modules — its -k filter applies to the whole
+# invocation).
 
 
 def main() -> int:
