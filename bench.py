@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "semdedup_frozen_embeddings",
     "curate_corpus_trained_documents",
     "bpe_fertility_by_lang_documents",
+    "dboost_mixture_frozen_lineitem",
 ]
 
 

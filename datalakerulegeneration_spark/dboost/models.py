@@ -277,3 +277,155 @@ def _is_fitted(m) -> bool:
         or getattr(m, "rare_", None) is not None
         or getattr(m, "model_", None)
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen-parameter serving split for the Mixture model (r9) — the
+# bpe_learn/bpe_encode pattern applied to D8: the EM FIT is iterative
+# ML (rows-only by nature, MixtureModel above), but SCORING under a
+# frozen set of gaussians is pure expression arithmetic with an exact
+# DuckDB twin. The erf never has to be evaluated at scoring time:
+# the reference criterion (mixture.py:51-68)
+#
+#     outlier  ⟺  max_k w_k · (1 − erf(√maha²_k / √2)) < cutoff
+#
+# is monotone-decreasing in each component's Mahalanobis distance, so
+# inverting per component gives an EXACT threshold transform
+#
+#     outlier  ⟺  ∀k with w_k > cutoff:  maha²_k > t²_k,
+#     t²_k = 2 · erfinv(1 − cutoff / w_k)²
+#
+# (components with w_k ≤ cutoff can never clear the cutoff at any
+# distance, so they impose no constraint). erfinv is evaluated ONCE at
+# freeze time (tools/gen_frozen_fixtures.py) and shipped as a literal;
+# the per-row score is a fixed-order quadratic form over literals.
+#
+# Exactness: every literal enters BOTH engines as CAST('<repr>' AS
+# DOUBLE) — a correctly-rounded string→double parse on each side, so
+# the literal BITS are identical (repr round-trips); the quadratic is
+# the same left-associated IEEE chain in both plans (neither engine
+# reassociates float + / *), so maha² is bit-identical and the
+# threshold compare cannot straddle an engine divergence. This is the
+# frozen_linear_score exactness argument with the literal-parse hole
+# closed (a bare decimal literal would parse as DECIMAL in both
+# engines and reach DOUBLE via engine-specific decimal→double casts).
+# ---------------------------------------------------------------------------
+
+
+def _dlit(x: float) -> str:
+    """A double literal with identical bits in Spark SQL and DuckDB:
+    correctly-rounded parse of repr(x) on both sides."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def load_frozen_gmm(path: str | None = None) -> dict:
+    """Load the vendored frozen GMM (``tools/gen_frozen_fixtures.py``:
+    a real seeded Spark ML GaussianMixture fit on the sf0.01 pair,
+    pinned as weights/means/inverse-covariances plus the precomputed
+    per-component Mahalanobis² thresholds)."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
+            "fixture_gmm_params.json",
+        )
+    with open(path) as fh:
+        params = json.load(fh)
+    comps = params["components"]
+    if not comps:
+        raise ValueError("frozen GMM has no components")
+    for c in comps:
+        if len(c["mean"]) != 2 or len(c["icov"]) != 2 or any(len(r) != 2 for r in c["icov"]):
+            raise ValueError("frozen GMM components must be 2-dimensional")
+        if c["icov"][0][1] != c["icov"][1][0]:
+            raise ValueError("frozen GMM inverse covariance must be symmetric")
+        if not (0.0 < c["weight"] <= 1.0):
+            raise ValueError(f"frozen GMM weight out of range: {c['weight']!r}")
+        if c["t2"] is not None and c["t2"] < 0.0:
+            raise ValueError(f"frozen GMM threshold must be >= 0: {c['t2']!r}")
+    return params
+
+
+def _maha2_sql(xa: str, xb: str, comp: dict) -> str:
+    """Mahalanobis² of (xa, xb) against one frozen gaussian as a
+    fixed-order SQL expression shared verbatim by both engines."""
+    ma, mb = (_dlit(v) for v in comp["mean"])
+    iaa = _dlit(comp["icov"][0][0])
+    iab = _dlit(comp["icov"][0][1])
+    ibb = _dlit(comp["icov"][1][1])
+    da = f"({xa} - {ma})"
+    db = f"({xb} - {mb})"
+    return (
+        f"((({da} * {da}) * {iaa}"
+        f" + (({da} * {db}) * {_dlit(2.0)}) * {iab})"
+        f" + ({db} * {db}) * {ibb})"
+    )
+
+
+def _frozen_outlier_predicate_sql(xa: str, xb: str, params: dict) -> str:
+    """The exact erf-free outlier predicate: every component with
+    weight above the cutoff must sit beyond its frozen Mahalanobis²
+    threshold. Components at or below the cutoff (t2 = None) are
+    unconditionally satisfied and emit no clause."""
+    clauses = [
+        f"{_maha2_sql(xa, xb, c)} > {_dlit(c['t2'])}"
+        for c in params["components"]
+        if c["t2"] is not None
+    ]
+    if not clauses:  # degenerate freeze: every point is an outlier
+        return "TRUE"
+    return "(" + " AND ".join(clauses) + ")"
+
+
+def frozen_mixture_outliers(
+    test: DataFrame,
+    id_col: str = "__row_id",
+    params: dict | None = None,
+) -> DataFrame:
+    """Score a frame under the FROZEN mixture — the serving split of
+    :class:`MixtureModel` (reference mixture.py:33-68 semantics under
+    pinned parameters). Returns the dBoost discrepancy contract
+    ``(row_id, feature, value)`` with ``value`` kept DOUBLE (a
+    double→string render diverges between engines; the exact twin
+    compares raw doubles).
+
+    Scale shape: map-only — k quadratic forms per row folded into the
+    scan filter, no UDF, no shuffle, no broadcast; at 100 TB the
+    scorer costs exactly what the three_sigma filter costs."""
+    if params is None:
+        params = load_frozen_gmm()
+    a, b = params["pair"]
+    pred = _frozen_outlier_predicate_sql(f"`{a}`", f"`{b}`", params)
+    return (
+        test.where(F.col(a).isNotNull() & F.col(b).isNotNull())
+        .where(F.expr(pred))
+        .select(
+            F.col(id_col).alias("row_id"),
+            F.lit(f"{a}|{b}").alias("feature"),
+            F.col(a).alias("value"),
+        )
+    )
+
+
+def frozen_mixture_outliers_sql(
+    table: str,
+    id_sql: str,
+    params: dict | None = None,
+) -> str:
+    """Exact DuckDB oracle for :func:`frozen_mixture_outliers` — the
+    same predicate string over the same literals."""
+    if params is None:
+        params = load_frozen_gmm()
+    a, b = params["pair"]
+    pred = _frozen_outlier_predicate_sql(a, b, params)
+    return f"""
+SELECT {id_sql} AS row_id,
+       '{a}|{b}' AS feature,
+       {a} AS value
+FROM {table}
+WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+  AND {pred}
+"""

@@ -4317,6 +4317,35 @@ def q_dboost_mixture_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.find_discrepancies(li)
 
 
+def q_dboost_mixture_frozen_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 under FROZEN gaussians (r9 serving split; reference
+    mixture.py:51-68 criterion): the EM fit stays iterative/rows-only
+    (q_dboost_mixture_lineitem), but scoring against the pinned
+    sf0.01 fit (resources/fixture_gmm_params.json) is an erf-free
+    quadratic predicate — per component, ``w·(1−erf(d/√2)) < cutoff``
+    inverts EXACTLY to ``maha² > 2·erfinv(1−cutoff/w)²`` with erfinv
+    evaluated once at freeze time — so the whole scorer is map-side
+    literal arithmetic with an exact DuckDB oracle. The production
+    posture at 100 TB: fit once on a sample, serve frozen everywhere
+    (the dBoost --train-with split, D9)."""
+    from datalakerulegeneration_spark.dboost.models import frozen_mixture_outliers
+
+    li = load_sf_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("__row_id"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return frozen_mixture_outliers(li)
+
+
+def _mixture_frozen_oracle() -> str:
+    from datalakerulegeneration_spark.dboost.models import frozen_mixture_outliers_sql
+
+    return frozen_mixture_outliers_sql(
+        "lineitem", "concat(l_orderkey, '-', l_linenumber)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-family analytical queries (joins §2.4 / aggregations §2.5):
 # semi-join (q4), multi-way broadcast join (q10), conditional
@@ -4610,6 +4639,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dboost_discrete_stats_lineitem": (q_dboost_discrete_stats_lineitem, _discrete_stats_oracle()),
     "dboost_cords_events": (q_dboost_cords_events, _cords_oracle()),
     "dboost_mixture_lineitem": (q_dboost_mixture_lineitem, None),
+    "dboost_mixture_frozen_lineitem": (q_dboost_mixture_frozen_lineitem, _mixture_frozen_oracle()),
     "fd_conflicts_orders": (q_fd_conflicts_orders, Q_FD_CONFLICTS_ORDERS_ORACLE),
     "inclusion_orders_customer": (q_inclusion_orders_customer, Q_INCLUSION_ORACLE),
     # joins / aggregation / windows (§2.4-2.6)
@@ -4854,10 +4884,11 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r9 (4): the frozen-parameter serving splits,
+    # new this round — r9 (5): the frozen-parameter serving splits,
     # the trained-filter flagship they unlock, tokenizer fertility
     "quality_classifier_score_documents",
     "semdedup_frozen_embeddings",
+    "dboost_mixture_frozen_lineitem",
     "curate_corpus_trained_documents",
     "bpe_fertility_by_lang_documents",
     # re-certify: code paths changed in r9 (canonical-URL fragment fix;
@@ -4912,7 +4943,6 @@ _GATE_HEAD = [
     "three_sigma_events",
     "eval_metrics_orders",
     "ks_table_events",
-    "ccnet_buckets_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

@@ -182,3 +182,118 @@ def test_train_test_split(spark, sensors):
     )
     flagged = {int(r["row_id"]) for r in res.collect()}
     assert {100, 500, 900} <= flagged
+
+
+def test_frozen_mixture_planted(spark):
+    """Frozen-GMM serving split (r9): the erf-free quadratic predicate
+    flags exactly the points beyond every component's Mahalanobis²
+    threshold, matches the DuckDB twin bit-for-bit on a planted frame,
+    and skips NULL pairs (the reference handleInvalid=skip posture)."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.dboost.models import (
+        frozen_mixture_outliers,
+        frozen_mixture_outliers_sql,
+    )
+
+    # one standard gaussian at the origin, weight 1, cutoff 0.05:
+    # t = √2·erfinv(0.95) ≈ 1.9600 (the classic 95% two-sided z)
+    t = 1.959963984540054
+    params = {
+        "pair": ["xa", "xb"],
+        "cutoff": 0.05,
+        "components": [
+            {
+                "weight": 1.0,
+                "mean": [0.0, 0.0],
+                "icov": [[1.0, 0.0], [0.0, 1.0]],
+                "t2": t * t,
+            }
+        ],
+    }
+    rows = [
+        ("in", 0.5, 0.5),        # maha² = 0.5 < t²
+        ("edge_in", 1.9, 0.0),   # 3.61 < 3.8415
+        ("out", 2.0, 0.0),       # 4.0 > 3.8415
+        ("far", 3.0, 3.0),       # 18 > 3.8415
+        ("nullrow", None, 1.0),  # skipped
+    ]
+    df = spark.createDataFrame(rows, "rid string, xa double, xb double").withColumn(
+        "__row_id", F.col("rid")
+    )
+    got = {r["row_id"] for r in frozen_mixture_outliers(df, params=params).collect()}
+    assert got == {"out", "far"}
+    # exact parity with the DuckDB twin on the same frame
+    con = duckdb.connect()
+    con.register(
+        "pts", pd.DataFrame(rows, columns=["rid", "xa", "xb"]).astype({"xa": "float64", "xb": "float64"})
+    )
+    exp = {r[0] for r in con.execute(frozen_mixture_outliers_sql("pts", "rid", params)).fetchall()}
+    assert exp == {"out", "far"}
+    # a below-cutoff component imposes no constraint (t2=None) —
+    # with ONLY such components everything is an outlier
+    degen = dict(params, components=[dict(params["components"][0], weight=0.01, t2=None)])
+    assert {
+        r["row_id"] for r in frozen_mixture_outliers(df, params=degen).collect()
+    } == {"in", "edge_in", "out", "far"}
+
+
+def test_frozen_gmm_fixture_freeze_math(spark):
+    """The vendored fixture is a valid 2-D GMM and its thresholds are
+    the EXACT inverse of the reference criterion: at d = √t2 each
+    component's score w·(1−erf(d/√2)) equals the cutoff."""
+    import math
+
+    from datalakerulegeneration_spark.dboost.models import load_frozen_gmm
+
+    p = load_frozen_gmm()
+    assert p["pair"] == ["l_quantity", "l_extendedprice"]
+    assert len(p["components"]) == p["k"] == 3
+    for c in p["components"]:
+        assert c["icov"][0][1] == c["icov"][1][0]
+        assert c["weight"] > p["cutoff"] and c["t2"] is not None
+        # d/√2 with d = √t2
+        score_at_t = c["weight"] * (1.0 - math.erf(math.sqrt(c["t2"]) / math.sqrt(2.0)))
+        assert abs(score_at_t - p["cutoff"]) < 1e-12
+
+
+def test_frozen_mixture_agrees_with_em_scorer(spark):
+    """Scoring the sf0.001 lineitem pair under the FROZEN gaussians via
+    the quadratic predicate flags the same rows as MixtureModel's
+    erf-based pandas scorer evaluated with the SAME parameters — the
+    transform is exact, not an approximation."""
+    import math
+
+    import numpy as np
+
+    from datalakerulegeneration_spark.dboost.models import (
+        frozen_mixture_outliers,
+        load_frozen_gmm,
+    )
+
+    p = load_frozen_gmm()
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(
+            F.concat_ws("-", "l_orderkey", "l_linenumber").alias("__row_id"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    got = {r["row_id"] for r in frozen_mixture_outliers(li).collect()}
+    # python reference: max_k w·(1−erf(√maha²/√2)) < cutoff
+    pdf = li.toPandas()
+    X = pdf[["l_quantity", "l_extendedprice"]].to_numpy(dtype=float)
+    best = np.zeros(len(X))
+    for c in p["components"]:
+        m = np.array(c["mean"])
+        inv = np.array(c["icov"])
+        D = X - m
+        maha = np.sqrt(np.maximum(np.einsum("ij,ij->i", D @ inv, D), 0.0))
+        s = c["weight"] * (1.0 - np.vectorize(math.erf)(maha / math.sqrt(2.0)))
+        np.maximum(best, s, out=best)
+    exp = set(pdf["__row_id"][best < p["cutoff"]])
+    assert got == exp

@@ -42,7 +42,40 @@ RES = os.path.join(
 )
 
 
-def main(sf_dir: str) -> None:
+def _erfinv(y: float) -> float:
+    """Inverse error function to full double precision — bisection to
+    bracket, then Newton on math.erf (derivative 2/√π · exp(−x²)).
+    Runs ONCE per frozen component at freeze time; no scipy in the
+    container, and a handful of Newton steps is all the job needs."""
+    import math
+
+    if not (-1.0 < y < 1.0):
+        raise ValueError(f"erfinv domain is (-1, 1): {y!r}")
+    if y == 0.0:
+        return 0.0
+    lo, hi = 0.0, 1.0
+    ay = abs(y)
+    while math.erf(hi) < ay:
+        hi *= 2.0
+    for _ in range(80):
+        mid = (lo + hi) / 2.0
+        if math.erf(mid) < ay:
+            lo = mid
+        else:
+            hi = mid
+    x = (lo + hi) / 2.0
+    c = 2.0 / math.sqrt(math.pi)
+    for _ in range(8):
+        x -= (math.erf(x) - ay) / (c * math.exp(-x * x))
+    return x if y > 0 else -x
+
+
+GMM_PAIR = ("l_quantity", "l_extendedprice")
+GMM_K = 3
+GMM_CUTOFF = 0.005
+
+
+def main(sf_dir: str, sections: set[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from datalakerulegeneration_spark import get_spark
@@ -52,62 +85,111 @@ def main(sf_dir: str) -> None:
         weak_quality_labels,
     )
 
+    sections = sections or {"quality", "semdedup", "gmm"}
     spark = get_spark("gen-frozen-fixtures")
     tables = load_sf_tables(spark, sf_dir, ("documents", "embeddings"))
     docs, emb = tables["documents"], tables["embeddings"]
 
-    # ---- quality weights -------------------------------------------------
-    labeled = weak_quality_labels(docs, "doc_id", "text")
-    model = train_quality_classifier(labeled, "text")
-    tok_stage, tf_stage, lr_model = model.stages
-    coef = lr_model.coefficients
-    intercept = float(lr_model.intercept)
+    # ---- frozen GMM (mixture serving split) ------------------------------
+    if "gmm" in sections:
+        import math
 
-    # candidate vocabulary: most frequent corpus tokens under the SAME
-    # tokenization the model trained with (lower + \s+ split)
-    cand = (
-        docs.where(F.col("text").isNotNull())
-        .select(F.explode(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("tok"))
-        .groupBy("tok")
-        .count()
-        .orderBy(F.desc("count"), F.asc("tok"))
-        .limit(2000)
-        .collect()
-    )
-    toks = [
-        r["tok"]
-        for r in cand
-        if r["tok"] and not any(c in r["tok"] for c in "'\"\\`")
-    ]
-    # weight of one occurrence of t = coefficient at t's hash bucket
-    tok_df = spark.createDataFrame([(t, [t]) for t in toks], "tok string, __toks array<string>")
-    hashed = tf_stage.transform(tok_df).collect()
-    weights = {}
-    for r in hashed:
-        idx = r["__feats"].indices
-        if len(idx) == 1:
-            w = float(coef[int(idx[0])])
-            if w != 0.0:
-                weights[r["tok"]] = w
-    top = sorted(weights.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:VOCAB_SIZE]
-    out_q = {"bias": intercept, "weights": dict(sorted(top))}
-    with open(os.path.join(RES, "fixture_quality_weights.json"), "w") as fh:
-        json.dump(out_q, fh, indent=1, sort_keys=True)
-    print(f"quality weights: {len(out_q['weights'])} tokens, bias={intercept:.6g}")
+        import numpy as np
+
+        from datalakerulegeneration_spark.dboost.models import MixtureModel
+
+        li = load_sf_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+        m = MixtureModel(n_components=GMM_K, cutoff=GMM_CUTOFF).fit(li, pair=GMM_PAIR)
+        gauss = m.model_.gaussiansDF.collect()
+        comps = []
+        for w, g in zip(m.model_.weights, gauss):
+            w = float(w)
+            mean = [float(x) for x in g["mean"].toArray()]
+            inv = np.linalg.pinv(g["cov"].toArray()).astype(float)
+            icov = [[float(inv[0, 0]), float(inv[0, 1])], [float(inv[1, 0]), float(inv[1, 1])]]
+            # symmetrize exactly (pinv can be asymmetric in the last ulp)
+            off = (icov[0][1] + icov[1][0]) / 2.0
+            icov[0][1] = icov[1][0] = off
+            # exact threshold transform: w·(1−erf(d/√2)) < cutoff
+            #   ⟺ d² > 2·erfinv(1−cutoff/w)²   (only binding when w > cutoff)
+            if w > GMM_CUTOFF:
+                e = _erfinv(1.0 - GMM_CUTOFF / w)
+                t2 = 2.0 * e * e
+            else:
+                t2 = None
+            comps.append({"weight": w, "mean": mean, "icov": icov, "t2": t2})
+        out_g = {
+            "pair": list(GMM_PAIR),
+            "k": GMM_K,
+            "seed": m.seed,
+            "cutoff": GMM_CUTOFF,
+            "components": comps,
+        }
+        with open(os.path.join(RES, "fixture_gmm_params.json"), "w") as fh:
+            json.dump(out_g, fh, indent=1, sort_keys=True)
+        print(
+            f"gmm params: k={len(comps)}, weights="
+            f"{[round(c['weight'], 4) for c in comps]}, "
+            f"t2={[None if c['t2'] is None else round(math.sqrt(c['t2']), 3) for c in comps]} (as d)"
+        )
+
+    # ---- quality weights -------------------------------------------------
+    if "quality" in sections:
+        labeled = weak_quality_labels(docs, "doc_id", "text")
+        model = train_quality_classifier(labeled, "text")
+        tok_stage, tf_stage, lr_model = model.stages
+        coef = lr_model.coefficients
+        intercept = float(lr_model.intercept)
+
+        # candidate vocabulary: most frequent corpus tokens under the SAME
+        # tokenization the model trained with (lower + \s+ split)
+        cand = (
+            docs.where(F.col("text").isNotNull())
+            .select(F.explode(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("tok"))
+            .groupBy("tok")
+            .count()
+            .orderBy(F.desc("count"), F.asc("tok"))
+            .limit(2000)
+            .collect()
+        )
+        toks = [
+            r["tok"]
+            for r in cand
+            if r["tok"] and not any(c in r["tok"] for c in "'\"\\`")
+        ]
+        # weight of one occurrence of t = coefficient at t's hash bucket
+        tok_df = spark.createDataFrame([(t, [t]) for t in toks], "tok string, __toks array<string>")
+        hashed = tf_stage.transform(tok_df).collect()
+        weights = {}
+        for r in hashed:
+            idx = r["__feats"].indices
+            if len(idx) == 1:
+                w = float(coef[int(idx[0])])
+                if w != 0.0:
+                    weights[r["tok"]] = w
+        top = sorted(weights.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:VOCAB_SIZE]
+        out_q = {"bias": intercept, "weights": dict(sorted(top))}
+        with open(os.path.join(RES, "fixture_quality_weights.json"), "w") as fh:
+            json.dump(out_q, fh, indent=1, sort_keys=True)
+        print(f"quality weights: {len(out_q['weights'])} tokens, bias={intercept:.6g}")
 
     # ---- semdedup centroids ----------------------------------------------
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if "semdedup" in sections:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    v = emb.select(array_to_vector(F.col("embedding").cast("array<double>")).alias("__mlvec"))
-    km = KMeans(k=K_CELLS, featuresCol="__mlvec", predictionCol="cell", seed=SEED)
-    centers = km.fit(v).clusterCenters()
-    cents = [[round(float(x), 6) for x in c] for c in centers]
-    with open(os.path.join(RES, "fixture_semdedup_centroids.json"), "w") as fh:
-        json.dump(cents, fh)
-    print(f"semdedup centroids: {len(cents)} x {len(cents[0])}")
+        v = emb.select(array_to_vector(F.col("embedding").cast("array<double>")).alias("__mlvec"))
+        km = KMeans(k=K_CELLS, featuresCol="__mlvec", predictionCol="cell", seed=SEED)
+        centers = km.fit(v).clusterCenters()
+        cents = [[round(float(x), 6) for x in c] for c in centers]
+        with open(os.path.join(RES, "fixture_semdedup_centroids.json"), "w") as fh:
+            json.dump(cents, fh)
+        print(f"semdedup centroids: {len(cents)} x {len(cents[0])}")
     spark.stop()
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    _args = sys.argv[1:]
+    _sf = _args[0] if _args else "/root/testdata/sf0.01"
+    _secs = set(_args[1:]) or None
+    main(_sf, _secs)
