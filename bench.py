@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "curate_corpus_trained_documents",
     "bpe_fertility_by_lang_documents",
     "dboost_mixture_frozen_lineitem",
+    "cluster_columns_frozen_profiles",
 ]
 
 

@@ -148,3 +148,165 @@ def _stage2(
                     next_cid += 1
                 out_rows.append((uid, remap[lbl]))
     return spark.createDataFrame(out_rows or [], "unique_id string, cluster_id int")
+
+
+# ---------------------------------------------------------------------------
+# Frozen-parameter serving split for column clustering (r9) — the
+# bpe_learn/bpe_encode pattern applied to M2: the KMeans FIT is
+# iterative ML (cluster_columns_kmeans above, rows-only by nature),
+# but ASSIGNMENT against a frozen scaler + centroid table is pure
+# expression arithmetic with an exact DuckDB twin. Together with the
+# wide-profile SQL builder (profiling.wide_sql) this gives the column
+# catalog's cluster assignment an END-TO-END exact oracle: raw tables
+# → per-column stats → frozen MinMax scaling → nearest centroid.
+#
+# Exactness recipe (the semdedup_frozen + frozen-GMM mix):
+# * features quantize at DECIMAL(18,6) → BIGINT micro-units (the
+#   registry's standard portable float boundary), NULL → 0.0 first
+#   (profile_feature_matrix's fill);
+# * the frozen scaler's min/range are micro-unit INTEGER literals, so
+#   scaled = CAST(x6-min6 AS DOUBLE) / CAST(range6 AS DOUBLE) is the
+#   same IEEE division of the same integers in both engines —
+#   bit-identical doubles (constant features → 0.5, the Spark
+#   MinMaxScaler convention);
+# * centroids are frozen at 6 decimals and enter both engines as
+#   CAST('<repr>' AS DOUBLE) literals; squared distances are the same
+#   left-associated chain, so the (dist², cluster_id) argmin cannot
+#   diverge.
+# ---------------------------------------------------------------------------
+
+
+def _micro6(x: float) -> int:
+    """Exact micro-unit integer of a 6-decimal-quantized value — the
+    shared frozen-parameter conversion (ops.similarity._centroids_micro)."""
+    from decimal import Decimal
+
+    return int(Decimal(str(round(float(x), 6))).scaleb(6))
+
+
+def load_frozen_colcluster(path: str | None = None) -> dict:
+    """Load the vendored frozen column-cluster model
+    (``tools/gen_frozen_fixtures.py``: the pinned sf0.01
+    cluster_columns_kmeans fit — feature list, per-feature MinMax
+    bounds, centroids in scaled space, all quantized at 6 decimals)."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
+            "fixture_colcluster.json",
+        )
+    with open(path) as fh:
+        params = json.load(fh)
+    feats, mins, maxs = params["features"], params["min"], params["max"]
+    if not (len(feats) == len(mins) == len(maxs)):
+        raise ValueError("frozen colcluster: features/min/max lengths differ")
+    if not params["centroids"] or any(
+        len(c) != len(feats) for c in params["centroids"]
+    ):
+        raise ValueError("frozen colcluster: centroid width must match features")
+    for f in feats:
+        if not f.replace("_", "").isalnum() or f != f.lower():
+            raise ValueError(f"frozen colcluster feature is not a safe identifier: {f!r}")
+    return params
+
+
+def _scaled_feature_sql(feat: str, fmin: float, fmax: float) -> str:
+    """One frozen-scaled feature as a shared-verbatim SQL expression:
+    micro-unit quantize → integer shift → one IEEE division."""
+    min6, max6 = _micro6(fmin), _micro6(fmax)
+    range6 = max6 - min6
+    x6 = (
+        f"CAST(CAST(COALESCE({feat}, CAST('0.0' AS DOUBLE)) AS DECIMAL(18,6))"
+        f" * 1000000 AS BIGINT)"
+    )
+    if range6 == 0:  # constant feature at fit time → MinMaxScaler's 0.5
+        return "CAST('0.5' AS DOUBLE)"
+    return f"(CAST({x6} - {min6} AS DOUBLE) / CAST({range6} AS DOUBLE))"
+
+
+def cluster_columns_frozen(profiles: DataFrame, params: dict | None = None) -> DataFrame:
+    """Assign column profiles to the FROZEN cluster model —
+    ``(unique_id, cluster_id)`` like :func:`cluster_columns_kmeans`,
+    but deterministic serving with an exact oracle
+    (:func:`cluster_columns_frozen_sql`).
+
+    Scale shape: scaling is map-side arithmetic; the centroid table
+    broadcasts (k rows); the argmin is a map-side-combinable
+    min(struct(dist², cluster_id)) — the committed semdedup_frozen
+    shape, never a per-row window. At a million-column catalog this
+    is one scan of the profile frame."""
+    if params is None:
+        params = load_frozen_colcluster()
+    feats = params["features"]
+    scaled = profiles.select(
+        "unique_id",
+        *[
+            F.expr(_scaled_feature_sql(f, mn, mx)).alias(f"_s{i}")
+            for i, (f, mn, mx) in enumerate(zip(feats, params["min"], params["max"]))
+        ],
+    )
+    spark = profiles.sparkSession
+    cents = spark.createDataFrame(
+        [tuple([i] + [float(round(x, 6)) for x in c]) for i, c in enumerate(params["centroids"])],
+        ", ".join(["cid int"] + [f"_c{i} double" for i in range(len(feats))]),
+    )
+    dist2 = " + ".join(
+        f"((_s{i} - _c{i}) * (_s{i} - _c{i}))" for i in range(len(feats))
+    )
+    return (
+        scaled.crossJoin(F.broadcast(cents))
+        .select("unique_id", "cid", F.expr(dist2).alias("_d2"))
+        .groupBy("unique_id")
+        .agg(F.min(F.struct("_d2", "cid")).alias("_best"))
+        .select("unique_id", F.col("_best.cid").cast("int").alias("cluster_id"))
+    )
+
+
+def cluster_columns_frozen_sql(profiles_sql: str, params: dict | None = None) -> str:
+    """Exact DuckDB oracle for :func:`cluster_columns_frozen`:
+    ``profiles_sql`` is a query producing the wide profile frame
+    (profiling.wide_sql builders); the same shared-verbatim scaling
+    expressions and distance chain run over it."""
+    if params is None:
+        params = load_frozen_colcluster()
+    feats = params["features"]
+    scaled_cols = ",\n         ".join(
+        f"{_scaled_feature_sql(f, mn, mx)} AS _s{i}"
+        for i, (f, mn, mx) in enumerate(zip(feats, params["min"], params["max"]))
+    )
+    rows = ",\n    ".join(
+        "(%d, %s)"
+        % (
+            i,
+            ", ".join(f"CAST('{round(float(x), 6)!r}' AS DOUBLE)" for x in c),
+        )
+        for i, c in enumerate(params["centroids"])
+    )
+    cent_cols = ", ".join(["cid"] + [f"_c{i}" for i in range(len(feats))])
+    dist2 = " + ".join(
+        f"((_s{i} - _c{i}) * (_s{i} - _c{i}))" for i in range(len(feats))
+    )
+    return f"""
+WITH _colprof AS ({profiles_sql}),
+scaled AS (
+  SELECT unique_id,
+         {scaled_cols}
+  FROM _colprof
+),
+cents(
+  {cent_cols}
+) AS (
+  VALUES
+    {rows}
+),
+d AS (
+  SELECT unique_id, cid, {dist2} AS _d2
+  FROM scaled CROSS JOIN cents
+)
+SELECT unique_id, CAST(cid AS INTEGER) AS cluster_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY _d2, cid) AS _rn FROM d
+) WHERE _rn = 1
+"""

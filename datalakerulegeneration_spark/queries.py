@@ -4046,6 +4046,32 @@ def q_cluster_columns_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_columns_kmeans(_live_profiles(spark, sf_dir), k=4).orderBy("unique_id")
 
 
+def q_cluster_columns_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 under a FROZEN scaler + centroid table (r9 serving split):
+    the KMeans fit stays iterative/rows-only
+    (q_cluster_columns_kmeans), but ASSIGNMENT against the pinned
+    sf0.01 fit (resources/fixture_colcluster.json) is exact in both
+    engines — live profiles → micro-unit feature quantization →
+    integer-shift MinMax scaling (one IEEE division of identical
+    integers) → bit-identical squared distances → (dist², cid) argmin.
+    With the wide-profile SQL builder the oracle is END-TO-END: raw
+    tables → stats → scaling → nearest centroid."""
+    from datalakerulegeneration_spark.clustering.cluster import cluster_columns_frozen
+
+    return cluster_columns_frozen(_live_profiles(spark, sf_dir)).orderBy("unique_id")
+
+
+def _cluster_frozen_oracle() -> str:
+    from datalakerulegeneration_spark.clustering.cluster import cluster_columns_frozen_sql
+    from datalakerulegeneration_spark.profiling.wide_sql import wide_profile_sql
+
+    prof = "\nUNION ALL\n".join(
+        wide_profile_sql(t, _MATCH_COLS_KINDS[t] or _cols_kinds(t), with_values=False)
+        for t in _MATCH_TABLES
+    )
+    return cluster_columns_frozen_sql(prof)
+
+
 def q_dataset_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: pairwise cosine of dataset-level profile vectors (mean/var
     of per-column stats) across four tables."""
@@ -4740,6 +4766,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # matching / clustering / dataset similarity (J5, M2, A6)
     "column_match_customer_supplier": (q_column_match_customer_supplier, _column_match_oracle()),
     "cluster_columns_kmeans_profiles": (q_cluster_columns_kmeans, None),
+    "cluster_columns_frozen_profiles": (q_cluster_columns_frozen, _cluster_frozen_oracle()),
     "dataset_similarity_tables": (q_dataset_similarity, _dataset_similarity_oracle()),
     "token_count_documents": (q_token_count, textqa.token_count_sql("documents", "doc_id", "text")),
     "quality_score_documents": (q_quality_score, textqa.quality_score_sql("documents", "doc_id", "text")),
@@ -4884,11 +4911,13 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r9 (5): the frozen-parameter serving splits,
-    # the trained-filter flagship they unlock, tokenizer fertility
+    # new this round — r9 (6): the frozen-parameter serving splits
+    # (all four trainable ops now have one), the trained-filter
+    # flagship they unlock, tokenizer fertility
     "quality_classifier_score_documents",
     "semdedup_frozen_embeddings",
     "dboost_mixture_frozen_lineitem",
+    "cluster_columns_frozen_profiles",
     "curate_corpus_trained_documents",
     "bpe_fertility_by_lang_documents",
     # re-certify: code paths changed in r9 (canonical-URL fragment fix;
@@ -4941,7 +4970,6 @@ _GATE_HEAD = [
     "q1_pricing_summary",
     "q9_product_profit",
     "three_sigma_events",
-    "eval_metrics_orders",
     "ks_table_events",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))

@@ -182,3 +182,68 @@ def test_k_distance_and_eps_suggestion():
     # degenerate inputs
     assert len(k_distances(np.empty((0, 2)))) == 0
     assert suggest_eps(np.array([[1.0, 1.0]])) >= 0.0
+
+
+def test_cluster_columns_frozen_planted(spark):
+    """Frozen column-cluster serving split (r9): micro-unit feature
+    quantization → integer-shift MinMax scaling (constant features →
+    0.5) → nearest frozen centroid with (dist², cid) tie-break — and
+    exact parity with the DuckDB twin on a planted profile frame."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.clustering.cluster import (
+        cluster_columns_frozen,
+        cluster_columns_frozen_sql,
+    )
+
+    params = {
+        "features": ["null_ratio", "avg_len"],
+        "min": [0.0, 0.0],
+        "max": [1.0, 10.0],
+        "centroids": [[0.1, 0.1], [0.9, 0.9]],
+    }
+    rows = [
+        ("t::a", 0.05, 1.0),   # scaled (0.05, 0.1) → cluster 0
+        ("t::b", 0.95, 9.0),   # scaled (0.95, 0.9) → cluster 1
+        ("t::c", 0.5, 5.0),    # scaled (0.5, 0.5) equidistant → cid 0
+        ("t::d", None, None),  # NULL fill → (0.0, 0.0) → cluster 0
+    ]
+    df = spark.createDataFrame(rows, "unique_id string, null_ratio double, avg_len double")
+    got = {r["unique_id"]: r["cluster_id"] for r in cluster_columns_frozen(df, params).collect()}
+    assert got == {"t::a": 0, "t::b": 1, "t::c": 0, "t::d": 0}
+    con = duckdb.connect()
+    con.register("prof", pd.DataFrame(rows, columns=["unique_id", "null_ratio", "avg_len"]))
+    exp = dict(con.execute(cluster_columns_frozen_sql("SELECT * FROM prof", params)).fetchall())
+    assert exp == got
+    # constant feature at fit time scales to 0.5 on BOTH engines —
+    # distances shift equally, assignments keep matching
+    cparams = dict(params, min=[0.0, 3.0], max=[1.0, 3.0])
+    got_c = {r["unique_id"]: r["cluster_id"] for r in cluster_columns_frozen(df, cparams).collect()}
+    exp_c = dict(con.execute(cluster_columns_frozen_sql("SELECT * FROM prof", cparams)).fetchall())
+    assert got_c == exp_c
+    # loader validation
+    import json as _json
+    import os as _os
+    import tempfile
+
+    import pytest as _pytest
+
+    from datalakerulegeneration_spark.clustering.cluster import load_frozen_colcluster
+
+    good = load_frozen_colcluster()
+    assert good["features"] and len(good["min"]) == len(good["features"])
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        _json.dump({"features": ["a"], "min": [0.0], "max": [0.0, 1.0], "centroids": [[0.0]]}, fh)
+    try:
+        with _pytest.raises(ValueError, match="lengths differ"):
+            load_frozen_colcluster(fh.name)
+    finally:
+        _os.unlink(fh.name)
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        _json.dump({"features": ["a; drop"], "min": [0.0], "max": [1.0], "centroids": [[0.0]]}, fh)
+    try:
+        with _pytest.raises(ValueError, match="safe identifier"):
+            load_frozen_colcluster(fh.name)
+    finally:
+        _os.unlink(fh.name)

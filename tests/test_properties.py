@@ -1045,3 +1045,126 @@ def test_bpe_learn_encode_invariants_random(spark, texts, n_merges):
             ).fetchall()
         }
         assert enc == exp
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False, width=64)),
+            st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False, width=64)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.randoms(use_true_random=False),
+)
+def test_frozen_mixture_matches_duckdb_on_random_params(spark, pts, k, rnd):
+    """r9 frozen-GMM fuzz: random frozen parameters (weights, means,
+    symmetric PSD-ish inverse covariances, thresholds) over random and
+    NULL-bearing points — the Spark quadratic predicate and the DuckDB
+    twin must agree EXACTLY, because every literal enters both engines
+    as CAST('repr' AS DOUBLE) and the chains share association order."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.dboost.models import (
+        frozen_mixture_outliers,
+        frozen_mixture_outliers_sql,
+    )
+
+    comps = []
+    for _ in range(k):
+        a = rnd.uniform(0.01, 3.0)
+        b = rnd.uniform(0.01, 3.0)
+        off = rnd.uniform(-0.5, 0.5) * min(a, b)  # keeps it PSD-ish
+        comps.append(
+            {
+                "weight": rnd.uniform(0.051, 1.0),
+                "mean": [rnd.uniform(-100, 100), rnd.uniform(-100, 100)],
+                "icov": [[a, off], [off, b]],
+                "t2": rnd.uniform(0.0, 20.0) if rnd.random() > 0.2 else None,
+            }
+        )
+    params = {"pair": ["xa", "xb"], "cutoff": 0.05, "components": comps}
+    data = [(str(i), p[0], p[1]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(data, "__row_id string, xa double, xb double")
+    got = sorted(r["row_id"] for r in frozen_mixture_outliers(df, params=params).collect())
+    con = duckdb.connect()
+    con.register(
+        "pts",
+        pd.DataFrame(data, columns=["rid", "xa", "xb"]).astype(
+            {"xa": "float64", "xb": "float64"}
+        ),
+    )
+    exp = sorted(
+        str(r[0]) for r in con.execute(frozen_mixture_outliers_sql("pts", "rid", params)).fetchall()
+    )
+    assert got == exp
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-1e4, 1e4, allow_nan=False, width=64)),
+            st.one_of(st.none(), st.floats(-1e4, 1e4, allow_nan=False, width=64)),
+            st.one_of(st.none(), st.floats(-1e4, 1e4, allow_nan=False, width=64)),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.randoms(use_true_random=False),
+)
+def test_frozen_colcluster_matches_duckdb_on_random_params(spark, pts, k, rnd):
+    """r9 frozen column-cluster fuzz: random scaler bounds (including
+    degenerate min=max features) and centroids over random/NULL profile
+    stats — assignments agree exactly with the DuckDB twin (micro-unit
+    quantization + integer-shift scaling leaves no float-parse room)."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.clustering.cluster import (
+        cluster_columns_frozen,
+        cluster_columns_frozen_sql,
+    )
+
+    feats = ["f0", "f1", "f2"]
+    mins, maxs = [], []
+    for _ in feats:
+        lo = round(rnd.uniform(-1e4, 1e4), 6)
+        if rnd.random() < 0.25:
+            hi = lo  # constant feature at fit time → 0.5 path
+        else:
+            hi = round(lo + rnd.uniform(1e-6, 1e4), 6)
+        mins.append(lo)
+        maxs.append(hi)
+    params = {
+        "features": feats,
+        "min": mins,
+        "max": maxs,
+        "centroids": [
+            [round(rnd.uniform(-2.0, 2.0), 6) for _ in feats] for _ in range(k)
+        ],
+    }
+    data = [(f"c{i}", p[0], p[1], p[2]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(data, "unique_id string, f0 double, f1 double, f2 double")
+    got = dict(
+        (r["unique_id"], r["cluster_id"])
+        for r in cluster_columns_frozen(df, params).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "profx",
+        pd.DataFrame(data, columns=["unique_id", "f0", "f1", "f2"]).astype(
+            {"f0": "float64", "f1": "float64", "f2": "float64"}
+        ),
+    )
+    exp = dict(
+        con.execute(
+            cluster_columns_frozen_sql("SELECT * FROM profx", params)
+        ).fetchall()
+    )
+    assert got == exp

@@ -117,6 +117,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("ann_recall_embeddings", "bnlj", "constant-size probe set broadcast in both legs"),
     ("ann_topk_ivf_embeddings", "bnlj", "n_lists-row centroid table broadcast"),
     ("semdedup_frozen_embeddings", "bnlj", "k_cells-row frozen centroid table broadcast (assignment crossJoin; pairwise compare is cell-keyed)"),
+    ("cluster_columns_frozen_profiles", "bnlj", "k-row frozen centroid table broadcast against the #columns-row profile frame (both bounded by construction)"),
     ("ann_topk_ivf_sq8_embeddings", "bnlj", "n_lists-row centroid table + 1-row codebook broadcast"),
     ("quantized_topk_embeddings", "bnlj", "probe codes + 1-row codebook broadcast"),
     ("projected_topk_embeddings", "bnlj", "constant-size projected probe set broadcast"),

@@ -85,7 +85,7 @@ def main(sf_dir: str, sections: set[str] | None = None) -> None:
         weak_quality_labels,
     )
 
-    sections = sections or {"quality", "semdedup", "gmm"}
+    sections = sections or {"quality", "semdedup", "gmm", "colcluster"}
     spark = get_spark("gen-frozen-fixtures")
     tables = load_sf_tables(spark, sf_dir, ("documents", "embeddings"))
     docs, emb = tables["documents"], tables["embeddings"]
@@ -132,6 +132,36 @@ def main(sf_dir: str, sections: set[str] | None = None) -> None:
             f"{[round(c['weight'], 4) for c in comps]}, "
             f"t2={[None if c['t2'] is None else round(math.sqrt(c['t2']), 3) for c in comps]} (as d)"
         )
+
+    # ---- frozen column-cluster model (M2 serving split) ------------------
+    if "colcluster" in sections:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+
+        from datalakerulegeneration_spark.clustering.features import DEFAULT_FEATURES
+        from datalakerulegeneration_spark.queries import _live_profiles
+
+        profiles = _live_profiles(spark, sf_dir)
+        feats = [f for f in DEFAULT_FEATURES if f in profiles.columns]
+        filled = profiles.select(
+            "unique_id", *[F.coalesce(F.col(f), F.lit(0.0)).alias(f) for f in feats]
+        )
+        va = VectorAssembler(inputCols=feats, outputCol="__raw")
+        assembled = va.transform(filled)
+        scaler = MinMaxScaler(inputCol="__raw", outputCol="__vec").fit(assembled)
+        scaled = scaler.transform(assembled)
+        km = KMeans(k=4, featuresCol="__vec", predictionCol="cluster_id", seed=42).fit(scaled)
+        out_c = {
+            "features": feats,
+            "min": [round(float(x), 6) for x in scaler.originalMin],
+            "max": [round(float(x), 6) for x in scaler.originalMax],
+            "centroids": [[round(float(x), 6) for x in c] for c in km.clusterCenters()],
+            "k": 4,
+            "seed": 42,
+        }
+        with open(os.path.join(RES, "fixture_colcluster.json"), "w") as fh:
+            json.dump(out_c, fh, indent=1, sort_keys=True)
+        print(f"colcluster: {len(feats)} features, k={len(out_c['centroids'])}")
 
     # ---- quality weights -------------------------------------------------
     if "quality" in sections:
