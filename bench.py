@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "bpe_fertility_by_lang_documents",
     "dboost_mixture_frozen_lineitem",
     "cluster_columns_frozen_profiles",
+    "quality_psi_documents",
 ]
 
 

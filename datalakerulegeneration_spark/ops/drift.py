@@ -637,3 +637,119 @@ def wasserstein_table_sql(base_sql: str, cur_sql: str, cols: list[str]) -> str:
         one = wasserstein_1_sql(base_sql, cur_sql, c)
         parts.append(f"SELECT '{c}' AS col_name, * FROM ({one})")
     return "\nUNION ALL\n".join(parts)
+
+
+def _dlit(x: float) -> str:
+    """Double literal with identical bits in Spark SQL and DuckDB —
+    correctly-rounded string→double parse on both sides (the frozen
+    family's literal convention, dboost.models._dlit)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def psi_frozen(
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    ref_counts: list[int],
+) -> DataFrame:
+    """:func:`psi_bins` against a FROZEN reference distribution — the
+    refit trigger for the frozen-parameter serving splits: serve the
+    pinned model, monitor the live score distribution against the
+    freeze-time one, refit + re-freeze when total PSI crosses the
+    standard 0.2 production threshold (0.1 = investigate).
+
+    Unlike :func:`psi_bins` there is NO baseline scan at serving time:
+    the reference enters the plan as literals — frozen [lo, hi] edges
+    (as bit-identical CAST('repr' AS DOUBLE) literals) and per-bin
+    INTEGER counts, so reference shares are the same IEEE division of
+    the same integers in both engines. Output matches psi_bins:
+    ``(bin, ref_share, cur_share, psi_term)``; total PSI = sum.
+
+    Scale shape: map-side bin fold + one count-by-bin aggregation of
+    the current load + an n_bins-row literal join — no raw-row
+    shuffle; at 100 TB this costs one scan of the scored column."""
+    n_bins = len(ref_counts)
+    if n_bins < 2:
+        raise ValueError("psi_frozen: need >= 2 reference bins")
+    if any((not isinstance(c, int)) or c < 0 for c in ref_counts):
+        raise ValueError("psi_frozen: ref_counts must be non-negative integers")
+    if sum(ref_counts) <= 0:
+        raise ValueError("psi_frozen: reference is empty")
+    if not (hi > lo):
+        raise ValueError(f"psi_frozen: hi ({hi!r}) must exceed lo ({lo!r})")
+    width = (hi - lo) / n_bins
+    spark = current.sparkSession
+    x = f"try_cast({col} as double)"
+    bin_sql = (
+        f"least({n_bins - 1}, greatest(0,"
+        f" CAST(floor(({x} - {_dlit(lo)}) / {_dlit(width)}) AS INT)))"
+    )
+    cur = (
+        current.where(F.expr(x).isNotNull())
+        .groupBy(F.expr(bin_sql).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    rt = sum(ref_counts)
+    ref = spark.createDataFrame(
+        list(zip(range(n_bins), ref_counts)), "bin long, ref_n long"
+    )
+    j = ref.join(cur, "bin", "left").select(
+        "bin", "ref_n", F.coalesce("cur_n", F.lit(0)).alias("cur_n")
+    )
+    tot = j.agg(F.sum("cur_n").alias("ct"))
+    rs = F.col("ref_n").cast("double") / F.lit(float(rt))
+    cs = F.col("cur_n").cast("double") / F.col("ct").cast("double")
+    ra, ca = F.greatest(rs, F.lit(_EPS)), F.greatest(cs, F.lit(_EPS))
+    return (
+        j.join(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(rs, 6).alias("ref_share"),
+            F.round(cs, 6).alias("cur_share"),
+            F.round((ra - ca) * F.log(ra / ca), 6).alias("psi_term"),
+        )
+    )
+
+
+def psi_frozen_sql(
+    cur_sql: str,
+    col: str,
+    lo: float,
+    hi: float,
+    ref_counts: list[int],
+) -> str:
+    """Exact DuckDB oracle for :func:`psi_frozen` — identical literal
+    edges, identical integer reference counts, same EPS floor and
+    6-dp round."""
+    n_bins = len(ref_counts)
+    width = (hi - lo) / n_bins
+    rt = sum(ref_counts)
+    x = f"TRY_CAST({col} AS DOUBLE)"
+    bin_expr = (
+        f"least({n_bins - 1}, greatest(0,"
+        f" CAST(floor(({x} - {_dlit(lo)}) / {_dlit(width)}) AS INT)))"
+    )
+    rows = ",\n    ".join(f"({i}, {c})" for i, c in enumerate(ref_counts))
+    return f"""
+WITH _psi_ref(bin, ref_n) AS (
+  VALUES
+    {rows}
+),
+_psi_cur AS (
+  SELECT CAST({bin_expr} AS BIGINT) AS bin, count(*) AS cur_n
+  FROM ({cur_sql}) WHERE {x} IS NOT NULL GROUP BY 1
+),
+_psi_j AS (
+  SELECT _psi_ref.bin, _psi_ref.ref_n, coalesce(_psi_cur.cur_n, 0) AS cur_n
+  FROM _psi_ref LEFT JOIN _psi_cur ON _psi_ref.bin = _psi_cur.bin
+), _psi_tot AS (SELECT sum(cur_n) AS ct FROM _psi_j)
+SELECT CAST(_psi_j.bin AS BIGINT) AS bin,
+       round(CAST(ref_n AS DOUBLE) / {_dlit(float(rt))}, 6) AS ref_share,
+       round(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), 6) AS cur_share,
+       round((greatest(CAST(ref_n AS DOUBLE) / {_dlit(float(rt))}, {_EPS!r})
+            - greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r}))
+           * ln(greatest(CAST(ref_n AS DOUBLE) / {_dlit(float(rt))}, {_EPS!r})
+              / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6) AS psi_term
+FROM _psi_j, _psi_tot
+"""

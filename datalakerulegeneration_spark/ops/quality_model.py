@@ -254,3 +254,25 @@ def train_and_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     labeled = weak_quality_labels(df, id_col, text_col)
     model = train_quality_classifier(labeled, text_col)
     return score_quality(model, df, id_col, text_col)
+
+
+def load_frozen_ref_dist(path: str | None = None) -> dict:
+    """Load the vendored freeze-time score distribution of the frozen
+    quality scorer (``tools/gen_frozen_fixtures.py`` qualref section)
+    — the PSI reference for the serving-split refit trigger."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
+            "fixture_quality_ref_dist.json",
+        )
+    with open(path) as fh:
+        ref = json.load(fh)
+    if not (ref["hi"] > ref["lo"]):
+        raise ValueError("frozen ref dist: hi must exceed lo")
+    if len(ref["ref_counts"]) < 2 or sum(ref["ref_counts"]) <= 0:
+        raise ValueError("frozen ref dist: need >= 2 bins with mass")
+    return ref

@@ -3372,6 +3372,45 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frozen_linear_score(docs, "doc_id", "text")
 
 
+def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refit trigger for the frozen-parameter serving splits (r9):
+    PSI of the LIVE frozen-scorer margin distribution against the
+    freeze-time reference (vendored fixture_quality_ref_dist.json —
+    frozen [lo, hi] edges + per-bin integer counts). Serve frozen,
+    monitor this, refit + re-freeze when total PSI crosses the
+    standard 0.2 production threshold. One scan of the scored column:
+    map-side bin fold → count-by-bin agg → n_bins-row literal join."""
+    from datalakerulegeneration_spark.ops.drift import psi_frozen
+    from datalakerulegeneration_spark.ops.quality_model import (
+        frozen_linear_score,
+        load_frozen_ref_dist,
+    )
+
+    ref = load_frozen_ref_dist()
+    docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = frozen_linear_score(docs, "doc_id", "text")
+    return psi_frozen(
+        scored, ref["score_col"], ref["lo"], ref["hi"], ref["ref_counts"]
+    ).orderBy("bin")
+
+
+def _quality_psi_oracle() -> str:
+    from datalakerulegeneration_spark.ops.drift import psi_frozen_sql
+    from datalakerulegeneration_spark.ops.quality_model import (
+        frozen_linear_score_sql,
+        load_frozen_ref_dist,
+    )
+
+    ref = load_frozen_ref_dist()
+    return psi_frozen_sql(
+        frozen_linear_score_sql("documents", "doc_id", "text"),
+        ref["score_col"],
+        ref["lo"],
+        ref["hi"],
+        ref["ref_counts"],
+    ) + " ORDER BY bin"
+
+
 def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column extraction: events.props is a JSON string;
     ``from_json`` parses it with a TYPED schema (JVM-side, codegen —
@@ -4872,6 +4911,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "line_dedup_documents": (q_line_dedup, Q_LINE_DEDUP_ORACLE),
     "intra_line_dedup_documents": (q_intra_line_dedup, Q_INTRA_LINE_DEDUP_ORACLE),
     "quality_classifier_score_documents": (q_quality_classifier_score, quality_model.frozen_linear_score_sql("documents", "doc_id", "text")),
+    "quality_psi_documents": (q_quality_psi, _quality_psi_oracle()),
     "semdedup_frozen_embeddings": (q_semdedup_frozen, similarity.semdedup_frozen_sql("embeddings", threshold=0.4)),
     "clean_text_documents": (q_clean_text, Q_CLEAN_TEXT_ORACLE),
     "json_props_events": (q_json_props_events, Q_JSON_PROPS_ORACLE),
@@ -4918,6 +4958,7 @@ _GATE_HEAD = [
     "semdedup_frozen_embeddings",
     "dboost_mixture_frozen_lineitem",
     "cluster_columns_frozen_profiles",
+    "quality_psi_documents",
     "curate_corpus_trained_documents",
     "bpe_fertility_by_lang_documents",
     # re-certify: code paths changed in r9 (canonical-URL fragment fix;
@@ -4956,7 +4997,6 @@ _GATE_HEAD = [
     "curate_corpus_ccnet_documents",
     "curation_funnel_ccnet_documents",
     "dedup_minhash_documents",
-    "simhash_documents",
     "keep_best_documents",
     "dedup_greedy_keepset_documents",
     "span_dedup_documents",

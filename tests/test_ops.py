@@ -3562,3 +3562,48 @@ def test_canonical_url_and_url_dedup_semantics(spark):
     assert domains.url_dedup(nulls, "id", "url").count() == 2
     with pytest.raises(ValueError, match="plain names"):
         domains.with_canonical_url(df, "url", drop_params=["a(b"])
+
+
+def test_psi_frozen_refit_trigger(spark):
+    """Frozen-reference PSI (r9): the serving-split refit trigger —
+    no-baseline-scan monitoring against literal freeze-time bins.
+    Same-distribution load stays ~0, a shifted load crosses the 0.2
+    refit threshold, clamping matches psi_bins, and the DuckDB twin
+    agrees exactly (shares from identical integer literals)."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops.drift import psi_frozen, psi_frozen_sql
+
+    # reference: 1000 values uniform over [0, 100) → 100 per decile bin
+    ref_counts = [100] * 10
+    same = [(float(i % 100),) for i in range(1000)]
+    shifted = [(float(i % 100) * 0.3 + 70.0,) for i in range(1000)]  # mass → top bins
+    for rows, expect_drift in ((same, False), (shifted, True)):
+        df = spark.createDataFrame(rows, "x double")
+        out = psi_frozen(df, "x", 0.0, 100.0, ref_counts).collect()
+        assert len(out) == 10
+        total = sum(r["psi_term"] for r in out)
+        assert (total > 0.2) is expect_drift
+        con = duckdb.connect()
+        con.register("cur", pd.DataFrame(rows, columns=["x"]))
+        exp = sorted(map(tuple, con.execute(
+            psi_frozen_sql("SELECT * FROM cur", "x", 0.0, 100.0, ref_counts)
+        ).fetchall()))
+        got = sorted((r["bin"], r["ref_share"], r["cur_share"], r["psi_term"]) for r in out)
+        assert got == exp
+    # out-of-range values clamp into edge bins; NULLs drop
+    edge = spark.createDataFrame([(-5.0,), (500.0,), (None,)], "x double")
+    out = {r["bin"]: r["cur_share"] for r in psi_frozen(edge, "x", 0.0, 100.0, ref_counts).collect()}
+    assert out[0] == 0.5 and out[9] == 0.5
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2"):
+        psi_frozen(edge, "x", 0.0, 100.0, [10])
+    with _pytest.raises(ValueError, match="non-negative"):
+        psi_frozen(edge, "x", 0.0, 100.0, [10, -1])
+    with _pytest.raises(ValueError, match="empty"):
+        psi_frozen(edge, "x", 0.0, 100.0, [0, 0])
+    with _pytest.raises(ValueError, match="exceed"):
+        psi_frozen(edge, "x", 1.0, 1.0, [1, 1])

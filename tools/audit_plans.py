@@ -118,6 +118,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("ann_topk_ivf_embeddings", "bnlj", "n_lists-row centroid table broadcast"),
     ("semdedup_frozen_embeddings", "bnlj", "k_cells-row frozen centroid table broadcast (assignment crossJoin; pairwise compare is cell-keyed)"),
     ("cluster_columns_frozen_profiles", "bnlj", "k-row frozen centroid table broadcast against the #columns-row profile frame (both bounded by construction)"),
+    ("quality_psi_documents", "bnlj", "1-row current-total scalar agg broadcast into the n_bins-row PSI frame"),
     ("ann_topk_ivf_sq8_embeddings", "bnlj", "n_lists-row centroid table + 1-row codebook broadcast"),
     ("quantized_topk_embeddings", "bnlj", "probe codes + 1-row codebook broadcast"),
     ("projected_topk_embeddings", "bnlj", "constant-size projected probe set broadcast"),

@@ -28,6 +28,9 @@ PLAN = [
     "quality_classifier_score_documents",
     "semdedup_frozen_embeddings",
     "curate_corpus_trained_documents",
+    # late-r9 serving splits (sf10 lineitem fixture:
+    #   python tools/make_sf1.py --replicas 100 --dst .bench/sf10 --tables lineitem)
+    "dboost_mixture_frozen_lineitem",
 ]
 
 

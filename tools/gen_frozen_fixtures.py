@@ -85,7 +85,7 @@ def main(sf_dir: str, sections: set[str] | None = None) -> None:
         weak_quality_labels,
     )
 
-    sections = sections or {"quality", "semdedup", "gmm", "colcluster"}
+    sections = sections or {"quality", "semdedup", "gmm", "colcluster", "qualref"}
     spark = get_spark("gen-frozen-fixtures")
     tables = load_sf_tables(spark, sf_dir, ("documents", "embeddings"))
     docs, emb = tables["documents"], tables["embeddings"]
@@ -162,6 +162,39 @@ def main(sf_dir: str, sections: set[str] | None = None) -> None:
         with open(os.path.join(RES, "fixture_colcluster.json"), "w") as fh:
             json.dump(out_c, fh, indent=1, sort_keys=True)
         print(f"colcluster: {len(feats)} features, k={len(out_c['centroids'])}")
+
+    # ---- frozen quality-score reference distribution (refit trigger) -----
+    if "qualref" in sections:
+        from datalakerulegeneration_spark.ops.quality_model import frozen_linear_score
+
+        N_BINS = 10
+        scored = frozen_linear_score(docs, "doc_id", "text").select("quality_score")
+        mm = scored.agg(
+            F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+        ).collect()[0]
+        lo, hi = round(float(mm["lo"]), 6), round(float(mm["hi"]), 6)
+        if hi <= lo:
+            hi = lo + 1.0
+        width = (hi - lo) / N_BINS
+        bin_sql = (
+            f"least({N_BINS - 1}, greatest(0, CAST(floor((quality_score"
+            f" - CAST('{lo!r}' AS DOUBLE)) / CAST('{width!r}' AS DOUBLE)) AS INT)))"
+        )
+        counts = {
+            r["bin"]: r["n"]
+            for r in scored.groupBy(F.expr(bin_sql).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out_r = {
+            "score_col": "quality_score",
+            "lo": lo,
+            "hi": hi,
+            "ref_counts": [int(counts.get(i, 0)) for i in range(N_BINS)],
+        }
+        with open(os.path.join(RES, "fixture_quality_ref_dist.json"), "w") as fh:
+            json.dump(out_r, fh, indent=1, sort_keys=True)
+        print(f"quality ref dist: lo={lo} hi={hi} counts={out_r['ref_counts']}")
 
     # ---- quality weights -------------------------------------------------
     if "quality" in sections:
