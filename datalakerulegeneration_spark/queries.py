@@ -4951,9 +4951,9 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r9 (6): the frozen-parameter serving splits
-    # (all four trainable ops now have one), the trained-filter
-    # flagship they unlock, tokenizer fertility
+    # new this round — r9 (7): the frozen-parameter serving splits
+    # (all four trainable ops now have one), the PSI refit trigger,
+    # the trained-filter flagship they unlock, tokenizer fertility
     "quality_classifier_score_documents",
     "semdedup_frozen_embeddings",
     "dboost_mixture_frozen_lineitem",
@@ -4987,7 +4987,9 @@ _GATE_HEAD = [
     "inclusion_orders_customer",
     "dboost_pearson_lineitem",
     "top_keywords_documents",
-    # family flagships — regression rotation (26)
+    # family flagships — regression rotation (23; simhash /
+    # eval_metrics / ccnet_buckets rotated out this round — each
+    # passed in the r8 head — to hold the head at the driver's 50)
     "curate_corpus_documents",
     "curation_funnel_documents",
     "curate_sft_batches_documents",
