@@ -475,6 +475,27 @@ def test_parallel_runner_groups_cover_all_modules():
                 k_exprs.append(fs[fs.index("-k") + 1])
         mm = mod["MM_K"]
         assert sorted(k_exprs) == sorted([mm, f"not ({mm})"])
+    # modules that ride inside a "not (MM_K)" invocation but are NOT
+    # themselves split (test_dboost, test_pipeline): a test name
+    # matching an MM_K term would be deselected there and run NOWHERE
+    # (mm only runs test_ops.py). Enforce zero collisions.
+    import re
+
+    subs = [s.strip() for s in mod["MM_K"].split(" or ")]
+    for g, fs in mod["GROUPS"].items():
+        if "-k" not in fs or not fs[fs.index("-k") + 1].startswith("not ("):
+            continue
+        for f in fs:
+            if not f.endswith(".py") or f.endswith("test_ops.py"):
+                continue
+            names = re.findall(
+                r"(?m)^def (test_\w+)", open(os.path.join(repo, f)).read()
+            )
+            hits = [n for n in names if any(s in n for s in subs)]
+            assert not hits, (
+                f"{f} rides in group {g!r} under 'not (MM_K)' but these test"
+                f" names match MM_K terms and would run nowhere: {hits}"
+            )
 
 
 def test_mm_group_partition_catches_multimodal_tests():

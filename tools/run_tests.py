@@ -32,48 +32,63 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # index 9.6+7.4 s, ks/W1 10.2+5.2 s, classifier 8.9+7.1 s, ...).
 MM_K = (
     "multimodal or png_decode or wav_decode or image_ or audio_ or video_"
-    " or greedy_keepset or pq_index or ivf_pq or quality_classifier"
+    " or greedy_keepset or pq_index or ivf_ or quality_classifier"
     " or dedup_agreement or test_ks or minhash_pairs_contract"
-    " or component_split or curate_with_trained"
+    " or component_split or curate_with_trained or semdedup"
+    " or prefix_filter or band_join or minhash_identical_flood"
+    " or curate_corpus_neardup or curate_neardup or span_dedup"
+    " or prefix_jaccard or wasserstein_known or domain_mix or mad_outliers"
 )
 
 # Balanced by measured walls — update when a group's time drifts past
 # the max; the runner prints per-group walls.
 GROUPS: dict[str, list[str]] = {
-    "ops": ["tests/test_ops.py", "tests/test_dboost.py", "-k", f"not ({MM_K})"],
+    "ops": [
+        "tests/test_ops.py",
+        "tests/test_dboost.py",
+        "tests/test_pipeline.py",
+        "-k",
+        f"not ({MM_K})",
+    ],
     "mm": ["tests/test_ops.py", "-k", MM_K],
     "props": [
         "tests/test_properties.py",
         "tests/test_clustering.py",
         "tests/test_matching.py",
         "tests/test_temporal.py",
-        "tests/test_tokenize.py",
-        "tests/test_bpe.py",
         "tests/test_plans.py",
     ],
     "rest": [
         "tests/test_streaming.py",
-        "tests/test_pipeline.py",
         "tests/test_rules.py",
         "tests/test_profiler.py",
         "tests/test_functions.py",
         "tests/test_tpch_ext.py",
+        "tests/test_tokenize.py",
+        "tests/test_bpe.py",
     ],
 }
-# r9 rebalance (two steps): rest hit 478 s under 4-way concurrency →
-# test_plans moved rest → props; the round's new streaming test put
-# rest back at 468 (ops 368 / mm 274 / props 425) → test_dboost
-# (42 s standalone) moved rest → ops. Back-to-back full runs swing
-# every wall ±10% on ambient load alone (rest measured 468 then 490
-# across consecutive runs with LESS work in the second), so judge
-# rebalances on the spread of several runs, not one number. NOTE
-# test_dboost rides inside ops' "not (MM_K)" invocation — its test
-# names must never collide with MM_K terms (none do; the partition
-# test enforces file coverage and the sanctioned-dupe rule). A 5th
-# group regressed every wall (JVM oversubscription: 5 x local[32] on
-# 32 cpus), so keep rebalancing by moving MODULES between groups (mm
-# can't absorb modules — its -k filter applies to the whole
-# invocation).
+# r9 rebalance history: rest hit 478 s under 4-way concurrency →
+# test_plans moved rest → props; new streaming tests put rest back at
+# 468 → test_dboost moved rest → ops. Late-r9 (after ~100 s of new
+# frozen-split tests): clean 4-way walls ops 460 / mm 325 / props 502
+# / rest 533 against per-module measurements (streaming 246,
+# properties 278, pipeline 110, ops-solo 264) → THIRD rebalance: ~50 s
+# of test_ops names moved into MM_K (mm is the only group that can
+# absorb test_ops weight — its -k applies to the whole invocation, so
+# plain modules can't join it), test_pipeline rest → ops, test_bpe +
+# test_tokenize props → rest; a second ~35 s name shift ops → mm after
+# ops became the max. Final clean measurement: ops 446 / mm 419 /
+# props 447 / rest 460 (max 460, spread 41 — the 373-test suite's
+# equalized floor on 32 cpus). Back-to-back full runs swing every wall
+# ±10% on ambient load alone, so judge rebalances on the spread of
+# several runs, not one number. NOTE test_dboost and test_pipeline
+# ride inside ops' "not (MM_K)" invocation — their test names must
+# never collide with MM_K terms (the partition test in test_plans
+# enforces zero collisions, file coverage, and the sanctioned-dupe
+# rule). A 5th group regressed every wall (JVM oversubscription:
+# 5 x local[32] on 32 cpus), so rebalance by moving modules/names, not
+# by adding JVMs.
 
 
 def main() -> int:
