@@ -15,12 +15,27 @@ pure-expression parameters the registered scoring queries run under:
   centroids (k=16, seed=42) fitted on the embeddings table, rounded
   to 6 decimals so the frozen assignment can run in exact scaled-
   integer arithmetic in both engines.
+* ``resources/fixture_gmm_params.json`` — the seeded Spark ML
+  GaussianMixture fit on (l_quantity, l_extendedprice): weights,
+  means, symmetrized inverse covariances, and the precomputed
+  erf-free Mahalanobis² thresholds t² = 2·erfinv(1−cutoff/w)²
+  (erfinv solved here by bisection+Newton on math.erf — no scipy).
+* ``resources/fixture_colcluster.json`` — the column-clustering
+  KMeans fit (k=4, seed=42) over MinMax-scaled profile vectors of the
+  four match tables: feature list, per-feature scaler bounds, and
+  centroids, all quantized at 6 decimals for exact micro-unit
+  arithmetic.
+* ``resources/fixture_quality_ref_dist.json`` — the frozen quality
+  scorer's freeze-time margin distribution (10 equi-width bins:
+  [lo, hi] edges + per-bin integer counts) — the PSI reference for
+  the serving-split refit trigger.
 
 Mirrors the bpe_learn/bpe_encode split of r8: TRAINING stays an
 iterative library path (pytest-covered); SCORING under the frozen
 parameters is expression arithmetic with an exact DuckDB oracle.
 
-Usage: python tools/gen_frozen_fixtures.py [sf_dir]
+Usage: python tools/gen_frozen_fixtures.py [sf_dir] [section...]
+  sections: quality semdedup gmm colcluster qualref (default: all)
 """
 
 from __future__ import annotations
