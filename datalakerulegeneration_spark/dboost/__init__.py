@@ -9,5 +9,6 @@ from datalakerulegeneration_spark.dboost.models import (  # noqa: F401
     HistogramModel,
     PartitionedHistogramModel,
     MixtureModel,
+    FrozenMixtureModel,
     outliers,
 )

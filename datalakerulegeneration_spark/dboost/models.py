@@ -429,3 +429,27 @@ FROM {table}
 WHERE {a} IS NOT NULL AND {b} IS NOT NULL
   AND {pred}
 """
+
+
+@dataclass
+class FrozenMixtureModel:
+    """:class:`MixtureModel` pre-fitted with FROZEN parameters — the
+    drop-in for :func:`outliers` pipelines that serve the pinned fit
+    (D9's --train-with posture taken to its limit: no fit at all at
+    scoring time). ``fit`` is a no-op by contract; scoring delegates
+    to :func:`frozen_mixture_outliers`, so it composes with the other
+    models' plans in one ``outliers()`` union while staying the exact
+    scan-fused quadratic filter."""
+
+    params: dict | None = None
+    model_ = True  # _is_fitted marker: never auto-fit
+
+    def fit(self, train: DataFrame, pair=None) -> "FrozenMixtureModel":
+        return self  # frozen — a refit goes through gen_frozen_fixtures
+
+    def find_discrepancies(self, test: DataFrame) -> DataFrame:
+        out = frozen_mixture_outliers(test, params=self.params)
+        # the pipeline union's discrepancy contract is a STRING value
+        # (_emit); the registered standalone query keeps DOUBLE for its
+        # raw-double oracle compare
+        return out.withColumn("value", F.col("value").cast("string"))

@@ -58,7 +58,7 @@ def baseline_shares(
 
 def psi_drift_stream(
     stream: DataFrame,
-    baseline: DataFrame,
+    baseline: DataFrame | None,
     col: str,
     lo: float,
     hi: float,
@@ -66,6 +66,7 @@ def psi_drift_stream(
     ts_col: str = "ts",
     window: str = "1 hour",
     watermark: str = "30 minutes",
+    shares: list[float] | None = None,
 ) -> DataFrame:
     """Per-event-time-window PSI of ``col`` against a static baseline.
 
@@ -74,8 +75,21 @@ def psi_drift_stream(
     baseline shares as literals, so the whole monitor is a single
     incremental stateful operator — no stream-stream join, no
     per-row Python. Emits (window_start, window_end, n, psi).
-    """
-    shares = baseline_shares(baseline, col, lo, hi, n_bins)
+
+    Pass ``shares`` to skip the baseline scan entirely — the frozen
+    serving splits' STREAMING refit trigger: feed the freeze-time
+    reference distribution (e.g. ``fixture_quality_ref_dist.json``'s
+    counts normalized) and monitor the live scored stream against it
+    continuously; refit + re-freeze when a window's PSI crosses 0.2
+    (the batch twin is ``ops.drift.psi_frozen``)."""
+    if shares is None:
+        if baseline is None:
+            raise ValueError("psi_drift_stream: need a baseline frame or shares")
+        shares = baseline_shares(baseline, col, lo, hi, n_bins)
+    if len(shares) != n_bins:
+        raise ValueError(
+            f"psi_drift_stream: {len(shares)} shares for n_bins={n_bins}"
+        )
     width = (hi - lo) / n_bins or 1.0
     v = F.expr(f"try_cast({col} as double)")
     b = F.least(

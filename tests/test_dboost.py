@@ -297,3 +297,45 @@ def test_frozen_mixture_agrees_with_em_scorer(spark):
         np.maximum(best, s, out=best)
     exp = set(pdf["__row_id"][best < p["cutoff"]])
     assert got == exp
+
+
+def test_frozen_mixture_model_in_outliers_pipeline(spark, sensors):
+    """FrozenMixtureModel composes with the other models in ONE
+    outliers() union (fit is a no-op by contract; the string-value
+    cast matches the _emit discrepancy schema), flagging the planted
+    corruption rows under frozen parameters."""
+    import math
+
+    from datalakerulegeneration_spark.dboost import FrozenMixtureModel, GaussianModel, outliers
+
+    # frozen "fit": one tight gaussian around the clean operating
+    # point; planted (122.0, 0.1) rows sit far outside
+    t2 = 2.0 * 3.0**2  # cutoff at 3 sigma-equivalents
+    params = {
+        "pair": ["temperature__id", "voltage__id"],
+        "cutoff": 0.05,
+        "components": [
+            {
+                "weight": 1.0,
+                "mean": [21.5, 2.62],
+                "icov": [[0.25, 0.0], [0.0, 400.0]],
+                "t2": t2,
+            }
+        ],
+    }
+    res = outliers(
+        sensors,
+        sensors,
+        [GaussianModel(tol=3.0), FrozenMixtureModel(params=params)],
+        row_id_col="rid",
+        columns=["temperature", "voltage"],
+    )
+    assert res.schema["value"].dataType.simpleString() == "string"
+    frozen_rows = {
+        int(r["row_id"])
+        for r in res.where(F.col("feature") == "temperature__id|voltage__id").collect()
+    }
+    assert {100, 500, 900} <= frozen_rows
+    # the no-op fit honors the frozen contract
+    m = FrozenMixtureModel(params=params)
+    assert m.fit(sensors) is m

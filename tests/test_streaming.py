@@ -1331,3 +1331,51 @@ def test_domain_guard_stream_vs_python_model(spark, tmp_path):
     q2.awaitTermination(180)
     assert sorted(r["doc_id"] for r in g2.survivors().collect()) == got
     assert {r["domain"]: r["n_admitted"] for r in g2.admitted_counts().collect()} == counts
+
+
+def test_psi_drift_stream_frozen_reference(spark, sf_tables):
+    """Streaming refit trigger (r9): psi_drift_stream with LITERAL
+    shares (no baseline scan) — fed the vendored freeze-time quality
+    reference, the one-window PSI over the frozen-scored documents
+    equals the batch psi_frozen total; a planted score shift crosses
+    the 0.2 refit threshold."""
+    from datalakerulegeneration_spark.ops.drift import psi_frozen
+    from datalakerulegeneration_spark.ops.quality_model import (
+        frozen_linear_score,
+        load_frozen_ref_dist,
+    )
+    from datalakerulegeneration_spark.streaming import psi_drift_stream
+
+    ref = load_frozen_ref_dist()
+    shares = [c / sum(ref["ref_counts"]) for c in ref["ref_counts"]]
+    docs = sf_tables["documents"]
+    scored = frozen_linear_score(docs, "doc_id", "text").withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    one = psi_drift_stream(
+        scored, None, "quality_score",
+        lo=ref["lo"], hi=ref["hi"], n_bins=len(shares),
+        window="520 weeks", shares=shares,
+    ).collect()
+    assert len(one) == 1
+    batch = psi_frozen(
+        scored, "quality_score", ref["lo"], ref["hi"], ref["ref_counts"]
+    ).collect()
+    assert abs(one[0]["psi"] - sum(r["psi_term"] for r in batch)) < 1e-4
+    # a uniform margin shift (vocabulary drift) must trip the trigger
+    shifted = scored.withColumn("quality_score", F.col("quality_score") + F.lit(40.0))
+    psi_shift = psi_drift_stream(
+        shifted, None, "quality_score",
+        lo=ref["lo"], hi=ref["hi"], n_bins=len(shares),
+        window="520 weeks", shares=shares,
+    ).collect()[0]["psi"]
+    assert psi_shift > 0.2
+    # guards: shares xor baseline; width mismatch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="baseline frame or shares"):
+        psi_drift_stream(scored, None, "quality_score", lo=0.0, hi=1.0)
+    with _pytest.raises(ValueError, match="shares for n_bins"):
+        psi_drift_stream(
+            scored, None, "quality_score", lo=0.0, hi=1.0, n_bins=4, shares=shares
+        )
