@@ -81,15 +81,23 @@ def psi_bins(
     tot = j.agg(
         F.sum("base_n").alias("bt"), F.sum("cur_n").alias("ct")
     )
-    ba = F.greatest(F.col("base_n").cast("double") / F.col("bt").cast("double"), F.lit(_EPS))
-    cu = F.greatest(F.col("cur_n").cast("double") / F.col("ct").cast("double"), F.lit(_EPS))
+    # EMPTY side (no castable rows): shares/psi go NULL instead of the
+    # ANSI divide-by-zero throw — explicit CASE, not greatest(NULL, eps)
+    # (cross-engine NULL handling differs there; see psi_frozen)
+    empty = (F.col("bt") == F.lit(0)) | (F.col("ct") == F.lit(0))
+    bshare = F.col("base_n").cast("double") / F.nullif(F.col("bt").cast("double"), F.lit(0.0))
+    cshare = F.col("cur_n").cast("double") / F.nullif(F.col("ct").cast("double"), F.lit(0.0))
+    ba = F.greatest(bshare, F.lit(_EPS))
+    cu = F.greatest(cshare, F.lit(_EPS))
     return (
         j.join(F.broadcast(tot))
         .select(
             "bin",
-            F.round(F.col("base_n").cast("double") / F.col("bt").cast("double"), 6).alias("base_share"),
-            F.round(F.col("cur_n").cast("double") / F.col("ct").cast("double"), 6).alias("cur_share"),
-            F.round((ba - cu) * F.log(ba / cu), 6).alias("psi_term"),
+            F.round(bshare, 6).alias("base_share"),
+            F.round(cshare, 6).alias("cur_share"),
+            F.when(empty, F.lit(None).cast("double"))
+            .otherwise(F.round((ba - cu) * F.log(ba / cu), 6))
+            .alias("psi_term"),
         )
     )
 
@@ -127,12 +135,14 @@ j AS (
   FROM bins LEFT JOIN base ON bins.bin = base.bin LEFT JOIN cur ON bins.bin = cur.bin
 ), tot AS (SELECT sum(base_n) AS bt, sum(cur_n) AS ct FROM j)
 SELECT CAST(j.bin AS BIGINT) AS bin,
-       round(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), 6) AS base_share,
-       round(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), 6) AS cur_share,
+       round(CAST(base_n AS DOUBLE) / CAST(nullif(bt, 0) AS DOUBLE), 6) AS base_share,
+       round(CAST(cur_n AS DOUBLE) / CAST(nullif(ct, 0) AS DOUBLE), 6) AS cur_share,
+       CASE WHEN bt = 0 OR ct = 0 THEN NULL ELSE
        round((greatest(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), {_EPS!r})
             - greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r}))
            * ln(greatest(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), {_EPS!r})
-              / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6) AS psi_term
+              / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6)
+       END AS psi_term
 FROM j, tot
 """
 
@@ -238,16 +248,23 @@ def psi_table(
     w_tot = (
         j.groupBy("col_name").agg(F.sum("base_n").alias("bt"), F.sum("cur_n").alias("ct"))
     )
-    ba = F.greatest(F.col("base_n").cast("double") / F.col("bt").cast("double"), F.lit(_EPS))
-    cu = F.greatest(F.col("cur_n").cast("double") / F.col("ct").cast("double"), F.lit(_EPS))
+    # all-NULL column on either side (bt/ct = 0): NULL shares/psi for
+    # that column instead of the ANSI divide-by-zero throw (see psi_bins)
+    empty = (F.col("bt") == F.lit(0)) | (F.col("ct") == F.lit(0))
+    bshare = F.col("base_n").cast("double") / F.nullif(F.col("bt").cast("double"), F.lit(0.0))
+    cshare = F.col("cur_n").cast("double") / F.nullif(F.col("ct").cast("double"), F.lit(0.0))
+    ba = F.greatest(bshare, F.lit(_EPS))
+    cu = F.greatest(cshare, F.lit(_EPS))
     return (
         j.join(F.broadcast(w_tot), "col_name")
         .select(
             "col_name",
             "bin",
-            F.round(F.col("base_n").cast("double") / F.col("bt").cast("double"), 6).alias("base_share"),
-            F.round(F.col("cur_n").cast("double") / F.col("ct").cast("double"), 6).alias("cur_share"),
-            F.round((ba - cu) * F.log(ba / cu), 6).alias("psi_term"),
+            F.round(bshare, 6).alias("base_share"),
+            F.round(cshare, 6).alias("cur_share"),
+            F.when(empty, F.lit(None).cast("double"))
+            .otherwise(F.round((ba - cu) * F.log(ba / cu), 6))
+            .alias("psi_term"),
         )
     )
 
@@ -295,12 +312,14 @@ j AS (
   SELECT col_name, sum(base_n) AS bt, sum(cur_n) AS ct FROM j GROUP BY col_name
 )
 SELECT j.col_name, j.bin,
-       round(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), 6) AS base_share,
-       round(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), 6) AS cur_share,
+       round(CAST(base_n AS DOUBLE) / CAST(nullif(bt, 0) AS DOUBLE), 6) AS base_share,
+       round(CAST(cur_n AS DOUBLE) / CAST(nullif(ct, 0) AS DOUBLE), 6) AS cur_share,
+       CASE WHEN bt = 0 OR ct = 0 THEN NULL ELSE
        round((greatest(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), {_EPS!r})
             - greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r}))
            * ln(greatest(CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE), {_EPS!r})
-              / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6) AS psi_term
+              / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6)
+       END AS psi_term
 FROM j JOIN tot ON j.col_name = tot.col_name
 """
 
@@ -699,7 +718,16 @@ def psi_frozen(
     )
     tot = j.agg(F.sum("cur_n").alias("ct"))
     rs = F.col("ref_n").cast("double") / F.lit(float(rt))
-    cs = F.col("cur_n").cast("double") / F.col("ct").cast("double")
+    # an EMPTY current load (ct = 0: no castable rows at all) has no
+    # distribution to compare — shares/psi go NULL instead of the ANSI
+    # divide-by-zero throw. The empty case is an EXPLICIT CASE in both
+    # engines: greatest(NULL, eps) NULL-handling differs cross-engine
+    # (Spark skips NULLs, so the term would silently compute against a
+    # floored share), so the EPS floor only ever sees non-NULL shares.
+    empty = F.col("ct") == F.lit(0)
+    cs = F.col("cur_n").cast("double") / F.nullif(
+        F.col("ct").cast("double"), F.lit(0.0)
+    )
     ra, ca = F.greatest(rs, F.lit(_EPS)), F.greatest(cs, F.lit(_EPS))
     return (
         j.join(F.broadcast(tot))
@@ -707,7 +735,9 @@ def psi_frozen(
             "bin",
             F.round(rs, 6).alias("ref_share"),
             F.round(cs, 6).alias("cur_share"),
-            F.round((ra - ca) * F.log(ra / ca), 6).alias("psi_term"),
+            F.when(empty, F.lit(None).cast("double"))
+            .otherwise(F.round((ra - ca) * F.log(ra / ca), 6))
+            .alias("psi_term"),
         )
     )
 
@@ -746,10 +776,12 @@ _psi_j AS (
 ), _psi_tot AS (SELECT sum(cur_n) AS ct FROM _psi_j)
 SELECT CAST(_psi_j.bin AS BIGINT) AS bin,
        round(CAST(ref_n AS DOUBLE) / {_dlit(float(rt))}, 6) AS ref_share,
-       round(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), 6) AS cur_share,
+       round(CAST(cur_n AS DOUBLE) / CAST(nullif(ct, 0) AS DOUBLE), 6) AS cur_share,
+       CASE WHEN ct = 0 THEN NULL ELSE
        round((greatest(CAST(ref_n AS DOUBLE) / {_dlit(float(rt))}, {_EPS!r})
             - greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r}))
            * ln(greatest(CAST(ref_n AS DOUBLE) / {_dlit(float(rt))}, {_EPS!r})
-              / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6) AS psi_term
+              / greatest(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), {_EPS!r})), 6)
+       END AS psi_term
 FROM _psi_j, _psi_tot
 """

@@ -3596,6 +3596,11 @@ def test_psi_frozen_refit_trigger(spark):
     edge = spark.createDataFrame([(-5.0,), (500.0,), (None,)], "x double")
     out = {r["bin"]: r["cur_share"] for r in psi_frozen(edge, "x", 0.0, 100.0, ref_counts).collect()}
     assert out[0] == 0.5 and out[9] == 0.5
+    # EMPTY current load (all NULL): shares/psi NULL, no ANSI
+    # divide-by-zero throw (fuzz-found; same guard in the DuckDB twin)
+    nul = spark.createDataFrame([(None,), (None,)], "x double")
+    rows_n = psi_frozen(nul, "x", 0.0, 100.0, ref_counts).collect()
+    assert all(r["cur_share"] is None and r["psi_term"] is None for r in rows_n)
     # validation
     import pytest as _pytest
 

@@ -1168,3 +1168,43 @@ def test_frozen_colcluster_matches_duckdb_on_random_params(spark, pts, k, rnd):
         ).fetchall()
     )
     assert got == exp
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(-1e5, 1e5, allow_nan=False, width=64)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=2, max_value=8),
+    st.randoms(use_true_random=False),
+)
+def test_psi_frozen_matches_duckdb_on_random_bins(spark, vals, n_bins, rnd):
+    """r9 refit-trigger fuzz: random frozen edges and reference counts
+    (including empty bins) over random/NULL current loads — shares,
+    clamping, EPS floors, and 6-dp psi terms agree exactly with the
+    DuckDB twin (reference shares divide identical integer literals)."""
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.ops.drift import psi_frozen, psi_frozen_sql
+
+    lo = round(rnd.uniform(-1e4, 1e4), 6)
+    hi = round(lo + rnd.uniform(1e-3, 1e4), 6)
+    ref_counts = [rnd.randint(0, 50) for _ in range(n_bins)]
+    if sum(ref_counts) == 0:
+        ref_counts[0] = 1
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = sorted(
+        (r["bin"], r["ref_share"], r["cur_share"], r["psi_term"])
+        for r in psi_frozen(df, "x", lo, hi, ref_counts).collect()
+    )
+    con = duckdb.connect()
+    con.register("curload", pd.DataFrame({"x": pd.Series(vals, dtype="float64")}))
+    exp = sorted(
+        map(tuple, con.execute(
+            psi_frozen_sql("SELECT * FROM curload", "x", lo, hi, ref_counts)
+        ).fetchall())
+    )
+    assert got == exp
