@@ -177,11 +177,11 @@ def _stage2(
 
 
 def _micro6(x: float) -> int:
-    """Exact micro-unit integer of a 6-decimal-quantized value — the
-    shared frozen-parameter conversion (ops.similarity._centroids_micro)."""
-    from decimal import Decimal
+    """Exact micro-unit integer of a 6-decimal-quantized value
+    (shared convention: functions.exact.micro6)."""
+    from datalakerulegeneration_spark.functions.exact import micro6
 
-    return int(Decimal(str(round(float(x), 6))).scaleb(6))
+    return micro6(x)
 
 
 def load_frozen_colcluster(path: str | None = None) -> dict:

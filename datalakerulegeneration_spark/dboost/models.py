@@ -292,11 +292,13 @@ def _is_fitted(m) -> bool:
 # is monotone-decreasing in each component's Mahalanobis distance, so
 # inverting per component gives an EXACT threshold transform
 #
-#     outlier  ⟺  ∀k with w_k > cutoff:  maha²_k > t²_k,
+#     outlier  ⟺  ∀k with w_k >= cutoff:  maha²_k > t²_k,
 #     t²_k = 2 · erfinv(1 − cutoff / w_k)²
 #
-# (components with w_k ≤ cutoff can never clear the cutoff at any
-# distance, so they impose no constraint). erfinv is evaluated ONCE at
+# (components with w_k < cutoff can never clear the cutoff at any
+# distance, so they impose no constraint; at w_k == cutoff the
+# formula gives exactly t² = 0, keeping only the mean point — the
+# strict < criterion's behavior). erfinv is evaluated ONCE at
 # freeze time (tools/gen_frozen_fixtures.py) and shipped as a literal;
 # the per-row score is a fixed-order quadratic form over literals.
 #
@@ -313,9 +315,11 @@ def _is_fitted(m) -> bool:
 
 
 def _dlit(x: float) -> str:
-    """A double literal with identical bits in Spark SQL and DuckDB:
-    correctly-rounded parse of repr(x) on both sides."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    """A double literal with identical bits in Spark SQL and DuckDB
+    (shared convention: functions.exact.dlit)."""
+    from datalakerulegeneration_spark.functions.exact import dlit
+
+    return dlit(x)
 
 
 def load_frozen_gmm(path: str | None = None) -> dict:
@@ -368,7 +372,7 @@ def _maha2_sql(xa: str, xb: str, comp: dict) -> str:
 def _frozen_outlier_predicate_sql(xa: str, xb: str, params: dict) -> str:
     """The exact erf-free outlier predicate: every component with
     weight above the cutoff must sit beyond its frozen Mahalanobis²
-    threshold. Components at or below the cutoff (t2 = None) are
+    threshold. Components below the cutoff (t2 = None) are
     unconditionally satisfied and emit no clause."""
     clauses = [
         f"{_maha2_sql(xa, xb, c)} > {_dlit(c['t2'])}"

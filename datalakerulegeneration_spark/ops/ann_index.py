@@ -96,6 +96,24 @@ def _reconstruct(codes: DataFrame, anchors: DataFrame, carry: tuple[str, ...] = 
     )
 
 
+def _require_local_index_path(path: str) -> None:
+    """The manifest commit protocol relies on POSIX rename atomicity
+    (``os.replace``), so the index path must be a LOCAL filesystem
+    path in this build. A URI-scheme path (hdfs://, s3a://, ...)
+    would silently bypass the manifest (os.path checks all miss) and
+    crash on the manifest write — refuse loudly instead. Remote
+    object stores need a rename-atomic commit service (e.g. a real
+    table format's commit log); HDFS users can mount via NFS or port
+    _write_codes_manifest to the Hadoop FileSystem API."""
+    import re
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        raise NotImplementedError(
+            f"pq index paths must be local-filesystem paths (got {path!r}): "
+            "the codes_MANIFEST commit protocol uses POSIX atomic rename"
+        )
+
+
 def _codes_dirs(path: str) -> list[str]:
     """Committed code-directory names for the index at ``path``.
 
@@ -109,6 +127,7 @@ def _codes_dirs(path: str) -> list[str]:
     import json
     import os
 
+    _require_local_index_path(path)
     manifest = os.path.join(path, "codes_MANIFEST")
     if os.path.exists(manifest):
         with open(manifest) as fh:
@@ -121,6 +140,7 @@ def _write_codes_manifest(path: str, dirs: list[str]) -> None:
     import json
     import os
 
+    _require_local_index_path(path)
     manifest = os.path.join(path, "codes_MANIFEST")
     tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:
@@ -326,6 +346,10 @@ def pq_index_append(
         vectors[id_col] == F.col("_seen"),
         "left_anti",
     )
+    # pin the anti-join result: isEmpty() and the delta encode below
+    # would otherwise each re-run the full-index scan + anti-join
+    # (r9 review — doubled per-append cost on a large index)
+    fresh = fresh.localCheckpoint(eager=True)
     if fresh.isEmpty():
         return  # full replay — nothing to publish, no manifest churn
     # next version = 1 + highest codes_v* ON DISK (not in the manifest):

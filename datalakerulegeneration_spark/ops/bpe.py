@@ -115,11 +115,15 @@ def bpe_learn(
     32k sequential jobs for a 32k vocabulary. With ``merges_per_scan=K``
     each scan admits up to K pairs from its count table, greedily in
     (count desc, left, right) order, SKIPPING any pair that shares a
-    symbol with one already admitted this scan — symbol-disjoint
-    replaces cannot interact, so applying the batch in recorded order
-    equals applying it simultaneously, and a frozen-merge replay
-    (:func:`bpe_encode`, :func:`apply_merges_py`) reproduces the
-    trainer's segmentation exactly. Documented semantics delta vs
+    symbol with one already admitted this scan. The batch applies
+    SEQUENTIALLY in recorded order — which is also exactly how
+    :func:`bpe_encode` and :func:`apply_merges_py` replay it, so a
+    frozen-merge replay reproduces the trainer's segmentation exactly.
+    (Sequential ≠ simultaneous in one corner: the name check does not
+    see CONCATENATIONS, so a batch may admit ('ab','c') alongside
+    ('abc','d'), and the 'abc' tokens the first merge creates are then
+    eligible for the second — every consumer applies the same
+    sequential rule, so all paths stay mutually consistent; r9 review.) Documented semantics delta vs
     strict Sennrich (pytest-pinned): pairs after the first in a batch
     are chosen from counts as of the SCAN, not re-counted after the
     preceding same-batch merges — the standard batched-BPE trade
@@ -260,7 +264,7 @@ def bpe_encode_sql(table: str, id_col: str, text_col: str, merges) -> str:
 WITH t AS (
   SELECT id, u.pos AS pos, u.word AS word FROM (
     SELECT {id_col} AS id,
-           list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '') AS toks
+           list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
     FROM {table} WHERE {text_col} IS NOT NULL
   ), LATERAL (
     SELECT unnest(list_transform(toks, (x, i) -> {{'pos': i, 'word': x}}),
@@ -345,7 +349,7 @@ WITH e AS ({enc}),
 b AS (
   SELECT {id_col} AS id, {group_col} AS grp,
          CASE WHEN {text_col} IS NULL THEN CAST(0 AS BIGINT)
-              ELSE CAST(len(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+              ELSE CAST(len(list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'),
                         x -> x <> '')) AS BIGINT) END AS n_words
   FROM {table}
 )

@@ -121,7 +121,7 @@ SELECT DISTINCT id, shingle FROM (
            i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
          )) AS shingle
   FROM (
-    SELECT {id_col}, list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '') AS toks
+    SELECT {id_col}, list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks
     FROM {table}
   ) base
   WHERE len(toks) >= {n}
@@ -794,7 +794,7 @@ WITH t AS (
          ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
   FROM (
     SELECT {id_col},
-           unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')) AS tok
+           unnest(list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS tok
     FROM {table}
   )
 ),
@@ -1086,7 +1086,7 @@ def winnow_fingerprints_sql(
     """DuckDB oracle for :func:`winnow_fingerprints` (same positioned
     grams, same rightmost-min-per-window selection via lexicographic
     ROW minimum)."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {toks} AS toks FROM {table}
@@ -1299,7 +1299,7 @@ def minhash_greedy_keepset_sql(
     md5 minhash SQL as :func:`minhash_dedup_sql`. Isolated vertices and
     signature-less documents short-circuit to kept outside the
     recursion."""
-    toks = f"list_filter(string_split_regex(lower(txt), '\\s+'), t -> t <> '')"
+    toks = f"list_filter(string_split_regex(lower(txt), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
     mh = minhash_dedup_sql("ddocs", "did", "txt", threshold, n, k, bands).strip()
     return f"""
 WITH RECURSIVE
@@ -1800,7 +1800,7 @@ def span_dedup_sql(
     """DuckDB oracle for :func:`span_dedup` (same tokenizer, same
     md5-derived gram hash — 60-bit prefix or full 128-bit digest,
     matching the Spark side — same coverage semantics)."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
     gram_text = f"array_to_string(list_slice(toks, i, i + {w - 1}), ' ')"
     gram_hash = (
         f"md5({gram_text})"

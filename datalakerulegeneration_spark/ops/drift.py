@@ -659,10 +659,11 @@ def wasserstein_table_sql(base_sql: str, cur_sql: str, cols: list[str]) -> str:
 
 
 def _dlit(x: float) -> str:
-    """Double literal with identical bits in Spark SQL and DuckDB —
-    correctly-rounded string→double parse on both sides (the frozen
-    family's literal convention, dboost.models._dlit)."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    """Double literal with identical bits in Spark SQL and DuckDB
+    (shared convention: functions.exact.dlit)."""
+    from datalakerulegeneration_spark.functions.exact import dlit
+
+    return dlit(x)
 
 
 def psi_frozen(

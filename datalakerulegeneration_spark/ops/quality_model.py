@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 
 N_FEATURES = 1 << 18
 
+# The Spark twins split on Java-regex \s = [ \t\n\x0B\f\r]; DuckDB's
+# RE2 \s OMITS U+000B (vertical tab), so the oracle twins spell the
+# Java set explicitly — a '\x0B'-adjacent vocabulary token would
+# otherwise count differently per engine (r9 review finding, verified).
+_WS_RE2 = r"[ \t\n\x0B\f\r]+"
+
 
 def weak_quality_labels(
     df: DataFrame,
@@ -183,16 +189,16 @@ def frozen_linear_score_sql(
         w2, b2 = load_frozen_weights()
         weights = w2 if weights is None else weights
         bias = b2 if bias is None else bias
-    terms = [repr(float(bias))]
+    terms = [f"CAST('{float(bias)!r}' AS DOUBLE)"]
     for t in sorted(weights):
         terms.append(
-            f"({weights[t]!r}) * CAST(len(list_filter(_qtoks, x -> x = '{t}')) AS DOUBLE)"
+            f"CAST('{weights[t]!r}' AS DOUBLE) * CAST(len(list_filter(_qtoks, x -> x = '{t}')) AS DOUBLE)"
         )
     score = " + ".join(terms)
     return f"""
 WITH toks AS (
   SELECT {id_col} AS id,
-         string_split_regex(lower({text_col}), '\\s+') AS _qtoks
+         string_split_regex(lower({text_col}), '{_WS_RE2}') AS _qtoks
   FROM {table} WHERE {text_col} IS NOT NULL
 ),
 scored AS (SELECT id, {score} AS _score FROM toks)
@@ -236,11 +242,11 @@ def frozen_prob_sql_expr(text_col: str, weights: dict[str, float] | None = None,
         w2, b2 = load_frozen_weights()
         weights = w2 if weights is None else weights
         bias = b2 if bias is None else bias
-    toks = f"string_split_regex(lower({text_col}), '\\s+')"
-    terms = [repr(float(bias))]
+    toks = f"string_split_regex(lower({text_col}), '{_WS_RE2}')"
+    terms = [f"CAST('{float(bias)!r}' AS DOUBLE)"]
     for t in sorted(weights):
         terms.append(
-            f"({weights[t]!r}) * CAST(len(list_filter({toks}, x -> x = '{t}')) AS DOUBLE)"
+            f"CAST('{weights[t]!r}' AS DOUBLE) * CAST(len(list_filter({toks}, x -> x = '{t}')) AS DOUBLE)"
         )
     chain = " + ".join(terms)
     return f"round(1.0 / (1.0 + exp(-({chain}))), 6)"

@@ -444,9 +444,9 @@ def load_semdedup_centroids(path: str | None = None) -> list[list[float]]:
 def _centroids_micro(centroids) -> list[list[int]]:
     """Centroids as exact micro-unit integers (×10^6) — the shared
     conversion both the Spark impl and the SQL twin must use."""
-    from decimal import Decimal
+    from datalakerulegeneration_spark.functions.exact import micro6
 
-    return [[int(Decimal(str(x)).scaleb(6)) for x in c] for c in centroids]
+    return [[micro6(x) for x in c] for c in centroids]
 
 
 _V6 = (

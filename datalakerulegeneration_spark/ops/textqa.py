@@ -49,7 +49,7 @@ def token_count(
 def token_count_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
 SELECT {id_col} AS id,
-       len(list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')) AS n_tokens,
+       len(list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS n_tokens,
        len(regexp_extract_all({text_col}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_subwords
 FROM {table}
 """
@@ -109,7 +109,7 @@ def language_id_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
 WITH t AS (
   SELECT {id_col} AS id, {text_col} AS txt,
-         list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM {table}
 ), s AS (
   SELECT id, txt, toks,
@@ -162,7 +162,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def quality_sql_expr(text_col: str) -> str:
     """The quality score as a DuckDB scalar expression (the oracle twin
     of :func:`quality_col`)."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     n_tok = f"CAST(len({toks}) AS DOUBLE)"
     n_chars = f"CAST(length({text_col}) AS DOUBLE)"
     alpha = (
@@ -221,7 +221,7 @@ def ntokens_col(text_col: str):
 
 def ntokens_sql_expr(text_col: str) -> str:
     return (
-        f"CAST(len(list_filter(string_split_regex(lower({text_col}), '\\s+'),"
+        f"CAST(len(list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'),"
         f" x -> x <> '')) AS BIGINT)"
     )
 
@@ -369,7 +369,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def repetition_stats_sql(table: str, id_col: str, text_col: str) -> str:
     """DuckDB oracle for :func:`repetition_stats` (same gram grains,
     same integer-ratio arithmetic)."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     return f"""
 WITH t AS (
   SELECT {id_col} AS id, {toks} AS toks FROM {table}
@@ -498,7 +498,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Da
 
 def tfidf_top_terms_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
     """DuckDB oracle for :func:`tfidf_top_terms`."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     return f"""
 WITH terms AS (
   SELECT {id_col} AS id, unnest({toks}) AS term FROM {table}
@@ -805,7 +805,7 @@ def vocab_coverage(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
 
 def vocab_coverage_sql(table: str, text_col: str, k: int = 100) -> str:
     """DuckDB oracle for :func:`vocab_coverage`."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     return f"""
 WITH tf AS (
   SELECT term, count(*) AS n FROM (
@@ -864,7 +864,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def unigram_logprob_sql(table: str, id_col: str, text_col: str) -> str:
     """DuckDB oracle for :func:`unigram_logprob`."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     return f"""
 WITH terms AS (
   SELECT {id_col} AS id, unnest({toks}) AS term FROM {table}
@@ -958,7 +958,7 @@ def bm25_scores_sql(
 ) -> str:
     """DuckDB oracle for :func:`bm25_scores` (same expression shapes so
     doubles match bit-for-bit before the 6 dp round)."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     dfs = ", ".join(
         f"count(*) FILTER (WHERE list_contains(toks, '{t}')) AS df{i}"
         for i, t in enumerate(query_terms)
@@ -1047,7 +1047,7 @@ def token_kl_by_group_sql(table: str, group_col: str, text_col: str) -> str:
     """DuckDB oracle for :func:`token_kl_by_group` — the same
     single-flow identity, so both engines sum the identical doubles."""
     toks = (
-        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+        f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     )
     return f"""
 WITH gt AS (
@@ -1351,7 +1351,7 @@ def pmi_collocations_sql(
     table: str, text_col: str, min_count: int = 5, k: int = 20
 ) -> str:
     """DuckDB oracle for :func:`pmi_collocations`."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
     return f"""
 WITH base AS (SELECT {toks} AS toks FROM {table} WHERE {text_col} IS NOT NULL),
 unic AS (
@@ -1469,7 +1469,7 @@ def dsir_weights_sql(
 ) -> str:
     """DuckDB oracle for :func:`dsir_weights`. ``target_expr`` is a
     boolean SQL expression over the table's columns."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
     return f"""
 WITH terms AS (
   SELECT id, is_target,
@@ -1638,7 +1638,7 @@ def bigram_logprob_sql(
     table: str, id_col: str, text_col: str, lam: float = 0.7
 ) -> str:
     """DuckDB oracle for :func:`bigram_logprob`."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {toks} AS toks FROM {table} WHERE {text_col} IS NOT NULL
@@ -1721,7 +1721,7 @@ def ngram_diversity_sql(
     table: str, group_col: str, text_col: str, n: int = 3
 ) -> str:
     """DuckDB oracle for :func:`ngram_diversity`."""
-    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')"
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
     return f"""
 WITH g AS (
   SELECT grp, unnest(list_transform(

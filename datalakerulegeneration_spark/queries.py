@@ -1149,7 +1149,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 Q_TOP_KEYWORDS_ORACLE = f"""
 SELECT tok, count(*) AS cnt FROM (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS tok
   FROM documents
 )
 WHERE regexp_matches(tok, '^(?:[a-z]+)$') AND tok NOT IN ({_STOP_SQL})
@@ -2131,7 +2131,7 @@ def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TOKEN_STATS_ORACLE = r"""
 WITH toks AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS tok
   FROM documents WHERE text IS NOT NULL AND text <> ''
 )
 SELECT 'text' AS col_name,
@@ -2191,7 +2191,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_WEIGHT_SQL = (
-    "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
+    "len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))"
 )
 
 
@@ -3318,7 +3318,7 @@ _WRAPPED_DOCS_SQL = """(
          ), chr(10)) AS text
   FROM (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+           list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
     FROM documents WHERE text IS NOT NULL
   )
 ) wrapped"""

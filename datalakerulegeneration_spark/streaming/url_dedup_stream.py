@@ -93,12 +93,14 @@ class UrlDeduper:
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # cross-batch: keys any previous batch admitted are dropped
+        # cross-batch: keys any previous batch admitted are dropped.
+        # NO .distinct() on the index side: left_anti is insensitive to
+        # duplicate right keys (and the index is unique by construction
+        # — one row per admitted key), so a distinct would shuffle the
+        # whole accumulated index every batch for nothing (r9 review)
         surv = kept.join(
             self._index()
-            .select("canon_key")
-            .distinct()
-            .withColumnRenamed("canon_key", "_canon_key"),
+            .select(F.col("canon_key").alias("_canon_key")),
             "_canon_key",
             "left_anti",
         )

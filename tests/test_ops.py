@@ -3612,3 +3612,19 @@ def test_psi_frozen_refit_trigger(spark):
         psi_frozen(edge, "x", 0.0, 100.0, [0, 0])
     with _pytest.raises(ValueError, match="exceed"):
         psi_frozen(edge, "x", 1.0, 1.0, [1, 1])
+
+
+def test_pq_index_paths_must_be_local():
+    """The codes-manifest commit protocol is POSIX-rename atomic, so a
+    URI-scheme index path must refuse loudly instead of silently
+    bypassing the manifest (r9 review: os.path checks all miss on
+    hdfs://... and the manifest write would crash mid-append)."""
+    import pytest as _pytest
+
+    from datalakerulegeneration_spark.ops.ann_index import _codes_dirs
+
+    for bad in ("hdfs://ns/idx", "s3a://bucket/idx", "file://host/idx"):
+        with _pytest.raises(NotImplementedError, match="local-filesystem"):
+            _codes_dirs(bad)
+    # plain absolute/relative paths pass the guard (legacy fallback)
+    assert _codes_dirs("/nonexistent/idx") == ["codes"]

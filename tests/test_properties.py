@@ -962,7 +962,7 @@ def test_canonical_url_never_throws_and_matches_duckdb(spark, urls):
             # texts salted with real vocabulary tokens in mixed case
             # so the counting chain has non-zero terms to disagree on
             st.from_regex(
-                r"((customer|CUSTOMER|Filter|key|a|agg|batch)[ \t\n ]){1,6}",
+                r"((customer|CUSTOMER|Filter|key|a|agg|batch)[ \t\n\x0B ]){1,6}",
                 fullmatch=True,
             ),
         ),

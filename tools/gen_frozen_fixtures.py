@@ -126,8 +126,11 @@ def main(sf_dir: str, sections: set[str] | None = None) -> None:
             off = (icov[0][1] + icov[1][0]) / 2.0
             icov[0][1] = icov[1][0] = off
             # exact threshold transform: w·(1−erf(d/√2)) < cutoff
-            #   ⟺ d² > 2·erfinv(1−cutoff/w)²   (only binding when w > cutoff)
-            if w > GMM_CUTOFF:
+            #   ⟺ d² > 2·erfinv(1−cutoff/w)²   (binding when w >= cutoff;
+            #   at w == cutoff the formula gives exactly t2 = 0 — the
+            #   component's mean point scores == cutoff and is KEPT by
+            #   the strict < criterion, which maha² > 0 reproduces)
+            if w >= GMM_CUTOFF:
                 e = _erfinv(1.0 - GMM_CUTOFF / w)
                 t2 = 2.0 * e * e
             else:
