@@ -200,6 +200,15 @@ def load_frozen_colcluster(path: str | None = None) -> dict:
         )
     with open(path) as fh:
         params = json.load(fh)
+    _validate_colcluster_params(params)
+    return params
+
+
+def _validate_colcluster_params(params: dict) -> None:
+    """Shape + safe-identifier checks for a frozen colcluster params
+    dict. Runs on EVERY params source — the vendored fixture loader
+    and caller-supplied dicts alike — because the feature names are
+    interpolated into SQL expressions."""
     feats, mins, maxs = params["features"], params["min"], params["max"]
     if not (len(feats) == len(mins) == len(maxs)):
         raise ValueError("frozen colcluster: features/min/max lengths differ")
@@ -210,7 +219,6 @@ def load_frozen_colcluster(path: str | None = None) -> dict:
     for f in feats:
         if not f.replace("_", "").isalnum() or f != f.lower():
             raise ValueError(f"frozen colcluster feature is not a safe identifier: {f!r}")
-    return params
 
 
 def _scaled_feature_sql(feat: str, fmin: float, fmax: float) -> str:
@@ -240,6 +248,8 @@ def cluster_columns_frozen(profiles: DataFrame, params: dict | None = None) -> D
     is one scan of the profile frame."""
     if params is None:
         params = load_frozen_colcluster()
+    else:
+        _validate_colcluster_params(params)
     feats = params["features"]
     scaled = profiles.select(
         "unique_id",
@@ -272,6 +282,8 @@ def cluster_columns_frozen_sql(profiles_sql: str, params: dict | None = None) ->
     expressions and distance chain run over it."""
     if params is None:
         params = load_frozen_colcluster()
+    else:
+        _validate_colcluster_params(params)
     feats = params["features"]
     scaled_cols = ",\n         ".join(
         f"{_scaled_feature_sql(f, mn, mx)} AS _s{i}"

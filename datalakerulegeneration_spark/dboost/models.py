@@ -350,6 +350,16 @@ def load_frozen_gmm(path: str | None = None) -> dict:
             raise ValueError(f"frozen GMM weight out of range: {c['weight']!r}")
         if c["t2"] is not None and c["t2"] < 0.0:
             raise ValueError(f"frozen GMM threshold must be >= 0: {c['t2']!r}")
+        # freeze-time transform (tools/gen_frozen_fixtures.py): t2 is
+        # None EXACTLY when the component weight sits below the cutoff.
+        # A fixture violating this silently weakens/strengthens the AND
+        # predicate, so reject it here rather than mis-serve.
+        if (c["t2"] is None) != (c["weight"] < params["cutoff"]):
+            raise ValueError(
+                "frozen GMM fixture inconsistent: t2 must be null iff "
+                f"weight < cutoff (weight={c['weight']!r}, t2={c['t2']!r}, "
+                f"cutoff={params['cutoff']!r})"
+            )
     return params
 
 
@@ -392,9 +402,11 @@ def frozen_mixture_outliers(
     """Score a frame under the FROZEN mixture — the serving split of
     :class:`MixtureModel` (reference mixture.py:33-68 semantics under
     pinned parameters). Returns the dBoost discrepancy contract
-    ``(row_id, feature, value)`` with ``value`` kept DOUBLE (a
-    double→string render diverges between engines; the exact twin
-    compares raw doubles).
+    ``(row_id, feature, value)`` with ``value`` preserving the RAW
+    column type of ``pair[0]`` (e.g. DECIMAL for TPC-H l_quantity);
+    the oracle twin mirrors the same raw column, so the compare holds
+    without a lossy render (a numeric→string render diverges between
+    engines; the exact twin compares raw values).
 
     Scale shape: map-only — k quadratic forms per row folded into the
     scan filter, no UDF, no shuffle, no broadcast; at 100 TB the

@@ -53,13 +53,19 @@ def psi_bins(
     width = (hi - lo) / n_bins or 1.0
 
     def binned(df: DataFrame, name: str) -> DataFrame:
-        b = F.least(
-            F.lit(n_bins - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.expr(f"try_cast({col} as double)") - lo) / width).cast("int"),
-            ),
-        )
+        # clamp the RATIO in double space BEFORE floor/int-cast: a value
+        # astronomically far from [lo, hi] must land in an edge bin, not
+        # blow the INT cast under ANSI mode (extreme drift is exactly
+        # when the monitor must not crash)
+        b = F.floor(
+            F.least(
+                F.lit(float(n_bins - 1)),
+                F.greatest(
+                    F.lit(0.0),
+                    (F.expr(f"try_cast({col} as double)") - lo) / width,
+                ),
+            )
+        ).cast("int")
         return (
             df.where(F.expr(f"try_cast({col} as double)").isNotNull())
             .groupBy(b.cast("long").alias("bin"))
@@ -113,9 +119,10 @@ def psi_bins_sql(
     """DuckDB oracle for :func:`psi_bins` with pinned edges (the Spark
     query must pass the same lo/hi so both engines bin identically)."""
     width = (hi - lo) / n_bins or 1.0
+    # double-space clamp before the INT cast (mirrors psi_bins)
     bin_expr = (
-        f"least({n_bins - 1}, greatest(0,"
-        f" CAST(floor((TRY_CAST({col} AS DOUBLE) - {lo!r}) / {width!r}) AS INT)))"
+        f"CAST(floor(least({float(n_bins - 1)!r}, greatest(0.0,"
+        f" (TRY_CAST({col} AS DOUBLE) - {lo!r}) / {width!r}))) AS INT)"
     )
 
     def side(sql: str, name: str) -> str:
@@ -217,8 +224,8 @@ def psi_table(
             parts.append(
                 f"'{c}', case when try_cast(`{c}` as double) is null"
                 f" then cast(null as int)"
-                f" else least({n_bins - 1}, greatest(0,"
-                f" cast(floor((try_cast(`{c}` as double) - {lo!r}) / {width!r}) as int))) end"
+                f" else cast(floor(least({float(n_bins - 1)!r}, greatest(0.0,"
+                f" (try_cast(`{c}` as double) - {lo!r}) / {width!r}))) as int) end"
             )
         m = df.selectExpr(
             f"stack({len(cols)}, {', '.join(parts)}) as (col_name, bin)"
@@ -285,8 +292,8 @@ def psi_table_sql(
             lo, hi = bounds[c]
             width = (hi - lo) / n_bins or 1.0
             b = (
-                f"least({n_bins - 1}, greatest(0,"
-                f" CAST(floor((TRY_CAST({c} AS DOUBLE) - {lo!r}) / {width!r}) AS INT)))"
+                f"CAST(floor(least({float(n_bins - 1)!r}, greatest(0.0,"
+                f" (TRY_CAST({c} AS DOUBLE) - {lo!r}) / {width!r}))) AS INT)"
             )
             selects.append(
                 f"SELECT '{c}' AS col_name, CAST({b} AS BIGINT) AS bin, count(*) AS {name}_n"
@@ -701,9 +708,12 @@ def psi_frozen(
     width = (hi - lo) / n_bins
     spark = current.sparkSession
     x = f"try_cast({col} as double)"
+    # clamp in double BEFORE the INT cast: extreme drift (values with
+    # (x-lo)/width beyond INT range) lands in an edge bin instead of
+    # throwing under ANSI — the monitor must survive exactly that case
     bin_sql = (
-        f"least({n_bins - 1}, greatest(0,"
-        f" CAST(floor(({x} - {_dlit(lo)}) / {_dlit(width)}) AS INT)))"
+        f"CAST(floor(least({_dlit(float(n_bins - 1))}, greatest({_dlit(0.0)},"
+        f" ({x} - {_dlit(lo)}) / {_dlit(width)}))) AS INT)"
     )
     cur = (
         current.where(F.expr(x).isNotNull())
@@ -758,8 +768,8 @@ def psi_frozen_sql(
     rt = sum(ref_counts)
     x = f"TRY_CAST({col} AS DOUBLE)"
     bin_expr = (
-        f"least({n_bins - 1}, greatest(0,"
-        f" CAST(floor(({x} - {_dlit(lo)}) / {_dlit(width)}) AS INT)))"
+        f"CAST(floor(least({_dlit(float(n_bins - 1))}, greatest({_dlit(0.0)},"
+        f" ({x} - {_dlit(lo)}) / {_dlit(width)}))) AS INT)"
     )
     rows = ",\n    ".join(f"({i}, {c})" for i, c in enumerate(ref_counts))
     return f"""

@@ -34,13 +34,17 @@ def baseline_shares(
     if hi < lo:
         raise ValueError(f"baseline_shares: hi ({hi!r}) < lo ({lo!r})")
     width = (hi - lo) / n_bins or 1.0
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.expr(f"try_cast({col} as double)") - lo) / width).cast("int"),
-        ),
-    )
+    # double-space clamp BEFORE floor/int-cast (ops.drift convention):
+    # extreme values land in an edge bin instead of an ANSI cast throw
+    b = F.floor(
+        F.least(
+            F.lit(float(n_bins - 1)),
+            F.greatest(
+                F.lit(0.0),
+                (F.expr(f"try_cast({col} as double)") - lo) / width,
+            ),
+        )
+    ).cast("int")
     rows = (
         baseline.where(F.expr(f"try_cast({col} as double)").isNotNull())
         .groupBy(b.alias("bin"))
@@ -92,10 +96,12 @@ def psi_drift_stream(
         )
     width = (hi - lo) / n_bins or 1.0
     v = F.expr(f"try_cast({col} as double)")
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")),
-    )
+    b = F.floor(
+        F.least(
+            F.lit(float(n_bins - 1)),
+            F.greatest(F.lit(0.0), (v - lo) / width),
+        )
+    ).cast("int")
     src = _watermarked(stream, ts_col, watermark).where(v.isNotNull())
     agg = (
         src.withColumn("_bin", b)

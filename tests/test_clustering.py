@@ -247,3 +247,13 @@ def test_cluster_columns_frozen_planted(spark):
             load_frozen_colcluster(fh.name)
     finally:
         _os.unlink(fh.name)
+    # the SAME validation guards a caller-supplied params dict — the
+    # feature names are interpolated into SQL, so an explicit params
+    # path must not bypass the identifier check (r10 advice)
+    inj = dict(params, features=["null_ratio", "avg_len FROM x; --"])
+    with _pytest.raises(ValueError, match="safe identifier"):
+        cluster_columns_frozen(df, inj)
+    with _pytest.raises(ValueError, match="safe identifier"):
+        cluster_columns_frozen_sql("SELECT * FROM prof", inj)
+    with _pytest.raises(ValueError, match="lengths differ"):
+        cluster_columns_frozen(df, dict(params, min=[0.0]))

@@ -258,6 +258,21 @@ def test_frozen_gmm_fixture_freeze_math(spark):
         # d/√2 with d = √t2
         score_at_t = c["weight"] * (1.0 - math.erf(math.sqrt(c["t2"]) / math.sqrt(2.0)))
         assert abs(score_at_t - p["cutoff"]) < 1e-12
+    # loader rejects a fixture violating the freeze-time invariant
+    # t2 IS NULL ⇔ weight < cutoff (r10 advice: a miscomputed fixture
+    # would silently weaken the AND predicate)
+    import json
+    import pytest as _pytest
+
+    bad = json.loads(json.dumps(p))
+    bad["components"][0]["t2"] = None  # weight >= cutoff but t2 nulled
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        json.dump(bad, fh)
+        badpath = fh.name
+    with _pytest.raises(ValueError, match="t2 must be null iff"):
+        load_frozen_gmm(badpath)
 
 
 def test_frozen_mixture_agrees_with_em_scorer(spark):

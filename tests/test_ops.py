@@ -3596,6 +3596,21 @@ def test_psi_frozen_refit_trigger(spark):
     edge = spark.createDataFrame([(-5.0,), (500.0,), (None,)], "x double")
     out = {r["bin"]: r["cur_share"] for r in psi_frozen(edge, "x", 0.0, 100.0, ref_counts).collect()}
     assert out[0] == 0.5 and out[9] == 0.5
+    # EXTREME drift — values so far from [lo, hi] the bin ratio exceeds
+    # INT range — must clamp into the edge bins, not throw on the ANSI
+    # int cast (r9 advice: the monitor crashed precisely on the drift
+    # it exists to catch); the DuckDB twin agrees
+    import duckdb as _duck
+    far = [(1.0e300,), (-1.0e300,)]
+    fdf = spark.createDataFrame(far, "x double")
+    fout = {r["bin"]: r["cur_share"] for r in psi_frozen(fdf, "x", 0.0, 100.0, ref_counts).collect()}
+    assert fout[0] == 0.5 and fout[9] == 0.5
+    con2 = _duck.connect()
+    con2.register("cur", pd.DataFrame(far, columns=["x"]))
+    fexp = {r[0]: r[2] for r in con2.execute(
+        psi_frozen_sql("SELECT * FROM cur", "x", 0.0, 100.0, ref_counts)
+    ).fetchall()}
+    assert fexp[0] == 0.5 and fexp[9] == 0.5
     # EMPTY current load (all NULL): shares/psi NULL, no ANSI
     # divide-by-zero throw (fuzz-found; same guard in the DuckDB twin)
     nul = spark.createDataFrame([(None,), (None,)], "x double")
