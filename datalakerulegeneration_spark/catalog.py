@@ -125,6 +125,11 @@ def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
         spark.read.option("header", True)
         .option("inferSchema", False)
         .option("nullValue", None)
+        # RFC-4180 doubled-quote escaping ("" inside a quoted field),
+        # the convention pandas/DuckDB read and the reference's golden
+        # pairs use (rayyan author_list) — Spark's default escape is
+        # backslash, which silently mangles such rows (r10 golden run)
+        .option("escape", '"')
         .csv(path)
     )
     return df.select(
@@ -159,7 +164,12 @@ def read_csv_normalized(spark: SparkSession, path: str, encoding: str = "ISO-885
     needs a pandas_udf, and it is applied once at ingest so rule
     evaluation later stays in whole-stage codegen.
     """
-    df = spark.read.option("header", True).option("encoding", encoding).csv(path)
+    df = (
+        spark.read.option("header", True)
+        .option("encoding", encoding)
+        .option("escape", '"')  # RFC-4180, matching read_csv_all_string
+        .csv(path)
+    )
     unescape = _html_unescape_udf()
     cols = []
     for c in df.columns:

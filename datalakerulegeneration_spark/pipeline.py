@@ -179,14 +179,31 @@ def run_quality_pipeline(
     min_samples: int = 1,
     share_threshold: float = 0.7,
     param_source: str = "member",
+    profile_source: str = "clean",
 ) -> dict:
     """Full run: returns violations, per-column metrics, and overall
-    P/R/F1 per table. Clean tables provide profiles + ground truth;
-    dirty tables are what gets checked (mirrors the golden-pair
-    evaluation protocol, SURVEY §5)."""
+    P/R/F1 per table. Clean tables provide ground truth; dirty tables
+    are what gets checked (mirrors the golden-pair evaluation
+    protocol, SURVEY §5).
+
+    ``profile_source`` picks which side feeds profiling (and hence
+    rule params): ``"clean"`` (default — quality mode: train on known-
+    good data) or ``"dirty"`` (reference parity: the published Quintet
+    ``column_profile.dictionary`` pickles are DIRTY-data profiles, so
+    the reference's rules carry error-contaminated ranges/patterns)."""
+    if profile_source not in ("clean", "dirty"):
+        raise ValueError(f"unknown profile_source: {profile_source!r}")
     key_cols = key_cols or {}
     rules = rules or load_all_rules()
-    profiles = profile_tables(spark, clean_tables, with_tokens=False)
+    # coerce_numeric: pipeline inputs are all-string CSV frames — the
+    # reference coerces every column numerically (profiler.py:249), so
+    # range/quartile/decimal rules need the coerced stat family
+    profiles = profile_tables(
+        spark,
+        clean_tables if profile_source == "clean" else dirty_tables,
+        with_tokens=False,
+        coerce_numeric=True,
+    )
     clusters = cluster_columns_dbscan(profiles, eps=eps, min_samples=min_samples)
     shared = shared_rules_by_threshold(profiles, clusters, rules, threshold=share_threshold)
     eng = RuleEngine(spark)

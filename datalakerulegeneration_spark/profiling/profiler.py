@@ -111,7 +111,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def scalar_stats_long(
-    df: DataFrame, table: str, columns: list[str] | None = None, exact: bool = True
+    df: DataFrame,
+    table: str,
+    columns: list[str] | None = None,
+    exact: bool = True,
+    coerce_numeric: bool = False,
 ) -> DataFrame:
     """All registry stats for all columns as ``(table, col_name,
     stat_name, stat_value)``.
@@ -129,9 +133,22 @@ def scalar_stats_long(
 
     With ``exact=False`` distinct counts use ``approx_count_distinct``
     inside the wide agg instead (no Expand for approx; the 100 TB mode).
+
+    ``coerce_numeric=True`` reclassifies StringType columns as COERCED:
+    string stats plus the numeric family over ``try_cast`` — the
+    reference profiles all-string CSV frames and coerces EVERY column
+    with ``pd.to_numeric(errors="coerce")`` (profiler.py:249), so on
+    CSV ingest numeric ranges/quartiles/decimals would otherwise
+    silently disappear (r10 golden-parity finding). Distinct counts for
+    coerced columns stay string-grain (``col.nunique()`` of the raw
+    strings); only the quartile/numeric stats read the casts.
     """
     cols = columns or df.columns
     kinds = {f.name: column_kind(f.dataType) for f in df.schema.fields}
+    if coerce_numeric:
+        for f in df.schema.fields:
+            if kinds[f.name] == S.STRINGY and isinstance(f.dataType, T.StringType):
+                kinds[f.name] = S.COERCED
     spark = df.sparkSession
     df = ensure_parallelism(df)
 
@@ -203,7 +220,11 @@ def scalar_stats_long(
         # 100 TB — and the interpolation arithmetic replicates Spark's
         # ``Percentile.getPercentile`` / DuckDB ``quantile_cont``
         # operation-for-operation, so results stay bit-identical.
-        num_cols = [c for c in cols if kinds[c] == S.NUMERIC]
+        # COERCED columns ride the numeric chain for exact quartiles
+        # (over try_cast) but keep STRING-grain distinct counts — their
+        # distinct_num/unique_ratio rows come from the string branch.
+        num_cols = [c for c in cols if kinds[c] in (S.NUMERIC, S.COERCED)]
+        pure_num = {c for c in cols if kinds[c] == S.NUMERIC}
         str_cols = [c for c in cols if kinds[c] != S.NUMERIC]
         branches = []
         if num_cols:
@@ -262,16 +283,31 @@ def scalar_stats_long(
                         (hi_d - h) * F.col(f"{nm}_lo") + (h - lo_d) * F.col(f"{nm}_hi")
                     ),
                 )
-            branches.append(
-                g.selectExpr(
-                    f"'{table}' AS `table`",
-                    "col_name",
-                    "stack(5, 'distinct_num', dn,"
-                    " 'unique_ratio', dn / nullif(rn, 0.0),"
-                    " 'q1', q1, 'q2', q2, 'q3', q3)"
-                    " as (stat_name, stat_value)",
-                ).select("table", "col_name", "stat_name", "stat_value")
-            )
+            if pure_num:
+                branches.append(
+                    g.where(F.col("col_name").isin(*pure_num))
+                    .selectExpr(
+                        f"'{table}' AS `table`",
+                        "col_name",
+                        "stack(5, 'distinct_num', dn,"
+                        " 'unique_ratio', dn / nullif(rn, 0.0),"
+                        " 'q1', q1, 'q2', q2, 'q3', q3)"
+                        " as (stat_name, stat_value)",
+                    )
+                    .select("table", "col_name", "stat_name", "stat_value")
+                )
+            co_cols = [c for c in num_cols if c not in pure_num]
+            if co_cols:
+                branches.append(
+                    g.where(F.col("col_name").isin(*co_cols))
+                    .selectExpr(
+                        f"'{table}' AS `table`",
+                        "col_name",
+                        "stack(3, 'q1', q1, 'q2', q2, 'q3', q3)"
+                        " as (stat_name, stat_value)",
+                    )
+                    .select("table", "col_name", "stat_name", "stat_value")
+                )
         if str_cols:
             melt_parts = [f"'{c}', CAST({_q(c)} AS STRING)" for c in str_cols]
             smelted = df.selectExpr(
@@ -551,6 +587,7 @@ def profile_table(
     exact: bool = True,
     with_tokens: bool = True,
     with_values: bool = True,
+    coerce_numeric: bool = False,
 ) -> DataFrame:
     """Full profile: one row per column, reference stat names.
 
@@ -565,7 +602,11 @@ def profile_table(
     # them concurrently (Spark's scheduler interleaves their stages;
     # wall time ≈ the slowest pass, not the sum).
     with ThreadPoolExecutor(max_workers=3) as pool:
-        f_scalar = pool.submit(lambda: scalar_stats_long(df, table, exact=exact).collect())
+        f_scalar = pool.submit(
+            lambda: scalar_stats_long(
+                df, table, exact=exact, coerce_numeric=coerce_numeric
+            ).collect()
+        )
         f_value = pool.submit(lambda: value_stats(df, table).collect()) if with_values else None
         f_token = pool.submit(lambda: token_stats(df, table).collect()) if with_tokens else None
         scalar = {

@@ -37,6 +37,9 @@ from pyspark.sql import functions as F
 STRINGY = "string"
 NUMERIC = "numeric"
 ANY = "any"
+# A string COLUMN kind (never a stat kind): string stats plus the
+# numeric family over try_cast, the reference's coerce-everything mode.
+COERCED = "coerced"
 
 # Regexes shared by Spark and DuckDB (RE2-compatible subset).
 RE_INT = r"^-?\d+$"
@@ -200,9 +203,14 @@ def _cells_rlike_sql(c: str, pat: str) -> str:
     return f"CAST(count_if(regexp_matches({s}, '{pat}')) AS DOUBLE)"
 
 
+# the square's decimal cast is a TRY_CAST in every dialect: a coerced
+# string cell can hold an arbitrary magnitude whose square overflows
+# DECIMAL(38,12), and under ANSI a plain cast would abort the whole
+# profile; both engines drop the same overflowing squares (values past
+# ~1e13 — already outside the DECIMAL(18,6) sum's domain)
 _STD_SSQL = (
     "round(sqrt(greatest(0.0D, ("
-    "CAST(sum(cast(try_cast({c} as double) * try_cast({c} as double) as decimal(38,12))) AS DOUBLE)"
+    "CAST(sum(try_cast(try_cast({c} as double) * try_cast({c} as double) as decimal(38,12))) AS DOUBLE)"
     " - CAST(sum(try_cast({c} as decimal(18,6))) AS DOUBLE)"
     " * CAST(sum(try_cast({c} as decimal(18,6))) AS DOUBLE)"
     " / nullif(CAST(count(try_cast({c} as double)) AS DOUBLE), 0.0D))"
@@ -414,7 +422,7 @@ STATS: list[Stat] = [
                     (
                         F.sum(
                             F.expr(
-                                f"cast(try_cast({c} as double) * try_cast({c} as double)"
+                                f"try_cast(try_cast({c} as double) * try_cast({c} as double)"
                                 " as decimal(38,12))"
                             )
                         ).cast("double")
@@ -429,7 +437,7 @@ STATS: list[Stat] = [
         ),
         lambda c: (
             "round(sqrt(greatest(0.0, ("
-            f"CAST(sum(CAST(TRY_CAST({c} AS DOUBLE) * TRY_CAST({c} AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
+            f"CAST(sum(TRY_CAST(TRY_CAST({c} AS DOUBLE) * TRY_CAST({c} AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
             f" - CAST(sum({_dec_sql(c)}) AS DOUBLE)"
             f" * CAST(sum({_dec_sql(c)}) AS DOUBLE)"
             f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE), 0.0))"
@@ -544,10 +552,69 @@ STATS: list[Stat] = [
 STAT_BY_NAME: dict[str, Stat] = {s.name: s for s in STATS}
 
 
+def _coerced_render(c: str, duck: bool = False) -> str:
+    """Canonical fixed-point rendering of a string cell's coerced
+    numeric value. DECIMAL(38,10) renders without an exponent in BOTH
+    engines (a double→string render goes scientific past 1e7 in Spark
+    but not DuckDB/python), so digit counts below are portable; values
+    outside the decimal's range try_cast to NULL and drop — the same
+    cells pandas' float64 would render in exponent form, where the
+    reference's naive split-on-'.' digit count is meaningless anyway."""
+    t = "VARCHAR" if duck else "STRING"
+    return f"CAST(TRY_CAST({c} AS DECIMAL(38,10)) AS {t})"
+
+
+def _coerced_digits_sql(c: str, duck: bool = False) -> tuple[str, str]:
+    """(int_digits, dec_digits) of the coerced rendering — reference
+    evaluation of ``str(num)``: integer part stripped of '-' and
+    leading zeros, decimal part stripped of trailing zeros
+    (reference profiler.py:255-267)."""
+    b = _coerced_render(c, duck)
+    intd = (
+        f"length(regexp_replace(regexp_extract({b}, '^([0-9]+)', 1), '^0+', ''))"
+    )
+    decd = (
+        f"length(regexp_replace(regexp_extract({b}, '[.]([0-9]+)$', 1), '0+$', ''))"
+    )
+    return intd, decd
+
+
+def _mk_coerced_digit_stat(name: str, want_int: bool) -> Stat:
+    def _expr(c: str, duck: bool) -> str:
+        intd, decd = _coerced_digits_sql(c, duck)
+        body = f"({intd} + {decd})" if want_int else decd
+        return f"CAST(max({body}) AS DOUBLE)"
+
+    return Stat(
+        name,
+        COERCED,
+        lambda c: F.expr(_expr(c, False)),
+        lambda c: _expr(c, True),
+        lambda c: _expr(c, False),
+    )
+
+
+# max_digits/max_decimals for COERCED columns count digits of the
+# coerced VALUE (what the reference measures on ``str(num)``), not of
+# the raw cell string — '001436' coerces to 4 digits, '12.50' to 3.
+COERCED_STATS: list[Stat] = [
+    _mk_coerced_digit_stat("max_digits", want_int=True),
+    _mk_coerced_digit_stat("max_decimals", want_int=False),
+]
+
+
 def stats_for_kind(kind: str) -> list[Stat]:
-    """Stats applicable to a column kind ('string' or 'numeric')."""
+    """Stats applicable to a column kind ('string', 'numeric', or
+    'coerced' — a string column numerically coerced per the reference's
+    ``pd.to_numeric(errors="coerce")`` over every column, gaining the
+    numeric family ON TOP of the string family; where both kinds define
+    a stat name (null_ratio) the string variant wins, matching the
+    reference's ''-as-null convention on all-string frames)."""
     if kind == NUMERIC:
-        wanted = {ANY, NUMERIC}
-    else:
-        wanted = {ANY, STRINGY}
-    return [s for s in STATS if s.kind in wanted]
+        return [s for s in STATS if s.kind in (ANY, NUMERIC)]
+    out = [s for s in STATS if s.kind in (ANY, STRINGY)]
+    if kind == COERCED:
+        seen = {s.name for s in out} | {s.name for s in COERCED_STATS}
+        out += [s for s in STATS if s.kind == NUMERIC and s.name not in seen]
+        out += COERCED_STATS
+    return out

@@ -3780,6 +3780,29 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_overlap(fps, min_shared=2)
 
 
+def q_quintet_beers_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication of the reference's PUBLISHED beers error artifact
+    (results/Quintet/beers/error_cells.csv, 17,416 cells): the legacy
+    per-cell rule checks (reference detect_error_cells.py:16-32) as
+    ONE scan of the vendored dirty golden pair — conditional
+    violated-rule structs folded into the projection, filtered array
+    explode, no shuffle, no UDF. ``sf_dir`` is unused (fixture-scoped
+    by nature: the input IS the reference's benchmark file)."""
+    from datalakerulegeneration_spark.evaluation.golden import (
+        quintet_beers_error_cells,
+    )
+
+    return quintet_beers_error_cells(spark)
+
+
+def _quintet_beers_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.golden import (
+        quintet_beers_error_cells_oracle,
+    )
+
+    return quintet_beers_error_cells_oracle()
+
+
 def q_ks_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KS for every monitored numeric column of events in ONE
     stacked pass per side (ops.drift.ks_table) — monitoring M columns
@@ -4929,6 +4952,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "wasserstein_table_events": (q_wasserstein_table_events, _wasserstein_table_oracle()),
     "winnow_fingerprints_documents": (q_winnow_fingerprints, dedup.winnow_fingerprints_sql("documents", "doc_id", "text", 3, 4)),
     "winnow_overlap_documents": (q_winnow_overlap, dedup.winnow_overlap_sql("documents", "doc_id", "text", 3, 4, 2)),
+    "quintet_beers_errors": (q_quintet_beers_errors, _quintet_beers_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

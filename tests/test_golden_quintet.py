@@ -1,0 +1,198 @@
+"""Golden parity against the reference's OWN published Quintet
+benchmark (r9 verdict #1 — the one correctness claim the DuckDB
+oracle gate cannot make).
+
+Fixtures under tests/fixtures/quintet/ are byte copies of the
+reference's public artifacts:
+
+* ``{beers,flights,hospital,rayyan}/{dirty,clean}.csv`` — the golden
+  pairs (reference datasets/Quintet/);
+* ``beers_error_cells_published.csv`` — the reference's shipped
+  predicted-error set (results/Quintet/beers/error_cells.csv, 17,416
+  cells; the hospital cell_errors.csv ships EMPTY — one newline — so
+  beers is the only non-trivial published error artifact);
+* ``published_profiles.json`` — the reference's shipped
+  column_profile.dictionary pickles (dirty-data profiles), converted
+  to JSON verbatim (NaN→null, pandas Interval→str).
+"""
+
+import csv
+import json
+import os
+
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "quintet")
+
+
+def _published_cells():
+    with open(os.path.join(FIX, "beers_error_cells_published.csv")) as fh:
+        return sorted(
+            (r["column_name"], int(r["row_index"]), r["violated_rule"])
+            for r in csv.DictReader(fh)
+        )
+
+
+def test_golden_beers_published_artifact(spark):
+    """Cell-for-cell replication of the reference's published beers
+    error set: same rules in (NOT-NULL + NUMERIC-FORMAT over every
+    column, reference detect_error_cells.py:16-32 under the pandas
+    default-NA ingest of :func:`pandas_na_normalized`), identical
+    17,416 predicted cells out — from the Spark plan AND from the
+    DuckDB twin."""
+    import duckdb
+
+    from datalakerulegeneration_spark.evaluation.golden import (
+        quintet_beers_error_cells,
+        quintet_beers_error_cells_oracle,
+    )
+
+    pub = _published_cells()
+    assert len(pub) == 17416
+    got = sorted(map(tuple, quintet_beers_error_cells(spark, FIX).collect()))
+    assert got == pub
+    exp = sorted(
+        map(tuple, duckdb.connect().execute(
+            quintet_beers_error_cells_oracle(FIX)
+        ).fetchall())
+    )
+    assert exp == pub
+
+
+def test_golden_legacy_rule_kinds(spark):
+    """The other legacy rule kinds (FIXED LENGTH / STRUCTURED) and the
+    unenforced kinds (CATEGORICAL / LIKELY UNIQUE → never flag),
+    mirroring reference rule_violations dispatch."""
+    import duckdb
+
+    from datalakerulegeneration_spark.evaluation.golden import (
+        legacy_error_cells,
+        legacy_error_cells_sql,
+    )
+
+    rows = [("1", "abc", "a b"), ("2", "abcd", "x_y-1"), ("3", "", "ok")]
+    df = spark.createDataFrame(rows, "k string, a string, b string")
+    rules = {
+        "a": ["FIXED LENGTH FIELD of 3 characters"],
+        "b": ["STRUCTURED FIELD (Use regex or pattern validation)",
+              "CATEGORICAL FIELD (needs value set)",
+              "LIKELY UNIQUE FIELD"],
+    }
+    got = sorted(
+        map(tuple, legacy_error_cells(df, rules, "CAST(k AS BIGINT) - 1").collect())
+    )
+    # a: len!=3 rows 1 ('abcd') and 2 (''); b: 'a b' has a space (row 0)
+    assert got == [
+        ("a", 1, "FIXED LENGTH FIELD of 3 characters"),
+        ("a", 2, "FIXED LENGTH FIELD of 3 characters"),
+        ("b", 0, "STRUCTURED FIELD (Use regex or pattern validation)"),
+    ]
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("t", pd.DataFrame(rows, columns=["k", "a", "b"]))
+    exp = sorted(map(tuple, con.execute(
+        legacy_error_cells_sql("SELECT * FROM t", rules, 'CAST("k" AS BIGINT) - 1')
+    ).fetchall()))
+    assert exp == got
+    # unknown column refuses loudly
+    with pytest.raises(ValueError, match="unknown column"):
+        legacy_error_cells(df, {"nope": ["MUST NOT be NULL"]}, "1")
+
+
+def test_golden_profile_parity(spark):
+    """Field-level parity with the reference's published dirty-data
+    profiles across all four datasets: 19 convention-shared stats × 49
+    columns — every comparable field equal, modulo TWO adjudicated
+    count cells on rayyan (the published pickle disagrees with any
+    parse of the shipped CSV there; both sit in the char-class family
+    where the reference's NaN-dropping classification of a
+    badly-quoted row differs — see COVERAGE.md r10 adjudication).
+
+    Fields NOT compared (different convention by design, SURVEY
+    §7.3.4/§7.3.6): word/token family (NLTK vs deterministic
+    tokenizer), characters_punctuation/miscellaneous charset split,
+    cells_alphabet (reference classifies on the raw cell, we on
+    trimmed), dominant_pattern (regex-string vs symbolic alphabet),
+    equi-bins (pandas Interval rendering), basic_data_type (taxonomy),
+    top_keywords, first_digit (tie order), histogram (modal tie
+    order), semantic_domain (model-based)."""
+    from datalakerulegeneration_spark.evaluation.golden import load_quintet_pair
+    from datalakerulegeneration_spark.profiling import profile_tables
+
+    pub = json.load(open(os.path.join(FIX, "published_profiles.json")))
+    MAP = {"Q1": "q1", "Q2": "q2", "Q3": "q3"}
+    FIELDS = [
+        "row_num", "null_ratio", "distinct_num", "unique_ratio",
+        "characters_alphabet", "characters_numeric", "cells_numeric",
+        "cells_punctuation", "numeric_min", "numeric_max", "max_digits",
+        "max_decimals", "Q1", "Q2", "Q3", "most_freq_value_ratio",
+        "max_len", "min_len", "avg_len",
+    ]
+    ADJUDICATED = {
+        ("rayyan", "journal_issn", "cells_numeric"),
+        ("rayyan", "article_pagination", "cells_punctuation"),
+    }
+    diffs, total = [], 0
+    for ds in ("beers", "flights", "hospital", "rayyan"):
+        dirty, _ = load_quintet_pair(spark, ds, FIX)
+        prof = profile_tables(
+            spark, {ds: dirty}, with_tokens=False, coerce_numeric=True
+        )
+        ours = {r["column"]: r.asDict() for r in prof.collect()}
+        for c in pub[ds]:
+            col = c["column_name"].replace(ds + "_", "", 1)
+            assert col in ours, f"profiler lost column {ds}.{col}"
+            for f in FIELDS:
+                total += 1
+                pv, ov = c.get(f), ours[col].get(MAP.get(f, f))
+                if pv is None and ov is None:
+                    continue
+                try:
+                    ok = (
+                        pv is not None
+                        and ov is not None
+                        and abs(float(pv) - float(ov)) < 1e-9
+                    )
+                except (TypeError, ValueError):
+                    ok = str(pv) == str(ov)
+                if not ok:
+                    diffs.append((ds, col, f))
+    assert total == 931
+    assert set(diffs) == ADJUDICATED, diffs
+
+
+def test_golden_pipeline_metrics(spark):
+    """The pinned end-to-end metric vector: full multi-dataset pipeline
+    (dirty profiles → DBSCAN eps=0.5/min_samples=1 → sample-column
+    sharing → detect → score) over the real golden pairs. Deterministic
+    — two consecutive r10 runs produced identical counts; any code
+    change that moves these numbers must re-adjudicate here."""
+    from datalakerulegeneration_spark.evaluation.golden import run_quintet_golden
+
+    m = run_quintet_golden(spark, FIX)
+    got = {ds: (v["tp"], v["fp"], v["fn"]) for ds, v in m.items()}
+    assert got == {
+        "beers": (1002, 12313, 3360),
+        "flights": (4920, 5673, 0),
+        "hospital": (472, 2904, 37),
+        "rayyan": (828, 4195, 120),
+    }
+    # ground-truth sizes under the engine's all-string positional diff;
+    # flights/hospital coincide exactly with the reference's
+    # float-coerced str() diff (4920/509), beers/rayyan differ only by
+    # the reference's dtype-coercion artifacts (3357/2873 there —
+    # spurious '64.0' vs '64' diffs and NaN-vs-NaN equalities;
+    # SURVEY §7.3.6: consciously fixed)
+    assert {ds: v["n_truth"] for ds, v in m.items()} == {
+        "beers": 4362, "flights": 4920, "hospital": 509, "rayyan": 948,
+    }
+    # flights recall is total under the reference protocol; beers is
+    # the weakest (0.23 — range/pattern rules trained on the dirty
+    # side accept its own contamination, the protocol's known
+    # property; the engine's default QUALITY protocol — clean
+    # profiles, member params — scores better on beers/flights/rayyan;
+    # see COVERAGE.md r10 for both vectors and the adjudication).
+    assert m["flights"]["recall"] == 1.0
+    for ds, v in m.items():
+        assert v["recall"] >= 0.2, (ds, v)

@@ -469,12 +469,45 @@ def test_parallel_runner_groups_cover_all_modules():
     if dupes:
         assert dupes == {"test_ops.py"}  # only the sanctioned mm split
         k_exprs = []
+        extra_by_expr: dict[str, list[str]] = {}
         for g, fs in mod["GROUPS"].items():
             if any(f.endswith("test_ops.py") for f in fs):
                 assert "-k" in fs, f"group {g} lists test_ops.py without a -k partition"
-                k_exprs.append(fs[fs.index("-k") + 1])
+                expr = fs[fs.index("-k") + 1]
+                k_exprs.append(expr)
+                extra_by_expr[expr] = [
+                    f for f in fs if f.endswith(".py") and not f.endswith("test_ops.py")
+                ]
         mm = mod["MM_K"]
-        assert sorted(k_exprs) == sorted([mm, f"not ({mm})"])
+        assert f"not ({mm})" in k_exprs and len(k_exprs) == 2
+        pos = next(e for e in k_exprs if e != f"not ({mm})")
+        # the positive side may carry rider terms selecting whole extra
+        # modules (e.g. "or golden" for test_golden_quintet.py); each
+        # rider must (a) match the extra file's NAME so its tests are
+        # selected via the module id, and (b) match no test_ops.py test
+        # name, else that test would run in BOTH groups
+        assert pos == mm or pos.startswith(f"({mm}) or ")
+        riders = [] if pos == mm else pos[len(f"({mm}) or "):].split(" or ")
+        import re as _re
+
+        ops_names = _re.findall(
+            r"(?m)^def (test_\w+)",
+            open(os.path.join(repo, "tests", "test_ops.py")).read(),
+        )
+        for t in riders:
+            assert not [n for n in ops_names if t in n], (t, "matches test_ops names")
+        # every extra module riding the POSITIVE (mm) side must have all
+        # its test names selected by a rider; the negative side's extra
+        # modules are covered by "not (MM_K)" (collision check below)
+        for f in extra_by_expr.get(pos, []):
+            names = _re.findall(
+                r"(?m)^def (test_\w+)", open(os.path.join(repo, f)).read()
+            )
+            missed = [n for n in names if not any(t in n for t in riders)]
+            assert not missed, (
+                f"{f} rides the mm group but these tests match no -k rider"
+                f" and would run NOWHERE: {missed}"
+            )
     # modules that ride inside a "not (MM_K)" invocation but are NOT
     # themselves split (test_dboost, test_pipeline): a test name
     # matching an MM_K term would be deselected there and run NOWHERE

@@ -50,7 +50,14 @@ GROUPS: dict[str, list[str]] = {
         "-k",
         f"not ({MM_K})",
     ],
-    "mm": ["tests/test_ops.py", "-k", MM_K],
+    # mm is the lightest wall (325 s late-r9) — the golden-parity
+    # module (~65 s) rides along; 'golden' matches via its filename
+    "mm": [
+        "tests/test_ops.py",
+        "tests/test_golden_quintet.py",
+        "-k",
+        f"({MM_K}) or golden",
+    ],
     "props": [
         "tests/test_properties.py",
         "tests/test_clustering.py",
