@@ -183,11 +183,40 @@ _ALL_EXCLUDE = frozenset(
 )
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed synthetic CPU+shuffle job — the bench's unit ruler.
+
+    Constant work with NO data dependence and NO I/O: 8M generated
+    rows, two xxhash64 folds per row, one 1,024-key shuffle + agg.
+    Cross-round wall-clock comparisons on this box proved meaningless
+    in r9 (the host slowed ~2× mid-round: 160.7 s → 303–432 s on
+    untouched queries at equal idle loadavg — .bench/history_all.jsonl),
+    so every artifact now carries ``calib_s``: divide any per-query
+    time by it to compare rounds in normalized units."""
+    t0 = time.time()
+    (
+        spark.range(0, 8_000_000, 1, 32)
+        .selectExpr("id % 1024 AS k", "xxhash64(id, 1) AS h1")
+        # pmod keeps the running sum far from LONG range (ANSI throws
+        # on overflow); the hash chain is still the CPU work
+        .selectExpr("k", "pmod(xxhash64(h1, 2), 1048576) AS h2")
+        .groupBy("k")
+        .agg({"h2": "sum", "*": "count"})
+        .collect()
+    )
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     run_all = "--all" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     env_start = _env_markers(spark)
+    # three probes: the first pays JIT (discarded), min of the next two
+    # is the session-start calibration; one more at the end catches a
+    # mid-run environment shift
+    _calibration_probe(spark)
+    calib_start = min(_calibration_probe(spark), _calibration_probe(spark))
     # --all (r8 verdict item 3): time EVERY registered query — the 93
     # non-headline entries (tpch_ext plan-shape family, violations_*,
     # dboost_*) are correctness-gated but were never timed, so a perf
@@ -256,6 +285,10 @@ def main() -> None:
         # ambient-load evidence (see _env_markers)
         "env_start": env_start,
         "env_end": _env_markers(spark),
+        # normalization ruler (see _calibration_probe): per-query times
+        # divided by calib_s are comparable across rounds/hosts
+        "calib_s": calib_start,
+        "calib_s_end": _calibration_probe(spark),
     }
     # Persist the full object to a file BEFORE printing: the driver
     # archives stdout with a tail cap, and BENCH_r06/r07 both lost the
@@ -289,6 +322,8 @@ def main() -> None:
         "sf": result["sf"],
         "env_start": env_start,
         "env_end": result["env_end"],
+        "calib_s": result["calib_s"],
+        "calib_s_end": result["calib_s_end"],
         "full": os.path.relpath(out_path, os.path.dirname(os.path.abspath(__file__))),
     }
     print(json.dumps(compact))

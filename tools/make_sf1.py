@@ -121,6 +121,50 @@ def main() -> None:
                 for r in range(REPLICAS)
             ),
         )
+    # dimension scale-up (r10: the sf10 profile-family fixtures) — key
+    # shifts per replica, name/text columns get a replica suffix so
+    # distinct counts and patterns scale with volume instead of
+    # collapsing to the sf0.1 value sets
+    dim_specs = {
+        "customer_scaled": (
+            "customer",
+            "c_custkey",
+            lambda r: (
+                f"SELECT c_custkey + {{shift}} AS c_custkey,"
+                + ("c_name" if r == 0 else f"c_name || '#{r}' AS c_name")
+                + ", c_nationkey, c_acctbal, c_mktsegment"
+            ),
+        ),
+        "supplier_scaled": (
+            "supplier",
+            "s_suppkey",
+            lambda r: (
+                f"SELECT s_suppkey + {{shift}} AS s_suppkey,"
+                + ("s_name" if r == 0 else f"s_name || '#{r}' AS s_name")
+                + ", s_nationkey, s_acctbal"
+            ),
+        ),
+        "part_scaled": (
+            "part",
+            "p_partkey",
+            lambda r: (
+                f"SELECT p_partkey + {{shift}} AS p_partkey,"
+                + ("p_name" if r == 0 else f"p_name || ' r{r}' AS p_name")
+                + ", p_brand, p_type, p_size, p_retailprice"
+            ),
+        ),
+    }
+    for name, (t, key, sel) in dim_specs.items():
+        if want(name):
+            (mx,) = con.execute(f"SELECT max({key}) + 1 FROM {src(t)}").fetchone()
+            write(
+                t,
+                " UNION ALL ".join(
+                    sel(r).format(shift=r * mx) + f" FROM {src(t)}"
+                    for r in range(REPLICAS)
+                ),
+            )
+
     for t in ("region", "nation", "customer", "supplier", "part", "events", "embeddings"):
         if want(t):
             write(t, f"SELECT * FROM {src(t)}")
