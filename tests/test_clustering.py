@@ -257,3 +257,56 @@ def test_cluster_columns_frozen_planted(spark):
         cluster_columns_frozen_sql("SELECT * FROM prof", inj)
     with _pytest.raises(ValueError, match="lengths differ"):
         cluster_columns_frozen(df, dict(params, min=[0.0]))
+
+
+def test_two_stage_hashed_trigram_seam(spark, sf_tables):
+    """The name_embedding_fn seam driven END-TO-END by the vendored
+    deterministic embedding fixture (functions.fixture_embedding —
+    seeded md5 hashed-trigram projection; the sentence-transformer
+    stand-in, reference utils/two_stage_clustering.py:73-120). The
+    embedding must actually CHANGE stage-1 grouping: near-identical
+    table names share trigrams → one group → their twin columns can
+    co-cluster; an unrelated name lands in its own group, so its
+    columns can never share a cluster id with the others."""
+    from datalakerulegeneration_spark.functions.fixture_embedding import (
+        hashed_trigram_embedding,
+    )
+    from datalakerulegeneration_spark.profiling import profile_tables
+
+    sup = sf_tables["supplier"]
+    tables = {
+        "supplier_2023": sup,
+        "supplier_2024": sup,  # same data → identical column profiles
+        "nation": sf_tables["nation"],
+    }
+    prof = profile_tables(spark, tables, with_tokens=False)
+    emb = lambda names: hashed_trigram_embedding(names, dim=16, seed=7)
+
+    clusters = two_stage_clustering(
+        prof, name_embedding_fn=emb, embedding_eps=0.3
+    )
+    rows = {r["unique_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert len(rows) == prof.count()
+    # determinism across runs
+    rows2 = {
+        r["unique_id"]: r["cluster_id"]
+        for r in two_stage_clustering(
+            prof, name_embedding_fn=emb, embedding_eps=0.3
+        ).collect()
+    }
+    assert rows == rows2
+    # the supplier twins share trigrams → same stage-1 group → their
+    # identical per-column profiles co-cluster column-for-column
+    for c in ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"):
+        assert rows[f"supplier_2023::{c}"] == rows[f"supplier_2024::{c}"]
+    # nation shares no trigrams with supplier_* → its own group →
+    # disjoint cluster ids from every supplier column
+    nation_cids = {v for k, v in rows.items() if k.startswith("nation::")}
+    supplier_cids = {v for k, v in rows.items() if k.startswith("supplier_")}
+    assert nation_cids.isdisjoint(supplier_cids)
+    # the fixture itself: deterministic, unit-norm, zero for empty
+    import numpy as np
+
+    e = hashed_trigram_embedding(["orders", "orders", ""], dim=16, seed=7)
+    assert np.allclose(e[0], e[1]) and np.allclose(e[2], 0.0)
+    assert abs(float(np.linalg.norm(e[0])) - 1.0) < 1e-9
