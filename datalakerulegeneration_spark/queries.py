@@ -115,6 +115,56 @@ def q_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("col_name", "stat_name", "stat_value")
 
 
+def q_profile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract companion for the rows-only ``profile_lineitem_approx``
+    (r10): every sketch stat must sit within its DOCUMENTED tolerance
+    of the exact profile — approx_count_distinct (default rsd 5%) ≤10%
+    relative, approx_percentile (accuracy 10000 → rank error ≤ n/10⁴)
+    ≤1% relative on the quartiles, every other stat bit-equal (the
+    approx wide agg reuses the exact expressions). Emits ``(col_name,
+    stat_name, within_tol)`` over the full stat grain; the oracle is
+    the same grain with literal TRUE, so a sketch drifting out of
+    tolerance (or a grain mismatch between modes) hash-mismatches in
+    the driver artifact instead of hiding behind rows-only."""
+    df = load_sf_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    cols = PROFILE_COLUMNS["lineitem"]
+    exact = scalar_stats_long(df, "lineitem", columns=cols).select(
+        "col_name", "stat_name", F.col("stat_value").alias("ev")
+    )
+    approx = scalar_stats_long(df, "lineitem", columns=cols, exact=False).select(
+        "col_name", "stat_name", F.col("stat_value").alias("av")
+    )
+    j = exact.join(approx, ["col_name", "stat_name"], "full_outer")
+    tol = (
+        F.when(F.col("stat_name").isin("distinct_num", "unique_ratio"), F.lit(0.10))
+        .when(F.col("stat_name").isin("q1", "q2", "q3"), F.lit(0.01))
+        .otherwise(F.lit(1e-9))
+    )
+    ok = (F.col("ev").isNull() & F.col("av").isNull()) | (
+        F.col("ev").isNotNull()
+        & F.col("av").isNotNull()
+        & (
+            F.abs(F.col("av") - F.col("ev"))
+            <= tol * F.greatest(F.abs(F.col("ev")), F.lit(1.0))
+        )
+    )
+    return j.select(
+        "col_name", "stat_name", F.coalesce(ok, F.lit(False)).alias("within_tol")
+    )
+
+
+def _profile_approx_check_oracle() -> str:
+    rows = ",\n    ".join(
+        f"('{c}', '{st.name}')"
+        for c in PROFILE_COLUMNS["lineitem"]
+        for st in S.stats_for_kind(_kind(c))
+    )
+    return (
+        "SELECT col_name, stat_name, TRUE AS within_tol FROM (VALUES\n"
+        f"    {rows}\n) AS t(col_name, stat_name)"
+    )
+
+
 def q_dominant_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_sf_tables(spark, sf_dir, ("customer",))["customer"]
     parts = [f"'{c}', CAST(`{c}` AS STRING)" for c in _PATTERN_COLS]
@@ -2268,6 +2318,53 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus terms with per-term and cumulative token-stream share."""
     docs = load_sf_tables(spark, sf_dir, ("documents",))["documents"]
     return textqa.vocab_coverage(docs, "text", k=50)
+
+
+def _compression_fixture() -> dict:
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "resources",
+        "fixture_compression.json",
+    )
+    with open(p) as fh:
+        return _json.load(fh)
+
+
+def q_compression_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract companion for the rows-only ``compression_ratio_documents``
+    (r10): the vendored fixture table (tools/gen_compression_fixture.py)
+    carries each text's zlib level-6 output length computed by plain
+    driver-side CPython at freeze time; the query recomputes them
+    through the engine's Arrow-batched executor path
+    (ops.textqa.compression_ratio) and the oracle is the pinned literal
+    table — so the pandas_udf plumbing (batching, UTF-8 encode, level
+    plumb-through) is exactness-gated in the driver artifact, not just
+    pytest. ``sf_dir`` unused (fixture-scoped by nature)."""
+    fx = _compression_fixture()
+    df = spark.createDataFrame(
+        [(r["id"], r["text"]) for r in fx["rows"]], "doc_id long, text string"
+    )
+    return textqa.compression_ratio(df, "doc_id", "text", level=fx["level"])
+
+
+def _compression_fixture_oracle() -> str:
+    fx = _compression_fixture()
+    rows = ",\n    ".join(
+        f"({r['id']}, {len(r['text'].encode('utf-8'))}, {r['n_compressed']})"
+        for r in fx["rows"]
+    )
+    return f"""
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(nb AS BIGINT) AS n_bytes,
+       CAST(nc AS BIGINT) AS n_compressed,
+       round(CAST(nb AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS ratio
+FROM (VALUES
+    {rows}
+) AS t(id, nb, nc)
+"""
 
 
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4953,6 +5050,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "winnow_fingerprints_documents": (q_winnow_fingerprints, dedup.winnow_fingerprints_sql("documents", "doc_id", "text", 3, 4)),
     "winnow_overlap_documents": (q_winnow_overlap, dedup.winnow_overlap_sql("documents", "doc_id", "text", 3, 4, 2)),
     "quintet_beers_errors": (q_quintet_beers_errors, _quintet_beers_oracle()),
+    "profile_approx_check_lineitem": (q_profile_approx_check, _profile_approx_check_oracle()),
+    "compression_fixture_docs": (q_compression_fixture, _compression_fixture_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
@@ -5090,10 +5189,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 ROWS_ONLY: dict[str, str] = {
     "bpe_learn_documents": "iterative merge selection — each step's argmax feeds the next step's state, not one SQL statement; merge sequence deterministic, pytest-pinned, and the downstream encoder is oracle-gated (bpe_encode_documents)",
     "cluster_columns_kmeans_profiles": "iterative KMeans fit — centroid trajectory is seed/scheduling-dependent, not SQL-expressible",
-    "profile_lineitem_approx": "approx_percentile sketch — tolerance-bounded by design, no exact oracle",
+    "profile_lineitem_approx": "approx_percentile sketch — tolerance-bounded by design, no exact oracle; the tolerance CONTRACT is driver-gated by profile_approx_check_lineitem (r10)",
     "dboost_mixture_lineitem": "EM-fitted Gaussian mixture — iterative ML fit, not SQL-expressible",
     "pca_topk_embeddings": "eigenvector basis from iterative SVD — exactness gated by pca_recall_embeddings instead",
-    "compression_ratio_documents": "zlib deflate has no DuckDB SQL twin — repetitiveness semantics pytest-pinned",
+    "compression_ratio_documents": "zlib deflate has no DuckDB SQL twin — repetitiveness semantics pytest-pinned; executor-path exactness driver-gated by compression_fixture_docs' pinned fixture (r10)",
 }
 
 
