@@ -62,3 +62,7 @@ from datalakerulegeneration_spark.streaming.url_dedup_stream import (  # noqa: F
     UrlDeduper,
     url_dedup_stream,
 )
+from datalakerulegeneration_spark.streaming.curate_indexed_stream import (  # noqa: F401
+    CurateIndexedDeduper,
+    curate_indexed_stream,
+)

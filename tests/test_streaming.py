@@ -1379,3 +1379,81 @@ def test_psi_drift_stream_frozen_reference(spark, sf_tables):
         psi_drift_stream(
             scored, None, "quality_score", lo=0.0, hi=1.0, n_bins=4, shares=shares
         )
+
+
+def test_curate_indexed_crash_matrix(spark, tmp_path):
+    """r10 (r9 verdict #6): the COMPOSED curate sink — quality gate →
+    URL dedup (index 1) → content dedup (index 2) — crash-injected at
+    every inter-stage commit boundary. The single-sink at-least-once
+    ordering is not enough for a composition (a crash between the two
+    indexes' commits could starve stage 2 on replay and silently DROP
+    documents); the composed sink's per-batch overwrite dirs + atomic
+    marker must replay to output BYTE-IDENTICAL to a run that never
+    crashed, at every boundary."""
+    import shutil as _sh
+
+    from datalakerulegeneration_spark.streaming import CurateIndexedDeduper
+
+    # batch 0: u1 admitted; u1-dup-url dropped (same canonical URL);
+    # c1/c1copy: distinct URLs, same TEXT → content dedup keeps c1;
+    # lowq fails the quality gate (one repeated token)
+    b0 = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?utm_source=t", "alpha beta gamma delta epsilon zeta."),
+            (2, "http://A.com/x", "other words entirely, but the url matches."),
+            (3, "http://b.com/1", "identical content travels here, full stop."),
+            (4, "http://b.com/2", "identical content travels here, full stop."),
+            (5, "http://c.com/low", "!!!! ???? !!!! ???? !!!!"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    # batch 1: url of doc 1 again (drop), text of doc 3 again under a
+    # new url (drop), one genuinely new doc (admit)
+    b1 = spark.createDataFrame(
+        [
+            (6, "http://a.com/x", "reposted under the canonical url again."),
+            (7, "http://d.com/z", "identical content travels here, full stop."),
+            (8, "http://e.com/new", "a genuinely new document arrives now."),
+        ],
+        "doc_id long, url string, text string",
+    )
+
+    def run(state, crashes):
+        """Drive both batches; at each (batch_idx, failpoint) in
+        ``crashes`` inject a crash then replay the same batch."""
+        dd = CurateIndexedDeduper(spark, str(state), quality_min=0.5)
+        for bid, batch in ((0, b0), (1, b1)):
+            for fp in [f for b, f in crashes if b == bid]:
+                dd.failpoint = fp
+                try:
+                    dd.update(batch, bid)
+                    raise AssertionError(f"failpoint {fp} did not fire")
+                except RuntimeError as e:
+                    assert "injected crash" in str(e)
+                dd.failpoint = None
+            dd.update(batch, bid)  # the replay that must converge
+            dd.update(batch, bid)  # replay of the COMMITTED batch: no-op
+        surv = sorted(map(tuple, dd.survivors().select("doc_id", "url", "text").collect()))
+        urls = sorted(r["canon_key"] for r in dd.url_index().collect())
+        digs = sorted(r["text_digest"] for r in dd.digest_index().collect())
+        return surv, urls, digs
+
+    ref = run(tmp_path / "ref", crashes=[])
+    # the intended semantics first: docs 1, 3, 8 survive
+    assert [r[0] for r in ref[0]] == [1, 3, 8]
+    # url index carries every url-stage-admitted key (content-dup doc 4
+    # still claims its URL), quality-failed doc 5 claims nothing
+    assert len(ref[1]) == 5  # a.com/x, b.com/1, b.com/2, d.com/z, e.com/new
+    assert len(ref[2]) == 3  # digests of docs 1, 3, 8
+
+    points = ("survivors", "digest_index", "url_index")
+    for bid in (0, 1):
+        for fp in points:
+            got = run(tmp_path / f"crash_{bid}_{fp}", crashes=[(bid, fp)])
+            assert got == ref, (bid, fp)
+    # the storm: every boundary of every batch crashes once
+    storm = run(
+        tmp_path / "storm",
+        crashes=[(b, f) for b in (0, 1) for f in points],
+    )
+    assert storm == ref
