@@ -116,6 +116,7 @@ def scalar_stats_long(
     columns: list[str] | None = None,
     exact: bool = True,
     coerce_numeric: bool = False,
+    max_cols_per_pass: int = 200,
 ) -> DataFrame:
     """All registry stats for all columns as ``(table, col_name,
     stat_name, stat_value)``.
@@ -144,6 +145,30 @@ def scalar_stats_long(
     strings); only the quartile/numeric stats read the casts.
     """
     cols = columns or df.columns
+    # column-count hatch (r10 wide-table probe): ~16 aggregate
+    # expressions per column means a 1,000-column catalog table builds
+    # a ~16k-expression wide agg whose per-task partial-agg buffers
+    # blow the executor heap (measured: OOM at 1,000 × 10k rows on the
+    # 32-thread local JVM) and whose codegen unit defeats JIT well
+    # before that. Profiling in <=max_cols_per_pass column chunks and
+    # unioning the long results is plan-shape-identical per chunk and
+    # keeps memory O(chunk); the output rows are exactly the same.
+    if max_cols_per_pass and len(cols) > max_cols_per_pass:
+        parts = [
+            scalar_stats_long(
+                df,
+                table,
+                columns=cols[i : i + max_cols_per_pass],
+                exact=exact,
+                coerce_numeric=coerce_numeric,
+                max_cols_per_pass=max_cols_per_pass,
+            )
+            for i in range(0, len(cols), max_cols_per_pass)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     kinds = {f.name: column_kind(f.dataType) for f in df.schema.fields}
     if coerce_numeric:
         for f in df.schema.fields:

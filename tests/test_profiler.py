@@ -164,3 +164,33 @@ def test_dataset_profile(spark, sf_tables):
     p = profile_table(spark, sf_tables["region"], "region")
     dp = dataset_profile(p).collect()
     assert len(dp) == 1 and dp[0]["table"] == "region"
+
+
+def test_wide_table_chunked_profile(spark):
+    """r10 wide-table hatch: scalar_stats_long auto-chunks past
+    max_cols_per_pass (default 200) — the monolithic 1,000-column wide
+    agg OOMs the executor heap (tools/probe_wide_profile.py). The
+    chunked output must be ROW-IDENTICAL to the monolithic plan, and
+    tables at or under the threshold must not split (the oracle
+    queries' plan shape is untouched)."""
+    from datalakerulegeneration_spark.profiling.profiler import scalar_stats_long
+
+    n = 12
+    df = spark.range(0, 500, 1, 4).selectExpr(
+        *[
+            (f"CAST(id % {i + 3} AS INT) AS c{i}" if i % 2 == 0
+             else f"concat('v', CAST(id % {i + 3} AS STRING)) AS c{i}")
+            for i in range(n)
+        ]
+    )
+    mono = sorted(map(tuple, scalar_stats_long(df, "t", max_cols_per_pass=0).collect()))
+    chunked = sorted(map(tuple, scalar_stats_long(df, "t", max_cols_per_pass=5).collect()))
+    assert chunked == mono and len(mono) > 0
+    # at/under the threshold the plan is the monolithic shape (the
+    # wide-agg + distinct-melt union only); chunking multiplies the
+    # union arms — count Union nodes as the structural proxy
+    def unions(mcpp):
+        plan = scalar_stats_long(df, "t", max_cols_per_pass=mcpp)
+        return plan._jdf.queryExecution().analyzed().toString().count("Union")
+    assert unions(200) == unions(0)  # 12 cols <= 200: no split happened
+    assert unions(5) > unions(0)     # 3 chunks: extra union arms
