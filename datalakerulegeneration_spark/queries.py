@@ -96,6 +96,56 @@ def _profile_oracle(table: str) -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def q_quintet_beers_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CSV-ingest profile under the driver gate (r10): S1
+    all-string scan of the vendored dirty beers golden pair → the
+    COERCED stat family (string stats + the numeric family over
+    try_cast — the reference's coerce-everything profiling mode,
+    profiler.py:249). This is the registered oracle query for the r10
+    coerce_numeric path; field-level parity with the reference's
+    PUBLISHED profile pickle is pinned separately in
+    tests/test_golden_quintet.py. ``sf_dir`` unused (fixture-scoped)."""
+    import os
+
+    from datalakerulegeneration_spark.catalog import read_csv_all_string
+    from datalakerulegeneration_spark.evaluation.golden import quintet_fixture_dir
+
+    df = read_csv_all_string(
+        spark, os.path.join(quintet_fixture_dir(), "beers", "dirty.csv")
+    )
+    return scalar_stats_long(df, "beers", coerce_numeric=True).select(
+        "col_name", "stat_name", "stat_value"
+    )
+
+
+def _quintet_beers_profile_oracle() -> str:
+    import os
+
+    from datalakerulegeneration_spark.evaluation.golden import quintet_fixture_dir
+
+    path = os.path.join(quintet_fixture_dir(), "beers", "dirty.csv").replace("'", "''")
+    cols = [
+        "index", "id", "beer_name", "style", "ounces", "abv", "ibu",
+        "brewery_id", "brewery_name", "city", "state",
+    ]
+    # the S1 reader's transform: all-varchar, NULL→'', trim
+    norm = ", ".join(
+        f'trim(coalesce("{c}", \'\')) AS "{c}"' for c in cols
+    )
+    src = (
+        f"SELECT {norm} FROM read_csv('{path}', header=true,"
+        f" all_varchar=true, nullstr='\\x01__NONE__')"
+    )
+    selects = []
+    for c in cols:
+        for st in S.stats_for_kind(S.COERCED):
+            selects.append(
+                f"SELECT '{c}' AS col_name, '{st.name}' AS stat_name,"
+                f" ({st.sql(chr(34) + c + chr(34))}) AS stat_value FROM _src"
+            )
+    return f"WITH _src AS ({src})\n" + "\nUNION ALL\n".join(selects)
+
+
 # ---------------------------------------------------------------------------
 # dominant pattern (P17)
 # ---------------------------------------------------------------------------
@@ -5052,6 +5102,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quintet_beers_errors": (q_quintet_beers_errors, _quintet_beers_oracle()),
     "profile_approx_check_lineitem": (q_profile_approx_check, _profile_approx_check_oracle()),
     "compression_fixture_docs": (q_compression_fixture, _compression_fixture_oracle()),
+    "quintet_beers_profile": (q_quintet_beers_profile, _quintet_beers_profile_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
@@ -5074,68 +5125,68 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r9 (7): the frozen-parameter serving splits
-    # (all four trainable ops now have one), the PSI refit trigger,
-    # the trained-filter flagship they unlock, tokenizer fertility
-    "quality_classifier_score_documents",
-    "semdedup_frozen_embeddings",
-    "dboost_mixture_frozen_lineitem",
-    "cluster_columns_frozen_profiles",
-    "quality_psi_documents",
-    "curate_corpus_trained_documents",
-    "bpe_fertility_by_lang_documents",
-    # re-certify: code paths changed in r9 (canonical-URL fragment fix;
-    # blocklist validation + SQL default select lists; bpe ASCII-split
-    # twin; persisted-index codes manifest) (8)
-    "url_dedup_documents",
-    "domain_mix_documents",
-    "domain_cap_documents",
-    "domain_blocklist_documents",
-    "curate_corpus_domains_documents",
-    "curation_funnel_domains_documents",
-    "bpe_encode_documents",
-    "ann_index_search_embeddings",
-    # freshness rotation (r8 verdict item 8): entries whose latest
-    # driver row predates r3 and whose modules have been touched since
-    # only transitively (the rules/dboost/profiling families) (12)
-    "violations_unique_orders",
-    "violations_stats_orders",
-    "violations_events",
-    "violations_rules_orders",
-    "violations_suppressor_orders",
-    "violations_dictionary_documents",
-    "violations_spell_documents",
-    "violations_dates_events",
-    "fd_conflicts_orders",
-    "inclusion_orders_customer",
-    "dboost_pearson_lineitem",
-    "top_keywords_documents",
-    # family flagships — regression rotation (23; simhash /
-    # eval_metrics / ccnet_buckets rotated out this round — each
-    # passed in the r8 head — to hold the head at the driver's 50)
-    "curate_corpus_documents",
-    "curation_funnel_documents",
-    "curate_sft_batches_documents",
-    "curate_corpus_dsir_documents",
-    "curate_corpus_neardup_documents",
-    "curate_corpus_budget_documents",
-    "curate_corpus_ccnet_documents",
-    "curation_funnel_ccnet_documents",
-    "dedup_minhash_documents",
-    "keep_best_documents",
-    "dedup_greedy_keepset_documents",
-    "span_dedup_documents",
-    "incremental_dedup_documents",
-    "near_dup_embeddings",
-    "ann_topk_embeddings",
-    "ann_recall_embeddings",
-    "pca_recall_embeddings",
-    "decontaminate_embeddings",
+    # new this round — r10 (4): the golden-parity replication +
+    # CSV-ingest coerced-profile queries over the vendored Quintet
+    # fixture, and the two contract companions that put the last
+    # tolerance/codec entries under the driver gate
+    "quintet_beers_errors",
+    "quintet_beers_profile",
+    "profile_approx_check_lineitem",
+    "compression_fixture_docs",
+    # re-certify: code paths changed in r10 (4) — profiling stats
+    # (numeric_std try_cast square, COERCED kind, chunked wide agg),
+    # the PSI bin clamp, and the profile-consuming frozen/matching
+    # family
     "profile_lineitem",
-    "q1_pricing_summary",
-    "q9_product_profit",
-    "three_sigma_events",
-    "ks_table_events",
+    "quality_psi_documents",
+    "cluster_columns_frozen_profiles",
+    "dataset_similarity_tables",
+    # freshness rotation (r9 verdict item 8): the stalest driver rows
+    # — the full r2/r3-era tail (latest row r2: 5; r3: 32), so the
+    # head median driver-row age lands at one round
+    "dboost_mixture_lineitem",
+    "profile_lineitem_approx",
+    "profile_part",
+    "profile_supplier",
+    "q14_promo_revenue",
+    "asof_join_events_orders",
+    "clean_text_documents",
+    "dboost_cords_events",
+    "dboost_histogram_events",
+    "decontaminate_documents",
+    "dominant_pattern_customer",
+    "drift_events_value",
+    "drift_table_events",
+    "dup_components_documents",
+    "ks_events_value",
+    "language_id_documents",
+    "latest_events_per_user",
+    "line_dedup_documents",
+    "multimodal_png_decode_documents",
+    "multimodal_wav_decode_documents",
+    "ngram_overlap_documents",
+    "pack_manifest_documents",
+    "pii_scrub_documents",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "q21_waiting_suppliers",
+    "q5_nation_revenue",
+    "quality_filter_documents",
+    "rebalance_sources_documents",
+    "repetition_stats_documents",
+    "sessionize_events",
+    "source_mix_documents",
+    "stratified_sample_documents",
+    "tfidf_top_terms_documents",
+    "token_stats_documents",
+    "value_stats_customer",
+    "violations_legacy_orders",
+    "wasserstein_events_value",
+    # next-stalest (r5 era) to fill the driver's 50 (4)
+    "ann_topk_ivf_embeddings",
+    "ann_topk_lsh_embeddings",
+    "bloom_decontaminate_documents",
+    "column_match_customer_supplier",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {
