@@ -269,6 +269,59 @@ def quintet_beers_error_cells_oracle(fixture_dir: str | None = None) -> str:
     )
 
 
+def quintet_truth(
+    spark: SparkSession, dataset: str = "beers", fixture_dir: str | None = None
+) -> DataFrame:
+    """The golden pair's ground-truth cell diff (J1 on REAL data):
+    S1-ingest both sides, rename clean positionally, key-join on the
+    pair's id column, emit ``(row_id, column, dirty_value,
+    clean_value)`` for differing cells — ``evaluation.cell_diff``."""
+    from datalakerulegeneration_spark.evaluation.ground_truth import cell_diff
+
+    dirty, clean = load_quintet_pair(spark, dataset, fixture_dir)
+    return cell_diff(dirty, clean, key=QUINTET_KEYS[dataset])
+
+
+def quintet_truth_sql(dataset: str = "beers", fixture_dir: str | None = None) -> str:
+    """DuckDB twin of :func:`quintet_truth`: the same all-varchar +
+    trim ingest of both CSVs, positional rename, one key equi-join,
+    per-column UNION ALL of the differing cells."""
+    d = fixture_dir or quintet_fixture_dir()
+    key = QUINTET_KEYS[dataset]
+    import csv as _csv
+
+    with open(os.path.join(d, dataset, "dirty.csv")) as fh:
+        cols = next(_csv.reader(fh))
+
+    def side(kind: str) -> str:
+        path = os.path.join(d, dataset, f"{kind}.csv").replace("'", "''")
+        # positional rename: project by ordinal via the column list of
+        # THIS file, aliased to the dirty header
+        with open(os.path.join(d, dataset, f"{kind}.csv")) as fh:
+            own = next(_csv.reader(fh))
+        sel = ", ".join(
+            f'trim(coalesce("{o}", \'\')) AS "{c}"' for o, c in zip(own, cols)
+        )
+        return (
+            f"SELECT {sel} FROM read_csv('{path}', header=true,"
+            f" all_varchar=true, nullstr='\\x01__NONE__')"
+        )
+
+    selects = []
+    for c in cols:
+        selects.append(
+            f'SELECT CAST(d."{key}" AS VARCHAR) AS row_id,'
+            f" '{c}' AS \"column\","
+            f' d."{c}" AS dirty_value, c."{c}" AS clean_value'
+            f' FROM _d d JOIN _c c ON d."{key}" = c."{key}"'
+            f' WHERE d."{c}" <> c."{c}"'
+        )
+    return (
+        f"WITH _d AS ({side('dirty')}),\n_c AS ({side('clean')})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def run_quintet_golden(
     spark: SparkSession,
     fixture_dir: str | None = None,

@@ -118,6 +118,23 @@ def q_quintet_beers_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quintet_beers_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-pair ground truth under the driver gate (r10): the J1
+    positional cell diff of the vendored beers pair — one key
+    equi-join + one stack unpivot (evaluation.cell_diff), oracle'd by
+    a per-column UNION ALL over the same all-varchar ingest.
+    ``sf_dir`` unused (fixture-scoped)."""
+    from datalakerulegeneration_spark.evaluation.golden import quintet_truth
+
+    return quintet_truth(spark, "beers")
+
+
+def _quintet_beers_truth_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.golden import quintet_truth_sql
+
+    return quintet_truth_sql("beers")
+
+
 def _quintet_beers_profile_oracle() -> str:
     import os
 
@@ -5103,6 +5120,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "profile_approx_check_lineitem": (q_profile_approx_check, _profile_approx_check_oracle()),
     "compression_fixture_docs": (q_compression_fixture, _compression_fixture_oracle()),
     "quintet_beers_profile": (q_quintet_beers_profile, _quintet_beers_profile_oracle()),
+    "quintet_beers_truth": (q_quintet_beers_truth, _quintet_beers_truth_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
@@ -5125,12 +5143,13 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r10 (4): the golden-parity replication +
+    # new this round — r10 (5): the golden-parity replication +
     # CSV-ingest coerced-profile queries over the vendored Quintet
     # fixture, and the two contract companions that put the last
     # tolerance/codec entries under the driver gate
     "quintet_beers_errors",
     "quintet_beers_profile",
+    "quintet_beers_truth",
     "profile_approx_check_lineitem",
     "compression_fixture_docs",
     # re-certify: code paths changed in r10 (4) — profiling stats
@@ -5182,11 +5201,10 @@ _GATE_HEAD = [
     "value_stats_customer",
     "violations_legacy_orders",
     "wasserstein_events_value",
-    # next-stalest (r5 era) to fill the driver's 50 (4)
+    # next-stalest (r5 era) to fill the driver's 50 (3)
     "ann_topk_ivf_embeddings",
     "ann_topk_lsh_embeddings",
     "bloom_decontaminate_documents",
-    "column_match_customer_supplier",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {
