@@ -76,6 +76,43 @@ def quintet_fixture_dir() -> str:
     return os.path.join(os.path.dirname(pkg), "tests", "fixtures", "quintet")
 
 
+def s1_ingest_sql(
+    path: str, pandas_na: bool = False, rename_to: list[str] | None = None
+) -> str:
+    """DuckDB twin of the S1 all-string CSV ingest: all-varchar read,
+    NULL→'', trim — header-derived column list (reads the file's own
+    header, so a fixture change can never desync an oracle's hardcoded
+    list from the engine's — r10 review). ``pandas_na=True`` adds the
+    published-artifact generator's default-NA token mapping
+    (:data:`PANDAS_NA_TOKENS` → ''); ``rename_to`` aliases the columns
+    POSITIONALLY (the golden pairs' clean→dirty header rename)."""
+    import csv as _csv
+
+    with open(path) as fh:
+        cols = next(_csv.reader(fh))
+    out_names = rename_to if rename_to is not None else cols
+    if len(out_names) != len(cols):
+        raise ValueError(
+            f"rename_to has {len(out_names)} names for {len(cols)} columns"
+        )
+    p = path.replace("'", "''")
+    if pandas_na:
+        toks = ", ".join(f"'{t}'" for t in PANDAS_NA_TOKENS)
+        norm = ", ".join(
+            f'CASE WHEN trim(coalesce("{c}", \'\')) IN ({toks}) THEN \'\''
+            f' ELSE trim(coalesce("{c}", \'\')) END AS "{o}"'
+            for c, o in zip(cols, out_names)
+        )
+    else:
+        norm = ", ".join(
+            f'trim(coalesce("{c}", \'\')) AS "{o}"' for c, o in zip(cols, out_names)
+        )
+    return (
+        f"SELECT {norm} FROM read_csv('{p}', header=true,"
+        f" all_varchar=true, nullstr='\\x01__NONE__')"
+    )
+
+
 def pandas_na_normalized(df: DataFrame) -> DataFrame:
     """Map every cell matching a pandas default NA token to '' — the
     ingest semantics the published artifact was generated under
@@ -248,22 +285,13 @@ def quintet_beers_error_cells(
 def quintet_beers_error_cells_oracle(fixture_dir: str | None = None) -> str:
     """DuckDB twin of :func:`quintet_beers_error_cells` reading the
     same CSV fixture (all_varchar read + the same NA token mapping)."""
+    import csv as _csv
+
     d = fixture_dir or quintet_fixture_dir()
-    path = os.path.join(d, "beers", "dirty.csv").replace("'", "''")
-    cols = [
-        "index", "id", "beer_name", "style", "ounces", "abv", "ibu",
-        "brewery_id", "brewery_name", "city", "state",
-    ]
-    toks = ", ".join(f"'{t}'" for t in PANDAS_NA_TOKENS)
-    norm = ", ".join(
-        f'CASE WHEN trim(coalesce("{c}", \'\')) IN ({toks}) THEN \'\''
-        f' ELSE trim(coalesce("{c}", \'\')) END AS "{c}"'
-        for c in cols
-    )
-    src = (
-        f"SELECT {norm} FROM read_csv('{path}', header=true,"
-        f" all_varchar=true, nullstr='\\x01__NONE__')"
-    )
+    path = os.path.join(d, "beers", "dirty.csv")
+    with open(path) as fh:
+        cols = next(_csv.reader(fh))
+    src = s1_ingest_sql(path, pandas_na=True)
     return legacy_error_cells_sql(
         src, beers_rules_map(cols), 'CAST("index" AS BIGINT) - 1'
     )
@@ -294,17 +322,10 @@ def quintet_truth_sql(dataset: str = "beers", fixture_dir: str | None = None) ->
         cols = next(_csv.reader(fh))
 
     def side(kind: str) -> str:
-        path = os.path.join(d, dataset, f"{kind}.csv").replace("'", "''")
-        # positional rename: project by ordinal via the column list of
-        # THIS file, aliased to the dirty header
-        with open(os.path.join(d, dataset, f"{kind}.csv")) as fh:
-            own = next(_csv.reader(fh))
-        sel = ", ".join(
-            f'trim(coalesce("{o}", \'\')) AS "{c}"' for o, c in zip(own, cols)
-        )
-        return (
-            f"SELECT {sel} FROM read_csv('{path}', header=true,"
-            f" all_varchar=true, nullstr='\\x01__NONE__')"
+        # positional rename to the dirty header (s1_ingest_sql reads
+        # each file's own header and aliases by ordinal)
+        return s1_ingest_sql(
+            os.path.join(d, dataset, f"{kind}.csv"), rename_to=cols
         )
 
     selects = []

@@ -38,10 +38,16 @@ def micro6(x: float) -> int:
     fixture generators quantize at freeze time rather than rely on
     this boundary behavior.
     """
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
-    return int(
-        Decimal(repr(float(x)))
-        .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-        .scaleb(6)
-    )
+    with localcontext() as ctx:
+        # default context precision (28) makes quantize RAISE for
+        # |x| >= 1e22 ("result has too many digits"); frozen stats can
+        # legitimately carry such magnitudes (r10 review) — widen the
+        # working precision so the full double range quantizes
+        ctx.prec = 60
+        return int(
+            Decimal(repr(float(x)))
+            .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            .scaleb(6)
+        )

@@ -206,15 +206,31 @@ def _cells_rlike_sql(c: str, pat: str) -> str:
 # the square's decimal cast is a TRY_CAST in every dialect: a coerced
 # string cell can hold an arbitrary magnitude whose square overflows
 # DECIMAL(38,12), and under ANSI a plain cast would abort the whole
-# profile; both engines drop the same overflowing squares (values past
-# ~1e13 — already outside the DECIMAL(18,6) sum's domain)
+# profile. Dropping rows SILENTLY would skew the std while count()
+# still includes them (r10 review), so the CASE guard NULLs the std
+# whenever any castable value falls outside the exact-sum domain
+# (value beyond DECIMAL(18,6) or square beyond DECIMAL(38,12)) —
+# an honest "not computable exactly" instead of a plausible wrong
+# number; both engines agree on the guard.
+_STD_GUARD = (
+    "count(try_cast({c} as double))"
+    " <> count(try_cast(try_cast({c} as double) * try_cast({c} as double) as decimal(38,12)))"
+    " OR count(try_cast({c} as double)) <> count(try_cast({c} as decimal(18,6)))"
+)
+_STD_GUARD_SQL = (
+    "count(TRY_CAST({c} AS DOUBLE))"
+    " <> count(TRY_CAST(TRY_CAST({c} AS DOUBLE) * TRY_CAST({c} AS DOUBLE) AS DECIMAL(38,12)))"
+    " OR count(TRY_CAST({c} AS DOUBLE)) <> count(TRY_CAST({c} AS DECIMAL(18,6)))"
+)
 _STD_SSQL = (
+    "CASE WHEN " + _STD_GUARD + " THEN CAST(NULL AS DOUBLE) ELSE "
     "round(sqrt(greatest(0.0D, ("
     "CAST(sum(try_cast(try_cast({c} as double) * try_cast({c} as double) as decimal(38,12))) AS DOUBLE)"
     " - CAST(sum(try_cast({c} as decimal(18,6))) AS DOUBLE)"
     " * CAST(sum(try_cast({c} as decimal(18,6))) AS DOUBLE)"
     " / nullif(CAST(count(try_cast({c} as double)) AS DOUBLE), 0.0D))"
     " / nullif(CAST(count(try_cast({c} as double)) AS DOUBLE) - 1.0D, 0.0D))), 6)"
+    " END"
 )
 
 
@@ -415,33 +431,16 @@ STATS: list[Stat] = [
         # rerun-stable; the double→decimal cast of the *products*
         # rounds differently across engines (~1e-13 relative), so the
         # final value is rounded to 6 decimals for cross-engine parity.
-        lambda c: F.round(
-            F.sqrt(
-                F.greatest(
-                    F.lit(0.0),
-                    (
-                        F.sum(
-                            F.expr(
-                                f"try_cast(try_cast({c} as double) * try_cast({c} as double)"
-                                " as decimal(38,12))"
-                            )
-                        ).cast("double")
-                        - F.sum(_dec(c)).cast("double")
-                        * F.sum(_dec(c)).cast("double")
-                        / F.nullif(F.count(_num(c)).cast("double"), F.lit(0.0))
-                    )
-                    / F.nullif(F.count(_num(c)).cast("double") - F.lit(1.0), F.lit(0.0)),
-                )
-            ),
-            6,
-        ),
+        lambda c: F.expr(_STD_SSQL.format(c=c)),
         lambda c: (
+            "CASE WHEN " + _STD_GUARD_SQL.format(c=c) + " THEN CAST(NULL AS DOUBLE) ELSE "
             "round(sqrt(greatest(0.0, ("
             f"CAST(sum(TRY_CAST(TRY_CAST({c} AS DOUBLE) * TRY_CAST({c} AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
             f" - CAST(sum({_dec_sql(c)}) AS DOUBLE)"
             f" * CAST(sum({_dec_sql(c)}) AS DOUBLE)"
             f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE), 0.0))"
             f" / nullif(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE) - 1.0, 0.0))), 6)"
+            " END"
         ),
         lambda c: _STD_SSQL.format(c=c),
     ),
@@ -570,8 +569,11 @@ def _coerced_digits_sql(c: str, duck: bool = False) -> tuple[str, str]:
     leading zeros, decimal part stripped of trailing zeros
     (reference profiler.py:255-267)."""
     b = _coerced_render(c, duck)
+    # '^-?' — the DECIMAL rendering of a negative value leads with the
+    # sign; an anchor without it zeroes the whole integer-digit count
+    # for negative columns (r10 review, verified in both engines)
     intd = (
-        f"length(regexp_replace(regexp_extract({b}, '^([0-9]+)', 1), '^0+', ''))"
+        f"length(regexp_replace(regexp_extract({b}, '^-?([0-9]+)', 1), '^0+', ''))"
     )
     decd = (
         f"length(regexp_replace(regexp_extract({b}, '[.]([0-9]+)$', 1), '0+$', ''))"

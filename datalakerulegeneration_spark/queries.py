@@ -136,23 +136,18 @@ def _quintet_beers_truth_oracle() -> str:
 
 
 def _quintet_beers_profile_oracle() -> str:
+    import csv as _csv
     import os
 
-    from datalakerulegeneration_spark.evaluation.golden import quintet_fixture_dir
+    from datalakerulegeneration_spark.evaluation.golden import (
+        quintet_fixture_dir,
+        s1_ingest_sql,
+    )
 
-    path = os.path.join(quintet_fixture_dir(), "beers", "dirty.csv").replace("'", "''")
-    cols = [
-        "index", "id", "beer_name", "style", "ounces", "abv", "ibu",
-        "brewery_id", "brewery_name", "city", "state",
-    ]
-    # the S1 reader's transform: all-varchar, NULL→'', trim
-    norm = ", ".join(
-        f'trim(coalesce("{c}", \'\')) AS "{c}"' for c in cols
-    )
-    src = (
-        f"SELECT {norm} FROM read_csv('{path}', header=true,"
-        f" all_varchar=true, nullstr='\\x01__NONE__')"
-    )
+    path = os.path.join(quintet_fixture_dir(), "beers", "dirty.csv")
+    with open(path) as fh:
+        cols = next(_csv.reader(fh))
+    src = s1_ingest_sql(path)  # header-derived; shared with golden.py
     selects = []
     for c in cols:
         for st in S.stats_for_kind(S.COERCED):
@@ -207,12 +202,16 @@ def q_profile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("stat_name").isin("q1", "q2", "q3"), F.lit(0.01))
         .otherwise(F.lit(1e-9))
     )
+    # the relative-tolerance floor is 1e-6, NOT 1.0: a 1.0 floor turns
+    # '1% relative' into 0.01 ABSOLUTE for sub-unit columns (l_discount
+    # quartiles ~0.01-0.05 would tolerate 20-100% error — r10 review);
+    # 1e-6 only guards the ev=0 division-free form
     ok = (F.col("ev").isNull() & F.col("av").isNull()) | (
         F.col("ev").isNotNull()
         & F.col("av").isNotNull()
         & (
             F.abs(F.col("av") - F.col("ev"))
-            <= tol * F.greatest(F.abs(F.col("ev")), F.lit(1.0))
+            <= tol * F.greatest(F.abs(F.col("ev")), F.lit(1e-6))
         )
     )
     return j.select(

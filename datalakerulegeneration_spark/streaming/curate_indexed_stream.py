@@ -118,7 +118,16 @@ class CurateIndexedDeduper:
     def update(self, batch: DataFrame, batch_id: int) -> None:
         committed = self.committed_ids()
         if batch_id in committed:
-            return  # replay of a committed batch: exactly-once no-op
+            # replay of a committed batch: exactly-once no-op — but a
+            # crash BETWEEN the marker flip and the staging cleanup
+            # leaves a full batch copy behind; reclaim it here so a
+            # long-running crashy stream cannot hoard one copy per
+            # crash (r10 review)
+            shutil.rmtree(
+                os.path.join(self.state_dir, f".staging_{batch_id}"),
+                ignore_errors=True,
+            )
+            return
 
         d = batch
         if self.quality_min is not None:
