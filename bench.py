@@ -147,6 +147,12 @@ BENCH_QUERIES = [
     "dboost_mixture_frozen_lineitem",
     "cluster_columns_frozen_profiles",
     "quality_psi_documents",
+    "quintet_beers_errors",
+    "quintet_beers_profile",
+    "quintet_beers_truth",
+    "quintet_hospital_truth",
+    "profile_approx_check_lineitem",
+    "compression_fixture_docs",
 ]
 
 

@@ -135,6 +135,22 @@ def _quintet_beers_truth_oracle() -> str:
     return quintet_truth_sql("beers")
 
 
+def q_quintet_hospital_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hospital golden-pair ground truth (r10): same J1 cell diff as
+    the beers twin, but this pair's clean header is a DIFFERENT
+    spelling (CamelCase vs snake_case), so the query also gates the
+    positional clean→dirty rename both engines must agree on."""
+    from datalakerulegeneration_spark.evaluation.golden import quintet_truth
+
+    return quintet_truth(spark, "hospital")
+
+
+def _quintet_hospital_truth_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.golden import quintet_truth_sql
+
+    return quintet_truth_sql("hospital")
+
+
 def _quintet_beers_profile_oracle() -> str:
     import csv as _csv
     import os
@@ -5120,6 +5136,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "compression_fixture_docs": (q_compression_fixture, _compression_fixture_oracle()),
     "quintet_beers_profile": (q_quintet_beers_profile, _quintet_beers_profile_oracle()),
     "quintet_beers_truth": (q_quintet_beers_truth, _quintet_beers_truth_oracle()),
+    "quintet_hospital_truth": (q_quintet_hospital_truth, _quintet_hospital_truth_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
@@ -5142,13 +5159,14 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r10 (5): the golden-parity replication +
+    # new this round — r10 (6): the golden-parity replication +
     # CSV-ingest coerced-profile queries over the vendored Quintet
     # fixture, and the two contract companions that put the last
     # tolerance/codec entries under the driver gate
     "quintet_beers_errors",
     "quintet_beers_profile",
     "quintet_beers_truth",
+    "quintet_hospital_truth",
     "profile_approx_check_lineitem",
     "compression_fixture_docs",
     # re-certify: code paths changed in r10 (4) — profiling stats
@@ -5200,10 +5218,9 @@ _GATE_HEAD = [
     "value_stats_customer",
     "violations_legacy_orders",
     "wasserstein_events_value",
-    # next-stalest (r5 era) to fill the driver's 50 (3)
+    # next-stalest (r5 era) to fill the driver's 50 (2)
     "ann_topk_ivf_embeddings",
     "ann_topk_lsh_embeddings",
-    "bloom_decontaminate_documents",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {
