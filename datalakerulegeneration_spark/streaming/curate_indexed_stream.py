@@ -32,6 +32,16 @@ final corpus and both indexes are byte-identical to a run that never
 crashed — proven boundary-by-boundary in
 tests/test_streaming.py::test_curate_indexed_crash_matrix.
 
+CONTINUITY CONTRACT: batch-id-keyed idempotence (the standard Delta
+``(appId, batchId)`` transactional-sink convention) requires the state
+dir and the stream CHECKPOINT to live and die together. Restarting
+against the same state dir with a FRESH checkpoint is safe only as a
+full replay of the UNCHANGED source (the marker makes it a no-op); if
+new source data has also arrived it would be re-batched under already-
+committed ids and skipped. Continue ingestion under the original
+checkpoint — the same rule every checkpoint-keyed foreachBatch sink
+carries.
+
 Scale shape: per batch, one map-side canonical-key/quality/digest
 projection, one window per within-batch keeper, two digest-keyed
 broadcast-able anti joins against the committed index frames (32-char

@@ -1457,3 +1457,60 @@ def test_curate_indexed_crash_matrix(spark, tmp_path):
         crashes=[(b, f) for b in (0, 1) for f in points],
     )
     assert storm == ref
+
+
+def test_curate_indexed_stream_wiring(spark, tmp_path):
+    """The composed sink through a REAL StreamingQuery (file source,
+    availableNow): wave 2 continues under the SAME checkpoint (batch-id
+    idempotence requires checkpoint/state continuity — the Delta
+    (appId, batchId) convention); a fresh-checkpoint FULL replay of the
+    unchanged source is then a committed-marker no-op."""
+    import os as _os
+
+    from datalakerulegeneration_spark.streaming import curate_indexed_stream
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    spark.createDataFrame(
+        [
+            (1, "http://a.com/x", "alpha beta gamma delta epsilon."),
+            (2, "http://a.com/x?utm_source=z", "different words but same url."),
+            (3, "http://b.com/y", "second document, distinct content."),
+        ],
+        "doc_id long, url string, text string",
+    ).write.parquet(_os.path.join(src, "w1"))
+
+    def run(state, ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, url string, text string")
+            .option("recursiveFileLookup", True)
+            .parquet(src)
+        )
+        q, dd = curate_indexed_stream(
+            spark, stream, state, checkpoint_dir=ckpt, quality_min=None
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return dd
+
+    state = str(tmp_path / "state")
+    dd = run(state, str(tmp_path / "ck1"))
+    surv1 = sorted(r["doc_id"] for r in dd.survivors().collect())
+    assert surv1 == [1, 3]  # doc 2 is a canonical-URL duplicate
+    # second wave: a url dup of doc 1 and a new doc
+    spark.createDataFrame(
+        [
+            (4, "http://a.com/x", "url seen before, must drop."),
+            (5, "http://c.com/z", "a brand new third document."),
+        ],
+        "doc_id long, url string, text string",
+    ).write.parquet(_os.path.join(src, "w2"))
+    dd = run(state, str(tmp_path / "ck1"))  # SAME checkpoint: wave 2 = batch 1
+    surv2 = sorted(r["doc_id"] for r in dd.survivors().collect())
+    assert surv2 == [1, 3, 5]
+    digs = [r["text_digest"] for r in dd.digest_index().collect()]
+    assert len(digs) == len(set(digs)) == 3
+    # fresh-checkpoint FULL replay of the unchanged source: the whole
+    # history re-arrives as batch 0, which the marker skips — no-op
+    dd = run(state, str(tmp_path / "ck_fresh"))
+    assert sorted(r["doc_id"] for r in dd.survivors().collect()) == [1, 3, 5]
