@@ -252,6 +252,10 @@ def curate_indexed_stream(
             "checkpointLocation",
             checkpoint_dir or os.path.join(state_dir, "_checkpoint"),
         )
+        # drain-what's-there then STOP (the sibling index sinks'
+        # contract); long-lived ingestion re-launches per drain cycle
+        # or swaps in a processingTime trigger via its own writer
+        .trigger(availableNow=True)
         .start()
     )
     return q, dd
