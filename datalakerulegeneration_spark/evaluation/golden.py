@@ -155,8 +155,17 @@ def _legacy_predicate(col_sql: str, rule: str, rlike) -> str | None:
     for the regex-match spelling, injected via ``rlike(value_sql,
     regex)``. Returns None for rule kinds the reference never enforces
     at cell level (CATEGORICAL / LIKELY UNIQUE return False in
-    rule_violations)."""
-    v = f"trim(coalesce({col_sql}, ''))"
+    rule_violations).
+
+    Stripping matches Python ``str.strip()`` over the ASCII whitespace
+    set (space, TAB, LF, CR, VT, FF) — SQL ``trim()`` removes spaces
+    only, which diverges on tab/newline-padded cells (rayyan carries
+    embedded newlines inside quoted fields). The set is built with
+    ``chr()`` because backslash escapes parse differently in the two
+    engines' string literals; property-tested against the pure-python
+    model in tests/test_golden_quintet.py."""
+    ws = "concat(' ', chr(9), chr(10), chr(13), chr(11), chr(12))"
+    v = f"trim(BOTH {ws} FROM coalesce({col_sql}, ''))"
     if rule == LEGACY_NOT_NULL:
         return f"{v} = ''"
     if "FIXED LENGTH FIELD" in rule:

@@ -196,3 +196,61 @@ def test_golden_pipeline_metrics(spark):
     assert m["flights"]["recall"] == 1.0
     for ds, v in m.items():
         assert v["recall"] >= 0.2, (ds, v)
+
+
+def test_golden_legacy_predicate_python_model(spark):
+    """Property check: the Spark legacy predicates and the DuckDB twin
+    both agree with a pure-python model of the reference generator
+    (detect_error_cells.py rule_violations over fillna('')-mapped
+    values, Python str.strip() semantics) across the documented ASCII
+    domain — including TAB/LF/CR/VT/FF-padded cells, where SQL trim()
+    (spaces only) would silently diverge."""
+    import re as _re
+
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.evaluation.golden import (
+        LEGACY_NOT_NULL,
+        LEGACY_NUMERIC,
+        PANDAS_NA_TOKENS,
+        legacy_error_cells,
+        legacy_error_cells_sql,
+        pandas_na_normalized,
+    )
+
+    ws = " \t\n\r\x0b\x0c"
+    vals = [
+        "", " ", "\t", "\t 12.5 \n", "12,345", "1.2.3", "N/A", " N/A ",
+        "nan", "x", "\x0b9\x0c", "00", ".,", "-5", "12 34", "\r\n",
+        "a1", "1a", "NULL", "None", "#N/A", "\t\t", "9" + ws, ws + "9",
+    ]
+    rows = [(str(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    rules = {"v": [LEGACY_NOT_NULL, LEGACY_NUMERIC]}
+    got = sorted(
+        map(tuple, legacy_error_cells(
+            pandas_na_normalized(df), rules, "CAST(k AS BIGINT)"
+        ).collect())
+    )
+    # python model: NA tokens -> '' (pandas fillna of dtype=str default
+    # NA parse), then rule_violations semantics
+    exp = []
+    for i, raw in enumerate(vals):
+        val = "" if raw in PANDAS_NA_TOKENS else raw
+        if val.strip(ws) == "":
+            exp.append(("v", i, LEGACY_NOT_NULL))
+        if not _re.match(r"^[0-9.,]+$", val.strip(ws)):
+            exp.append(("v", i, LEGACY_NUMERIC))
+    assert got == sorted(exp)
+    # DuckDB twin over the NA-normalized frame agrees exactly
+    con = duckdb.connect()
+    toks = ", ".join(f"'{t}'" for t in PANDAS_NA_TOKENS)
+    con.register("raw", pd.DataFrame(rows, columns=["k", "v"]))
+    norm = (
+        f"SELECT k, CASE WHEN v IN ({toks}) THEN '' ELSE v END AS v FROM raw"
+    )
+    duck = sorted(map(tuple, con.execute(
+        legacy_error_cells_sql(norm, rules, 'CAST("k" AS BIGINT)')
+    ).fetchall()))
+    assert duck == got
