@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "quintet_beers_profile",
     "quintet_beers_truth",
     "quintet_hospital_truth",
+    "quintet_rayyan_truth",
     "profile_approx_check_lineitem",
     "compression_fixture_docs",
 ]

@@ -151,6 +151,24 @@ def _quintet_hospital_truth_oracle() -> str:
     return quintet_truth_sql("hospital")
 
 
+def q_quintet_rayyan_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayyan golden-pair ground truth (r10): this pair's quoted
+    fields use RFC-4180 doubled-quote escaping with embedded commas,
+    quotes, and newlines — the exact surface the r10 reader fix
+    (catalog escape='"') closed — so the query oracle-gates CSV parse
+    parity itself: a reader regression row-shifts 957 cells and the
+    hash mismatches."""
+    from datalakerulegeneration_spark.evaluation.golden import quintet_truth
+
+    return quintet_truth(spark, "rayyan")
+
+
+def _quintet_rayyan_truth_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.golden import quintet_truth_sql
+
+    return quintet_truth_sql("rayyan")
+
+
 def _quintet_beers_profile_oracle() -> str:
     import csv as _csv
     import os
@@ -5137,6 +5155,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quintet_beers_profile": (q_quintet_beers_profile, _quintet_beers_profile_oracle()),
     "quintet_beers_truth": (q_quintet_beers_truth, _quintet_beers_truth_oracle()),
     "quintet_hospital_truth": (q_quintet_hospital_truth, _quintet_hospital_truth_oracle()),
+    "quintet_rayyan_truth": (q_quintet_rayyan_truth, _quintet_rayyan_truth_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
@@ -5159,7 +5178,7 @@ REGISTRY.update(EXT_REGISTRY)
 # (tools/check_correctness.py) runs all entries every round
 # regardless.
 _GATE_HEAD = [
-    # new this round — r10 (6): the golden-parity replication +
+    # new this round — r10 (7): the golden-parity replication +
     # CSV-ingest coerced-profile queries over the vendored Quintet
     # fixture, and the two contract companions that put the last
     # tolerance/codec entries under the driver gate
@@ -5167,6 +5186,7 @@ _GATE_HEAD = [
     "quintet_beers_profile",
     "quintet_beers_truth",
     "quintet_hospital_truth",
+    "quintet_rayyan_truth",
     "profile_approx_check_lineitem",
     "compression_fixture_docs",
     # re-certify: code paths changed in r10 (4) — profiling stats
@@ -5218,9 +5238,8 @@ _GATE_HEAD = [
     "value_stats_customer",
     "violations_legacy_orders",
     "wasserstein_events_value",
-    # next-stalest (r5 era) to fill the driver's 50 (2)
+    # next-stalest (r5 era) to fill the driver's 50 (1)
     "ann_topk_ivf_embeddings",
-    "ann_topk_lsh_embeddings",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {
