@@ -296,6 +296,8 @@ def main() -> None:
         # divided by calib_s are comparable across rounds/hosts
         "calib_s": calib_start,
         "calib_s_end": _calibration_probe(spark),
+        # the headline number in calibration units (total / calib_s)
+        "value_norm": round(total / calib_start, 1),
     }
     # Persist the full object to a file BEFORE printing: the driver
     # archives stdout with a tail cap, and BENCH_r06/r07 both lost the
@@ -331,6 +333,7 @@ def main() -> None:
         "env_end": result["env_end"],
         "calib_s": result["calib_s"],
         "calib_s_end": result["calib_s_end"],
+        "value_norm": result["value_norm"],
         "full": os.path.relpath(out_path, os.path.dirname(os.path.abspath(__file__))),
     }
     print(json.dumps(compact))
