@@ -130,6 +130,14 @@ def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
         # pairs use (rayyan author_list) — Spark's default escape is
         # backslash, which silently mangles such rows (r10 golden run)
         .option("escape", '"')
+        # embedded newlines/CRs inside quoted fields (DGov lake2018's
+        # location text) — pandas parses them natively; without
+        # multiLine Spark splits the record mid-field. Scale note:
+        # multiLine reads each FILE as one split (no intra-file
+        # parallelism) — correct for golden-pair-sized CSVs and for
+        # many-file lakes; a single multi-TB CSV should be converted
+        # to parquet at the door anyway (S4).
+        .option("multiLine", True)
         .csv(path)
     )
     return df.select(
@@ -167,7 +175,9 @@ def read_csv_normalized(spark: SparkSession, path: str, encoding: str = "ISO-885
     df = (
         spark.read.option("header", True)
         .option("encoding", encoding)
-        .option("escape", '"')  # RFC-4180, matching read_csv_all_string
+        # RFC-4180 + quoted multiline records, matching read_csv_all_string
+        .option("escape", '"')
+        .option("multiLine", True)
         .csv(path)
     )
     unescape = _html_unescape_udf()

@@ -136,17 +136,8 @@ def load_quintet_pair(
     ``iat[row, col]``) and names errors by the dirty header, and the
     shipped pairs disagree on header spelling (hospital: CamelCase
     clean vs snake_case dirty; beers: dashes vs underscores)."""
-    from datalakerulegeneration_spark.catalog import read_csv_all_string
-
     d = fixture_dir or quintet_fixture_dir()
-    dirty = read_csv_all_string(spark, os.path.join(d, dataset, "dirty.csv"))
-    clean = read_csv_all_string(spark, os.path.join(d, dataset, "clean.csv"))
-    if len(clean.columns) != len(dirty.columns):
-        raise ValueError(
-            f"{dataset}: dirty has {len(dirty.columns)} columns, clean "
-            f"{len(clean.columns)} — positional rename impossible"
-        )
-    return dirty, clean.toDF(*dirty.columns)
+    return load_pair(spark, os.path.join(d, dataset))
 
 
 def _legacy_predicate(col_sql: str, rule: str, rlike) -> str | None:
@@ -306,36 +297,46 @@ def quintet_beers_error_cells_oracle(fixture_dir: str | None = None) -> str:
     )
 
 
-def quintet_truth(
-    spark: SparkSession, dataset: str = "beers", fixture_dir: str | None = None
-) -> DataFrame:
-    """The golden pair's ground-truth cell diff (J1 on REAL data):
-    S1-ingest both sides, rename clean positionally, key-join on the
-    pair's id column, emit ``(row_id, column, dirty_value,
-    clean_value)`` for differing cells — ``evaluation.cell_diff``."""
+def load_pair(spark: SparkSession, pair_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(dirty, clean) all-string frames for a golden pair directory;
+    clean columns renamed POSITIONALLY to the dirty header (the
+    reference diffs by position — ``utils/metrics.py:74-109``)."""
+    from datalakerulegeneration_spark.catalog import read_csv_all_string
+
+    dirty = read_csv_all_string(spark, os.path.join(pair_dir, "dirty.csv"))
+    clean = read_csv_all_string(spark, os.path.join(pair_dir, "clean.csv"))
+    if len(clean.columns) != len(dirty.columns):
+        raise ValueError(
+            f"{pair_dir}: dirty has {len(dirty.columns)} columns, clean "
+            f"{len(clean.columns)} — positional rename impossible"
+        )
+    return dirty, clean.toDF(*dirty.columns)
+
+
+def pair_truth(spark: SparkSession, pair_dir: str, key: str) -> DataFrame:
+    """A golden pair's ground-truth cell diff (J1 on REAL data):
+    S1-ingest ``<pair_dir>/{dirty,clean}.csv``, rename clean
+    positionally to the dirty header, key-join, emit ``(row_id,
+    column, dirty_value, clean_value)`` — ``evaluation.cell_diff``."""
     from datalakerulegeneration_spark.evaluation.ground_truth import cell_diff
 
-    dirty, clean = load_quintet_pair(spark, dataset, fixture_dir)
-    return cell_diff(dirty, clean, key=QUINTET_KEYS[dataset])
+    dirty, clean = load_pair(spark, pair_dir)
+    return cell_diff(dirty, clean, key=key)
 
 
-def quintet_truth_sql(dataset: str = "beers", fixture_dir: str | None = None) -> str:
-    """DuckDB twin of :func:`quintet_truth`: the same all-varchar +
-    trim ingest of both CSVs, positional rename, one key equi-join,
+def pair_truth_sql(pair_dir: str, key: str) -> str:
+    """DuckDB twin of :func:`pair_truth`: the same all-varchar + trim
+    ingest of both CSVs, positional rename, one key equi-join,
     per-column UNION ALL of the differing cells."""
-    d = fixture_dir or quintet_fixture_dir()
-    key = QUINTET_KEYS[dataset]
     import csv as _csv
 
-    with open(os.path.join(d, dataset, "dirty.csv")) as fh:
+    with open(os.path.join(pair_dir, "dirty.csv")) as fh:
         cols = next(_csv.reader(fh))
 
     def side(kind: str) -> str:
         # positional rename to the dirty header (s1_ingest_sql reads
         # each file's own header and aliases by ordinal)
-        return s1_ingest_sql(
-            os.path.join(d, dataset, f"{kind}.csv"), rename_to=cols
-        )
+        return s1_ingest_sql(os.path.join(pair_dir, f"{kind}.csv"), rename_to=cols)
 
     selects = []
     for c in cols:
@@ -350,6 +351,42 @@ def quintet_truth_sql(dataset: str = "beers", fixture_dir: str | None = None) ->
         f"WITH _d AS ({side('dirty')}),\n_c AS ({side('clean')})\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+def quintet_truth(
+    spark: SparkSession, dataset: str = "beers", fixture_dir: str | None = None
+) -> DataFrame:
+    """Quintet instantiation of :func:`pair_truth`."""
+    d = fixture_dir or quintet_fixture_dir()
+    return pair_truth(spark, os.path.join(d, dataset), QUINTET_KEYS[dataset])
+
+
+def quintet_truth_sql(dataset: str = "beers", fixture_dir: str | None = None) -> str:
+    d = fixture_dir or quintet_fixture_dir()
+    return pair_truth_sql(os.path.join(d, dataset), QUINTET_KEYS[dataset])
+
+
+def dgov_fixture_dir() -> str:
+    """The vendored DGov lake pairs (reference datasets/DGov — the
+    Connecticut 305(b) assessed-lake tables with the author's OWN
+    annotated change logs, ``clean_changes.csv``)."""
+    return os.path.join(os.path.dirname(quintet_fixture_dir()), "dgov")
+
+
+DGOV_DATASETS = ("lake2018", "lake2020")
+_DGOV_KEY = "objectid(long)"
+
+
+def dgov_truth(spark: SparkSession, dataset: str = "lake2018") -> DataFrame:
+    """DGov instantiation of :func:`pair_truth` (key column carries
+    the reference's type-suffixed header spelling)."""
+    return pair_truth(
+        spark, os.path.join(dgov_fixture_dir(), dataset), _DGOV_KEY
+    )
+
+
+def dgov_truth_sql(dataset: str = "lake2018") -> str:
+    return pair_truth_sql(os.path.join(dgov_fixture_dir(), dataset), _DGOV_KEY)
 
 
 def run_quintet_golden(
