@@ -389,6 +389,39 @@ def dgov_truth_sql(dataset: str = "lake2018") -> str:
     return pair_truth_sql(os.path.join(dgov_fixture_dir(), dataset), _DGOV_KEY)
 
 
+def run_dgov_golden(spark: SparkSession) -> dict:
+    """The DGov multi-table golden run: BOTH lake-assessment years
+    profile/cluster together (genuinely related tables — the
+    reference's own cross-table sharing scenario: its hardcoded
+    sample_columns name the 305b tables, dictionary_rule.py:33-39),
+    detection on dirty, scored against the author's annotated change
+    logs (== our positional diff, proven in tests). Same protocol as
+    :func:`run_quintet_golden`."""
+    from datalakerulegeneration_spark.pipeline import run_quality_pipeline
+
+    dirty_tables, clean_tables = {}, {}
+    for ds in DGOV_DATASETS:
+        dirty_tables[ds], clean_tables[ds] = load_pair(
+            spark, os.path.join(dgov_fixture_dir(), ds)
+        )
+    out = run_quality_pipeline(
+        spark,
+        clean_tables,
+        dirty_tables,
+        key_cols={ds: _DGOV_KEY for ds in DGOV_DATASETS},
+        eps=0.5,
+        min_samples=1,
+        param_source="cluster_sample",
+        profile_source="dirty",
+    )
+    metrics: dict = {}
+    for ds in DGOV_DATASETS:
+        m = dict(out["tables"][ds]["metrics"])
+        m["n_truth"] = m["tp"] + m["fn"]
+        metrics[ds] = m
+    return metrics
+
+
 def run_quintet_golden(
     spark: SparkSession,
     fixture_dir: str | None = None,

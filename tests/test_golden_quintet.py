@@ -309,3 +309,19 @@ def test_golden_dgov_change_log_parity(spark):
             if tuple(map(wsn, truth[k])) != tuple(map(wsn, anno[k]))
         ]
         assert not mism, mism[:3]
+
+
+def test_golden_dgov_pipeline_metrics(spark):
+    """Pinned end-to-end vector for the DGov multi-table run: both
+    lake-assessment years profile and cluster TOGETHER (genuinely
+    related schemas — the reference's own cross-table sharing
+    scenario), detection on dirty, scored against the annotated change
+    logs. Deterministic across runs; truth sizes equal the logs."""
+    from datalakerulegeneration_spark.evaluation.golden import run_dgov_golden
+
+    m = run_dgov_golden(spark)
+    assert {ds: (v["tp"], v["fp"], v["fn"]) for ds, v in m.items()} == {
+        "lake2018": (208, 359, 485),
+        "lake2020": (69, 301, 373),
+    }
+    assert m["lake2018"]["n_truth"] == 693 and m["lake2020"]["n_truth"] == 442
