@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "quintet_beers_truth",
     "quintet_hospital_truth",
     "quintet_rayyan_truth",
+    "dgov_lake2018_truth",
     "profile_approx_check_lineitem",
     "compression_fixture_docs",
 ]

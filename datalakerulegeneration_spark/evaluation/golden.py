@@ -76,20 +76,37 @@ def quintet_fixture_dir() -> str:
     return os.path.join(os.path.dirname(pkg), "tests", "fixtures", "quintet")
 
 
-def s1_ingest_sql(
-    path: str, pandas_na: bool = False, rename_to: list[str] | None = None
-) -> str:
-    """DuckDB twin of the S1 all-string CSV ingest: all-varchar read,
-    NULL→'', trim — header-derived column list (reads the file's own
-    header, so a fixture change can never desync an oracle's hardcoded
-    list from the engine's — r10 review). ``pandas_na=True`` adds the
-    published-artifact generator's default-NA token mapping
-    (:data:`PANDAS_NA_TOKENS` → ''); ``rename_to`` aliases the columns
-    POSITIONALLY (the golden pairs' clean→dirty header rename)."""
+def csv_header(path: str) -> list[str]:
+    """The file's own header row (one read, shared by the oracle
+    builders so no caller re-parses it — r10 review)."""
     import csv as _csv
 
     with open(path) as fh:
-        cols = next(_csv.reader(fh))
+        return next(_csv.reader(fh))
+
+
+def _qi(name: str) -> str:
+    """A DuckDB double-quoted identifier — embedded quotes doubled, so
+    an adversarial header cannot produce malformed SQL."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def s1_ingest_sql(
+    path: str,
+    pandas_na: bool = False,
+    rename_to: list[str] | None = None,
+    cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of the S1 all-string CSV ingest: all-varchar read,
+    NULL→'', trim — header-derived column list (reads the file's own
+    header unless the caller already has it, so a fixture change can
+    never desync an oracle's hardcoded list from the engine's — r10
+    review). ``pandas_na=True`` adds the published-artifact generator's
+    default-NA token mapping (:data:`PANDAS_NA_TOKENS` → '');
+    ``rename_to`` aliases the columns POSITIONALLY (the golden pairs'
+    clean→dirty header rename)."""
+    if cols is None:
+        cols = csv_header(path)
     out_names = rename_to if rename_to is not None else cols
     if len(out_names) != len(cols):
         raise ValueError(
@@ -99,13 +116,14 @@ def s1_ingest_sql(
     if pandas_na:
         toks = ", ".join(f"'{t}'" for t in PANDAS_NA_TOKENS)
         norm = ", ".join(
-            f'CASE WHEN trim(coalesce("{c}", \'\')) IN ({toks}) THEN \'\''
-            f' ELSE trim(coalesce("{c}", \'\')) END AS "{o}"'
+            f"CASE WHEN trim(coalesce({_qi(c)}, '')) IN ({toks}) THEN ''"
+            f" ELSE trim(coalesce({_qi(c)}, '')) END AS {_qi(o)}"
             for c, o in zip(cols, out_names)
         )
     else:
         norm = ", ".join(
-            f'trim(coalesce("{c}", \'\')) AS "{o}"' for c, o in zip(cols, out_names)
+            f"trim(coalesce({_qi(c)}, '')) AS {_qi(o)}"
+            for c, o in zip(cols, out_names)
         )
     return (
         f"SELECT {norm} FROM read_csv('{p}', header=true,"
@@ -285,13 +303,10 @@ def quintet_beers_error_cells(
 def quintet_beers_error_cells_oracle(fixture_dir: str | None = None) -> str:
     """DuckDB twin of :func:`quintet_beers_error_cells` reading the
     same CSV fixture (all_varchar read + the same NA token mapping)."""
-    import csv as _csv
-
     d = fixture_dir or quintet_fixture_dir()
     path = os.path.join(d, "beers", "dirty.csv")
-    with open(path) as fh:
-        cols = next(_csv.reader(fh))
-    src = s1_ingest_sql(path, pandas_na=True)
+    cols = csv_header(path)
+    src = s1_ingest_sql(path, pandas_na=True, cols=cols)
     return legacy_error_cells_sql(
         src, beers_rules_map(cols), 'CAST("index" AS BIGINT) - 1'
     )
@@ -328,15 +343,17 @@ def pair_truth_sql(pair_dir: str, key: str) -> str:
     """DuckDB twin of :func:`pair_truth`: the same all-varchar + trim
     ingest of both CSVs, positional rename, one key equi-join,
     per-column UNION ALL of the differing cells."""
-    import csv as _csv
-
-    with open(os.path.join(pair_dir, "dirty.csv")) as fh:
-        cols = next(_csv.reader(fh))
+    cols = csv_header(os.path.join(pair_dir, "dirty.csv"))
 
     def side(kind: str) -> str:
         # positional rename to the dirty header (s1_ingest_sql reads
-        # each file's own header and aliases by ordinal)
-        return s1_ingest_sql(os.path.join(pair_dir, f"{kind}.csv"), rename_to=cols)
+        # each file's own header and aliases by ordinal; the dirty
+        # side's header is reused, not re-parsed)
+        return s1_ingest_sql(
+            os.path.join(pair_dir, f"{kind}.csv"),
+            rename_to=cols,
+            cols=cols if kind == "dirty" else None,
+        )
 
     selects = []
     for c in cols:
@@ -389,37 +406,50 @@ def dgov_truth_sql(dataset: str = "lake2018") -> str:
     return pair_truth_sql(os.path.join(dgov_fixture_dir(), dataset), _DGOV_KEY)
 
 
-def run_dgov_golden(spark: SparkSession) -> dict:
-    """The DGov multi-table golden run: BOTH lake-assessment years
-    profile/cluster together (genuinely related tables — the
-    reference's own cross-table sharing scenario: its hardcoded
-    sample_columns name the 305b tables, dictionary_rule.py:33-39),
-    detection on dirty, scored against the author's annotated change
-    logs (== our positional diff, proven in tests). Same protocol as
-    :func:`run_quintet_golden`."""
+def run_pairs_golden(
+    spark: SparkSession, pairs: dict[str, str], key_cols: dict[str, str]
+) -> dict:
+    """The shared reference-protocol runner over any golden pair
+    group: profiles from DIRTY, DBSCAN eps=0.5/min_samples=1
+    (reference main.py:230-231), sample-column sharing
+    (rules/evaluation.py:266-300), detect on dirty, score against the
+    positional dirty↔clean diff. ``pairs``: name → pair directory.
+    Returns ``{name: {tp, fp, fn, precision, recall, f1, n_truth}}``."""
     from datalakerulegeneration_spark.pipeline import run_quality_pipeline
 
     dirty_tables, clean_tables = {}, {}
-    for ds in DGOV_DATASETS:
-        dirty_tables[ds], clean_tables[ds] = load_pair(
-            spark, os.path.join(dgov_fixture_dir(), ds)
-        )
+    for name, d in pairs.items():
+        dirty_tables[name], clean_tables[name] = load_pair(spark, d)
     out = run_quality_pipeline(
         spark,
         clean_tables,
         dirty_tables,
-        key_cols={ds: _DGOV_KEY for ds in DGOV_DATASETS},
+        key_cols=key_cols,
         eps=0.5,
         min_samples=1,
         param_source="cluster_sample",
         profile_source="dirty",
     )
     metrics: dict = {}
-    for ds in DGOV_DATASETS:
-        m = dict(out["tables"][ds]["metrics"])
+    for name in pairs:
+        m = dict(out["tables"][name]["metrics"])
         m["n_truth"] = m["tp"] + m["fn"]
-        metrics[ds] = m
+        metrics[name] = m
     return metrics
+
+
+def run_dgov_golden(spark: SparkSession) -> dict:
+    """The DGov multi-table golden run: BOTH lake-assessment years
+    profile/cluster together (genuinely related tables — the
+    reference's own cross-table sharing scenario: its hardcoded
+    sample_columns name the 305b tables, dictionary_rule.py:33-39),
+    detection on dirty, scored against the author's annotated change
+    logs (== our positional diff, proven in tests)."""
+    return run_pairs_golden(
+        spark,
+        {ds: os.path.join(dgov_fixture_dir(), ds) for ds in DGOV_DATASETS},
+        {ds: _DGOV_KEY for ds in DGOV_DATASETS},
+    )
 
 
 def run_quintet_golden(
@@ -435,25 +465,9 @@ def run_quintet_golden(
     ``param_source="cluster_sample"``), detection on dirty, scoring
     against the positional dirty↔clean cell diff. Returns
     ``{dataset: {tp, fp, fn, precision, recall, f1, n_truth}}``."""
-    from datalakerulegeneration_spark.pipeline import run_quality_pipeline
-
-    dirty_tables: dict[str, DataFrame] = {}
-    clean_tables: dict[str, DataFrame] = {}
-    for ds in datasets:
-        dirty_tables[ds], clean_tables[ds] = load_quintet_pair(spark, ds, fixture_dir)
-    out = run_quality_pipeline(
+    d = fixture_dir or quintet_fixture_dir()
+    return run_pairs_golden(
         spark,
-        clean_tables,
-        dirty_tables,
-        key_cols={ds: QUINTET_KEYS[ds] for ds in datasets},
-        eps=0.5,
-        min_samples=1,
-        param_source="cluster_sample",
-        profile_source="dirty",
+        {ds: os.path.join(d, ds) for ds in datasets},
+        {ds: QUINTET_KEYS[ds] for ds in datasets},
     )
-    metrics: dict = {}
-    for ds in datasets:
-        m = dict(out["tables"][ds]["metrics"])
-        m["n_truth"] = m["tp"] + m["fn"]
-        metrics[ds] = m
-    return metrics

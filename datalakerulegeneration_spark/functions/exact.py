@@ -43,9 +43,9 @@ def micro6(x: float) -> int:
     with localcontext() as ctx:
         # default context precision (28) makes quantize RAISE for
         # |x| >= 1e22 ("result has too many digits"); frozen stats can
-        # legitimately carry such magnitudes (r10 review) — widen the
-        # working precision so the full double range quantizes
-        ctx.prec = 60
+        # legitimately carry any double magnitude (r10 review) — the
+        # FULL double range needs 309 integer digits + 6 fractional
+        ctx.prec = 320
         return int(
             Decimal(repr(float(x)))
             .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
