@@ -113,17 +113,27 @@ def s1_ingest_sql(
             f"rename_to has {len(out_names)} names for {len(cols)} columns"
         )
     p = path.replace("'", "''")
+
+    # S1 cell contract: CRLF inside quoted multiline fields normalizes
+    # to LF — Spark's multiLine parser does this unconditionally, so
+    # the twin must match (r10 three-reader parity probe); lone CR is
+    # preserved by both engines.
+    def cell(c: str) -> str:
+        return (
+            f"trim(replace(coalesce({_qi(c)}, ''),"
+            f" chr(13) || chr(10), chr(10)))"
+        )
+
     if pandas_na:
         toks = ", ".join(f"'{t}'" for t in PANDAS_NA_TOKENS)
         norm = ", ".join(
-            f"CASE WHEN trim(coalesce({_qi(c)}, '')) IN ({toks}) THEN ''"
-            f" ELSE trim(coalesce({_qi(c)}, '')) END AS {_qi(o)}"
+            f"CASE WHEN {cell(c)} IN ({toks}) THEN ''"
+            f" ELSE {cell(c)} END AS {_qi(o)}"
             for c, o in zip(cols, out_names)
         )
     else:
         norm = ", ".join(
-            f"trim(coalesce({_qi(c)}, '')) AS {_qi(o)}"
-            for c, o in zip(cols, out_names)
+            f"{cell(c)} AS {_qi(o)}" for c, o in zip(cols, out_names)
         )
     return (
         f"SELECT {norm} FROM read_csv('{p}', header=true,"

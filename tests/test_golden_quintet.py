@@ -325,3 +325,56 @@ def test_golden_dgov_pipeline_metrics(spark):
         "lake2020": (69, 301, 373),
     }
     assert m["lake2018"]["n_truth"] == 693 and m["lake2020"]["n_truth"] == 442
+
+
+def test_golden_s1_three_reader_parity(spark, tmp_path):
+    """Adversarial CSV parse parity across the THREE readers the
+    golden gate rests on: Spark S1 (escape='\"' + multiLine), the
+    DuckDB s1_ingest_sql twin, and pandas (the reference's semantics,
+    dtype=str keep_default_na=False) — every ingest bug this round
+    (backslash-escape mangling, line-split multiline records) was a
+    divergence between these. Covers RFC-4180 doubled quotes, embedded
+    commas/newlines/CRs inside quoted fields, NA-token lookalikes,
+    empty cells, unicode, and space padding (S1 trims spaces, and only
+    spaces, by contract)."""
+    import csv as _csv
+
+    import duckdb
+    import pandas as pd
+
+    from datalakerulegeneration_spark.catalog import read_csv_all_string
+    from datalakerulegeneration_spark.evaluation.golden import s1_ingest_sql
+
+    nasty = [
+        'plain', 'with,comma', 'with "quotes" inside', 'doubled ""x""',
+        'line\nbreak', 'cr\rbreak', 'crlf\r\nboth', '', ' padded ',
+        '\ttab-lead', 'N/A', 'NaN', 'null', 'café ünïcode', '12.0 oz',
+        '{"a","b"}', "apostrophe's", 'trailing space ', '  ', '0', '-1.5',
+    ]
+    path = str(tmp_path / "nasty.csv")
+    with open(path, "w", newline="") as fh:
+        w = _csv.writer(fh)  # QUOTE_MINIMAL = RFC 4180
+        w.writerow(["k", "v"])
+        for i, v in enumerate(nasty):
+            w.writerow([str(i), v])
+
+    # pandas = the reference's semantics; model S1's space-only trim
+    # and the S1 CRLF->LF contract (Spark's multiLine parser folds
+    # CRLF inside quoted fields; the DuckDB twin mirrors it)
+    pdf = pd.read_csv(path, dtype=str, keep_default_na=False)
+    expected = {
+        r["k"]: r["v"].replace("\r\n", "\n").strip(" ")
+        for _, r in pdf.iterrows()
+    }
+    assert len(expected) == len(nasty)
+
+    got_spark = {
+        r["k"]: r["v"] for r in read_csv_all_string(spark, path).collect()
+    }
+    assert got_spark == expected
+    got_duck = dict(
+        duckdb.connect().execute(
+            f'SELECT "k", "v" FROM ({s1_ingest_sql(path)})'
+        ).fetchall()
+    )
+    assert got_duck == expected
