@@ -263,14 +263,31 @@ def main() -> None:
     # honest measurement (caches are dropped between passes, so each
     # pass re-reads and re-materializes its data). --all runs one warm
     # pass — 194 queries × 3 executions is the wall budget's ceiling.
+    # r11 (r10 verdict #3): the --all sweep runs alphabetically, so a
+    # transient host spike aliases onto one contiguous family (the r10
+    # artifact showed the whole "d" section 3-12× slower while the
+    # same queries ran normally in the same-day headline run).
+    # Interleave the calibration probe every SEG queries and record
+    # per-segment calib_s: each query's normalized time divides by ITS
+    # segment's ruler, so ambient load is attributed per-segment
+    # instead of polluting per-query history.
+    SEG = 25
+    calib_segments: list[dict] = []
     timings: dict[str, float] = {}
-    for _ in range(1 if run_all else 2):
-        for name in names:
+    seg_of: dict[str, int] = {}
+    for _pass in range(1 if run_all else 2):
+        for i, name in enumerate(names):
+            if run_all and i % SEG == 0:
+                calib_segments.append(
+                    {"at": i, "calib_s": _calibration_probe(spark)}
+                )
             t0 = time.time()
             _IMPLS[name](spark, sf_dir).collect()
             el = round(time.time() - t0, 3)
             if name not in timings or el < timings[name]:
                 timings[name] = el
+            if run_all:
+                seg_of[name] = len(calib_segments) - 1
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -300,6 +317,15 @@ def main() -> None:
         # the headline number in calibration units (total / calib_s)
         "value_norm": round(total / calib_start, 1),
     }
+    if run_all:
+        # per-segment rulers + per-query normalized times (r11 — see
+        # the SEG comment above): t / its segment's calib_s is the
+        # cross-round comparable number for the --all tail
+        result["calib_segments"] = calib_segments
+        result["queries_norm"] = {
+            n: round(t / calib_segments[seg_of[n]]["calib_s"], 3)
+            for n, t in timings.items()
+        }
     # Persist the full object to a file BEFORE printing: the driver
     # archives stdout with a tail cap, and BENCH_r06/r07 both lost the
     # per-query dict to mid-stream truncation (parsed: null two rounds

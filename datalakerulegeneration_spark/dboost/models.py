@@ -466,6 +466,7 @@ class FrozenMixtureModel:
     def find_discrepancies(self, test: DataFrame) -> DataFrame:
         out = frozen_mixture_outliers(test, params=self.params)
         # the pipeline union's discrepancy contract is a STRING value
-        # (_emit); the registered standalone query keeps DOUBLE for its
-        # raw-double oracle compare
+        # (_emit); the registered standalone query instead keeps the
+        # RAW column type (e.g. DECIMAL for l_quantity), mirrored by
+        # its oracle — see frozen_mixture_outliers' docstring
         return out.withColumn("value", F.col("value").cast("string"))

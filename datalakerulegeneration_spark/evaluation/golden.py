@@ -168,6 +168,31 @@ def load_quintet_pair(
     return load_pair(spark, os.path.join(d, dataset))
 
 
+#: every code point Python str.strip() treats as whitespace
+#: (str.isspace() — CPython's Py_UNICODE_ISSPACE table)
+PY_STRIP_WS = "".join(
+    chr(c)
+    for c in (
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20]
+        + [0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )
+)
+# the ASCII-control portion goes through chr() (backslash escapes
+# parse differently in the two engines' string literals); the Unicode
+# spaces are embedded as RAW characters in the SQL text — Spark's
+# chr() wraps its argument mod 256 (chr(0x2003) = chr(3)!), so chr()
+# is only safe below 256
+_PY_STRIP_WS_SQL = (
+    "concat("
+    + ", ".join(f"chr({ord(c)})" for c in PY_STRIP_WS if ord(c) < 256)
+    + ", '"
+    + "".join(c for c in PY_STRIP_WS if ord(c) >= 256)
+    + "')"
+)
+
+
 def _legacy_predicate(col_sql: str, rule: str, rlike) -> str | None:
     """The WHERE clause for one legacy rule over one (trimmed,
     NA-normalized) string column — identical in both engines except
@@ -176,14 +201,17 @@ def _legacy_predicate(col_sql: str, rule: str, rlike) -> str | None:
     at cell level (CATEGORICAL / LIKELY UNIQUE return False in
     rule_violations).
 
-    Stripping matches Python ``str.strip()`` over the ASCII whitespace
-    set (space, TAB, LF, CR, VT, FF) — SQL ``trim()`` removes spaces
-    only, which diverges on tab/newline-padded cells (rayyan carries
-    embedded newlines inside quoted fields). The set is built with
+    Stripping matches Python ``str.strip()`` over its FULL whitespace
+    set — ASCII (space, TAB, LF, CR, VT, FF), the C1/file-separator
+    block (\\x1c-\\x1f, \\x85) and the Unicode spaces (NBSP, ogham,
+    en/em family, line/para separators, narrow NBSP, math space,
+    ideographic space) — SQL ``trim()`` removes spaces only, and the
+    r10 six-char ASCII set silently diverged on NBSP-padded cells
+    (common in scraped data — r10 ADVICE). The set is built with
     ``chr()`` because backslash escapes parse differently in the two
     engines' string literals; property-tested against the pure-python
     model in tests/test_golden_quintet.py."""
-    ws = "concat(' ', chr(9), chr(10), chr(13), chr(11), chr(12))"
+    ws = _PY_STRIP_WS_SQL
     v = f"trim(BOTH {ws} FROM coalesce({col_sql}, ''))"
     if rule == LEGACY_NOT_NULL:
         return f"{v} = ''"
@@ -391,6 +419,29 @@ def quintet_truth(
 def quintet_truth_sql(dataset: str = "beers", fixture_dir: str | None = None) -> str:
     d = fixture_dir or quintet_fixture_dir()
     return pair_truth_sql(os.path.join(d, dataset), QUINTET_KEYS[dataset])
+
+
+def quintet_split_truth(spark: SparkSession, half: str = "movies_1") -> DataFrame:
+    """Movies golden-pair ground truth over the vendored Quintet_Split
+    half (r11 — the third golden group's text-heavy schema). The key
+    column itself carries injected errors in 97/93 rows, so this KEYED
+    diff covers the id-stable subset (3,902 / 3,298 aligned rows) —
+    both engines drop the same corrupted-key rows; the FULL positional
+    diff (4,326 / 3,349 cells, reference ``utils/metrics.py:74-109``
+    iat-semantics) is pinned in tests/test_trained_rules_golden.py."""
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        quintet_split_fixture_dir,
+    )
+
+    return pair_truth(spark, os.path.join(quintet_split_fixture_dir(), half), "id")
+
+
+def quintet_split_truth_sql(half: str = "movies_1") -> str:
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        quintet_split_fixture_dir,
+    )
+
+    return pair_truth_sql(os.path.join(quintet_split_fixture_dir(), half), "id")
 
 
 def dgov_fixture_dir() -> str:

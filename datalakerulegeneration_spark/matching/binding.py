@@ -59,12 +59,16 @@ def apply_bound_rules(
     tables: dict[str, DataFrame],
     bound: list[tuple[str, str, Rule, float]],
     row_id_cols: dict[str, str] | None = None,
+    suppress_full_column: bool = True,
     **engine_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """Execute bound rules per target table → (violations, runs).
 
     ``runs`` summarizes each binding with its violation count and rate,
-    sorted by rate (the reference's explainable run report)."""
+    sorted by rate (the reference's explainable run report).
+    ``suppress_full_column=False`` keeps rules that flag EVERY row (the
+    R18 suppressor off) — the reference's published artifacts keep
+    them (a NUMERIC rule on a text column flags the whole column)."""
     row_id_cols = row_id_cols or {}
     eng = RuleEngine(spark, **engine_kwargs)
     all_v = None
@@ -74,7 +78,13 @@ def apply_bound_rules(
         ]
         if not bindings:
             continue
-        v = eng.detect(df, table, bindings, row_id_col=row_id_cols.get(table))
+        v = eng.detect(
+            df,
+            table,
+            bindings,
+            row_id_col=row_id_cols.get(table),
+            suppress_full_column=suppress_full_column,
+        )
         all_v = v if all_v is None else all_v.unionByName(v)
     if all_v is None:
         all_v = spark.createDataFrame(

@@ -188,6 +188,135 @@ def _dgov_lake2018_truth_oracle() -> str:
     return dgov_truth_sql("lake2018")
 
 
+def q_dgov_lake2020_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGov 2020 golden-pair ground truth (r11): the second author-
+    annotated change log (442 cells, clean_changes.csv) under the
+    driver gate — lake2018's twin, previously pytest-only. Same J1
+    positional cell diff + rename contract."""
+    from datalakerulegeneration_spark.evaluation.golden import dgov_truth
+
+    return dgov_truth(spark, "lake2020")
+
+
+def _dgov_lake2020_truth_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.golden import dgov_truth_sql
+
+    return dgov_truth_sql("lake2020")
+
+
+def q_trained_rules_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20/A3 golden replication (r11): the feature_ranges frame of the
+    reference's PUBLISHED trained_rules_{clean,eps_0.5}.json — 5th/95th
+    percentile + mean + population std per (cluster, feature) over the
+    member columns' profile stats, computed by the shared wide-agg
+    profiler on the vendored Quintet + movies_1 CSVs (reference
+    rules/train_clean_rules.py:44-58). Every published numeric field
+    replicates bit-for-bit (tests/test_trained_rules_golden.py);
+    Q1/Q3 NULL rows ARE the published NaN-poisoned fields.
+    ``sf_dir`` unused (fixture-scoped)."""
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        trained_feature_ranges,
+    )
+
+    return trained_feature_ranges(spark)
+
+
+def _trained_rules_ranges_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        trained_feature_ranges_sql,
+    )
+
+    return trained_feature_ranges_sql()
+
+
+def q_cluster_analysis_quintet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 golden replication (r11): the numeric surface of the
+    reference's PUBLISHED cluster_analysis.json — size, typical_ranges,
+    normalized feature importance, pairwise cohesion/consistency and
+    the error-pattern INDEX SETS (which pin the artifact's member
+    order) as one long metrics frame (reference
+    rules/cluster_matcher.py:202-247,352-415).
+    ``sf_dir`` unused (fixture-scoped)."""
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        cluster_analysis_metrics,
+    )
+
+    return cluster_analysis_metrics(spark)
+
+
+def _cluster_analysis_quintet_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        cluster_analysis_metrics_sql,
+    )
+
+    return cluster_analysis_metrics_sql()
+
+
+def q_trained_common_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published common_patterns top-5 (r11): modal artifact-era
+    generalize-pattern per member column (digit→0, letter→A,
+    punctuation kept, space→_), counted across the cluster, ordered by
+    (count desc, first-appearance asc) — reproduces the published list
+    including its count-tie order (reference cluster_matcher.py:239-245
+    over profiler.py:135-152 patterns). ``sf_dir`` unused."""
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        common_patterns,
+    )
+
+    return common_patterns(spark)
+
+
+def _trained_common_patterns_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        common_patterns_sql,
+    )
+
+    return common_patterns_sql()
+
+
+def q_quintet_movies1_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movies golden-pair ground truth (r11 — the third golden group's
+    text-heavy wide schema): the J1 keyed cell diff of the vendored
+    Quintet_Split movies_1 pair. The key column itself carries
+    injected errors in 97 rows (the reference diffs positionally), so
+    this registered twin covers the id-stable 3,902-row subset — both
+    engines drop the same corrupted-key rows — and the FULL positional
+    diff (4,326 cells) is pytest-pinned. ``sf_dir`` unused."""
+    from datalakerulegeneration_spark.evaluation.golden import quintet_split_truth
+
+    return quintet_split_truth(spark, "movies_1")
+
+
+def _quintet_movies1_truth_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.golden import quintet_split_truth_sql
+
+    return quintet_split_truth_sql("movies_1")
+
+
+def q_match_scores_beers_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/M5 on the reference's OWN matcher benchmark (r11): every
+    beers_1 column scored against every beers_2 column of the real
+    Quintet_Match pair (byte-identical to the vendored Quintet beers
+    dirty CSV — adjudication in matching/golden_match.py). End-to-end
+    oracle: raw CSV → S1 all-string ingest → coerced wide profiles →
+    five-component pair arithmetic in BOTH engines. The Hungarian
+    assignment over this frame recovers the identity ground truth
+    (tests/test_golden_match.py). ``sf_dir`` unused (fixture-scoped)."""
+    from datalakerulegeneration_spark.matching.golden_match import (
+        match_pair_scores,
+    )
+
+    return match_pair_scores(spark, "beers")
+
+
+def _match_scores_beers_pair_oracle() -> str:
+    from datalakerulegeneration_spark.matching.golden_match import (
+        match_pair_scores_sql,
+    )
+
+    return match_pair_scores_sql("beers")
+
+
 def _quintet_beers_profile_oracle() -> str:
     import csv as _csv
     import os
@@ -512,27 +641,38 @@ def q_violations_legacy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("column", "row_id", "rule", "value")
 
 
-Q_VIOLATIONS_LEGACY_ORDERS_ORACLE = """
+def _legacy_orders_oracle() -> str:
+    # the trim models Python str.strip() over its FULL whitespace set,
+    # mirroring the engine's _legacy_cell (r11 — r10 ADVICE)
+    from datalakerulegeneration_spark.evaluation.golden import _PY_STRIP_WS_SQL as _WS
+
+    def cell(c: str) -> str:
+        return f"trim(BOTH {_WS} FROM coalesce(CAST({c} AS VARCHAR), ''))"
+
+    return f"""
 SELECT 'o_custkey' AS "column", CAST(o_orderkey AS VARCHAR) AS row_id,
        'MUST NOT be NULL' AS rule, CAST(o_custkey AS VARCHAR) AS value
 FROM orders
-WHERE trim(coalesce(CAST(o_custkey AS VARCHAR), '')) = ''
+WHERE {cell('o_custkey')} = ''
 UNION ALL
 SELECT 'o_orderpriority', CAST(o_orderkey AS VARCHAR),
        'FIXED LENGTH FIELD 8', CAST(o_orderpriority AS VARCHAR)
 FROM orders
-WHERE length(trim(coalesce(CAST(o_orderpriority AS VARCHAR), ''))) <> 8
+WHERE length({cell('o_orderpriority')}) <> 8
 UNION ALL
 SELECT 'o_orderpriority', CAST(o_orderkey AS VARCHAR),
        'STRUCTURED FIELD (alphanumeric)', CAST(o_orderpriority AS VARCHAR)
 FROM orders
-WHERE NOT regexp_matches(trim(coalesce(CAST(o_orderpriority AS VARCHAR), '')), '^[A-Za-z0-9_-]+$')
+WHERE NOT regexp_matches({cell('o_orderpriority')}, '^[A-Za-z0-9_-]+$')
 UNION ALL
 SELECT 'o_totalprice', CAST(o_orderkey AS VARCHAR),
        'NUMERIC FIELD', CAST(o_totalprice AS VARCHAR)
 FROM orders
-WHERE NOT regexp_matches(trim(coalesce(CAST(o_totalprice AS VARCHAR), '')), '^[0-9.,]+$')
+WHERE NOT regexp_matches({cell('o_totalprice')}, '^[0-9.,]+$')
 """
+
+
+Q_VIOLATIONS_LEGACY_ORDERS_ORACLE = _legacy_orders_oracle()
 
 
 def q_violations_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5176,6 +5316,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quintet_hospital_truth": (q_quintet_hospital_truth, _quintet_hospital_truth_oracle()),
     "quintet_rayyan_truth": (q_quintet_rayyan_truth, _quintet_rayyan_truth_oracle()),
     "dgov_lake2018_truth": (q_dgov_lake2018_truth, _dgov_lake2018_truth_oracle()),
+    "dgov_lake2020_truth": (q_dgov_lake2020_truth, _dgov_lake2020_truth_oracle()),
+    "trained_rules_ranges_quintet": (q_trained_rules_ranges, _trained_rules_ranges_oracle()),
+    "cluster_analysis_quintet": (q_cluster_analysis_quintet, _cluster_analysis_quintet_oracle()),
+    "trained_common_patterns_quintet": (q_trained_common_patterns, _trained_common_patterns_oracle()),
+    "match_scores_beers_pair": (q_match_scores_beers_pair, _match_scores_beers_pair_oracle()),
+    "quintet_movies1_truth": (q_quintet_movies1_truth, _quintet_movies1_truth_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
@@ -5184,81 +5330,70 @@ from datalakerulegeneration_spark.tpch_ext import EXT_REGISTRY
 REGISTRY.update(EXT_REGISTRY)
 
 # The driver's correctness gate samples the FIRST 50 queries() entries.
-# Round-7 rotation: the 18 entries that have NEVER received a
-# driver-side CORRECTNESS row across r1–r6 (the r6 fourth wave:
-# selection/split family, bigram/PMI-era text stats, the multimodal
-# near-dup trio, embedding drift/decon additions) lead, followed by
-# the 14 queries NEW this round (budgeted + SFT flagship variants and
-# the budget funnel, the PCA recall gate, per-group/sweep/CCNet/
-# soft-dedup/compression/provenance/padded-batching/epoch-mixture
-# family), then 18 family flagships for cross-round regression
-# coverage. With this head every registry entry — oracle-able or
-# sanctioned rows-only — has appeared (or will appear this round) in
-# at least one driver CORRECTNESS artifact. The replica gate
-# (tools/check_correctness.py) runs all entries every round
-# regardless.
+# Round-11 rotation (r10 verdict item 4): the 5 queries NEW this round
+# lead (the published trained-rules/cluster-analysis replication + the
+# DGov 2020 change-log twin), followed by ALL 38 registry entries whose
+# latest driver CORRECTNESS row dates to r5 — after this head no
+# entry's newest driver row is older than r6 — then 7 family flagships
+# whose code paths the r11 work touches (the profile/value/pattern
+# machinery the trained-rules queries ride) for cross-round regression
+# coverage. The replica gate (tools/check_correctness.py) runs all
+# entries every round regardless.
 _GATE_HEAD = [
-    # new this round — r10 (8): the golden-parity replication +
-    # CSV-ingest coerced-profile queries over the vendored Quintet
-    # fixture, and the two contract companions that put the last
-    # tolerance/codec entries under the driver gate
-    "quintet_beers_errors",
-    "quintet_beers_profile",
-    "quintet_beers_truth",
-    "quintet_hospital_truth",
-    "quintet_rayyan_truth",
+    # new this round — r11 (7)
+    "trained_rules_ranges_quintet",
+    "cluster_analysis_quintet",
+    "trained_common_patterns_quintet",
+    "match_scores_beers_pair",
+    "quintet_movies1_truth",
+    "dgov_lake2020_truth",
     "dgov_lake2018_truth",
-    "profile_approx_check_lineitem",
-    "compression_fixture_docs",
-    # re-certify: code paths changed in r10 (4) — profiling stats
-    # (numeric_std try_cast square, COERCED kind, chunked wide agg),
-    # the PSI bin clamp, and the profile-consuming frozen/matching
-    # family
+    # freshness rotation: the complete r5-stale set (38)
+    "ann_topk_ivf_embeddings",
+    "ann_topk_lsh_embeddings",
+    "bloom_decontaminate_documents",
+    "column_match_customer_supplier",
+    "dboost_discrete_stats_lineitem",
+    "dboost_partitioned_hist_events",
+    "decontaminate_fuzzy_documents",
+    "dedup_ngram_documents",
+    "eval_correction_orders",
+    "hash_sample_documents",
+    "hll_distinct_users_events",
+    "json_props_events",
+    "levenshtein_conflicts_part",
+    "profile_customer",
+    "profile_documents",
+    "profile_events",
+    "profile_orders",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_top_orders",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_score_documents",
+    "shuffle_documents",
+    "train_test_split_documents",
+    "unigram_logprob_documents",
+    "vocab_coverage_documents",
+    "windowed_event_counts",
+    # regression flagships on the r11-touched profile/pattern/legacy
+    # paths (5 — exactly 50 head entries with the 7 new + 38 stale)
     "profile_lineitem",
-    "quality_psi_documents",
-    "cluster_columns_frozen_profiles",
-    "dataset_similarity_tables",
-    # freshness rotation (r9 verdict item 8): the stalest driver rows
-    # — the full r2/r3-era tail (latest row r2: 5; r3: 32), so the
-    # head median driver-row age lands at one round
-    "dboost_mixture_lineitem",
-    "profile_lineitem_approx",
-    "profile_part",
-    "profile_supplier",
-    "q14_promo_revenue",
-    "asof_join_events_orders",
-    "clean_text_documents",
-    "dboost_cords_events",
-    "dboost_histogram_events",
-    "decontaminate_documents",
-    "dominant_pattern_customer",
-    "drift_events_value",
-    "drift_table_events",
-    "dup_components_documents",
-    "ks_events_value",
-    "language_id_documents",
-    "latest_events_per_user",
-    "line_dedup_documents",
-    "multimodal_png_decode_documents",
-    "multimodal_wav_decode_documents",
-    "ngram_overlap_documents",
-    "pack_manifest_documents",
-    "pii_scrub_documents",
-    "q13_customer_distribution",
-    "q18_large_volume",
-    "q21_waiting_suppliers",
-    "q5_nation_revenue",
-    "quality_filter_documents",
-    "rebalance_sources_documents",
-    "repetition_stats_documents",
-    "sessionize_events",
-    "source_mix_documents",
-    "stratified_sample_documents",
-    "tfidf_top_terms_documents",
-    "token_stats_documents",
-    "value_stats_customer",
+    "quintet_beers_profile",
+    "quintet_beers_errors",
     "violations_legacy_orders",
-    "wasserstein_events_value",
+    "value_stats_customer",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {

@@ -120,15 +120,24 @@ def parse_yaml_rules(mapping: dict[str, str]) -> list[Rule]:
 # (the reference returns False for both).
 # ---------------------------------------------------------------------------
 
-# trimmed, null-safe string rendering of a cell for the legacy checks
-_LEGACY_CELL = "trim(coalesce(cast(`{col}` as string), ''))"
+# trimmed, null-safe string rendering of a cell for the legacy checks —
+# trimming models Python str.strip() over its FULL whitespace set
+# (golden.PY_STRIP_WS; plain trim() strips spaces only and the r10
+# six-char ASCII set missed NBSP-padded cells — r10 ADVICE)
+def _legacy_cell(col: str) -> str:
+    from datalakerulegeneration_spark.evaluation.golden import _PY_STRIP_WS_SQL
+
+    return (
+        f"trim(BOTH {_PY_STRIP_WS_SQL} FROM"
+        f" coalesce(cast(`{col}` as string), ''))"
+    )
 
 
 def parse_legacy_rule(column: str, text: str) -> Rule:
     """One legacy description string → a :class:`Rule` bound to
     ``column``. The emitted validator is a raw-SQL violation predicate
     (portable Spark/DuckDB subset: no ``\\d``/``\\w`` classes)."""
-    cell = _LEGACY_CELL.format(col=column)
+    cell = _legacy_cell(column)
     sql = None
     if text == "MUST NOT be NULL":
         sql = f"{cell} = ''"

@@ -110,11 +110,22 @@ class CurateIndexedDeduper:
             return [int(x) for x in fh.read().split()]
 
     def _read_committed(self, root: str, schema: str) -> DataFrame:
-        paths = [
-            os.path.join(root, f"batch={b}")
-            for b in self.committed_ids()
-            if os.path.exists(os.path.join(root, f"batch={b}"))
-        ]
+        # The COMMITTED marker and the per-batch dirs live and die
+        # together (dirs are written BEFORE the marker flip, and an
+        # empty batch still writes a directory). A committed id whose
+        # directory is gone is state corruption — silently skipping it
+        # would shrink the indexes and re-admit duplicates, so fail
+        # loudly instead (r10 ADVICE).
+        paths = []
+        missing = []
+        for b in self.committed_ids():
+            p = os.path.join(root, f"batch={b}")
+            (paths if os.path.exists(p) else missing).append(p)
+        if missing:
+            raise RuntimeError(
+                f"exactly-once state corrupted under {root}: COMMITTED "
+                f"lists batch dirs that do not exist: {missing}"
+            )
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*paths)

@@ -202,9 +202,10 @@ def test_golden_legacy_predicate_python_model(spark):
     """Property check: the Spark legacy predicates and the DuckDB twin
     both agree with a pure-python model of the reference generator
     (detect_error_cells.py rule_violations over fillna('')-mapped
-    values, Python str.strip() semantics) across the documented ASCII
-    domain — including TAB/LF/CR/VT/FF-padded cells, where SQL trim()
-    (spaces only) would silently diverge."""
+    values, Python str.strip() semantics) across the FULL str.strip()
+    whitespace domain — ASCII TAB/LF/CR/VT/FF, the \\x1c-\\x1f block,
+    NEL, NBSP and the Unicode spaces (r10 ADVICE: the six-char ASCII
+    set silently diverged on NBSP-padded scraped cells)."""
     import re as _re
 
     import duckdb
@@ -214,16 +215,25 @@ def test_golden_legacy_predicate_python_model(spark):
         LEGACY_NOT_NULL,
         LEGACY_NUMERIC,
         PANDAS_NA_TOKENS,
+        PY_STRIP_WS,
         legacy_error_cells,
         legacy_error_cells_sql,
         pandas_na_normalized,
     )
 
+    # the strip set the engines implement IS Python's
+    assert set(PY_STRIP_WS) == {
+        chr(c) for c in range(0x11000) if chr(c).isspace()
+    }
     ws = " \t\n\r\x0b\x0c"
     vals = [
         "", " ", "\t", "\t 12.5 \n", "12,345", "1.2.3", "N/A", " N/A ",
         "nan", "x", "\x0b9\x0c", "00", ".,", "-5", "12 34", "\r\n",
         "a1", "1a", "NULL", "None", "#N/A", "\t\t", "9" + ws, ws + "9",
+        # full-set probes: NBSP / NEL / file-separator / em-space /
+        # ideographic-space padding, alone and around numerics
+        "\xa07\xa0", "\xa0", "\x857\x85", "\x1c7\x1d", "\u20037",
+        "7\u3000", "\u2028", "\x1e", "\xa0N/A\xa0", "\u1680.5\u1680",
     ]
     rows = [(str(i), v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "k string, v string")
@@ -234,13 +244,13 @@ def test_golden_legacy_predicate_python_model(spark):
         ).collect())
     )
     # python model: NA tokens -> '' (pandas fillna of dtype=str default
-    # NA parse), then rule_violations semantics
+    # NA parse), then rule_violations semantics with native str.strip()
     exp = []
     for i, raw in enumerate(vals):
         val = "" if raw in PANDAS_NA_TOKENS else raw
-        if val.strip(ws) == "":
+        if val.strip() == "":
             exp.append(("v", i, LEGACY_NOT_NULL))
-        if not _re.match(r"^[0-9.,]+$", val.strip(ws)):
+        if not _re.match(r"^[0-9.,]+$", val.strip()):
             exp.append(("v", i, LEGACY_NUMERIC))
     assert got == sorted(exp)
     # DuckDB twin over the NA-normalized frame agrees exactly

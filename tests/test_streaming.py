@@ -1459,6 +1459,33 @@ def test_curate_indexed_crash_matrix(spark, tmp_path):
     assert storm == ref
 
 
+def test_curate_indexed_corrupted_state_fails_loudly(spark, tmp_path):
+    """r11 (r10 ADVICE): a batch id listed in the COMMITTED marker
+    whose directory is missing is state corruption — the marker and
+    the dirs live and die together (dirs are written first; an empty
+    batch still writes a directory). Silently skipping it would shrink
+    the url/digest indexes and re-admit duplicates, so the deduper
+    must refuse to read the state instead."""
+    import shutil as _sh
+
+    import pytest as _pt
+
+    from datalakerulegeneration_spark.streaming import CurateIndexedDeduper
+
+    b0 = spark.createDataFrame(
+        [(1, "http://a.com/x", "alpha beta gamma delta epsilon zeta.")],
+        "doc_id long, url string, text string",
+    )
+    dd = CurateIndexedDeduper(spark, str(tmp_path / "st"), quality_min=0.5)
+    dd.update(b0, 0)
+    assert [r["doc_id"] for r in dd.survivors().collect()] == [1]
+    _sh.rmtree(tmp_path / "st" / "url_index" / "batch=0")
+    with _pt.raises(RuntimeError, match="state corrupted"):
+        dd.url_index().collect()
+    # the other indexes are intact and still readable
+    assert len(dd.digest_index().collect()) == 1
+
+
 def test_curate_indexed_stream_wiring(spark, tmp_path):
     """The composed sink through a REAL StreamingQuery (file source,
     availableNow): wave 2 continues under the SAME checkpoint (batch-id

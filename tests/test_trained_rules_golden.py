@@ -1,0 +1,235 @@
+"""Golden parity with the reference's published trained-rules and
+cluster-analysis artifacts (r11).
+
+Pins, field-by-field and bit-for-bit, against the vendored copies of
+the reference's own shipped results:
+
+* ``trained_rules_clean.json``   — cluster 1, 28 numeric range fields
+  + the 8-rule section (mean-or-"lambda" serialization);
+* ``trained_rules_eps_0.5.json`` — clusters 0 and 1 (84 fields total);
+* ``cluster_analysis.json``      — size, type, common_patterns,
+  typical_ranges (24 fields), rules, error_patterns index sets,
+  feature_importance (5 shares), quality_metrics;
+* ``trained_rules_with_ranges.json`` — adjudicated: the published file
+  is a 4-byte truncated stub (``{`` + newline), nothing to replicate.
+
+Adjudications (full derivation in evaluation/trained_rules.py):
+input corpus = Quintet + the 7,390-row movies_1 concat of the vendored
+Quintet_Split halves; cluster membership uniquely solved from the
+artifacts' own sufficient statistics; published NaN ≡ engine NULL;
+artifact-era basic_data_type = 'string' for every member.
+"""
+
+import json
+import math
+import os
+
+import pytest
+
+from datalakerulegeneration_spark.evaluation import trained_rules as TR
+
+PUB = TR.published_fixture_dir()
+
+
+def _load(name):
+    with open(os.path.join(PUB, name)) as fh:
+        return json.load(fh)
+
+
+def _eq(a, b, path=""):
+    """Bit-exact structural equality with NaN == NaN."""
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return []
+        return [] if fa == fb else [f"{path}: {a!r} != {b!r}"]
+    if isinstance(a, dict) and isinstance(b, dict):
+        if set(a) != set(b):
+            return [f"{path}: keys {sorted(a)} != {sorted(b)}"]
+        out = []
+        for k in a:
+            out += _eq(a[k], b[k], f"{path}.{k}")
+        return out
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        if len(a) != len(b):
+            return [f"{path}: len {len(a)} != {len(b)}"]
+        out = []
+        for i, (x, y) in enumerate(zip(a, b)):
+            out += _eq(x, y, f"{path}[{i}]")
+        return out
+    return [] if a == b else [f"{path}: {a!r} != {b!r}"]
+
+
+@pytest.fixture(scope="module")
+def artifact_rules(spark):
+    return TR.trained_rules_artifact(spark, clusters=(0, 1))
+
+
+def test_golden_trained_rules_clean_parity(artifact_rules):
+    """trained_rules_clean.json replicates bit-for-bit (its single
+    cluster 1: 7 features × low/high/mean/std + the 8 serialized
+    rules)."""
+    pub = _load("trained_rules_clean.json")
+    got = {"1": artifact_rules["1"]}
+    diffs = _eq(got, pub)
+    assert not diffs, diffs
+
+
+def test_golden_trained_rules_eps05_parity(artifact_rules):
+    """trained_rules_eps_0.5.json replicates bit-for-bit — BOTH
+    clusters: the 6-column ID cluster 0 (its 95th-percentile distinct
+    count 6145 pins the movies table at exactly 7,390 rows) and the
+    29-column cluster 1."""
+    pub = _load("trained_rules_eps_0.5.json")
+    diffs = _eq(artifact_rules, pub)
+    assert not diffs, diffs
+
+
+def test_golden_cluster_analysis_parity(spark):
+    """cluster_analysis.json replicates in full: profile (size, type,
+    top-5 common generalize-patterns with the reference's stable-sort
+    tie order, 24 typical_range fields), the 2 generated rules, the
+    error-pattern index sets (which pin the member ORDER), the 5
+    normalized feature-importance shares and both quality metrics."""
+    pub = _load("cluster_analysis.json")
+    got = TR.cluster_analysis_artifact(spark)
+    diffs = _eq(got, pub)
+    assert not diffs, diffs
+
+
+def test_golden_with_ranges_published_stub():
+    """Adjudication: the reference's trained_rules_with_ranges.json is
+    a truncated 4-byte stub — pinned as-is so a future fixture change
+    resurfaces the question."""
+    p = os.path.join(PUB, "trained_rules_with_ranges.json")
+    raw = open(p, "rb").read()
+    assert raw == b"{\n  ", raw
+
+
+def _norm_rows(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(None)
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def test_golden_ranges_query_cross_engine(spark):
+    """The registered trained_rules_ranges frame is bit-identical
+    between the Spark plan and its DuckDB twin (the driver-gate
+    contract), and carries the published values: 2 clusters × 7
+    features, Q1/Q3 NULL-poisoned exactly where the artifact has
+    NaN."""
+    import duckdb
+
+    got = _norm_rows(
+        [tuple(r) for r in TR.trained_feature_ranges(spark).collect()]
+    )
+    want = _norm_rows(duckdb.connect().execute(TR.trained_feature_ranges_sql()).fetchall())
+    assert got == want
+    assert len(got) == 14
+    by_key = {(int(r[0]), r[1]): r for r in got}
+    # published NaN-poisoning: cluster 1 Q1/Q3 all-NULL, cluster 0 real
+    assert by_key[(1, "Q1")][2:] == (None, None, None, None)
+    assert by_key[(1, "Q3")][2:] == (None, None, None, None)
+    assert by_key[(0, "Q1")][2] is not None
+    # spot-pin two published values the decimal-sum mean preserves
+    pub = _load("trained_rules_eps_0.5.json")
+    assert by_key[(0, "distinct_num")][4] == pytest.approx(
+        pub["0"]["feature_ranges"]["distinct_num"]["mean"], abs=1e-6
+    )
+    assert by_key[(1, "unique_ratio")][3] == pytest.approx(
+        pub["1"]["feature_ranges"]["unique_ratio"]["high"], rel=1e-12
+    )
+
+
+def test_golden_cluster_analysis_query_cross_engine(spark):
+    """The registered cluster_analysis metrics frame is bit-identical
+    between engines and pins the published index sets / size."""
+    import duckdb
+
+    got = _norm_rows(
+        [tuple(r) for r in TR.cluster_analysis_metrics(spark).collect()]
+    )
+    want = _norm_rows(
+        duckdb.connect().execute(TR.cluster_analysis_metrics_sql()).fetchall()
+    )
+    assert got == want
+    rows = {(r[0], r[1], r[2]): r[3] for r in got}
+    assert rows[("profile", "size", "n")] == 29.0
+    pub = _load("cluster_analysis.json")["1"]
+    lu = sorted(
+        int(r[2]) for r in got if r[0] == "error_patterns" and r[1] == "low_uniqueness"
+    )
+    assert lu == pub["error_patterns"]["low_uniqueness"]
+    ol = sorted(
+        int(r[2]) for r in got if r[0] == "error_patterns" and r[1] == "outlier_lengths"
+    )
+    assert ol == pub["error_patterns"]["outlier_lengths"]
+    # min/max are raw feature values — published-exact
+    assert rows[("typical_ranges", "unique_ratio", "max")] == (
+        pub["profile"]["typical_ranges"]["unique_ratio"]["max"]
+    )
+    assert rows[("typical_ranges", "characters_alphabet", "max")] == 102088.0
+
+
+def test_golden_movies_truth_keyed_and_positional(spark):
+    """The movies golden pair (third golden group, text-heavy wide
+    schema): the registered KEYED cell diff covers the id-stable
+    subset identically in both engines, and the FULL positional diff
+    (the reference's iat semantics over the S1 cell contract) pins the
+    4,326 / 3,349 totals — keyed + corrupted-key-row cells account for
+    every positional cell."""
+    import duckdb
+
+    from datalakerulegeneration_spark.evaluation.golden import (
+        load_pair,
+        quintet_split_truth,
+        quintet_split_truth_sql,
+    )
+
+    got = sorted(map(tuple, quintet_split_truth(spark, "movies_1").collect()))
+    want = sorted(
+        map(tuple, duckdb.connect().execute(quintet_split_truth_sql("movies_1")).fetchall())
+    )
+    assert got == want
+    assert len(got) == 3458  # id-stable subset (3,902 aligned rows)
+
+    # full positional diff over the S1 frames (multiLine reads each
+    # file as ONE split, preserving order → toPandas keeps file order)
+    totals = {}
+    for half, exp in (("movies_1", 4326), ("movies_2", 3349)):
+        d, c = load_pair(
+            spark, os.path.join(TR.quintet_split_fixture_dir(), half)
+        )
+        n = 0
+        dp = d.toPandas()
+        cp = c.toPandas()
+        for col in dp.columns:
+            n += int((dp[col].values != cp[col].values).sum())
+        totals[half] = n
+        assert n == exp, (half, n)
+    # keyed diff ⊂ positional diff: the 868 extra movies_1 cells are
+    # the 97 corrupted id cells + the dropped rows' other-column diffs
+    assert totals["movies_1"] - len(got) == 868
+
+
+def test_golden_common_patterns_cross_engine(spark):
+    """The registered common-patterns top-5 matches the DuckDB twin
+    AND the published list (values + counts + rank order, including
+    the count-tie order that encodes first appearance along the
+    artifact's member sequence)."""
+    import duckdb
+
+    got = [tuple(r) for r in TR.common_patterns(spark).collect()]
+    want = duckdb.connect().execute(TR.common_patterns_sql()).fetchall()
+    assert [(int(a), b, float(c)) for a, b, c in got] == [
+        (int(a), b, float(c)) for a, b, c in want
+    ]
+    pub = _load("cluster_analysis.json")["1"]["profile"]["common_patterns"]
+    assert [[p, int(c)] for _, p, c in got] == pub

@@ -53,6 +53,15 @@ def main() -> None:
     def want(t: str) -> bool:
         return only is None or t in only
 
+    def want_scaled(t: str) -> bool:
+        # *_scaled variants are opt-in fixture sets (they write under
+        # the BASE table name): fire only when named explicitly, and
+        # the plain-copy loop below skips the base table in that case —
+        # a default all-tables run used to write the scaled dimension
+        # and immediately overwrite it with the unscaled copy
+        # (order-dependent wasted work, r10 ADVICE)
+        return only is not None and t in only
+
     (max_ok,) = con.execute(f"SELECT max(o_orderkey) + 1 FROM {src('orders')}").fetchone()
     (max_doc,) = con.execute(f"SELECT max(doc_id) + 1 FROM {src('documents')}").fetchone()
 
@@ -89,7 +98,7 @@ def main() -> None:
             for r in range(REPLICAS)
         ),
       )
-    if want("events_scaled"):
+    if want_scaled("events_scaled"):
         # join-preserving event scale-up: ids shift per replica, users/
         # timestamps stay — sessions densify and drift windows carry
         # REPLICAS x the rows (drift/temporal family scaling set)
@@ -104,7 +113,7 @@ def main() -> None:
                 for r in range(REPLICAS)
             ),
         )
-    if want("embeddings_scaled"):
+    if want_scaled("embeddings_scaled"):
         # retrieval-family scale-up: vec_id shifts per replica; a small
         # deterministic per-replica affine tweak keeps replicas from
         # being exact duplicates (timing sets only — no oracle runs here)
@@ -155,7 +164,7 @@ def main() -> None:
         ),
     }
     for name, (t, key, sel) in dim_specs.items():
-        if want(name):
+        if want_scaled(name):
             (mx,) = con.execute(f"SELECT max({key}) + 1 FROM {src(t)}").fetchone()
             write(
                 t,
@@ -165,8 +174,15 @@ def main() -> None:
                 ),
             )
 
+    scaled_bases = {
+        spec[0] for n, spec in dim_specs.items() if want_scaled(n)
+    }
+    if want_scaled("events_scaled"):
+        scaled_bases.add("events")
+    if want_scaled("embeddings_scaled"):
+        scaled_bases.add("embeddings")
     for t in ("region", "nation", "customer", "supplier", "part", "events", "embeddings"):
-        if want(t):
+        if want(t) and t not in scaled_bases:
             write(t, f"SELECT * FROM {src(t)}")
 
 

@@ -47,14 +47,17 @@ GROUPS: dict[str, list[str]] = {
         "tests/test_ops.py",
         "tests/test_dboost.py",
         "tests/test_pipeline.py",
+        "tests/test_golden_match.py",
         "-k",
         f"not ({MM_K})",
     ],
     # mm is the lightest wall (325 s late-r9) — the golden-parity
-    # module (~65 s) rides along; 'golden' matches via its filename
+    # modules ride along; 'golden' matches via their filenames (the
+    # r11 trained-rules module included)
     "mm": [
         "tests/test_ops.py",
         "tests/test_golden_quintet.py",
+        "tests/test_trained_rules_golden.py",
         "-k",
         f"({MM_K}) or golden",
     ],
