@@ -24,7 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="Run clustering and evaluation over dirty/clean dataset pairs.",
     )
     p.add_argument(
-        "--mode", choices=["single", "multi", "curate", "monitor", "dedup", "score"], default="single"
+        "--mode",
+        choices=["single", "multi", "curate", "monitor", "dedup", "score", "golden"],
+        default="single",
     )
     # curate mode (beyond-reference): run the corpus curation pipeline
     # on a parquet documents table and write the training manifest
@@ -85,6 +87,55 @@ def main(argv: list[str] | None = None) -> dict:
 
     args = build_parser().parse_args(argv)
     spark = get_spark("datalakerulegeneration_spark-cli")
+    if args.mode == "golden":
+        # user-facing acceptance check (r11): run the vendored golden
+        # benchmark end-to-end and compare every pinned vector — the
+        # same claims the parity test suite makes, as ONE CLI gate
+        from datalakerulegeneration_spark.evaluation.golden import (
+            quintet_beers_error_cells,
+            run_dgov_golden,
+            run_quintet_golden,
+        )
+        from datalakerulegeneration_spark.matching.golden_match import (
+            golden_assignments,
+        )
+
+        PIN_QUINTET = {
+            "beers": (1002, 12313, 3360),
+            "flights": (4920, 5673, 0),
+            "hospital": (472, 2904, 37),
+            "rayyan": (828, 4195, 120),
+        }
+        PIN_DGOV = {"lake2018": (208, 359, 485), "lake2020": (69, 301, 373)}
+        q = {
+            ds: (v["tp"], v["fp"], v["fn"])
+            for ds, v in run_quintet_golden(spark).items()
+        }
+        g = {
+            ds: (v["tp"], v["fp"], v["fn"])
+            for ds, v in run_dgov_golden(spark).items()
+        }
+        n_err = quintet_beers_error_cells(spark).count()
+        ident = all(
+            s.split("::", 1)[1] == t.split("::", 1)[1]
+            for pairs in golden_assignments(spark).values()
+            for s, t, _ in pairs
+        )
+        out = {
+            "mode": "golden",
+            "quintet_pipeline": {k: list(v) for k, v in q.items()},
+            "dgov_pipeline": {k: list(v) for k, v in g.items()},
+            "beers_error_cells": n_err,
+            "matcher_identity": ident,
+            "ok": (
+                q == PIN_QUINTET
+                and g == PIN_DGOV
+                and n_err == 17416
+                and ident
+            ),
+        }
+        print(json.dumps(out, sort_keys=True))
+        return out
     if args.mode == "monitor":
         from datalakerulegeneration_spark.ops.drift import profile_drift, schema_drift
 
