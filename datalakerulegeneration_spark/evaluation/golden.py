@@ -444,6 +444,53 @@ def quintet_split_truth_sql(half: str = "movies_1") -> str:
     return pair_truth_sql(os.path.join(quintet_split_fixture_dir(), half), "id")
 
 
+def run_split_transfer_golden(spark: SparkSession) -> dict:
+    """M8 rule transfer on the reference's OWN row-split benchmark
+    (r11): ``Quintet_Split/rayyan + rayyan_2`` are the 1,000-row rayyan
+    table's first/last 500 rows (verified: their concat is byte-equal
+    to ``Quintet/rayyan``). Train on half 1 — profile its DIRTY side,
+    cluster (eps=0.5/min_samples=1), share rules, derive params — then
+    detect on half 2 WITHOUT re-profiling (the transferred bindings),
+    scored against half 2's own clean diff. Returns per-half metrics
+    plus the in-domain half-1 run for the transfer gap."""
+    from datalakerulegeneration_spark.clustering.cluster import cluster_columns_dbscan
+    from datalakerulegeneration_spark.clustering.sharing import (
+        shared_rules_by_threshold,
+    )
+    from datalakerulegeneration_spark.evaluation.ground_truth import cell_diff
+    from datalakerulegeneration_spark.evaluation.metrics import cell_metrics
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        quintet_split_fixture_dir,
+    )
+    from datalakerulegeneration_spark.pipeline import generate_bindings
+    from datalakerulegeneration_spark.profiling import profile_tables
+    from datalakerulegeneration_spark.rules import RuleEngine
+    from datalakerulegeneration_spark.rules.builtin import load_all_rules
+
+    root = quintet_split_fixture_dir()
+    halves = {
+        h: load_pair(spark, os.path.join(root, h)) for h in ("rayyan", "rayyan_2")
+    }
+    rules = load_all_rules()
+    profiles = profile_tables(
+        spark, {"rayyan": halves["rayyan"][0]}, with_tokens=False, coerce_numeric=True
+    )
+    clusters = cluster_columns_dbscan(profiles, eps=0.5, min_samples=1)
+    shared = shared_rules_by_threshold(profiles, clusters, rules, threshold=0.7)
+    bindings = generate_bindings(
+        profiles, clusters, shared, rules, "rayyan", param_source="cluster_sample"
+    )
+    eng = RuleEngine(spark)
+    out: dict = {}
+    for h, (dirty, clean) in halves.items():
+        v = eng.detect(dirty, h, bindings, row_id_col="id")
+        truth = cell_diff(dirty, clean, key="id")
+        m = dict(cell_metrics(v, truth))
+        m["n_truth"] = m["tp"] + m["fn"]
+        out[h] = m
+    return out
+
+
 def dgov_fixture_dir() -> str:
     """The vendored DGov lake pairs (reference datasets/DGov — the
     Connecticut 305(b) assessed-lake tables with the author's OWN

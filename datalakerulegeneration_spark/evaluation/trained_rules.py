@@ -262,22 +262,31 @@ def _member_sql_values() -> str:
 # ---------------------------------------------------------------------------
 
 
-def member_profiles(spark: SparkSession) -> DataFrame:
+def member_profiles(spark: SparkSession, with_values: bool = True) -> DataFrame:
     """One row per member column with every profile stat the artifacts
     consume — the shared wide-agg profiler in its CSV-coerce mode
     (the same plan family as the oracle-green quintet_beers_profile)."""
     from datalakerulegeneration_spark.profiling.profiler import profile_tables
 
-    prof = profile_tables(
-        spark, artifact_tables(spark), with_tokens=False, coerce_numeric=True
-    )
     members = {m for m in CLUSTER_0} | {m for m in CLUSTER_1}
-    return (
-        prof.withColumn(
-            "member", F.concat(F.col("table"), F.lit("_"), F.col("column"))
-        )
-        .where(F.col("member").isin(*sorted(members)))
+    # profile ONLY member columns — movies' non-member text columns
+    # (full_cast, description: megabytes of cells) would dominate the
+    # char-class scans for stats nothing downstream reads
+    tables = {}
+    for ds, df in artifact_tables(spark).items():
+        keep = [c for c in df.columns if f"{ds}_{c}" in members]
+        if keep:
+            tables[ds] = df.select(*keep)
+    prof = profile_tables(
+        spark,
+        tables,
+        with_tokens=False,
+        with_values=with_values,
+        coerce_numeric=True,
     )
+    return prof.withColumn(
+        "member", F.concat(F.col("table"), F.lit("_"), F.col("column"))
+    ).where(F.col("member").isin(*sorted(members)))
 
 
 def _mean_std_exprs(v: str, n: str) -> tuple[str, str]:
@@ -303,7 +312,7 @@ def trained_feature_ranges(spark: SparkSession) -> DataFrame:
     trained_rules artifacts (reference train_clean_rules.py:44-58).
     NULL in all four stats ⇔ the published NaN poisoning (module
     docstring)."""
-    prof = member_profiles(spark)
+    prof = member_profiles(spark, with_values=False)
     stack = ", ".join(
         f"'{pub}', cast(`{eng}` as double)" for pub, eng in RANGE_FEATURES.items()
     )
@@ -744,7 +753,8 @@ def trained_rules_artifact(spark: SparkSession, clusters: tuple[int, ...] = (1,)
     import numpy as np
 
     prof = {
-        r["member"]: r.asDict() for r in member_profiles(spark).collect()
+        r["member"]: r.asDict()
+        for r in member_profiles(spark, with_values=False).collect()
     }
     members = {0: CLUSTER_0, 1: CLUSTER_1}
     out = {}

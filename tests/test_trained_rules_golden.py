@@ -219,6 +219,28 @@ def test_golden_movies_truth_keyed_and_positional(spark):
     assert totals["movies_1"] - len(got) == 868
 
 
+def test_golden_split_transfer_rayyan(spark):
+    """M8 rule transfer on the reference's OWN row-split benchmark:
+    Quintet_Split rayyan / rayyan_2 are the 1,000-row rayyan table's
+    first/last 500 rows (their concat is byte-equal to Quintet/rayyan
+    — verified at vendoring). Rules trained on half 1 (profiles,
+    clusters, shared rules, cluster-sample params) detect on half 2
+    WITHOUT re-profiling; pinned vectors show the transfer holds (the
+    held-out half scores within noise of the in-domain half), and the
+    two halves' truth sizes sum to the full pair's 948 cells."""
+    from datalakerulegeneration_spark.evaluation.golden import (
+        run_split_transfer_golden,
+    )
+
+    m = run_split_transfer_golden(spark)
+    got = {h: (v["tp"], v["fp"], v["fn"]) for h, v in m.items()}
+    assert got == {
+        "rayyan": (54, 997, 425),
+        "rayyan_2": (52, 1000, 417),
+    }
+    assert m["rayyan"]["n_truth"] + m["rayyan_2"]["n_truth"] == 948
+
+
 def test_golden_common_patterns_cross_engine(spark):
     """The registered common-patterns top-5 matches the DuckDB twin
     AND the published list (values + counts + rank order, including
