@@ -219,6 +219,58 @@ def test_golden_movies_truth_keyed_and_positional(spark):
     assert totals["movies_1"] - len(got) == 868
 
 
+def test_golden_split_test_profile_parity(spark):
+    """A THIRD published-profile group: the reference ships
+    column_profile pickles for its Quintet_Split_test beers splits
+    (vendored verbatim as split_test_profiles.json). The split CSVs
+    are NOT byte-slices of the original — some rows collapsed into a
+    single quoted field at regeneration (row 104's whole record sits
+    in `index`), so this pins BOTH the profiler and the S1 parse of
+    that damage exactly as the published pickles embed it. 15
+    convention-shared fields × 22 columns, all equal."""
+    import math
+
+    from datalakerulegeneration_spark.catalog import read_csv_all_string
+    from datalakerulegeneration_spark.profiling import profile_tables
+
+    pub = _load("split_test_profiles.json")
+    FIXD = os.path.join(
+        os.path.dirname(__file__), "fixtures", "quintet_split_test"
+    )
+    MAP = {"Q1": "q1", "Q2": "q2", "Q3": "q3"}
+    FIELDS = [
+        "row_num", "null_ratio", "distinct_num", "unique_ratio",
+        "characters_alphabet", "characters_numeric", "numeric_min",
+        "numeric_max", "Q1", "Q2", "Q3", "most_freq_value_ratio",
+        "max_len", "min_len", "avg_len",
+    ]
+    diffs, total = [], 0
+    for ds in ("beers", "beer_products_3"):
+        df = read_csv_all_string(spark, os.path.join(FIXD, ds, "dirty.csv"))
+        prof = profile_tables(spark, {ds: df}, with_tokens=False, coerce_numeric=True)
+        ours = {r["column"]: r.asDict() for r in prof.collect()}
+        for c in pub[ds]:
+            col = c["column_name"].split("::", 1)[1]
+            assert col in ours, (ds, col)
+            for f in FIELDS:
+                total += 1
+                pv, ov = c.get(f), ours[col].get(MAP.get(f, f))
+                if pv is None and ov is None:
+                    continue
+                try:
+                    ok = (
+                        pv is not None
+                        and ov is not None
+                        and abs(float(pv) - float(ov)) < 1e-9
+                    )
+                except (TypeError, ValueError):
+                    ok = str(pv) == str(ov)
+                if not ok:
+                    diffs.append((ds, col, f, pv, ov))
+    assert total == 330
+    assert not diffs, diffs
+
+
 def test_golden_split_transfer_rayyan(spark):
     """M8 rule transfer on the reference's OWN row-split benchmark:
     Quintet_Split rayyan / rayyan_2 are the 1,000-row rayyan table's
