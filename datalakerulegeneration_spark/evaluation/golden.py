@@ -514,6 +514,29 @@ def dgov_truth_sql(dataset: str = "lake2018") -> str:
     return pair_truth_sql(os.path.join(dgov_fixture_dir(), dataset), _DGOV_KEY)
 
 
+TEMP_DATASETS = ("lake2008", "estuary2008")
+
+
+def temp_fixture_dir() -> str:
+    """The vendored 2008 water-assessment pairs (reference
+    datasets/temp — the Connecticut 305(b) 2008 Lake + Estuary tables,
+    DIFFERENT schemas, each with the author's annotated change log)."""
+    return os.path.join(os.path.dirname(quintet_fixture_dir()), "temp")
+
+
+def temp_truth(spark: SparkSession, dataset: str = "lake2008") -> DataFrame:
+    """Fourth golden group's ground truth (r11): same keyed cell diff
+    + positional-rename contract as the DGov pairs (clean headers are
+    the type-suffix-stripped spellings)."""
+    return pair_truth(
+        spark, os.path.join(temp_fixture_dir(), dataset), _DGOV_KEY
+    )
+
+
+def temp_truth_sql(dataset: str = "lake2008") -> str:
+    return pair_truth_sql(os.path.join(temp_fixture_dir(), dataset), _DGOV_KEY)
+
+
 def run_pairs_golden(
     spark: SparkSession, pairs: dict[str, str], key_cols: dict[str, str]
 ) -> dict:

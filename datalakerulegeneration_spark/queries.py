@@ -274,6 +274,39 @@ def _trained_common_patterns_oracle() -> str:
     return common_patterns_sql()
 
 
+def q_temp_lake2008_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth golden group (r11): the reference's 2008 Lake assessment
+    pair ships ITS OWN author change log too (datasets/temp) — this
+    registered twin keeps the J1 diff oracle-gated on a third
+    independent change-log-annotated benchmark (different schema from
+    both DGov years; change-log parity pinned in
+    tests/test_trained_rules_golden.py). ``sf_dir`` unused."""
+    from datalakerulegeneration_spark.evaluation.golden import temp_truth
+
+    return temp_truth(spark, "lake2008")
+
+
+def _temp_lake2008_truth_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.golden import temp_truth_sql
+
+    return temp_truth_sql("lake2008")
+
+
+def q_temp_estuary2008_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Estuary twin of q_temp_lake2008_truth — a 12-column marine
+    schema (different column set from every other golden pair).
+    ``sf_dir`` unused."""
+    from datalakerulegeneration_spark.evaluation.golden import temp_truth
+
+    return temp_truth(spark, "estuary2008")
+
+
+def _temp_estuary2008_truth_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.golden import temp_truth_sql
+
+    return temp_truth_sql("estuary2008")
+
+
 def q_quintet_movies1_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Movies golden-pair ground truth (r11 — the third golden group's
     text-heavy wide schema): the J1 keyed cell diff of the vendored
@@ -5322,6 +5355,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "trained_common_patterns_quintet": (q_trained_common_patterns, _trained_common_patterns_oracle()),
     "match_scores_beers_pair": (q_match_scores_beers_pair, _match_scores_beers_pair_oracle()),
     "quintet_movies1_truth": (q_quintet_movies1_truth, _quintet_movies1_truth_oracle()),
+    "temp_lake2008_truth": (q_temp_lake2008_truth, _temp_lake2008_truth_oracle()),
+    "temp_estuary2008_truth": (q_temp_estuary2008_truth, _temp_estuary2008_truth_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
@@ -5340,12 +5375,14 @@ REGISTRY.update(EXT_REGISTRY)
 # coverage. The replica gate (tools/check_correctness.py) runs all
 # entries every round regardless.
 _GATE_HEAD = [
-    # new this round — r11 (7)
+    # new this round — r11 (9)
     "trained_rules_ranges_quintet",
     "cluster_analysis_quintet",
     "trained_common_patterns_quintet",
     "match_scores_beers_pair",
     "quintet_movies1_truth",
+    "temp_lake2008_truth",
+    "temp_estuary2008_truth",
     "dgov_lake2020_truth",
     "dgov_lake2018_truth",
     # freshness rotation: the complete r5-stale set (38)
@@ -5388,10 +5425,8 @@ _GATE_HEAD = [
     "vocab_coverage_documents",
     "windowed_event_counts",
     # regression flagships on the r11-touched profile/pattern/legacy
-    # paths (5 — exactly 50 head entries with the 7 new + 38 stale)
-    "profile_lineitem",
+    # paths (3 — exactly 50 head entries with the 9 new + 38 stale)
     "quintet_beers_profile",
-    "quintet_beers_errors",
     "violations_legacy_orders",
     "value_stats_customer",
 ]

@@ -271,6 +271,104 @@ def test_golden_split_test_profile_parity(spark):
     assert not diffs, diffs
 
 
+def test_golden_temp_change_log_parity(spark):
+    """FOURTH golden group: the 2008 Lake + Estuary water-assessment
+    pairs (reference datasets/temp — different schemas from every
+    other group) ship the author's OWN annotated change logs; the
+    keyed cell diff reproduces both logs exactly — cells, dirty values
+    and clean values (whitespace-run rendering collapsed, as in the
+    DGov twins)."""
+    import csv as _csv
+    import re as _re
+
+    from datalakerulegeneration_spark.evaluation.golden import (
+        temp_fixture_dir,
+        temp_truth,
+    )
+
+    def strip_suffix(c):
+        return c.split("(", 1)[0]
+
+    def wsn(v):
+        return _re.sub(r"\s+", " ", v).strip()
+
+    for ds in ("lake2008", "estuary2008"):
+        truth = {
+            (int(r["row_id"]), strip_suffix(r["column"])): (
+                r["dirty_value"], r["clean_value"]
+            )
+            for r in temp_truth(spark, ds).collect()
+        }
+        with open(f"{temp_fixture_dir()}/{ds}/clean_changes.csv") as fh:
+            anno = {}
+            for row in _csv.reader(fh):
+                ri, col = row[0].split(".", 1)
+                anno[(int(ri), col)] = (row[1].strip(), row[2].strip())
+        assert set(truth) == set(anno), (
+            ds,
+            list(set(anno) - set(truth))[:3],
+            list(set(truth) - set(anno))[:3],
+        )
+        mism = [
+            (k, truth[k], anno[k])
+            for k in anno
+            if tuple(map(wsn, truth[k])) != tuple(map(wsn, anno[k]))
+        ]
+        assert not mism, (ds, mism[:3])
+    # the two logs' sizes pin the fixture contract
+    assert len(truth) > 0
+
+
+def test_golden_temp_profile_parity(spark):
+    """The temp group's published profile pickles (vendored as
+    temp_profiles.json) replicate field-for-field from the Spark
+    profiler over the vendored dirty CSVs — 15 convention-shared
+    fields × 26 columns across both schemas."""
+    from datalakerulegeneration_spark.catalog import read_csv_all_string
+    from datalakerulegeneration_spark.evaluation.golden import temp_fixture_dir
+    from datalakerulegeneration_spark.profiling import profile_tables
+
+    pub = _load("temp_profiles.json")
+    MAP = {"Q1": "q1", "Q2": "q2", "Q3": "q3"}
+    FIELDS = [
+        "row_num", "null_ratio", "distinct_num", "unique_ratio",
+        "characters_alphabet", "characters_numeric", "numeric_min",
+        "numeric_max", "Q1", "Q2", "Q3", "most_freq_value_ratio",
+        "max_len", "min_len", "avg_len",
+    ]
+    pickle_prefix = {
+        "lake2008": "305b_Assessed_2008_Lake_",
+        "estuary2008": "305b_Assessed_2008_Estuary_",
+    }
+    diffs, total = [], 0
+    for ds in ("lake2008", "estuary2008"):
+        df = read_csv_all_string(
+            spark, os.path.join(temp_fixture_dir(), ds, "dirty.csv")
+        )
+        prof = profile_tables(spark, {ds: df}, with_tokens=False, coerce_numeric=True)
+        ours = {r["column"]: r.asDict() for r in prof.collect()}
+        for c in pub[ds]:
+            col = c["column_name"].replace(pickle_prefix[ds], "", 1)
+            assert col in ours, (ds, col)
+            for f in FIELDS:
+                total += 1
+                pv, ov = c.get(f), ours[col].get(MAP.get(f, f))
+                if pv is None and ov is None:
+                    continue
+                try:
+                    ok = (
+                        pv is not None
+                        and ov is not None
+                        and abs(float(pv) - float(ov)) < 1e-9
+                    )
+                except (TypeError, ValueError):
+                    ok = str(pv) == str(ov)
+                if not ok:
+                    diffs.append((ds, col, f, pv, ov))
+    assert total == 390
+    assert not diffs, diffs
+
+
 def test_golden_split_transfer_rayyan(spark):
     """M8 rule transfer on the reference's OWN row-split benchmark:
     Quintet_Split rayyan / rayyan_2 are the 1,000-row rayyan table's
