@@ -44,7 +44,13 @@ COERCED = "coerced"
 # Regexes shared by Spark and DuckDB (RE2-compatible subset).
 RE_INT = r"^-?\d+$"
 RE_FLOAT = r"^-?\d+\.\d+$"
-RE_NUMERIC = r"^-?\d+(\.\d+)?$"
+# P6 cell-numeric = the reference's exact class (dataset/column
+# profiler, reference profiler.py:565): unsigned digits with at most
+# ONE '.' OR ',' separator — comma covers thousands-separated and
+# European-decimal cells ('379,998'), no sign. The r11 movies golden
+# parity caught the old '^-?\d+(\.\d+)?$' spelling silently
+# undercounting exactly those (published dataset profiles disagreed).
+RE_NUMERIC = r"^[0-9]+([.,][0-9]+)?$"
 RE_ALPHA_CELL = r"^[A-Za-z]+$"
 RE_PUNCT_CELL = r"^[^A-Za-z0-9]+$"
 RE_DATE = r"^\d{4}-\d{2}-\d{2}$"

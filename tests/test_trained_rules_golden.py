@@ -369,6 +369,101 @@ def test_golden_temp_profile_parity(spark):
     assert not diffs, diffs
 
 
+def test_golden_dataset_profile_parity(spark):
+    """The reference's published DATASET profiles (P20 — per-column
+    totals / n_rows, np.mean + np.var across columns;
+    dataset_profiler, profiler.py:581-630) replicate from the Spark
+    column profiles for ALL ELEVEN shipped pickles: the four Quintet
+    tables, movies_1 (whose published dataset profile matches ONLY the
+    7,390-row Quintet_Split concat — a third independent confirmation
+    of the corpus adjudication, this one from a published artifact
+    whose column-profile source was deleted), both DGov years, both
+    temp assessments and both Quintet_Split_test beers splits.
+
+    Compared: the 7 convention-shared stat families × mean/variance
+    (cells_null/unique/length/numeric/punctuation,
+    characters_alphabet/numeric) = 154 fields. Adjudicated out: rayyan's
+    cells_punctuation (downstream of the article_pagination cell-class
+    dispatch delta — the reference sends '-' to its alphabet class
+    first); lake2018's cells_length (the S1 CRLF→LF cell contract vs
+    the pickle's raw pandas bytes); the words_* family (NLTK
+    tokenizer, excluded by the same convention as the column-profile
+    pins). The former journal_issn cells_numeric adjudication
+    dissolved with the exact RE_NUMERIC spelling."""
+    import numpy as np
+
+    from datalakerulegeneration_spark.catalog import read_csv_all_string
+    from datalakerulegeneration_spark.evaluation.golden import (
+        dgov_fixture_dir,
+        quintet_fixture_dir,
+        temp_fixture_dir,
+    )
+    from datalakerulegeneration_spark.profiling import profile_tables
+
+    pub = _load("dataset_profiles.json")
+    FIXQ = quintet_fixture_dir()
+    FIXT = os.path.join(os.path.dirname(__file__), "fixtures", "quintet_split_test")
+    FIXS = TR.quintet_split_fixture_dir()
+    paths = {
+        "beers": [os.path.join(FIXQ, "beers", "dirty.csv")],
+        "flights": [os.path.join(FIXQ, "flights", "dirty.csv")],
+        "hospital": [os.path.join(FIXQ, "hospital", "dirty.csv")],
+        "rayyan": [os.path.join(FIXQ, "rayyan", "dirty.csv")],
+        "movies_1": [
+            os.path.join(FIXS, "movies_1", "dirty.csv"),
+            os.path.join(FIXS, "movies_2", "dirty.csv"),
+        ],
+        "lake2018": [os.path.join(dgov_fixture_dir(), "lake2018", "dirty.csv")],
+        "lake2020": [os.path.join(dgov_fixture_dir(), "lake2020", "dirty.csv")],
+        "lake2008": [os.path.join(temp_fixture_dir(), "lake2008", "dirty.csv")],
+        "estuary2008": [os.path.join(temp_fixture_dir(), "estuary2008", "dirty.csv")],
+        "split_beers": [os.path.join(FIXT, "beers", "dirty.csv")],
+        "beer_products_3": [os.path.join(FIXT, "beer_products_3", "dirty.csv")],
+    }
+    # published field family -> our per-column stat (already-normalized
+    # ratios stay as-is; counts divide by n_rows)
+    FAMILIES = {
+        "cells_null": ("null_ratio", False),
+        "cells_unique": ("distinct_num", True),
+        "cells_length": ("avg_len", False),
+        "cells_numeric": ("cells_numeric", True),
+        "cells_punctuation": ("cells_punctuation", True),
+        "characters_alphabet": ("characters_alphabet", True),
+        "characters_numeric": ("characters_numeric", True),
+    }
+    ADJUDICATED = {
+        ("rayyan", "cells_punctuation"),
+        # lake2018's last row carries CRLF inside a quoted field; the
+        # S1 cell contract normalizes CRLF→LF (r10 three-reader
+        # parity) while the pickle's pandas cells kept both bytes —
+        # cell LENGTHS differ by the \r count (set/class stats agree)
+        ("lake2018", "cells_length"),
+    }
+    diffs, total = [], 0
+    for ds, ps in paths.items():
+        df = read_csv_all_string(spark, ps[0])
+        for p in ps[1:]:
+            df = df.unionByName(read_csv_all_string(spark, p))
+        n = df.count()
+        prof = profile_tables(spark, {ds: df}, with_tokens=False, coerce_numeric=True)
+        rows = prof.collect()
+        for fam, (stat, divide) in FAMILIES.items():
+            vals = [
+                (r[stat] / n if divide else r[stat]) for r in rows
+            ]
+            for kind, got in (
+                ("mean", float(np.mean(vals))),
+                ("variance", float(np.var(vals))),
+            ):
+                total += 1
+                want = pub[ds][f"{fam}_{kind}"]
+                ok = abs(got - want) <= 1e-12 * max(1.0, abs(want))
+                if not ok and (ds, fam) not in ADJUDICATED:
+                    diffs.append((ds, fam, kind, got, want))
+    assert total == 154
+    assert not diffs, diffs
+
+
 def test_golden_split_transfer_rayyan(spark):
     """M8 rule transfer on the reference's OWN row-split benchmark:
     Quintet_Split rayyan / rayyan_2 are the 1,000-row rayyan table's
