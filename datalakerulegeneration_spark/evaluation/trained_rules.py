@@ -738,6 +738,59 @@ WHERE rank <= 5 ORDER BY rank
 """
 
 
+def dataset_rule_suggestions(profile: dict) -> list[tuple[str, dict]]:
+    """A5 rule suggestion from a DATASET profile (reference
+    rule_generation_pipleline.py:37-60 ``rule_with_params``): each
+    template fires on a threshold over the dataset-level stats and
+    emits its parameter dict; the published
+    ``results/Quintet/beers/dataset_rules.dictionary`` is this list
+    (shared across all 54 keyword keys) — replicated exactly in
+    tests/test_trained_rules_golden.py."""
+    g = profile.get
+    kw = profile.get("dataset_top_keywords", {})
+    out = [
+        ("is_unique", {"min_uniqueness_ratio": 1.0})
+        if g("distinct_values", 0) / max(g("num_rows", 1), 1) >= 1.0
+        else None,
+        ("is_nullable", {"null_threshold": 0.02})
+        if g("characters_unique_mean", 0) < 0.02
+        else None,
+        ("is_constant", {"unique_word_mean": g("words_unique_mean")})
+        if g("words_unique_mean", 1) < 0.1
+        else None,
+        ("has_low_cardinality", {"threshold": 0.3})
+        if g("words_unique_mean", 1) < 0.3
+        else None,
+        ("value_in_range", {"min": 0, "max": g("characters_numeric_mean", 0) * 3})
+        if g("characters_numeric_mean", 0) > 1.0
+        else None,
+        ("value_histogram_match", {"variance_threshold": 1.0})
+        if g("characters_numeric_variance", 0) > 1.0
+        else None,
+        ("top_n_frequency_check", {"alphabet_mean": g("characters_alphabet_mean")})
+        if g("characters_alphabet_mean", 0) > 3.0
+        else None,
+        ("quartile_thresholds", {"alphabet_variance": g("characters_alphabet_variance")})
+        if g("characters_alphabet_variance", 0) > 30
+        else None,
+        ("benford_conformity", {"numeric_mean": g("characters_numeric_mean")})
+        if g("characters_numeric_mean", 0) > 1.5
+        else None,
+        ("matches_regex", {"alphabet_variance": g("characters_alphabet_variance")})
+        if g("characters_alphabet_variance", 0) > 40
+        else None,
+        ("length_within", {"min_length": 3, "max_length": g("characters_alphabet_mean")})
+        if g("characters_alphabet_mean", 0) > 5
+        else None,
+        ("decimal_precision", {"max_precision": 3})
+        if g("characters_numeric_variance", 0) < 3
+        else None,
+        ("semantic_class_is", {"class": "percentage"}) if "abv" in kw else None,
+        ("domain_is", {"domain": "US States"}) if "state" in kw else None,
+    ]
+    return [r for r in out if r]
+
+
 # ---------------------------------------------------------------------------
 # driver-side artifact assembly (pytest parity vs the vendored JSON)
 # ---------------------------------------------------------------------------

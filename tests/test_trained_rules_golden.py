@@ -464,6 +464,65 @@ def test_golden_dataset_profile_parity(spark):
     assert not diffs, diffs
 
 
+def test_golden_dataset_rules_parity(spark):
+    """The LAST published artifact: dataset_rules.dictionary (A5 rule
+    suggestion, reference rule_generation_pipleline.py:37-60) — one
+    shared 11-rule parameterized list across all 54 keyword keys.
+    Replicated with the generator fed a dataset profile assembled from
+    OUR Spark stats: the chars families come from the replicated
+    column profiles (incl. characters_unique via a distinct-char
+    aggregate); words_unique_mean is taken from the vendored published
+    profile (NLTK-tokenizer field, the standing exclusion — only its
+    two threshold comparisons matter here and our value would decide
+    them identically); the keyword presence flags ('abv'/'state')
+    derive from the column names alone. Every emitted rule name and
+    parameter value equals the published list bit-for-bit."""
+    import numpy as np
+
+    from datalakerulegeneration_spark.catalog import read_csv_all_string
+    from datalakerulegeneration_spark.evaluation.golden import quintet_fixture_dir
+    from datalakerulegeneration_spark.profiling import profile_tables
+    from pyspark.sql import functions as F
+
+    pub = _load("dataset_rules_beers.json")
+    df = read_csv_all_string(
+        spark, os.path.join(quintet_fixture_dir(), "beers", "dirty.csv")
+    )
+    n = df.count()
+    prof = profile_tables(spark, {"beers": df}, with_tokens=False, coerce_numeric=True)
+    rows = prof.collect()
+    ca = [r["characters_alphabet"] / n for r in rows]
+    cn = [r["characters_numeric"] / n for r in rows]
+    # distinct characters per column (the one dataset stat outside the
+    # profile frame): one melt + countDistinct(char)
+    stack = ", ".join(f"'{c}', `{c}`" for c in df.columns)
+    chars = (
+        df.selectExpr(f"stack({len(df.columns)}, {stack}) as (col, cell)")
+        .selectExpr("col", "explode(split(cell, '')) as ch")
+        .groupBy("col")
+        .agg(F.countDistinct("ch").alias("u"))
+        .collect()
+    )
+    cu = [r["u"] / n for r in chars]
+    dataset_profile = {
+        "characters_unique_mean": float(np.mean(cu)),
+        "characters_alphabet_mean": float(np.mean(ca)),
+        "characters_alphabet_variance": float(np.var(ca)),
+        "characters_numeric_mean": float(np.mean(cn)),
+        "characters_numeric_variance": float(np.var(cn)),
+        # NLTK-convention field, from the vendored published profile
+        "words_unique_mean": _load("dataset_profiles.json")["beers"][
+            "words_unique_mean"
+        ],
+        "dataset_top_keywords": {c.lower(): 1.0 for c in df.columns},
+    }
+    got = TR.dataset_rule_suggestions(dataset_profile)
+    assert [[name, params] for name, params in got] == pub["rules"]
+    # the published keys are the column names + NLTK keywords; the
+    # column-name seed is fully derivable and must be a subset
+    assert {c.lower() for c in df.columns} <= set(pub["keys"])
+
+
 def test_golden_split_transfer_rayyan(spark):
     """M8 rule transfer on the reference's OWN row-split benchmark:
     Quintet_Split rayyan / rayyan_2 are the 1,000-row rayyan table's
