@@ -464,6 +464,63 @@ def test_golden_dataset_profile_parity(spark):
     assert not diffs, diffs
 
 
+def test_golden_dgov_column_profile_parity(spark):
+    """lake2018's published column-profile pickle (the last shipped
+    column pickle without a direct pin; lake2020's was regenerated
+    empty, like movies_1's) replicates from the Spark profiler —
+    15 convention-shared fields × 23 type-suffixed columns.
+    Adjudicated: the length stats of the one column whose quoted cells
+    carry CRLF (the S1 contract normalizes CRLF→LF; the pickle's
+    pandas cells kept both bytes)."""
+    from datalakerulegeneration_spark.catalog import read_csv_all_string
+    from datalakerulegeneration_spark.evaluation.golden import dgov_fixture_dir
+    from datalakerulegeneration_spark.profiling import profile_tables
+
+    pub = _load("dgov_profiles.json")["lake2018"]
+    df = read_csv_all_string(
+        spark, os.path.join(dgov_fixture_dir(), "lake2018", "dirty.csv")
+    )
+    prof = profile_tables(
+        spark, {"lake2018": df}, with_tokens=False, coerce_numeric=True
+    )
+    ours = {r["column"]: r.asDict() for r in prof.collect()}
+    MAP = {"Q1": "q1", "Q2": "q2", "Q3": "q3"}
+    FIELDS = [
+        "row_num", "null_ratio", "distinct_num", "unique_ratio",
+        "characters_alphabet", "characters_numeric", "numeric_min",
+        "numeric_max", "Q1", "Q2", "Q3", "most_freq_value_ratio",
+        "max_len", "min_len", "avg_len",
+    ]
+    ADJUDICATED = {
+        # the one cell whose quoted text carries CRLF: S1 normalizes
+        # CRLF→LF (one byte shorter), the pickle's pandas cell kept
+        # both — 65.40659 vs 65.41209 avg (max_len is a different,
+        # CR-free cell and agrees)
+        ("locationvalue", "avg_len"),
+    }
+    diffs, total = [], 0
+    for c in pub:
+        col = c["column_name"].split("::", 1)[1]
+        assert col in ours, col
+        for f in FIELDS:
+            total += 1
+            pv, ov = c.get(f), ours[col].get(MAP.get(f, f))
+            if pv is None and ov is None:
+                continue
+            try:
+                ok = (
+                    pv is not None
+                    and ov is not None
+                    and abs(float(pv) - float(ov)) < 1e-9
+                )
+            except (TypeError, ValueError):
+                ok = str(pv) == str(ov)
+            if not ok and (col, f) not in ADJUDICATED:
+                diffs.append((col, f, pv, ov))
+    assert total == 345
+    assert not diffs, diffs
+
+
 def test_golden_dataset_rules_parity(spark):
     """The LAST published artifact: dataset_rules.dictionary (A5 rule
     suggestion, reference rule_generation_pipleline.py:37-60) — one
