@@ -67,6 +67,9 @@ GROUPS: dict[str, list[str]] = {
         "tests/test_matching.py",
         "tests/test_temporal.py",
         "tests/test_plans.py",
+        # r11 rebalance: the heavy published-profile parity module
+        # (many-table profiling, ~190 s) moved here from mm's rider
+        "tests/test_published_artifacts.py",
     ],
     "rest": [
         "tests/test_streaming.py",
