@@ -153,6 +153,17 @@ BENCH_QUERIES = [
     "quintet_hospital_truth",
     "quintet_rayyan_truth",
     "dgov_lake2018_truth",
+    # r11 golden additions: the published trained-rules/cluster-analysis
+    # replication, the matcher benchmark pair, and the third/fourth
+    # golden groups' truth diffs
+    "trained_rules_ranges_quintet",
+    "cluster_analysis_quintet",
+    "trained_common_patterns_quintet",
+    "match_scores_beers_pair",
+    "quintet_movies1_truth",
+    "temp_lake2008_truth",
+    "temp_estuary2008_truth",
+    "dgov_lake2020_truth",
     "profile_approx_check_lineitem",
     "compression_fixture_docs",
 ]
