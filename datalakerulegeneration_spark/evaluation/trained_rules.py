@@ -738,6 +738,94 @@ WHERE rank <= 5 ORDER BY rank
 """
 
 
+#: published dataset-profile field → (engine column stat, divide-by-n)
+#: — the reference normalizes per-column TOTALS by row count before the
+#: across-columns mean/var (profiler.py:581-585 f()/g()); ratio-valued
+#: stats (null_ratio ≡ cells_null/n, avg_len ≡ cells_length/n) are
+#: already normalized
+DATASET_PROFILE_FAMILIES = {
+    "cells_null": ("null_ratio", False),
+    "cells_unique": ("distinct_num", True),
+    "cells_length": ("avg_len", False),
+    "cells_numeric": ("cells_numeric", True),
+    "cells_punctuation": ("cells_punctuation", True),
+    "characters_alphabet": ("characters_alphabet", True),
+    "characters_numeric": ("characters_numeric", True),
+}
+
+
+def dataset_profile_beers(spark: SparkSession) -> DataFrame:
+    """P20 on the published-artifact grain (r11): the beers DATASET
+    profile's seven convention-shared stat families as (field, value)
+    rows — per-column profile stats from the S1 CSV ingest, scaled to
+    the reference's per-row normalization, then the across-columns
+    mean and population variance via the registry's exact-decimal
+    recipe (shared with dataset_similarity). The published
+    ``dataset_profile.dictionary`` values for these fields replicate
+    (tests/test_published_artifacts.py pins all eleven datasets)."""
+    from datalakerulegeneration_spark.profiling import dataset_profile, profile_table
+
+    df = read_csv_all_string(spark, os.path.join(quintet_fixture_dir(), "beers", "dirty.csv"))
+    prof = profile_table(
+        spark, df, "beers", with_tokens=False, with_values=False, coerce_numeric=True
+    )
+    ds = dataset_profile(prof)
+    nrow = prof.groupBy().agg(F.max("row_num").cast("double").alias("n"))
+    j = ds.crossJoin(F.broadcast(nrow))
+    rows = []
+    for fam, (stat, divide) in DATASET_PROFILE_FAMILIES.items():
+        m = f"`{stat}_mean`" + (" / n" if divide else "")
+        v = f"`{stat}_var`" + (" / (n * n)" if divide else "")
+        rows.append(f"'{fam}_mean', round({m}, 6)")
+        rows.append(f"'{fam}_variance', round({v}, 6)")
+    return j.selectExpr(
+        f"stack({2 * len(DATASET_PROFILE_FAMILIES)}, {', '.join(rows)})"
+        " as (field, value)"
+    ).orderBy("field")
+
+
+def dataset_profile_beers_sql() -> str:
+    """DuckDB twin of :func:`dataset_profile_beers` — the
+    dataset_similarity oracle's sums/moments recipe over the S1 CSV
+    ingest, scaled identically."""
+    from datalakerulegeneration_spark.profiling import stats as S
+    from datalakerulegeneration_spark.profiling.wide_sql import wide_profile_sql
+
+    path = os.path.join(quintet_fixture_dir(), "beers", "dirty.csv")
+    kinds = [(c, S.COERCED) for c in csv_header(path)]
+    prof = wide_profile_sql("beers", kinds, with_values=False)
+    src = s1_ingest_sql(path)
+    stats = sorted({stat for stat, _ in DATASET_PROFILE_FAMILIES.values()})
+    sums = []
+    for c in stats:
+        d = f"CAST(TRY_CAST({c} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
+        sums.append(f"sum({d}) AS s1_{c}")
+        sums.append(f"sum({d} * {d}) AS s2_{c}")
+        sums.append(f"CAST(count({d}) AS DOUBLE) AS n_{c}")
+    moments = []
+    for c in stats:
+        mean = f"(CAST(s1_{c} AS DOUBLE) / NULLIF(n_{c}, 0.0))"
+        moments.append(f"{mean} AS {c}_mean")
+        moments.append(
+            f"(CAST(s2_{c} AS DOUBLE) / NULLIF(n_{c}, 0.0) - {mean} * {mean}) AS {c}_var"
+        )
+    rows = []
+    for fam, (stat, divide) in DATASET_PROFILE_FAMILIES.items():
+        m = f"{stat}_mean" + (" / n" if divide else "")
+        v = f"{stat}_var" + (" / (n * n)" if divide else "")
+        rows.append(f"SELECT '{fam}_mean' AS field, round({m}, 6) AS value FROM ds")
+        rows.append(f"SELECT '{fam}_variance', round({v}, 6) FROM ds")
+    return f"""
+WITH beers AS ({src}),
+prof AS ({prof}),
+nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM beers),
+sums AS (SELECT {', '.join(sums)} FROM prof),
+ds AS (SELECT {', '.join(moments)}, nrow.n FROM sums CROSS JOIN nrow)
+{" UNION ALL ".join(rows)}
+ORDER BY field
+"""
+
+
 def dataset_rule_suggestions(profile: dict) -> list[tuple[str, dict]]:
     """A5 rule suggestion from a DATASET profile (reference
     rule_generation_pipleline.py:37-60 ``rule_with_params``): each

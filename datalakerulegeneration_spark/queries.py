@@ -307,6 +307,29 @@ def _temp_estuary2008_truth_oracle() -> str:
     return temp_truth_sql("estuary2008")
 
 
+def q_dataset_profile_beers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20 on the published-artifact grain (r11): the beers DATASET
+    profile's seven convention-shared stat families (per-row-normalized
+    per-column totals → across-columns mean/population variance) from
+    the S1 CSV ingest, end-to-end in both engines. The emitted values
+    equal the reference's shipped dataset_profile.dictionary fields to
+    round-6 (all eleven shipped dataset profiles are pinned in
+    tests/test_published_artifacts.py). ``sf_dir`` unused."""
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        dataset_profile_beers,
+    )
+
+    return dataset_profile_beers(spark)
+
+
+def _dataset_profile_beers_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        dataset_profile_beers_sql,
+    )
+
+    return dataset_profile_beers_sql()
+
+
 def q_quintet_movies1_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Movies golden-pair ground truth (r11 — the third golden group's
     text-heavy wide schema): the J1 keyed cell diff of the vendored
@@ -5357,6 +5380,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quintet_movies1_truth": (q_quintet_movies1_truth, _quintet_movies1_truth_oracle()),
     "temp_lake2008_truth": (q_temp_lake2008_truth, _temp_lake2008_truth_oracle()),
     "temp_estuary2008_truth": (q_temp_estuary2008_truth, _temp_estuary2008_truth_oracle()),
+    "dataset_profile_beers_golden": (q_dataset_profile_beers, _dataset_profile_beers_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
@@ -5375,7 +5399,7 @@ REGISTRY.update(EXT_REGISTRY)
 # coverage. The replica gate (tools/check_correctness.py) runs all
 # entries every round regardless.
 _GATE_HEAD = [
-    # new this round — r11 (9)
+    # new this round — r11 (10)
     "trained_rules_ranges_quintet",
     "cluster_analysis_quintet",
     "trained_common_patterns_quintet",
@@ -5385,6 +5409,7 @@ _GATE_HEAD = [
     "temp_estuary2008_truth",
     "dgov_lake2020_truth",
     "dgov_lake2018_truth",
+    "dataset_profile_beers_golden",
     # freshness rotation: the complete r5-stale set (38)
     "ann_topk_ivf_embeddings",
     "ann_topk_lsh_embeddings",
@@ -5425,10 +5450,9 @@ _GATE_HEAD = [
     "vocab_coverage_documents",
     "windowed_event_counts",
     # regression flagships on the r11-touched profile/pattern/legacy
-    # paths (3 — exactly 50 head entries with the 9 new + 38 stale)
+    # paths (2 — exactly 50 head entries with the 10 new + 38 stale)
     "quintet_beers_profile",
     "violations_legacy_orders",
-    "value_stats_customer",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {
