@@ -4846,6 +4846,45 @@ def _mixture_frozen_oracle() -> str:
     )
 
 
+def q_dboost_fizzbuzz_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dBoost golden parity (r12 — D1/D3/D6 certified against the
+    reference's OWN benchmark): the canonical fizzbuzz invocation
+    ``--histogram 0.8 0.05 --discretestats 8 2`` (reference
+    profiling/dBoost/datasets/invocation.md:14) on the vendored
+    deterministic dataset regenerated per
+    datasets/synthetic/fizzbuzz.py. Reproduces the reference run's
+    outlier cells exactly: rows 25/30 via the (num,msg) correlation
+    hints, row 28 via the per-column message model
+    (tests/test_dboost_golden.py pins the cell set). ``sf_dir`` unused
+    (fixture-scoped)."""
+    from datalakerulegeneration_spark.dboost.golden import fizzbuzz_histogram_golden
+
+    return fizzbuzz_histogram_golden(spark, sf_dir)
+
+
+def q_dboost_fizzbuzz_parthist_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dBoost golden parity (r12 — D7): the second canonical fizzbuzz
+    invocation ``--partitionedhistogram 5 0.8 0.05 --discretestats 8
+    2`` (invocation.md:15) — key-conditioned histograms over the
+    correlation hints flag all six cells of rows 25/28/30. ``sf_dir``
+    unused (fixture-scoped)."""
+    from datalakerulegeneration_spark.dboost.golden import fizzbuzz_parthist_golden
+
+    return fizzbuzz_parthist_golden(spark, sf_dir)
+
+
+def _fizzbuzz_hist_oracle() -> str:
+    from datalakerulegeneration_spark.dboost.golden import fizzbuzz_histogram_oracle_sql
+
+    return fizzbuzz_histogram_oracle_sql()
+
+
+def _fizzbuzz_parthist_oracle() -> str:
+    from datalakerulegeneration_spark.dboost.golden import fizzbuzz_parthist_oracle_sql
+
+    return fizzbuzz_parthist_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-family analytical queries (joins §2.4 / aggregations §2.5):
 # semi-join (q4), multi-way broadcast join (q10), conditional
@@ -5381,6 +5420,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "temp_lake2008_truth": (q_temp_lake2008_truth, _temp_lake2008_truth_oracle()),
     "temp_estuary2008_truth": (q_temp_estuary2008_truth, _temp_estuary2008_truth_oracle()),
     "dataset_profile_beers_golden": (q_dataset_profile_beers, _dataset_profile_beers_oracle()),
+    "dboost_fizzbuzz_golden": (q_dboost_fizzbuzz_golden, _fizzbuzz_hist_oracle()),
+    "dboost_fizzbuzz_parthist_golden": (q_dboost_fizzbuzz_parthist_golden, _fizzbuzz_parthist_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)
