@@ -72,6 +72,7 @@ GROUPS: dict[str, list[str]] = {
         "tests/test_published_artifacts.py",
     ],
     "rest": [
+        "tests/test_dboost_golden.py",
         "tests/test_streaming.py",
         "tests/test_rules.py",
         "tests/test_profiler.py",
