@@ -1,0 +1,144 @@
+"""Matcher discrimination controls (r12 — r11 verdict item 3).
+
+The Quintet_Match benchmark certifies the matcher on IDENTITY pairs
+(every ``<ds>_2`` file is byte-equal to ``<ds>_1`` with the same
+header), so J5-J7/M5 had never been shown to discriminate. The
+reference ships no discrimination benchmark, so these are synthetic
+controls over the SAME vendored public fixtures:
+
+* **Positive (renamed + permuted)**: the beers table matched against
+  itself with columns REVERSED and renamed to alignment-free labels
+  ``c00..c10`` (the label encodes only the permuted position). The
+  name component is ~0 and uniform, so recovery must come from the
+  profile components (structure/distribution/content — reference
+  scoring method_2/pipleline_2.py:181-206); the Hungarian assignment
+  (pipleline_2.py:428-477) must recover the full true permutation.
+* **Negative (cross-dataset)**: beers_1 columns scored against
+  hospital_2 (different schema family). Assignments must fall below
+  the binding threshold except for the genuinely shared columns
+  (city/state exist in both schemas — a LEGITIMATE partial match),
+  and the surviving set is pinned.
+
+``BINDING_THRESHOLD`` is the min_score the discrimination contract
+binds at: every true positive assignment must clear it and every
+spurious cross-dataset assignment must miss it (pytest pins the
+margin on both sides).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakerulegeneration_spark.catalog import read_csv_all_string
+from datalakerulegeneration_spark.evaluation.golden import (
+    csv_header,
+    quintet_fixture_dir,
+    s1_ingest_sql,
+)
+
+# Sits between the measured bands: true assignments under the permuted
+# control score >= 0.60 (profile components alone: 0.25 struct + 0.25
+# dist + 0.2 x type-agree/2), while the best SPURIOUS cross-dataset
+# assignment (beers ounces -> hospital county) reaches 0.5435; the
+# genuinely shared columns (city/index/state, 0.73-0.80) legitimately
+# clear it. tests/test_matching_discrimination.py pins both margins.
+BINDING_THRESHOLD = 0.57
+
+# beers header reversed; label = permuted position (carries no
+# alignment information)
+def permutation_map() -> dict[str, str]:
+    header = csv_header(os.path.join(quintet_fixture_dir(), "beers", "dirty.csv"))
+    return {col: f"c{j:02d}" for j, col in enumerate(reversed(header))}
+
+
+def _beers_df(spark: SparkSession) -> DataFrame:
+    return read_csv_all_string(
+        spark, os.path.join(quintet_fixture_dir(), "beers", "dirty.csv")
+    )
+
+
+def permuted_target(spark: SparkSession) -> DataFrame:
+    """beers with reversed column order and alignment-free names."""
+    df = _beers_df(spark)
+    ren = permutation_map()
+    return df.select(
+        *[F.col(f"`{c}`").alias(ren[c]) for c in reversed(df.columns)]
+    )
+
+
+def permuted_scores(spark: SparkSession) -> DataFrame:
+    """J5 score frame of beers_1 × the renamed/permuted copy
+    (the registered discrimination query)."""
+    from datalakerulegeneration_spark.matching.similarity import column_match_scores
+    from datalakerulegeneration_spark.profiling import profile_table
+
+    src = profile_table(
+        spark, _beers_df(spark), "beers_1", with_tokens=False, coerce_numeric=True
+    )
+    tgt = profile_table(
+        spark, permuted_target(spark), "beers_perm", with_tokens=False, coerce_numeric=True
+    )
+    out = column_match_scores(src, tgt)
+    return out.select(
+        "src_id",
+        "tgt_id",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("name_sim", "struct_sim", "dist_sim", "content_sim", "score")
+        ],
+    ).orderBy("src_id", "tgt_id")
+
+
+def permuted_scores_sql() -> str:
+    """DuckDB twin: the permuted target is a renamed SELECT over the
+    same S1 ingest CTE feeding the shared score builder."""
+    from datalakerulegeneration_spark.matching.similarity import column_match_scores_sql
+    from datalakerulegeneration_spark.profiling import stats as S
+
+    path = os.path.join(quintet_fixture_dir(), "beers", "dirty.csv")
+    header = csv_header(path)
+    ren = permutation_map()
+    src_kinds = [(c, S.COERCED) for c in header]
+    tgt_kinds = [(ren[c], S.COERCED) for c in reversed(header)]
+    inner = column_match_scores_sql("beers_1", src_kinds, "beers_perm", tgt_kinds)
+    src = s1_ingest_sql(path)
+    perm_select = ", ".join(f'"{c}" AS {ren[c]}' for c in reversed(header))
+    head, rest = inner.split("WITH ", 1)
+    return (
+        f"{head}WITH beers_1 AS ({src}),\n"
+        f"beers_perm AS (SELECT {perm_select} FROM ({src})),\n{rest}"
+        + "\nORDER BY src_id, tgt_id"
+    )
+
+
+def permuted_assignment(spark: SparkSession) -> list[tuple[str, str, float]]:
+    """Hungarian 1-1 assignment on the permuted pair."""
+    from datalakerulegeneration_spark.matching.binding import global_assignment
+
+    a = global_assignment(permuted_scores(spark))
+    return sorted((r["src_id"], r["tgt_id"], r["score"]) for r in a.collect())
+
+
+def negative_scores(spark: SparkSession) -> DataFrame:
+    """J5 score frame of beers_1 × hospital_2 (cross-dataset negative)."""
+    from datalakerulegeneration_spark.matching.similarity import column_match_scores
+    from datalakerulegeneration_spark.profiling import profile_table
+
+    hosp = read_csv_all_string(
+        spark, os.path.join(quintet_fixture_dir(), "hospital", "dirty.csv")
+    )
+    src = profile_table(
+        spark, _beers_df(spark), "beers_1", with_tokens=False, coerce_numeric=True
+    )
+    tgt = profile_table(spark, hosp, "hospital_2", with_tokens=False, coerce_numeric=True)
+    return column_match_scores(src, tgt)
+
+
+def negative_assignment(spark: SparkSession) -> list[tuple[str, str, float]]:
+    from datalakerulegeneration_spark.matching.binding import global_assignment
+
+    a = global_assignment(negative_scores(spark))
+    return sorted((r["src_id"], r["tgt_id"], r["score"]) for r in a.collect())

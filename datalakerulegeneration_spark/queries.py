@@ -4885,6 +4885,29 @@ def _fizzbuzz_parthist_oracle() -> str:
     return fizzbuzz_parthist_oracle_sql()
 
 
+def q_match_scores_beers_permuted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matcher discrimination control (r12 — r11 verdict item 3): the
+    J5 score frame of beers_1 against a REVERSED, alignment-free-
+    renamed copy of itself (labels c00..c10 encode only the permuted
+    position, so the name component is neutralized). The Hungarian
+    assignment over this frame recovers the full true permutation with
+    every true score >= 0.60 while the best spurious cross-dataset
+    assignment (beers x hospital) stops at 0.5435 — pinned in
+    tests/test_matching_discrimination.py. ``sf_dir`` unused
+    (fixture-scoped)."""
+    from datalakerulegeneration_spark.matching.discrimination import permuted_scores
+
+    return permuted_scores(spark)
+
+
+def _match_scores_beers_permuted_oracle() -> str:
+    from datalakerulegeneration_spark.matching.discrimination import (
+        permuted_scores_sql,
+    )
+
+    return permuted_scores_sql()
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-family analytical queries (joins §2.4 / aggregations §2.5):
 # semi-join (q4), multi-way broadcast join (q10), conditional
@@ -5422,6 +5445,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dataset_profile_beers_golden": (q_dataset_profile_beers, _dataset_profile_beers_oracle()),
     "dboost_fizzbuzz_golden": (q_dboost_fizzbuzz_golden, _fizzbuzz_hist_oracle()),
     "dboost_fizzbuzz_parthist_golden": (q_dboost_fizzbuzz_parthist_golden, _fizzbuzz_parthist_oracle()),
+    "match_scores_beers_permuted": (q_match_scores_beers_permuted, _match_scores_beers_permuted_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

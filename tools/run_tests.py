@@ -65,6 +65,7 @@ GROUPS: dict[str, list[str]] = {
         "tests/test_properties.py",
         "tests/test_clustering.py",
         "tests/test_matching.py",
+        "tests/test_matching_discrimination.py",
         "tests/test_temporal.py",
         "tests/test_plans.py",
         # r11 rebalance: the heavy published-profile parity module
