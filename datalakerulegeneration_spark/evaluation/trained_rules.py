@@ -754,20 +754,21 @@ DATASET_PROFILE_FAMILIES = {
 }
 
 
-def dataset_profile_beers(spark: SparkSession) -> DataFrame:
-    """P20 on the published-artifact grain (r11): the beers DATASET
-    profile's seven convention-shared stat families as (field, value)
-    rows — per-column profile stats from the S1 CSV ingest, scaled to
-    the reference's per-row normalization, then the across-columns
-    mean and population variance via the registry's exact-decimal
-    recipe (shared with dataset_similarity). The published
-    ``dataset_profile.dictionary`` values for these fields replicate
-    (tests/test_published_artifacts.py pins all eleven datasets)."""
+def dataset_profile_golden(spark: SparkSession, csv_path: str, name: str) -> DataFrame:
+    """P20 on the published-artifact grain (r11, path-parameterized
+    r12): a DATASET profile's seven convention-shared stat families as
+    (field, value) rows — per-column profile stats from the S1 CSV
+    ingest, scaled to the reference's per-row normalization, then the
+    across-columns mean and population variance via the registry's
+    exact-decimal recipe (shared with dataset_similarity). The
+    published ``dataset_profile.dictionary`` values for these fields
+    replicate (tests/test_published_artifacts.py pins all eleven
+    datasets)."""
     from datalakerulegeneration_spark.profiling import dataset_profile, profile_table
 
-    df = read_csv_all_string(spark, os.path.join(quintet_fixture_dir(), "beers", "dirty.csv"))
+    df = read_csv_all_string(spark, csv_path)
     prof = profile_table(
-        spark, df, "beers", with_tokens=False, with_values=False, coerce_numeric=True
+        spark, df, name, with_tokens=False, with_values=False, coerce_numeric=True
     )
     ds = dataset_profile(prof)
     nrow = prof.groupBy().agg(F.max("row_num").cast("double").alias("n"))
@@ -784,16 +785,15 @@ def dataset_profile_beers(spark: SparkSession) -> DataFrame:
     ).orderBy("field")
 
 
-def dataset_profile_beers_sql() -> str:
-    """DuckDB twin of :func:`dataset_profile_beers` — the
+def dataset_profile_golden_sql(path: str, name: str) -> str:
+    """DuckDB twin of :func:`dataset_profile_golden` — the
     dataset_similarity oracle's sums/moments recipe over the S1 CSV
     ingest, scaled identically."""
     from datalakerulegeneration_spark.profiling import stats as S
     from datalakerulegeneration_spark.profiling.wide_sql import wide_profile_sql
 
-    path = os.path.join(quintet_fixture_dir(), "beers", "dirty.csv")
     kinds = [(c, S.COERCED) for c in csv_header(path)]
-    prof = wide_profile_sql("beers", kinds, with_values=False)
+    prof = wide_profile_sql(name, kinds, with_values=False)
     src = s1_ingest_sql(path)
     stats = sorted({stat for stat, _ in DATASET_PROFILE_FAMILIES.values()})
     sums = []
@@ -816,14 +816,46 @@ def dataset_profile_beers_sql() -> str:
         rows.append(f"SELECT '{fam}_mean' AS field, round({m}, 6) AS value FROM ds")
         rows.append(f"SELECT '{fam}_variance', round({v}, 6) FROM ds")
     return f"""
-WITH beers AS ({src}),
+WITH {name} AS ({src}),
 prof AS ({prof}),
-nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM beers),
+nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {name}),
 sums AS (SELECT {', '.join(sums)} FROM prof),
 ds AS (SELECT {', '.join(moments)}, nrow.n FROM sums CROSS JOIN nrow)
 {" UNION ALL ".join(rows)}
 ORDER BY field
 """
+
+
+def dataset_profile_beers(spark: SparkSession) -> DataFrame:
+    return dataset_profile_golden(
+        spark, os.path.join(quintet_fixture_dir(), "beers", "dirty.csv"), "beers"
+    )
+
+
+def dataset_profile_beers_sql() -> str:
+    return dataset_profile_golden_sql(
+        os.path.join(quintet_fixture_dir(), "beers", "dirty.csv"), "beers"
+    )
+
+
+def dataset_profile_estuary(spark: SparkSession) -> DataFrame:
+    """The second registered dataset-profile golden group (r12 — r11
+    verdict item 6): the temp estuary 2008 assessment, a structurally
+    different schema family from every Quintet pair; its published
+    pickle replicates with zero adjudicated fields."""
+    from datalakerulegeneration_spark.evaluation.golden import temp_fixture_dir
+
+    return dataset_profile_golden(
+        spark, os.path.join(temp_fixture_dir(), "estuary2008", "dirty.csv"), "estuary2008"
+    )
+
+
+def dataset_profile_estuary_sql() -> str:
+    from datalakerulegeneration_spark.evaluation.golden import temp_fixture_dir
+
+    return dataset_profile_golden_sql(
+        os.path.join(temp_fixture_dir(), "estuary2008", "dirty.csv"), "estuary2008"
+    )
 
 
 def dataset_rule_suggestions(profile: dict) -> list[tuple[str, dict]]:

@@ -100,7 +100,11 @@ def wide_profile_sql(
     table's column order (profile_table iterates df.columns)."""
     selects = []
     for c, kind in cols_kinds:
-        have = {st.name: st.sql(c) for st in S.stats_for_kind(kind)}
+        # stat templates embed the name as an IDENTIFIER — always
+        # double-quote so headers with parens/spaces (the temp 2008
+        # schemas) parse; the colname/unique_id literals keep raw names
+        qc = '"' + c.replace('"', '""') + '"'
+        have = {st.name: st.sql(qc) for st in S.stats_for_kind(kind)}
         fields = [
             f"'{table}' AS tbl",
             f"'{c}' AS colname",
@@ -111,9 +115,9 @@ def wide_profile_sql(
                 expr = have[name]
             elif name in _VALUE_STATS and with_values:
                 expr = (
-                    _histogram_freq_sql(table, c)
+                    _histogram_freq_sql(table, qc)
                     if name == "histogram_freq"
-                    else _most_freq_ratio_sql(table, c)
+                    else _most_freq_ratio_sql(table, qc)
                 )
             else:
                 expr = "CAST(NULL AS DOUBLE)"

@@ -322,6 +322,28 @@ def q_dataset_profile_beers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_profile_beers(spark)
 
 
+def q_dataset_profile_estuary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20 golden on a SECOND structurally different group (r12): the
+    temp estuary 2008 dataset profile — same seven published stat
+    families as dataset_profile_beers_golden over a 13-column
+    assessment schema (published pickle replicates with zero
+    adjudicated fields; tests/test_published_artifacts.py). ``sf_dir``
+    unused."""
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        dataset_profile_estuary,
+    )
+
+    return dataset_profile_estuary(spark)
+
+
+def _dataset_profile_estuary_oracle() -> str:
+    from datalakerulegeneration_spark.evaluation.trained_rules import (
+        dataset_profile_estuary_sql,
+    )
+
+    return dataset_profile_estuary_sql()
+
+
 def _dataset_profile_beers_oracle() -> str:
     from datalakerulegeneration_spark.evaluation.trained_rules import (
         dataset_profile_beers_sql,
@@ -5446,6 +5468,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dboost_fizzbuzz_golden": (q_dboost_fizzbuzz_golden, _fizzbuzz_hist_oracle()),
     "dboost_fizzbuzz_parthist_golden": (q_dboost_fizzbuzz_parthist_golden, _fizzbuzz_parthist_oracle()),
     "match_scores_beers_permuted": (q_match_scores_beers_permuted, _match_scores_beers_permuted_oracle()),
+    "dataset_profile_estuary_golden": (q_dataset_profile_estuary, _dataset_profile_estuary_oracle()),
 }
 
 # extended TPC-H plan-shape family (q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21)

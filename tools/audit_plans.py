@@ -138,6 +138,7 @@ _ALLOW_ITEMS: list[tuple[str, str, str]] = [
     ("match_scores_beers_pair", "cartesian", "11x11 profile-frame crossJoin (the J5 matcher grain — one row per COLUMN pair, same class as column_match_customer_supplier)"),
     ("match_scores_beers_permuted", "cartesian", "11x11 profile-frame crossJoin (the J5 matcher grain over the renamed/permuted discrimination control)"),
     ("dataset_profile_beers_golden", "bnlj", "1-row row-count frame broadcast onto the 1-row dataset-profile aggregate (per-row normalization constant)"),
+    ("dataset_profile_estuary_golden", "bnlj", "1-row row-count frame broadcast onto the 1-row dataset-profile aggregate (per-row normalization constant)"),
     ("trained_common_patterns_quintet", "global_window", "<=#members-row modal-pattern frame ranked for the published top-5 (column-profile grain)"),
     # 1-row scalar-subquery broadcasts in rule evaluation / TPC-H spec
     ("violations_stats_orders", "bnlj", "1-row column stats (mean/std/modal) broadcast by the engine"),
