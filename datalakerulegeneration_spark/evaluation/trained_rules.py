@@ -262,7 +262,29 @@ def _member_sql_values() -> str:
 # ---------------------------------------------------------------------------
 
 
+#: session-keyed cache of the (tiny) member-profile frame: the three
+#: golden trained-rules queries each consume the SAME 66-row profile of
+#: the same five fixture CSVs, so the profiling pass runs once per
+#: session and variant; the frame is materialized as a local relation
+#: (66 collected rows) so downstream plans carry no repeated CSV scans
+#: or thousand-expression profile subtrees. The DuckDB oracles still
+#: recompute end-to-end from the raw CSVs. (r12 — r11 verdict item 4.)
+import weakref
+
+_MEMBER_PROFILE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def member_profiles(spark: SparkSession, with_values: bool = True) -> DataFrame:
+    cache = _MEMBER_PROFILE_CACHE.setdefault(spark, {})
+    df = cache.get(with_values)
+    if df is None:
+        live = _member_profiles_live(spark, with_values)
+        df = spark.createDataFrame(live.collect(), live.schema)
+        cache[with_values] = df
+    return df
+
+
+def _member_profiles_live(spark: SparkSession, with_values: bool = True) -> DataFrame:
     """One row per member column with every profile stat the artifacts
     consume — the shared wide-agg profiler in its CSV-coerce mode
     (the same plan family as the oracle-green quintet_beers_profile)."""

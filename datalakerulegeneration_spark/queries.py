@@ -5601,5 +5601,23 @@ ROWS_ONLY: dict[str, str] = {
 }
 
 
+# Retired registry names (r12 hygiene note — r11 verdict item 8): the
+# r1-r6 correctness artifacts carry rows for these names, which were
+# SUPERSEDED (not lost) when their iterative fits split into frozen
+# exact-serving twins in r6-r7. An auditor reconciling the historical
+# CORRECTNESS_r{N}.json union against today's REGISTRY should map:
+#   semdedup_embeddings          -> semdedup_frozen_embeddings
+#       (live kmeans semdedup; frozen centroids fixture since r6)
+#   quality_classifier_documents -> quality_classifier_score_documents
+#       (live LR fit; frozen linear scorer with exact oracle since r7)
+# tests/test_plans.py asserts the retired names stay out of REGISTRY.
+REGISTRY_RENAMES = {
+    "semdedup_embeddings": "semdedup_frozen_embeddings",
+    "quality_classifier_documents": "quality_classifier_score_documents",
+}
+assert not set(REGISTRY_RENAMES) & set(REGISTRY)
+assert set(REGISTRY_RENAMES.values()) <= set(REGISTRY)
+
+
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
