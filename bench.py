@@ -166,6 +166,14 @@ BENCH_QUERIES = [
     "dgov_lake2020_truth",
     "profile_approx_check_lineitem",
     "compression_fixture_docs",
+    # r11 tail registration that missed the r11 headline (r11 verdict
+    # item 2) + the r12 additions: the dBoost fizzbuzz golden pair, the
+    # matcher discrimination control, and the estuary dataset profile
+    "dataset_profile_beers_golden",
+    "dataset_profile_estuary_golden",
+    "dboost_fizzbuzz_golden",
+    "dboost_fizzbuzz_parthist_golden",
+    "match_scores_beers_permuted",
 ]
 
 

@@ -90,3 +90,67 @@ def dbscan(
                     stack.extend(k for k in neighbors[j] if labels[k] == -1)
         cid += 1
     return labels
+
+
+def dbscan_components_blocked(
+    mat: np.ndarray,
+    eps: float = 0.5,
+    metric: str = "euclidean",
+    block: int = 2048,
+) -> np.ndarray:
+    """The lake-catalog-width hatch for :func:`dbscan` (r12 probe —
+    SCALE.md runbook): with min_samples=1 (the reference protocol,
+    main.py:230-231) DBSCAN equals connected components of the
+    eps-graph, so the full n×n distance matrix never needs to exist —
+    distances are computed one ``block×n`` stripe at a time (BLAS
+    matmul) and folded straight into union-find. Memory O(n·block)
+    instead of O(n²): a 100k-column catalog needs ~1.6 GB of stripes
+    against the exact path's 80 GB matrix. Labels are renumbered by
+    first-occurrence order, which is exactly the BFS numbering of
+    :func:`dbscan` at min_samples=1 (each component's label id is set
+    by its lowest-index member), so the two paths are interchangeable.
+    """
+    n = len(mat)
+    if n == 0:
+        return np.array([], dtype=int)
+    if metric == "cosine":
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        x = mat / norms
+    else:
+        x = mat
+    sq = (x * x).sum(axis=1)
+
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        if metric == "cosine":
+            d = 1.0 - x[lo:hi] @ x.T
+        else:
+            d = np.sqrt(
+                np.maximum(sq[lo:hi, None] + sq[None, :] - 2 * x[lo:hi] @ x.T, 0.0)
+            )
+        rows, cols = np.nonzero(d <= eps)
+        for r, c in zip(rows + lo, cols):
+            if c <= r:
+                continue
+            ra, rb = find(int(r)), find(int(c))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    roots = np.array([find(i) for i in range(n)])
+    # renumber components in first-occurrence order (= BFS numbering)
+    order: dict[int, int] = {}
+    labels = np.empty(n, dtype=int)
+    for i, r in enumerate(roots):
+        if r not in order:
+            order[r] = len(order)
+        labels[i] = order[r]
+    return labels

@@ -5477,70 +5477,76 @@ from datalakerulegeneration_spark.tpch_ext import EXT_REGISTRY
 REGISTRY.update(EXT_REGISTRY)
 
 # The driver's correctness gate samples the FIRST 50 queries() entries.
-# Round-11 rotation (r10 verdict item 4): the 5 queries NEW this round
-# lead (the published trained-rules/cluster-analysis replication + the
-# DGov 2020 change-log twin), followed by ALL 38 registry entries whose
-# latest driver CORRECTNESS row dates to r5 — after this head no
-# entry's newest driver row is older than r6 — then 7 family flagships
-# whose code paths the r11 work touches (the profile/value/pattern
-# machinery the trained-rules queries ride) for cross-round regression
-# coverage. The replica gate (tools/check_correctness.py) runs all
-# entries every round regardless.
+# Round-12 rotation: the 4 queries NEW this round lead (the dBoost
+# fizzbuzz golden pair, the matcher discrimination control, the
+# estuary dataset profile), then the 6 declared ROWS_ONLY entries that
+# have never had a driver row (they record the weaker rows-only
+# check; each has an exact-oracled frozen twin already gate-green),
+# then ALL 35 registry entries whose latest driver CORRECTNESS row
+# dates to r6, then the first 5 of the r7-stale set — after this head
+# no oracled entry's newest driver row is older than r7. The replica
+# gate (tools/check_correctness.py) runs all entries every round
+# regardless.
 _GATE_HEAD = [
-    # new this round — r11 (10)
-    "trained_rules_ranges_quintet",
-    "cluster_analysis_quintet",
-    "trained_common_patterns_quintet",
-    "match_scores_beers_pair",
-    "quintet_movies1_truth",
-    "temp_lake2008_truth",
-    "temp_estuary2008_truth",
-    "dgov_lake2020_truth",
-    "dgov_lake2018_truth",
-    "dataset_profile_beers_golden",
-    # freshness rotation: the complete r5-stale set (38)
-    "ann_topk_ivf_embeddings",
-    "ann_topk_lsh_embeddings",
-    "bloom_decontaminate_documents",
-    "column_match_customer_supplier",
-    "dboost_discrete_stats_lineitem",
-    "dboost_partitioned_hist_events",
-    "decontaminate_fuzzy_documents",
-    "dedup_ngram_documents",
-    "eval_correction_orders",
-    "hash_sample_documents",
-    "hll_distinct_users_events",
-    "json_props_events",
-    "levenshtein_conflicts_part",
-    "profile_customer",
-    "profile_documents",
-    "profile_events",
-    "profile_orders",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q3_top_orders",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "quality_score_documents",
-    "shuffle_documents",
-    "train_test_split_documents",
-    "unigram_logprob_documents",
-    "vocab_coverage_documents",
-    "windowed_event_counts",
-    # regression flagships on the r11-touched profile/pattern/legacy
-    # paths (2 — exactly 50 head entries with the 10 new + 38 stale)
-    "quintet_beers_profile",
-    "violations_legacy_orders",
+    # new this round — r12 (4)
+    "dboost_fizzbuzz_golden",
+    "dboost_fizzbuzz_parthist_golden",
+    "match_scores_beers_permuted",
+    "dataset_profile_estuary_golden",
+    # first-ever driver rows for the declared ROWS_ONLY set (6) — each
+    # records the weaker rows-only check; their exact-oracle companions
+    # are all gate-green in r10/r11
+    "bpe_learn_documents",
+    "cluster_columns_kmeans_profiles",
+    "compression_ratio_documents",
+    "dboost_mixture_lineitem",
+    "pca_topk_embeddings",
+    "profile_lineitem_approx",
+    # freshness rotation: the complete r6-stale set (35 — the entries
+    # whose newest DRIVER row dates to r6; the r11 judge replica
+    # re-verified all 35 at sf0.01, this refreshes the official rows)
+    "ann_rerank_pq_embeddings",
+    "ann_topk_ivf_sq8_embeddings",
+    "audio_fingerprint_documents",
+    "bloom_ngram_decon_documents",
+    "bm25_documents",
+    "chunk_documents",
+    "cm_heavy_hitters_events",
+    "dedup_prefix_jaccard_documents",
+    "embedding_centroids_by_label",
+    "embedding_dup_components",
+    "embedding_stats_by_label",
+    "fingerprint_documents",
+    "grouped_quantiles_events",
+    "hybrid_search_documents",
+    "image_dhash_documents",
+    "lsh_bucket_stats_documents",
+    "mad_outliers_events",
+    "multimodal_features_documents",
+    "ngram_overlap_multi_documents",
+    "pack_stats_documents",
+    "pmi_collocations_documents",
+    "profile_merge_documents",
+    "projected_topk_embeddings",
+    "quantile_drift_events",
+    "quantized_topk_embeddings",
+    "range_join_events_orders",
+    "rollup_events",
+    "source_overlap_documents",
+    "target_mixture_documents",
+    "temperature_mixture_documents",
+    "token_kl_by_source_documents",
+    "wasserstein_table_events",
+    "weighted_sample_documents",
+    "winnow_fingerprints_documents",
+    "winnow_overlap_documents",
+    # start of the r7-stale rotation (5 — alphabetical; the rest roll
+    # into r13's head)
+    "audio_near_dups_documents",
+    "bigram_logprob_documents",
+    "centroid_outliers_embeddings",
+    "component_split_documents",
+    "drift_embeddings_projected",
 ]
 assert all(n in REGISTRY for n in _GATE_HEAD), sorted(set(_GATE_HEAD) - set(REGISTRY))
 REGISTRY = {
