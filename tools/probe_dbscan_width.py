@@ -33,8 +33,11 @@ from datalakerulegeneration_spark.clustering.dbscan import (  # noqa: E402
 N_FEATURES = 17  # the profile-matrix width cluster_columns feeds M1
 EPS = 0.5
 # exact path's dist matrix: 8 bytes * n^2 — cap where it stays well
-# inside the driver (10k -> 0.8 GB; 31.6k -> 8 GB; 100k -> 80 GB = OOM)
-EXACT_MAX_N = 31_623
+# inside the driver (10k -> 0.8 GB; 31.6k -> 8 GB; 100k -> 80 GB = OOM).
+# Default 10k keeps a full probe run under ~5 min; the 31.6k exact cell
+# was measured once for the r12 runbook (297 s wall, 15.7 GB peak RSS —
+# the superlinearity evidence) and is opt-in via the env override.
+EXACT_MAX_N = int(os.environ.get("SPARK_GRAFT_DBSCAN_EXACT_MAX", "10000"))
 
 
 def synth_profiles(n: int, seed: int = 0) -> np.ndarray:
