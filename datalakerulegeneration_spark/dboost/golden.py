@@ -227,11 +227,11 @@ def _float_features(c: str) -> list:
     ]
 
 
-def reference_melt(df: DataFrame, row_id_col: str = "row_id") -> DataFrame:
-    """(row_id, field_id, feat_id, val, is_null) — the expanded tuple
-    stream of dboost/__init__.py:7-13 as ONE explode. field_id is the
-    0-based original column position (the reference's pre-hint field
-    id, which is also the output column id)."""
+def _feature_exprs(
+    df: DataFrame, row_id_col: str
+) -> tuple[DataFrame, list[tuple[int, int, "F.Column"]]]:
+    """(frame with the Arrow string-feature structs attached,
+    [(field_id, feat_id, value Column)] in registry order)."""
     from pyspark.sql import types as T
 
     fields = [f for f in df.schema.fields if f.name != row_id_col]
@@ -244,7 +244,7 @@ def reference_melt(df: DataFrame, row_id_col: str = "row_id") -> DataFrame:
             with_py = with_py.withColumn(py, _py_string_features_udf()(F.col(f"`{f.name}`")))
             py_cols[f.name] = py
 
-    structs = []
+    out: list[tuple[int, int, F.Column]] = []
     for field_id, f in enumerate(fields):
         if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
             feats = _int_features(f.name)
@@ -255,14 +255,25 @@ def reference_melt(df: DataFrame, row_id_col: str = "row_id") -> DataFrame:
         else:  # unsupported types carry no reference rules
             continue
         for feat_id, v in enumerate(feats):
-            structs.append(
-                F.struct(
-                    F.lit(field_id).alias("field_id"),
-                    F.lit(feat_id).alias("feat_id"),
-                    F.coalesce(v, F.lit("")).alias("val"),
-                    v.isNull().alias("is_null"),
-                )
-            )
+            out.append((field_id, feat_id, v))
+    return with_py, out
+
+
+def reference_melt(df: DataFrame, row_id_col: str = "row_id") -> DataFrame:
+    """(row_id, field_id, feat_id, val, is_null) — the expanded tuple
+    stream of dboost/__init__.py:7-13 as ONE explode. field_id is the
+    0-based original column position (the reference's pre-hint field
+    id, which is also the output column id)."""
+    with_py, feats = _feature_exprs(df, row_id_col)
+    structs = [
+        F.struct(
+            F.lit(field_id).alias("field_id"),
+            F.lit(feat_id).alias("feat_id"),
+            F.coalesce(v, F.lit("")).alias("val"),
+            v.isNull().alias("is_null"),
+        )
+        for field_id, feat_id, v in feats
+    ]
     return with_py.select(
         F.col(f"`{row_id_col}`").alias("row_id"), F.explode(F.array(*structs)).alias("f")
     ).select("row_id", "f.field_id", "f.feat_id", "f.val", "f.is_null")
@@ -273,27 +284,39 @@ def reference_melt(df: DataFrame, row_id_col: str = "row_id") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def hint_pairs(feats: DataFrame, max_buckets: int = 8) -> DataFrame:
-    """Joint-value rows of the kept correlation hints: the row_id-keyed
-    self-join across distinct fields, filtered to pairs whose joint
-    histogram has <= max_buckets classes (analyzers/discrete.py:44-52;
-    the streaming drop is monotone, so the final distinct count decides
-    membership)."""
-    a = feats.select(
-        "row_id",
-        F.col("field_id").alias("af"),
-        F.col("feat_id").alias("ai"),
-        F.col("val").alias("av"),
-        F.col("is_null").alias("an"),
-    )
-    b = feats.select(
-        "row_id",
-        F.col("field_id").alias("bf"),
-        F.col("feat_id").alias("bi"),
-        F.col("val").alias("bv"),
-        F.col("is_null").alias("bn"),
-    )
-    pairs = a.join(b, "row_id").filter(F.col("af") < F.col("bf"))
+def hint_pairs(
+    df: DataFrame, max_buckets: int = 8, row_id_col: str = "row_id"
+) -> DataFrame:
+    """Joint-value rows of the kept correlation hints, built MAP-SIDE:
+    both halves of every cross-field feature pair come from the same
+    source row, so the pair stream is one explode over a product-of-
+    features projection — no row_id self-join, no shuffle of the
+    melted frame (the r12 plan-shape fix; codegen CSEs the repeated
+    per-feature subexpressions). Pairs whose joint histogram exceeds
+    max_buckets classes are dropped (analyzers/discrete.py:44-52; the
+    streaming drop is monotone, so the final distinct count decides
+    membership) via a bounded groupBy + broadcast semi-join."""
+    with_py, feats = _feature_exprs(df, row_id_col)
+    structs = []
+    for (fa, ia, va) in feats:
+        for (fb, ib, vb) in feats:
+            if fa >= fb:
+                continue
+            structs.append(
+                F.struct(
+                    F.lit(fa).alias("af"),
+                    F.lit(ia).alias("ai"),
+                    F.lit(fb).alias("bf"),
+                    F.lit(ib).alias("bi"),
+                    F.coalesce(va, F.lit("")).alias("av"),
+                    va.isNull().alias("an"),
+                    F.coalesce(vb, F.lit("")).alias("bv"),
+                    vb.isNull().alias("bn"),
+                )
+            )
+    pairs = with_py.select(
+        F.col(f"`{row_id_col}`").alias("row_id"), F.explode(F.array(*structs)).alias("p")
+    ).select("row_id", "p.af", "p.ai", "p.bf", "p.bi", "p.av", "p.an", "p.bv", "p.bn")
     kept = (
         pairs.groupBy("af", "ai", "bf", "bi")
         .agg(F.countDistinct(F.struct("av", "an", "bv", "bn")).alias("nd"))
@@ -367,7 +390,7 @@ def histogram_outlier_cells(
         "row_id", F.col("field_id").alias("column_id")
     )
 
-    hp = hint_pairs(feats, max_buckets)
+    hp = hint_pairs(df, max_buckets, row_id_col)
     hunits = hp.select(
         "row_id", "af", "ai", "bf", "bi",
         F.concat_ws(
@@ -406,8 +429,7 @@ def parthist_outlier_cells(
     ascending-sorted jump > jmp_s whose post-jump mass > peak_s of the
     key's total (discretepart.py:50-67); a cell flags when
     count(value|key) < outlier_s × count(key)."""
-    feats = reference_melt(df, row_id_col)
-    hp = hint_pairs(feats, max_buckets)
+    hp = hint_pairs(df, max_buckets, row_id_col)
     keys = ["af", "ai", "bf", "bi", "av", "an"]  # pair + partition key
     hp = hp.withColumn(
         "v", F.concat_ws("\x1f", "bv", F.col("bn").cast("string"))

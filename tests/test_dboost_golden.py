@@ -29,7 +29,6 @@ from datalakerulegeneration_spark.dboost.golden import (
     fizzbuzz_parthist_oracle_sql,
     hint_pairs,
     load_fizzbuzz,
-    reference_melt,
 )
 
 HIST_GOLDEN = [(25, 0), (25, 1), (28, 1), (30, 0), (30, 1)]
@@ -52,9 +51,8 @@ def test_fixture_is_the_reference_generator_output():
 def test_discretestats_hint_count_matches_reference(spark):
     """The reference run prints 154 surviving (num,msg) feature-pair
     histograms (analyzers/discrete.py:55 prints len(histograms))."""
-    feats = reference_melt(load_fizzbuzz(spark))
     n = (
-        hint_pairs(feats, max_buckets=8)
+        hint_pairs(load_fizzbuzz(spark), max_buckets=8)
         .select("af", "ai", "bf", "bi")
         .distinct()
         .count()

@@ -32,13 +32,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # index 9.6+7.4 s, ks/W1 10.2+5.2 s, classifier 8.9+7.1 s, ...).
 MM_K = (
     "multimodal or png_decode or wav_decode or image_ or audio_ or video_"
-    " or greedy_keepset or pq_index or ivf_ or quality_classifier"
-    " or dedup_agreement or test_ks or minhash_pairs_contract"
+    " or pq_index or ivf_"
+    " or dedup_agreement or minhash_pairs_contract"
     " or component_split or curate_with_trained or semdedup"
     " or prefix_filter or band_join or minhash_identical_flood"
     " or curate_corpus_neardup or curate_neardup or span_dedup"
-    " or prefix_jaccard or wasserstein_known or domain_mix or mad_outliers"
+    " or prefix_jaccard or wasserstein_known or domain_mix"
 )
+# r12 rebalance: greedy_keepset / quality_classifier / test_ks /
+# mad_outliers moved mm → ops (clean 4-way walls were ops 670 / mm 858
+# / props 711 / rest 722 — spread 1.28; mm sheds its non-multimodal
+# heavy tail, ops is the only group that can absorb test_ops weight).
+# Confirmed after the move: ops 754.8 / mm 749.3 / props 691.0 /
+# rest 725.6 — spread 1.09, 419 tests green (walls swing ±10% on
+# ambient load; judge rebalances on multi-run spread, not one number)
 
 # Balanced by measured walls — update when a group's time drifts past
 # the max; the runner prints per-group walls.
