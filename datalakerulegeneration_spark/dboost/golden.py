@@ -287,36 +287,37 @@ def reference_melt(df: DataFrame, row_id_col: str = "row_id") -> DataFrame:
 def hint_pairs(
     df: DataFrame, max_buckets: int = 8, row_id_col: str = "row_id"
 ) -> DataFrame:
-    """Joint-value rows of the kept correlation hints, built MAP-SIDE:
-    both halves of every cross-field feature pair come from the same
-    source row, so the pair stream is one explode over a product-of-
-    features projection — no row_id self-join, no shuffle of the
-    melted frame (the r12 plan-shape fix; codegen CSEs the repeated
-    per-feature subexpressions). Pairs whose joint histogram exceeds
-    max_buckets classes are dropped (analyzers/discrete.py:44-52; the
-    streaming drop is monotone, so the final distinct count decides
-    membership) via a bounded groupBy + broadcast semi-join."""
-    with_py, feats = _feature_exprs(df, row_id_col)
-    structs = []
-    for (fa, ia, va) in feats:
-        for (fb, ib, vb) in feats:
-            if fa >= fb:
-                continue
-            structs.append(
-                F.struct(
-                    F.lit(fa).alias("af"),
-                    F.lit(ia).alias("ai"),
-                    F.lit(fb).alias("bf"),
-                    F.lit(ib).alias("bi"),
-                    F.coalesce(va, F.lit("")).alias("av"),
-                    va.isNull().alias("an"),
-                    F.coalesce(vb, F.lit("")).alias("bv"),
-                    vb.isNull().alias("bn"),
-                )
-            )
-    pairs = with_py.select(
-        F.col(f"`{row_id_col}`").alias("row_id"), F.explode(F.array(*structs)).alias("p")
-    ).select("row_id", "p.af", "p.ai", "p.bf", "p.bi", "p.av", "p.an", "p.bv", "p.bn")
+    """Joint-value rows of the kept correlation hints: the melted
+    feature stream self-joined on row_id across distinct fields.
+
+    Plan-shape note (r12): a map-side product-of-features projection
+    (one explode over F_a x F_b pair structs, no join) was built and
+    measured — it removes the keyed shuffle but its plan is O(F²)
+    expression trees (Catalyst's CollapseProject re-inlines any
+    staging projection), tripling analysis time at 2 columns and
+    becoming unanalyzable for wide schemas. The keyed self-join keeps
+    the plan O(F) and the shuffle linear in rows — the shape that
+    scales in BOTH rows and schema width. Pairs whose joint histogram
+    exceeds max_buckets classes are dropped (analyzers/
+    discrete.py:44-52; the streaming drop is monotone, so the final
+    distinct count decides membership) via a bounded groupBy +
+    broadcast semi-join."""
+    feats = reference_melt(df, row_id_col)
+    a = feats.select(
+        "row_id",
+        F.col("field_id").alias("af"),
+        F.col("feat_id").alias("ai"),
+        F.col("val").alias("av"),
+        F.col("is_null").alias("an"),
+    )
+    b = feats.select(
+        "row_id",
+        F.col("field_id").alias("bf"),
+        F.col("feat_id").alias("bi"),
+        F.col("val").alias("bv"),
+        F.col("is_null").alias("bn"),
+    )
+    pairs = a.join(b, "row_id").filter(F.col("af") < F.col("bf"))
     kept = (
         pairs.groupBy("af", "ai", "bf", "bi")
         .agg(F.countDistinct(F.struct("av", "an", "bv", "bn")).alias("nd"))
