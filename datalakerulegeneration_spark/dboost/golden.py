@@ -285,7 +285,10 @@ def reference_melt(df: DataFrame, row_id_col: str = "row_id") -> DataFrame:
 
 
 def hint_pairs(
-    df: DataFrame, max_buckets: int = 8, row_id_col: str = "row_id"
+    df: DataFrame,
+    max_buckets: int = 8,
+    row_id_col: str = "row_id",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Joint-value rows of the kept correlation hints: the melted
     feature stream self-joined on row_id across distinct fields.
@@ -301,8 +304,13 @@ def hint_pairs(
     exceeds max_buckets classes are dropped (analyzers/
     discrete.py:44-52; the streaming drop is monotone, so the final
     distinct count decides membership) via a bounded groupBy +
-    broadcast semi-join."""
-    feats = reference_melt(df, row_id_col)
+    broadcast semi-join.
+
+    ``feats`` lets the caller pass an (ideally persisted) pre-melted
+    frame so the Arrow-batched expansion is not re-derived here — see
+    :func:`histogram_outlier_cells`."""
+    if feats is None:
+        feats = reference_melt(df, row_id_col)
     a = feats.select(
         "row_id",
         F.col("field_id").alias("af"),
@@ -383,15 +391,25 @@ def histogram_outlier_cells(
     distinct flagged (row_id, column_id) cells. Per-field features flag
     directly; correlation hints are consulted only for rows with no
     per-field discrepancy and flag BOTH participating columns
-    (models/discrete.py:77-88 + utils/printing.py:15-23 expand_hints)."""
-    feats = reference_melt(df, row_id_col)
+    (models/discrete.py:77-88 + utils/printing.py:15-23 expand_hints).
+
+    Plan-shape note (r12 optimization): the melted expansion (which
+    carries the Arrow-batched Python string features) feeds the model
+    fit, the scoring pass, BOTH sides of the hint self-join and the
+    hint model/score chain — lazily each consumer re-derived it, so the
+    executed plan held ~24 ArrowEvalPython nodes for ONE expansion.
+    Persisting the thin melted frame (rows × features, no payloads)
+    runs the Python boundary once (guide §4: cross it once, with only
+    the needed columns); likewise the joint hint-pair frame, which
+    feeds its own fit + two scoring consumers."""
+    feats = reference_melt(df, row_id_col).persist()
     fkeys = ["field_id", "feat_id"]
     model1 = _histogram_model(feats, fkeys, peak_s)
     flags1 = _score(feats, model1, fkeys, outlier_s).select(
         "row_id", F.col("field_id").alias("column_id")
     )
 
-    hp = hint_pairs(df, max_buckets, row_id_col)
+    hp = hint_pairs(df, max_buckets, row_id_col, feats=feats).persist()
     hunits = hp.select(
         "row_id", "af", "ai", "bf", "bi",
         F.concat_ws(
@@ -429,8 +447,13 @@ def parthist_outlier_cells(
     is kept when 2 <= classes <= 16 and PeakProps finds a consecutive
     ascending-sorted jump > jmp_s whose post-jump mass > peak_s of the
     key's total (discretepart.py:50-67); a cell flags when
-    count(value|key) < outlier_s × count(key)."""
-    hp = hint_pairs(df, max_buckets, row_id_col)
+    count(value|key) < outlier_s × count(key).
+
+    The melted expansion and the joint hint-pair frame are persisted
+    for the same reason as :func:`histogram_outlier_cells` — each has
+    several lazy consumers that would re-derive the Arrow expansion."""
+    feats = reference_melt(df, row_id_col).persist()
+    hp = hint_pairs(df, max_buckets, row_id_col, feats=feats).persist()
     keys = ["af", "ai", "bf", "bi", "av", "an"]  # pair + partition key
     hp = hp.withColumn(
         "v", F.concat_ws("\x1f", "bv", F.col("bn").cast("string"))

@@ -78,8 +78,24 @@ def permuted_scores(spark: SparkSession) -> DataFrame:
     src = profile_table(
         spark, _beers_df(spark), "beers_1", with_tokens=False, coerce_numeric=True
     )
-    tgt = profile_table(
-        spark, permuted_target(spark), "beers_perm", with_tokens=False, coerce_numeric=True
+    # The permuted target holds the SAME cell data per column — only
+    # the column labels (and their order, which no profile stat sees)
+    # change. Every stat of beers_perm.cXX therefore equals beers_1's
+    # stat for the original column, so the target profile is the source
+    # profile relabeled through the permutation map instead of a second
+    # identical profile job (r12 optimization — mirrors
+    # golden_match.match_pair_profiles; the name component still sees
+    # only the alignment-free cXX labels, exactly as before).
+    ren = permutation_map()
+    ren_map = F.create_map(
+        *[x for c, n in ren.items() for x in (F.lit(c), F.lit(n))]
+    )
+    tgt = (
+        src.withColumn("column", F.element_at(ren_map, F.col("column")))
+        .withColumn("table", F.lit("beers_perm"))
+        .withColumn(
+            "unique_id", F.concat(F.lit("beers_perm::"), F.col("column"))
+        )
     )
     out = column_match_scores(src, tgt)
     return out.select(

@@ -63,8 +63,15 @@ def match_pair_profiles(
     src = profile_table(
         spark, df, f"{ds}_1", with_tokens=False, coerce_numeric=True
     )
-    tgt = profile_table(
-        spark, df, f"{ds}_2", with_tokens=False, coerce_numeric=True
+    # The benchmark's two sides are byte-identical files (module
+    # docstring adjudication), so every data-derived stat of <ds>_2
+    # equals <ds>_1's — only the table label and unique_id differ.
+    # Relabel the one profile instead of running the identical profile
+    # job twice (r12 optimization: the two eager profile passes were
+    # ~6.5 s of the query's wall; guide §1.2 — don't compute things
+    # you already have).
+    tgt = src.withColumn("table", F.lit(f"{ds}_2")).withColumn(
+        "unique_id", F.concat(F.lit(f"{ds}_2::"), F.col("column"))
     )
     return src, tgt
 
