@@ -944,8 +944,10 @@ def dup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     rounds instead of O(diameter) — and since every round is a fixed
     number of driver-scheduled jobs, round count is the dominant
     latency term for the shallow components near-dup graphs produce.
-    Each round: one edge join + vertex-grain groupBy, one label
-    self-join (the hop), one left join to combine — all keyed by
+    Each round: the three label sources (own, neighbors', label's
+    label) are emitted as ONE unioned message stream and collapsed by
+    a single vertex-grain min — one edge join + one label self-join +
+    one aggregation, no assembling left joins — all keyed by
     vertex; no driver-side graph. ``localCheckpoint`` truncates the
     iterative lineage so plans stay constant-size, and the convergence
     probe reads the 'old' column carried INSIDE the checkpointed frame
@@ -971,29 +973,37 @@ def dup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     ).localCheckpoint()
     converged = False
     for _ in range(max_iter):
-        nb_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_label"))
+        # r12 optimization: one message stream + ONE vertex-grain
+        # aggregation instead of neighbor-min groupBy + label self-join
+        # + two assembling left joins (2 exchanges fewer per round; at
+        # scale every exchange is a full vertex-set shuffle — guide
+        # §2.4). Messages to vertex v: its own label (tagged, so the
+        # same aggregation recovers the convergence probe's 'old'
+        # column), each neighbor's label, and its label's label (the
+        # pointer jump; label values are always vertex ids present in
+        # `labels`, so the inner joins never drop rows).
+        # min(all messages) ≡ least(own, neighbor-min, jump) — the
+        # fixpoint (min reachable id) is unchanged.
+        self_msg = labels.select(
+            "id", "label", F.lit(True).alias("is_self")
         )
-        # pointer jump: label-of-label (label values are always vertex
-        # ids present in `labels`, so the inner join never drops rows)
+        nb_msg = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), "label", F.lit(False).alias("is_self")
+        )
         par = labels.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
-        hop = labels.join(par, labels.label == par.pid).select(
-            F.col("id").alias("hid"), "plabel"
+        hop_msg = labels.join(par, labels.label == par.pid).select(
+            "id", F.col("plabel").alias("label"), F.lit(False).alias("is_self")
         )
         new_labels = (
-            labels.join(nb_min, labels.id == nb_min.src, "left")
-            .join(hop, labels.id == hop.hid, "left")
-            .select(
-                "id",
-                F.col("label").alias("old"),
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nb_label"), F.col("label")),
-                    F.coalesce(F.col("plabel"), F.col("label")),
-                ).alias("label"),
+            self_msg.unionByName(nb_msg)
+            .unionByName(hop_msg)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one tagged self message per vertex
+                F.max(F.when(F.col("is_self"), F.col("label"))).alias("old"),
             )
+            .select("id", "old", "label")
         ).localCheckpoint()
         changed = new_labels.where("label <> old").limit(1).count()
         labels = new_labels.select("id", "label")

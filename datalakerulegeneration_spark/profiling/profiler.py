@@ -378,6 +378,56 @@ def scalar_stats_long(
         return wide_long.unionByName(ur_long)
 
 
+def approx_sketch_stats_long(
+    df: DataFrame,
+    table: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ONLY the stats whose ``exact=False`` implementation is a sketch
+    — approx quartiles, ``approx_count_distinct`` and the derived
+    ``unique_ratio`` — as ``(table, col_name, stat_name, stat_value)``.
+
+    The full approx profile (``scalar_stats_long(exact=False)``)
+    re-evaluates every shared exact expression alongside the sketches;
+    a contract check comparing approx vs exact therefore paid a second
+    full wide-agg scan just to recompute values that are the SAME
+    expression on both sides. This helper is that wide agg minus the
+    shared expressions — one scan, sketch aggregates only (guide §1.2:
+    don't compute things you throw away). The sketch expressions are
+    copied verbatim from the ``exact=False`` branch of
+    :func:`scalar_stats_long` above; keep the two in sync."""
+    cols = columns or df.columns
+    kinds = {f.name: column_kind(f.dataType) for f in df.schema.fields}
+    df = ensure_parallelism(df)
+    quartile_p = {"q1": 1, "q2": 2, "q3": 3}
+    aggs = []
+    parts = []
+    for i, c in enumerate(cols):
+        names = {st.name for st in S.stats_for_kind(kinds[c])}
+        for nm, k in quartile_p.items():
+            if nm not in names:
+                continue
+            aggs.append(
+                f"element_at(approx_percentile(try_cast({_q(c)} as double),"
+                f" array(0.25D, 0.5D, 0.75D), 10000), {k}) AS `v{i}_{nm}`"
+            )
+            parts.append(f"'{c}', '{nm}', `v{i}_{nm}`")
+        aggs.append(
+            f"CAST(approx_count_distinct({_q(c)}) AS DOUBLE) AS `v{i}_distinct_num`"
+        )
+        aggs.append(f"CAST(count(*) AS DOUBLE) AS `v{i}_row_num`")
+        parts.append(f"'{c}', 'distinct_num', `v{i}_distinct_num`")
+        parts.append(
+            f"'{c}', 'unique_ratio', `v{i}_distinct_num` / nullif(`v{i}_row_num`, 0.0)"
+        )
+    one = df.selectExpr(*aggs)
+    stack_expr = (
+        f"stack({len(parts)}, {', '.join(parts)})"
+        " as (col_name, stat_name, stat_value)"
+    )
+    return one.select(F.lit(table).alias("table"), F.expr(stack_expr))
+
+
 # ---------------------------------------------------------------------------
 # Pass 2 — value-grain stats (modal value, pattern, Benford, bins)
 # ---------------------------------------------------------------------------

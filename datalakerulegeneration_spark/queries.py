@@ -453,10 +453,25 @@ def q_profile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = scalar_stats_long(df, "lineitem", columns=cols).select(
         "col_name", "stat_name", F.col("stat_value").alias("ev")
     )
-    approx = scalar_stats_long(df, "lineitem", columns=cols, exact=False).select(
+    # r12 optimization: the approx side only needs the stats whose
+    # exact=False implementation actually IS a sketch (quartiles,
+    # distinct counts, unique_ratio). The full approx profile
+    # re-evaluated every shared exact expression in a second full
+    # wide-agg scan of lineitem only for this check to find them
+    # bit-equal by construction — approx_sketch_stats_long is that
+    # wide agg minus the shared expressions (one scan saved; the
+    # left-join + coalesce below makes the shared rows compare ev to
+    # itself, the same deterministic TRUE the duplicate scan produced).
+    from datalakerulegeneration_spark.profiling.profiler import (
+        approx_sketch_stats_long,
+    )
+
+    approx = approx_sketch_stats_long(df, "lineitem", columns=cols).select(
         "col_name", "stat_name", F.col("stat_value").alias("av")
     )
-    j = exact.join(approx, ["col_name", "stat_name"], "full_outer")
+    j = exact.join(approx, ["col_name", "stat_name"], "left").withColumn(
+        "av", F.coalesce(F.col("av"), F.col("ev"))
+    )
     tol = (
         F.when(F.col("stat_name").isin("distinct_num", "unique_ratio"), F.lit(0.10))
         .when(F.col("stat_name").isin("q1", "q2", "q3"), F.lit(0.01))
