@@ -973,37 +973,36 @@ def dup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     ).localCheckpoint()
     converged = False
     for _ in range(max_iter):
-        # r12 optimization: one message stream + ONE vertex-grain
-        # aggregation instead of neighbor-min groupBy + label self-join
-        # + two assembling left joins (2 exchanges fewer per round; at
-        # scale every exchange is a full vertex-set shuffle — guide
-        # §2.4). Messages to vertex v: its own label (tagged, so the
-        # same aggregation recovers the convergence probe's 'old'
-        # column), each neighbor's label, and its label's label (the
-        # pointer jump; label values are always vertex ids present in
-        # `labels`, so the inner joins never drop rows).
-        # min(all messages) ≡ least(own, neighbor-min, jump) — the
-        # fixpoint (min reachable id) is unchanged.
-        self_msg = labels.select(
-            "id", "label", F.lit(True).alias("is_self")
-        )
+        # r12 optimization: the neighbor-label and pointer-jump message
+        # streams are unioned and collapsed by ONE vertex-grain min
+        # (the old shape aggregated the neighbor stream and left-joined
+        # the un-aggregated hop stream separately — one extra exchange
+        # and one extra assembling join per round; min(nb ∪ hop) ≡
+        # least(nb_min, jump), so the fixpoint — min reachable id — is
+        # unchanged). Label values are always vertex ids present in
+        # `labels`, so the hop inner join never drops rows.
         nb_msg = sym.join(labels, sym.dst == labels.id).select(
-            F.col("src").alias("id"), "label", F.lit(False).alias("is_self")
+            F.col("src").alias("mid"), F.col("label").alias("mlabel")
         )
         par = labels.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
         hop_msg = labels.join(par, labels.label == par.pid).select(
-            "id", F.col("plabel").alias("label"), F.lit(False).alias("is_self")
+            F.col("id").alias("mid"), F.col("plabel").alias("mlabel")
+        )
+        msg_min = (
+            nb_msg.unionByName(hop_msg)
+            .groupBy("mid")
+            .agg(F.min("mlabel").alias("msg_label"))
         )
         new_labels = (
-            self_msg.unionByName(nb_msg)
-            .unionByName(hop_msg)
-            .groupBy("id")
-            .agg(
-                F.min("label").alias("label"),
-                # exactly one tagged self message per vertex
-                F.max(F.when(F.col("is_self"), F.col("label"))).alias("old"),
+            labels.join(msg_min, labels.id == msg_min.mid, "left")
+            .select(
+                "id",
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("msg_label"), F.col("label")),
+                ).alias("label"),
             )
-            .select("id", "old", "label")
         ).localCheckpoint()
         changed = new_labels.where("label <> old").limit(1).count()
         labels = new_labels.select("id", "label")
