@@ -162,10 +162,13 @@ def curate_corpus(
             # even inside the one rebuilt-corpus materialization
             # (measured 19× for the sf10 decade; ~linear persisted)
             cleaned = cleaned.persist()
-        langs = textqa.language_id(cleaned, "id", "cleaned_text").where(
-            F.col("lang_pred") == ccnet_lang
-        )
-        ckept = cleaned.join(langs.select("id"), "id")
+        # r12: the language gate is a row-local expression, so filter
+        # the (unique-id) cleaned frame directly — identical rows to
+        # the previous inner join against language_id's (id) frame,
+        # minus one join stage (guide §2.4: remove shuffles outright).
+        ckept = cleaned.withColumn(
+            "_lang", textqa.language_pred_col("cleaned_text")
+        ).where(F.col("_lang") == ccnet_lang).select("id", "cleaned_text")
         if ccnet_materialize:
             ckept = ckept.persist()
         cids = (
@@ -527,10 +530,13 @@ def curation_funnel_ccnet(
     CCNet stages."""
     ld = textqa.common_line_dedup(docs, id_col, text_col)
     cleaned = ld.where(F.col("n_kept") > 0).select("id", "cleaned_text").persist()
-    langs = textqa.language_id(cleaned, "id", "cleaned_text").where(
-        F.col("lang_pred") == ccnet_lang
+    # r12: row-local language gate as a filter — see curate_corpus
+    ckept = (
+        cleaned.withColumn("_lang", textqa.language_pred_col("cleaned_text"))
+        .where(F.col("_lang") == ccnet_lang)
+        .select("id", "cleaned_text")
+        .persist()
     )
-    ckept = cleaned.join(langs.select("id"), "id").persist()
     cids = (
         textqa.ccnet_buckets(ckept, "id", "cleaned_text", materialize_scores=True)
         .where(F.col("bucket") >= 1)

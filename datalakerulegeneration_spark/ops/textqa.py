@@ -55,19 +55,21 @@ FROM {table}
 """
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic language ID: CJK char share → 'zh'; else the language
-    whose marker-stopword share of tokens is highest (ties → language
-    name ascending); no markers at all → 'und'."""
+def language_pred_col(text_col: str) -> Column:
+    """The per-row language-ID expression over ``text_col`` — the
+    whole heuristic is row-local, so callers that only need to FILTER
+    by predicted language can apply this directly instead of joining
+    against :func:`language_id`'s (id, lang_pred) frame (r12: the ccnet
+    curate chain saved one join stage this way; filter ≡ inner join on
+    a unique id)."""
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
-    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"), toks.alias("toks"))
-    cjk_chars = F.length(F.regexp_replace("t", r"[^一-鿿]", ""))
+    cjk_chars = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
     scores = [
         (
             lang,
-            F.size(F.array_intersect("toks", F.array(*[F.lit(w) for w in words])))
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
             .cast("double")
-            / F.nullif(F.size("toks").cast("double"), F.lit(0.0)),
+            / F.nullif(F.size(toks).cast("double"), F.lit(0.0)),
         )
         for lang, words in sorted(LANG_MARKERS.items())
     ]
@@ -78,11 +80,22 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         cond = sc > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, sc).otherwise(best_score)
-    lang_col = F.when(
-        cjk_chars.cast("double") / F.nullif(F.length("t").cast("double"), F.lit(0.0)) > 0.2,
+    return F.when(
+        cjk_chars.cast("double")
+        / F.nullif(F.length(F.col(text_col)).cast("double"), F.lit(0.0))
+        > 0.2,
         F.lit("zh"),
     ).otherwise(best)
-    return d.select("id", lang_col.alias("lang_pred"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: CJK char share → 'zh'; else the language
+    whose marker-stopword share of tokens is highest (ties → language
+    name ascending); no markers at all → 'und'."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        language_pred_col(text_col).alias("lang_pred"),
+    )
 
 
 def language_id_sql(table: str, id_col: str, text_col: str) -> str:
@@ -1890,27 +1903,36 @@ def ccnet_buckets(
         # audited plan is unchanged
         lp = lp.persist()
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # r12: the n_buckets−1 thresholds are collapsed to ONE array row
+    # and the bucket becomes a map-side count of cleared thresholds —
+    # the previous shape crossJoined the threshold ROWS (×(n_buckets−1)
+    # row expansion) and re-aggregated every document through a full
+    # (id, n_tokens, mean_logprob)-grain shuffle just to sum the
+    # comparison flags. size(filter(ts, t -> score > t)) ≡
+    # sum((score > t)::int) over the rows — including duplicate
+    # thresholds — so bucket ids are unchanged (guide §2.4: remove
+    # shuffles outright).
     th = exact_quantiles(lp, "mean_logprob", qs).select(
         F.round(F.col("value"), 6).alias("_t")
     )
+    th_arr = th.agg(F.collect_list("_t").alias("_ts"))
     labels = (
         list(CCNET_LABELS)
         if n_buckets == 3
         else [f"b{i}" for i in range(n_buckets)]
     )
     lab = F.array(*[F.lit(s) for s in labels])
+    bucket = F.size(
+        F.filter("_ts", lambda t: F.col("mean_logprob") > t)
+    ).cast("int")
     return (
-        lp.crossJoin(F.broadcast(th))
-        .groupBy("id", "n_tokens", "mean_logprob")
-        .agg(
-            F.sum((F.col("mean_logprob") > F.col("_t")).cast("int")).cast("int").alias("bucket")
-        )
+        lp.crossJoin(F.broadcast(th_arr))
         .select(
             "id",
             "n_tokens",
             "mean_logprob",
-            "bucket",
-            F.element_at(lab, F.col("bucket") + 1).alias("bucket_label"),
+            bucket.alias("bucket"),
+            F.element_at(lab, bucket + F.lit(1)).alias("bucket_label"),
         )
     )
 
