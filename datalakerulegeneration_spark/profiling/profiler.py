@@ -672,7 +672,6 @@ def profile_table(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    kinds = {f.name: column_kind(f.dataType) for f in df.schema.fields}
     # The three passes are independent jobs over the same table — submit
     # them concurrently (Spark's scheduler interleaves their stages;
     # wall time ≈ the slowest pass, not the sum).
@@ -690,6 +689,23 @@ def profile_table(
         vrows = {r["col_name"]: r.asDict() for r in f_value.result()} if f_value else {}
         trows = {r["col_name"]: r.asDict() for r in f_token.result()} if f_token else {}
 
+    out_rows = _assemble_profile_rows(df, table, scalar, vrows, trows)
+    # ONE slice at creation: createDataFrame defaults to
+    # defaultParallelism slices, and a #columns-row frame split 32 ways
+    # turns every downstream crossJoin into p×q near-empty tasks
+    # (measured 12s of task-launch overhead for a 5×4-column match) and
+    # every groupBy into 100+ tasks after unions. (A coalesce(1) after
+    # the fact is WORSE: its single task replays all 32 Python-worker
+    # partition round-trips serially, ~4s per frame.)
+    rdd = spark.sparkContext.parallelize(out_rows, 1)
+    return spark.createDataFrame(rdd, schema=PROFILE_SCHEMA)
+
+
+def _assemble_profile_rows(df, table, scalar, vrows, trows) -> list:
+    """Driver-side assembly of one table's profile rows from the
+    collected per-pass dicts (shared by :func:`profile_table` and the
+    fused multi-table collect in :func:`profile_tables`)."""
+    kinds = {f.name: column_kind(f.dataType) for f in df.schema.fields}
     out_rows = []
     for c in df.columns:
         g = lambda s: scalar.get((c, s))  # noqa: E731
@@ -768,15 +784,7 @@ def profile_table(
                 top_keywords=t.get("top_keywords"),
             )
         )
-    # ONE slice at creation: createDataFrame defaults to
-    # defaultParallelism slices, and a #columns-row frame split 32 ways
-    # turns every downstream crossJoin into p×q near-empty tasks
-    # (measured 12s of task-launch overhead for a 5×4-column match) and
-    # every groupBy into 100+ tasks after unions. (A coalesce(1) after
-    # the fact is WORSE: its single task replays all 32 Python-worker
-    # partition round-trips serially, ~4s per frame.)
-    rdd = spark.sparkContext.parallelize(out_rows, 1)
-    return spark.createDataFrame(rdd, schema=PROFILE_SCHEMA)
+    return out_rows
 
 
 PROFILE_SCHEMA = T.StructType(
@@ -835,23 +843,67 @@ def profile_tables(
 ) -> DataFrame:
     """Profile many tables into one ``profiles`` DataFrame.
 
-    Tables are profiled concurrently (each profile is an independent
-    set of jobs; the scheduler interleaves their stages), unioned in
-    input order so the output is deterministic.
+    r12 optimization: instead of one independent profile (2–3 Spark
+    jobs + a driver collect each) PER TABLE, the per-pass long frames
+    of ALL tables are unioned lazily and collected in at most three
+    jobs total (scalar / value / token), still submitted concurrently.
+    The per-table subtrees execute as parallel branches of one job, so
+    small-table profiling stops paying #tables × per-job fixed cost
+    (driver scheduling was the wall for the 4-table matcher profiles);
+    values are identical — same pass expressions, same driver-side
+    assembly, rows in the same table-input order.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     names = list(tables)
-    with ThreadPoolExecutor(max_workers=min(4, max(len(names), 1))) as pool:
-        futs = [
-            pool.submit(profile_table, spark, tables[n], n, exact=exact, **kw)
-            for n in names
-        ]
-        parts = [f.result() for f in futs]
-    out = None
-    for p in parts:
-        out = p if out is None else out.unionByName(p)
-    return out
+    if not names:
+        raise ValueError("profile_tables needs at least one table")
+    with_tokens = kw.get("with_tokens", True)
+    with_values = kw.get("with_values", True)
+    coerce_numeric = kw.get("coerce_numeric", False)
+
+    def union_all(frames):
+        out = None
+        for f in frames:
+            out = f if out is None else out.unionByName(f)
+        return out
+
+    scalar_u = union_all(
+        scalar_stats_long(
+            tables[n], n, exact=exact, coerce_numeric=coerce_numeric
+        )
+        for n in names
+    )
+    value_u = (
+        union_all(value_stats(tables[n], n) for n in names) if with_values else None
+    )
+    token_u = (
+        union_all(token_stats(tables[n], n) for n in names) if with_tokens else None
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_scalar = pool.submit(scalar_u.collect)
+        f_value = pool.submit(value_u.collect) if value_u is not None else None
+        f_token = pool.submit(token_u.collect) if token_u is not None else None
+        scalar: dict[str, dict] = {n: {} for n in names}
+        for r in f_scalar.result():
+            scalar[r["table"]][(r["col_name"], r["stat_name"])] = r["stat_value"]
+        vrows: dict[str, dict] = {n: {} for n in names}
+        if f_value is not None:
+            for r in f_value.result():
+                vrows[r["table"]][r["col_name"]] = r.asDict()
+        trows: dict[str, dict] = {n: {} for n in names}
+        if f_token is not None:
+            for r in f_token.result():
+                trows[r["table"]][r["col_name"]] = r.asDict()
+
+    out_rows = []
+    for n in names:
+        out_rows.extend(
+            _assemble_profile_rows(tables[n], n, scalar[n], vrows[n], trows[n])
+        )
+    # one slice, same rationale as profile_table
+    rdd = spark.sparkContext.parallelize(out_rows, 1)
+    return spark.createDataFrame(rdd, schema=PROFILE_SCHEMA)
 
 
 def dataset_profile(profiles: DataFrame) -> DataFrame:
