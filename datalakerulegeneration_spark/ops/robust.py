@@ -44,8 +44,19 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float]) -> DataFrame:
     vals = df.select(F.col(col).cast("double").alias("_v")).where(F.col("_v").isNotNull())
     g = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = g.repartitionByRange(n_parts, F.asc("_v")).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist: the bucketed grain feeds both the offsets branch and the
+    # main cumulative branch. Left lazy, each branch instantiates the
+    # range exchange separately and the SAMPLED boundaries can differ
+    # between the two runs — rows then carry a _pid the offsets side
+    # never saw and the broadcast join silently drops them (the exact
+    # failure mode observed in the profiler's r12 two-level chain). One
+    # materialization = one partitioner = consistent _pid everywhere;
+    # the cached state is the distinct-value grain, the same bound as
+    # the shuffle itself.
+    d = (
+        g.repartitionByRange(n_parts, F.asc("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     wl = (
         Window.partitionBy("_pid")

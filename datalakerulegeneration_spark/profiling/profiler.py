@@ -266,14 +266,64 @@ def scalar_stats_long(
                     F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0)),
                 )
             )
-            wpart = Window.partitionBy("col_name")
-            wcum = (
-                Window.partitionBy("col_name")
+            # r12: TWO-LEVEL cumulative counts (the ops.robust
+            # exact_quantiles scheme) instead of one window partition
+            # per column — the old shape sorted a column's ENTIRE
+            # distinct-value grain in a single task (l_extendedprice:
+            # ~600k rows in one window task at sf0.1; a straggler that
+            # grows with the lake at 100 TB). Range-partition the
+            # distinct grain by (col, v), take local running sums, and
+            # broadcast per-(col, bucket) offsets + per-col totals back
+            # — integer count addition is associative, so cum/nnum are
+            # bit-identical and the R-7 interpolation below is
+            # untouched.
+            n_parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            # persist: the bucketed grain feeds BOTH the offsets branch
+            # and the main cumulative branch. Left lazy, each branch
+            # instantiates the range exchange separately and the
+            # sampled boundaries can differ between the two runs —
+            # rows then carry a _pid the offsets side never saw and the
+            # inner join silently drops them (observed: distinct_num
+            # 9868 vs 10000 on an sf0.01 check). One materialization =
+            # one partitioner = consistent _pid on both sides; the
+            # cached state is the distinct-value grain, the same bound
+            # as the shuffle itself.
+            d_ = (
+                vc.repartitionByRange(
+                    n_parts, F.asc("col_name"), F.asc_nulls_first("v")
+                )
+                .withColumn("_pid", F.spark_partition_id())
+                .persist()
+            )
+            wl = (
+                Window.partitionBy("col_name", "_pid")
                 .orderBy(F.asc_nulls_first("v"))
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            x = vc.withColumn("cum", F.sum("cntn").over(wcum)).withColumn(
-                "nnum", F.sum("cntn").over(wpart)
+            # per-(col, bucket) totals; bucket offsets cumulative in
+            # _pid order (range partitions are v-ordered within a col),
+            # per-col totals from the same tiny frame
+            offs = d_.groupBy("col_name", "_pid").agg(
+                F.sum("cntn").alias("_w")
+            )
+            wp = (
+                Window.partitionBy("col_name")
+                .orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            offs = offs.withColumn(
+                "_off", F.coalesce(F.sum("_w").over(wp), F.lit(0))
+            ).withColumn("_nnum", F.sum("_w").over(Window.partitionBy("col_name")))
+            x = (
+                d_.withColumn("_lcum", F.sum("cntn").over(wl))
+                .join(
+                    F.broadcast(offs.select("col_name", "_pid", "_off", "_nnum")),
+                    ["col_name", "_pid"],
+                )
+                .withColumn("cum", F.col("_lcum") + F.col("_off"))
+                .withColumn("nnum", F.col("_nnum"))
             )
             aggs2 = [
                 F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
