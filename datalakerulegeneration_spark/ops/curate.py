@@ -224,8 +224,18 @@ def curate_corpus(
         textqa.ntokens_col(text_col).alias("n_tokens"),
     )
     d1 = d0.where(F.col("quality") >= quality_min)
-    w = Window.partitionBy("fp").orderBy(F.col("id").asc())
-    d2 = d1.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    # r12: exact dedup as a hash aggregate instead of a sort window —
+    # min(struct(id, ...)) picks the min-id row per fingerprint (id is
+    # the first struct field and unique, so the comparison never
+    # reaches the other fields): identical survivors, but the partial
+    # (map-side) aggregation ships one candidate row per fingerprint
+    # per mapper instead of every row through the window's sort
+    # (guide §2.3: aggregate before you shuffle).
+    d2 = (
+        d1.groupBy("fp")
+        .agg(F.min(F.struct("id", "grp", "quality", "n_tokens")).alias("_s"))
+        .select("fp", "_s.id", "_s.grp", "_s.quality", "_s.n_tokens")
+    )
     eval_fps = (
         docs.where(F.col(id_col) % eval_mod == 0)
         .select(textqa.fingerprint_col(text_col).alias("eval_fp"))
