@@ -48,10 +48,18 @@ def test_violations_fused_single_scan_no_shuffle(spark):
 
 def test_profiler_scalar_three_pruned_scans(spark):
     p = _plan(_impl("profile_lineitem")(spark, SF_DIR))
-    assert p.count("FileScan parquet") == 3
+    # three DISTINCT scans (wide agg, numeric melt, string melt). The
+    # numeric melt now sits inside the persisted two-level quartile
+    # grain (r12), whose InMemoryRelation build plan is REPRINTED once
+    # per cached consumer in the plan text — dedupe scan lines by their
+    # content before counting, and pin that the cached melt is read by
+    # its two consumers rather than re-scanned.
+    scans = [ln for ln in p.splitlines() if "FileScan parquet" in ln]
+    distinct = {ln.split("FileScan", 1)[1] for ln in scans}
+    assert len(distinct) == 3
+    assert len(scans) - len(distinct) <= max(0, p.count("InMemoryTableScan") - 1)
     # string-branch scan reads ONLY the two string columns (FileScan
     # output lists; ReadSchema strings get truncated in big plans)
-    scans = [ln for ln in p.splitlines() if "FileScan parquet" in ln]
     assert any(
         "l_returnflag" in ln and "l_orderkey" not in ln for ln in scans
     )
