@@ -67,6 +67,13 @@ def _q(c: str) -> str:
     return f"`{c}`"
 
 
+# ~bytes of compressed input that justify one extra profile task (see
+# ensure_parallelism): small enough that a 10 MB fact table still fans
+# out to every local core, big enough that KB-sized dimension tables
+# stay at 1-2 partitions instead of 32 near-empty ones.
+_PROFILE_BYTES_PER_TASK = 256 << 10
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread expression-heavy work across all cores.
 
@@ -95,15 +102,29 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     mult = units.get(conf.removesuffix("b")[-1:], 1)
     max_pb = int(num) * mult if num.isdigit() else 134217728
     est = 0
+    total_sz = 0
     for f in files:
         try:
             sz = os.path.getsize(f.removeprefix("file:"))
         except OSError:
             return df
+        total_sz += sz
         est += max(1, -(-sz // max_pb))
         if est >= target:
             return df
-    return df.repartition(target)
+    # r12: repartition to a WORK-PROPORTIONAL width, not a blanket
+    # defaultParallelism — ~256 KiB of compressed input per task keeps
+    # the expression work parallel for big tables (600k-row lineitem:
+    # 10.8 MB → still all cores) while a 3 KB dimension table stops
+    # fanning every downstream profile stage into `target` near-empty
+    # tasks (the 4-small-table matcher profile paid ~32 task launches
+    # per stage for 25-row inputs). At cluster scale real scans yield
+    # >= target splits and never reach this branch, so the constant
+    # sizes local/elastic small-table work only.
+    width = min(target, max(1, -(-total_sz // _PROFILE_BYTES_PER_TASK)))
+    if width <= est:
+        return df
+    return df.repartition(width)
 
 
 # ---------------------------------------------------------------------------
@@ -169,14 +190,33 @@ def scalar_stats_long(
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+    kinds = _profile_kinds(df, coerce_numeric)
+    spark = df.sparkSession
+    df = ensure_parallelism(df)
+    wide_long = _wide_stats_long(df, table, cols, kinds, exact)
+    if not exact:
+        return wide_long
+    keys = [(table, c, kinds[c]) for c in cols]
+    mn, ms = _kind_melts(df, cols, kinds, base_k=0)
+    return wide_long.unionByName(_exact_distinct_long(spark, mn, ms, keys))
+
+
+def _profile_kinds(df: DataFrame, coerce_numeric: bool) -> dict[str, str]:
     kinds = {f.name: column_kind(f.dataType) for f in df.schema.fields}
     if coerce_numeric:
         for f in df.schema.fields:
             if kinds[f.name] == S.STRINGY and isinstance(f.dataType, T.StringType):
                 kinds[f.name] = S.COERCED
-    spark = df.sparkSession
-    df = ensure_parallelism(df)
+    return kinds
 
+
+def _wide_stats_long(
+    df: DataFrame, table: str, cols: list[str], kinds: dict[str, str], exact: bool
+) -> DataFrame:
+    """The single wide aggregation of :func:`scalar_stats_long` (one
+    scan, one result row, unpivoted with ``stack``); with
+    ``exact=False`` the approx distinct/quartile sketches and the
+    derived ``unique_ratio`` ride the same agg."""
     # registry distinct stats are always computed outside the wide agg
     # (melt in exact mode, approx_count_distinct appended below); in
     # exact mode the quartiles also move to the melt chain — see below
@@ -222,210 +262,228 @@ def scalar_stats_long(
     wide_long = one.select(F.lit(table).alias("table"), F.expr(stack_expr))
 
     if exact:
-        # Distinct counts + exact quartiles from a kind-split melt.
-        # Numeric columns melt as NATIVE doubles (no per-cell string
-        # render — exact: distinct doubles == distinct values below
-        # 2^53, and try_cast is what both engines' quartiles use
-        # anyway); string columns melt separately and never enter the
-        # sort — their chain is two hash aggregations with no window.
-        # A per-column union of native countDistinct branches was
-        # measured SLOWER (10 extra aggregation stage pairs); one
-        # melted groupBy per kind keeps it one shuffle each.
-        #
-        # The numeric chain also computes the EXACT quartiles (P9) from
-        # the distinct-value counts: a running-count window over values
-        # sorted per column gives each distinct value its rank interval
-        # [cum-cnt+1, cum]; R-7 interpolation picks the two straddling
-        # ranks. This replaces ``percentile()`` in the wide agg, whose
-        # partial state is the full value MULTISET — O(rows) shuffled
-        # per column and a serial final merge (measured ~2s of the
-        # 600k-row lineitem profile on 32 cores). Here the shuffled
-        # state is O(distinct values) — for low-cardinality columns
-        # (flags, discounts, quantities) orders of magnitude smaller at
-        # 100 TB — and the interpolation arithmetic replicates Spark's
-        # ``Percentile.getPercentile`` / DuckDB ``quantile_cont``
-        # operation-for-operation, so results stay bit-identical.
-        # COERCED columns ride the numeric chain for exact quartiles
-        # (over try_cast) but keep STRING-grain distinct counts — their
-        # distinct_num/unique_ratio rows come from the string branch.
-        num_cols = [c for c in cols if kinds[c] in (S.NUMERIC, S.COERCED)]
-        pure_num = {c for c in cols if kinds[c] == S.NUMERIC}
-        str_cols = [c for c in cols if kinds[c] != S.NUMERIC]
-        branches = []
-        if num_cols:
-            melt_parts = [f"'{c}', try_cast({_q(c)} as double)" for c in num_cols]
-            melted = df.selectExpr(
-                f"stack({len(melt_parts)}, {', '.join(melt_parts)}) as (col_name, v)"
+        return wide_long
+    # approx path also derives unique_ratio from the approx count
+    ur_parts = []
+    for i, c in enumerate(cols):
+        ur_parts.append(
+            f"'{c}', 'unique_ratio', `v{i}_distinct_num` / nullif(`v{i}_row_num`, 0.0)"
+        )
+    ur_expr = (
+        f"stack({len(ur_parts)}, {', '.join(ur_parts)})"
+        " as (col_name, stat_name, stat_value)"
+    )
+    ur_long = one.select(F.lit(table).alias("table"), F.expr(ur_expr))
+    return wide_long.unionByName(ur_long)
+
+
+def _kind_melts(df, cols, kinds, base_k: int):
+    """Kind-split melts for the exact distinct/quartile chain.
+
+    Each column is DICTIONARY-ENCODED to one integer key ``_ck``
+    (``base_k + position``) instead of carrying (table, col_name)
+    strings: the distinct-value grain of a big table shuffles
+    (int, double) rows through the range exchange — guide-§2.3
+    "narrower types" — and melts of MANY tables can be unioned into ONE
+    chain (fused multi-table profiling, r12) because the key space is
+    made disjoint by ``base_k``. The caller keeps the key → (table,
+    col, kind) map and hands it to :func:`_exact_distinct_long`.
+
+    Numeric/coerced columns melt as NATIVE doubles ('num' = pure
+    numeric: distinct counts + quartiles; 'co' = coerced string:
+    quartiles only — its distinct counts stay string-grain); non-NUMERIC
+    columns melt as strings."""
+    num_cols = [c for c in cols if kinds[c] in (S.NUMERIC, S.COERCED)]
+    str_cols = [c for c in cols if kinds[c] != S.NUMERIC]
+    pos = {c: base_k + i for i, c in enumerate(cols)}
+    mn = ms = None
+    if num_cols:
+        melt_parts = [
+            f"{pos[c]}, try_cast({_q(c)} as double)" for c in num_cols
+        ]
+        mn = df.selectExpr(
+            f"stack({len(melt_parts)}, {', '.join(melt_parts)}) as (_ck, v)"
+        )
+    if str_cols:
+        melt_parts = [f"{pos[c]}, CAST({_q(c)} AS STRING)" for c in str_cols]
+        ms = df.selectExpr(
+            f"stack({len(melt_parts)}, {', '.join(melt_parts)}) as (_ck, s)"
+        )
+    return mn, ms
+
+
+def _ck_decode(df, keys):
+    """Map the dictionary key ``_ck`` back to (table, col_name) literal
+    columns plus the per-column kind — evaluated only on #columns-row
+    frames, never inside the heavy chain."""
+    t_arr = F.array(*[F.lit(t) for t, _, _ in keys])
+    c_arr = F.array(*[F.lit(c) for _, c, _ in keys])
+    k_arr = F.array(*[F.lit(k) for _, _, k in keys])
+    return (
+        df.withColumn("table", F.element_at(t_arr, F.col("_ck") + 1))
+        .withColumn("col_name", F.element_at(c_arr, F.col("_ck") + 1))
+        .withColumn("_ckind", F.element_at(k_arr, F.col("_ck") + 1))
+    )
+
+
+def _exact_distinct_long(spark, melted_num, melted_str, keys) -> DataFrame:
+    """Distinct counts + exact quartiles from kind-split melts
+    (:func:`_kind_melts`) as ``(table, col_name, stat_name,
+    stat_value)`` long rows. ``keys`` is the dictionary: ``_ck`` →
+    ``(table, col_name, kind)``.
+
+    Design notes (the same arithmetic as the per-table r12 chain, keyed
+    by the int dictionary key ``_ck`` instead of ``col_name`` — so the
+    heavy chain shuffles (int, double) rows, guide-§2.3 narrower types,
+    and melts of MANY tables fuse into one chain: the range exchange,
+    its boundary-sampling pass, the persist and the offset windows run
+    once per profiling job instead of once per table):
+
+    * one melted groupBy per kind keeps distinct counting one ordinary
+      shuffle (a per-column union of native countDistinct branches was
+      measured SLOWER; countDistinct inside the wide agg triggers
+      Catalyst's Expand — measured 25x slower on 600k-row lineitem);
+    * the numeric chain computes the EXACT quartiles (P9) from the
+      distinct-value counts with TWO-LEVEL cumulative sums: the
+      distinct grain is range-partitioned by (_ck, v), local running
+      sums get per-(_ck, bucket) offsets + per-_ck totals broadcast
+      back — no task ever sorts more than its range slice (the
+      one-window-per-column shape sorted a near-unique column's whole
+      distinct grain in a single task). Integer count addition is
+      associative, so cum/nnum are bit-identical and the R-7
+      interpolation replicates Spark's ``Percentile.getPercentile`` /
+      DuckDB ``quantile_cont`` operation-for-operation;
+    * the bucketed grain must be PERSISTED: left lazy, the offsets
+      branch and the main branch each instantiate the range exchange
+      and its SAMPLED boundaries can differ between the two runs,
+      silently dropping rows at the join (observed: distinct_num 9868
+      vs 10000 at sf0.01). One materialization = one partitioner =
+      consistent _pid on both sides; the cached state is the
+      distinct-value grain, the same bound as the shuffle itself;
+    * COERCED columns ride the numeric chain for exact quartiles (over
+      try_cast) but keep STRING-grain distinct counts — their
+      distinct_num/unique_ratio rows come from the string branch.
+    """
+    branches = []
+    if melted_num is not None:
+        vc = (
+            melted_num.groupBy("_ck", "v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            # null cells carry cnt for the row total but rank 0
+            .withColumn(
+                "cntn",
+                F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0)),
             )
-            vc = (
-                melted.groupBy("col_name", "v")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                # null cells carry cnt for the row total but rank 0
-                .withColumn(
-                    "cntn",
-                    F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0)),
+        )
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        d_ = (
+            vc.repartitionByRange(n_parts, F.asc("_ck"), F.asc_nulls_first("v"))
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        wl = (
+            Window.partitionBy("_ck", "_pid")
+            .orderBy(F.asc_nulls_first("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # per-(_ck, bucket) totals; bucket offsets cumulative in _pid
+        # order (range partitions are v-ordered within a column),
+        # per-column totals from the same tiny frame
+        offs = d_.groupBy("_ck", "_pid").agg(F.sum("cntn").alias("_w"))
+        wp = (
+            Window.partitionBy("_ck")
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = offs.withColumn(
+            "_off", F.coalesce(F.sum("_w").over(wp), F.lit(0))
+        ).withColumn("_nnum", F.sum("_w").over(Window.partitionBy("_ck")))
+        x = (
+            d_.withColumn("_lcum", F.sum("cntn").over(wl))
+            .join(
+                F.broadcast(offs.select("_ck", "_pid", "_off", "_nnum")),
+                ["_ck", "_pid"],
+            )
+            .withColumn("cum", F.col("_lcum") + F.col("_off"))
+            .withColumn("nnum", F.col("_nnum"))
+        )
+        aggs2 = [
+            F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+            .cast("double")
+            .alias("dn"),
+            F.sum("cnt").cast("double").alias("rn"),
+        ]
+        for nm, p in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+            # replicate Percentile.getPercentile: position =
+            # (count-1)*p (count->double), lower/higher = floor/ceil
+            h = (F.col("nnum") - F.lit(1)).cast("double") * F.lit(p)
+            for side, rank in (("lo", F.floor(h) + F.lit(1)), ("hi", F.ceil(h) + F.lit(1))):
+                covers = (
+                    F.col("v").isNotNull()
+                    & ((F.col("cum") - F.col("cntn")) < rank)
+                    & (rank <= F.col("cum"))
                 )
+                aggs2.append(F.max(F.when(covers, F.col("v"))).alias(f"{nm}_{side}"))
+            aggs2.append(F.max(h).alias(f"{nm}_h"))
+        g = x.groupBy("_ck").agg(*aggs2)
+        for nm in ("q1", "q2", "q3"):
+            # Percentile's exact arithmetic: early-return lowerKey
+            # when the two ranks coincide, else
+            # (higher-position)*lowerKey + (position-lower)*higherKey
+            # — NOT lo + (hi-lo)*frac, which differs in final bits
+            h = F.col(f"{nm}_h")
+            lo_d = F.floor(h).cast("double")
+            hi_d = F.ceil(h).cast("double")
+            g = g.withColumn(
+                nm,
+                F.when(hi_d == lo_d, F.col(f"{nm}_lo")).otherwise(
+                    (hi_d - h) * F.col(f"{nm}_lo") + (h - lo_d) * F.col(f"{nm}_hi")
+                ),
             )
-            # r12: TWO-LEVEL cumulative counts (the ops.robust
-            # exact_quantiles scheme) instead of one window partition
-            # per column — the old shape sorted a column's ENTIRE
-            # distinct-value grain in a single task (l_extendedprice:
-            # ~600k rows in one window task at sf0.1; a straggler that
-            # grows with the lake at 100 TB). Range-partition the
-            # distinct grain by (col, v), take local running sums, and
-            # broadcast per-(col, bucket) offsets + per-col totals back
-            # — integer count addition is associative, so cum/nnum are
-            # bit-identical and the R-7 interpolation below is
-            # untouched.
-            n_parts = int(
-                spark.conf.get("spark.sql.shuffle.partitions", "32")
+        g = _ck_decode(g, keys)
+        branches.append(
+            g.where(F.col("_ckind") == S.NUMERIC).selectExpr(
+                "table",
+                "col_name",
+                "stack(5, 'distinct_num', dn,"
+                " 'unique_ratio', dn / nullif(rn, 0.0),"
+                " 'q1', q1, 'q2', q2, 'q3', q3)"
+                " as (stat_name, stat_value)",
             )
-            # persist: the bucketed grain feeds BOTH the offsets branch
-            # and the main cumulative branch. Left lazy, each branch
-            # instantiates the range exchange separately and the
-            # sampled boundaries can differ between the two runs —
-            # rows then carry a _pid the offsets side never saw and the
-            # inner join silently drops them (observed: distinct_num
-            # 9868 vs 10000 on an sf0.01 check). One materialization =
-            # one partitioner = consistent _pid on both sides; the
-            # cached state is the distinct-value grain, the same bound
-            # as the shuffle itself.
-            d_ = (
-                vc.repartitionByRange(
-                    n_parts, F.asc("col_name"), F.asc_nulls_first("v")
-                )
-                .withColumn("_pid", F.spark_partition_id())
-                .persist()
+        )
+        branches.append(
+            g.where(F.col("_ckind") == S.COERCED).selectExpr(
+                "table",
+                "col_name",
+                "stack(3, 'q1', q1, 'q2', q2, 'q3', q3)"
+                " as (stat_name, stat_value)",
             )
-            wl = (
-                Window.partitionBy("col_name", "_pid")
-                .orderBy(F.asc_nulls_first("v"))
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            # per-(col, bucket) totals; bucket offsets cumulative in
-            # _pid order (range partitions are v-ordered within a col),
-            # per-col totals from the same tiny frame
-            offs = d_.groupBy("col_name", "_pid").agg(
-                F.sum("cntn").alias("_w")
-            )
-            wp = (
-                Window.partitionBy("col_name")
-                .orderBy("_pid")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            offs = offs.withColumn(
-                "_off", F.coalesce(F.sum("_w").over(wp), F.lit(0))
-            ).withColumn("_nnum", F.sum("_w").over(Window.partitionBy("col_name")))
-            x = (
-                d_.withColumn("_lcum", F.sum("cntn").over(wl))
-                .join(
-                    F.broadcast(offs.select("col_name", "_pid", "_off", "_nnum")),
-                    ["col_name", "_pid"],
-                )
-                .withColumn("cum", F.col("_lcum") + F.col("_off"))
-                .withColumn("nnum", F.col("_nnum"))
-            )
-            aggs2 = [
-                F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+        )
+    if melted_str is not None:
+        sg = (
+            melted_str.groupBy("_ck", "s")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("_ck")
+            .agg(
+                F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0))
                 .cast("double")
                 .alias("dn"),
                 F.sum("cnt").cast("double").alias("rn"),
-            ]
-            for nm, p in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
-                # replicate Percentile.getPercentile: position =
-                # (count-1)*p (count→double), lower/higher = floor/ceil
-                h = (F.col("nnum") - F.lit(1)).cast("double") * F.lit(p)
-                for side, rank in (("lo", F.floor(h) + F.lit(1)), ("hi", F.ceil(h) + F.lit(1))):
-                    covers = (
-                        F.col("v").isNotNull()
-                        & ((F.col("cum") - F.col("cntn")) < rank)
-                        & (rank <= F.col("cum"))
-                    )
-                    aggs2.append(F.max(F.when(covers, F.col("v"))).alias(f"{nm}_{side}"))
-                aggs2.append(F.max(h).alias(f"{nm}_h"))
-            g = x.groupBy("col_name").agg(*aggs2)
-            for nm in ("q1", "q2", "q3"):
-                # Percentile's exact arithmetic: early-return lowerKey
-                # when the two ranks coincide, else
-                # (higher-position)*lowerKey + (position-lower)*higherKey
-                # — NOT lo + (hi-lo)*frac, which differs in final bits
-                h = F.col(f"{nm}_h")
-                lo_d = F.floor(h).cast("double")
-                hi_d = F.ceil(h).cast("double")
-                g = g.withColumn(
-                    nm,
-                    F.when(hi_d == lo_d, F.col(f"{nm}_lo")).otherwise(
-                        (hi_d - h) * F.col(f"{nm}_lo") + (h - lo_d) * F.col(f"{nm}_hi")
-                    ),
-                )
-            if pure_num:
-                branches.append(
-                    g.where(F.col("col_name").isin(*pure_num))
-                    .selectExpr(
-                        f"'{table}' AS `table`",
-                        "col_name",
-                        "stack(5, 'distinct_num', dn,"
-                        " 'unique_ratio', dn / nullif(rn, 0.0),"
-                        " 'q1', q1, 'q2', q2, 'q3', q3)"
-                        " as (stat_name, stat_value)",
-                    )
-                    .select("table", "col_name", "stat_name", "stat_value")
-                )
-            co_cols = [c for c in num_cols if c not in pure_num]
-            if co_cols:
-                branches.append(
-                    g.where(F.col("col_name").isin(*co_cols))
-                    .selectExpr(
-                        f"'{table}' AS `table`",
-                        "col_name",
-                        "stack(3, 'q1', q1, 'q2', q2, 'q3', q3)"
-                        " as (stat_name, stat_value)",
-                    )
-                    .select("table", "col_name", "stat_name", "stat_value")
-                )
-        if str_cols:
-            melt_parts = [f"'{c}', CAST({_q(c)} AS STRING)" for c in str_cols]
-            smelted = df.selectExpr(
-                f"stack({len(melt_parts)}, {', '.join(melt_parts)}) as (col_name, s)"
             )
-            sg = (
-                smelted.groupBy("col_name", "s")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .groupBy("col_name")
-                .agg(
-                    F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0))
-                    .cast("double")
-                    .alias("dn"),
-                    F.sum("cnt").cast("double").alias("rn"),
-                )
-            )
-            branches.append(
-                sg.selectExpr(
-                    f"'{table}' AS `table`",
-                    "col_name",
-                    "stack(2, 'distinct_num', dn,"
-                    " 'unique_ratio', dn / nullif(rn, 0.0))"
-                    " as (stat_name, stat_value)",
-                ).select("table", "col_name", "stat_name", "stat_value")
-            )
-        dist_long = branches[0]
-        for b in branches[1:]:
-            dist_long = dist_long.unionByName(b)
-        return wide_long.unionByName(dist_long)
-    else:
-        # approx path also derives unique_ratio from the approx count
-        dist = one  # distinct included in the wide agg
-        ur_parts = []
-        for i, c in enumerate(cols):
-            ur_parts.append(
-                f"'{c}', 'unique_ratio', `v{i}_distinct_num` / nullif(`v{i}_row_num`, 0.0)"
-            )
-        ur_expr = (
-            f"stack({len(ur_parts)}, {', '.join(ur_parts)})"
-            " as (col_name, stat_name, stat_value)"
         )
-        ur_long = one.select(F.lit(table).alias("table"), F.expr(ur_expr))
-        return wide_long.unionByName(ur_long)
+        branches.append(
+            _ck_decode(sg, keys).selectExpr(
+                "table",
+                "col_name",
+                "stack(2, 'distinct_num', dn,"
+                " 'unique_ratio', dn / nullif(rn, 0.0))"
+                " as (stat_name, stat_value)",
+            )
+        )
+    dist_long = branches[0]
+    for b in branches[1:]:
+        dist_long = dist_long.unionByName(b)
+    return dist_long.select("table", "col_name", "stat_name", "stat_value")
 
 
 def approx_sketch_stats_long(
@@ -493,6 +551,27 @@ def _melt(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(F.expr(stack_expr))
 
 
+def _melt_k(df: DataFrame, columns: list[str], base_k: int) -> DataFrame:
+    """Unpivot to ``(_ck, value_str)`` cell grain with the column
+    dictionary-encoded to ``base_k + position`` — the cell-grain
+    shuffles of the value/token passes carry an int key instead of a
+    (table, col_name) string pair (guide-§2.3 narrower types), and
+    melts of many tables union into one fused chain (r12)."""
+    parts = [f"{base_k + i}, CAST({_q(c)} AS STRING)" for i, c in enumerate(columns)]
+    stack_expr = f"stack({len(columns)}, {', '.join(parts)}) as (_ck, value_str)"
+    return df.select(F.expr(stack_expr))
+
+
+def _ck_decode2(df, keys):
+    """(table, col_name) literal decode of ``_ck`` for the value/token
+    passes — evaluated on #columns-row frames only."""
+    t_arr = F.array(*[F.lit(t) for t, _ in keys])
+    c_arr = F.array(*[F.lit(c) for _, c in keys])
+    return df.withColumn(
+        "table", F.element_at(t_arr, F.col("_ck") + 1)
+    ).withColumn("col_name", F.element_at(c_arr, F.col("_ck") + 1))
+
+
 def value_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> DataFrame:
     """Modal value, dominant pattern, Benford first digit, fullest
     equi-width/equi-depth bins — one row per column.
@@ -503,7 +582,20 @@ def value_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
     """
     cols = columns or df.columns
     df = ensure_parallelism(df)
-    melted = _melt(df, cols).where(F.col("value_str").isNotNull() & (F.col("value_str") != ""))
+    return _value_stats_core(
+        _melt_k(df, cols, base_k=0), [(table, c) for c in cols]
+    )
+
+
+def _value_stats_core(melted: DataFrame, keys) -> DataFrame:
+    """The value-pass chain over an already-melted ``(_ck, value_str)``
+    frame (``keys``: ``_ck`` → (table, col_name)). Keyed by the int
+    dictionary key throughout, so the cell-grain shuffles carry an int
+    instead of strings and melts of MANY tables union into ONE chain
+    (fused multi-table profiling, r12): the cell-grain shuffle and the
+    rank/total windows run once per profiling job instead of once per
+    table — identical values (disjoint column groups)."""
+    melted = melted.where(F.col("value_str").isNotNull() & (F.col("value_str") != ""))
 
     # ONE linear chain — no diamond consumption, so nothing depends on
     # Spark's (best-effort) exchange reuse and no caching is needed:
@@ -520,11 +612,11 @@ def value_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
     #        'num' = canonical double rendering (P10/P14/P15).
     # Every stat is a function of the value, so per-cell regex work
     # becomes per-distinct-value work, weighted by the counts.
-    vc = melted.groupBy("col_name", "value_str").agg(F.count(F.lit(1)).alias("cnt"))
+    vc = melted.groupBy("_ck", "value_str").agg(F.count(F.lit(1)).alias("cnt"))
     kc = (
         vc.withColumn("pat", symbolic_pattern(F.col("value_str")))
         .select(
-            "col_name",
+            "_ck",
             "cnt",
             F.expr(
                 "stack(4,"
@@ -536,12 +628,12 @@ def value_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
             ),
         )
         .where(F.col("key").isNotNull())
-        .groupBy("col_name", "kind", "key")
+        .groupBy("_ck", "kind", "key")
         .agg(F.sum("cnt").alias("cnt"))
     )
 
-    wo = Window.partitionBy("col_name", "kind").orderBy(F.desc("cnt"), F.asc("key"))
-    wp = Window.partitionBy("col_name", "kind")
+    wo = Window.partitionBy("_ck", "kind").orderBy(F.desc("cnt"), F.asc("key"))
+    wp = Window.partitionBy("_ck", "kind")
     x = (
         kc.withColumn("rn", F.row_number().over(wo))
         .withColumn("total", F.sum("cnt").over(wp))
@@ -561,7 +653,7 @@ def value_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
             ),
         ),
     )
-    wb = Window.partitionBy("col_name", "kind", "bucket")
+    wb = Window.partitionBy("_ck", "kind", "bucket")
     x = x.withColumn("bucket_cnt", F.sum(F.when(F.col("bucket").isNotNull(), F.col("cnt"))).over(wb))
 
     is_val = F.col("kind") == "val"
@@ -577,7 +669,7 @@ def value_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
         )
     )
     out = (
-        x.groupBy("col_name")
+        x.groupBy("_ck")
         .agg(
             F.max(F.when(is_val & (F.col("rn") == 1), F.col("key"))).alias("histogram"),
             F.max(F.when(is_val & (F.col("rn") == 1), F.col("cnt")))
@@ -631,9 +723,12 @@ def value_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
         )
         .withColumn("equi_width_bin", (-F.col("_ew.negb")).cast("string"))
         .drop("_ew")
-        .withColumn("table", F.lit(table))
     )
-    return out
+    out = _ck_decode2(out, keys)
+    # column order compatibility: col_name first / table last, as the
+    # per-table shape had
+    rest = [c for c in out.columns if c not in ("_ck", "table", "col_name")]
+    return out.select("col_name", *rest, "table")
 
 
 # ---------------------------------------------------------------------------
@@ -654,11 +749,22 @@ def token_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
             " words_numeric double, words_length_avg double,"
             " top_keywords map<string,double>, table string",
         )
-    melted = _melt(ensure_parallelism(df), cols).where(
+    return _token_stats_core(
+        _melt_k(ensure_parallelism(df), cols, base_k=0), [(table, c) for c in cols]
+    )
+
+
+def _token_stats_core(melted: DataFrame, keys) -> DataFrame:
+    """The token-pass chain over an already-melted ``(_ck, value_str)``
+    frame (``keys``: ``_ck`` → (table, col_name)) — int-keyed so melts
+    of many tables fuse into one chain and the token-grain shuffle
+    carries an int instead of strings (r12; see
+    :func:`_value_stats_core`)."""
+    melted = melted.where(
         F.col("value_str").isNotNull() & (F.col("value_str") != "")
     )
     toks = melted.select(
-        "col_name",
+        "_ck",
         F.explode(F.split(F.lower(F.col("value_str")), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
 
@@ -667,14 +773,14 @@ def token_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
     # grain in a single window + groupBy — the explode and the
     # token-grain shuffle happen exactly once. Eligible keywords sort
     # first in the window, so rn <= K over eligible rows is the top-k.
-    tc = toks.groupBy("col_name", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tc = toks.groupBy("_ck", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     is_alpha = F.col("tok").rlike(r"^[a-z]+$")
     elig = is_alpha & ~F.col("tok").isin(STOPWORDS)
-    wk = Window.partitionBy("col_name").orderBy(
+    wk = Window.partitionBy("_ck").orderBy(
         F.desc(elig.cast("int")), F.desc("cnt"), F.asc("tok")
     )
     x = tc.withColumn("elig", elig).withColumn("rn", F.row_number().over(wk))
-    out = x.groupBy("col_name").agg(
+    out = x.groupBy("_ck").agg(
         F.count(F.lit(1)).cast("double").alias("words_unique"),
         F.sum(F.when(is_alpha, F.col("cnt")).otherwise(0)).cast("double").alias("words_alphabet"),
         F.sum(F.when(F.col("tok").rlike(r"^-?\d+(\.\d+)?$"), F.col("cnt")).otherwise(0))
@@ -698,7 +804,9 @@ def token_stats(df: DataFrame, table: str, columns: list[str] | None = None) -> 
             ),
         ).alias("top_keywords"),
     )
-    return out.withColumn("table", F.lit(table))
+    out = _ck_decode2(out, keys)
+    rest = [c for c in out.columns if c not in ("_ck", "table", "col_name")]
+    return out.select("col_name", *rest, "table")
 
 
 # ---------------------------------------------------------------------------
@@ -918,18 +1026,54 @@ def profile_tables(
             out = f if out is None else out.unionByName(f)
         return out
 
-    scalar_u = union_all(
-        scalar_stats_long(
-            tables[n], n, exact=exact, coerce_numeric=coerce_numeric
+    # r12 fusion, level 2: besides collecting all tables in <=3 jobs,
+    # the per-table MELT CHAINS are fused — every pass melts each table
+    # into one (table, col, ...) keyed frame, so the exact
+    # distinct/quartile chain (range exchange + boundary sampling +
+    # persist + offset windows), the value chain and the token chain
+    # each run ONCE for the whole table set instead of once per table.
+    # Values identical: every key gains the table column, so groups are
+    # the same disjoint (table, col) sets the per-table chains computed.
+    spark0 = tables[names[0]].sparkSession
+    chunk_n = 200  # scalar_stats_long's max_cols_per_pass default
+    wide_parts, mn_parts, ms_parts, vmelts, tmelts = [], [], [], [], []
+    dist_keys, v_keys, t_keys = [], [], []
+    for n in names:
+        df0 = tables[n]
+        kinds = _profile_kinds(df0, coerce_numeric)
+        cols = df0.columns
+        df0 = ensure_parallelism(df0)
+        for i in range(0, len(cols), chunk_n):
+            chunk = cols[i : i + chunk_n]
+            wide_parts.append(_wide_stats_long(df0, n, chunk, kinds, exact))
+            if exact:
+                mn, ms = _kind_melts(df0, chunk, kinds, base_k=len(dist_keys))
+                dist_keys.extend((n, c, kinds[c]) for c in chunk)
+                if mn is not None:
+                    mn_parts.append(mn)
+                if ms is not None:
+                    ms_parts.append(ms)
+        if with_values:
+            vmelts.append(_melt_k(df0, cols, base_k=len(v_keys)))
+            v_keys.extend((n, c) for c in cols)
+        if with_tokens:
+            scols = [
+                f.name
+                for f in df0.schema.fields
+                if isinstance(f.dataType, T.StringType)
+            ]
+            if scols:
+                tmelts.append(_melt_k(df0, scols, base_k=len(t_keys)))
+                t_keys.extend((n, c) for c in scols)
+    scalar_u = union_all(wide_parts)
+    if exact and (mn_parts or ms_parts):
+        scalar_u = scalar_u.unionByName(
+            _exact_distinct_long(
+                spark0, union_all(mn_parts), union_all(ms_parts), dist_keys
+            )
         )
-        for n in names
-    )
-    value_u = (
-        union_all(value_stats(tables[n], n) for n in names) if with_values else None
-    )
-    token_u = (
-        union_all(token_stats(tables[n], n) for n in names) if with_tokens else None
-    )
+    value_u = _value_stats_core(union_all(vmelts), v_keys) if vmelts else None
+    token_u = _token_stats_core(union_all(tmelts), t_keys) if tmelts else None
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_scalar = pool.submit(scalar_u.collect)
         f_value = pool.submit(value_u.collect) if value_u is not None else None
