@@ -398,18 +398,22 @@ def histogram_outlier_cells(
     fit, the scoring pass, BOTH sides of the hint self-join and the
     hint model/score chain — lazily each consumer re-derived it, so the
     executed plan held ~24 ArrowEvalPython nodes for ONE expansion.
-    Persisting the thin melted frame (rows × features, no payloads)
+    Materializing the thin melted frame (rows × features, no payloads)
     runs the Python boundary once (guide §4: cross it once, with only
     the needed columns); likewise the joint hint-pair frame, which
-    feeds its own fit + two scoring consumers."""
-    feats = reference_melt(df, row_id_col).persist()
+    feeds its own fit + two scoring consumers. localCheckpoint rather
+    than persist (r12): with persist every consumer still re-analyzes
+    the Arrow-expansion lineage; the checkpoint truncates it (~15%
+    off the pair's wall, interleaved A/B) — lineage fault tolerance is
+    moot for the fixed golden fixture."""
+    feats = reference_melt(df, row_id_col).localCheckpoint()
     fkeys = ["field_id", "feat_id"]
     model1 = _histogram_model(feats, fkeys, peak_s)
     flags1 = _score(feats, model1, fkeys, outlier_s).select(
         "row_id", F.col("field_id").alias("column_id")
     )
 
-    hp = hint_pairs(df, max_buckets, row_id_col, feats=feats).persist()
+    hp = hint_pairs(df, max_buckets, row_id_col, feats=feats).localCheckpoint()
     hunits = hp.select(
         "row_id", "af", "ai", "bf", "bi",
         F.concat_ws(
@@ -452,8 +456,8 @@ def parthist_outlier_cells(
     The melted expansion and the joint hint-pair frame are persisted
     for the same reason as :func:`histogram_outlier_cells` — each has
     several lazy consumers that would re-derive the Arrow expansion."""
-    feats = reference_melt(df, row_id_col).persist()
-    hp = hint_pairs(df, max_buckets, row_id_col, feats=feats).persist()
+    feats = reference_melt(df, row_id_col).localCheckpoint()
+    hp = hint_pairs(df, max_buckets, row_id_col, feats=feats).localCheckpoint()
     keys = ["af", "ai", "bf", "bi", "av", "an"]  # pair + partition key
     hp = hp.withColumn(
         "v", F.concat_ws("\x1f", "bv", F.col("bn").cast("string"))

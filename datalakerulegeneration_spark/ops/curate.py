@@ -130,10 +130,18 @@ def curate_corpus(
     it stays inside the exact DuckDB oracle. Scale shape: one
     line-grain explode + the bucket quantiles (distinct-value grain);
     ``ccnet_materialize`` (default True — CCNet pipelines materialize
-    shards between stages) persists the rebuilt corpus so the
-    downstream chain's three consuming branches (d0 / eval / total)
-    don't each re-derive the explode+LM+quantile subtree (measured 3×
-    the plan's fixed cost when lazy); pass False for a pure-lazy plan
+    shards between stages) materializes the stage boundaries with
+    ``localCheckpoint`` so the downstream chain's three consuming
+    branches (d0 / eval / total) don't each re-derive the
+    explode+LM+quantile subtree (measured 3× the plan's fixed cost
+    when lazy) AND don't re-ANALYZE its plan: a plain ``persist``
+    caches the rows but every downstream branch still carries the
+    whole upstream lineage through analysis/optimization/AQE —
+    measured 7.5→1.9 s on the post-rebuild chain at sf0.1 for
+    identical cached data (guide §5: localCheckpoint cuts lineage when
+    fault tolerance of the intermediate is not critical; a production
+    run materializes shards durably between stages — the same
+    boundary, written to storage). Pass False for a pure-lazy plan
     holding no executor memory.
 
     ``url_col`` + ``blocked_domains`` / ``max_per_domain`` prepend the
@@ -160,7 +168,12 @@ def curate_corpus(
             # LM (which consumes it several times internally), and the
             # rebuild join — unpersisted it re-derives per consumer
             # even inside the one rebuilt-corpus materialization
-            # (measured 19× for the sf10 decade; ~linear persisted)
+            # (measured 19× for the sf10 decade; ~linear persisted).
+            # persist (lazy), NOT localCheckpoint: the intermediates
+            # materialize as overlapping stages of the one rebuilt
+            # checkpoint job below; eager per-stage checkpoints were
+            # measured SLOWER (serialized jobs, and DataFrame
+            # localCheckpoint materializes through the non-AQE plan)
             cleaned = cleaned.persist()
         # r12: the language gate is a row-local expression, so filter
         # the (unique-id) cleaned frame directly — identical rows to
@@ -187,7 +200,14 @@ def curate_corpus(
             .withColumnRenamed("cleaned_text", text_col)
         )
         if ccnet_materialize:
-            docs = docs.persist()
+            # the ONE lineage cut: the rebuilt corpus feeds the whole
+            # downstream chain (d0 / eval / total and their stages) —
+            # with a plain persist every downstream branch re-analyzes
+            # the explode+LM+quantile lineage (measured 7.5 s → 1.9 s
+            # post-rebuild at sf0.1 for identical cached rows); the
+            # intermediates above stay lazy persists and materialize
+            # as overlapping stages of this checkpoint's job
+            docs = docs.localCheckpoint()
     if near_dup_threshold is not None:
         from datalakerulegeneration_spark.ops import dedup
 
@@ -552,12 +572,17 @@ def curation_funnel_ccnet(
         .where(F.col("bucket") >= 1)
         .select("id")
     )
+    # rebuilt feeds the ppl stage row + the tail funnel's branches:
+    # localCheckpoint cuts the lineage so those branches stop
+    # re-analyzing the explode+LM+quantile subtree per branch; the
+    # persisted intermediates above materialize as overlapping stages
+    # of this one checkpoint job (see curate_corpus's note)
     rebuilt = (
         docs.select(F.col(id_col), F.col(group_col))
         .join(ckept.withColumnRenamed("id", id_col), id_col)
         .join(cids.withColumnRenamed("id", id_col), id_col)
         .withColumnRenamed("cleaned_text", text_col)
-        .persist()  # feeds the ppl stage row + the tail funnel's 3 branches
+        .localCheckpoint()
     )
 
     def stage_row(idx: int, name: str, frame: DataFrame, tcol: str) -> DataFrame:
