@@ -64,22 +64,45 @@ def language_pred_col(text_col: str) -> Column:
     a unique id)."""
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     cjk_chars = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
-    scores = [
-        (
-            lang,
-            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-            .cast("double")
-            / F.nullif(F.size(toks).cast("double"), F.lit(0.0)),
+
+    # r12 (2nd session): the original formulation chained
+    # when(sc_i > best, ...) accumulators, which DUPLICATES every
+    # score subexpression down the chain — and Spark skips common
+    # subexpression elimination inside conditional branches, so each
+    # duplicated occurrence re-evaluated the whole tokenizer split
+    # (measured 0.56 s → 5.7 s on the standalone language_id query
+    # when the split stopped being a projected column). Shape now:
+    # bind the token array ONCE as a lambda variable (1-element
+    # aggregate), build the per-language score array with each score
+    # evaluated exactly once, and fold the argmax over the tiny struct
+    # array. The fold replicates the original loop bit-for-bit: same
+    # score doubles, strictly-greater update in sorted language order
+    # (ties → earliest name), init 0.0/'und' (a language must score
+    # > 0). Verified value-identical row-for-row and oracle-green.
+    def _fold(tk):
+        arr = F.array(
+            *[
+                F.struct(
+                    (
+                        F.size(
+                            F.array_intersect(
+                                tk, F.array(*[F.lit(w) for w in words])
+                            )
+                        ).cast("double")
+                        / F.nullif(F.size(tk).cast("double"), F.lit(0.0))
+                    ).alias("s"),
+                    F.lit(lang).alias("l"),
+                )
+                for lang, words in sorted(LANG_MARKERS.items())
+            ]
         )
-        for lang, words in sorted(LANG_MARKERS.items())
-    ]
-    best = F.lit("und")
-    best_score = F.lit(0.0)
-    # fixed evaluation order → deterministic tie-break by language name
-    for lang, sc in scores:
-        cond = sc > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, sc).otherwise(best_score)
+        return F.aggregate(
+            arr,
+            F.struct(F.lit(0.0).alias("s"), F.lit("und").alias("l")),
+            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        )["l"]
+
+    best = F.aggregate(F.array(toks), F.lit("und"), lambda _, tk: _fold(tk))
     return F.when(
         cjk_chars.cast("double")
         / F.nullif(F.length(F.col(text_col)).cast("double"), F.lit(0.0))
