@@ -656,8 +656,11 @@ def embedding_near_dups(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         # float→string is shortest-round-trip (injective), so equal
-        # digests ⇔ equal vectors
-        F.md5(F.col(vec_col).cast("string").cast("binary")).alias("dg"),
+        # digests ⇔ equal vectors; r13: carry the 16-byte unhex(md5)
+        # binary, not the 32-char hex string (§2.3 narrower types) —
+        # unhex is injective, so every digest-keyed join/dedup is
+        # bit-equivalent while the candidate dedup exchange halves
+        F.unhex(F.md5(F.col(vec_col).cast("string").cast("binary"))).alias("dg"),
     )
     index = base.select("dg", "id")
     dvecs = base.groupBy("dg").agg(F.min("vec").alias("dvec"))
