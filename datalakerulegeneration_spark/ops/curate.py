@@ -130,19 +130,25 @@ def curate_corpus(
     it stays inside the exact DuckDB oracle. Scale shape: one
     line-grain explode + the bucket quantiles (distinct-value grain);
     ``ccnet_materialize`` (default True — CCNet pipelines materialize
-    shards between stages) materializes the stage boundaries with
-    ``localCheckpoint`` so the downstream chain's three consuming
-    branches (d0 / eval / total) don't each re-derive the
-    explode+LM+quantile subtree (measured 3× the plan's fixed cost
-    when lazy) AND don't re-ANALYZE its plan: a plain ``persist``
-    caches the rows but every downstream branch still carries the
-    whole upstream lineage through analysis/optimization/AQE —
-    measured 7.5→1.9 s on the post-rebuild chain at sf0.1 for
-    identical cached data (guide §5: localCheckpoint cuts lineage when
-    fault tolerance of the intermediate is not critical; a production
-    run materializes shards durably between stages — the same
-    boundary, written to storage). Pass False for a pure-lazy plan
-    holding no executor memory.
+    shards between stages) materializes the stage boundaries with a
+    LAZY ``localCheckpoint`` (r13: ``eager=False`` — constructing the
+    frame no longer executes anything; the checkpoint materializes at
+    the first action and is then shared by every consumer) so the
+    downstream chain's three consuming branches (d0 / eval / total)
+    don't each re-derive the explode+LM+quantile subtree (measured 3×
+    the plan's fixed cost when lazy) AND don't re-ANALYZE its plan: a
+    plain ``persist`` caches the rows but every downstream branch
+    still carries the whole upstream lineage through
+    analysis/optimization/AQE — measured 7.5→1.9 s on the post-rebuild
+    chain at sf0.1 for identical cached data (guide §5:
+    localCheckpoint cuts lineage when fault tolerance of the
+    intermediate is not critical; a production run materializes shards
+    durably between stages — the same boundary, written to storage).
+    **Cluster caveat**: checkpointed blocks are executor-local with no
+    lineage — under dynamic allocation / executor loss the downstream
+    job fails instead of recomputing; pass ``"persist"`` to keep a
+    recomputable cached boundary (rows cached, lineage kept), or
+    ``False`` for a pure-lazy plan holding no executor memory.
 
     ``url_col`` + ``blocked_domains`` / ``max_per_domain`` prepend the
     domain stage (0.1, before everything): drop documents whose
@@ -199,15 +205,22 @@ def curate_corpus(
             .join(cids.withColumnRenamed("id", id_col), id_col)
             .withColumnRenamed("cleaned_text", text_col)
         )
-        if ccnet_materialize:
+        if ccnet_materialize == "persist":
+            # recomputable boundary for dynamic-allocation clusters:
+            # rows cached, lineage kept (slower re-analysis per branch
+            # is the documented trade)
+            docs = docs.persist()
+        elif ccnet_materialize:
             # the ONE lineage cut: the rebuilt corpus feeds the whole
             # downstream chain (d0 / eval / total and their stages) —
             # with a plain persist every downstream branch re-analyzes
             # the explode+LM+quantile lineage (measured 7.5 s → 1.9 s
             # post-rebuild at sf0.1 for identical cached rows); the
             # intermediates above stay lazy persists and materialize
-            # as overlapping stages of this checkpoint's job
-            docs = docs.localCheckpoint()
+            # as overlapping stages of this checkpoint's job. r13:
+            # eager=False — the builder stays lazy (ADVICE r12), the
+            # checkpoint materializes once at the first action.
+            docs = docs.localCheckpoint(eager=False)
     if near_dup_threshold is not None:
         from datalakerulegeneration_spark.ops import dedup
 
@@ -582,7 +595,9 @@ def curation_funnel_ccnet(
         .join(ckept.withColumnRenamed("id", id_col), id_col)
         .join(cids.withColumnRenamed("id", id_col), id_col)
         .withColumnRenamed("cleaned_text", text_col)
-        .localCheckpoint()
+        # lazy (r13): materializes at the first stage-row action and is
+        # shared by the ppl row + the tail funnel's branches
+        .localCheckpoint(eager=False)
     )
 
     def stage_row(idx: int, name: str, frame: DataFrame, tcol: str) -> DataFrame:

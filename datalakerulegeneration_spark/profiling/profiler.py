@@ -72,6 +72,13 @@ def _q(c: str) -> str:
 # out to every local core, big enough that KB-sized dimension tables
 # stay at 1-2 partitions instead of 32 near-empty ones.
 _PROFILE_BYTES_PER_TASK = 256 << 10
+# row-count floor (r13, ADVICE r12): compressed bytes under-estimate
+# the per-row expression work on dense encodings (dictionary-encoded
+# wide strings compress 50:1), so width is also floored by rows/task —
+# ~25k rows ≈ the per-core slice that kept the 600k-row lineitem
+# profile parallel. Row counts come from parquet footers (metadata
+# only, no data read); non-parquet/unreadable inputs skip the floor.
+_PROFILE_ROWS_PER_TASK = 25_000
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -122,6 +129,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     # >= target splits and never reach this branch, so the constant
     # sizes local/elastic small-table work only.
     width = min(target, max(1, -(-total_sz // _PROFILE_BYTES_PER_TASK)))
+    if width < target:
+        # dense-encoding floor: bytes say "small" but many rows still
+        # mean much expression work per task (see _PROFILE_ROWS_PER_TASK)
+        try:
+            import pyarrow.parquet as pq
+
+            rows = sum(
+                pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+                for f in files
+            )
+            width = min(target, max(width, -(-rows // _PROFILE_ROWS_PER_TASK)))
+        except Exception:  # noqa: BLE001 — non-parquet input, missing pyarrow
+            pass
     if width <= est:
         return df
     return df.repartition(width)
@@ -138,6 +158,7 @@ def scalar_stats_long(
     exact: bool = True,
     coerce_numeric: bool = False,
     max_cols_per_pass: int = 200,
+    persists: list | None = None,
 ) -> DataFrame:
     """All registry stats for all columns as ``(table, col_name,
     stat_name, stat_value)``.
@@ -183,6 +204,7 @@ def scalar_stats_long(
                 exact=exact,
                 coerce_numeric=coerce_numeric,
                 max_cols_per_pass=max_cols_per_pass,
+                persists=persists,
             )
             for i in range(0, len(cols), max_cols_per_pass)
         ]
@@ -198,7 +220,9 @@ def scalar_stats_long(
         return wide_long
     keys = [(table, c, kinds[c]) for c in cols]
     mn, ms = _kind_melts(df, cols, kinds, base_k=0)
-    return wide_long.unionByName(_exact_distinct_long(spark, mn, ms, keys))
+    return wide_long.unionByName(
+        _exact_distinct_long(spark, mn, ms, keys, persists=persists)
+    )
 
 
 def _profile_kinds(df: DataFrame, coerce_numeric: bool) -> dict[str, str]:
@@ -326,7 +350,9 @@ def _ck_decode(df, keys):
     )
 
 
-def _exact_distinct_long(spark, melted_num, melted_str, keys) -> DataFrame:
+def _exact_distinct_long(
+    spark, melted_num, melted_str, keys, persists: list | None = None
+) -> DataFrame:
     """Distinct counts + exact quartiles from kind-split melts
     (:func:`_kind_melts`) as ``(table, col_name, stat_name,
     stat_value)`` long rows. ``keys`` is the dictionary: ``_ck`` →
@@ -381,6 +407,11 @@ def _exact_distinct_long(spark, melted_num, melted_str, keys) -> DataFrame:
             .withColumn("_pid", F.spark_partition_id())
             .persist()
         )
+        # r13 (ADVICE r12): the grain cache must not outlive the
+        # profiling collect — callers that collect pass a list and
+        # unpersist after (lazy consumers keep the old lifetime)
+        if persists is not None:
+            persists.append(d_)
         wl = (
             Window.partitionBy("_ck", "_pid")
             .orderBy(F.asc_nulls_first("v"))
@@ -833,10 +864,12 @@ def profile_table(
     # The three passes are independent jobs over the same table — submit
     # them concurrently (Spark's scheduler interleaves their stages;
     # wall time ≈ the slowest pass, not the sum).
+    transient: list = []
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_scalar = pool.submit(
             lambda: scalar_stats_long(
-                df, table, exact=exact, coerce_numeric=coerce_numeric
+                df, table, exact=exact, coerce_numeric=coerce_numeric,
+                persists=transient,
             ).collect()
         )
         f_value = pool.submit(lambda: value_stats(df, table).collect()) if with_values else None
@@ -846,6 +879,10 @@ def profile_table(
         }
         vrows = {r["col_name"]: r.asDict() for r in f_value.result()} if f_value else {}
         trows = {r["col_name"]: r.asDict() for r in f_token.result()} if f_token else {}
+    # the quartile grain cache served exactly this collect — release it
+    # (ADVICE r12: the leaked InMemoryRelation grew with every call)
+    for p in transient:
+        p.unpersist()
 
     out_rows = _assemble_profile_rows(df, table, scalar, vrows, trows)
     # ONE slice at creation: createDataFrame defaults to
@@ -1066,10 +1103,12 @@ def profile_tables(
                 tmelts.append(_melt_k(df0, scols, base_k=len(t_keys)))
                 t_keys.extend((n, c) for c in scols)
     scalar_u = union_all(wide_parts)
+    transient: list = []
     if exact and (mn_parts or ms_parts):
         scalar_u = scalar_u.unionByName(
             _exact_distinct_long(
-                spark0, union_all(mn_parts), union_all(ms_parts), dist_keys
+                spark0, union_all(mn_parts), union_all(ms_parts), dist_keys,
+                persists=transient,
             )
         )
     value_u = _value_stats_core(union_all(vmelts), v_keys) if vmelts else None
@@ -1089,6 +1128,8 @@ def profile_tables(
         if f_token is not None:
             for r in f_token.result():
                 trows[r["table"]][r["col_name"]] = r.asDict()
+    for p in transient:
+        p.unpersist()
 
     out_rows = []
     for n in names:

@@ -46,6 +46,29 @@ def test_violations_fused_single_scan_no_shuffle(spark):
     assert "Exchange" not in p
 
 
+def _scans_outside_caches(p: str) -> list[str]:
+    """FileScan signature lines that are NOT inside an InMemoryRelation
+    build-plan subtree. Cached relations REPRINT their build plan once
+    per consumer (and reprints nest when caches stack), so scan lines
+    inside those subtrees are print artifacts; scans OUTSIDE them are
+    real derivations. Subtree membership is tracked by tree indent
+    (the node text starts after the ':'/'+-' drawing characters; a
+    child prints strictly deeper than its parent)."""
+    out = []
+    imr_stack: list[int] = []
+    for ln in p.splitlines():
+        body = ln.lstrip(" :+-*")
+        if not body:
+            continue
+        ind = len(ln) - len(body)
+        imr_stack = [i for i in imr_stack if i < ind]
+        if "InMemoryRelation" in ln:
+            imr_stack.append(ind)
+        elif "FileScan parquet" in ln and not imr_stack:
+            out.append(ln.split("FileScan", 1)[1])
+    return out
+
+
 def test_profiler_scalar_three_pruned_scans(spark):
     p = _plan(_impl("profile_lineitem")(spark, SF_DIR))
     # three DISTINCT scans (wide agg, numeric melt, string melt). The
@@ -54,14 +77,20 @@ def test_profiler_scalar_three_pruned_scans(spark):
     # text once per cached consumer — and when a previous call in the
     # same session already cached the grain, reprints NEST (cache
     # inside cache), so the duplicate count is a print artifact with no
-    # fixed bound. Dedupe scan lines by content (a 4th distinct scan =
-    # real re-derivation) and require that duplicates only occur when a
-    # cached relation is in the plan to reprint them.
+    # fixed bound. r13 (ADVICE r12): bound duplicates PER RELATION —
+    # every scan line outside an InMemoryRelation build-plan subtree is
+    # a real derivation, and there must be exactly the three distinct
+    # ones (a genuine FileScan re-derivation now fails even when some
+    # unrelated cached relation is present).
     scans = [ln for ln in p.splitlines() if "FileScan parquet" in ln]
     distinct = {ln.split("FileScan", 1)[1] for ln in scans}
     assert len(distinct) == 3
-    if len(scans) > len(distinct):
-        assert "InMemoryTableScan" in p
+    # scans outside cache-build subtrees must be duplicate-free (the
+    # numeric-melt scan legitimately lives ONLY inside the persisted
+    # grain's build plan, so "outside" is a subset of the three)
+    outside = _scans_outside_caches(p)
+    assert len(outside) == len(set(outside))
+    assert set(outside) <= distinct
     # string-branch scan reads ONLY the two string columns (FileScan
     # output lists; ReadSchema strings get truncated in big plans)
     assert any(
