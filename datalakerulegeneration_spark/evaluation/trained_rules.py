@@ -372,10 +372,19 @@ def _member_profile_sql(stats: dict[str, str]) -> str:
 
     by_name = {st.name: st for st in S.stats_for_kind(S.COERCED)}
     paths = _table_paths()
+    ctes = []
     selects = []
     members = set(CLUSTER_0) | set(CLUSTER_1)
     for ds, ps in paths.items():
         src = " UNION ALL ".join(s1_ingest_sql(p) for p in ps)
+        # r13: one MATERIALIZED ingest CTE per dataset — the previous
+        # shape inlined the full multiLine-CSV ingest subquery into
+        # EVERY member column's branch (plus once more inside each
+        # modal-value scalar subquery), so DuckDB re-parsed each CSV
+        # ~2× per member column (the cluster-analysis oracle measured
+        # 110 s; identical rows in 1-2 s with the shared ingest)
+        cte = f"__mp_{ds}"
+        ctes.append(f"{cte} AS MATERIALIZED ({src})")
         cols = csv_header(ps[0])
         for c in cols:
             member = f"{ds}_{c}"
@@ -390,7 +399,7 @@ def _member_profile_sql(stats: dict[str, str]) -> str:
                     # share of the numeric count (the value_stats twin)
                     e = (
                         f"(SELECT CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)"
-                        f" FROM (SELECT count(*) AS cnt FROM ({src})"
+                        f" FROM (SELECT count(*) AS cnt FROM {cte}"
                         f" WHERE TRY_CAST({qc} AS DOUBLE) IS NOT NULL"
                         f" GROUP BY TRY_CAST({qc} AS DOUBLE)))"
                     )
@@ -398,9 +407,11 @@ def _member_profile_sql(stats: dict[str, str]) -> str:
                     e = f"({by_name[eng].sql(qc)})"
                 exprs.append(f"{e} AS {out}")
             selects.append(
-                f"SELECT '{member}' AS member, {', '.join(exprs)} FROM ({src})"
+                f"SELECT '{member}' AS member, {', '.join(exprs)} FROM {cte}"
             )
-    return "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
 
 
 def trained_feature_ranges_sql() -> str:
@@ -634,14 +645,18 @@ FROM (
     )
     pmean, pstd = dec_mean_std("sim", "CAST(count(sim) AS DOUBLE)")
     body = "\nUNION ALL\n".join(metric_selects)
+    # r13: every CTE is MATERIALIZED — the ~32 metric UNION branches
+    # each read p/p1/q, and DuckDB's default inlining re-executed the
+    # whole profile subtree once per branch (53 s; 1-2 s materialized,
+    # identical rows — pure evaluation-strategy hint)
     return f"""
-WITH prof AS ({prof}),
-members(member, cluster_id, seq) AS (VALUES {_member_sql_values()}),
-p AS (SELECT prof.*, m.seq FROM prof JOIN members m USING (member) WHERE m.cluster_id = 1),
-p1 AS (SELECT {", ".join(agg_cols)}, {", ".join(var_cols)},
+WITH prof AS MATERIALIZED ({prof}),
+members(member, cluster_id, seq) AS MATERIALIZED (VALUES {_member_sql_values()}),
+p AS MATERIALIZED (SELECT prof.*, m.seq FROM prof JOIN members m USING (member) WHERE m.cluster_id = 1),
+p1 AS MATERIALIZED (SELECT {", ".join(agg_cols)}, {", ".join(var_cols)},
               CAST(count(*) AS DOUBLE) AS n_members FROM p),
-pairs AS (SELECT {sim} AS sim FROM p a JOIN p b ON a.seq < b.seq),
-q AS (SELECT {pmean} AS coh, {pstd} AS sd FROM pairs)
+pairs AS MATERIALIZED (SELECT {sim} AS sim FROM p a JOIN p b ON a.seq < b.seq),
+q AS MATERIALIZED (SELECT {pmean} AS coh, {pstd} AS sd FROM pairs)
 {body}
 ORDER BY section, feature, stat
 """
