@@ -852,12 +852,14 @@ def dataset_profile_golden_sql(path: str, name: str) -> str:
         v = f"{stat}_var" + (" / (n * n)" if divide else "")
         rows.append(f"SELECT '{fam}_mean' AS field, round({m}, 6) AS value FROM ds")
         rows.append(f"SELECT '{fam}_variance', round({v}, 6) FROM ds")
+    # MATERIALIZED (r13): the 14 field branches each read ds — default
+    # CTE inlining re-executed the whole wide profile per branch
     return f"""
-WITH {name} AS ({src}),
-prof AS ({prof}),
+WITH {name} AS MATERIALIZED ({src}),
+prof AS MATERIALIZED ({prof}),
 nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {name}),
 sums AS (SELECT {', '.join(sums)} FROM prof),
-ds AS (SELECT {', '.join(moments)}, nrow.n FROM sums CROSS JOIN nrow)
+ds AS MATERIALIZED (SELECT {', '.join(moments)}, nrow.n FROM sums CROSS JOIN nrow)
 {" UNION ALL ".join(rows)}
 ORDER BY field
 """
