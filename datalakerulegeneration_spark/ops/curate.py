@@ -646,23 +646,23 @@ def curation_funnel_ccnet_sql(
     nt_raw = textqa.ntokens_sql_expr(text_col)
     nt_clean = textqa.ntokens_sql_expr("cleaned_text")
     return f"""
-WITH ld AS ({ld_sql}),
-cleaned AS (SELECT id, cleaned_text FROM ld WHERE n_kept > 0),
-langs AS ({lang_sql}),
-ckept AS (
+WITH ld AS MATERIALIZED ({ld_sql}),
+cleaned AS MATERIALIZED (SELECT id, cleaned_text FROM ld WHERE n_kept > 0),
+langs AS MATERIALIZED ({lang_sql}),
+ckept AS MATERIALIZED (
   SELECT c.id, c.cleaned_text FROM cleaned c
   JOIN langs ON langs.id = c.id AND langs.lang_pred = '{ccnet_lang}'
 ),
-cb AS ({cb_sql}),
-cids AS (SELECT id FROM cb WHERE bucket >= 1),
-ccbase AS (
+cb AS MATERIALIZED ({cb_sql}),
+cids AS MATERIALIZED (SELECT id FROM cb WHERE bucket >= 1),
+ccbase AS MATERIALIZED (
   SELECT t.{id_col} AS {id_col}, t.{group_col} AS {group_col},
          c.cleaned_text AS {text_col}
   FROM {table} t
   JOIN ckept c ON t.{id_col} = c.id
   JOIN cids ON cids.id = c.id
 ),
-tail AS ({tail_sql})
+tail AS MATERIALIZED ({tail_sql})
 SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(COALESCE(sum({nt_raw}), 0) AS BIGINT) AS n_tokens FROM {table}
@@ -705,7 +705,7 @@ def curation_funnel_sql(
         conds.append("s5")
         src = "fb"
         budget_cte = f""",
-fb AS (
+fb AS MATERIALIZED (
   SELECT f.*, s4 AND COALESCE(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END)
       OVER (ORDER BY quality DESC, id ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -721,7 +721,7 @@ fb AS (
             f" FROM {src}"
         )
     return f"""
-WITH d0 AS (
+WITH d0 AS MATERIALIZED (
   SELECT {id_col} AS id, {group_col} AS grp,
          {textqa.quality_sql_expr(text_col)} AS quality,
          {textqa.fingerprint_sql_expr(text_col)} AS fp,
@@ -752,7 +752,7 @@ flags3 AS (
          ) AS s3
   FROM flags
 ),
-f AS (
+f AS MATERIALIZED (
   SELECT f.*, f.s3 AND (grp_n <= tot.cap_n OR {reb_hash} * grp_n < tot.cap_n * {buckets}) AS s4
   FROM (
     SELECT flags3.*, count(CASE WHEN s3 THEN 1 END) OVER (PARTITION BY grp) AS grp_n

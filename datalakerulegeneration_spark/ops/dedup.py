@@ -1353,20 +1353,20 @@ def minhash_greedy_keepset_sql(
     mh = minhash_dedup_sql("ddocs", "did", "txt", threshold, n, k, bands).strip()
     return f"""
 WITH RECURSIVE
-base AS (
+base AS MATERIALIZED (
   SELECT {id_col} AS id, {text_col} AS txt, md5({text_col}) AS dg
   FROM {table} WHERE {text_col} IS NOT NULL
 ),
-reps AS (SELECT dg, min(id) AS rep FROM base GROUP BY dg),
-ddocs AS (SELECT dg AS did, min(txt) AS txt FROM base GROUP BY dg),
-sh_dgs AS (SELECT did AS dg FROM ddocs WHERE len({toks}) >= {n}),
-mh AS (SELECT * FROM ({mh})),
-edges AS (
+reps AS MATERIALIZED (SELECT dg, min(id) AS rep FROM base GROUP BY dg),
+ddocs AS MATERIALIZED (SELECT dg AS did, min(txt) AS txt FROM base GROUP BY dg),
+sh_dgs AS MATERIALIZED (SELECT did AS dg FROM ddocs WHERE len({toks}) >= {n}),
+mh AS MATERIALIZED (SELECT * FROM ({mh})),
+edges AS MATERIALIZED (
   SELECT DISTINCT least(ra.rep, rb.rep) AS src, greatest(ra.rep, rb.rep) AS dst
   FROM mh JOIN reps ra ON mh.id_a = ra.dg JOIN reps rb ON mh.id_b = rb.dg
 ),
-everts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
-seq AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM everts),
+everts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+seq AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM everts),
 g AS (
   SELECT 0 AS rn, CAST([] AS BIGINT[]) AS kept
   UNION ALL
