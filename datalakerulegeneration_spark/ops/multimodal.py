@@ -49,6 +49,42 @@ FEATURE_SCHEMA = (
 )
 
 
+def _spread_decode_rows(df: DataFrame) -> DataFrame:
+    """Decode-parallelism guard (r13, guide §2.5 input skew): the asset
+    synthesizers/decoders are per-row CPU-bound (encode+decode costs
+    milliseconds per asset), but they ride a map-only plan over the
+    input scan — a small local parquet scans as ONE split, serializing
+    the whole decode onto one core (measured: video_frame_dhash ran as
+    1 job / 1 task / 7 s at sf0.1). When the scan under-splits, spread
+    the (thin, id-only) rows round-robin across the default
+    parallelism: one ~8-byte row crosses the exchange per ~ms of
+    decode. On a real cluster the scan yields >= cores splits and this
+    is a no-op — the same gate `profiling.ensure_parallelism` uses."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    import os
+
+    conf = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    ).lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    num = conf.rstrip("kmgb")
+    mult = units.get(conf.removesuffix("b")[-1:], 1)
+    max_pb = int(num) * mult if num.isdigit() else 134217728
+    est = 0
+    for f in files:
+        try:
+            sz = os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return df
+        est += max(1, -(-sz // max_pb))
+        if est >= target:
+            return df
+    return df.repartition(target)
+
+
 def make_assets_from_documents(docs: DataFrame, n: int | None = None) -> DataFrame:
     """Build a synthetic asset table from the documents fixture: text
     bytes stand in for encoded payloads (the plumbing under test is
@@ -310,7 +346,7 @@ def make_png_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema=ASSET_SCHEMA)
+    return _spread_decode_rows(docs.select("doc_id")).mapInPandas(run, schema=ASSET_SCHEMA)
 
 
 WAV_MAGIC = b"RIFF"
@@ -477,7 +513,7 @@ def make_wav_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema=ASSET_SCHEMA)
+    return _spread_decode_rows(docs.select("doc_id")).mapInPandas(run, schema=ASSET_SCHEMA)
 
 
 def repartition_by_payload_size(assets: DataFrame, target_mb: int = 64) -> DataFrame:
@@ -646,7 +682,7 @@ def make_gradient_assets_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(run, schema="asset_id long, payload binary")
+    return _spread_decode_rows(docs.select("doc_id")).mapInPandas(run, schema="asset_id long, payload binary")
 
 
 def image_dhash(assets: DataFrame, gx: int = DHASH_GX, gy: int = DHASH_GY) -> DataFrame:
@@ -912,7 +948,7 @@ def make_envelope_wav_assets_from_documents(docs: DataFrame) -> DataFrame:
                 {"asset_id": ids, "payload": [enc(int(i)) for i in ids]}
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema="asset_id long, payload binary")
+    return _spread_decode_rows(docs.select("doc_id")).mapInPandas(run, schema="asset_id long, payload binary")
 
 
 def audio_fingerprint(
@@ -1132,7 +1168,7 @@ def make_video_assets_from_documents(docs: DataFrame, n_frames: int = 12) -> Dat
                 {"asset_id": ids, "payload": [container(int(i)) for i in ids]}
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema="asset_id long, payload binary")
+    return _spread_decode_rows(docs.select("doc_id")).mapInPandas(run, schema="asset_id long, payload binary")
 
 
 def video_frame_dhash(
