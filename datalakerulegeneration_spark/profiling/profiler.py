@@ -220,8 +220,12 @@ def scalar_stats_long(
         return wide_long
     keys = [(table, c, kinds[c]) for c in cols]
     mn, ms = _kind_melts(df, cols, kinds, base_k=0)
+    sz = _est_input_bytes(df)
     return wide_long.unionByName(
-        _exact_distinct_long(spark, mn, ms, keys, persists=persists)
+        _exact_distinct_long(
+            spark, mn, ms, keys, persists=persists,
+            small=sz is not None and sz < _SMALL_PROFILE_BYTES,
+        )
     )
 
 
@@ -350,8 +354,39 @@ def _ck_decode(df, keys):
     )
 
 
+# inputs whose TOTAL compressed size is provably below this run the
+# exact quartile chain with a per-column window instead of the
+# range-partitioned two-level machinery (r13): the two-level shape
+# exists to kill the one-task-per-column sort straggler on BIG tables
+# (600k-row lineitem), but it costs a boundary-sampling job, a persist
+# materialization and an offsets broadcast — ~4 extra driver-scheduled
+# jobs that dominate small-table profiling (matcher/golden CSVs).
+# Cumulative integer sums are associative, so both shapes produce
+# bit-identical cum/nnum and therefore identical quartiles; inputs
+# whose size cannot be stat'ed take the big-table path.
+_SMALL_PROFILE_BYTES = 4 << 20
+
+
+def _est_input_bytes(df: DataFrame) -> int | None:
+    files = df.inputFiles()
+    if not files:
+        return None
+    tot = 0
+    for f in files:
+        try:
+            tot += os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return None
+    return tot
+
+
 def _exact_distinct_long(
-    spark, melted_num, melted_str, keys, persists: list | None = None
+    spark,
+    melted_num,
+    melted_str,
+    keys,
+    persists: list | None = None,
+    small: bool = False,
 ) -> DataFrame:
     """Distinct counts + exact quartiles from kind-split melts
     (:func:`_kind_melts`) as ``(table, col_name, stat_name,
@@ -401,43 +436,58 @@ def _exact_distinct_long(
                 F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0)),
             )
         )
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        d_ = (
-            vc.repartitionByRange(n_parts, F.asc("_ck"), F.asc_nulls_first("v"))
-            .withColumn("_pid", F.spark_partition_id())
-            .persist()
-        )
-        # r13 (ADVICE r12): the grain cache must not outlive the
-        # profiling collect — callers that collect pass a list and
-        # unpersist after (lazy consumers keep the old lifetime)
-        if persists is not None:
-            persists.append(d_)
-        wl = (
-            Window.partitionBy("_ck", "_pid")
-            .orderBy(F.asc_nulls_first("v"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        # per-(_ck, bucket) totals; bucket offsets cumulative in _pid
-        # order (range partitions are v-ordered within a column),
-        # per-column totals from the same tiny frame
-        offs = d_.groupBy("_ck", "_pid").agg(F.sum("cntn").alias("_w"))
-        wp = (
-            Window.partitionBy("_ck")
-            .orderBy("_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offs = offs.withColumn(
-            "_off", F.coalesce(F.sum("_w").over(wp), F.lit(0))
-        ).withColumn("_nnum", F.sum("_w").over(Window.partitionBy("_ck")))
-        x = (
-            d_.withColumn("_lcum", F.sum("cntn").over(wl))
-            .join(
-                F.broadcast(offs.select("_ck", "_pid", "_off", "_nnum")),
-                ["_ck", "_pid"],
+        if small:
+            # provably-small input (see _SMALL_PROFILE_BYTES): one
+            # window per column — a column's whole distinct grain fits
+            # one task, and this shape skips the boundary-sampling job,
+            # the persist and the offsets broadcast. Identical integer
+            # cumulative sums ⇒ identical quartiles.
+            wl1 = (
+                Window.partitionBy("_ck")
+                .orderBy(F.asc_nulls_first("v"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            .withColumn("cum", F.col("_lcum") + F.col("_off"))
-            .withColumn("nnum", F.col("_nnum"))
-        )
+            x = vc.withColumn("cum", F.sum("cntn").over(wl1)).withColumn(
+                "nnum", F.sum("cntn").over(Window.partitionBy("_ck"))
+            )
+        else:
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            d_ = (
+                vc.repartitionByRange(n_parts, F.asc("_ck"), F.asc_nulls_first("v"))
+                .withColumn("_pid", F.spark_partition_id())
+                .persist()
+            )
+            # r13 (ADVICE r12): the grain cache must not outlive the
+            # profiling collect — callers that collect pass a list and
+            # unpersist after (lazy consumers keep the old lifetime)
+            if persists is not None:
+                persists.append(d_)
+            wl = (
+                Window.partitionBy("_ck", "_pid")
+                .orderBy(F.asc_nulls_first("v"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            # per-(_ck, bucket) totals; bucket offsets cumulative in _pid
+            # order (range partitions are v-ordered within a column),
+            # per-column totals from the same tiny frame
+            offs = d_.groupBy("_ck", "_pid").agg(F.sum("cntn").alias("_w"))
+            wp = (
+                Window.partitionBy("_ck")
+                .orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            offs = offs.withColumn(
+                "_off", F.coalesce(F.sum("_w").over(wp), F.lit(0))
+            ).withColumn("_nnum", F.sum("_w").over(Window.partitionBy("_ck")))
+            x = (
+                d_.withColumn("_lcum", F.sum("cntn").over(wl))
+                .join(
+                    F.broadcast(offs.select("_ck", "_pid", "_off", "_nnum")),
+                    ["_ck", "_pid"],
+                )
+                .withColumn("cum", F.col("_lcum") + F.col("_off"))
+                .withColumn("nnum", F.col("_nnum"))
+            )
         aggs2 = [
             F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
             .cast("double")
@@ -472,6 +522,14 @@ def _exact_distinct_long(
                 ),
             )
         g = _ck_decode(g, keys)
+        # g is consumed by TWO stack branches (NUMERIC + COERCED);
+        # persist the #columns-row result so the whole melt/window
+        # chain below it runs once, not per branch (r13 — in the
+        # small-input path there is no d_ cache to stop the
+        # re-derivation). Registered for release after the collect.
+        g = g.persist()
+        if persists is not None:
+            persists.append(g)
         branches.append(
             g.where(F.col("_ckind") == S.NUMERIC).selectExpr(
                 "table",
@@ -1075,8 +1133,14 @@ def profile_tables(
     chunk_n = 200  # scalar_stats_long's max_cols_per_pass default
     wide_parts, mn_parts, ms_parts, vmelts, tmelts = [], [], [], [], []
     dist_keys, v_keys, t_keys = [], [], []
+    # the fused chain takes the small-input quartile path only when
+    # EVERY table is provably small (the melts union into one chain)
+    all_small = True
     for n in names:
         df0 = tables[n]
+        sz = _est_input_bytes(df0)
+        if sz is None or sz >= _SMALL_PROFILE_BYTES:
+            all_small = False
         kinds = _profile_kinds(df0, coerce_numeric)
         cols = df0.columns
         df0 = ensure_parallelism(df0)
@@ -1108,7 +1172,7 @@ def profile_tables(
         scalar_u = scalar_u.unionByName(
             _exact_distinct_long(
                 spark0, union_all(mn_parts), union_all(ms_parts), dist_keys,
-                persists=transient,
+                persists=transient, small=all_small,
             )
         )
     value_u = _value_stats_core(union_all(vmelts), v_keys) if vmelts else None
