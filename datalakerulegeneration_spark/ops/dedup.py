@@ -616,24 +616,6 @@ def prefix_filter_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
     )
-
-    # r13 — PROBE-prefix refinement (the PPJoin family's mid-prefix,
-    # Ribeiro & Härder, Inf. Syst. 2011 — public): for a true pair with
-    # |x| ≤ |y|, the FIRST shared token w in the global order has
-    # pos_x(w) ≤ |x| − O + 1 ≤ |x| − ⌈2t/(1+t)·|x|⌉ + 1 (every x-token
-    # before w is non-shared, and O ≥ α ≥ ⌈2t/(1+t)·|x|⌉ by the length
-    # filter). So a match whose SMALLER side sits beyond that probe
-    # prefix can be dropped: the pair, if true, is still emitted at w.
-    # Keeping any match where EITHER ≤-side passes is a superset of
-    # that requirement (ties |x| = |y| satisfy both bounds) — lossless,
-    # while the t=0.5 join sheds ~1/3 of its emitted match rows before
-    # the candidate-distinct exchange.
-    def probe_ok(side: str) -> "F.Column":
-        s = F.col(f"{side}.sz")
-        return F.col(f"{side}.pos") <= s - F.ceil(
-            F.lit(2.0 * threshold / (1.0 + threshold)) * s
-        ) + F.lit(1)
-
     return (
         a.join(b.hint("merge"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .where(
@@ -643,10 +625,6 @@ def prefix_filter_pairs(sh: DataFrame, threshold: float) -> DataFrame:
                 F.lit(1)
                 + F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
                 >= alpha
-            )
-            & (
-                ((F.col("a.sz") <= F.col("b.sz")) & probe_ok("a"))
-                | ((F.col("b.sz") <= F.col("a.sz")) & probe_ok("b"))
             )
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
