@@ -326,64 +326,75 @@ def jaccard_pairs(
     an exact integer expression → bit-identical across engines.
 
     ``candidate_hint`` picks the join strategy for the candidate
-    expansion/size joins: ``shuffle_hash`` (default — right for LSH
-    candidate sets, which are tiny relative to the corpus) builds a
+    attach joins: ``shuffle_hash`` (default — right for LSH candidate
+    sets, which are tiny relative to the corpus) builds a
     per-partition hash map of the pair-grain side; ``merge`` sorts and
     SPILLS, the safe choice when the candidate frame is itself
     corpus-scale (prefix filtering on template-heavy corpora — an sf1
     run OOMed the hash build at 3.1M candidate pairs before this knob).
     """
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
-        # Count shared shingles ONLY for LSH candidate pairs: expand the
-        # (tiny) candidate set by id_a's shingles, then equi-join id_b's
-        # shingles on (id, shingle). The inverted-index self-join below
-        # would score every co-shingled pair and throw most of them
-        # away — the whole point of LSH is to never generate them.
-        # AQE broadcasts the candidate side when it is small.
-        a = sh.alias("a")
-        b = sh.alias("b")
-        # normalize defensively: the inverted-index path only ever
-        # produced id_a < id_b pairs, so a caller-supplied candidates
-        # frame with self-pairs or reversed duplicates must not widen
-        # the output contract
-        candidates = candidates.where(F.col("id_a") < F.col("id_b"))
-        # shuffle_hash hints, build side = the candidate-derived frame:
-        # the shingle frame's STATIC size estimate is the (compressed,
-        # pre-explode) file size, so without the hint Catalyst happily
-        # broadcasts the whole exploded corpus once the file passes the
-        # broadcast threshold — a 3.9 GiB driver OOM at 100x sf0.1
-        # (found in the r4 sf10 run). A hinted shuffle-hash join keys
-        # both sides and builds only the per-partition candidate slice;
-        # nothing ever depends on the unknowable post-explode estimate.
-        inter = (
+        # r13: the candidate verify attaches each document's DISTINCT
+        # shingle set as ONE array row and intersects per pair
+        # (array_intersect is a hash probe over both sets). The
+        # previous shape expanded candidates by id_a's shingles and
+        # equi-joined id_b's on (id, shingle) — one row PER SHARED
+        # SHINGLE per pair (8.8M rows / 157 MB through the intersection
+        # exchange for the prefix path's 125k candidates at sf0.1),
+        # then a pair-grain count agg plus TWO more size joins. The
+        # array shape is two joins total, no count exchange, no size
+        # joins; interleaved A/B: 5.1-11.3 s → 3.0-4.0 s end-to-end on
+        # dedup_prefix_jaccard, hash-identical outputs. Per-document
+        # arrays are bounded by document length (the same bound as the
+        # text itself), and the hint contract is unchanged: the
+        # pair-grain side carries the caller's hint, never a static
+        # broadcast (the r4 sf10 OOM class).
+        arr = sh.groupBy("id").agg(F.collect_list("shingle").alias("_arr"))
+        aa = arr.select(F.col("id").alias("id_a"), F.col("_arr").alias("_arr_a"))
+        bb = arr.select(F.col("id").alias("id_b"), F.col("_arr").alias("_arr_b"))
+        # normalize defensively, exactly like the old pair-grain agg
+        # did: only id_a < id_b pairs, one output row per distinct pair
+        # (RemoveRedundantAggregates erases this when the caller's
+        # frame is already distinct), zero-intersection pairs dropped
+        candidates = candidates.where(F.col("id_a") < F.col("id_b")).dropDuplicates(
+            ["id_a", "id_b"]
+        )
+        inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
+        return (
             candidates.hint(candidate_hint)
-            .join(a, F.col("id_a") == F.col("a.id"))
+            .join(aa, "id_a")
             .hint(candidate_hint)
-            .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
+            .join(bb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    inter.cast("double")
+                    / (F.size("_arr_a") + F.size("_arr_b") - inter).cast("double")
+                ).alias("jaccard"),
+                inter.alias("_inter"),
+            )
+            .where(F.col("_inter") > 0)
+            .drop("_inter")
         )
-    else:
-        a = sh.alias("a")
-        b = sh.alias("b")
-        # merge hint: corpus × corpus self-join on the shingle key —
-        # static estimates see only the pre-explode file size and would
-        # broadcast one whole exploded side; sort-merge shuffles both
-        # sides and spills at any scale (see jaccard candidate path
-        # above for the sf10 OOM this class of plan produces)
-        inter = (
-            a.join(b.hint("merge"), F.col("a.shingle") == F.col("b.shingle"))
-            .where(F.col("a.id") < F.col("b.id"))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    # merge hint: corpus × corpus self-join on the shingle key —
+    # static estimates see only the pre-explode file size and would
+    # broadcast one whole exploded side; sort-merge shuffles both
+    # sides and spills at any scale (the r4 sf10 OOM class)
+    inter = (
+        a.join(b.hint("merge"), F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    # same estimate-blindness fix: sizes is doc-grain (corpus-sized) —
-    # a static broadcast of it is the same OOM in miniature; build on
-    # the pair-grain inter side instead (or sort-merge when the caller
-    # declared the pair grain itself corpus-scale)
+    # estimate-blindness fix: sizes is doc-grain (corpus-sized) — a
+    # static broadcast of it is the same OOM in miniature; build on
+    # the pair-grain inter side instead
     return (
         inter.hint(candidate_hint)
         .join(sa, "id_a")
